@@ -1,0 +1,63 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Materialization uses the noop sink (full execution, no driver collect), so
+timings measure engine throughput, not result serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ha_sqllite_2_influxdb_spark.plans import analytics, ha_pipeline, llm_ops
+from ha_sqllite_2_influxdb_spark.session import get_spark
+
+HEADLINE = {
+    "ha_points": ha_pipeline.q_points,
+    "ha_attr_fields": ha_pipeline.q_attr_fields,
+    "tpch_q1": analytics.q_tpch_q1,
+    "tpch_q3": analytics.q_tpch_q3,
+    "tpch_q5": analytics.q_tpch_q5,
+    "window_topk": analytics.q_window_topk,
+    "sessionize": analytics.q_sessionize,
+    "dedup_exact": llm_ops.q_dedup_exact,
+    "neardup_xxhash_lsh": llm_ops.q_neardup_xxhash_lsh,
+    "embedding_knn": llm_ops.q_embedding_knn,
+    "token_stats": llm_ops.q_token_stats,
+    "lang_id": llm_ops.q_lang_id,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, fn in HEADLINE.items():
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference,
+BASELINE.json north star): tokenization, quality scoring, language ID,
+fingerprinting.
+
+All expressions are engine-portable by construction: integer counts and
+left-associative folds only, so the DuckDB oracle computes bit-identical
+values. The one cross-engine hash primitive is a 31-base rolling hash over
+character codes mod 2^31-1 (``char_hash``) — at production scale you swap it
+for ``xxhash64`` (see dedup.py's scale-path variants); the *pipeline shape*
+is identical.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_MOD = 2_147_483_647  # 2^31 - 1
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"],
+    "fr": ["le", "les", "des", "et", "est", "une", "dans", "que", "pour", "sur"],
+    "zh": ["de", "shi", "zai", "le", "he", "you", "wo", "ta", "men", "zhe"],
+}
+
+
+def char_hash(col: Column) -> Column:
+    """Portable rolling hash: left fold of ``acc*31 + ascii(char) mod 2^31-1``.
+
+    Deterministic and identical to DuckDB's
+    ``list_reduce(list_transform(string_split(s,''), c -> ascii(c)), ...)``
+    because a left fold from 0 equals a reduce seeded with the first element.
+    """
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % HASH_MOD,
+    )
+
+
+def words(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def n_words(col: Column) -> Column:
+    return F.size(words(col))
+
+
+def stopword_count(col: Column, lang: str) -> Column:
+    wl = STOPWORDS[lang]
+    return F.size(F.filter(words(col), lambda w: w.isin(*wl)))
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document (all JVM-side)."""
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        n_words(F.col("text")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0))
+         .alias("bpe_tokens"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality scoring: length/stopword/punct signals → [0,1] score.
+
+    All ratios are exact-int divisions; the final affine combination is the
+    same expression tree in both engines → bit-identical doubles.
+    """
+    nw = n_words(F.col("text"))
+    length = F.length("text")
+    stop_en = stopword_count(F.col("text"), "en")
+    punct = length - F.length(F.regexp_replace("text", r"[^A-Za-z0-9 ]", ""))
+    base = documents.select(
+        "doc_id", "lang",
+        length.alias("n_chars_m"),
+        nw.alias("nw"),
+        # single-space-joined text: total word chars = len - (nw - 1)
+        ((length - (nw - 1)).cast("double") / nw.cast("double")).alias("avg_word_len"),
+        (stop_en.cast("double") / nw.cast("double")).alias("stopword_ratio"),
+        (punct.cast("double") / length.cast("double")).alias("punct_ratio"),
+    )
+    score = (
+        F.least(F.lit(1.0), F.col("nw").cast("double") / 100.0) * 0.5
+        + F.col("stopword_ratio") * 0.3
+        + (1.0 - F.col("punct_ratio")) * 0.2
+    )
+    return base.withColumn("quality_score", score).drop("nw")
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-overlap language ID with deterministic argmax.
+
+    Returns per-language scores, the prediction, and correctness vs the
+    labeled ``lang``. Tie-break: first language in alphabetical order wins
+    (same CASE chain in the oracle).
+    """
+    nw = n_words(F.col("text")).cast("double")
+    df = documents.select(
+        "doc_id", "lang",
+        *[
+            (stopword_count(F.col("text"), lg).cast("double") / nw)
+            .alias(f"score_{lg}")
+            for lg in sorted(STOPWORDS)
+        ],
+    )
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = reduce(
+        lambda acc, lg: acc.when(F.col(f"score_{lg}") == best, lg),
+        langs[1:],
+        F.when(F.col(f"score_{langs[0]}") == best, langs[0]),
+    )
+    return df.withColumn("predicted", pred).withColumn(
+        "correct", (F.col("predicted") == F.col("lang")).cast("int")
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Content fingerprints: md5 (exact dedup key) + rolling hash."""
+    return documents.select(
+        "doc_id",
+        F.md5("text").alias("md5"),
+        char_hash(F.col("text")).alias("roll_hash"),
+    )

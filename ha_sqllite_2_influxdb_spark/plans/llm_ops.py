@@ -1,0 +1,389 @@
+"""LLM-training-data pipeline query surface: dedup, similarity, text
+analysis, multimodal — each with a DuckDB oracle where exactly expressible.
+
+Oracle SQL for the hash-based operators is *generated* from the same
+parameters (seeds, band layout, bit counts) the Spark operators use, so the
+two sides cannot drift. Approximate operators (xxhash LSH, hyperplane ANN,
+the pandas decode path) are rows-only here and verified against their exact
+counterparts in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup, multimodal, similarity
+from ..operators.dedup import SIMHASH_BITS_PORTABLE
+from ..operators.similarity import DIM
+from ..operators.text import (
+    STOPWORDS, TOKEN_REGEX, fingerprints, lang_id, quality_scores, token_stats,
+)
+from ..sources.tables import load_table
+
+N_SEEDS = 8
+BAND_SIZE = 4  # must match operators.dedup.lsh_candidate_pairs default
+JACCARD_T = 0.5
+COS_T = 0.35
+HAMMING_T = 3
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------- queries
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(dedup.recrawl_corpus(_docs(spark, sf_dir)))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(
+        _docs(spark, sf_dir).select("doc_id", "text"), n_seeds=N_SEEDS
+    )
+
+
+def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.neardup_pairs(
+        dedup.recrawl_corpus(_docs(spark, sf_dir)),
+        threshold=JACCARD_T, n_seeds=N_SEEDS,
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs_inverted_index(
+        dedup.recrawl_corpus(_docs(spark, sf_dir)), threshold=JACCARD_T
+    )
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_neighbors(
+        dedup.recrawl_corpus(_docs(spark, sf_dir)), max_hamming=HAMMING_T
+    )
+
+
+def q_neardup_xxhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path (rows-only): native xxhash64 minhash + LSH banding."""
+    return dedup.neardup_pairs(
+        dedup.recrawl_corpus(_docs(spark, sf_dir)),
+        threshold=JACCARD_T, n_seeds=N_SEEDS, portable=False,
+    )
+
+
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_brute_force(_emb(spark, sf_dir))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=COS_T)
+
+
+def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path (rows-only): hyperplane-LSH bucketed ANN."""
+    return similarity.ann_lsh_pairs(_emb(spark, sf_dir), threshold=COS_T)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.multimodal_meta(_docs(spark, sf_dir))
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Arrow-batched mapInPandas decode stub over binary payloads
+    (equality with `multimodal_meta`'s SQL values is asserted in tests)."""
+    return multimodal.decode_features(multimodal.payloads(_docs(spark, sf_dir)))
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "neardup_minhash_lsh": q_neardup_minhash_lsh,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash_signatures": q_simhash_signatures,
+    "simhash_neighbors": q_simhash_neighbors,
+    "neardup_xxhash_lsh": q_neardup_xxhash_lsh,
+    "embedding_knn": q_embedding_knn,
+    "embedding_neardup": q_embedding_neardup,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+# ---------------------------------------------------------------- oracles
+# generated SQL fragments (parameters shared with the Spark operators)
+
+_ROLL = (
+    "list_reduce(list_transform(string_split({col}, ''), "
+    "c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a*31 + b) % 2147483647)"
+)
+
+_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(w[1:len(w)-1], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+)"""
+
+_SHINGLED = """
+sh0 AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      ELSE [text] END) AS shingle
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM corpus) b
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+hashed AS (SELECT doc_id, """ + _ROLL.format(col="shingle") + """ AS h FROM sh)"""
+
+_MINHASH = f"""
+seeds AS (SELECT unnest(range(0, {N_SEEDS})) AS seed),
+mh AS (
+  SELECT doc_id, seed,
+    min((h * (2*seed + 1) + seed*seed + 7) % 2147483647) AS minhash
+  FROM hashed CROSS JOIN seeds
+  GROUP BY doc_id, seed
+)"""
+
+def _lsh_pairs_sql(band_size: int) -> str:
+    """Banded candidate-pair SQL for any band size (mirrors the Spark op)."""
+    slots = ", ".join(
+        f"m{j} AS (SELECT doc_id, seed // {band_size} AS band, minhash AS h{j} "
+        f"FROM mh WHERE seed % {band_size} = {j})"
+        for j in range(band_size)
+    )
+    joins = " ".join(
+        f"JOIN m{j} ON m{j}.doc_id = m0.doc_id AND m{j}.band = m0.band"
+        for j in range(1, band_size)
+    )
+    hcols = ", ".join(f"h{j}" for j in range(band_size))
+    eqs = " AND ".join(f"l.h{j} = r.h{j}" for j in range(band_size))
+    return f"""
+{slots},
+bandt AS (
+  SELECT m0.doc_id, m0.band, {hcols}
+  FROM m0 {joins}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bandt l JOIN bandt r
+    ON l.band = r.band AND {eqs}
+  WHERE l.doc_id < r.doc_id
+)"""
+
+
+_LSH_PAIRS = _lsh_pairs_sql(BAND_SIZE)
+
+_JACCARD_FROM_CAND = f"""
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+jac AS (
+  SELECT doc_a, doc_b,
+    CAST(n_inter AS DOUBLE)
+      / CAST(na.n_sh + nb.n_sh - n_inter AS DOUBLE) AS jaccard
+  FROM shared
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+)"""
+
+
+def _dot(av: str, bv: str) -> str:
+    return " + ".join(
+        f"CAST({av}[{i}] AS DOUBLE)*CAST({bv}[{i}] AS DOUBLE)"
+        for i in range(1, DIM + 1)
+    )
+
+
+def _simhash_sql(bits: int) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return votes, sig
+
+
+_V, _SIG = _simhash_sql(SIMHASH_BITS_PORTABLE)
+
+_LANGS = sorted(STOPWORDS)
+_SCORES = ", ".join(
+    "CAST(len(list_filter(string_split(text, ' '), w -> w IN ({}))) AS DOUBLE)"
+    " / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score_{}".format(
+        ", ".join(f"'{w}'" for w in STOPWORDS[lg]), lg
+    )
+    for lg in _LANGS
+)
+_BEST = "greatest({})".format(", ".join(f"score_{lg}" for lg in _LANGS))
+_PRED = "CASE {} END".format(
+    " ".join(f"WHEN score_{lg} = best THEN '{lg}'" for lg in _LANGS)
+)
+
+ORACLES = {
+    "dedup_exact": f"""WITH {_CORPUS}
+SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM corpus GROUP BY md5(text)
+""",
+    "minhash_signatures": f"""WITH corpus AS (SELECT doc_id, text FROM documents),
+{_SHINGLED},
+{_MINHASH}
+SELECT doc_id, seed, minhash FROM mh
+""",
+    "neardup_minhash_lsh": f"""WITH {_CORPUS},
+{_SHINGLED},
+{_MINHASH},
+{_LSH_PAIRS},
+{_JACCARD_FROM_CAND}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
+""",
+    "ngram_jaccard": f"""WITH {_CORPUS},
+{_SHINGLED},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+),
+{_JACCARD_FROM_CAND}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
+""",
+    "simhash_signatures": f"""WITH corpus AS (SELECT doc_id, text FROM documents),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus),
+hashed AS (SELECT doc_id, {_ROLL.format(col="word")} AS h FROM w),
+votes AS (SELECT doc_id, {_V} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {_SIG} AS simhash FROM votes
+""",
+    "simhash_neighbors": f"""WITH {_CORPUS},
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus),
+hashed AS (SELECT doc_id, {_ROLL.format(col="word")} AS h FROM w),
+votes AS (SELECT doc_id, {_V} FROM hashed GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIG} AS simhash FROM votes),
+b AS (SELECT doc_id, simhash,
+             simhash >> {SIMHASH_BITS_PORTABLE - 16} AS bucket FROM sig)
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       bit_count(xor(l.simhash, r.simhash)) AS hamming
+FROM b l JOIN b r ON l.bucket = r.bucket
+WHERE l.doc_id < r.doc_id
+  AND bit_count(xor(l.simhash, r.simhash)) <= {HAMMING_T}
+""",
+    "embedding_knn": f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 5
+),
+scored AS (
+  SELECT query_id, cand_id,
+    (({_dot("qv", "cv")}) / sqrt({_dot("qv", "qv")})) / sqrt({_dot("cv", "cv")})
+      AS cos_sim
+  FROM q CROSS JOIN c
+)
+SELECT query_id, cand_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rk
+  FROM scored
+) t WHERE rk <= 10
+""",
+    "embedding_neardup": f"""WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    (({_dot("a.embedding", "b.embedding")})
+     / sqrt({_dot("a.embedding", "a.embedding")}))
+     / sqrt({_dot("b.embedding", "b.embedding")}) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= {COS_T}
+""",
+    "token_stats": f"""
+SELECT doc_id,
+  length(text) AS n_chars_m,
+  len(string_split(text, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS bpe_tokens
+FROM documents
+""",
+    "text_quality": """
+WITH b AS (
+  SELECT doc_id, lang,
+    length(text) AS n_chars_m,
+    len(string_split(text, ' ')) AS nw,
+    len(list_filter(string_split(text, ' '),
+        w -> w IN ('the','a','and','of','to','in','is','it','that','for')))
+      AS stop_en,
+    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+      AS punct
+  FROM documents
+)
+SELECT doc_id, lang, n_chars_m,
+  CAST(n_chars_m - (nw - 1) AS DOUBLE) / CAST(nw AS DOUBLE) AS avg_word_len,
+  CAST(stop_en AS DOUBLE) / CAST(nw AS DOUBLE) AS stopword_ratio,
+  CAST(punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE) AS punct_ratio,
+  least(1.0, CAST(nw AS DOUBLE) / 100.0) * 0.5
+    + (CAST(stop_en AS DOUBLE) / CAST(nw AS DOUBLE)) * 0.3
+    + (1.0 - CAST(punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) * 0.2
+    AS quality_score
+FROM b
+""",
+    "lang_id": f"""
+WITH s AS (SELECT doc_id, lang, {_SCORES} FROM documents),
+b AS (SELECT *, {_BEST} AS best FROM s)
+SELECT doc_id, lang, {", ".join(f"score_{lg}" for lg in _LANGS)},
+  {_PRED} AS predicted,
+  CAST({_PRED} = lang AS INT) AS correct
+FROM b
+""",
+    "fingerprints": f"""
+SELECT doc_id, md5(text) AS md5,
+  {_ROLL.format(col="text")} AS roll_hash
+FROM documents
+""",
+    "multimodal_meta": f"""
+SELECT doc_id,
+  'application/octet-stream' AS media_type,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  {_ROLL.format(col="text").replace("(a*31 + b) % 2147483647", "a + b")} AS byte_sum,
+  ({_ROLL.format(col="text").replace("(a*31 + b) % 2147483647", "a + b")}) % 64 + 1 AS fake_width,
+  CAST(length(text) AS BIGINT) % 64 + 1 AS fake_height
+FROM documents
+""",
+}

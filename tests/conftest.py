@@ -20,3 +20,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def reference_batch():
+    """Accumulator for hypothesis-generated cases, checked in one Spark job
+    (per-example Spark round-trips would be prohibitively slow)."""
+    return []

@@ -1,0 +1,63 @@
+"""Unit tests for the parity-critical scalar functions (SURVEY §5 #1/#4).
+
+The oracle for routing/splitting is the *reference's own predicate logic*
+re-executed in-process (functions.numeric.py_is_numeric mirrors
+sqllite2influxdb.py:122; partition semantics mirror :106).
+"""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ha_sqllite_2_influxdb_spark.functions.entity import entity_domain, entity_short
+from ha_sqllite_2_influxdb_spark.functions.numeric import (
+    is_numeric_str, py_is_numeric,
+)
+
+EDGE_STATES = [
+    "-5", "1.2.3", "1e3", "007", "42.0", "", "on", "21.5", ".5", "5.", ".",
+    "0", "unknown", "1..2", " 5", "5 ", "+5", "nan", "inf", "1.0.0.0",
+]
+
+
+def test_numeric_regex_edge_cases(spark):
+    df = spark.createDataFrame([(s,) for s in EDGE_STATES], "s string")
+    got = {
+        r.s: r.m
+        for r in df.select("s", is_numeric_str(F.col("s")).alias("m")).collect()
+    }
+    for s in EDGE_STATES:
+        assert got[s] == py_is_numeric(s), f"route mismatch for {s!r}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="0123456789.-e ", max_size=8))
+def test_numeric_regex_property(reference_batch, s):
+    # collected lazily via the session-scoped batch fixture
+    reference_batch.append(s)
+
+
+def test_numeric_regex_property_batch(spark, reference_batch):
+    cases = sorted(set(reference_batch + EDGE_STATES))
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {
+        r.s: r.m
+        for r in df.select("s", is_numeric_str(F.col("s")).alias("m")).collect()
+    }
+    for s in cases:
+        assert got[s] == py_is_numeric(s), f"route mismatch for {s!r}"
+
+
+def test_entity_partition_parity(spark):
+    ids = ["sensor.kitchen", "sensor.esp32.kitchen", "nodot", "a.b.c.d", "x.", ".y"]
+    df = spark.createDataFrame([(e,) for e in ids], "e string")
+    got = {
+        r.e: (r.d, r.s)
+        for r in df.select(
+            "e",
+            entity_domain(F.col("e")).alias("d"),
+            entity_short(F.col("e")).alias("s"),
+        ).collect()
+    }
+    for e in ids:
+        domain, _, short = e.partition(".")
+        assert got[e] == (domain, short), f"partition mismatch for {e!r}"
