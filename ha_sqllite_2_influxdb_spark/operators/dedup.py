@@ -62,9 +62,16 @@ def dedup_exact(corpus: DataFrame) -> DataFrame:
     )
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingle array (1-based element_at, same as DuckDB)."""
-    w = F.split(text, " ")
+def shingles(text: Column, k: int = 3, words: Column | None = None) -> Column:
+    """Word k-gram shingle array (1-based element_at, same as DuckDB).
+
+    Pass ``words`` as a pre-projected `split(text, ' ')` COLUMN whenever
+    possible: an inline `split` expression is re-evaluated for every
+    `element_at` inside the transform lambda (no common-subexpression
+    elimination through higher-order functions), which costs ~16× on
+    realistic documents. `shingled` below does this automatically.
+    """
+    w = F.split(text, " ") if words is None else words
     n = F.size(w)
     make = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
@@ -90,7 +97,14 @@ def shingled(corpus: DataFrame, native_hash: bool = False) -> DataFrame:
     """
     ex = (
         corpus.repartition(F.col("doc_id"))
-        .select("doc_id", F.explode(shingles(F.col("text"))).alias("shingle"))
+        # materialize the split ONCE as a physical column; see shingles()
+        .select("doc_id", "text", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                shingles(F.col("text"), words=F.col("w"))
+            ).alias("shingle"),
+        )
     )
     if native_hash:
         ex = ex.select("doc_id", F.xxhash64("shingle").alias("shingle"))
