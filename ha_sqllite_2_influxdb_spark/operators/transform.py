@@ -62,11 +62,15 @@ def drop_sentinel_states(df: DataFrame) -> DataFrame:
 
 
 def points(ha_states: DataFrame, ha_states_meta: DataFrame,
-           ha_state_attributes: DataFrame) -> DataFrame:
+           ha_state_attributes: DataFrame,
+           keep_state: bool = False) -> DataFrame:
     """Flagship transform: scan → filter → type/tag (F1-F9) → point rows.
 
     One row per surviving state: measurement + tags + the type-routed state
     field (``value`` float XOR ``state_str``), ready for the sink.
+    ``keep_state=True`` additionally carries the raw state TEXT as
+    ``state_raw`` so the sink can render numeric fields byte-identically
+    to the source (no float formatting).
     """
     df = drop_sentinel_states(
         joined_scan(ha_states, ha_states_meta, ha_state_attributes)
@@ -89,6 +93,7 @@ def points(ha_states: DataFrame, ha_states_meta: DataFrame,
         # F8+F9: numeric-string test routes to float XOR string (:122-125)
         F.when(is_num, F.col("state").cast("double")).alias("value"),
         F.when(~is_num, F.col("state")).alias("state_str"),
+        *([F.col("state").alias("state_raw")] if keep_state else []),
     )
 
 

@@ -67,9 +67,13 @@ pts AS (
     coalesce(fname_raw, short) AS friendly_name,
     last_updated_ts AS ts_epoch,
     CASE WHEN regexp_matches(state, '{_RX}') THEN CAST(state AS DOUBLE) END AS value,
-    CASE WHEN NOT regexp_matches(state, '{_RX}') THEN state END AS state_str
+    CASE WHEN NOT regexp_matches(state, '{_RX}') THEN state END AS state_str,
+    state AS state_raw
   FROM split
 )"""
+
+_PTS_COLS = ("state_id, measurement, source, domain, entity_id, "
+             "friendly_name, ts_epoch, value, state_str")
 
 
 def _ha(spark: SparkSession, sf_dir: str):
@@ -151,6 +155,17 @@ def q_state_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 rendering: the sink's exact wire format as column expressions.
+
+    Numeric state fields render from the raw state TEXT (byte-identical
+    to the source, no float formatting); see sinks.influx.line_protocol.
+    """
+    from ..sinks.influx import line_protocol
+    pts = points(*_ha(spark, sf_dir), keep_state=True)
+    return line_protocol(pts, raw_state=F.col("state_raw"))
+
+
 def q_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 in isolation: first-dot partition over all entity ids."""
     from ..functions.entity import entity_domain, entity_short
@@ -169,6 +184,7 @@ QUERIES = {
     "ha_min_ts": q_min_ts,
     "ha_oldest_point": q_oldest_point,
     "ha_backfill_boundary": q_backfill_boundary,
+    "ha_line_protocol": q_line_protocol,
     "ha_state_route": q_state_route,
     "ha_entity_split": q_entity_split,
 }
@@ -183,7 +199,7 @@ SELECT state, entity_id, last_updated_ts, shared_attrs FROM joined
     "ha_points": f"""{_CTE},
 {_JOINED},
 {_POINTS}
-SELECT * FROM pts
+SELECT {_PTS_COLS} FROM pts
 """,
     "ha_attr_fields": f"""{_CTE},
 {_JOINED},
@@ -241,8 +257,32 @@ SELECT state_id, measurement, ts_epoch FROM pts ORDER BY ts_epoch ASC LIMIT 1
     "ha_backfill_boundary": f"""{_CTE},
 {_JOINED},
 {_POINTS}
-SELECT * FROM pts
+SELECT {_PTS_COLS} FROM pts
 WHERE ts_epoch < (SELECT min(ts_epoch) FROM pts WHERE measurement = 'W')
+""",
+    "ha_line_protocol": f"""{_CTE},
+{_JOINED},
+{_POINTS},
+lp AS (
+  SELECT state_id,
+    concat_ws(' ',
+      concat_ws(',',
+        regexp_replace(measurement, '([, ])', '\\\\\\1', 'g'),
+        'source=' || regexp_replace(source, '([,= ])', '\\\\\\1', 'g'),
+        'domain=' || regexp_replace(domain, '([,= ])', '\\\\\\1', 'g'),
+        'entity_id=' || regexp_replace(entity_id, '([,= ])', '\\\\\\1', 'g'),
+        'friendly_name=' || regexp_replace(friendly_name, '([,= ])', '\\\\\\1', 'g')
+      ),
+      CASE WHEN value IS NOT NULL THEN 'value=' || state_raw
+           ELSE 'state="' ||
+             regexp_replace(regexp_replace(state_str, '\\\\', '\\\\\\\\', 'g'),
+                            '"', '\\\\"', 'g') || '"'
+      END,
+      CAST(CAST(trunc(ts_epoch * 1000000000.0) AS BIGINT) AS VARCHAR)
+    ) AS line
+  FROM pts
+)
+SELECT state_id, line FROM lp
 """,
     "ha_state_route": f"""{_CTE}
 SELECT state,

@@ -1,0 +1,161 @@
+"""InfluxDB sink: line-protocol rendering + batched partition writer.
+
+The reference's sink (connect_to_influxdb + batch_insert_to_influx +
+write_to_influx, sqllite2influxdb.py:44-52,100-161) builds
+``influxdb_client.Point`` objects row-at-a-time on a single thread and
+POSTs them in SYNCHRONOUS batches of ``BATCH_SIZE`` (:31,146-159).
+
+Spark-first split of that work:
+
+- **Rendering is an engine concern** → `line_protocol` builds the exact
+  wire format (measurement,tags fields timestamp-ns) as JVM column
+  expressions — whole-stage-codegen'd, shuffle-free, testable against a
+  DuckDB oracle, and independent of any InfluxDB client library.
+- **Transport is a partition concern** → `write_lines` does
+  ``foreachPartition``: each executor slice opens its own connection
+  (HTTP if influxdb-client is importable and a URL is given; a
+  line-protocol file per partition otherwise) and flushes every
+  ``batch_size`` lines — N parallel writers instead of the reference's
+  one, same batching semantics per writer. ``debug=True`` reproduces the
+  reference's per-point error-isolation mode (:148-153).
+
+At 100 TB the rendering stage scales like any projection; the writer's
+parallelism is the partition count, so ``repartitionByRange(ts)`` before
+the write both spreads sink load and preserves the reference's
+oldest-first ordering *per writer* (ORDER BY, :89-90) without a global
+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: reference default, sqllite2influxdb.py:31 / .env.example:6
+DEFAULT_BATCH_SIZE = 10_000
+
+
+def _esc(col: Column, chars: str) -> Column:
+    """Backslash-escape ``chars`` (line-protocol quoting rules)."""
+    return F.regexp_replace(col, f"([{chars}])", r"\\$1")
+
+
+def escape_measurement(col: Column) -> Column:
+    return _esc(col, ", ")
+
+
+def escape_tag(col: Column) -> Column:
+    return _esc(col, ",= ")
+
+
+def escape_field_string(col: Column) -> Column:
+    """Field string values: escape backslash then double-quote."""
+    return F.regexp_replace(
+        F.regexp_replace(col, r"\\", r"\\\\"), '"', r'\\"'
+    )
+
+
+def line_protocol(points_df: DataFrame, raw_state: Column | None = None,
+                  precision_ns: bool = True) -> DataFrame:
+    """Render point rows (schema of ``operators.transform.points``) to
+    InfluxDB line protocol: ``measurement,tag=v,... field=v ts``.
+
+    The numeric state field is rendered from ``raw_state`` (the original
+    numeric TEXT the reference passed to ``float()``, :123) when given —
+    the digits on the wire are then byte-identical to the source and to
+    any SQL oracle, with no float-formatting dependence.
+    """
+    tags = F.concat_ws(
+        ",",
+        escape_measurement(F.col("measurement")),
+        F.concat(F.lit("source="), escape_tag(F.col("source"))),
+        F.concat(F.lit("domain="), escape_tag(F.col("domain"))),
+        F.concat(F.lit("entity_id="), escape_tag(F.col("entity_id"))),
+        F.concat(F.lit("friendly_name="), escape_tag(F.col("friendly_name"))),
+    )
+    num_txt = (
+        raw_state if raw_state is not None
+        else F.col("value").cast("string")
+    )
+    field = F.when(
+        F.col("value").isNotNull(),
+        F.concat(F.lit("value="), num_txt),
+    ).otherwise(
+        F.concat(
+            F.lit('state="'),
+            escape_field_string(F.col("state_str")),
+            F.lit('"'),
+        )
+    )
+    ts = (F.col("ts_epoch") * (1e9 if precision_ns else 1e6)).cast("long")
+    return points_df.select(
+        "state_id",
+        F.concat_ws(" ", tags, field, ts.cast("string")).alias("line"),
+    )
+
+
+def write_lines(lines_df: DataFrame, *, url: str | None = None,
+                token: str = "", org: str = "", bucket: str = "",
+                path: str | None = None,
+                batch_size: int = DEFAULT_BATCH_SIZE,
+                debug: bool = False) -> None:
+    """Partition-parallel sink write of a ``line`` column.
+
+    ``url`` → HTTP to InfluxDB v2 (requires influxdb-client on the
+    executors); ``path`` → one ``part-<pid>.lp`` file per partition
+    (the testable transport used when no server exists). Batching and
+    the debug per-line fallback mirror write_to_influx (:146-159).
+    """
+    if (url is None) == (path is None):
+        raise ValueError("exactly one of url= or path= is required")
+
+    def handle_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if url is not None:
+            try:
+                from influxdb_client import InfluxDBClient
+                from influxdb_client.client.write_api import SYNCHRONOUS
+            except ImportError as e:  # pragma: no cover - no client baked in
+                raise NotImplementedError(
+                    "influxdb-client not installed; use path= transport"
+                ) from e
+            client = InfluxDBClient(url=url, token=token, org=org)
+            write_api = client.write_api(write_options=SYNCHRONOUS)
+
+            def flush(batch: list[str]) -> None:
+                if debug:
+                    for ln in batch:  # per-point isolation (:148-153)
+                        try:
+                            write_api.write(bucket=bucket, org=org, record=ln)
+                        except Exception as exc:  # noqa: BLE001
+                            print(f"Error writing line: {exc}")
+                else:
+                    write_api.write(bucket=bucket, org=org, record=batch)
+
+            closer = client.close
+        else:
+            import os
+
+            os.makedirs(path, exist_ok=True)
+            out = open(os.path.join(path, f"part-{pid:05d}.lp"), "a")
+
+            def flush(batch: list[str]) -> None:
+                out.write("\n".join(batch) + "\n")
+
+            closer = out.close
+
+        try:
+            batch: list[str] = []
+            for row in rows:
+                batch.append(row.line)
+                if len(batch) >= batch_size:
+                    flush(batch)
+                    batch = []
+            if batch:
+                flush(batch)
+        finally:
+            closer()
+
+    lines_df.foreachPartition(handle_partition)

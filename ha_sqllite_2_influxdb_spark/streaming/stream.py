@@ -1,0 +1,127 @@
+"""Structured Streaming mode (SURVEY §2.8 T1-T4).
+
+The reference is a bounded micro-batch loop: fetch BATCH_SIZE rows →
+transform → write → repeat until drained (sqllite2influxdb.py:183-188).
+That IS Structured Streaming's execution model; ``Trigger.AvailableNow``
+reproduces "drain everything, then stop" (T2) with checkpointed progress
+(the durable analog of the reference's implicit cursor position).
+
+Surface:
+
+- ``events_stream``    — file-source stream over the driver's events table
+- ``windowed_agg``     — tumbling event-time window + watermark (T4 gap)
+- ``stream_dedup``     — stateful exact dedup within the watermark (T3 gap;
+                         the reference has no duplicate handling at all)
+- ``drain_*``          — AvailableNow runners: memory sink for verification,
+                         ``foreachBatch`` parquet/line-protocol for T2 parity
+
+Every transformation here is the SAME DataFrame expression a batch caller
+would use — tests assert stream-drain == batch result on identical input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import configure
+
+#: events.parquet physical schema under nanosAsLong (ts: TIMESTAMP(NANOS))
+EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the same ns→µs normalization
+    as the batch loader (sources.tables.load_table)."""
+    configure(spark)
+    # the file stream source wants a directory; select just the events
+    # table out of the shared sf dir with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("cast(ts div 1000 as bigint)"))
+    )
+
+
+def windowed_agg(events: DataFrame, window: str = "1 hour",
+                 watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling event-time aggregation, late data bounded by the watermark.
+
+    Works identically on a batch DataFrame (watermark is a no-op there) —
+    the parity test runs both.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exact dedup on event_id.
+
+    State is bounded by the watermark (dropDuplicatesWithinWatermark), so
+    it holds one window of ids, not the whole history — the formulation
+    that survives an unbounded stream at scale.
+    """
+    return events.withWatermark("ts", watermark) \
+                 .dropDuplicatesWithinWatermark(["event_id"])
+
+
+def drain_to_memory(sdf: DataFrame, name: str,
+                    output_mode: str = "complete") -> DataFrame:
+    """Run an AvailableNow drain into a memory sink; return the result.
+
+    complete mode emits every window even though the bounded input never
+    advances the watermark past the tail (append would withhold the last
+    window — the classic bounded-stream gotcha).
+    """
+    q = (
+        sdf.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def drain_foreach_batch(sdf: DataFrame, checkpoint: str, batch_fn) -> int:
+    """T2: the reference's fetch→transform→write loop as foreachBatch.
+
+    ``batch_fn(df, epoch_id)`` receives each micro-batch as a plain batch
+    DataFrame (e.g. sinks.influx.write_lines or a parquet append).
+    Returns the number of micro-batches executed.
+    """
+    n_batches = {"n": 0}
+
+    def wrapped(df: DataFrame, epoch_id: int) -> None:
+        n_batches["n"] += 1
+        batch_fn(df, epoch_id)
+
+    q = (
+        sdf.writeStream.foreachBatch(wrapped)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

@@ -1,0 +1,105 @@
+"""Sink tests: line-protocol rendering, partition writer, backfill loop."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from ha_sqllite_2_influxdb_spark.operators.transform import points
+from ha_sqllite_2_influxdb_spark.plans.ha_pipeline import q_line_protocol
+from ha_sqllite_2_influxdb_spark.sinks.backfill import backfill_once, sink_boundary
+from ha_sqllite_2_influxdb_spark.sinks.influx import line_protocol, write_lines
+from ha_sqllite_2_influxdb_spark.sources.ha_fixture import derive_ha_tables
+
+
+def _pts(spark, sf_dir):
+    t = derive_ha_tables(spark, sf_dir)
+    return points(
+        t["ha_states"], t["ha_states_meta"], t["ha_state_attributes"]
+    )
+
+
+def test_line_protocol_escaping_golden(spark):
+    df = spark.createDataFrame(
+        [
+            # measurement with space, tag with comma+equals, float field
+            (1, "deg C", "HA", "sensor", "temp_1", "Temp, out=side",
+             10.5, 21.5, None, "21.5"),
+            # string field with quote and backslash
+            (2, "count", "HA", "light", "l1", "plain",
+             11.0, None, 'say "hi" \\ bye', "x"),
+        ],
+        ("state_id measurement source domain entity_id friendly_name "
+         "ts_epoch value state_str state_raw").split(),
+    )
+    lines = dict(
+        line_protocol(df, raw_state=F.col("state_raw")).collect()
+    )
+    assert lines[1] == (
+        "deg\\ C,source=HA,domain=sensor,entity_id=temp_1,"
+        "friendly_name=Temp\\,\\ out\\=side value=21.5 10500000000"
+    )
+    assert lines[2] == (
+        'count,source=HA,domain=light,entity_id=l1,friendly_name=plain '
+        'state="say \\"hi\\" \\\\ bye" 11000000000'
+    )
+
+
+def test_write_lines_file_transport(spark, sf_dir, tmp_path):
+    lines_df = q_line_protocol(spark, sf_dir).repartition(4)
+    out = str(tmp_path / "lp")
+    write_lines(lines_df, path=out, batch_size=100)
+    files = glob.glob(os.path.join(out, "part-*.lp"))
+    assert len(files) > 1  # partition-parallel writers
+    written = set()
+    for f in files:
+        with open(f) as fh:
+            written.update(ln for ln in fh.read().splitlines() if ln)
+    expected = {r.line for r in lines_df.collect()}
+    assert written == expected
+
+
+def test_write_lines_rejects_ambiguous_transport(spark):
+    df = spark.createDataFrame([("x",)], ["line"])
+    try:
+        write_lines(df)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_backfill_idempotent(spark, sf_dir, tmp_path):
+    sink = str(tmp_path / "sink")
+    pts = _pts(spark, sf_dir)
+    total = pts.count()
+
+    # simulate a sink that already holds the newest half of history
+    median = pts.approxQuantile("ts_epoch", [0.5], 0.0)[0]
+    pts.filter(F.col("ts_epoch") >= median).write.parquet(sink)
+    pre = spark.read.parquet(sink).count()
+
+    # run 1: migrates exactly the rows older than the sink's oldest point
+    boundary = sink_boundary(spark, sink)
+    expect = pts.filter(F.col("ts_epoch") < boundary).count()
+    n1 = backfill_once(spark, pts, sink)
+    assert n1 == expect
+    assert spark.read.parquet(sink).count() == pre + n1
+
+    # run 2: idempotent — nothing older than the new minimum remains
+    n2 = backfill_once(spark, pts, sink)
+    assert n2 == 0
+    assert spark.read.parquet(sink).count() == pre + n1
+    assert pre + n1 == total
+
+
+def test_backfill_empty_sink_migrates_everything(spark, sf_dir, tmp_path):
+    sink = str(tmp_path / "sink2")
+    pts = _pts(spark, sf_dir)
+    assert sink_boundary(spark, sink) is None
+    n1 = backfill_once(spark, pts, sink)
+    assert n1 == pts.count()
+    # per-writer time ordering (O1): each file is internally sorted
+    import pyarrow.parquet as pq
+    for f in glob.glob(os.path.join(sink, "part-*.parquet")):
+        ts = pq.read_table(f, columns=["ts_epoch"])["ts_epoch"].to_pylist()
+        assert ts == sorted(ts)
