@@ -42,6 +42,13 @@ def main() -> None:
     spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm-up: JIT/codegen + parquet footers + page cache, so timings
+    # measure engine throughput rather than first-query JVM start cost
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_tables
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     for name, fn in HEADLINE.items():
         t0 = time.time()

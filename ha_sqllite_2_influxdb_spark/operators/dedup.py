@@ -95,8 +95,13 @@ def shingled(corpus: DataFrame, native_hash: bool = False) -> DataFrame:
     collision probability 2^-64 per pair is negligible. The portable tier
     keeps strings so the DuckDB oracle can reproduce values exactly.
     """
+    # explicit partition count: repartition(col) alone is AQE-coalescible,
+    # and AQE sees only the tiny pre-explode bytes — it would shrink this
+    # exchange to ~1 partition and serialize the ~50× shingle fan-out onto
+    # one core. An explicit N pins the explode's parallelism.
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
     ex = (
-        corpus.repartition(F.col("doc_id"))
+        corpus.repartition(n_part, F.col("doc_id"))
         # materialize the split ONCE as a physical column; see shingles()
         .select("doc_id", "text", F.split("text", " ").alias("w"))
         .select(
@@ -149,24 +154,30 @@ def _minhash_grouped(hashed: DataFrame, n_seeds: int) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(corpus: DataFrame, n_seeds: int = 8,
-                        band_size: int = 4, portable: bool = True,
-                        shingle_df: DataFrame | None = None) -> DataFrame:
-    """Banded-LSH candidate pairs: docs sharing any full band of minhashes.
+def _doc_profile(sh: DataFrame, n_seeds: int, portable: bool) -> DataFrame:
+    """ONE groupBy producing everything per-doc the LSH pipeline needs:
+    the k minhashes AND the shingle-set size. Folding the size into the
+    same aggregation removes a whole extra shuffle over the (much larger)
+    shingle relation — at scale the exchange is reused for banding and
+    for the union-size lookup."""
+    hashed = sh.select("doc_id", _shingle_hash(portable).alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[_mh(F.col("h"), s).alias(f"mh{s}") for s in range(n_seeds)],
+    )
+
+
+def _banded_pairs(agged: DataFrame, n_seeds: int,
+                  band_size: int) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any full minhash band.
 
     Equi-join on (band, h0..h_{band_size-1}) — cardinality-controlled, no
     cross join. band_size trades candidate volume against recall at the
     threshold boundary: collision P per band ≈ jaccard^band_size, so 4
     keeps near-identical dupes (j≈0.95 → 0.81/band) while suppressing the
     quadratic noise floor that band_size=2 lets through on low-diversity
-    corpora. Returns distinct (doc_a < doc_b) pairs.
+    corpora.
     """
-    sh = shingle_df if shingle_df is not None else shingled(
-        corpus, native_hash=not portable)
-    hashed = sh.select("doc_id", _shingle_hash(portable).alias("h"))
-    agged = hashed.groupBy("doc_id").agg(
-        *[_mh(F.col("h"), s).alias(f"mh{s}") for s in range(n_seeds)]
-    )
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -192,6 +203,17 @@ def lsh_candidate_pairs(corpus: DataFrame, n_seeds: int = 8,
     )
 
 
+def lsh_candidate_pairs(corpus: DataFrame, n_seeds: int = 8,
+                        band_size: int = 4, portable: bool = True,
+                        shingle_df: DataFrame | None = None) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing any full band of minhashes."""
+    sh = shingle_df if shingle_df is not None else shingled(
+        corpus, native_hash=not portable)
+    return _banded_pairs(
+        _doc_profile(sh, n_seeds, portable), n_seeds, band_size
+    )
+
+
 def neardup_pairs(corpus: DataFrame, threshold: float = 0.5,
                   n_seeds: int = 8, portable: bool = True) -> DataFrame:
     """MinHash-LSH near-dup pipeline: candidates → exact Jaccard ≥ threshold.
@@ -199,13 +221,14 @@ def neardup_pairs(corpus: DataFrame, threshold: float = 0.5,
     Jaccard is computed from shingle-set sizes (exact ints): |∩| via a join
     on shingle restricted to candidate pairs, |∪| = |A|+|B|-|∩|.
     """
-    # persist the shingle relation: it feeds minhashing, the intersection
-    # join (twice) and the size agg — without it Spark recomputes the
-    # explode+distinct four times
-    sh = shingled(corpus, native_hash=not portable).persist()
-    cand = lsh_candidate_pairs(corpus, n_seeds=n_seeds, portable=portable,
-                               shingle_df=sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # no persist: the shingle relation ends in a distinct (= aggregate over
+    # an exchange), and all three consumers share that identical subplan, so
+    # Spark's exchange reuse materializes the shuffle once. persist() here
+    # actually hurt — every call leaked a cached copy into executor memory
+    sh = shingled(corpus, native_hash=not portable)
+    agged = _doc_profile(sh, n_seeds, portable)
+    cand = _banded_pairs(agged, n_seeds, band_size=4)
+    sizes = agged.select("doc_id", "n_sh")
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
     shared = (
