@@ -82,43 +82,76 @@ def shingles(text: Column, k: int = 3, words: Column | None = None) -> Column:
     return F.when(n >= k, make).otherwise(F.array(text))
 
 
+def shingle_sets(corpus: DataFrame, native_hash: bool = False) -> DataFrame:
+    """(doc_id, sh) where ``sh`` is the doc's DISTINCT shingle array.
+
+    The whole computation is NARROW — per-doc dedup is `array_distinct`
+    on the shingle array, not a global `distinct()` over the ~50×
+    exploded relation. At 100 TB that removes the single largest shuffle
+    of the dedup pipeline entirely; shingle data never crosses the wire.
+
+    The one exchange is a round-robin repartition of the (small,
+    pre-explode) corpus so the heavy per-row shingling/hashing work runs
+    on every core regardless of input file layout.
+
+    native_hash=True hashes each shingle to xxhash64 inside the array —
+    downstream set ops compare 8-byte longs instead of strings. This is
+    the 100 TB configuration; collision probability 2^-64 per pair is
+    negligible. The portable tier keeps strings so the DuckDB oracle can
+    reproduce values exactly.
+    """
+    n_part = corpus.sparkSession.sparkContext.defaultParallelism
+    arr = F.array_distinct(shingles(F.col("text"), words=F.col("w")))
+    if native_hash:
+        arr = F.array_distinct(F.transform(arr, lambda s: F.xxhash64(s)))
+    return (
+        corpus.repartition(n_part)
+        # materialize the split ONCE as a physical column; see shingles()
+        .select("doc_id", "text", F.split("text", " ").alias("w"))
+        .select("doc_id", arr.alias("sh"))
+    )
+
+
 def shingled(corpus: DataFrame, native_hash: bool = False) -> DataFrame:
     """(doc_id, shingle) exploded rows, de-duplicated per doc.
 
-    Repartitions by doc_id before the ~50× explode so the fan-out runs on
-    every core regardless of input file layout (a handful of parquet files
-    would otherwise pin the whole pipeline to a handful of tasks).
-
-    native_hash=True replaces the shingle string with its xxhash64 — every
-    downstream shuffle (distinct, minhash, intersection joins) then moves
-    8-byte longs instead of strings. This is the 100 TB configuration;
-    collision probability 2^-64 per pair is negligible. The portable tier
-    keeps strings so the DuckDB oracle can reproduce values exactly.
-    """
-    # explicit partition count: repartition(col) alone is AQE-coalescible,
-    # and AQE sees only the tiny pre-explode bytes — it would shrink this
-    # exchange to ~1 partition and serialize the ~50× shingle fan-out onto
-    # one core. An explicit N pins the explode's parallelism.
-    n_part = corpus.sparkSession.sparkContext.defaultParallelism
-    ex = (
-        corpus.repartition(n_part, F.col("doc_id"))
-        # materialize the split ONCE as a physical column; see shingles()
-        .select("doc_id", "text", F.split("text", " ").alias("w"))
-        .select(
-            "doc_id",
-            F.explode(
-                shingles(F.col("text"), words=F.col("w"))
-            ).alias("shingle"),
-        )
+    Row form of `shingle_sets` for inverted-index consumers — the
+    explode is narrow; per-doc dedup already happened in the array."""
+    return shingle_sets(corpus, native_hash=native_hash).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
-    if native_hash:
-        ex = ex.select("doc_id", F.xxhash64("shingle").alias("shingle"))
-    return ex.distinct()
 
 
-def _mh(hash_col: Column, seed: int) -> Column:
+def _perm(h: Column, seed: int) -> Column:
+    """Affine permutation of a hash already reduced to [0, HASH_MOD)."""
     a, b = 2 * seed + 1, seed * seed + 7
-    return F.min((hash_col * a + b) % HASH_MOD)
+    return (h * a + b) % HASH_MOD
+
+
+def _elem_hash(e: Column, portable: bool) -> Column:
+    """Reduce one shingle (string or pre-hashed long) to [0, HASH_MOD)."""
+    if portable:
+        return char_hash(e)
+    return F.pmod(e, F.lit(HASH_MOD)).cast("long")
+
+
+def _doc_profile(sets: DataFrame, n_seeds: int, portable: bool) -> DataFrame:
+    """Per-doc profile: shingle set, its size, and the k minhashes —
+    computed entirely per-row (`array_min` over a transformed array), so
+    the signature stage needs NO explode and NO groupBy. The classic
+    explode→groupBy-min formulation shuffles the 50×-exploded shingle
+    relation; this shuffles nothing."""
+    hashed = F.transform(F.col("sh"), lambda e: _elem_hash(e, portable))
+    prof = sets.select("doc_id", "sh", hashed.alias("hs"))
+    return prof.select(
+        "doc_id", "sh",
+        F.size("sh").alias("n_sh"),
+        *[
+            F.array_min(F.transform(F.col("hs"), lambda h: _perm(h, s)))
+            .alias(f"mh{s}")
+            for s in range(n_seeds)
+        ],
+    )
 
 
 def minhash_signatures(corpus: DataFrame, n_seeds: int = 8,
@@ -128,55 +161,37 @@ def minhash_signatures(corpus: DataFrame, n_seeds: int = 8,
     portable=True → rolling hash (oracle-checkable);
     portable=False → xxhash64 (scale path, JVM native).
     """
-    sh = shingled(corpus, native_hash=not portable)
-    hashed = sh.select("doc_id", _shingle_hash(portable).alias("h"))
-    return _minhash_grouped(hashed, n_seeds)
-
-
-def _shingle_hash(portable: bool) -> Column:
-    """Reduce a shingle column (string or pre-hashed long) to [0, HASH_MOD)."""
-    if portable:
-        return char_hash(F.col("shingle"))
-    return F.pmod(F.col("shingle"), F.lit(HASH_MOD)).cast("long")
-
-
-def _minhash_grouped(hashed: DataFrame, n_seeds: int) -> DataFrame:
-    """groupBy doc with one min-agg per seed, then unpivot to rows."""
-    agged = hashed.groupBy("doc_id").agg(
-        *[_mh(F.col("h"), s).alias(f"mh{s}") for s in range(n_seeds)]
+    prof = _doc_profile(
+        shingle_sets(corpus, native_hash=not portable), n_seeds, portable
     )
     pairs = F.array(*[
         F.struct(F.lit(s).alias("seed"), F.col(f"mh{s}").alias("minhash"))
         for s in range(n_seeds)
     ])
-    return agged.select("doc_id", F.explode(pairs).alias("p")).select(
+    return prof.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.seed", "p.minhash"
     )
 
 
-def _doc_profile(sh: DataFrame, n_seeds: int, portable: bool) -> DataFrame:
-    """ONE groupBy producing everything per-doc the LSH pipeline needs:
-    the k minhashes AND the shingle-set size. Folding the size into the
-    same aggregation removes a whole extra shuffle over the (much larger)
-    shingle relation — at scale the exchange is reused for banding and
-    for the union-size lookup."""
-    hashed = sh.select("doc_id", _shingle_hash(portable).alias("h"))
-    return hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        *[_mh(F.col("h"), s).alias(f"mh{s}") for s in range(n_seeds)],
-    )
+def _bucket_pairs(prof: DataFrame, n_seeds: int, band_size: int,
+                  payload: list[str]) -> DataFrame:
+    """In-bucket pair generation: explode band keys, collect each band
+    bucket's docs (with ``payload`` columns riding along), emit ordered
+    in-bucket combinations. One LINEAR pipeline — the profile has exactly
+    one consumer, so nothing upstream is ever recomputed. The classic
+    banded SELF-JOIN consumes the profile on two plan branches, and
+    column pruning specializes the branches until ReusedExchange can no
+    longer dedup them (measured: 4x recompute of the whole corpus scan).
 
+    Shuffles: ONE groupBy on the band key (doc-level x n_bands rows).
+    Collision P per band ~ jaccard^band_size, so band_size=4 keeps
+    near-identical dupes (j~0.95 -> 0.81/band) while suppressing the
+    quadratic noise floor band_size=2 lets through. Hot buckets (shared
+    boilerplate) still cost O(m^2) pairs — intrinsic to LSH candidate
+    generation in any formulation (the self-join explodes identically).
 
-def _banded_pairs(agged: DataFrame, n_seeds: int,
-                  band_size: int) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing any full minhash band.
-
-    Equi-join on (band, h0..h_{band_size-1}) — cardinality-controlled, no
-    cross join. band_size trades candidate volume against recall at the
-    threshold boundary: collision P per band ≈ jaccard^band_size, so 4
-    keeps near-identical dupes (j≈0.95 → 0.81/band) while suppressing the
-    quadratic noise floor that band_size=2 lets through on low-diversity
-    corpora.
+    Returns pair-struct rows ``p`` with p.a / p.b doc structs ordered by
+    doc_id, possibly repeated across bands — callers dedup per pair.
     """
     bands = F.array(*[
         F.struct(
@@ -186,68 +201,77 @@ def _banded_pairs(agged: DataFrame, n_seeds: int,
         )
         for b in range(n_seeds // band_size)
     ])
-    banded = agged.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", "b.*"
+    doc = F.struct("doc_id", *payload).alias("d")
+    buckets = (
+        prof.select(doc, F.explode(bands).alias("b"))
+        .groupBy("b")
+        .agg(F.sort_array(F.collect_list("d")).alias("ds"))
     )
-    keys = ["band"] + [f"h{j}" for j in range(band_size)]
-    left = banded.alias("l")
-    right = banded.alias("r")
+    return buckets.select(F.explode(_combinations(F.col("ds"))).alias("p"))
+
+
+def _combinations(ds: Column) -> Column:
+    """All ordered 2-element combinations of a sorted struct array:
+    struct(a, b) per pair with a before b."""
+    return F.flatten(F.transform(
+        ds,
+        lambda x, i: F.transform(
+            F.slice(ds, i + 2, F.size(ds)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
+
+
+def lsh_candidate_pairs(corpus: DataFrame, n_seeds: int = 8,
+                        band_size: int = 4,
+                        portable: bool = True) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing any full band of minhashes.
+
+    Distinct (doc_a < doc_b); ordering guaranteed by the sorted bucket.
+    """
+    prof = _doc_profile(
+        shingle_sets(corpus, native_hash=not portable), n_seeds, portable
+    ).drop("sh")
     return (
-        left.join(right, keys)
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        _bucket_pairs(prof, n_seeds, band_size, payload=[])
         .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
         )
         .distinct()
     )
 
 
-def lsh_candidate_pairs(corpus: DataFrame, n_seeds: int = 8,
-                        band_size: int = 4, portable: bool = True,
-                        shingle_df: DataFrame | None = None) -> DataFrame:
-    """Banded-LSH candidate pairs: docs sharing any full band of minhashes."""
-    sh = shingle_df if shingle_df is not None else shingled(
-        corpus, native_hash=not portable)
-    return _banded_pairs(
-        _doc_profile(sh, n_seeds, portable), n_seeds, band_size
-    )
-
-
 def neardup_pairs(corpus: DataFrame, threshold: float = 0.5,
                   n_seeds: int = 8, portable: bool = True) -> DataFrame:
-    """MinHash-LSH near-dup pipeline: candidates → exact Jaccard ≥ threshold.
+    """MinHash-LSH near-dup pipeline: candidates -> exact Jaccard >= t.
 
-    Jaccard is computed from shingle-set sizes (exact ints): |∩| via a join
-    on shingle restricted to candidate pairs, |∪| = |A|+|B|-|∩|.
+    The shingle arrays ride through the band buckets as pair payload, so
+    the intersection is a per-row `array_intersect` the moment a pair is
+    generated — no join back to the corpus, no exploded shingle relation,
+    ever. Union size = |A|+|B|-|inter| from the carried set sizes.
+    Total cost: ONE corpus scan and two doc-level shuffles (band groupBy,
+    pair-dedup groupBy).
     """
-    # no persist: the shingle relation ends in a distinct (= aggregate over
-    # an exchange), and all three consumers share that identical subplan, so
-    # Spark's exchange reuse materializes the shuffle once. persist() here
-    # actually hurt — every call leaked a cached copy into executor memory
-    sh = shingled(corpus, native_hash=not portable)
-    agged = _doc_profile(sh, n_seeds, portable)
-    cand = _banded_pairs(agged, n_seeds, band_size=4)
-    sizes = agged.select("doc_id", "n_sh")
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
-    shared = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    prof = _doc_profile(
+        shingle_sets(corpus, native_hash=not portable), n_seeds, portable
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    pairs = _bucket_pairs(prof, n_seeds, band_size=4, payload=["sh", "n_sh"])
+    inter = F.size(F.array_intersect("p.a.sh", "p.b.sh"))
+    jac = (inter.cast("double")
+           / (F.col("p.a.n_sh") + F.col("p.b.n_sh") - inter).cast("double"))
     return (
-        shared.join(na, "doc_a").join(nb, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            (F.col("n_inter").cast("double")
-             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
-             ).alias("jaccard"),
+        pairs.select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
         )
+        # filter BEFORE the dedup shuffle: only surviving pairs move
         .filter(F.col("jaccard") >= threshold)
+        # a pair colliding in several bands repeats with an identical
+        # jaccard; max() is purely the dedup
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("jaccard").alias("jaccard"))
     )
 
 
@@ -257,31 +281,33 @@ def jaccard_pairs_inverted_index(corpus: DataFrame,
 
     Candidates = any pair sharing ≥1 shingle; exact Jaccard from counts.
     More candidates than LSH (no banding) but zero false negatives.
+
+    Shape: self-join of the (doc_id, n_sh, shingle) exploded relation on
+    shingle — the pair explosion (Σ per-shingle m²) runs inside the
+    codegen'd hash join, which beats materializing per-bucket pair
+    arrays ~10× when common shingles make buckets hot. Set sizes ride as
+    a column on both sides, so there is no third consumer and no join
+    back for |A|,|B|; |∩| is the pair's row count.
     """
-    sh = shingled(corpus)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+    ex = shingle_sets(corpus).select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    a = ex.select(F.col("doc_id").alias("doc_a"),
+                  F.col("n_sh").alias("n_a"), "shingle")
+    b = ex.select(F.col("doc_id").alias("doc_b"),
+                  F.col("n_sh").alias("n_b"), "shingle")
+    counted = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        pairs.join(na, "doc_a").join(nb, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            (F.col("n_inter").cast("double")
-             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
-             ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return counted.select(
+        "doc_a", "doc_b",
+        (F.col("n_inter").cast("double")
+         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+         ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_signatures(corpus: DataFrame, bits: int | None = None,
@@ -325,22 +351,28 @@ def simhash_neighbors(corpus: DataFrame, max_hamming: int = 3,
     differing only in low bits collide) — at scale you'd use multiple
     rotated bucketings; here one bucketing + the recrawl corpus keeps the
     oracle tractable while the shape stays O(n·bucket).
+
+    Single-consumer shape (bucket collect + in-bucket combinations, not
+    a self-join): the expensive signature aggregation is evaluated once.
     """
     if bits is None:
         bits = SIMHASH_BITS_PORTABLE if portable else SIMHASH_BITS
     sig = simhash_signatures(corpus, bits=bits, portable=portable)
     bucket = F.shiftright(F.col("simhash"), bits - 16)
-    b = sig.select("doc_id", "simhash", bucket.alias("bucket"))
-    left, right = b.alias("l"), b.alias("r")
+    buckets = (
+        sig.select(F.struct("doc_id", "simhash").alias("d"),
+                   bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("d")).alias("ds"))
+    )
+    pairs = buckets.select(F.explode(_combinations(F.col("ds"))).alias("p"))
     ham = F.bit_count(
-        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+        F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
     )
     return (
-        left.join(right, "bucket")
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
+        pairs.select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
