@@ -271,7 +271,226 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS -> LEFT SEMI join: orders with at least one
+    lineitem shipped >60 days after the order date, counted by priority.
+
+    The semi join never materializes matched lineitems (probe-side
+    short-circuit); lineitem, the 100 TB side, streams through the join
+    without duplication. Catalyst plans the non-equi conjunct as a join
+    residual on the equi-key join.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_anti_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> LEFT ANTI join: customers who never ordered, by
+    segment. Anti join on the broadcastable key set of o_custkey."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(_cents(F.col("c_acctbal"))) / 100.0).alias("total_acctbal"),
+        )
+    )
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style conditional aggregation: monthly revenue share of
+    PROMO parts in 1997. part is the dimension -> broadcast; one shuffle
+    on the 12-key month space."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .alias("_pr"),
+            F.sum(rev).alias("_r"),
+        )
+    )
+    return agg.select(
+        "month",
+        (F.col("_pr") / 10000.0).alias("promo_revenue"),
+        (F.lit(100.0) * F.col("_pr").cast("double")
+         / F.col("_r").cast("double")).alias("promo_share_pct"),
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style decorrelated scalar subquery: revenue of lineitems
+    with quantity below 20% of their part's average, for one brand.
+
+    The correlated `avg(l_quantity) per part` becomes a pre-aggregation
+    joined back on l_partkey — the standard decorrelation Catalyst would
+    also produce; the brand filter broadcasts, and the per-part agg
+    shuffles only (partkey, sum, count), not rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    per_part = li.groupBy("l_partkey").agg(
+        F.avg(F.col("l_quantity").cast("long")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, "l_partkey")
+        .filter(F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double")
+             / 100.0 / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: HAVING on a per-order qty sum,
+    joined back to customer; deterministic top-20."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc(_cents(F.col("o_totalprice"))), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: for every purchase event, the most recent view by the
+    same user at or before the purchase time (SURVEY 2.3 names as-of as
+    the robust form of the reference's backfill boundary).
+
+    Spark-first formulation: UNION both sides tagged, ONE window pass per
+    user ordered by (ts, kind) with `last(..., ignorenulls)` carrying the
+    latest view struct forward. Single shuffle on user_id, sorted once —
+    at 100 TB this beats any inequality join (no range explosion, no
+    per-row probe); it is the standard distributed as-of shape.
+    DuckDB oracle: native ASOF JOIN.
+    """
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value", F.lit(0).alias("kind")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value", F.lit(1).alias("kind")
+    )
+    # views sort before purchases at equal ts -> `>=` (inclusive) as-of
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    matched = F.last(
+        F.when(F.col("kind") == 0, F.struct("ts", "value")), ignorenulls=True
+    ).over(w)
+    return (
+        views.unionByName(purch)
+        .withColumn("m", matched)
+        .filter((F.col("kind") == 1) & F.col("m").isNotNull())
+        .select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            F.unix_micros("m.ts").alias("view_us"),
+            F.col("m.value").alias("view_value"),
+        )
+    )
+
+
+#: non-uniform price bands for the range join (lo inclusive, hi exclusive)
+PRICE_BANDS = [
+    ("nano", 0, 1_000), ("micro", 1_000, 5_000), ("small", 5_000, 20_000),
+    ("mid", 20_000, 60_000), ("large", 60_000, 150_000),
+    ("jumbo", 150_000, 600_000),
+]
+
+
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: orders binned into non-uniform price bands.
+
+    The band table is tiny -> broadcast nested-loop join IS the right
+    physical plan (6 comparisons per row, zero shuffle). For a large
+    band relation the scale path is bucket decomposition: explode each
+    band into fixed-width buckets, equi-join on bucket, re-filter exact
+    bounds — same results, shuffle on bucket keys.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band string, lo long, hi long"
+    )
+    cents = _cents(F.col("o_totalprice"))
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (cents >= F.col("lo") * 100) & (cents < F.col("hi") * 100),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents) / 100.0).alias("total_price"),
+        )
+    )
+
+
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) of account balance per
+    segment, computed on integer cents so both engines interpolate the
+    same integers. At 100 TB the scale path is approx_percentile
+    (t-digest sketch, one pass, mergeable) — exact percentile requires a
+    per-group sort and is the deliberate precision tier here."""
+    cust = _t(spark, sf_dir, "customer")
+    c = _cents(F.col("c_acctbal"))
+    agg = cust.groupBy("c_mktsegment").agg(
+        F.expr(
+            "percentile(CAST(round(c_acctbal*100) AS BIGINT),"
+            " array(0.25D, 0.5D, 0.9D))"
+        ).alias("q")
+    )
+    return agg.select(
+        "c_mktsegment",
+        (F.col("q")[0] / 100.0).alias("p25"),
+        (F.col("q")[1] / 100.0).alias("p50"),
+        (F.col("q")[2] / 100.0).alias("p90"),
+    )
+
+
 QUERIES = {
+    "semi_late_orders": q_semi_late_orders,
+    "anti_no_orders": q_anti_no_orders,
+    "promo_share": q_promo_share,
+    "small_qty_revenue": q_small_qty_revenue,
+    "big_orders": q_big_orders,
+    "asof_join": q_asof_join,
+    "range_band_join": q_range_band_join,
+    "quantiles": q_quantiles,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -291,6 +510,93 @@ QUERIES = {
 _REV = "CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))"
 
 ORACLES = {
+    "semi_late_orders": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+""",
+    "anti_no_orders": """
+SELECT c_mktsegment, count(*) AS n_customers,
+  sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS total_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+""",
+    "promo_share": f"""
+WITH j AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+    CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END AS pr,
+    {_REV} AS r
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+SELECT month, sum(pr) / 10000.0 AS promo_revenue,
+  100.0 * CAST(sum(pr) AS DOUBLE) / CAST(sum(r) AS DOUBLE)
+    AS promo_share_pct
+FROM j GROUP BY month
+""",
+    "small_qty_revenue": """
+WITH pp AS (
+  SELECT l_partkey, avg(CAST(l_quantity AS BIGINT)) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+    / 100.0 / 7.0 AS avg_yearly,
+  count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23'
+JOIN pp USING (l_partkey)
+WHERE CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
+""",
+    "big_orders": """
+WITH po AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, sum_qty
+FROM po
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey ASC
+LIMIT 20
+""",
+    "asof_join": """
+SELECT p.event_id, p.user_id,
+  epoch_us(p.ts) AS purchase_us,
+  epoch_us(v.ts) AS view_us,
+  v.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+    "range_band_join": """
+SELECT band, count(*) AS n_orders,
+  sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+JOIN (VALUES
+  ('nano', 0, 1000), ('micro', 1000, 5000), ('small', 5000, 20000),
+  ('mid', 20000, 60000), ('large', 60000, 150000),
+  ('jumbo', 150000, 600000)
+) AS b(band, lo, hi)
+  ON CAST(round(o_totalprice*100) AS BIGINT) >= lo * 100
+ AND CAST(round(o_totalprice*100) AS BIGINT) < hi * 100
+GROUP BY band
+""",
+    "quantiles": """
+SELECT c_mktsegment,
+  quantile_cont(CAST(round(c_acctbal*100) AS BIGINT), 0.25) / 100.0 AS p25,
+  quantile_cont(CAST(round(c_acctbal*100) AS BIGINT), 0.5) / 100.0 AS p50,
+  quantile_cont(CAST(round(c_acctbal*100) AS BIGINT), 0.9) / 100.0 AS p90
+FROM customer GROUP BY c_mktsegment
+""",
     "tpch_q1": """
 WITH c AS (
   SELECT l_returnflag, l_linestatus,
