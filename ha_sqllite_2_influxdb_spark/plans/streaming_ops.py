@@ -4,6 +4,12 @@ The transformations in `..streaming.stream` are mode-agnostic DataFrame
 expressions; here they run over the batch events table so the DuckDB
 oracle can check values (the stream-drain == batch identity is asserted
 in tests/test_streaming.py with real readStream/writeStream runs).
+
+``stream_sessions`` is the exception: it IS a real streaming run — the
+stateful operator only exists in streaming mode, so the query drains an
+AvailableNow stream through the memory sink and returns the (batch)
+result table. Its oracle is the batch sessionizer minus each user's
+open tail session.
 """
 
 from __future__ import annotations
@@ -11,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import load_table
-from ..streaming.stream import windowed_agg
+from ..streaming.stateful import GAP_MIN, sessionize_stateful
+from ..streaming.stream import drain_to_memory, events_stream, windowed_agg
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -19,9 +26,19 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_agg(load_table(spark, sf_dir, "events"))
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): gap-closed
+    sessions from a real AvailableNow streaming drain."""
+    out = sessionize_stateful(events_stream(spark, sf_dir))
+    return drain_to_memory(out, "stream_sessions", output_mode="append")
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
+    "stream_sessions": q_stream_sessions,
 }
+
+_GAP_US = GAP_MIN * 60 * 1_000_000
 
 ORACLES = {
     "events_hourly": """
@@ -29,5 +46,31 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events, sum(value) AS sum_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
+""",
+    "stream_sessions": f"""
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts_us,
+    sum(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts_us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+),
+agg AS (
+  SELECT user_id, session_id, min(ts_us) AS start_us,
+         max(ts_us) AS end_us, count(*) AS n_events
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, session_id, start_us, end_us, n_events
+FROM (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS mx
+      FROM agg) t
+WHERE session_id < mx
 """,
 }

@@ -61,3 +61,67 @@ def test_foreach_batch_drain_parity(spark, sf_dir, tmp_path):
     assert n >= 1
     want = load_table(spark, sf_dir, "events").count()
     assert spark.read.parquet(out).count() == want
+
+
+def test_stateful_sessions_state_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: sessions spanning micro-batch boundaries
+    must NOT be split — state carries each user's open session across
+    triggers. Three time-ordered files, one file per trigger."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    src = str(tmp_path / "ev_parts")
+    import os
+    os.makedirs(src)
+    for i in range(3):
+        part = ev.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (hi if i == 2 else lo + (i + 1) * span))
+        ) if i < 2 else ev.filter(F.col("ts") >= lo + 2 * span)
+        part.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    got = drain_to_memory(
+        sessionize_stateful(raw), f"sess_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+    # batch reference: closed sessions = all but each user's last session
+    from pyspark.sql import Window as W
+    us = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(us))
+    sess = (
+        ev.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(
+            us.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    mx = W.partitionBy("user_id")
+    want = sess.withColumn(
+        "mx", F.max("session_id").over(mx)
+    ).filter(F.col("session_id") < F.col("mx")).drop("mx")
+
+    cols = ["user_id", "session_id", "start_us", "end_us", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
