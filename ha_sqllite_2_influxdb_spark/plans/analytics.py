@@ -482,7 +482,47 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per event type — the 100 TB
+    tier of countDistinct: one pass, fixed-size mergeable sketch per
+    group, no second shuffle for dedup. rsd=0.01 ≈ 1.1 KB of state per
+    group vs a hash set of every user id. No SQL oracle (estimates are
+    implementation-specific); tests assert the error bound vs exact.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01)
+            .alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna) of order price per priority —
+    the sketch tier of `quantiles`: mergeable, bounded-memory, one pass.
+    accuracy=10000 bounds rank error at n/10000. Rows-only check; the
+    exact-percentile counterpart (`quantiles`) is the oracle-checked tier.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    c = _cents(F.col("o_totalprice"))
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx(c, [0.5, 0.95], 10000).alias("q"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        (F.col("q")[0] / 100.0).alias("p50"),
+        (F.col("q")[1] / 100.0).alias("p95"),
+        "n_orders",
+    )
+
+
 QUERIES = {
+    "sketch_distinct": q_sketch_distinct,
+    "sketch_quantiles": q_sketch_quantiles,
     "semi_late_orders": q_semi_late_orders,
     "anti_no_orders": q_anti_no_orders,
     "promo_share": q_promo_share,
