@@ -1,0 +1,65 @@
+"""Skew-resilience operators: salted join and two-phase aggregation.
+
+AQE's skew-join splitting (``spark.sql.adaptive.skewJoin``) repairs
+sort-merge joins at runtime, but two shapes still need explicit salting
+at 100 TB:
+
+- a shuffle join whose hot key exceeds a single task even after AQE
+  splitting of the probe side (the build side row group for that key is
+  itself huge) → `salted_join` replicates the small side so the hot
+  key's rows spread over ``n_salts`` reducers;
+- an aggregation onto very few groups (global distinct counts, top-level
+  rollups) where every row of a hot group converges on one reducer →
+  `two_phase_distinct` spreads phase one over a high-cardinality
+  composite key and reduces per-group state to one row per distinct
+  value before the tiny final shuffle.
+
+Salts are DETERMINISTIC (hash of the row's own columns, not random/rand)
+so task retries and speculative execution reproduce identical output —
+a correctness requirement, not a style choice: a rand() salt silently
+corrupts results when a lost shuffle block is recomputed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT = "__salt"
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join where ``key`` is skewed on the ``big`` side.
+
+    The big side gets a deterministic salt in [0, n_salts) hashed from
+    ALL its columns; the small side is exploded ``n_salts``× so every
+    (key, salt) combination exists. The join key becomes (key, salt) —
+    a hot key's rows now land on ``n_salts`` reducers instead of one.
+    Cost: small side bytes × n_salts, the standard trade.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+                  F.lit(n_salts)).cast("int")
+    big_s = big.withColumn(SALT, salt)
+    small_s = small.withColumn(
+        SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return big_s.join(small_s, [key, SALT], how).drop(SALT)
+
+
+def two_phase_distinct(df: DataFrame, group_col: str,
+                       distinct_col: str) -> DataFrame:
+    """Exact count-distinct per (few, hot) groups without a hot reducer.
+
+    Phase 1 shuffles on the high-cardinality (group, value) pair and
+    dedups; phase 2 counts the deduped rows per group — each phase-1
+    reducer holds a slice of a group's values, never the whole group.
+    This is the exact-tier counterpart of approx_count_distinct (HLL)
+    for when the answer must be exact at 100 TB.
+    """
+    return (
+        df.select(group_col, distinct_col)
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias(f"n_distinct_{distinct_col}"))
+    )

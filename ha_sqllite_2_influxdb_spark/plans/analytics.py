@@ -520,7 +520,18 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via the skew-safe two-phase
+    shape (dedup on the composite key, then count) — see operators.skew."""
+    from ..operators.skew import two_phase_distinct
+
+    return two_phase_distinct(
+        _t(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
 QUERIES = {
+    "distinct_twophase": q_distinct_twophase,
     "sketch_distinct": q_sketch_distinct,
     "sketch_quantiles": q_sketch_quantiles,
     "semi_late_orders": q_semi_late_orders,
@@ -550,6 +561,10 @@ QUERIES = {
 _REV = "CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))"
 
 ORACLES = {
+    "distinct_twophase": """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id
+FROM events GROUP BY event_type
+""",
     "semi_late_orders": """
 SELECT o_orderpriority, count(*) AS n_orders
 FROM orders o
