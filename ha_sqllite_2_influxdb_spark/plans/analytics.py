@@ -530,7 +530,49 @@ def q_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function battery over one window spec: lag/lead, ntile,
+    percent_rank, and a RANGE frame min — one sort per partition serves
+    all five functions (Spark evaluates same-spec windows in one pass)."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    w = W.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"),
+                                           F.asc("o_orderkey"))
+    wr = (
+        W.partitionBy("o_custkey")
+        .orderBy(cents)
+        .rangeBetween(-1_000_00, 0)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.date_format(F.lag("o_orderdate").over(w), "yyyy-MM-dd")
+         .alias("prev_date"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd")
+         .alias("next_date"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        (F.min(cents).over(wr) / 100.0).alias("min_price_within_1k"),
+    )
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets + grouping_id: all 4 rollup combinations of
+    (status, priority) in one pass (Expand + single shuffle)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0)
+            .alias("total_price"),
+        )
+    )
+
+
 QUERIES = {
+    "window_analytics": q_window_analytics,
+    "cube_orders": q_cube_orders,
     "distinct_twophase": q_distinct_twophase,
     "sketch_distinct": q_sketch_distinct,
     "sketch_quantiles": q_sketch_quantiles,
@@ -561,6 +603,27 @@ QUERIES = {
 _REV = "CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))"
 
 ORACLES = {
+    "window_analytics": """
+SELECT o_custkey, o_orderkey,
+  strftime(lag(o_orderdate) OVER w, '%Y-%m-%d') AS prev_date,
+  strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS next_date,
+  ntile(4) OVER w AS quartile,
+  percent_rank() OVER w AS pr,
+  min(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+    PARTITION BY o_custkey ORDER BY CAST(round(o_totalprice*100) AS BIGINT)
+    RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) / 100.0
+    AS min_price_within_1k
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""",
+    "cube_orders": """
+SELECT o_orderstatus, o_orderpriority,
+  GROUPING(o_orderstatus, o_orderpriority) AS gid,
+  count(*) AS n_orders,
+  sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
     "distinct_twophase": """
 SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id
 FROM events GROUP BY event_type
