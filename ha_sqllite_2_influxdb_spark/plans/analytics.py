@@ -570,7 +570,118 @@ def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _views(spark, sf_dir, *names):
+    """Register parquet tables as temp views for the SQL-surface queries."""
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(f"sq_{n}")
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted: EXISTS condition is l_shipdate > o_orderdate —
+    the fixture has no l_commitdate/l_receiptdate): correlated EXISTS via
+    the SQL surface. Catalyst decorrelates it into a LEFT SEMI hash join
+    on l_orderkey — no per-row subquery execution; at scale this is one
+    shuffle on the join key (or broadcast if the filtered orders side is
+    small). Reference has no subqueries (SURVEY §2.3), beyond-reference.
+    """
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM sq_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM sq_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """)
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted: p_size <= 15 stands in for p_container):
+    correlated SCALAR subquery — avg quantity per part. Catalyst
+    decorrelates into an aggregate on l_partkey joined back to lineitem;
+    both sides shuffle on partkey once. Quantities are integral doubles,
+    so 0.2*avg is bit-deterministic across engines (exact integer sums
+    below 2^53). Beyond-reference (SURVEY §2.3: no subqueries)."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql("""
+        -- CAST to DOUBLE: Spark parses the 700.0 literal as DECIMAL(4,1)
+        -- and long/decimal yields decimal, while the oracle emits double
+        SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+               / 700.0 AS avg_yearly
+        FROM sq_lineitem JOIN sq_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size <= 15
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM sq_lineitem l2
+                            WHERE l2.l_partkey = sq_part.p_partkey)
+    """)
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: HAVING-filtered aggregate as the
+    IN-subquery build side. The per-order qty sum shuffles lineitem once
+    on its natural key; the >300 filter makes the surviving set tiny, so
+    AQE turns the orders join into a broadcast at any scale. Top-k via
+    TakeOrderedAndProject (no global sort), cents tiebreak for
+    cross-engine determinism."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .orderBy(F.desc(_cents(F.col("o_totalprice"))), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: segments stand in for phone country codes):
+    global-avg SCALAR subquery + NOT EXISTS anti-join against customers
+    with no 1999+ orders ("lapsed" — every fixture customer has SOME
+    order, so the pure form is vacuous). The 1-row average is broadcast
+    (explicitly — never a driver collect); the anti-join shuffles on
+    custkey or broadcasts the filtered key projection under AQE.
+    All balance math in integer cents → exact cross-engine parity."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    bal = _cents(F.col("c_acctbal"))
+    avg_row = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg(bal).alias("avg_bal"))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("1999-01-01"))
+    ).select("o_custkey")
+    return (
+        cust.withColumn("bal_cents", bal)
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .crossJoin(F.broadcast(avg_row))
+        .filter(F.col("bal_cents") > F.col("avg_bal"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_cents") / 100.0).alias("totacctbal"),
+        )
+    )
+
+
 QUERIES = {
+    "tpch_q4": q_tpch_q4,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q22": q_tpch_q22,
     "window_analytics": q_window_analytics,
     "cube_orders": q_cube_orders,
     "distinct_twophase": q_distinct_twophase,
@@ -603,6 +714,45 @@ QUERIES = {
 _REV = "CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))"
 
 ORACLES = {
+    "tpch_q4": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    "tpch_q17": """
+SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 700.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23' AND p_size <= 15
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+""",
+    "tpch_q18": """
+SELECT c_name, c_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 300) b
+  ON o_orderkey = b.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey
+LIMIT 100
+""",
+    "tpch_q22": """
+SELECT c_mktsegment, count(*) AS numcust,
+  sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS totacctbal
+FROM customer
+WHERE CAST(round(c_acctbal*100) AS BIGINT) >
+      (SELECT avg(CAST(round(c_acctbal*100) AS BIGINT))
+       FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_mktsegment
+""",
     "window_analytics": """
 SELECT o_custkey, o_orderkey,
   strftime(lag(o_orderdate) OVER w, '%Y-%m-%d') AS prev_date,
