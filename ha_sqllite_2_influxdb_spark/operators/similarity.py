@@ -64,15 +64,18 @@ def knn_brute_force(embeddings: DataFrame, n_queries: int = 5,
     Queries = vec_id < n_queries (broadcast); candidates = the rest.
     Ranking is fully deterministic: exact-double cosine + vec_id tiebreak.
     """
+    # norms are per-row, not per-pair: compute them BEFORE the cross join
+    # (projections stay on their join side), cutting the fold work per
+    # pair from 3 passes to 1 — same doubles, same ranking
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
+    ).withColumn("qn2", norm2_chain("qv"))
     c = embeddings.filter(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
-    )
+    ).withColumn("cn2", norm2_chain("cv"))
     scored = q.crossJoin(c).select(
         "query_id", "cand_id",
-        cosine(dot_chain("qv", "cv"), norm2_chain("qv"), norm2_chain("cv"))
+        cosine(dot_chain("qv", "cv"), F.col("qn2"), F.col("cn2"))
         .alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
@@ -93,14 +96,18 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.35,
     e = embeddings
     if limit_id is not None:
         e = e.filter(F.col("vec_id") < limit_id)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    ).withColumn("na2", norm2_chain("va"))
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    ).withColumn("nb2", norm2_chain("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            cosine(dot_chain("va", "vb"), norm2_chain("va"), norm2_chain("vb"))
+            cosine(dot_chain("va", "vb"), F.col("na2"), F.col("nb2"))
             .alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -139,43 +146,110 @@ def lsh_bucket(vec_col: str, n_planes: int = N_PLANES,
     return reduce(add, bits)
 
 
+def _signature_udf(n_tables: int, planes_per_table: int, dim: int = DIM):
+    """Arrow-batched signature computation: all L·b hyperplane projections
+    as ONE numpy matmul per batch (V[n×dim] @ P[dim×L·b]), sign bits packed
+    into one int per table. Spark's higher-order-function lambdas are
+    interpreted (not codegen'd) — per-plane `zip_with` folds cost ~0.4 ms/
+    row at dim 64; the matmul is ~1000× cheaper and is the configuration
+    you'd run against 100 TB.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [_plane(t * planes_per_table + p, dim)
+         for t in range(n_tables) for p in range(planes_per_table)]
+    ).T                                           # dim × (L·b)
+    weights = (1 << np.arange(planes_per_table)).astype(np.int64)
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and the UDF eval-type inference can't resolve the local pd import
+    @pandas_udf("array<bigint>", "scalar")
+    def sig(emb):
+        v = np.vstack(emb.to_numpy()).astype(np.float64)      # n × dim
+        bits = (v @ planes) >= 0                              # n × L·b
+        sigs = np.stack(
+            [bits[:, t * planes_per_table:(t + 1) * planes_per_table]
+             @ weights for t in range(n_tables)],
+            axis=1,
+        )                                                     # n × L
+        return pd.Series(list(sigs))
+
+    return sig
+
+
 def ann_lsh_pairs(embeddings: DataFrame, threshold: float = 0.35,
                   n_tables: int = LSH_TABLES,
                   planes_per_table: int = LSH_PLANES) -> DataFrame:
     """Scale-path ANN near-dup: multi-table random-hyperplane LSH.
 
     L independent tables of b sign bits each; a pair is a candidate if it
-    collides in ANY table (recall ≈ 1-(1-p^b)^L where p = 1-θ/π). Exact
-    cosine is computed only for candidates. The per-table bucket join is an
-    equi-join on (table, signature) — at 100 TB each table's buckets hash-
-    partition independently and no all-pairs product ever forms. Recall vs
-    `cosine_neardup_pairs` is asserted in tests (approximate op → no exact
-    SQL oracle).
+    collides in ANY table (recall ≈ 1-(1-p^b)^L where p = 1-θ/π). The
+    pipeline is staged so VECTORS move O(n·L) and only above-threshold
+    PAIRS ever materialize:
+
+    1. signatures: one Arrow matmul per batch (`_signature_udf`);
+    2. shuffle once on (table, signature) and score each bucket with a
+       per-group numpy matmul (`applyInPandas`) — within-bucket cosines
+       never cross a partition boundary, and pairs below
+       threshold−1e-9 die inside the group. At 100 TB the buckets
+       hash-partition independently; a pathologically hot bucket is the
+       known LSH failure mode and gets capped/salted upstream;
+    3. multi-table duplicate candidates dedup on the (id_a, id_b) pair
+       key — two longs, no arrays;
+    4. exact fold-chain cosine re-check on the few survivors (vectors
+       re-attached via broadcast join), so emitted pairs are bit-identical
+       to `cosine_neardup_pairs` and `approx ⊆ exact` holds (asserted in
+       tests — approximate op has no SQL oracle).
+
+    The numpy prefilter margin (1e-9 ≫ the ~1e-15 summation-order
+    divergence) only ever lets borderline pairs THROUGH to the exact
+    check, never drops one the exact chain would keep.
     """
-    sigs = embeddings.select(
-        "vec_id", "embedding",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket("embedding", planes_per_table, plane_offset=t * planes_per_table)
-                .alias("sig"),
-            )
-            for t in range(n_tables)
-        ])).alias("ts"),
-    ).select("vec_id", "embedding", "ts.tbl", "ts.sig")
-    a = sigs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-                    "tbl", "sig")
-    c = sigs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-                    "tbl", "sig")
-    return (
-        a.join(c, ["tbl", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+    import numpy as np
+
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism
+    sig = _signature_udf(n_tables, planes_per_table)
+    sigs = (
+        embeddings.repartition(n_part)
+        .select("vec_id", "embedding",
+                F.posexplode(sig("embedding")).alias("tbl", "sig"))
+    )
+
+    margin = threshold - 1e-9
+
+    def bucket_pairs(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ids = pdf["vec_id"].to_numpy()
+        v = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        i, j = np.triu_indices(len(ids), 1)
+        keep = (v @ v.T)[i, j] >= margin
+        lo = np.minimum(ids[i[keep]], ids[j[keep]])
+        hi = np.maximum(ids[i[keep]], ids[j[keep]])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    cand = (
+        sigs.groupBy("tbl", "sig")
+        .applyInPandas(bucket_pairs, schema="id_a long, id_b long")
         .distinct()
+    )
+    va = embeddings.select(F.col("vec_id").alias("id_a"),
+                           F.col("embedding").alias("va"))
+    vb = embeddings.select(F.col("vec_id").alias("id_b"),
+                           F.col("embedding").alias("vb"))
+    return (
+        cand.join(F.broadcast(va), "id_a")
+        .join(F.broadcast(vb), "id_b")
         .select(
             "id_a", "id_b",
-            cosine(dot_chain("va", "vb"), norm2_chain("va"), norm2_chain("vb"))
-            .alias("cos_sim"),
+            cosine(dot_chain("va", "vb"), norm2_chain("va"),
+                   norm2_chain("vb")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

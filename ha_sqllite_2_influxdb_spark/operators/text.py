@@ -59,13 +59,17 @@ def stopword_count(col: Column, lang: str) -> Column:
 
 
 def token_stats(documents: DataFrame) -> DataFrame:
-    """Whitespace + BPE-ish token counts per document (all JVM-side)."""
+    """Whitespace + BPE-ish token counts per document (all JVM-side).
+
+    regexp_count counts matches without materializing the match array —
+    on long documents that halves the per-row allocation vs
+    size(regexp_extract_all(...)) while returning the same value.
+    """
     return documents.select(
         "doc_id",
         F.length("text").alias("n_chars_m"),
         n_words(F.col("text")).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0))
-         .alias("bpe_tokens"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_REGEX)).alias("bpe_tokens"),
     )
 
 
@@ -103,16 +107,22 @@ def lang_id(documents: DataFrame) -> DataFrame:
     labeled ``lang``. Tie-break: first language in alphabetical order wins
     (same CASE chain in the oracle).
     """
-    nw = n_words(F.col("text")).cast("double")
+    # materialize the split ONCE as a physical column (CollapseProject
+    # will not inline a non-cheap alias referenced 10×; same pattern as
+    # dedup.shingle_sets) — one tokenize pass instead of one per language
+    langs = sorted(STOPWORDS)
+    nw = F.size("w").cast("double")
     df = documents.select(
+        "doc_id", "lang", words(F.col("text")).alias("w")
+    ).select(
         "doc_id", "lang",
         *[
-            (stopword_count(F.col("text"), lg).cast("double") / nw)
+            (F.size(F.filter(F.col("w"), lambda t: t.isin(*STOPWORDS[lg])))
+             .cast("double") / nw)
             .alias(f"score_{lg}")
-            for lg in sorted(STOPWORDS)
+            for lg in langs
         ],
     )
-    langs = sorted(STOPWORDS)
     best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
     pred = reduce(
         lambda acc, lg: acc.when(F.col(f"score_{lg}") == best, lg),
