@@ -72,12 +72,23 @@ def points(ha_states: DataFrame, ha_states_meta: DataFrame,
     ``state_raw`` so the sink can render numeric fields byte-identically
     to the source (no float formatting).
     """
+    # JSON extraction is a pure function of the DEDUPED attr blob: parse
+    # on the dimension (one row per distinct blob — HA dedups them), not
+    # on the fact side post-join. At 100 TB this turns per-state-row
+    # get_json_object calls into per-distinct-blob ones riding the
+    # broadcast.
+    attrs_dim = ha_state_attributes.select(
+        "attributes_id",
+        attr_get(F.col("shared_attrs"), "friendly_name").alias("_fname"),
+        attr_get(F.col("shared_attrs"), "unit_of_measurement").alias("_unit"),
+    )
     df = drop_sentinel_states(
-        joined_scan(ha_states, ha_states_meta, ha_state_attributes)
+        ha_states
+        .join(F.broadcast(attrs_dim), "attributes_id", "left")
+        .join(F.broadcast(ha_states_meta), "metadata_id", "inner")
     )
     short = entity_short(F.col("entity_id"))
-    unit_raw = attr_get(F.col("shared_attrs"), "unit_of_measurement")
-    unit = F.coalesce(unit_raw, F.lit("default_measurement"))
+    unit = F.coalesce(F.col("_unit"), F.lit("default_measurement"))
     is_num = is_numeric_str(F.col("state"))
     return df.select(
         F.col("state_id"),
@@ -87,8 +98,7 @@ def points(ha_states: DataFrame, ha_states_meta: DataFrame,
         entity_domain(F.col("entity_id")).alias("domain"),  # F1 (:106)
         short.alias("entity_id"),
         # F3: friendly_name defaulting to the short id (:109)
-        F.coalesce(attr_get(F.col("shared_attrs"), "friendly_name"), short)
-         .alias("friendly_name"),
+        F.coalesce(F.col("_fname"), short).alias("friendly_name"),
         F.col("last_updated_ts").alias("ts_epoch"),       # F6 stays epoch
         # F8+F9: numeric-string test routes to float XOR string (:122-125)
         F.when(is_num, F.col("state").cast("double")).alias("value"),
@@ -113,18 +123,21 @@ def attr_fields(ha_states: DataFrame, ha_states_meta: DataFrame,
       string; JSON null → ``str(None)`` = ``'None'`` (:134-137).
 
     Output: (state_id, field_key, field_type, value_num, value_str).
+
+    The entire parse/route computation is a pure function of the DEDUPED
+    attr blob, so it runs on the dimension (one row per distinct blob)
+    and fans out to states through the broadcast join — per-state-row
+    cost is the join probe alone. This is the scale win of HA's
+    attribute dedup carried through the plan.
     """
-    base = drop_sentinel_states(
-        joined_scan(ha_states, ha_states_meta, ha_state_attributes)
-    )
     exploded = (
-        base.select(
-            "state_id",
+        ha_state_attributes.select(
+            "attributes_id",
             F.explode(attrs_variant_map(F.col("shared_attrs"))).alias("field_key", "v"),
         )
         .filter(~F.col("field_key").isin(*DROPPED_KEYS))
         .select(
-            "state_id", "field_key",
+            "attributes_id", "field_key",
             F.expr("schema_of_variant(v)").alias("t"),
             F.expr("cast(v as string)").alias("sv"),
         )
@@ -146,15 +159,26 @@ def attr_fields(ha_states: DataFrame, ha_states_meta: DataFrame,
         .when(F.col("t") == "VOID", F.lit("None"))
         .when((F.col("t") == "STRING") & ~is_str_num, F.col("sv"))
     )
-    return (
+    fields_dim = (
         exploded
         .withColumn("value_num", value_num)
         .withColumn("value_str", value_str)
         .filter(F.col("value_num").isNotNull() | F.col("value_str").isNotNull())
         .select(
-            "state_id", "field_key",
+            "attributes_id", "field_key",
             F.when(F.col("value_num").isNotNull(), "float").otherwise("string")
              .alias("field_type"),
             "value_num", "value_str",
         )
+    )
+    # inner join ≡ the original post-join explode: NULL attributes_id,
+    # malformed blobs (NULL map) and blobs with no surviving fields all
+    # emit zero rows
+    base = drop_sentinel_states(
+        ha_states.join(F.broadcast(ha_states_meta), "metadata_id", "inner")
+    )
+    return (
+        base.select("state_id", "attributes_id")
+        .join(F.broadcast(fields_dim), "attributes_id")
+        .select("state_id", "field_key", "field_type", "value_num", "value_str")
     )
