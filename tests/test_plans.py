@@ -1,0 +1,97 @@
+"""Physical-plan assertions: the design claims in the operator docstrings
+(broadcast joins, pushdown, pruning, top-k, partial agg, decorrelation)
+are checked against `.explain` output so a regression that silently
+reintroduces a shuffle or a full-scan fails CI, not the 100 TB run.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from ha_sqllite_2_influxdb_spark.plans import analytics, ha_pipeline
+from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+
+def explain_str(df, mode="formatted"):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_ha_points_joins_are_broadcast(spark, sf_dir):
+    """Both dims broadcast: the states fact side must not shuffle for a
+    join (SURVEY §2.3 J1/J2)."""
+    plan = explain_str(ha_pipeline.q_points(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_q6_pushdown_and_pruning(spark, sf_dir):
+    """Filters reach the parquet scan; the scan reads ONLY the columns the
+    query needs (P1/P2 analog: pushdown + pruning are free when the plan
+    is declarative)."""
+    plan = explain_str(analytics.q_tpch_q6(spark, sf_dir))
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed, plan
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_orderkey" not in read, plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    partition heap + merge), never a full range-shuffle sort (O2)."""
+    plan = explain_str(analytics.q_tpch_q18(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q1_partial_aggregation(spark, sf_dir):
+    """Map-side combine: two HashAggregates (partial, final) around one
+    exchange — the shuffle moves pre-aggregated groups, not rows."""
+    plan = explain_str(analytics.q_tpch_q1(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    """Catalyst must rewrite the correlated EXISTS into a semi join — no
+    per-row subquery execution survives in the physical plan."""
+    plan = explain_str(analytics.q_tpch_q4(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark, sf_dir):
+    """The correlated scalar subquery (per-part avg) becomes an aggregate
+    joined back on the correlation key."""
+    plan = explain_str(analytics.q_tpch_q17(spark, sf_dir))
+    assert "Subquery" not in plan.split("== Physical Plan ==")[-1], plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_events_scan_prunes_columns(spark, sf_dir):
+    """A 2-column projection over events must not read props/users."""
+    df = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    plan = explain_str(df)
+    read = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "event_type" in read and "props" not in read, plan
+
+
+def test_whole_stage_codegen_covers_hot_path(spark, sf_dir):
+    """The TPC-H Q1 pipeline (filter → project → agg) stays inside
+    whole-stage codegen spans; no interpreted row-at-a-time operators."""
+    df = analytics.q_tpch_q1(spark, sf_dir)
+    df.collect()  # AQE finalizes (and codegens) the plan on execution
+    plan = explain_str(df, mode="formatted")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "== Final Plan ==" in final, plan
+    # '*' prefixes mark operators inside WholeStageCodegen spans
+    for op in ("* Filter", "* HashAggregate", "* Project"):
+        assert op in final, plan
+
+
+def test_broadcast_hint_respected_in_q22(spark, sf_dir):
+    """The 1-row scalar-average side must be a broadcast nested loop /
+    broadcast exchange, never a shuffle of the customer side."""
+    plan = explain_str(analytics.q_tpch_q22(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
