@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..sources.tables import load_table
 from ..streaming.stateful import GAP_MIN, sessionize_stateful
 from ..streaming.stream import drain_to_memory, events_stream, windowed_agg
@@ -24,6 +26,23 @@ from ..streaming.stream import drain_to_memory, events_stream, windowed_agg
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: tumbling 1-hour event-time window (+watermark, no-op in batch)."""
     return windowed_agg(load_table(spark, sf_dir, "events"))
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1 h every 30 min): each event lands in
+    exactly 2 overlapping windows. Spark plans this as a 2-way Expand
+    before ONE hash aggregate — a single shuffle, not one per offset; the
+    oracle reproduces it as a UNION ALL of the two bucket offsets."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                   "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+             .alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,6 +54,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_hourly": q_events_hourly,
+    "events_sliding": q_events_sliding,
     "stream_sessions": q_stream_sessions,
 }
 
@@ -43,9 +63,26 @@ _GAP_US = GAP_MIN * 60 * 1_000_000
 ORACLES = {
     "events_hourly": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, sum(value) AS sum_value
+       count(*) AS n_events,
+       sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
+""",
+    "events_sliding": """
+WITH cand AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+         event_type, value
+  FROM events
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
+FROM cand
+GROUP BY window_start, event_type
 """,
     "stream_sessions": f"""
 WITH g AS (

@@ -66,7 +66,10 @@ def windowed_agg(events: DataFrame, window: str = "1 hour",
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            # integer-cents sum: associative, so partial-agg order can't
+            # flip low bits vs any other engine (values are 2-decimal)
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
