@@ -1,0 +1,49 @@
+"""Deterministic sampling for training-data pipelines (beyond-reference).
+
+``df.sample``/``sampleBy`` draw from a per-partition RNG stream, so the
+selected ROWS change with partitioning, task retries, and engine — a
+training-data pipeline needs the opposite: the same row set on every run,
+every engine, every cluster size. These operators decide membership from a
+HASH of a stable key (Knuth multiplicative mod 100), making the sample a
+pure filter:
+
+- fully parallel, no RNG state, no shuffle;
+- pushdown-friendly (a plain comparison predicate on a computed column);
+- reproducible in any engine that can multiply and mod — which is what
+  lets the DuckDB oracle check the exact row set.
+
+The multiplier is odd → bijective modulo 2^64, so low-bit key patterns
+(sequential ids!) spread uniformly across the 100 residues. Arithmetic
+stays below 2^63 for ids < ~4e9 at the fixture scales; at true 100 TB key
+ranges use ``xxhash64(key) pmod 100`` instead (same shape, engine-native
+hash — kept off the oracle tier because DuckDB's hash differs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative constant (2654435761 = 2^32 / golden ratio)
+KNUTH = 2_654_435_761
+
+
+def bucket100(key: Column) -> Column:
+    """Deterministic [0, 100) bucket for a numeric key."""
+    return F.pmod(key.cast("long") * F.lit(KNUTH), F.lit(100))
+
+
+def deterministic_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
+    """Keep ~pct% of rows, decided solely by the key's hash bucket."""
+    return df.filter(bucket100(F.col(key)) < pct)
+
+
+def stratified_sample(df: DataFrame, key: str, stratum: str,
+                      rates: dict[str, int],
+                      default_pct: int = 0) -> DataFrame:
+    """Per-stratum deterministic rates (percent), e.g. downsample the
+    majority class of a labeled corpus while keeping all rare strata."""
+    rate = F.lit(default_pct)
+    for value, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum) == value, pct).otherwise(rate)
+    return df.filter(bucket100(F.col(key)) < rate)

@@ -113,6 +113,34 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+#: per-stratum sampling rates (percent) — downsample common event types,
+#: keep most of the rare/valuable ones
+STRATA_RATES = {"view": 5, "click": 10, "error": 50, "purchase": 80,
+                "signup": 1}
+
+
+def q_sample_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample of events (hash-mod membership — same
+    rows on every run/engine/partitioning, unlike df.sample's RNG)."""
+    from ..operators.sampling import deterministic_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return deterministic_sample(ev, "event_id", 10).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic rates: class-rebalancing a labeled
+    corpus as a pure filter (no RNG, no shuffle, pushdown-friendly)."""
+    from ..operators.sampling import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return stratified_sample(
+        ev, "event_id", "event_type", STRATA_RATES
+    ).select("event_id", "event_type", "user_id")
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_meta(_docs(spark, sf_dir))
 
@@ -139,6 +167,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "sample_uniform": q_sample_uniform,
+    "sample_stratified": q_sample_stratified,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
 }
@@ -265,7 +295,20 @@ _PRED = "CASE {} END".format(
     " ".join(f"WHEN score_{lg} = best THEN '{lg}'" for lg in _LANGS)
 )
 
+_RATE_CASE = "CASE " + " ".join(
+    f"WHEN event_type = '{v}' THEN {p}"
+    for v, p in sorted(STRATA_RATES.items())
+) + " ELSE 0 END"
+
 ORACLES = {
+    "sample_uniform": """
+SELECT event_id, event_type, user_id FROM events
+WHERE (event_id * 2654435761) % 100 < 10
+""",
+    "sample_stratified": f"""
+SELECT event_id, event_type, user_id FROM events
+WHERE (event_id * 2654435761) % 100 < {_RATE_CASE}
+""",
     "dedup_exact": f"""WITH {_CORPUS}
 SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
        count(*) AS n_copies
