@@ -75,6 +75,78 @@ def decode_features(payload_df: DataFrame, real_decode: bool = False) -> DataFra
     return payload_df.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("thumbnail", T.BinaryType()),
+])
+
+FRAME_BYTES = 64
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.LongType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def resize_images(payload_df: DataFrame, width: int = 8,
+                  height: int = 8) -> DataFrame:
+    """Thumbnail 'resize': 1 row in → 1 row out, output binary has the
+    exact target size. STUB decode (no codec libs in this container) —
+    the deterministic fake cycles payload bytes to width*height; the
+    plumbing (Arrow batches, binary-in/binary-out, fixed output schema,
+    partition preservation) is the real deliverable.
+    """
+    target = width * height
+
+    def _resize_batches(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            thumbs = pdf["payload"].map(
+                lambda b: bytes(b[i % len(b)] for i in range(target))
+                if len(b) else b"\x00" * target
+            )
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": width,
+                "height": height,
+                "thumbnail": thumbs,
+            })
+
+    return payload_df.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(payload_df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling: 1 'video' row fans out to one row per kept frame
+    (every_n-th fixed-size chunk) — the mapInPandas 1→many shape. The
+    frame content is the actual payload slice; at 100 TB the fan-out
+    happens inside the batch iterator, so no exploded relation is ever
+    shuffled (downstream consumers decide their own partitioning).
+    """
+
+    def _frame_batches(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, -(-len(raw) // FRAME_BYTES))
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(raw[i * FRAME_BYTES:(i + 1) * FRAME_BYTES])
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame": pd.Series(frames, dtype=object),
+            })
+
+    return payload_df.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+
+
 def multimodal_meta(documents: DataFrame) -> DataFrame:
     """Pure-SQL metadata over the payloads (the oracle for the pandas path).
 

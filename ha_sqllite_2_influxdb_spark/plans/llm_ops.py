@@ -151,7 +151,35 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(multimodal.payloads(_docs(spark, sf_dir)))
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas fan-out: every 4th fixed-size frame of each payload;
+    the frame INVENTORY (ids, indices, sizes) is exact-oracle-checked,
+    the frame BYTES are covered by pytest content assertions."""
+    from pyspark.sql import functions as F
+
+    frames = multimodal.sample_frames(
+        multimodal.payloads(_docs(spark, sf_dir))
+    )
+    return frames.select(
+        "doc_id", "frame_idx",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Arrow-batched thumbnail resize stub (binary→binary)."""
+    from pyspark.sql import functions as F
+
+    t = multimodal.resize_images(multimodal.payloads(_docs(spark, sf_dir)))
+    return t.select(
+        "doc_id", "width", "height",
+        F.octet_length("thumbnail").cast("long").alias("thumb_bytes"),
+    )
+
+
 QUERIES = {
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "neardup_minhash_lsh": q_neardup_minhash_lsh,
@@ -426,6 +454,20 @@ FROM b
 SELECT doc_id, md5(text) AS md5,
   {_ROLL.format(col="text")} AS roll_hash
 FROM documents
+""",
+    "multimodal_frames": """
+WITH p AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes FROM documents
+),
+f AS (
+  SELECT doc_id, n_bytes,
+         unnest(generate_series(0, (n_bytes - 1) // 64, 4)) AS frame_idx
+  FROM p
+)
+SELECT doc_id, frame_idx,
+  CASE WHEN (frame_idx + 1) * 64 <= n_bytes THEN 64
+       ELSE n_bytes - frame_idx * 64 END AS frame_bytes
+FROM f
 """,
     "multimodal_meta": f"""
 SELECT doc_id,

@@ -80,6 +80,32 @@ def test_multimodal_decode_equals_sql_meta(spark, sf_dir):
     assert via_pandas == via_sql
 
 
+def test_multimodal_resize_shapes_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = multimodal.resize_images(multimodal.payloads(docs), 8, 8)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, r in rows.items():
+        assert len(r.thumbnail) == 64
+        raw = texts[doc_id].encode()
+        assert bytes(r.thumbnail) == bytes(raw[i % len(raw)] for i in range(64))
+
+
+def test_multimodal_frames_reassemble_payload(spark, sf_dir):
+    """Sampling every frame (every_n=1) must reassemble the exact payload
+    bytes in frame order — the fan-out loses nothing."""
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    frames = multimodal.sample_frames(
+        multimodal.payloads(docs), every_n=1
+    ).collect()
+    by_doc = {}
+    for r in sorted(frames, key=lambda r: (r.doc_id, r.frame_idx)):
+        by_doc.setdefault(r.doc_id, []).append(bytes(r.frame))
+    for r in docs.collect():
+        assert b"".join(by_doc[r.doc_id]) == r.text.encode()
+
+
 def test_multimodal_real_decode_is_gated(spark, sf_dir):
     import pytest
 
