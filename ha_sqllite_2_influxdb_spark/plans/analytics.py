@@ -530,6 +530,27 @@ def q_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient join (operators.skew.salted_join): lineitem×supplier
+    on a salted composite key, then per-nation totals. Salting must be
+    RESULT-INVISIBLE — the oracle is the plain unsalted join, so any
+    salt-induced row loss/duplication hash-mismatches immediately."""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, supp, "l_suppkey", n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(F.sum("qty").alias("total_qty"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-function battery over one window spec: lag/lead, ntile,
     percent_rank, and a RANGE frame min — one sort per partition serves
@@ -778,6 +799,7 @@ QUERIES = {
     "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
     "tpch_q22": q_tpch_q22,
+    "salted_join": q_salted_join,
     "window_analytics": q_window_analytics,
     "cube_orders": q_cube_orders,
     "distinct_twophase": q_distinct_twophase,
@@ -895,6 +917,12 @@ WHERE CAST(round(c_acctbal*100) AS BIGINT) >
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY c_mktsegment
+""",
+    "salted_join": """
+SELECT s_nationkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty,
+       count(*) AS n_lineitems
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
 """,
     "window_analytics": """
 SELECT o_custkey, o_orderkey,
