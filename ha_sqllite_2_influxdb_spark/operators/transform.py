@@ -107,6 +107,32 @@ def points(ha_states: DataFrame, ha_states_meta: DataFrame,
     )
 
 
+def scan_health(ha_states: DataFrame, ha_states_meta: DataFrame,
+                ha_state_attributes: DataFrame) -> dict:
+    """P7/§2.9 drop accounting: what the reference emits as per-row
+    warnings (sqllite2influxdb.py:97,139,144 and the :104-105 skips),
+    as ONE observed pass over the scan — `df.observe` metrics ride the
+    normal action, costing zero extra scans when attached to a sink
+    write (see sinks.backfill.backfill_once for that pattern; here the
+    action is a count so the function is self-contained).
+    """
+    from pyspark.sql import Observation
+
+    df = joined_scan(ha_states, ha_states_meta, ha_state_attributes)
+    parsed = F.try_parse_json(F.col("shared_attrs"))
+    obs = Observation("scan_health")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.count_if(F.col("state").isin(*SENTINEL_STATES)).alias("n_sentinel"),
+        F.count_if(F.col("shared_attrs").isNotNull() & parsed.isNull())
+         .alias("n_malformed_attrs"),
+        F.count_if(F.col("shared_attrs").isNull()).alias("n_missing_attrs"),
+    )
+    observed.count()
+    return obs.get
+
+
 def attr_fields(ha_states: DataFrame, ha_states_meta: DataFrame,
                 ha_state_attributes: DataFrame) -> DataFrame:
     """F10+F12: explode the dynamic JSON map into typed field rows.

@@ -61,3 +61,29 @@ def test_entity_partition_parity(spark):
     for e in ids:
         domain, _, short = e.partition(".")
         assert got[e] == (domain, short), f"partition mismatch for {e!r}"
+
+
+def test_scan_health_drop_accounting(spark, sf_dir):
+    """Observed metrics must equal directly-computed counts (P7 parity:
+    the reference's warning log lines, as exact numbers)."""
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.operators.transform import (
+        SENTINEL_STATES, joined_scan, scan_health,
+    )
+    from ha_sqllite_2_influxdb_spark.sources.ha_fixture import derive_ha_tables
+
+    t = derive_ha_tables(spark, sf_dir)
+    args = (t["ha_states"], t["ha_states_meta"], t["ha_state_attributes"])
+    m = scan_health(*args)
+    df = joined_scan(*args)
+    assert m["n_scanned"] == df.count()
+    assert m["n_sentinel"] == df.filter(
+        F.col("state").isin(*SENTINEL_STATES)).count()
+    assert m["n_missing_attrs"] == df.filter(
+        F.col("shared_attrs").isNull()).count()
+    assert m["n_malformed_attrs"] == df.filter(
+        F.col("shared_attrs").isNotNull()
+        & F.try_parse_json("shared_attrs").isNull()).count()
+    assert m["n_malformed_attrs"] > 0  # fixture plants '{not json'
+    assert m["n_sentinel"] > 0
