@@ -530,6 +530,21 @@ def q_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt): part's numeric attributes to
+    (attribute, value) rows. Spark plans df.unpivot as Expand — one
+    narrow pass, rows×n_attrs out, no shuffle at all; the oracle uses
+    the dialect-portable UNION ALL formulation."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).unpivot(
+        "p_partkey", ["p_size", "p_retailprice"], "attribute", "value"
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient join (operators.skew.salted_join): lineitem×supplier
     on a salted composite key, then per-nation totals. Salting must be
@@ -799,6 +814,7 @@ QUERIES = {
     "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
     "tpch_q22": q_tpch_q22,
+    "unpivot_part": q_unpivot_part,
     "salted_join": q_salted_join,
     "window_analytics": q_window_analytics,
     "cube_orders": q_cube_orders,
@@ -917,6 +933,13 @@ WHERE CAST(round(c_acctbal*100) AS BIGINT) >
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY c_mktsegment
+""",
+    "unpivot_part": """
+SELECT p_partkey, 'p_size' AS attribute, CAST(p_size AS DOUBLE) AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+FROM part
 """,
     "salted_join": """
 SELECT s_nationkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty,

@@ -68,3 +68,22 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_pair):
     )
     assert sorted(map(tuple, plain.collect())) == \
         sorted(map(tuple, bucketed.collect()))
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date-partitioned layout + a date filter → the scan's PartitionFilters
+    prune whole directories; only matching partitions are listed/read."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_by_month")
+    orders.write.partitionBy("order_month").mode("overwrite").parquet(path)
+
+    df = spark.read.parquet(path).filter(F.col("order_month") == "1996-03")
+    plan = explain_str(df)
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "order_month" in pf, plan
+    # pruning must be semantically lossless
+    expected = orders.filter(F.col("order_month") == "1996-03").count()
+    assert df.count() == expected and expected > 0
