@@ -52,8 +52,26 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(out, "stream_sessions", output_mode="append")
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 gap (reference has no duplicate handling): a doubled stream —
+    every event arrives twice — drained through watermark-bounded
+    stateful dedup (dropDuplicatesWithinWatermark). The oracle is simply
+    the distinct event set; state never exceeds one watermark window."""
+    from ..streaming.stream import stream_dedup
+
+    doubled = events_stream(spark, sf_dir).unionByName(
+        events_stream(spark, sf_dir)
+    )
+    out = drain_to_memory(
+        stream_dedup(doubled).select("event_id", "event_type", "user_id"),
+        "stream_dedup_t", output_mode="append",
+    )
+    return out
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
+    "stream_dedup": q_stream_dedup,
     "events_sliding": q_events_sliding,
     "stream_sessions": q_stream_sessions,
 }
@@ -67,6 +85,9 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
        sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
+""",
+    "stream_dedup": """
+SELECT event_id, event_type, user_id FROM events
 """,
     "events_sliding": """
 WITH cand AS (
