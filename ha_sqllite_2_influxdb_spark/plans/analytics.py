@@ -806,7 +806,24 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SQL surface): two independent rollup
+    dimensions + grand total in ONE Expand + ONE shuffle — vs three
+    separate aggregates unioned (three scans, three shuffles)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_price
+        FROM sq_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
 QUERIES = {
+    "grouping_sets": q_grouping_sets,
     "tpch_q7": q_tpch_q7,
     "tpch_q10": q_tpch_q10,
     "tpch_q19": q_tpch_q19,
@@ -848,6 +865,14 @@ QUERIES = {
 _REV = "CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))"
 
 ORACLES = {
+    "grouping_sets": """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
     "tpch_q7": """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
   year(l_shipdate) AS l_year,
