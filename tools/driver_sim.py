@@ -1,0 +1,101 @@
+"""Driver simulation: bare SparkSession + DuckDB oracle compare at sf0.01.
+
+Mirrors the round driver's t1 smoke + t2 correctness checks:
+  1. bare session (no repo confs), entry(spark) twice, rows > 0
+  2. every queries()[name] vs oracle_sql()[name] in DuckDB:
+     sorted column names, order-insensitive multiset of rows
+     (columns sorted by name), floats via repr.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    spark = (SparkSession.builder.master("local[16]")
+             .appName("driver_sim")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as ent
+
+    # t1 smoke: entry twice, >0 rows
+    for i in range(2):
+        rows = ent.entry(spark).collect()
+        assert len(rows) > 0, "entry() returned 0 rows"
+    print(f"t1 smoke OK ({len(rows)} rows)")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    fails = []
+    for name in sorted(qs):
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        scols = sorted(df.columns)
+        srows = df.collect()
+        if name not in oracles:
+            status = f"rows-only n={len(srows)}"
+            ok = len(srows) >= 0
+        else:
+            rel = con.execute(oracles[name])
+            ocols = sorted(d[0] for d in rel.description)
+            orows = rel.fetchall()
+            if scols != ocols:
+                ok, status = False, f"SCHEMA spark={scols} oracle={ocols}"
+            elif len(srows) != len(orows):
+                ok, status = False, f"COUNT spark={len(srows)} oracle={len(orows)}"
+            else:
+                a = norm_rows(df.columns, [tuple(r) for r in srows])
+                b = norm_rows([d[0] for d in rel.description], orows)
+                ok = a == b
+                if not ok:
+                    diff = next(
+                        (i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y
+                    ) if a and b else ("len", len(a), len(b))
+                    status = f"VALUES first-diff={diff}"
+                else:
+                    status = f"match n={len(srows)}"
+        flag = "OK " if ok else "FAIL"
+        print(f"{flag} {name:24s} {status}  ({time.time()-t0:.1f}s)")
+        if not ok:
+            fails.append(name)
+
+    if fails:
+        print("FAILURES:", fails)
+        sys.exit(1)
+    print(f"t2 correctness OK: {len(qs)} queries "
+          f"({len(oracles)} oracle-checked)")
+
+
+if __name__ == "__main__":
+    main()
