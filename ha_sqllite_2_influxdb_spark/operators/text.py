@@ -134,6 +134,44 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def clean_text(documents: DataFrame) -> DataFrame:
+    """Normalization pass every training corpus gets: lowercase, strip
+    non-alphanumerics, collapse whitespace runs, trim. Pure JVM regex —
+    one narrow projection, no shuffle; the same three regexes reproduce
+    byte-identically in the oracle."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    return documents.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.length(cleaned).alias("n_chars_clean"),
+    )
+
+
+def top_bigrams(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus-level bigram frequencies, top-k. The explode is the one
+    unavoidable fan-out; the count is a partial-aggregated groupBy on the
+    bigram string, then TakeOrderedAndProject — no global sort. At 100 TB
+    hot bigrams ('of the') are absorbed by map-side combine."""
+    w = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        documents.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Content fingerprints: md5 (exact dedup key) + rolling hash."""
     return documents.select(

@@ -16,7 +16,8 @@ from ..operators import dedup, multimodal, similarity
 from ..operators.dedup import SIMHASH_BITS_PORTABLE
 from ..operators.similarity import DIM
 from ..operators.text import (
-    STOPWORDS, TOKEN_REGEX, fingerprints, lang_id, quality_scores, token_stats,
+    STOPWORDS, TOKEN_REGEX, clean_text, fingerprints, lang_id,
+    quality_scores, token_stats, top_bigrams,
 )
 from ..sources.tables import load_table
 
@@ -113,6 +114,14 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean_text(_docs(spark, sf_dir))
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_bigrams(_docs(spark, sf_dir))
+
+
 #: per-stratum sampling rates (percent) — downsample common event types,
 #: keep most of the rare/valuable ones
 STRATA_RATES = {"view": 5, "click": 10, "error": 50, "purchase": 80,
@@ -195,6 +204,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "text_clean": q_text_clean,
+    "top_bigrams": q_top_bigrams,
     "sample_uniform": q_sample_uniform,
     "sample_stratified": q_sample_stratified,
     "multimodal_meta": q_multimodal_meta,
@@ -329,6 +340,28 @@ _RATE_CASE = "CASE " + " ".join(
 ) + " ELSE 0 END"
 
 ORACLES = {
+    "text_clean": """
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                      ' +', ' ', 'g')) AS cleaned,
+  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '',
+                                            'g'), ' +', ' ', 'g')))
+  AS n_chars_clean
+FROM documents
+""",
+    "top_bigrams": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+b AS (
+  SELECT ws[i] || ' ' || ws[i+1] AS bigram
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+)
+SELECT bigram, count(*) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 50
+""",
     "sample_uniform": """
 SELECT event_id, event_type, user_id FROM events
 WHERE (event_id * 2654435761) % 100 < 10
