@@ -87,3 +87,32 @@ def test_scan_health_drop_accounting(spark, sf_dir):
         & F.try_parse_json("shared_attrs").isNull()).count()
     assert m["n_malformed_attrs"] > 0  # fixture plants '{not json'
     assert m["n_sentinel"] > 0
+
+
+def test_etl_config_fail_fast():
+    """S6 parity: all-or-nothing env validation, names listed, defaults
+    applied, DEBUG_MODE string forms (reference :19-31)."""
+    import pytest
+
+    from ha_sqllite_2_influxdb_spark.config import ConfigError, EtlConfig
+
+    good = {
+        "SQLITE_DB": "/data/ha.db", "INFLUXDB_URL": "http://i:8086",
+        "INFLUXDB_TOKEN": "t", "INFLUXDB_ORG": "o", "INFLUXDB_BUCKET": "b",
+    }
+    cfg = EtlConfig.from_env(good)
+    assert cfg.batch_size == 10_000 and cfg.debug_mode is False
+
+    with pytest.raises(ConfigError) as e:
+        EtlConfig.from_env({k: v for k, v in good.items()
+                            if k not in ("INFLUXDB_TOKEN", "INFLUXDB_ORG")})
+    assert "INFLUXDB_TOKEN" in str(e.value) and "INFLUXDB_ORG" in str(e.value)
+
+    assert EtlConfig.from_env({**good, "DEBUG_MODE": "True"}).debug_mode
+    assert EtlConfig.from_env({**good, "DEBUG_MODE": "1"}).debug_mode
+    assert not EtlConfig.from_env({**good, "DEBUG_MODE": "no"}).debug_mode
+    assert EtlConfig.from_env({**good, "BATCH_SIZE": "500"}).batch_size == 500
+    with pytest.raises(ConfigError):
+        EtlConfig.from_env({**good, "BATCH_SIZE": "xyz"})
+    with pytest.raises(ConfigError):
+        EtlConfig.from_env({**good, "BATCH_SIZE": "0"})
