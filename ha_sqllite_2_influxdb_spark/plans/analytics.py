@@ -940,7 +940,8 @@ WHERE p_brand = 'Brand#23' AND p_size <= 15
 SELECT c_name, c_custkey, o_orderkey,
   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, sum_qty
 FROM orders
-JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+JOIN (SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
       HAVING sum(CAST(l_quantity AS BIGINT)) > 300) b
   ON o_orderkey = b.l_orderkey
@@ -967,7 +968,8 @@ SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
 FROM part
 """,
     "salted_join": """
-SELECT s_nationkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty,
+SELECT s_nationkey,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
        count(*) AS n_lineitems
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
@@ -1044,7 +1046,8 @@ WHERE CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
 """,
     "big_orders": """
 WITH po AS (
-  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
   FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
 )
 SELECT c_custkey, c_name, o_orderkey,
@@ -1094,7 +1097,7 @@ WITH c AS (
   FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
 )
 SELECT l_returnflag, l_linestatus,
-  sum(qty) AS sum_qty,
+  CAST(sum(qty) AS BIGINT) AS sum_qty,
   sum(ep) / 100.0 AS sum_base_price,
   sum(ep*(100-d)) / 10000.0 AS sum_disc_price,
   sum(ep*(100-d)*(100+t)) / 1000000.0 AS sum_charge,
@@ -1161,11 +1164,11 @@ SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
 """,
     "window_running": """
 SELECT l_suppkey, l_orderkey, l_linenumber,
-  sum(CAST(l_quantity AS BIGINT)) OVER (
+  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
     PARTITION BY l_suppkey
     ORDER BY l_shipdate, l_orderkey, l_linenumber
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  ) AS running_qty
+  ) AS BIGINT) AS running_qty
 FROM lineitem
 """,
     "sessionize": """
@@ -1177,9 +1180,10 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id,
-    sum(CASE WHEN gap IS NULL OR gap > 30*60*1000000 THEN 1 ELSE 0 END)
+    CAST(sum(CASE WHEN gap IS NULL OR gap > 30*60*1000000 THEN 1 ELSE 0 END)
       OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events

@@ -177,6 +177,37 @@ def q_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: ISO-string timestamp round-trip (``sqllite2influxdb.py:71-78``).
+
+    The reference receives the sink probe's time as an ISO-8601 string,
+    strips the ``Z`` suffix, parses, and reformats as
+    ``YYYY-MM-DD HH:MM:SS``. The typed engine has no string round-trip in
+    the pipeline proper (SURVEY §2.6), so this query reproduces it as a
+    standalone parity expression: render each point's time as the probe's
+    ISO string, then apply the exact strip/parse/format sequence.
+    """
+    pts = points(*_ha(spark, sf_dir))
+    iso = pts.select(
+        "state_id",
+        F.concat(
+            F.date_format(
+                F.timestamp_seconds(F.col("ts_epoch").cast("long")),
+                "yyyy-MM-dd'T'HH:mm:ss",
+            ),
+            F.lit("Z"),
+        ).alias("iso_ts"),
+    )
+    return iso.select(
+        "state_id",
+        "iso_ts",
+        F.date_format(
+            F.to_timestamp(F.expr("replace(iso_ts, 'Z', '')")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("formatted_ts"),
+    )
+
+
 QUERIES = {
     "ha_migration_scan": q_migration_scan,
     "ha_points": q_points,
@@ -187,6 +218,7 @@ QUERIES = {
     "ha_line_protocol": q_line_protocol,
     "ha_state_route": q_state_route,
     "ha_entity_split": q_entity_split,
+    "ha_ts_format": q_ts_format,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -297,5 +329,19 @@ SELECT entity_id,
   CASE WHEN strpos(entity_id, '.') = 0 THEN ''
        ELSE substr(entity_id, strpos(entity_id, '.') + 1) END AS entity_short
 FROM ha_states_meta
+""",
+    "ha_ts_format": f"""{_CTE},
+{_JOINED},
+{_POINTS},
+iso AS (
+  SELECT state_id,
+    strftime(make_timestamp(CAST(floor(ts_epoch) AS BIGINT) * 1000000),
+             '%Y-%m-%dT%H:%M:%S') || 'Z' AS iso_ts
+  FROM pts
+)
+SELECT state_id, iso_ts,
+  strftime(CAST(replace(iso_ts, 'Z', '') AS TIMESTAMP),
+           '%Y-%m-%d %H:%M:%S') AS formatted_ts
+FROM iso
 """,
 }
