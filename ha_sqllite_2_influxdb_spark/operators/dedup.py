@@ -24,13 +24,47 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .text import HASH_MOD, char_hash
 
 SIMHASH_BITS = 48       # xxhash64 tier (positive in signed int64)
 SIMHASH_BITS_PORTABLE = 31  # rolling-hash tier only yields 31 hash bits
+
+# Hot-bucket bound for banded-LSH candidate generation. A band bucket is
+# collected into ONE aggregation row, so an unbounded bucket (every doc
+# sharing one boilerplate band) would concentrate m²·|payload| bytes in a
+# single row/task. Buckets above the cap are down-sampled deterministically
+# to ~cap members; measured real buckets top out at 36 docs at sf0.1, so
+# normal data is untouched (cap only engages on adversarial/degenerate
+# corpora, trading candidate recall inside the one pathological bucket for
+# bounded task memory).
+DEFAULT_BUCKET_CAP = 256
+
+
+def _cap_buckets(exploded: DataFrame, key: str, id_col: str,
+                 cap: int | None) -> DataFrame:
+    """Bound bucket membership to ~``cap`` rows per ``key`` group.
+
+    One window count over the same hash partitioning the downstream
+    groupBy needs (no extra Exchange; WindowExec spills, unlike an
+    aggregation buffer). Members of an oversized bucket survive with
+    probability cap/m via a deterministic xxhash64 coin, so a retry or
+    re-run selects the identical sample.
+    """
+    if cap is None:
+        return exploded
+    m = F.count(F.lit(1)).over(W.partitionBy(key))
+    return (
+        exploded.withColumn("_m", m)
+        .filter(
+            (F.col("_m") <= cap)
+            | (F.pmod(F.xxhash64(F.col(id_col), F.col(key)), F.col("_m"))
+               < cap)
+        )
+        .drop("_m")
+    )
 
 
 def recrawl_corpus(documents: DataFrame) -> DataFrame:
@@ -119,29 +153,35 @@ def hashed_shingles(text: Column, words: Column, k: int = 3) -> Column:
     The string formulation pays, per shingle, k `element_at` calls +
     `concat_ws` + a string hash inside an interpreted lambda (higher-order
     functions don't participate in codegen). Here each word is hashed ONCE
-    (one transform pass), then k consecutive word-hashes combine with
-    wrapping long arithmetic across zip_with passes — same set semantics
-    (two shingle IDs are equal iff the k words match, modulo hash
-    collisions), ~4× cheaper per document, and the id is numeric from the
-    start so nothing downstream ever touches strings.
+    (one transform pass), then k consecutive word-hashes combine with a
+    rotate-xor across zip_with passes — same set semantics (two shingle
+    IDs are equal iff the k words match, modulo hash collisions), ~4×
+    cheaper per document, and the id is numeric from the start so nothing
+    downstream ever touches strings.
 
-    All arithmetic stays in [0, 2^31): Spark 4 runs ANSI mode by default
-    (the driver's bare session), where long overflow throws — so each
-    combine step is ``(acc * 1_000_003 + h) mod (2^31-1)`` with operands
-    bounded far below 2^63. Downstream ``_elem_hash`` reduces to the same
-    31-bit domain anyway.
+    IDs keep the FULL 64-bit xxhash64 domain: the combine step is
+    ``rotl(acc, 13) XOR h`` — pure bit ops, so Spark 4's default ANSI mode
+    cannot overflow, and the per-pair collision probability stays ~2^-64
+    (a 31-bit modular domain would birthday-collide past ~65k distinct
+    words, silently inflating the native tier's array_intersect Jaccard).
+    Rotation makes the combine order-sensitive, so permuted word windows
+    get distinct IDs. Downstream `_elem_hash` reduces IDs to [0, HASH_MOD)
+    only inside the minhash permutations, where the sketch is per-doc and
+    a 31-bit domain over ~50 shingles is ample.
     """
-    hw = F.transform(words, lambda x: F.pmod(F.xxhash64(x), F.lit(HASH_MOD)))
+    hw = F.transform(words, lambda x: F.xxhash64(x))
     m = F.size(words) - (k - 1)
     comb = F.slice(hw, 1, m)
     for j in range(1, k):
         comb = F.zip_with(
             comb, F.slice(hw, j + 1, m),
-            lambda acc, h: F.pmod(acc * 1_000_003 + h, F.lit(HASH_MOD)),
+            lambda acc, h: (
+                F.shiftleft(acc, 13)
+                .bitwiseOR(F.shiftrightunsigned(acc, 64 - 13))
+                .bitwiseXOR(h)
+            ),
         )
-    return F.when(
-        m >= 1, comb
-    ).otherwise(F.array(F.pmod(F.xxhash64(text), F.lit(HASH_MOD))))
+    return F.when(m >= 1, comb).otherwise(F.array(F.xxhash64(text)))
 
 
 def shingled(corpus: DataFrame, native_hash: bool = False) -> DataFrame:
@@ -206,7 +246,8 @@ def minhash_signatures(corpus: DataFrame, n_seeds: int = 8,
 
 
 def _bucket_pairs(prof: DataFrame, n_seeds: int, band_size: int,
-                  payload: list[str]) -> DataFrame:
+                  payload: list[str],
+                  bucket_cap: int | None = DEFAULT_BUCKET_CAP) -> DataFrame:
     """In-bucket pair generation: explode band keys, collect each band
     bucket's docs (with ``payload`` columns riding along), emit ordered
     in-bucket combinations. One LINEAR pipeline — the profile has exactly
@@ -219,8 +260,10 @@ def _bucket_pairs(prof: DataFrame, n_seeds: int, band_size: int,
     Collision P per band ~ jaccard^band_size, so band_size=4 keeps
     near-identical dupes (j~0.95 -> 0.81/band) while suppressing the
     quadratic noise floor band_size=2 lets through. Hot buckets (shared
-    boilerplate) still cost O(m^2) pairs — intrinsic to LSH candidate
-    generation in any formulation (the self-join explodes identically).
+    boilerplate) are bounded by ``bucket_cap`` (`_cap_buckets`): membership
+    of an oversized bucket is down-sampled before the collect, so both the
+    bucket row and its pair array stay O(cap²) no matter how degenerate
+    the corpus.
 
     Returns pair-struct rows ``p`` with p.a / p.b doc structs ordered by
     doc_id, possibly repeated across bands — callers dedup per pair.
@@ -234,9 +277,12 @@ def _bucket_pairs(prof: DataFrame, n_seeds: int, band_size: int,
         for b in range(n_seeds // band_size)
     ])
     doc = F.struct("doc_id", *payload).alias("d")
+    exploded = _cap_buckets(
+        prof.select(doc, F.explode(bands).alias("b")),
+        key="b", id_col="d.doc_id", cap=bucket_cap,
+    )
     buckets = (
-        prof.select(doc, F.explode(bands).alias("b"))
-        .groupBy("b")
+        exploded.groupBy("b")
         .agg(F.sort_array(F.collect_list("d")).alias("ds"))
     )
     return buckets.select(F.explode(_combinations(F.col("ds"))).alias("p"))
@@ -256,7 +302,9 @@ def _combinations(ds: Column) -> Column:
 
 def lsh_candidate_pairs(corpus: DataFrame, n_seeds: int = 8,
                         band_size: int = 4,
-                        portable: bool = True) -> DataFrame:
+                        portable: bool = True,
+                        bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+                        ) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing any full band of minhashes.
 
     Distinct (doc_a < doc_b); ordering guaranteed by the sorted bucket.
@@ -265,7 +313,8 @@ def lsh_candidate_pairs(corpus: DataFrame, n_seeds: int = 8,
         shingle_sets(corpus, native_hash=not portable), n_seeds, portable
     ).drop("sh")
     return (
-        _bucket_pairs(prof, n_seeds, band_size, payload=[])
+        _bucket_pairs(prof, n_seeds, band_size, payload=[],
+                      bucket_cap=bucket_cap)
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),
@@ -275,7 +324,8 @@ def lsh_candidate_pairs(corpus: DataFrame, n_seeds: int = 8,
 
 
 def neardup_pairs(corpus: DataFrame, threshold: float = 0.5,
-                  n_seeds: int = 8, portable: bool = True) -> DataFrame:
+                  n_seeds: int = 8, portable: bool = True,
+                  bucket_cap: int | None = DEFAULT_BUCKET_CAP) -> DataFrame:
     """MinHash-LSH near-dup pipeline: candidates -> exact Jaccard >= t.
 
     The shingle arrays ride through the band buckets as pair payload, so
@@ -288,7 +338,8 @@ def neardup_pairs(corpus: DataFrame, threshold: float = 0.5,
     prof = _doc_profile(
         shingle_sets(corpus, native_hash=not portable), n_seeds, portable
     )
-    pairs = _bucket_pairs(prof, n_seeds, band_size=4, payload=["sh", "n_sh"])
+    pairs = _bucket_pairs(prof, n_seeds, band_size=4,
+                          payload=["sh", "n_sh"], bucket_cap=bucket_cap)
     inter = F.size(F.array_intersect("p.a.sh", "p.b.sh"))
     jac = (inter.cast("double")
            / (F.col("p.a.n_sh") + F.col("p.b.n_sh") - inter).cast("double"))
@@ -344,39 +395,59 @@ def jaccard_pairs_inverted_index(corpus: DataFrame,
 
 def simhash_signatures(corpus: DataFrame, bits: int | None = None,
                        portable: bool = True) -> DataFrame:
-    """SimHash: per-bit majority vote over word hashes → one int64 per doc."""
+    """SimHash: per-bit majority vote over word hashes → one int64 per doc.
+
+    Computed entirely PER ROW: one `aggregate` fold over the word array
+    carries a ``bits``-wide vote-counter array, then the counters pack
+    into the signature long. The classic explode→groupBy formulation
+    shuffles the whole word-exploded relation (~|text| bytes per doc
+    across the wire); this shape shuffles NOTHING — the signature stage
+    is a narrow projection, and parallelism comes from scan splits, same
+    as `shingle_sets`. Vote semantics match the grouped version exactly
+    (+1/-1 per word per bit, multiset of words from `split`, bit set iff
+    votes > 0), so signatures are bit-identical and the DuckDB oracle is
+    unchanged.
+    """
     if bits is None:
         bits = SIMHASH_BITS_PORTABLE if portable else SIMHASH_BITS
-    w = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    h = (
-        char_hash(F.col("word"))
-        if portable
-        else F.pmod(F.xxhash64("word"), F.lit(1 << bits)).cast("long")
-    )
-    hashed = w.select("doc_id", h.alias("h"))
-    votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
-                 .otherwise(-1)
-            ).alias(f"v{b}")
+
+    def word_hash(x: Column) -> Column:
+        if portable:
+            return char_hash(x)
+        return F.pmod(F.xxhash64(x), F.lit(1 << bits)).cast("long")
+
+    def bit_votes(hv: Column) -> Column:
+        return F.array(*[
+            F.when(F.shiftright(hv, b).bitwiseAND(1) == 1, F.lit(1))
+             .otherwise(F.lit(-1))
             for b in range(bits)
-        ]
+        ])
+
+    hw = F.transform(F.split(F.col("text"), " "), word_hash)
+    votes = F.aggregate(
+        hw,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, hv: F.zip_with(acc, bit_votes(hv), lambda a, v: a + v),
     )
     sig = reduce(
         add,
         [
-            F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+            F.when(F.element_at(F.col("votes"), b + 1) > 0,
+                   F.lit(1 << b).cast("long"))
              .otherwise(F.lit(0).cast("long"))
             for b in range(bits)
         ],
     )
-    return votes.select("doc_id", sig.alias("simhash"))
+    return (
+        corpus.select("doc_id", votes.alias("votes"))
+        .select("doc_id", sig.alias("simhash"))
+    )
 
 
 def simhash_neighbors(corpus: DataFrame, max_hamming: int = 3,
                       bits: int | None = None,
-                      portable: bool = True) -> DataFrame:
+                      portable: bool = True,
+                      bucket_cap: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
     Candidate generation buckets on the top 16 bits of the signature (docs
@@ -386,15 +457,26 @@ def simhash_neighbors(corpus: DataFrame, max_hamming: int = 3,
 
     Single-consumer shape (bucket collect + in-bucket combinations, not
     a self-join): the expensive signature aggregation is evaluated once.
+
+    ``bucket_cap`` defaults to None (unlike the minhash path): simhash
+    bits are CORRELATED across documents — common words push the same
+    majority votes — so top-bit buckets are hot on perfectly normal
+    corpora, and a default cap would silently drop true neighbor pairs
+    (it also keeps this op exactly oracle-checkable). At scale, pass
+    ``bucket_cap=DEFAULT_BUCKET_CAP`` and add rotated bucketings to
+    recover the recall the cap trades away.
     """
     if bits is None:
         bits = SIMHASH_BITS_PORTABLE if portable else SIMHASH_BITS
     sig = simhash_signatures(corpus, bits=bits, portable=portable)
     bucket = F.shiftright(F.col("simhash"), bits - 16)
-    buckets = (
+    exploded = _cap_buckets(
         sig.select(F.struct("doc_id", "simhash").alias("d"),
-                   bucket.alias("bucket"))
-        .groupBy("bucket")
+                   bucket.alias("bucket")),
+        key="bucket", id_col="d.doc_id", cap=bucket_cap,
+    )
+    buckets = (
+        exploded.groupBy("bucket")
         .agg(F.sort_array(F.collect_list("d")).alias("ds"))
     )
     pairs = buckets.select(F.explode(_combinations(F.col("ds"))).alias("p"))
@@ -408,4 +490,78 @@ def simhash_neighbors(corpus: DataFrame, max_hamming: int = 3,
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def neardup_clusters(corpus: DataFrame, threshold: float = 0.5,
+                     n_seeds: int = 8, portable: bool = True,
+                     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+                     max_iter: int = 25) -> DataFrame:
+    """Connected components over the near-duplicate pair graph:
+    every document gets ``cluster_id`` = the smallest doc_id reachable
+    through `neardup_pairs` edges, plus the component size — the form a
+    training pipeline consumes ("keep one doc per cluster").
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels, converging in O(diameter)
+    rounds (near-dup components are shallow — diameter is typically ≤3
+    even when transitive chains link crawl generations). Spark-first
+    mechanics for an iterative algorithm:
+
+    - the edge relation is computed ONCE and persisted (both directions);
+    - each round is one hash join + groupBy min — the same shuffle key
+      (doc_id) every round, so at scale the exchanges line up;
+    - `localCheckpoint` truncates the lineage each round (an unbounded
+      iterative plan otherwise grows until analysis cost dominates);
+    - the fixpoint check is a MONOTONE scalar (sum of labels strictly
+      decreases while anything changes), so each round costs exactly one
+      tiny aggregate action, never a diff join.
+
+    At larger diameters swap the propagation body for large-star/
+    small-star (Kiveris et al.) — the loop/checkpoint scaffolding here is
+    exactly what that variant needs too.
+    """
+    pairs = neardup_pairs(
+        corpus, threshold=threshold, n_seeds=n_seeds, portable=portable,
+        bucket_cap=bucket_cap,
+    ).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"),
+                         F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        corpus.select("doc_id")
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(max_iter):
+        cand = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("_cand"))
+        )
+        new_labels = (
+            labels.join(cand, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("_cand", "cluster_id"),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(F.sum("cluster_id")).first()[0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.withColumn(
+        "n_members", F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
     )

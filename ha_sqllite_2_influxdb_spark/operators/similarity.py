@@ -31,6 +31,13 @@ DIM = 64
 N_PLANES = 16
 LSH_TABLES = 8       # hash tables (L)
 LSH_PLANES = 4       # sign bits per table (b): recall = 1-(1-p^b)^L
+# Hot-bucket bound for ann_lsh_pairs: a (table, signature) bucket is scored
+# with an O(m²) in-group matmul, so an unbounded bucket (near-constant
+# embeddings, or n ≫ 2^b) would concentrate quadratic work and memory in
+# one task. Oversized buckets are deterministically down-sampled to ~cap
+# members (cap² doubles ≈ 134 MB of scores per task at 4096). Normal test
+# data peaks well below the cap, so results there are unchanged.
+ANN_BUCKET_CAP = 4096
 
 
 def dot_chain(a: str, b: str, dim: int = DIM) -> Column:
@@ -265,7 +272,8 @@ def _signature_udf(n_tables: int, planes_per_table: int, dim: int = DIM):
 
 def ann_lsh_pairs(embeddings: DataFrame, threshold: float = 0.35,
                   n_tables: int = LSH_TABLES,
-                  planes_per_table: int = LSH_PLANES) -> DataFrame:
+                  planes_per_table: int = LSH_PLANES,
+                  bucket_cap: int | None = ANN_BUCKET_CAP) -> DataFrame:
     """Scale-path ANN near-dup: multi-table random-hyperplane LSH.
 
     L independent tables of b sign bits each; a pair is a candidate if it
@@ -278,8 +286,10 @@ def ann_lsh_pairs(embeddings: DataFrame, threshold: float = 0.35,
        per-group numpy matmul (`applyInPandas`) — within-bucket cosines
        never cross a partition boundary, and pairs below
        threshold−1e-9 die inside the group. At 100 TB the buckets
-       hash-partition independently; a pathologically hot bucket is the
-       known LSH failure mode and gets capped/salted upstream;
+       hash-partition independently; a pathologically hot bucket (the
+       known LSH failure mode) is bounded by ``bucket_cap``: membership
+       above the cap is deterministically down-sampled before the group
+       shuffle, so the in-group matmul is O(cap²) worst case;
     3. multi-table duplicate candidates dedup on the (id_a, id_b) pair
        key — two longs, no arrays;
     4. exact fold-chain cosine re-check on the few survivors (vectors
@@ -300,6 +310,20 @@ def ann_lsh_pairs(embeddings: DataFrame, threshold: float = 0.35,
         .select("vec_id", "embedding",
                 F.posexplode(sig("embedding")).alias("tbl", "sig"))
     )
+    if bucket_cap is not None:
+        # same shape as dedup._cap_buckets: one window count over the
+        # (tbl, sig) partitioning the groupBy below reuses — no extra
+        # Exchange, deterministic retry-stable sampling coin
+        m = F.count(F.lit(1)).over(W.partitionBy("tbl", "sig"))
+        sigs = (
+            sigs.withColumn("_m", m)
+            .filter(
+                (F.col("_m") <= bucket_cap)
+                | (F.pmod(F.xxhash64("vec_id", "tbl", "sig"), F.col("_m"))
+                   < bucket_cap)
+            )
+            .drop("_m")
+        )
 
     margin = threshold - 1e-9
 

@@ -114,3 +114,73 @@ def test_multimodal_real_decode_is_gated(spark, sf_dir):
         multimodal.decode_features(
             multimodal.payloads(docs), real_decode=True
         ).collect()
+
+
+def test_hot_bucket_cap_bounds_adversarial_corpus(spark):
+    """An all-identical corpus puts every doc in ONE band bucket; the cap
+    must bound the bucket (and its pair array) while still finding pairs."""
+    n = 900  # > DEFAULT_BUCKET_CAP
+    corpus = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same boilerplate text repeated across the corpus").alias("text"),
+    )
+    pairs = dedup.neardup_pairs(corpus, threshold=0.9, bucket_cap=64)
+    rows = pairs.collect()
+    # bucket sampled to ~64 members -> at most ~C(64+slack, 2) pairs, far
+    # below the uncapped C(900,2) = 404550
+    assert 0 < len(rows) < 10_000
+    assert all(r.jaccard == 1.0 for r in rows)
+    # determinism: the sampling coin is hash-based, not RNG-based
+    again = dedup.neardup_pairs(corpus, threshold=0.9, bucket_cap=64).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == \
+        {(r.doc_a, r.doc_b) for r in again}
+
+
+def test_hot_bucket_cap_noop_on_normal_data(spark, sf_dir):
+    """Buckets below the cap must pass through untouched: capped and
+    uncapped pipelines emit identical pairs on the real corpus."""
+    corpus = dedup.recrawl_corpus(load_table(spark, sf_dir, "documents"))
+    capped = {(r.doc_a, r.doc_b) for r in
+              dedup.neardup_pairs(corpus).collect()}
+    uncapped = {(r.doc_a, r.doc_b) for r in
+                dedup.neardup_pairs(corpus, bucket_cap=None).collect()}
+    assert capped == uncapped
+
+
+def test_ann_bucket_cap_bounds_adversarial_embeddings(spark):
+    """Near-identical embeddings collapse every vector into one
+    (table, signature) bucket per table; the cap bounds the in-group
+    matmul while keeping the op functional."""
+    n = 600
+    base = [1.0] + [0.0] * (similarity.DIM - 1)
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x) for x in base]).cast("array<float>")
+        .alias("embedding"),
+    )
+    pairs = similarity.ann_lsh_pairs(emb, threshold=0.99, bucket_cap=64)
+    rows = pairs.collect()
+    # each of the 8 tables samples its one hot bucket independently, so
+    # the union tops out near 8 * C(64+slack, 2) ~ 20k — far below the
+    # uncapped C(600,2) = 179700, and each in-group matmul is O(64²)
+    assert 0 < len(rows) < 40_000
+
+
+def test_neardup_clusters_group_recrawl_copies(spark, sf_dir):
+    """Every exact recrawl copy (doc_id+2M) must land in its original's
+    cluster with the original as the canonical (min) label; labels are a
+    fixpoint (one more propagation round changes nothing)."""
+    corpus = dedup.recrawl_corpus(load_table(spark, sf_dir, "documents"))
+    labels = {r.doc_id: (r.cluster_id, r.n_members)
+              for r in dedup.neardup_clusters(corpus).collect()}
+    originals = [d for d in labels if d < 1_000_000]
+    assert originals
+    for d in originals:
+        # distinct originals may legitimately merge into one component
+        # (chained similarity), but a copy can never leave its original's
+        # cluster, labels are component minima, and no cluster with an
+        # exact copy is a singleton
+        assert labels[d + 2_000_000][0] == labels[d][0], \
+            "exact copy must share its original's cluster"
+        assert labels[d][0] <= d, "label must be a reachable minimum"
+        assert labels[d][1] >= 2

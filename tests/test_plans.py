@@ -95,3 +95,27 @@ def test_broadcast_hint_respected_in_q22(spark, sf_dir):
     broadcast exchange, never a shuffle of the customer side."""
     plan = explain_str(analytics.q_tpch_q22(spark, sf_dir))
     assert "BroadcastExchange" in plan, plan
+
+
+def test_simhash_signature_stage_has_zero_exchange(spark, sf_dir):
+    """The signature computation is a per-row fold — no explode, no
+    groupBy, no shuffle of word-level data (dedup.simhash_signatures)."""
+    from ha_sqllite_2_influxdb_spark.operators.dedup import (
+        recrawl_corpus, simhash_signatures,
+    )
+    sig = simhash_signatures(recrawl_corpus(load_table(spark, sf_dir, "documents")))
+    plan = explain_str(sig)
+    assert "Exchange" not in plan, plan
+
+
+def test_bucket_cap_adds_no_extra_exchange(spark, sf_dir):
+    """The hot-bucket window count must reuse the band groupBy's hash
+    partitioning: capped and uncapped candidate pipelines have the same
+    Exchange count (dedup._cap_buckets design claim)."""
+    from ha_sqllite_2_influxdb_spark.operators.dedup import (
+        lsh_candidate_pairs, recrawl_corpus,
+    )
+    corpus = recrawl_corpus(load_table(spark, sf_dir, "documents"))
+    capped = explain_str(lsh_candidate_pairs(corpus))
+    uncapped = explain_str(lsh_candidate_pairs(corpus, bucket_cap=None))
+    assert capped.count("Exchange") == uncapped.count("Exchange"), capped
