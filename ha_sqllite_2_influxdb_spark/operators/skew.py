@@ -28,6 +28,17 @@ from pyspark.sql import functions as F
 SALT = "__salt"
 
 
+# joins where an unmatched small-side row is dropped (inner/semi), kept
+# exactly once on the BIG side (left/anti), or never emitted from the
+# small side — i.e. salting the small side cannot change the output.
+# right/full outer would emit every unmatched exploded small row n_salts
+# times, silently duplicating output vs the plain join.
+_SALT_SAFE_JOINS = frozenset(
+    {"inner", "cross", "left", "leftouter", "left_outer",
+     "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+)
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 n_salts: int = 16, how: str = "inner") -> DataFrame:
     """Equi-join where ``key`` is skewed on the ``big`` side.
@@ -37,7 +48,19 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     (key, salt) combination exists. The join key becomes (key, salt) —
     a hot key's rows now land on ``n_salts`` reducers instead of one.
     Cost: small side bytes × n_salts, the standard trade.
+
+    ``how`` is restricted to salt-invariant join types: for right/full
+    outer joins each unmatched small row would survive once PER SALT,
+    duplicating output n_salts× vs the unsalted join.
     """
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALT_SAFE_JOINS
+    }:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: right/full outer "
+            "joins emit each unmatched small-side row once per salt; "
+            f"use one of {sorted(_SALT_SAFE_JOINS)}"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
                   F.lit(n_salts)).cast("int")
     big_s = big.withColumn(SALT, salt)

@@ -134,18 +134,32 @@ def write_lines(lines_df: DataFrame, *, url: str | None = None,
                 else:
                     write_api.write(bucket=bucket, org=org, record=batch)
 
-            closer = client.close
+            def closer(ok: bool) -> None:
+                client.close()
         else:
             import os
 
+            # write to an attempt-unique temp file and rename on success:
+            # a task retry / speculative duplicate then OVERWRITES the
+            # partition's output instead of re-appending it (append mode
+            # would silently duplicate every point the first attempt wrote)
             os.makedirs(path, exist_ok=True)
-            out = open(os.path.join(path, f"part-{pid:05d}.lp"), "a")
+            attempt = TaskContext.get().taskAttemptId()
+            final = os.path.join(path, f"part-{pid:05d}.lp")
+            tmp = os.path.join(path, f".part-{pid:05d}.{attempt}.tmp")
+            out = open(tmp, "w")
 
             def flush(batch: list[str]) -> None:
                 out.write("\n".join(batch) + "\n")
 
-            closer = out.close
+            def closer(ok: bool) -> None:
+                out.close()
+                if ok:  # publish atomically; a failed attempt leaves
+                    os.replace(tmp, final)  # no partial visible output
+                else:
+                    os.unlink(tmp)
 
+        ok = False
         try:
             batch: list[str] = []
             for row in rows:
@@ -155,7 +169,8 @@ def write_lines(lines_df: DataFrame, *, url: str | None = None,
                     batch = []
             if batch:
                 flush(batch)
+            ok = True
         finally:
-            closer()
+            closer(ok)
 
     lines_df.foreachPartition(handle_partition)

@@ -47,8 +47,18 @@ def _sessionize_fn(gap_us: int):
         else:
             sid, start, last, n = 0, None, None, 0
         closed: list[tuple] = []
-        for pdf in pdfs:
-            for ts in pdf.sort_values("ts_us")["ts_us"]:
+        # a key's micro-batch data may span several Arrow chunks; sorting
+        # each chunk independently would only give chunk-local order and
+        # mis-close sessions across chunk boundaries. Per-key batch data
+        # is bounded (state design note above), so concatenate and sort
+        # ONCE before the session loop.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            ordered = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1 else chunks[0]
+            )
+            for ts in ordered.sort_values("ts_us")["ts_us"]:
                 ts = int(ts)
                 if last is None:
                     sid, start, last, n = 1, ts, ts, 1

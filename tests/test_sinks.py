@@ -103,3 +103,20 @@ def test_backfill_empty_sink_migrates_everything(spark, sf_dir, tmp_path):
     for f in glob.glob(os.path.join(sink, "part-*.parquet")):
         ts = pq.read_table(f, columns=["ts_epoch"])["ts_epoch"].to_pylist()
         assert ts == sorted(ts)
+
+
+def test_write_lines_rerun_overwrites_not_appends(spark, sf_dir, tmp_path):
+    """A re-run (or task retry) of the same partition must overwrite its
+    output file, not append duplicate points to it."""
+    from ha_sqllite_2_influxdb_spark.plans.ha_pipeline import q_line_protocol
+    from ha_sqllite_2_influxdb_spark.sinks.influx import write_lines
+
+    lines = q_line_protocol(spark, sf_dir).select("line").coalesce(1)
+    out = str(tmp_path / "lp")
+    write_lines(lines, path=out)
+    first = sorted((tmp_path / "lp").glob("*.lp"))[0].read_text()
+    write_lines(lines, path=out)
+    second = sorted((tmp_path / "lp").glob("*.lp"))[0].read_text()
+    assert first == second
+    # no leftover attempt temp files
+    assert not list((tmp_path / "lp").glob(".part-*"))

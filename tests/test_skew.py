@@ -51,3 +51,19 @@ def test_two_phase_distinct_exact(spark, sf_dir):
             for r in ev.groupBy("event_type")
             .agg(F.countDistinct("user_id").alias("n")).collect()}
     assert got == want
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """right/full outer would emit unmatched small rows once per salt."""
+    import pytest
+
+    from ha_sqllite_2_influxdb_spark.operators.skew import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "outer", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(big, small, "k", how=how)
+    # safe kinds still construct
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        salted_join(big, small, "k", how=how)
