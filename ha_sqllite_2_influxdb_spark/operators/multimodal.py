@@ -128,21 +128,29 @@ def sample_frames(payload_df: DataFrame, every_n: int = 4) -> DataFrame:
     """
 
     def _frame_batches(batches: Iterator):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            ids, idxs, frames = [], [], []
-            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
-                n_frames = max(1, -(-len(raw) // FRAME_BYTES))
-                for i in range(0, n_frames, every_n):
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    frames.append(raw[i * FRAME_BYTES:(i + 1) * FRAME_BYTES])
-            yield pd.DataFrame({
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "frame_idx": pd.Series(idxs, dtype="int64"),
-                "frame": pd.Series(frames, dtype=object),
-            })
+            raw = pdf["payload"]
+            lens = raw.str.len().astype("int64").to_numpy()
+            n_frames = np.maximum(1, -(-lens // FRAME_BYTES))
+            # columnar slice table: iterate kept FRAME INDICES (a few
+            # dozen), not rows×frames — each pass is one vectorized
+            # .str.slice over every doc long enough to own that frame
+            out = []
+            max_frames = int(n_frames.max()) if len(n_frames) else 0
+            for i in range(0, max_frames, every_n):
+                mask = n_frames > i
+                out.append(pd.DataFrame({
+                    "doc_id": pdf["doc_id"][mask].astype("int64"),
+                    "frame_idx": np.int64(i),
+                    "frame": raw[mask].str.slice(
+                        i * FRAME_BYTES, (i + 1) * FRAME_BYTES
+                    ),
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
     return payload_df.mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
 
