@@ -92,16 +92,32 @@ def render(name: str, engine: str, events_rel: str = "events") -> str:
     return _TEMPLATES[name].replace("{EPOCH_US}", epoch).replace("{EVENTS}", events_rel)
 
 
+# one fixture triplet per (application, sf_dir): the derivation runs a
+# window and two DISTINCT subqueries over events, which would otherwise be
+# re-executed by every one of the ~10 HA queries that consume the triplet
+# (and would dominate ha_points bench timings). The derived tables are
+# tiny relative to events, so they persist across queries in the session.
+_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
 def derive_ha_tables(spark: SparkSession, sf_dir: str,
-                     register: bool = True) -> dict[str, DataFrame]:
+                     register: bool = True,
+                     cache: bool = True) -> dict[str, DataFrame]:
     """Build the HA triplet as DataFrames (and temp views) from events."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if cache and key in _CACHE:
+        return _CACHE[key]
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     out: dict[str, DataFrame] = {}
     for name in _TEMPLATES:
         df = spark.sql(render(name, "spark"))
+        if cache:
+            df = df.persist()
         if register:
             df.createOrReplaceTempView(name)
         out[name] = df
+    if cache:
+        _CACHE[key] = out
     return out
 
 
