@@ -37,12 +37,13 @@ _DRIVER_WINDOW = [
     "events_hourly", "stream_dedup", "events_sliding", "stream_sessions",
     # LLM data pipeline: deduplication
     "dedup_exact", "minhash_signatures", "neardup_minhash_lsh",
-    "ngram_jaccard", "simhash_signatures", "simhash_neighbors",
+    "neardup_clusters", "ngram_jaccard", "simhash_signatures",
+    "simhash_neighbors",
     # similarity search (exact tiers; ANN tiers are rows-only, after window)
     "embedding_knn", "embedding_neardup",
     # text analysis
     "token_stats", "text_quality", "lang_id", "fingerprints",
-    "text_clean", "top_bigrams",
+    "text_clean", "top_bigrams", "text_scrub",
     # deterministic sampling
     "sample_uniform", "sample_stratified",
     # multimodal columns
@@ -50,7 +51,9 @@ _DRIVER_WINDOW = [
     # skew-aware ops
     "salted_join", "distinct_twophase",
     # analytics breadth: TPC-H adaptations, windows, special joins
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q4", "tpch_q7",
+    # (q4/q7 moved past the window to make room for the new LLM ops;
+    # they stay covered by the pytest oracle suite + plan tests)
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "tpch_q10", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
     "window_topk", "window_running", "sessionize",
     "asof_join", "range_band_join",

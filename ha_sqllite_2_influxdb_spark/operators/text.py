@@ -179,3 +179,28 @@ def fingerprints(documents: DataFrame) -> DataFrame:
         F.md5("text").alias("md5"),
         char_hash(F.col("text")).alias("roll_hash"),
     )
+
+
+# PII/link scrub patterns — kept to syntax shared by Java regex (Spark)
+# and RE2 (DuckDB): character classes, +/{n,} quantifiers, no lookaround
+URL_REGEX = r"https?://[^ ]+"
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def scrub_text(documents: DataFrame) -> DataFrame:
+    """PII/link scrubbing for training corpora: URLs and email addresses
+    are replaced with stable placeholder tokens, and per-doc match counts
+    are kept for filtering/audit. Single-pass JVM regexps (codegen'd),
+    applied emails-then-URLs; counts are computed on the RAW text, so an
+    address embedded in a URL increments both counters.
+    """
+    no_email = F.regexp_replace(F.col("text"), EMAIL_REGEX, "<EMAIL>")
+    scrubbed = F.regexp_replace(no_email, URL_REGEX, "<URL>")
+    return documents.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_REGEX), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(URL_REGEX), F.lit(0)))
+        .cast("long").alias("n_urls"),
+    )

@@ -16,8 +16,9 @@ from ..operators import dedup, multimodal, similarity
 from ..operators.dedup import SIMHASH_BITS_PORTABLE
 from ..operators.similarity import DIM
 from ..operators.text import (
-    STOPWORDS, TOKEN_REGEX, clean_text, fingerprints, lang_id,
-    quality_scores, token_stats, top_bigrams,
+    EMAIL_REGEX, STOPWORDS, TOKEN_REGEX, URL_REGEX, clean_text,
+    fingerprints, lang_id, quality_scores, scrub_text, token_stats,
+    top_bigrams,
 )
 from ..sources.tables import load_table
 
@@ -79,6 +80,16 @@ def q_neardup_xxhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the minhash-LSH near-dup graph: each doc
+    labeled with its cluster's min doc_id + component size (iterative
+    min-label propagation; oracle = recursive CTE over the same edges)."""
+    return dedup.neardup_clusters(
+        dedup.recrawl_corpus(_docs(spark, sf_dir)),
+        threshold=JACCARD_T, n_seeds=N_SEEDS,
+    )
+
+
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_brute_force(_emb(spark, sf_dir))
 
@@ -120,6 +131,31 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_bigrams(_docs(spark, sf_dir))
+
+
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/link scrub over a corpus deterministically seeded with email
+    addresses and URLs (every 3rd doc), so the scrubber has real targets
+    in both engines."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seeded = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or https://site"),
+                F.col("doc_id").cast("string"),
+                F.lit(".example.com/page?id="),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return scrub_text(seeded)
 
 
 #: per-stratum sampling rates (percent) — downsample common event types,
@@ -193,6 +229,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "neardup_minhash_lsh": q_neardup_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
+    "neardup_clusters": q_neardup_clusters,
     "simhash_signatures": q_simhash_signatures,
     "simhash_neighbors": q_simhash_neighbors,
     "neardup_xxhash_lsh": q_neardup_xxhash_lsh,
@@ -206,6 +243,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "text_clean": q_text_clean,
     "top_bigrams": q_top_bigrams,
+    "text_scrub": q_text_scrub,
     "sample_uniform": q_sample_uniform,
     "sample_stratified": q_sample_stratified,
     "multimodal_meta": q_multimodal_meta,
@@ -387,6 +425,45 @@ SELECT doc_id, seed, minhash FROM mh
 {_JACCARD_FROM_CAND}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
 """,
+    "neardup_clusters": f"""WITH RECURSIVE {_CORPUS},
+{_SHINGLED},
+{_MINHASH},
+{_LSH_PAIRS},
+{_JACCARD_FROM_CAND},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_T}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM corpus
+  UNION
+  SELECT e.dst AS doc_id, reach.r
+  FROM reach JOIN edges e ON e.src = reach.doc_id
+),
+lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS n_members
+FROM lab
+""",
+    "text_scrub": """
+WITH seeded AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com or https://site' || CAST(doc_id AS VARCHAR)
+           || '.example.com/page?id=' || CAST(doc_id AS VARCHAR)
+      ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(text, '{EMAIL_RX}', '<EMAIL>', 'g'),
+                 '{URL_RX}', '<URL>', 'g') AS scrubbed,
+  CAST(len(regexp_extract_all(text, '{EMAIL_RX}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{URL_RX}')) AS BIGINT) AS n_urls
+FROM seeded
+""".replace("{EMAIL_RX}", EMAIL_REGEX).replace("{URL_RX}", URL_REGEX),
     "ngram_jaccard": f"""WITH {_CORPUS},
 {_SHINGLED},
 cand AS (
