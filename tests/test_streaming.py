@@ -125,3 +125,51 @@ def test_stateful_sessions_state_across_batches(spark, sf_dir, tmp_path):
 
     cols = ["user_id", "session_id", "start_us", "end_us", "n_events"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_to_line_protocol_sink(spark, sf_dir, tmp_path):
+    """T2+S4 end-to-end: AvailableNow drain through line-protocol
+    rendering into the partitioned file sink — the streaming analog of
+    the reference's whole fetch→transform→write loop. Must equal the
+    batch rendering of the identical input."""
+    import glob
+
+    from ha_sqllite_2_influxdb_spark.sinks.influx import (
+        line_protocol, write_lines,
+    )
+    from pyspark.sql import functions as F
+
+    def to_points(df):
+        return df.select(
+            F.col("event_id").alias("state_id"),
+            F.col("event_type").alias("measurement"),
+            F.lit("HA").alias("source"),
+            F.lit("stream").alias("domain"),
+            F.concat(F.lit("user_"), F.col("user_id").cast("string"))
+            .alias("entity_id"),
+            F.concat(F.lit("User "), F.col("user_id").cast("string"))
+            .alias("friendly_name"),
+            (F.unix_micros("ts").cast("double") / 1e6).alias("ts_epoch"),
+            F.col("value"),
+            F.lit(None).cast("string").alias("state_str"),
+        )
+
+    out = str(tmp_path / "lp")
+    ckpt = str(tmp_path / "ckpt")
+    # each micro-batch writes to its own directory: the file sink's
+    # part-<pid> names are per-ATTEMPT unique, not per-batch
+    drain_foreach_batch(
+        to_points(events_stream(spark, sf_dir)), ckpt,
+        lambda df, epoch_id: write_lines(
+            line_protocol(df), path=f"{out}/batch-{epoch_id}"
+        ),
+    )
+    got = []
+    for f in glob.glob(f"{out}/batch-*/part-*.lp"):
+        with open(f) as fh:
+            got.extend(ln for ln in fh.read().splitlines() if ln)
+    want = [
+        r.line for r in
+        line_protocol(to_points(load_table(spark, sf_dir, "events"))).collect()
+    ]
+    assert sorted(got) == sorted(want)
