@@ -33,14 +33,17 @@ _DRIVER_WINDOW = [
     "ha_migration_scan", "ha_points", "ha_attr_fields", "ha_min_ts",
     "ha_oldest_point", "ha_backfill_boundary", "ha_line_protocol",
     "ha_state_route", "ha_entity_split", "ha_ts_format",
-    # SURVEY §2 T2-T4: streaming drain / dedup / windows / sessions
-    "events_hourly", "stream_dedup", "events_sliding", "stream_sessions",
-    # LLM data pipeline: deduplication
+    # SURVEY §2 T2-T4: streaming drain / dedup / windows / sessions /
+    # stream-stream interval join
+    "events_hourly", "stream_dedup", "stream_sessions", "stream_join",
+    # LLM data pipeline: deduplication + cluster-canonical selection
     "dedup_exact", "minhash_signatures", "neardup_minhash_lsh",
-    "neardup_clusters", "ngram_jaccard", "simhash_signatures",
-    "simhash_neighbors",
+    "neardup_clusters", "dedup_keep_best", "ngram_jaccard",
+    "simhash_signatures", "simhash_neighbors",
+    # corpus curation: decontamination, packing, curriculum
+    "decontaminate", "pack_sequences", "curriculum_topk",
     # similarity search (exact tiers; ANN tiers are rows-only, after window)
-    "embedding_knn", "embedding_neardup",
+    "embedding_knn", "embedding_neardup", "embedding_centroids",
     # text analysis
     "token_stats", "text_quality", "lang_id", "fingerprints",
     "text_clean", "top_bigrams", "text_scrub",
@@ -51,12 +54,12 @@ _DRIVER_WINDOW = [
     # skew-aware ops
     "salted_join", "distinct_twophase",
     # analytics breadth: TPC-H adaptations, windows, special joins
-    # (q4/q7 moved past the window to make room for the new LLM ops;
-    # they stay covered by the pytest oracle suite + plan tests)
+    # (q4/q7/q10/q17/q22, window_topk, range_band_join, events_sliding
+    # sit past the window to make room for the curation ops; all stay
+    # covered by the pytest oracle suite + plan tests)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "tpch_q10", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
-    "window_topk", "window_running", "sessionize",
-    "asof_join", "range_band_join",
+    "tpch_q18", "tpch_q19",
+    "window_running", "sessionize", "asof_join",
 ]
 assert len(_DRIVER_WINDOW) == 50
 

@@ -1,0 +1,198 @@
+"""Training-corpus curation operators (beyond-reference, BASELINE.json
+north star): the steps that turn raw deduped text into a training set.
+
+- **keep_best_per_cluster** — the consumer of `dedup.neardup_clusters`:
+  one canonical document per near-duplicate cluster, chosen by quality
+  score. "Dedup" in a real pipeline is not "drop duplicates", it is
+  "keep the best copy"; this op closes that loop.
+- **decontaminate** — benchmark-overlap detection: flag training
+  documents that contain a benchmark document's n-grams (the standard
+  eval-leakage guard). The benchmark side is always tiny relative to the
+  corpus, so it rides a broadcast into an inverted-index join — the
+  corpus never shuffles on shingles.
+- **pack_sequences** — token-budget sequence packing (concat-and-chunk):
+  assign each document its training-sequence id and offset under a fixed
+  SEQ_LEN. Packing needs a total order, which does not scale as ONE
+  ordered stream; documents are sharded deterministically and each
+  (lang, shard) packs independently — the per-shard running sum is a
+  window aggregate over the same partitioning key the shuffle already
+  used, and shards parallelize freely at 100 TB.
+- **curriculum_topk** — per-language quality selection (top-k by score):
+  windowed rank inside each language partition, the standard
+  "high-quality subset first" curriculum step.
+
+All scoring expressions are exact-arithmetic (integer counts, fixed
+double expression trees), so every op here is value-level oracle-checked
+against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from . import dedup
+from .text import STOPWORDS, n_words, quality_scores
+
+SEQ_LEN = 2048        # tokens per packed training sequence
+N_PACK_SHARDS = 16    # independent packing streams per language
+BENCH_EVERY = 20      # every Nth doc seeds the synthetic benchmark set
+BENCH_PREFIX_WORDS = 10
+CONTAIN_T = 0.5       # flag docs covering >= this fraction of a benchmark
+
+
+def content_quality(text: Column) -> Column:
+    """`text.quality_scores`'s score formula on a bare text column.
+
+    Cluster corpora (e.g. `dedup.recrawl_corpus`) carry no ``lang``
+    column, so the scorer is exposed as a pure expression here; the
+    arithmetic is identical to the oracle-checked `text_quality` query.
+    """
+    w = F.split(text, " ")
+    nw = F.size(w)
+    length = F.length(text)
+    stop = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS["en"])))
+    punct = length - F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
+    return (
+        F.least(F.lit(1.0), nw.cast("double") / 100.0) * 0.5
+        + (stop.cast("double") / nw.cast("double")) * 0.3
+        + (1.0 - punct.cast("double") / length.cast("double")) * 0.2
+    )
+
+
+def keep_best_per_cluster(corpus: DataFrame, threshold: float = 0.5,
+                          n_seeds: int = 8,
+                          portable: bool = True) -> DataFrame:
+    """Canonical document per near-duplicate cluster.
+
+    Pipeline: `neardup_clusters` labels every doc with its component's
+    min doc_id; a quality score is computed per doc (narrow projection);
+    the winner is the row_number()==1 doc per cluster ordered by
+    (quality desc, doc_id asc) — a single windowed rank over the
+    cluster_id partitioning. Singleton clusters pass through unchanged,
+    so the output is exactly "the training set after dedup".
+    """
+    clusters = dedup.neardup_clusters(
+        corpus, threshold=threshold, n_seeds=n_seeds, portable=portable
+    )
+    scored = corpus.select(
+        "doc_id", content_quality(F.col("text")).alias("quality_score")
+    )
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(scored, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_members",
+            "quality_score",
+        )
+    )
+
+
+def benchmark_prefixes(documents: DataFrame, every: int = BENCH_EVERY,
+                       prefix_words: int = BENCH_PREFIX_WORDS) -> DataFrame:
+    """Deterministic synthetic benchmark set: every Nth document's first
+    ``prefix_words`` words. Gives `decontaminate` guaranteed true
+    positives (a document always contains its own prefix) while staying
+    reproducible in the SQL oracle."""
+    w = F.split(F.col("text"), " ")
+    return documents.filter(F.col("doc_id") % every == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(w, 1, prefix_words), " ").alias("text"),
+    )
+
+
+def decontaminate(train: DataFrame, bench: DataFrame,
+                  threshold: float = CONTAIN_T) -> DataFrame:
+    """Flag (train doc, benchmark doc) pairs with n-gram containment
+    ``|train ∩ bench| / |bench| >= threshold``.
+
+    The benchmark relation (id, shingle) is exploded and BROADCAST —
+    eval sets are a few thousand docs against a 100 TB corpus, so the
+    corpus-side shingle relation joins map-side and never shuffles; the
+    only exchange is the per-(doc, bench) count aggregation, whose rows
+    are bounded by |hits|, not |corpus|.
+
+    Containment (not Jaccard) is the right asymmetric measure: a long
+    training doc embedding a whole benchmark item scores 1.0 even though
+    its Jaccard is tiny.
+    """
+    b = dedup.shingle_sets(
+        bench.select(F.col("bench_id").alias("doc_id"), "text")
+    ).select(
+        F.col("doc_id").alias("bench_id"),
+        F.size("sh").alias("n_b"),
+        F.explode("sh").alias("shingle"),
+    )
+    t = dedup.shingled(train)
+    hits = (
+        t.join(F.broadcast(b), "shingle")
+        .groupBy("doc_id", "bench_id", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
+    return (
+        hits.select(
+            "doc_id", "bench_id",
+            (F.col("n_i").cast("double") / F.col("n_b").cast("double"))
+            .alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def pack_sequences(documents: DataFrame, seq_len: int = SEQ_LEN,
+                   n_shards: int = N_PACK_SHARDS) -> DataFrame:
+    """Concat-and-chunk sequence packing: each document's placement in a
+    fixed-width token stream, per (lang, shard).
+
+    ``seq_id`` is the sequence the document STARTS in, ``seq_offset``
+    its position inside it, ``n_seqs_spanned`` how many sequences the
+    document crosses (a doc may straddle a chunk boundary — real packers
+    split it). The running token sum is one window aggregate whose
+    partitioning (lang, shard) is also the parallelism unit: sharding
+    by doc_id keeps assignment deterministic under retries and lets
+    every shard pack concurrently — a single global ordered stream would
+    serialize the whole corpus through one task. ``seq_len`` is a power
+    of two, so the double division inside floor() is exact.
+    """
+    base = documents.select(
+        "doc_id", "lang",
+        n_words(F.col("text")).cast("long").alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard"),
+    )
+    w = (
+        W.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    seq_id = F.floor(start / seq_len).cast("long")
+    end_seq = F.floor((cum - 1) / seq_len).cast("long")
+    return base.select(
+        "doc_id", "lang", "shard", "n_tokens",
+        seq_id.alias("seq_id"),
+        F.pmod(start, F.lit(seq_len)).cast("long").alias("seq_offset"),
+        (end_seq - seq_id + 1).alias("n_seqs_spanned"),
+    )
+
+
+def curriculum_topk(documents: DataFrame, k: int = 25) -> DataFrame:
+    """Per-language quality curriculum: the k best documents by
+    `quality_scores`, deterministic tie-break on doc_id. One windowed
+    rank per language partition; at scale the rank prunes with
+    TakeOrdered semantics inside each partition rather than a global
+    sort."""
+    q = quality_scores(documents).select("doc_id", "lang", "quality_score")
+    w = W.partitionBy("lang").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -204,6 +204,35 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.35,
     )
 
 
+def label_centroids(embeddings: DataFrame, dim: int = DIM,
+                    scale: int = 1_000_000) -> DataFrame:
+    """Per-label centroid components: (label, pos, n_vecs, centroid).
+
+    Accumulation is QUANTIZED-EXACT: each component rounds to a
+    ``scale``-fixed-point long, sums as integers (associative — partial
+    aggregation cannot flip low bits regardless of partition order, the
+    same integer-cents design as the TPC-H aggregates), and divides back
+    to a double only at the end. A naive double sum's value depends on
+    the merge order and cannot be oracle-compared bit-exactly.
+
+    Shape: `posexplode` is a NARROW dim× fan-out feeding a partial-
+    aggregated groupBy on (label, pos) — at 100 TB the map-side combine
+    reduces every partition to |labels|·dim rows before the one shuffle.
+    """
+    q = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    n = F.count(F.lit(1))
+    qsum = F.sum(
+        F.round(F.col("v").cast("double") * scale).cast("long")
+    )
+    return q.groupBy("label", "pos").agg(
+        n.alias("n_vecs"),
+        (qsum.cast("double") / float(scale) / n.cast("double"))
+        .alias("centroid"),
+    )
+
+
 def _plane(plane: int, dim: int = DIM) -> list[float]:
     """Deterministic pseudo-random hyperplane (md5-seeded, engine-free)."""
     import hashlib

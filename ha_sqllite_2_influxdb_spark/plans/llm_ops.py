@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, multimodal, similarity
+from ..operators import curation, dedup, multimodal, similarity
 from ..operators.dedup import SIMHASH_BITS_PORTABLE
 from ..operators.similarity import DIM
 from ..operators.text import (
@@ -103,6 +103,35 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         recrawl(spark, sf_dir),
         threshold=JACCARD_T, n_seeds=N_SEEDS,
     )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection over the near-dup clusters: the training
+    set after dedup (one best-quality survivor per component)."""
+    return curation.keep_best_per_cluster(
+        recrawl(spark, sf_dir), threshold=JACCARD_T, n_seeds=N_SEEDS
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap flags: docs covering >= 50% of a benchmark
+    item's 3-gram shingles (benchmark = every 20th doc's 10-word
+    prefix, so every 20th doc is a guaranteed true positive)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return curation.decontaminate(docs, curation.benchmark_prefixes(docs))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.pack_sequences(_docs(spark, sf_dir))
+
+
+def q_curriculum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.curriculum_topk(_docs(spark, sf_dir))
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components with quantized-exact accumulation."""
+    return similarity.label_centroids(_emb(spark, sf_dir))
 
 
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,6 +274,11 @@ QUERIES = {
     "neardup_minhash_lsh": q_neardup_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
     "neardup_clusters": q_neardup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
+    "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
+    "curriculum_topk": q_curriculum_topk,
+    "embedding_centroids": q_embedding_centroids,
     "simhash_signatures": q_simhash_signatures,
     "simhash_neighbors": q_simhash_neighbors,
     "neardup_xxhash_lsh": q_neardup_xxhash_lsh,
@@ -387,6 +421,18 @@ _PRED = "CASE {} END".format(
     " ".join(f"WHEN score_{lg} = best THEN '{lg}'" for lg in _LANGS)
 )
 
+# quality-score expression over a `text` column — the same tree as
+# operators.curation.content_quality / text.quality_scores
+_QUALITY = (
+    "least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.5"
+    " + (CAST(len(list_filter(string_split(text, ' '), w -> w IN"
+    " ('the','a','and','of','to','in','is','it','that','for'))) AS DOUBLE)"
+    " / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3"
+    " + (1.0 - CAST(length(text) - length(regexp_replace(text,"
+    " '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE)) * 0.2"
+)
+
 _RATE_CASE = "CASE " + " ".join(
     f"WHEN event_type = '{v}' THEN {p}"
     for v, p in sorted(STRATA_RATES.items())
@@ -461,6 +507,113 @@ lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS n_members
 FROM lab
+""",
+    "dedup_keep_best": f"""WITH RECURSIVE {_CORPUS},
+{_SHINGLED},
+{_MINHASH},
+{_LSH_PAIRS},
+{_JACCARD_FROM_CAND},
+pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_T}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id, doc_id AS r FROM corpus
+  UNION
+  SELECT e.dst AS doc_id, reach.r
+  FROM reach JOIN edges e ON e.src = reach.doc_id
+),
+lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+mem AS (SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS n_members
+        FROM lab),
+q AS (SELECT doc_id, {_QUALITY} AS quality_score FROM corpus),
+ranked AS (
+  SELECT mem.cluster_id, mem.doc_id, mem.n_members, q.quality_score,
+    row_number() OVER (PARTITION BY mem.cluster_id
+                       ORDER BY q.quality_score DESC, mem.doc_id ASC) AS rk
+  FROM mem JOIN q ON q.doc_id = mem.doc_id
+)
+SELECT cluster_id, doc_id AS keep_doc_id, n_members, quality_score
+FROM ranked WHERE rk = 1
+""",
+    "decontaminate": f"""WITH bench AS (
+  SELECT doc_id AS bench_id,
+    array_to_string(list_slice(string_split(text, ' '), 1,
+                    {curation.BENCH_PREFIX_WORDS}), ' ') AS text
+  FROM documents WHERE doc_id % {curation.BENCH_EVERY} = 0
+),
+bw AS (SELECT bench_id, text, string_split(text, ' ') AS w FROM bench),
+bsh0 AS (
+  SELECT bench_id, unnest(CASE WHEN len(w) >= 3
+    THEN list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [text] END) AS shingle
+  FROM bw
+),
+bsh AS (SELECT DISTINCT bench_id, shingle FROM bsh0),
+bsz AS (SELECT bench_id, count(*) AS n_b FROM bsh GROUP BY bench_id),
+tw AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+tsh0 AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+    THEN list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [text] END) AS shingle
+  FROM tw
+),
+tsh AS (SELECT DISTINCT doc_id, shingle FROM tsh0),
+hits AS (
+  SELECT t.doc_id, b.bench_id, count(*) AS n_i
+  FROM tsh t JOIN bsh b ON t.shingle = b.shingle
+  GROUP BY t.doc_id, b.bench_id
+)
+SELECT doc_id, bench_id,
+  CAST(n_i AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment
+FROM hits JOIN bsz USING (bench_id)
+WHERE CAST(n_i AS DOUBLE) / CAST(n_b AS DOUBLE) >= {curation.CONTAIN_T}
+""",
+    "pack_sequences": f"""WITH b AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         doc_id % {curation.N_PACK_SHARDS} AS shard
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+      PARTITION BY lang, shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM b
+)
+SELECT doc_id, lang, shard, n_tokens,
+  CAST(floor((cum - n_tokens) / {float(curation.SEQ_LEN)}) AS BIGINT)
+    AS seq_id,
+  CAST((cum - n_tokens) % {curation.SEQ_LEN} AS BIGINT) AS seq_offset,
+  CAST(floor((cum - 1) / {float(curation.SEQ_LEN)}) AS BIGINT)
+    - CAST(floor((cum - n_tokens) / {float(curation.SEQ_LEN)}) AS BIGINT)
+    + 1 AS n_seqs_spanned
+FROM c
+""",
+    "curriculum_topk": f"""WITH q AS (
+  SELECT doc_id, lang, {_QUALITY} AS quality_score FROM documents
+),
+r AS (
+  SELECT doc_id, lang, quality_score,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY quality_score DESC, doc_id ASC) AS rk
+  FROM q
+)
+SELECT doc_id, lang, quality_score, rk FROM r WHERE rk <= 25
+""",
+    "embedding_centroids": f"""WITH x AS (
+  SELECT label, i - 1 AS pos,
+    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings, (SELECT unnest(range(1, {DIM + 1})) AS i) t
+)
+SELECT label, pos, count(*) AS n_vecs,
+  CAST(sum(qv) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE) AS centroid
+FROM x GROUP BY label, pos
 """,
     "text_scrub": """
 WITH seeded AS (

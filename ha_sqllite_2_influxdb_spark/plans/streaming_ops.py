@@ -69,11 +69,25 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase ← same user's clicks in the
+    prior 10 minutes) from a real AvailableNow drain; inner-join rows
+    emit eagerly, so the result equals the batch join (the oracle)."""
+    from ..streaming.stream import interval_join
+
+    p = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    c = events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    return drain_to_memory(
+        interval_join(p, c), "stream_join_t", output_mode="append"
+    )
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "stream_dedup": q_stream_dedup,
     "events_sliding": q_events_sliding,
     "stream_sessions": q_stream_sessions,
+    "stream_join": q_stream_join,
 }
 
 _GAP_US = GAP_MIN * 60 * 1_000_000
@@ -104,6 +118,15 @@ SELECT window_start, event_type,
        sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS sum_value
 FROM cand
 GROUP BY window_start, event_type
+""",
+    "stream_join": """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
 """,
     "stream_sessions": f"""
 WITH g AS (

@@ -89,6 +89,44 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
                  .dropDuplicatesWithinWatermark(["event_id"])
 
 
+def interval_join(purchases: DataFrame, clicks: DataFrame,
+                  max_gap: str = "10 minutes",
+                  watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    each purchase matches the same user's clicks in the ``max_gap``
+    window leading up to it (the classic attribution join).
+
+    Both sides carry a watermark and the join predicate bounds c_ts
+    relative to p_ts, so Spark derives a state-retention horizon for
+    each side — state is watermark+gap bounded, never the whole stream.
+    Inner-join rows emit as soon as they match (append mode withholds
+    nothing for inner joins), so the drained result equals the batch
+    join of identical input — asserted in tests and by the oracle.
+    """
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    return joined.select(
+        "user_id", "purchase_id", "click_id",
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("c_ts").alias("click_us"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+
+
 def drain_to_memory(sdf: DataFrame, name: str,
                     output_mode: str = "complete") -> DataFrame:
     """Run an AvailableNow drain into a memory sink; return the result.

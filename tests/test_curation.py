@@ -1,0 +1,143 @@
+"""Semantic invariants of the corpus-curation operators — properties the
+value-level oracle can't express (the oracle checks equality, these check
+meaning)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ha_sqllite_2_influxdb_spark.operators import curation, dedup
+from ha_sqllite_2_influxdb_spark.operators.similarity import label_centroids
+from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def test_keep_best_is_cluster_argmax(spark, sf_dir, docs):
+    """The survivor of every multi-member cluster has the max quality
+    score among its members (doc_id tiebreak), and exactly one survivor
+    exists per cluster."""
+    corpus = dedup.recrawl_corpus(docs).persist()
+    clusters = dedup.neardup_clusters(corpus)
+    best = curation.keep_best_per_cluster(corpus)
+
+    assert best.groupBy("cluster_id").count().filter("count > 1").count() == 0
+    # every cluster id present in the labeling appears exactly once
+    assert best.count() == clusters.select("cluster_id").distinct().count()
+
+    scored = corpus.select(
+        "doc_id", curation.content_quality(F.col("text")).alias("q")
+    )
+    cluster_max = (
+        clusters.join(scored, "doc_id")
+        .groupBy("cluster_id").agg(F.max("q").alias("max_q"))
+    )
+    mismatches = (
+        best.join(cluster_max, "cluster_id")
+        .filter(F.col("quality_score") != F.col("max_q"))
+        .count()
+    )
+    assert mismatches == 0
+    corpus.unpersist()
+
+
+def test_decontaminate_finds_seeded_positives(spark, sf_dir, docs):
+    """Every benchmark doc's source document must flag itself with
+    containment 1.0 — its prefix shingles are verbatim inside it."""
+    bench = curation.benchmark_prefixes(docs)
+    flagged = curation.decontaminate(docs, bench).persist()
+    self_hits = flagged.filter(
+        (F.col("doc_id") == F.col("bench_id"))
+        & (F.col("containment") == 1.0)
+    )
+    assert self_hits.count() == bench.count()
+    # containment is a fraction of the benchmark set: bounded by 1
+    assert flagged.filter(F.col("containment") > 1.0).count() == 0
+    flagged.unpersist()
+
+
+def test_pack_sequences_stream_invariants(spark, sf_dir):
+    """Packing must reproduce a contiguous token stream per (lang, shard):
+    each doc starts exactly where the previous one ended, offsets stay
+    inside [0, SEQ_LEN), and spans cover exactly the doc's tokens."""
+    packed = curation.pack_sequences(
+        load_table(spark, sf_dir, "documents")
+    ).persist()
+    L = curation.SEQ_LEN
+
+    bad_offset = packed.filter(
+        (F.col("seq_offset") < 0) | (F.col("seq_offset") >= L)
+    )
+    assert bad_offset.count() == 0
+
+    # reconstruct the global start position and check contiguity
+    start = F.col("seq_id") * L + F.col("seq_offset")
+    w = (
+        packed.select("lang", "shard", "doc_id", "n_tokens",
+                      start.alias("start"))
+    )
+    from pyspark.sql import Window
+    prev_end = F.lag(F.col("start") + F.col("n_tokens")).over(
+        Window.partitionBy("lang", "shard").orderBy("doc_id")
+    )
+    gaps = w.select(
+        (F.col("start") - F.coalesce(prev_end, F.lit(0))).alias("gap")
+    ).filter("gap != 0")
+    assert gaps.count() == 0
+
+    # n_seqs_spanned agrees with the start/end chunk arithmetic
+    wrong_span = packed.filter(
+        F.col("n_seqs_spanned")
+        != (F.floor((F.col("seq_id") * L + F.col("seq_offset")
+                     + F.col("n_tokens") - 1) / L) - F.col("seq_id") + 1)
+    )
+    assert wrong_span.count() == 0
+    packed.unpersist()
+
+
+def test_curriculum_topk_is_per_lang_prefix(spark, sf_dir):
+    """k rows per language (when enough docs exist), ranks 1..k dense,
+    scores non-increasing within each language."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = 25
+    top = curation.curriculum_topk(docs, k=k).persist()
+    sizes = top.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rk").alias("max_rk")
+    )
+    assert sizes.filter(F.col("n") != F.col("max_rk")).count() == 0
+    assert sizes.filter(F.col("n") > k).count() == 0
+
+    from pyspark.sql import Window
+    prev = F.lag("quality_score").over(
+        Window.partitionBy("lang").orderBy("rk")
+    )
+    increasing = top.withColumn("prev", prev).filter(
+        F.col("prev").isNotNull() & (F.col("quality_score") > F.col("prev"))
+    )
+    assert increasing.count() == 0
+    top.unpersist()
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    """Quantized centroid equals the numpy mean of quantized components
+    for every (label, pos) — recomputed independently driver-side."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r.label, r.pos): (r.n_vecs, r.centroid)
+        for r in label_centroids(emb).collect()
+    }
+    rows = emb.select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    for label, vecs in by_label.items():
+        q = np.round(np.array(vecs, dtype=np.float64) * 1_000_000)
+        mean = q.sum(axis=0) / 1_000_000.0 / len(vecs)
+        for pos in range(q.shape[1]):
+            n_vecs, centroid = got[(label, pos)]
+            assert n_vecs == len(vecs)
+            assert centroid == pytest.approx(mean[pos], abs=1e-12)
