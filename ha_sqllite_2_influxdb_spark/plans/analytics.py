@@ -822,6 +822,46 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style merge: a corrections batch (every 5th event, value
+    bumped, timestamp one hour later) reconciled into the events table,
+    latest version wins. One shuffle on the merge key."""
+    from ..operators.merge import upsert_latest
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    updates = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .withColumn("value", F.col("value") + 1000.0)
+        .withColumn(
+            "ts", F.timestamp_micros(F.unix_micros("ts") + 3_600_000_000)
+        )
+    )
+    merged = upsert_latest(ev, updates, keys=["event_id"], version_col="ts")
+    return merged.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"),
+        "user_id", "event_type", "value",
+    )
+
+
+def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-key over (user bucket, minute bucket): the layout key
+    `operators.merge.zorder_layout` range-partitions writes by, so
+    min/max stats prune scans on either dimension."""
+    from ..operators.merge import zorder_key
+
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(1 << 16)).alias("xdim"),
+        F.expr("(unix_micros(ts) div 60000000) % 65536").alias("ydim"),
+    )
+    return keyed.withColumn(
+        "zkey", zorder_key(F.col("xdim"), F.col("ydim"))
+    )
+
+
 QUERIES = {
     "grouping_sets": q_grouping_sets,
     "tpch_q7": q_tpch_q7,
@@ -858,6 +898,8 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "rollup_orders": q_rollup_orders,
     "agg_stats": q_agg_stats,
+    "upsert_latest": q_upsert_latest,
+    "zorder_events": q_zorder_events,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -1239,4 +1281,37 @@ SELECT c_mktsegment, n_cust, n_nations, min_bal, max_bal,
        / (CAST(n_cust AS DOUBLE) - 1)) / 100.0 AS std_bal
 FROM a
 """,
+    "upsert_latest": """
+WITH base AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+         0 AS src
+  FROM events
+),
+upd AS (
+  SELECT event_id, epoch_us(ts) + 3600000000 AS ts_us, user_id,
+         event_type, value + 1000.0 AS value, 1 AS src
+  FROM events WHERE event_id % 5 = 0
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_id ORDER BY ts_us DESC, src DESC) AS rk
+  FROM u
+)
+SELECT event_id, ts_us, user_id, event_type, value FROM r WHERE rk = 1
+""",
+    "zorder_events": """
+WITH d AS (
+  SELECT event_id, user_id % 65536 AS xdim,
+         (epoch_us(ts) // 60000000) % 65536 AS ydim
+  FROM events
+)
+SELECT event_id, xdim, ydim,
+  {ZTERMS} AS zkey
+FROM d
+""".replace("{ZTERMS}", " + ".join(
+        f"(((xdim >> {b}) & 1) << {2 * b})"
+        f" + (((ydim >> {b}) & 1) << {2 * b + 1})"
+        for b in range(16)
+    )),
 }
