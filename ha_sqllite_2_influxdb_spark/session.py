@@ -22,6 +22,11 @@ from pyspark.sql import SparkSession
 # Confs that are safe (and necessary) to set on an externally-owned session.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The driver's parquet stores timestamps without the UTC-adjusted flag;
+    # Spark 4 infers those as TIMESTAMP_NTZ, which epoch functions
+    # (unix_micros & co) reject. Read them as TIMESTAMP (session tz = UTC)
+    # so epoch math matches DuckDB's naive-as-UTC reading exactly.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

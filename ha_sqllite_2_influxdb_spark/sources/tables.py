@@ -6,11 +6,14 @@ filters/projections into. The reference's cursor batching
 (``fetchmany(BATCH_SIZE)``, :183-188) has no analog here: Spark partitions
 ARE the batches, sized by ``spark.sql.files.maxPartitionBytes``.
 
-Timestamp normalization: the driver writes ``events.ts`` as parquet
-TIMESTAMP(NANOS). Spark 4 reads that only as long (with
-``spark.sql.legacy.parquet.nanosAsLong=true``); DuckDB truncates nanos to
-micros. We convert with a truncating integer division so both engines see
-identical microsecond timestamps.
+Timestamp normalization: the driver has shipped timestamps in two parquet
+physical forms across rounds — TIMESTAMP(NANOS) (Spark 4 reads it only as
+long, under ``spark.sql.legacy.parquet.nanosAsLong=true``; we ns→µs
+truncate like DuckDB) and micros WITHOUT the UTC-adjusted flag (Spark 4
+infers TIMESTAMP_NTZ, which epoch functions reject; we disable
+``inferTimestampNTZ`` / cast to TIMESTAMP under the UTC session tz).
+Both normalizations converge on ts: TIMESTAMP with DuckDB-identical
+microsecond values, whichever form the data arrives in.
 """
 
 from __future__ import annotations
@@ -36,6 +39,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get(c) == "bigint":
             # truncate ns → µs exactly like DuckDB's parquet reader
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"cast({c} div 1000 as bigint)")))
+    # Defensive: if inferTimestampNTZ couldn't be disabled on this session
+    # (static conf), normalize any NTZ column to TIMESTAMP. Session tz is
+    # pinned UTC, so the cast reinterprets the same wall-clock instant that
+    # DuckDB's naive reader sees — epoch math stays engine-identical.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

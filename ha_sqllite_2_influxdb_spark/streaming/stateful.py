@@ -58,7 +58,10 @@ def _sessionize_fn(gap_us: int):
                 pd.concat(chunks, ignore_index=True)
                 if len(chunks) > 1 else chunks[0]
             )
-            for ts in ordered.sort_values("ts_us")["ts_us"]:
+            # mergesort = stable + deterministic tie order (quicksort's
+            # pivot choice is an implementation detail we must not depend
+            # on for retry-identical output)
+            for ts in ordered.sort_values("ts_us", kind="mergesort")["ts_us"]:
                 ts = int(ts)
                 if last is None:
                     sid, start, last, n = 1, ts, ts, 1
@@ -66,7 +69,15 @@ def _sessionize_fn(gap_us: int):
                     closed.append((user_id, sid, start, last, n))
                     sid, start, last, n = sid + 1, ts, ts, 1
                 else:
-                    last, n = ts, n + 1
+                    # max(): a cross-batch straggler that still belongs to
+                    # the open session (ts <= last) must not move the
+                    # session's end backwards — it only bumps the count.
+                    # Events are sorted within the batch, so this only
+                    # engages for cross-batch late arrivals; it also
+                    # extends the open session's start when the straggler
+                    # precedes it.
+                    start = min(start, ts)
+                    last, n = max(last, ts), n + 1
         state.update((sid, start, last, n))
         if closed:
             yield pd.DataFrame(

@@ -21,37 +21,45 @@ would use — tests assert stream-drain == batch result on identical input.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..session import configure
 
-#: events.parquet physical schema under nanosAsLong (ts: TIMESTAMP(NANOS))
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over events.parquet with the same ns→µs normalization
-    as the batch loader (sources.tables.load_table)."""
+    """readStream over events.parquet, normalized to ts: TIMESTAMP (UTC).
+
+    The driver has shipped events.ts as TIMESTAMP(NANOS) (surfacing as
+    long under nanosAsLong) and as micros-without-UTC-flag (surfacing as
+    TIMESTAMP or TIMESTAMP_NTZ). A file stream needs a declared schema, so
+    probe the batch reader's view of the same footer — one metadata read —
+    and declare exactly that, then normalize ts like the batch loader.
+    """
     configure(spark)
+    path = sf_dir.rstrip("/")
+    probed = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(path).schema
+    )
     # the file stream source wants a directory; select just the events
     # table out of the shared sf dir with a glob filter
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(probed)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
+        .parquet(path)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("cast(ts div 1000 as bigint)"))
-    )
+    ts_type = dict((f.name, f.dataType) for f in probed)["ts"]
+    if isinstance(ts_type, T.LongType):
+        # legacy TIMESTAMP(NANOS): truncate ns → µs like DuckDB
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("cast(ts div 1000 as bigint)"))
+        )
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_agg(events: DataFrame, window: str = "1 hour",
@@ -127,6 +135,9 @@ def interval_join(purchases: DataFrame, clicks: DataFrame,
     )
 
 
+_DRAIN_SEQ = itertools.count()
+
+
 def drain_to_memory(sdf: DataFrame, name: str,
                     output_mode: str = "complete") -> DataFrame:
     """Run an AvailableNow drain into a memory sink; return the result.
@@ -134,15 +145,20 @@ def drain_to_memory(sdf: DataFrame, name: str,
     complete mode emits every window even though the bounded input never
     advances the watermark past the tail (append would withhold the last
     window — the classic bounded-stream gotcha).
+
+    The memory-sink table gets a per-invocation unique name: a repeated
+    drain under the same logical name in one session would otherwise race
+    a still-registered (or leaked, on a prior error) query of that name.
     """
+    unique = f"{name}_{next(_DRAIN_SEQ)}"
     q = (
-        sdf.writeStream.format("memory").queryName(name)
+        sdf.writeStream.format("memory").queryName(unique)
         .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return sdf.sparkSession.table(name)
+    return sdf.sparkSession.table(unique)
 
 
 def drain_foreach_batch(sdf: DataFrame, checkpoint: str, batch_fn) -> int:

@@ -127,6 +127,56 @@ def test_stateful_sessions_state_across_batches(spark, sf_dir, tmp_path):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_stateful_sessions_tolerate_cross_batch_stragglers(spark, tmp_path):
+    """Deliberately time-INTERLEAVED input: a later micro-batch delivers
+    an event older than the previous batch's tail but inside the open
+    session. The drained result must still match the batch oracle — the
+    straggler bumps the session's count without moving its bounds
+    backwards (stateful.py's max/min clamp)."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    minute = 60 * 1_000_000
+    batch1 = [(1, 0), (1, 10 * minute), (1, 20 * minute),
+              (2, 0), (2, 5 * minute)]
+    # 15min is OLDER than batch1's tail (20min) -> cross-batch straggler;
+    # 100min then closes user 1's session. User 2 gets a second session
+    # entirely, leaving one closed session per user.
+    batch2 = [(1, 15 * minute), (1, 100 * minute),
+              (2, 90 * minute), (2, 95 * minute)]
+
+    src = str(tmp_path / "interleaved")
+    os.makedirs(src)
+    for i, rows in enumerate([batch1, batch2]):
+        df = spark.createDataFrame(rows, "user_id long, ts_us long").select(
+            "user_id", F.timestamp_micros("ts_us").alias("ts")
+        )
+        df.coalesce(1).write.parquet(f"{src}/b{i}")
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    raw = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    got = drain_to_memory(
+        sessionize_stateful(raw), f"stragg_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    cols = ["user_id", "session_id", "start_us", "end_us", "n_events"]
+    assert _rows(got, cols) == [
+        (1, 1, 0, 20 * minute, 4),
+        (2, 1, 0, 5 * minute, 2),
+    ]
+
+
 def test_stream_to_line_protocol_sink(spark, sf_dir, tmp_path):
     """T2+S4 end-to-end: AvailableNow drain through line-protocol
     rendering into the partitioned file sink — the streaming analog of
