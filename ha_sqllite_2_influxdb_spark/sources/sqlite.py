@@ -15,11 +15,13 @@ needing a JDBC driver jar:
   ``spark.read.jdbc(partitionColumn=..., lowerBound=..., upperBound=...,
   numPartitions=...)``, built from the Python stdlib.
 
-Pushdown: ``columns`` prunes the SELECT list and ``predicate`` is spliced
-into the per-range WHERE clause, so filtering happens inside SQLite's
-scan — the same manual pushdown the reference performs by splicing its
-boundary predicate into the query string (sqllite2influxdb.py:88-89),
-minus the string-typed comparison bug documented in SURVEY §2.2.
+Pushdown: ``columns`` prunes the SELECT list and ``predicate`` — a TYPED
+``(column, op, value)`` triple, never raw SQL — lands in the per-range
+WHERE clause with the value bound as a ``?`` parameter, so filtering
+happens inside SQLite's scan. The reference instead splices its boundary
+predicate into the query string (sqllite2influxdb.py:88-89) — the
+injection-unsafe pattern SURVEY §3.3 flags — and compares TEXT-vs-REAL
+(the bug documented in SURVEY §2.2); the typed triple closes both.
 
 At 100 TB the single-file SQLite source is itself the bottleneck (one
 file, one host) — the design point of this connector is correct *shape*:
@@ -69,6 +71,39 @@ def _affinity_to_spark(decl: str):
     return StringType() if d else StringType()
 
 
+#: predicate ops accepted by ``read_table`` — simple comparisons only
+_ALLOWED_OPS = frozenset({"<", "<=", ">", ">=", "=", "!=", "<>"})
+
+#: a (column, op, value) comparison pushed into the SQLite scan
+Predicate = tuple[str, str, object]
+
+
+def _compile_predicate(
+    predicate: Predicate | None, valid_columns: set[str]
+) -> tuple[str, list]:
+    """Validate a typed predicate → (SQL fragment with ``?``, params).
+
+    Raw SQL strings are rejected outright: the column must exist in the
+    table, the operator must be a simple comparison, and the value is
+    bound as a parameter — nothing caller-controlled is ever spliced
+    into the statement text.
+    """
+    if predicate is None:
+        return "", []
+    if isinstance(predicate, str):
+        raise TypeError(
+            "predicate must be a (column, op, value) tuple, not raw SQL"
+        )
+    col, op, val = predicate
+    if col not in valid_columns:
+        raise ValueError(f"predicate column not in table: {col!r}")
+    if op not in _ALLOWED_OPS:
+        raise ValueError(f"predicate op not allowed: {op!r}")
+    if not isinstance(val, (int, float, str, bytes)) or isinstance(val, bool):
+        raise TypeError(f"predicate value must be a scalar, got {type(val)}")
+    return f'"{col}" {op} ?', [val]
+
+
 def table_schema(db_path: str, table: str) -> StructType:
     """Spark schema for a SQLite table from its declared column types."""
     with sqlite3.connect(f"file:{db_path}?mode=ro", uri=True) as conn:
@@ -86,7 +121,7 @@ def read_table(
     db_path: str,
     table: str,
     columns: list[str] | None = None,
-    predicate: str | None = None,
+    predicate: Predicate | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Parallel partitioned scan of one SQLite table.
@@ -99,14 +134,20 @@ def read_table(
     full = table_schema(db_path, table)
     if columns is None:
         columns = [f.name for f in full.fields]
+    unknown = set(columns) - {f.name for f in full.fields}
+    if unknown:
+        raise ValueError(f"columns not in table: {sorted(unknown)}")
     schema = StructType([f for f in full.fields if f.name in set(columns)])
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
+    frag, params = _compile_predicate(
+        predicate, {f.name for f in full.fields}
+    )
 
     with sqlite3.connect(f"file:{db_path}?mode=ro", uri=True) as conn:
-        where = f" WHERE {predicate}" if predicate else ""
+        where = f" WHERE {frag}" if frag else ""
         lo_hi = conn.execute(
-            f'SELECT min(rowid), max(rowid) FROM "{table}"{where}'
+            f'SELECT min(rowid), max(rowid) FROM "{table}"{where}', params
         ).fetchone()
     if lo_hi is None or lo_hi[0] is None:
         return spark.createDataFrame([], schema)
@@ -117,7 +158,7 @@ def read_table(
               for i in range(n)]
 
     sel = ", ".join(f'"{c}"' for c in columns)
-    pred = f" AND ({predicate})" if predicate else ""
+    pred = f" AND ({frag})" if frag else ""
     names = list(columns)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -127,8 +168,9 @@ def read_table(
                                      uri=True) as conn:
                     cur = conn.execute(
                         f'SELECT {sel} FROM "{table}"'
-                        f" WHERE rowid BETWEEN {int(r_lo)} AND {int(r_hi)}"
-                        f"{pred}"
+                        " WHERE rowid BETWEEN ? AND ?"
+                        f"{pred}",
+                        [int(r_lo), int(r_hi), *params],
                     )
                     while True:
                         rows = cur.fetchmany(10_000)
@@ -160,7 +202,7 @@ def read_ha_recorder(
     """
     pred = None
     if boundary_ts is not None:
-        pred = f"last_updated_ts < {float(boundary_ts)!r}"
+        pred = ("last_updated_ts", "<", float(boundary_ts))
     return {
         "states": read_table(
             spark, db_path, "states",

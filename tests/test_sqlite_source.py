@@ -88,7 +88,7 @@ def test_column_pruning_and_pushdown(spark, recorder_db):
     df = src.read_table(
         spark, recorder_db, "states",
         columns=["state_id", "state"],
-        predicate="state = 'on'", num_partitions=3,
+        predicate=("state", "=", "on"), num_partitions=3,
     )
     assert df.columns == ["state_id", "state"]
     got = df.collect()
@@ -100,7 +100,27 @@ def test_column_pruning_and_pushdown(spark, recorder_db):
 
 
 def test_empty_result(spark, recorder_db):
-    df = src.read_table(spark, recorder_db, "states", predicate="1 = 0")
+    df = src.read_table(spark, recorder_db, "states",
+                        predicate=("state_id", "<", 0))
+    assert df.count() == 0
+
+
+def test_predicate_rejects_raw_sql(spark, recorder_db):
+    """The injection-unsafe pattern the reference uses
+    (sqllite2influxdb.py:88-89) must be refused, not spliced."""
+    with pytest.raises(TypeError):
+        src.read_table(spark, recorder_db, "states",
+                       predicate="1=1; DROP TABLE states")
+    with pytest.raises(ValueError):
+        src.read_table(spark, recorder_db, "states",
+                       predicate=("state; --", "=", "on"))
+    with pytest.raises(ValueError):
+        src.read_table(spark, recorder_db, "states",
+                       predicate=("state", "= 'on' OR 1", "x"))
+    # malicious VALUE is harmless by construction (bound parameter): it
+    # compares as a string and simply matches nothing
+    df = src.read_table(spark, recorder_db, "states",
+                        predicate=("state", "=", "' OR '1'='1"))
     assert df.count() == 0
 
 
