@@ -101,10 +101,14 @@ def write_lines(lines_df: DataFrame, *, url: str | None = None,
                 debug: bool = False) -> None:
     """Partition-parallel sink write of a ``line`` column.
 
-    ``url`` → HTTP to InfluxDB v2 (requires influxdb-client on the
-    executors); ``path`` → one ``part-<pid>.lp`` file per partition
-    (the testable transport used when no server exists). Batching and
-    the debug per-line fallback mirror write_to_influx (:146-159).
+    ``url`` → HTTP POSTs to the InfluxDB v2 write endpoint
+    (``/api/v2/write?org=&bucket=&precision=ns``) via stdlib urllib — the
+    same wire format influxdb-client's SYNCHRONOUS write_api emits
+    (reference transport: connect_to_influxdb + write_api.write,
+    sqllite2influxdb.py:44-52,146-159), with no client library needed on
+    executors; ``path`` → one ``part-<pid>.lp`` file per partition.
+    Batching and the debug per-line fallback mirror write_to_influx
+    (:146-159).
     """
     if (url is None) == (path is None):
         raise ValueError("exactly one of url= or path= is required")
@@ -114,28 +118,42 @@ def write_lines(lines_df: DataFrame, *, url: str | None = None,
 
         pid = TaskContext.get().partitionId()
         if url is not None:
-            try:
-                from influxdb_client import InfluxDBClient
-                from influxdb_client.client.write_api import SYNCHRONOUS
-            except ImportError as e:  # pragma: no cover - no client baked in
-                raise NotImplementedError(
-                    "influxdb-client not installed; use path= transport"
-                ) from e
-            client = InfluxDBClient(url=url, token=token, org=org)
-            write_api = client.write_api(write_options=SYNCHRONOUS)
+            import urllib.parse
+            import urllib.request
+
+            endpoint = (
+                url.rstrip("/") + "/api/v2/write?"
+                + urllib.parse.urlencode(
+                    {"org": org, "bucket": bucket, "precision": "ns"}
+                )
+            )
+            headers = {
+                "Authorization": f"Token {token}",
+                "Content-Type": "text/plain; charset=utf-8",
+            }
+
+            def post(lines: list[str]) -> None:
+                req = urllib.request.Request(
+                    endpoint,
+                    data=("\n".join(lines) + "\n").encode(),
+                    headers=headers,
+                    method="POST",
+                )
+                with urllib.request.urlopen(req) as resp:
+                    resp.read()
 
             def flush(batch: list[str]) -> None:
                 if debug:
                     for ln in batch:  # per-point isolation (:148-153)
                         try:
-                            write_api.write(bucket=bucket, org=org, record=ln)
+                            post([ln])
                         except Exception as exc:  # noqa: BLE001
                             print(f"Error writing line: {exc}")
                 else:
-                    write_api.write(bucket=bucket, org=org, record=batch)
+                    post(batch)
 
             def closer(ok: bool) -> None:
-                client.close()
+                pass  # urllib connections close per request
         else:
             import os
 

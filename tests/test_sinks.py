@@ -59,6 +59,91 @@ def test_write_lines_file_transport(spark, sf_dir, tmp_path):
     assert written == expected
 
 
+class _RecordingInfluxServer:
+    """Localhost stub accepting InfluxDB v2 ``/api/v2/write`` POSTs."""
+
+    def __init__(self):
+        import http.server
+        import threading
+
+        server = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 - http.server API
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                with server.lock:
+                    server.requests.append({
+                        "path": self.path,
+                        "auth": self.headers.get("Authorization"),
+                        "body": body.decode(),
+                    })
+                self.send_response(204)
+                self.end_headers()
+
+            def log_message(self, *a):  # silence request logging
+                pass
+
+        self.lock = threading.Lock()
+        self.requests = []
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        self.thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self.thread.start()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def test_write_lines_http_transport_e2e(spark, sf_dir):
+    """The REAL wire path (reference: write_api.write,
+    sqllite2influxdb.py:146-159): the oracle-checked line-protocol rows
+    arrive at a v2 /api/v2/write endpoint, batched at batch_size."""
+    server = _RecordingInfluxServer()
+    try:
+        lines_df = q_line_protocol(spark, sf_dir).coalesce(2)
+        expected = [r.line for r in lines_df.collect()]
+        write_lines(lines_df, url=server.url, token="tok", org="o",
+                    bucket="b", batch_size=1000)
+        reqs = server.requests
+        assert all(
+            r["path"] == "/api/v2/write?org=o&bucket=b&precision=ns"
+            for r in reqs
+        )
+        assert all(r["auth"] == "Token tok" for r in reqs)
+        received = [
+            ln for r in reqs for ln in r["body"].splitlines() if ln
+        ]
+        assert sorted(received) == sorted(expected)
+        # batched: every request carries <= batch_size lines, and the
+        # writer flushed full batches (not one request per line)
+        sizes = [len(r["body"].splitlines()) for r in reqs]
+        assert max(sizes) <= 1000
+        assert len(reqs) <= len(expected) // 1000 + 2  # 2 partitions
+    finally:
+        server.stop()
+
+
+def test_write_lines_http_debug_per_line(spark):
+    """debug=True posts one line per request (per-point error isolation,
+    reference :148-153)."""
+    server = _RecordingInfluxServer()
+    try:
+        df = spark.createDataFrame(
+            [("m v=1 1",), ("m v=2 2",), ("m v=3 3",)], ["line"]
+        ).coalesce(1)
+        write_lines(df, url=server.url, token="t", org="o", bucket="b",
+                    debug=True)
+        assert len(server.requests) == 3
+        assert sorted(r["body"].strip() for r in server.requests) == [
+            "m v=1 1", "m v=2 2", "m v=3 3",
+        ]
+    finally:
+        server.stop()
+
+
 def test_write_lines_rejects_ambiguous_transport(spark):
     df = spark.createDataFrame([("x",)], ["line"])
     try:
