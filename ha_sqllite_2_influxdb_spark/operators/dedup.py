@@ -493,6 +493,78 @@ def simhash_neighbors(corpus: DataFrame, max_hamming: int = 3,
     )
 
 
+def simhash_neighbors_rotated(corpus: DataFrame, max_hamming: int = 3,
+                              bits: int | None = None,
+                              portable: bool = True,
+                              rotations: int = 4,
+                              bucket_width: int = 16,
+                              bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+                              ) -> DataFrame:
+    """SimHash near-dup pairs via MULTIPLE rotated bucketings — the scale
+    tier `simhash_neighbors` documents.
+
+    One bucketing over the top ``bucket_width`` bits misses any neighbor
+    pair whose ≤``max_hamming`` differing bits land in that prefix, and
+    correlated sign bits make top-bit buckets hot. Rotating the signature
+    ``rotations`` times (left-rotate by ``bits/rotations`` each) gives
+    every bit a turn OUTSIDE the bucket prefix: a pair is a candidate if
+    it collides in ANY rotation, so recall strictly dominates the single
+    bucketing at equal cap, and hot prefixes disperse across rotations.
+
+    Cost shape: the exploded relation is ``rotations × n`` rows of
+    (16-byte struct, one long) — still one groupBy shuffle; duplicate
+    cross-rotation candidates die AFTER the cheap hamming filter
+    (filter-before-dedup), so `distinct` sees only true-neighbor pairs.
+    """
+    if bits is None:
+        bits = SIMHASH_BITS_PORTABLE if portable else SIMHASH_BITS
+    if not 0 < rotations <= bits:
+        raise ValueError(f"rotations must be in 1..{bits}")
+    sig = simhash_signatures(corpus, bits=bits, portable=portable)
+    step = bits // rotations
+
+    def rotated_bucket(r: int) -> Column:
+        s = r * step
+        if s == 0:
+            rot = F.col("simhash")
+        else:
+            # (sig <<< s) without int64 overflow: mask the low bits first
+            low = F.col("simhash").bitwiseAND(F.lit((1 << (bits - s)) - 1))
+            rot = F.shiftleft(low, s).bitwiseOR(
+                F.shiftrightunsigned(F.col("simhash"), bits - s)
+            )
+        return F.shiftrightunsigned(rot, bits - bucket_width)
+
+    buckets_per_doc = F.array(*[rotated_bucket(r) for r in range(rotations)])
+    exploded = (
+        sig.select(F.struct("doc_id", "simhash").alias("d"),
+                   F.posexplode(buckets_per_doc).alias("rot", "b"))
+        # fold (rotation, bucket) into one long key: buckets from
+        # different rotations must never merge
+        .select("d", (F.col("rot").cast("long") * (1 << bucket_width)
+                      + F.col("b")).alias("bucket"))
+    )
+    exploded = _cap_buckets(exploded, key="bucket", id_col="d.doc_id",
+                            cap=bucket_cap)
+    grouped = (
+        exploded.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("d")).alias("ds"))
+    )
+    pairs = grouped.select(F.explode(_combinations(F.col("ds"))).alias("p"))
+    ham = F.bit_count(
+        F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash"))
+    )
+    return (
+        pairs.select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def neardup_clusters(corpus: DataFrame, threshold: float = 0.5,
                      n_seeds: int = 8, portable: bool = True,
                      bucket_cap: int | None = DEFAULT_BUCKET_CAP,

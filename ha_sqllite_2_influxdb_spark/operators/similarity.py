@@ -379,9 +379,14 @@ def ann_lsh_pairs(embeddings: DataFrame, threshold: float = 0.35,
                            F.col("embedding").alias("va"))
     vb = embeddings.select(F.col("vec_id").alias("id_b"),
                            F.col("embedding").alias("vb"))
+    # Re-attach vectors by broadcasting the surviving candidate PAIRS (two
+    # longs per row — tiny by construction), never the embeddings table:
+    # at 100 TB the full-vector relation can't broadcast, but the
+    # post-threshold pair list can. The shuffle side is each join's
+    # embeddings scan, which AQE plans as a broadcast of `cand` instead.
     return (
-        cand.join(F.broadcast(va), "id_a")
-        .join(F.broadcast(vb), "id_b")
+        F.broadcast(cand).join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a", "id_b",
             cosine(dot_chain("va", "vb"), norm2_chain("va"),

@@ -187,6 +187,52 @@ URL_REGEX = r"https?://[^ ]+"
 EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
 
+def repetition_stats(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Within-document repetition quality signals (Gopher/C4-style): the
+    fraction of duplicated word k-grams and the share of the single most
+    repeated k-gram. High values mark boilerplate / degenerate text that
+    a training pipeline filters out.
+
+    All per-row JVM expressions, zero shuffle: the duplicated fraction is
+    `array_distinct` over the doc's shingle array; the top-k-gram share
+    sorts the array and folds a max-run-length accumulator over it
+    (O(k log k) per doc — NOT the O(k²) count-each-element formulation),
+    so cost stays linear-ish in document length at 100 TB.
+    """
+    from .dedup import shingles  # deferred: dedup imports from this module
+
+    w = F.split(F.col("text"), " ")
+    sh = shingles(F.col("text"), k=k, words=w)
+    srt = F.sort_array(sh)
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when((acc["run"] == 0) | (acc["prev"] != x), F.lit(1))
+            .otherwise(acc["run"] + 1)
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_cnt = F.aggregate(srt, acc0, step, lambda acc: acc["best"])
+    n = F.size(sh).cast("long")
+    n_dist = F.size(F.array_distinct(sh)).cast("long")
+    return documents.select(
+        "doc_id",
+        n.alias("n_ngrams"),
+        n_dist.alias("n_distinct_ngrams"),
+        (F.lit(1.0) - n_dist.cast("double") / n.cast("double"))
+        .alias("dup_ngram_frac"),
+        (max_cnt.cast("double") / n.cast("double")).alias("top_ngram_frac"),
+    )
+
+
 def scrub_text(documents: DataFrame) -> DataFrame:
     """PII/link scrubbing for training corpora: URLs and email addresses
     are replaced with stable placeholder tokens, and per-doc match counts

@@ -17,8 +17,8 @@ from ..operators.dedup import SIMHASH_BITS_PORTABLE
 from ..operators.similarity import DIM
 from ..operators.text import (
     EMAIL_REGEX, STOPWORDS, TOKEN_REGEX, URL_REGEX, clean_text,
-    fingerprints, lang_id, quality_scores, scrub_text, token_stats,
-    top_bigrams,
+    fingerprints, lang_id, quality_scores, repetition_stats, scrub_text,
+    token_stats, top_bigrams,
 )
 from ..sources.tables import load_table
 
@@ -83,6 +83,14 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_neighbors(
+        recrawl(spark, sf_dir), max_hamming=HAMMING_T
+    )
+
+
+def q_simhash_neighbors_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tier (rows-only): multi-rotation simhash bucketing with the
+    hot-bucket cap ON — pytest asserts recall >= the single bucketing."""
+    return dedup.simhash_neighbors_rotated(
         recrawl(spark, sf_dir), max_hamming=HAMMING_T
     )
 
@@ -175,6 +183,12 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_bigrams(_docs(spark, sf_dir))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition: duplicated-trigram fraction +
+    top-trigram share, the boilerplate filter of a training pipeline."""
+    return repetition_stats(_docs(spark, sf_dir))
 
 
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,6 +295,7 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "simhash_signatures": q_simhash_signatures,
     "simhash_neighbors": q_simhash_neighbors,
+    "simhash_neighbors_rotated": q_simhash_neighbors_rotated,
     "neardup_xxhash_lsh": q_neardup_xxhash_lsh,
     "embedding_knn": q_embedding_knn,
     "embedding_neardup": q_embedding_neardup,
@@ -293,6 +308,7 @@ QUERIES = {
     "text_clean": q_text_clean,
     "top_bigrams": q_top_bigrams,
     "text_scrub": q_text_scrub,
+    "repetition_stats": q_repetition_stats,
     "sample_uniform": q_sample_uniform,
     "sample_stratified": q_sample_stratified,
     "multimodal_meta": q_multimodal_meta,
@@ -614,6 +630,30 @@ SELECT doc_id, lang, quality_score, rk FROM r WHERE rk <= 25
 SELECT label, pos, count(*) AS n_vecs,
   CAST(sum(qv) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE) AS centroid
 FROM x GROUP BY label, pos
+""",
+    "repetition_stats": """
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+sh0 AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      ELSE [text] END) AS shingle
+  FROM w
+),
+cnt AS (SELECT doc_id, shingle, count(*) AS c FROM sh0
+        GROUP BY doc_id, shingle),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+         CAST(count(*) AS BIGINT) AS n_distinct_ngrams,
+         CAST(max(c) AS BIGINT) AS max_cnt
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_ngrams, n_distinct_ngrams,
+  1.0 - CAST(n_distinct_ngrams AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+    AS dup_ngram_frac,
+  CAST(max_cnt AS DOUBLE) / CAST(n_ngrams AS DOUBLE) AS top_ngram_frac
+FROM agg
 """,
     "text_scrub": """
 WITH seeded AS (

@@ -16,6 +16,65 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
 
 
+def test_ann_lsh_no_embedding_table_broadcast(spark, sf_dir):
+    """The vector re-attach must broadcast the candidate PAIRS, never the
+    embeddings relation (a full-table broadcast is impossible at 100 TB).
+    With auto-broadcast disabled, the only BroadcastExchanges left are the
+    explicit hints — each must sit on the candidate-pair lineage (the
+    FlatMapGroupsInPandas bucket scorer), not on a raw embeddings scan."""
+    def _get(key):
+        try:
+            return spark.conf.get(key)
+        except Exception:
+            return None
+
+    prev = _get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = _get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        e = load_table(spark, sf_dir, "embeddings")
+        df = similarity.ann_lsh_pairs(e)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # split the tree at each BroadcastExchange; its build subtree is
+        # the indented block that follows, which must contain the pair
+        # generator and no parquet scan of the embeddings table
+        chunks = plan.split("BroadcastExchange")[1:]
+        assert chunks, "expected the explicit candidate-pair broadcast"
+        for chunk in chunks:
+            subtree = chunk.split("\n\n")[0]
+            assert "FlatMapGroupsInPandas" in subtree
+    finally:
+        for key, old in [
+            ("spark.sql.autoBroadcastJoinThreshold", prev),
+            ("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe),
+        ]:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+
+def test_simhash_rotated_recall_dominates_single(spark, sf_dir):
+    """At equal (enabled) cap, rotated bucketing must recover at least the
+    single-bucketing recall on the recrawl corpus — rotations only ADD
+    candidate routes."""
+    corpus = dedup.recrawl_corpus(load_table(spark, sf_dir, "documents"))
+    single = {(r.doc_a, r.doc_b) for r in dedup.simhash_neighbors(
+        corpus, bucket_cap=dedup.DEFAULT_BUCKET_CAP).collect()}
+    rotated = {(r.doc_a, r.doc_b) for r in dedup.simhash_neighbors_rotated(
+        corpus, bucket_cap=dedup.DEFAULT_BUCKET_CAP).collect()}
+    uncapped = {(r.doc_a, r.doc_b) for r in
+                dedup.simhash_neighbors(corpus, bucket_cap=None).collect()}
+    assert len(rotated) >= len(single)
+    # every rotated pair is a true <=hamming neighbor that shares the
+    # uncapped single bucket OR was found via a rotation (superset route)
+    recall_single = len(single & uncapped) / max(1, len(uncapped))
+    recall_rotated = len(rotated & uncapped) / max(1, len(uncapped))
+    assert recall_rotated >= recall_single
+
+
 def test_ivf_recall(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     exact = {(r.query_id, r.cand_id) for r in
