@@ -56,13 +56,17 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     for name, fn in HEADLINE.items():
-        # steady-state timing: the first materialization pays one-off
-        # whole-stage-codegen compilation + AQE re-planning for THIS query
-        # shape (measured ~2s on sub-second queries); run it once untimed,
-        # then time the second run — the sustained per-query throughput a
-        # long-running cluster actually delivers
+        # cold = first materialization (pays one-off whole-stage-codegen
+        # compilation + AQE re-planning for THIS query shape, ~2s on
+        # sub-second queries); steady-state = second run, the sustained
+        # per-query throughput a long-running cluster actually delivers.
+        # BOTH are reported so rounds stay comparable (BENCH_r01 was
+        # cold-only, BENCH_r02 steady-only).
+        t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings_cold[name] = round(time.time() - t0, 3)
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
@@ -73,7 +77,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "mode": "steady_state",
+        "value_cold": round(sum(timings_cold.values()), 3),
         "queries": timings,
+        "queries_cold": timings_cold,
         "sf": sf,
     }))
     spark.stop()
