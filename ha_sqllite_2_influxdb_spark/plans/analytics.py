@@ -806,6 +806,71 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_1 suppliers' share of
+    AMERICA-region PROMO-part revenue per order year.
+
+    The deepest join tree in the suite (lineitem ⋈ orders ⋈ customer ⋈
+    nation ⋈ region ⋈ supplier ⋈ nation ⋈ part): every dimension is
+    broadcast — lineitem shuffles exactly once, for the 2-key year
+    aggregate. The share is a conditional-sum ratio on integer cents, so
+    cross-engine parity is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nc = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_regionkey").alias("c_rk"))
+    ns = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    rev = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    nrev = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(nrev).cast("double") / F.sum(rev).cast("double"))
+            .alias("mkt_share")
+        )
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution (adapted: the
+    order-comment exclusion becomes an o_orderpriority exclusion — the
+    fixture has no comment column).
+
+    LEFT join keeps order-less customers (c_count = 0); two cascaded
+    aggregations, each one shuffle — the second lands on the tiny count
+    domain. count(o_orderkey) counts matches only, exactly the
+    outer-join semantics the distribution needs."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    counts = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (SQL surface): two independent rollup
     dimensions + grand total in ONE Expand + ONE shuffle — vs three
@@ -871,6 +936,8 @@ QUERIES = {
     "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
     "tpch_q22": q_tpch_q22,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q13": q_tpch_q13,
     "unpivot_part": q_unpivot_part,
     "salted_join": q_salted_join,
     "window_analytics": q_window_analytics,
@@ -931,6 +998,34 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
 GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+""",
+    "tpch_q8": f"""
+SELECT year(o_orderdate) AS o_year,
+  CAST(sum(CASE WHEN ns.n_name = 'NATION_1' THEN {_REV} ELSE 0 END)
+       AS DOUBLE) / CAST(sum({_REV}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region   ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN part     ON l_partkey = p_partkey
+WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY year(o_orderdate)
+""",
+    "tpch_q13": """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
 """,
     "tpch_q10": """
 SELECT c_custkey, c_name, _rev / 10000.0 AS revenue, c_acctbal, n_name

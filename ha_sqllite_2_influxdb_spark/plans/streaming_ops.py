@@ -82,12 +82,29 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the unbounded events stream joined
+    to a bounded dimension (customer) — the canonical production shape
+    for attaching slowly-changing attributes to a stream. The static
+    side broadcasts; the stream never shuffles and carries no state
+    (unlike stream-stream joins, no watermark bookkeeping is needed)."""
+    ev = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey
+    ).select("event_id", "user_id", "event_type", "c_mktsegment")
+    return drain_to_memory(joined, "stream_static_t", output_mode="append")
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "stream_dedup": q_stream_dedup,
     "events_sliding": q_events_sliding,
     "stream_sessions": q_stream_sessions,
     "stream_join": q_stream_join,
+    "stream_static_join": q_stream_static_join,
 }
 
 _GAP_US = GAP_MIN * 60 * 1_000_000
@@ -127,6 +144,10 @@ FROM events p JOIN events c
   ON c.user_id = p.user_id
  AND p.event_type = 'purchase' AND c.event_type = 'click'
  AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts <= p.ts
+""",
+    "stream_static_join": """
+SELECT event_id, user_id, event_type, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
 """,
     "stream_sessions": f"""
 WITH g AS (
