@@ -254,6 +254,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_features(multimodal.payloads(_docs(spark, sf_dir)))
 
 
+def q_multimodal_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path: synthesize valid 24-bit BMPs, then parse header +
+    stride-aware pixel array with a dependency-free decoder. The
+    SQL-predictable fields (dimensions, bpp, padded pixel-array size) are
+    oracle-checked; mean_pixel is asserted vs numpy in pytest."""
+    decoded = multimodal.decode_bmp(
+        multimodal.bmp_payloads(_docs(spark, sf_dir))
+    )
+    return decoded.select("doc_id", "width", "height", "bpp",
+                          "n_pixel_bytes")
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas fan-out: every 4th fixed-size frame of each payload;
     the frame INVENTORY (ids, indices, sizes) is exact-oracle-checked,
@@ -313,6 +325,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_bmp": q_multimodal_bmp,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -771,6 +784,15 @@ FROM b
     "fingerprints": f"""
 SELECT doc_id, md5(text) AS md5,
   {_ROLL.format(col="text")} AS roll_hash
+FROM documents
+""",
+    "multimodal_bmp": """
+SELECT doc_id,
+  CAST((doc_id % 16) + 4 AS BIGINT) AS width,
+  CAST((doc_id % 8) + 2 AS BIGINT) AS height,
+  CAST(24 AS BIGINT) AS bpp,
+  CAST(((3 * ((doc_id % 16) + 4) + 3) // 4) * 4 * ((doc_id % 8) + 2)
+       AS BIGINT) AS n_pixel_bytes
 FROM documents
 """,
     "multimodal_frames": """

@@ -175,6 +175,44 @@ def test_multimodal_real_decode_is_gated(spark, sf_dir):
         ).collect()
 
 
+def test_bmp_decode_golden(spark, sf_dir):
+    """The BMP parser must recover exactly the dimensions the synthesizer
+    encoded, and mean_pixel must equal an independent stride-aware numpy
+    recomputation of the same bytes."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    payloads = {r.doc_id: bytes(r.payload)
+                for r in multimodal.bmp_payloads(docs).collect()}
+    decoded = {r.doc_id: r for r in
+               multimodal.decode_bmp(
+                   multimodal.bmp_payloads(docs)).collect()}
+    assert decoded.keys() == payloads.keys()
+    for doc_id, b in payloads.items():
+        r = decoded[doc_id]
+        w, h = (doc_id % 16) + 4, (doc_id % 8) + 2
+        assert (r.width, r.height, r.bpp) == (w, h, 24)
+        stride = (3 * w + 3) & ~3
+        off = int.from_bytes(b[10:14], "little")
+        arr = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+        want_mean = float(arr.reshape(h, stride)[:, :3 * w]
+                          .astype(np.float64).mean())
+        assert r.mean_pixel == want_mean
+
+
+def test_bmp_decode_rejects_malformed(spark):
+    """Garbage / truncated / non-BMP payloads become null-dimension rows
+    (the P7 bad-row convention), never batch failures."""
+    df = spark.createDataFrame(
+        [(1, b"not a bmp at all"), (2, b"BM"), (3, b""),
+         (4, b"BM" + b"\x00" * 100)],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.decode_bmp(df).collect()}
+    assert len(rows) == 4
+    assert all(rows[i].width is None for i in rows)
+
+
 def test_hot_bucket_cap_bounds_adversarial_corpus(spark):
     """An all-identical corpus puts every doc in ONE band bucket; the cap
     must bound the bucket (and its pair array) while still finding pairs."""

@@ -97,7 +97,17 @@ def test_broadcast_hint_respected_in_q22(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan
 
 
-def test_simhash_signature_stage_has_zero_exchange(spark, sf_dir):
+def test_tpch_q8_dims_broadcast_single_agg_shuffle(spark, sf_dir):
+    """Q8's six hinted dimension joins must all broadcast — lineitem
+    never shuffles for a dim lookup, only for the (AQE-sized) orders
+    join and the final per-year aggregate. At 100 TB that is the
+    difference between one pass over the fact table and seven."""
+    plan = explain_str(analytics.q_tpch_q8(spark, sf_dir))
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("BroadcastHashJoin") >= 6, plan
+    # worst admissible shape: li + orders each shuffle for their join,
+    # plus the aggregate exchange; the dims must contribute NONE
+    assert physical.count("Exchange hashpartitioning") <= 3, plan
     """The signature computation is a per-row fold — no explode, no
     groupBy, no shuffle of word-level data (dedup.simhash_signatures)."""
     from ha_sqllite_2_influxdb_spark.operators.dedup import (
