@@ -98,6 +98,35 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(joined, "stream_static_t", output_mode="append")
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN gap sessionization (`F.session_window`): where the
+    engine already has the operator, use it — the custom
+    `applyInPandasWithState` sessionizer exists only for the
+    emission-on-close + arrival-order session ids the built-in can't
+    express. One shuffle on (user, merged-window); works identically on
+    a stream (with watermark) and on this batch form.
+
+    Boundary semantics: session windows are half-open [start, last+gap),
+    so an event arriving EXACTLY gap after the previous one starts a NEW
+    session — the oracle's new-session predicate is therefore `>=`, not
+    `>` (the custom sessionizer uses `>`; both are valid gap
+    conventions, pinned explicitly here so the parity is exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{GAP_MIN} minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "stream_dedup": q_stream_dedup,
@@ -105,6 +134,7 @@ QUERIES = {
     "stream_sessions": q_stream_sessions,
     "stream_join": q_stream_join,
     "stream_static_join": q_stream_static_join,
+    "session_window_native": q_session_window_native,
 }
 
 _GAP_US = GAP_MIN * 60 * 1_000_000
@@ -148,6 +178,27 @@ FROM events p JOIN events c
     "stream_static_join": """
 SELECT event_id, user_id, event_type, c_mktsegment
 FROM events JOIN customer ON user_id = c_custkey
+""",
+    "session_window_native": f"""
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_GAP_US}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts_us,
+    sum(new_sess) OVER (
+      PARTITION BY user_id ORDER BY ts_us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, min(ts_us) AS start_us,
+       max(ts_us) + {_GAP_US} AS end_us,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id
 """,
     "stream_sessions": f"""
 WITH g AS (

@@ -6,8 +6,14 @@ Several confs are *required* for correctness against the driver's data and
 the DuckDB oracle:
 
 - ``spark.sql.legacy.parquet.nanosAsLong``: the driver's ``events.parquet``
-  stores TIMESTAMP(NANOS) which Spark 4 rejects by default; we read nanos as
-  long and convert (truncating, like DuckDB) in the loader.
+  has shipped as TIMESTAMP(NANOS), which Spark 4 rejects by default; the
+  conf makes it readable as long, and the loader ns→µs truncates like
+  DuckDB. Harmless when the data is micros.
+- ``spark.sql.parquet.inferTimestampNTZ.enabled=false``: the same data has
+  also shipped as micros WITHOUT the UTC-adjusted flag, which Spark 4
+  infers as TIMESTAMP_NTZ — a type ``unix_micros`` et al. reject. Reading
+  it as TIMESTAMP under the UTC session tz keeps epoch math
+  DuckDB-identical.
 - ``spark.sql.session.timeZone=UTC``: the reference uses local-time
   ``datetime.fromtimestamp`` (sqllite2influxdb.py:116); we pin UTC so epoch
   math is deterministic across engines.

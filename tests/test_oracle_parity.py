@@ -24,6 +24,15 @@ def test_oracle_parity(name, spark, sf_dir, duck):
     assert result["ok"], result
 
 
+def test_driver_window_contract():
+    """The driver correctness-checks the FIRST 50 registry entries: that
+    prefix must be exactly the curated window, every one oracle-backed —
+    a registry reorder must fail here, not silently in the round run."""
+    names = list(QUERIES)[:50]
+    assert names == entrymod._DRIVER_WINDOW
+    assert all(n in ORACLES for n in names)
+
+
 def test_every_query_runs(spark, sf_dir):
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
