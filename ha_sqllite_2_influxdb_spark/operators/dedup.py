@@ -126,7 +126,10 @@ def shingle_sets(corpus: DataFrame, native_hash: bool = False) -> DataFrame:
 
     The one exchange is a round-robin repartition of the (small,
     pre-explode) corpus so the heavy per-row shingling/hashing work runs
-    on every core regardless of input file layout.
+    on every core regardless of input file layout — applied ONLY when
+    the input arrives narrower than the session's parallelism (a local
+    cache in a handful of partitions). A 100 TB scan is already wide;
+    repartitioning it would shuffle the full text payload for nothing.
 
     native_hash=True hashes each shingle to xxhash64 inside the array —
     downstream set ops compare 8-byte longs instead of strings. This is
@@ -139,8 +142,10 @@ def shingle_sets(corpus: DataFrame, native_hash: bool = False) -> DataFrame:
         arr = F.array_distinct(hashed_shingles(F.col("text"), F.col("w")))
     else:
         arr = F.array_distinct(shingles(F.col("text"), words=F.col("w")))
+    if corpus.rdd.getNumPartitions() < n_part:
+        corpus = corpus.repartition(n_part)
     return (
-        corpus.repartition(n_part)
+        corpus
         # materialize the split ONCE as a physical column; see shingles()
         .select("doc_id", "text", F.split("text", " ").alias("w"))
         .select("doc_id", arr.alias("sh"))

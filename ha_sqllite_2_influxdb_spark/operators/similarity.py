@@ -150,7 +150,11 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         order = np.argsort(-(v @ cb_b.value.T), axis=1)[:, :probes]
         return pd.Series(list(order))
 
-    assigned = embeddings.repartition(n_part).select(
+    # widen only a narrow local layout; a wide production scan must not
+    # pay a full-vector shuffle just to re-balance the Arrow batches
+    if embeddings.rdd.getNumPartitions() < n_part:
+        embeddings = embeddings.repartition(n_part)
+    assigned = embeddings.select(
         "vec_id", "embedding", nearest_cell("embedding").alias("cell")
     )
     cands = assigned.filter(F.col("vec_id") >= n_queries).select(
@@ -334,8 +338,12 @@ def ann_lsh_pairs(embeddings: DataFrame, threshold: float = 0.35,
 
     n_part = embeddings.sparkSession.sparkContext.defaultParallelism
     sig = _signature_udf(n_tables, planes_per_table)
+    # widen only a narrow local layout (see shingle_sets): a production
+    # scan is already wide and must not shuffle full vectors to re-balance
+    if embeddings.rdd.getNumPartitions() < n_part:
+        embeddings = embeddings.repartition(n_part)
     sigs = (
-        embeddings.repartition(n_part)
+        embeddings
         .select("vec_id", "embedding",
                 F.posexplode(sig("embedding")).alias("tbl", "sig"))
     )
