@@ -229,4 +229,7 @@ def migration_points(spark: SparkSession, db_path: str,
     from ..operators.transform import points
 
     t = read_ha_recorder(spark, db_path, boundary_ts=boundary_ts)
-    return points(t["states"], t["states_meta"], t["state_attributes"])
+    # keep_state: the sink renders numeric fields from the RAW state text
+    # (byte-identical to the source — no float round-trip)
+    return points(t["states"], t["states_meta"], t["state_attributes"],
+                  keep_state=True)

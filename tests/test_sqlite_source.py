@@ -145,6 +145,56 @@ def test_migration_points_end_to_end(spark, recorder_db):
     assert len(bad) > N_STATES // 7  # NULL-attr rows plus bad-JSON rows
 
 
+def test_cli_main_migrates_to_http_sink(spark, recorder_db):
+    """The reference's whole invocation surface, end-to-end: env config →
+    partitioned SQLite scan → transform → line protocol → batched HTTP
+    POSTs to a v2 write endpoint (reference main(),
+    sqllite2influxdb.py:163-199). The received line set must equal the
+    direct rendering of the migration scan."""
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.__main__ import main
+    from ha_sqllite_2_influxdb_spark.sinks.influx import line_protocol
+    from tests.test_sinks import _RecordingInfluxServer
+
+    server = _RecordingInfluxServer()
+    try:
+        rc = main({
+            "SQLITE_DB": recorder_db,
+            "INFLUXDB_URL": server.url,
+            "INFLUXDB_TOKEN": "tok",
+            "INFLUXDB_ORG": "o",
+            "INFLUXDB_BUCKET": "b",
+            "BATCH_SIZE": "100",
+            "SPARK_GRAFT_CPUS": "8",
+        })
+        assert rc == 0
+        received = [
+            ln for r in server.requests for ln in r["body"].splitlines()
+            if ln
+        ]
+        want = [
+            r.line for r in line_protocol(
+                src.migration_points(spark, recorder_db),
+                raw_state=F.col("state_raw"),
+            ).collect()
+        ]
+        assert sorted(received) == sorted(want)
+        assert len(want) == N_STATES * 4 // 5  # sentinel rows dropped
+        # batched at BATCH_SIZE
+        assert max(len(r["body"].splitlines()) for r in server.requests) <= 100
+    finally:
+        server.stop()
+
+
+def test_cli_main_fails_fast_on_missing_config(capsys):
+    from ha_sqllite_2_influxdb_spark.__main__ import main
+
+    assert main({"SQLITE_DB": "x.db"}) == 1
+    err = capsys.readouterr().err
+    assert "missing required configuration" in err
+
+
 def test_boundary_pushdown(spark, recorder_db):
     cutoff = 1700000000.0 + 100 * 60.0
     t = src.read_ha_recorder(spark, recorder_db, boundary_ts=cutoff)
