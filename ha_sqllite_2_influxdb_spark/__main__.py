@@ -78,7 +78,7 @@ def main(env=None) -> int:
                 org=cfg.influxdb_org, bucket=cfg.influxdb_bucket,
                 batch_size=cfg.batch_size, debug=cfg.debug_mode,
             )
-        print("Data migration completed successfully!")  # reference :199
+        print("Data export complete.")  # reference's final log line (:199)
         return 0
     finally:
         if owns_session:
