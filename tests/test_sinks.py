@@ -3,6 +3,7 @@
 import glob
 import os
 
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from ha_sqllite_2_influxdb_spark.operators.transform import points
@@ -43,6 +44,62 @@ def test_line_protocol_escaping_golden(spark):
         'count,source=HA,domain=light,entity_id=l1,friendly_name=plain '
         'state="say \\"hi\\" \\\\ bye" 11000000000'
     )
+
+
+_LP_ALPHABET = (
+    "abcXYZ012 ,=\"\\.-_éμ"  # specials the escaping rules must handle
+)
+_LP_CASES: list[tuple] = []
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    m=st.text(_LP_ALPHABET, min_size=1, max_size=20),
+    tag=st.text(_LP_ALPHABET, min_size=0, max_size=20),
+    sval=st.text(_LP_ALPHABET, min_size=0, max_size=20),
+    numeric=st.booleans(),
+)
+def test_line_protocol_escaping_property(m, tag, sval, numeric):
+    # collected lazily; rendered+checked in ONE Spark job below
+    _LP_CASES.append((m, tag, sval, numeric))
+
+
+def test_line_protocol_escaping_property_batch(spark):
+    """Property parity: the JVM escaping expressions must byte-match an
+    independent Python implementation of the line-protocol quoting rules
+    (measurement escapes ', '; tags escape ',= '; string fields escape
+    backslash then double-quote) on hypothesis-generated specials."""
+    import re
+
+    def esc_m(s):
+        return re.sub(r"([, ])", r"\\\1", s)
+
+    def esc_t(s):
+        return re.sub(r"([,= ])", r"\\\1", s)
+
+    def esc_f(s):
+        return s.replace("\\", "\\\\").replace('"', '\\"')
+
+    cases = sorted(set(_LP_CASES))
+    rows = [
+        (i, m, "HA", "dom", f"e{i}", tag, 10.0, 21.5 if numeric else None,
+         None if numeric else sval, "21.5")
+        for i, (m, tag, sval, numeric) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ("state_id long, measurement string, source string, domain string,"
+         " entity_id string, friendly_name string, ts_epoch double,"
+         " value double, state_str string, state_raw string"),
+    )
+    got = dict(line_protocol(df, raw_state=F.col("state_raw")).collect())
+    for i, (m, tag, sval, numeric) in enumerate(cases):
+        field = "value=21.5" if numeric else f'state="{esc_f(sval)}"'
+        want = (
+            f"{esc_m(m)},source=HA,domain=dom,entity_id=e{i},"
+            f"friendly_name={esc_t(tag)} {field} 10000000000"
+        )
+        assert got[i] == want, f"case {(m, tag, sval, numeric)!r}"
 
 
 def test_write_lines_file_transport(spark, sf_dir, tmp_path):
