@@ -47,3 +47,28 @@ def stratified_sample(df: DataFrame, key: str, stratum: str,
     for value, pct in sorted(rates.items()):
         rate = F.when(F.col(stratum) == value, pct).otherwise(rate)
     return df.filter(bucket100(F.col(key)) < rate)
+
+
+def dataset_split(df: DataFrame, key: str, val_pct: int = 5,
+                  test_pct: int = 10) -> DataFrame:
+    """Deterministic train/val/test assignment: the same document lands
+    in the same split on every run, cluster size, and engine — the
+    reproducibility contract an eval pipeline depends on (and the reason
+    this is a hash assignment, not df.randomSplit). Disjoint by
+    construction; a pure projection, no shuffle."""
+    b = bucket100(F.col(key))
+    return df.withColumn(
+        "split",
+        F.when(b < val_pct, "val")
+         .when(b < val_pct + test_pct, "test")
+         .otherwise("train"),
+    )
+
+
+def weighted_sample(df: DataFrame, key: str, weight: Column) -> DataFrame:
+    """Quality-weighted deterministic downsampling: each row survives iff
+    its hash bucket falls under ``weight``×100 (weight ∈ [0,1] per row) —
+    importance sampling where better documents keep proportionally more
+    mass, with zero RNG state and exact cross-engine reproducibility.
+    Still a pure filter: parallel, shuffle-free, pushdown-friendly."""
+    return df.filter(bucket100(F.col(key)).cast("double") < weight * 100.0)

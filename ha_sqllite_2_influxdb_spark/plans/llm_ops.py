@@ -244,6 +244,29 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "user_id")
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (5/10/85): same doc, same
+    split, every run/engine/cluster size — never df.randomSplit."""
+    from ..operators.sampling import dataset_split
+
+    return dataset_split(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic downsampling: survival probability
+    equals the doc's quality score, as a pure hash filter."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sampling import weighted_sample
+
+    q = quality_scores(_docs(spark, sf_dir)).select(
+        "doc_id", "quality_score"
+    )
+    return weighted_sample(q, "doc_id", F.col("quality_score"))
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.multimodal_meta(_docs(spark, sf_dir))
 
@@ -323,6 +346,8 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "sample_uniform": q_sample_uniform,
     "sample_stratified": q_sample_stratified,
+    "dataset_split": q_dataset_split,
+    "sample_weighted": q_sample_weighted,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_bmp": q_multimodal_bmp,
@@ -497,6 +522,18 @@ WHERE (event_id * 2654435761) % 100 < 10
     "sample_stratified": f"""
 SELECT event_id, event_type, user_id FROM events
 WHERE (event_id * 2654435761) % 100 < {_RATE_CASE}
+""",
+    "dataset_split": """
+SELECT doc_id, lang,
+  CASE WHEN (doc_id * 2654435761) % 100 < 5 THEN 'val'
+       WHEN (doc_id * 2654435761) % 100 < 15 THEN 'test'
+       ELSE 'train' END AS split
+FROM documents
+""",
+    "sample_weighted": f"""
+WITH q AS (SELECT doc_id, {_QUALITY} AS quality_score FROM documents)
+SELECT doc_id, quality_score FROM q
+WHERE CAST((doc_id * 2654435761) % 100 AS DOUBLE) < quality_score * 100.0
 """,
     "dedup_exact": f"""WITH {_CORPUS}
 SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
