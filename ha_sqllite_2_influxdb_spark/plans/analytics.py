@@ -847,6 +847,41 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (adapted: p_retailprice stands in
+    for ps_supplycost — the fixture has no partsupp table): per supplier
+    nation and order year, profit = discounted revenue minus quantity ×
+    cost for parts whose name contains 'green'.
+
+    part/supplier/nation broadcast; lineitem shuffles once for the
+    orders join (orders is not broadcastable at scale) and once for the
+    (nation, year) aggregate. All money math in integer cents. The
+    part-name filter uses 'red' — the fixture's adjective vocabulary has
+    no 'green' (the classic parameter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    ).select("p_partkey", "p_retailprice")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ep, d = _cents(F.col("l_extendedprice")), _cents(F.col("l_discount"))
+    cost = _cents(F.col("p_retailprice"))
+    qty = F.col("l_quantity").cast("long")
+    # rev is in cents·100 (price×(100-disc)); scale cost×qty to match
+    profit = ep * (100 - d) - cost * qty * 100
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(profit) / 10000.0).alias("sum_profit"))
+    )
+
+
 def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 customer order-count distribution (adapted: the
     order-comment exclusion becomes an o_orderpriority exclusion — the
@@ -937,6 +972,7 @@ QUERIES = {
     "tpch_q18": q_tpch_q18,
     "tpch_q22": q_tpch_q22,
     "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
     "tpch_q13": q_tpch_q13,
     "unpivot_part": q_unpivot_part,
     "salted_join": q_salted_join,
@@ -1015,6 +1051,20 @@ WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate <  TIMESTAMP '1998-01-01'
 GROUP BY year(o_orderdate)
+""",
+    "tpch_q9": """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+  sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(round(l_discount*100) AS BIGINT))
+      - CAST(round(p_retailprice*100) AS BIGINT)
+        * CAST(l_quantity AS BIGINT) * 100) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
 """,
     "tpch_q13": """
 SELECT c_count, count(*) AS custdist
