@@ -127,6 +127,44 @@ def test_stateful_sessions_state_across_batches(spark, sf_dir, tmp_path):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_foreach_batch_checkpoint_resume_no_reprocess(spark, tmp_path):
+    """T1/T2 parity, streaming side: a second AvailableNow drain from the
+    SAME checkpoint must process only files that arrived since the first
+    drain — the durable analog of the reference's implicit cursor
+    position (and of backfill idempotence on the batch side)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def mk(lo, n):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        )
+
+    mk(0, 100).coalesce(1).write.parquet(f"{src}/f1")
+    raw = lambda: (  # noqa: E731 - tiny local stream factory
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("recursiveFileLookup", "true").parquet(src)
+    )
+    sink = lambda df, _eid: df.write.mode("append").parquet(out)  # noqa: E731
+
+    drain_foreach_batch(raw(), ckpt, sink)
+    assert spark.read.parquet(out).count() == 100
+
+    mk(1000, 50).coalesce(1).write.parquet(f"{src}/f2")
+    drain_foreach_batch(raw(), ckpt, sink)
+    got = spark.read.parquet(out)
+    # 150 total and NO duplicates: f1 was not reprocessed
+    assert got.count() == 150
+    assert got.select("event_id").distinct().count() == 150
+
+
 def test_stateful_sessions_tolerate_cross_batch_stragglers(spark, tmp_path):
     """Deliberately time-INTERLEAVED input: a later micro-batch delivers
     an event older than the previous batch's tail but inside the open
