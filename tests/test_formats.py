@@ -1,0 +1,67 @@
+"""Source-format round-trips: the engine must ingest the format zoo a
+production pipeline brings (columnar ORC, delimited CSV, JSON lines)
+without value drift vs the parquet baseline — schema-explicit reads,
+timestamp fidelity, and null preservation checked on the events table.
+"""
+
+from pyspark.sql import functions as F
+
+from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+
+def _multiset(df):
+    return sorted(
+        tuple(str(v) for v in r)
+        for r in df.select("event_id", "ts", "user_id", "event_type",
+                           "value", "props").collect()
+    )
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_orc")
+    ev.write.orc(path)
+    back = spark.read.orc(path)
+    assert dict(back.dtypes) == dict(ev.dtypes)
+    assert _multiset(back) == _multiset(ev)
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
+    """CSV drops types; an explicit schema + microsecond timestampFormat
+    must recover the exact values (including NULL-vs-empty distinction)."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_csv")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ev.write.options(header=True, timestampFormat=fmt, nullValue="\\N") \
+        .csv(path)
+    back = spark.read.schema(ev.schema).options(
+        header=True, timestampFormat=fmt, nullValue="\\N"
+    ).csv(path)
+    assert _multiset(back) == _multiset(ev)
+
+
+def test_json_lines_roundtrip(spark, sf_dir, tmp_path):
+    """JSON lines: schema-explicit read (inference would widen types)
+    with microsecond timestamp fidelity."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_json")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ev.write.option("timestampFormat", fmt).json(path)
+    back = spark.read.schema(ev.schema) \
+        .option("timestampFormat", fmt).json(path)
+    assert _multiset(back) == _multiset(ev)
+
+
+def test_csv_malformed_rows_route_to_corrupt_column(spark, tmp_path):
+    """P7 analog at the source boundary: bad CSV rows land in
+    _corrupt_record under PERMISSIVE mode instead of failing the scan."""
+    p = tmp_path / "bad.csv"
+    p.write_text("event_id,value\n1,2.5\nnot_a_long,3.5\n2,oops\n")
+    schema = ("event_id long, value double, _corrupt_record string")
+    df = spark.read.schema(schema).options(
+        header=True, mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record"
+    ).csv(str(p)).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 1 and bad.count() == 2
+    assert {r.event_id for r in good.collect()} == {1}
