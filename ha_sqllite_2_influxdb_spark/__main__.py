@@ -14,11 +14,12 @@ Differences by design (all Spark-first):
 - writers run per-partition after a ``repartitionByRange`` on event
   time, preserving the reference's oldest-first ordering PER WRITER
   (ORDER BY, :89-90) without a global sort;
-- the incremental boundary is taken from ``BOUNDARY_TS`` (epoch
-  seconds) when set — the reference derives it by querying the sink's
-  oldest point (:54-69), which a write-only token cannot do; callers
-  with query access pass the probed value in, callers without it run a
-  full migration exactly like the reference's cold start.
+- the incremental boundary comes from the reference's own probe — a
+  Flux oldest-point query against the sink (:54-69, here a stdlib POST
+  to /api/v2/query) — unless ``BOUNDARY_TS`` (epoch seconds) overrides
+  it, for write-only tokens or air-gapped runs. An empty or
+  unreachable sink means full migration, exactly the reference's cold
+  start.
 
 Extra env (beyond the reference's contract): ``SINK_PATH`` writes
 line-protocol files instead of HTTP (set INFLUXDB_URL to any value);
@@ -36,7 +37,7 @@ from pyspark.sql import functions as F
 def main(env=None) -> int:
     from .config import ConfigError, EtlConfig
     from .session import get_spark
-    from .sinks.influx import line_protocol, write_lines
+    from .sinks.influx import line_protocol, probe_oldest_ts, write_lines
     from .sources.sqlite import migration_points
 
     env = os.environ if env is None else env
@@ -46,6 +47,7 @@ def main(env=None) -> int:
         print(f"Configuration error: {e}", file=sys.stderr)
         return 1
 
+    sink_path = env.get("SINK_PATH")
     boundary = None
     if env.get("BOUNDARY_TS"):
         try:
@@ -54,6 +56,14 @@ def main(env=None) -> int:
             print("Configuration error: BOUNDARY_TS must be a float epoch",
                   file=sys.stderr)
             return 1
+    elif not sink_path:
+        # the reference's incremental probe (:54-69): oldest sink point
+        # bounds the migration; None (empty/unreachable) = migrate all
+        boundary = probe_oldest_ts(
+            cfg.influxdb_url, token=cfg.influxdb_token,
+            org=cfg.influxdb_org, bucket=cfg.influxdb_bucket,
+        )
+        print(f"Oldest InfluxDB timestamp: {boundary}")  # reference :170
 
     from pyspark.sql import SparkSession
 
@@ -68,7 +78,6 @@ def main(env=None) -> int:
             max(2, spark.sparkContext.defaultParallelism // 4), "ts_epoch"
         ).sortWithinPartitions("ts_epoch")
         lines = line_protocol(ordered, raw_state=F.col("state_raw"))
-        sink_path = env.get("SINK_PATH")
         if sink_path:
             write_lines(lines, path=sink_path, batch_size=cfg.batch_size,
                         debug=cfg.debug_mode)

@@ -94,6 +94,65 @@ def line_protocol(points_df: DataFrame, raw_state: Column | None = None,
     )
 
 
+def probe_oldest_ts(url: str, *, token: str = "", org: str = "",
+                    bucket: str = "", measurement: str | None = None,
+                    timeout: float = 30.0) -> float | None:
+    """S5 on the real wire path: the reference's oldest-point probe
+    (get_oldest_influx_timestamp, sqllite2influxdb.py:54-69) as a
+    stdlib POST of the same Flux (range(start:0) → optional measurement
+    filter → sort by _time → limit 1) to ``/api/v2/query``, parsing the
+    annotated-CSV response. Returns epoch seconds, or None when the
+    bucket is empty or the query fails — the reference's
+    migrate-everything cold-start path."""
+    import json
+    import urllib.parse
+    import urllib.request
+    from datetime import datetime
+
+    meas_filter = (
+        f'  |> filter(fn: (r) => r["_measurement"] == "{measurement}")\n'
+        if measurement else ""
+    )
+    flux = (
+        f'from(bucket: "{bucket}")\n'
+        "  |> range(start: 0)\n"
+        f"{meas_filter}"
+        '  |> sort(columns: ["_time"], desc: false)\n'
+        "  |> limit(n: 1)\n"
+    )
+    req = urllib.request.Request(
+        url.rstrip("/") + "/api/v2/query?"
+        + urllib.parse.urlencode({"org": org}),
+        data=json.dumps({"query": flux, "type": "flux"}).encode(),
+        headers={
+            "Authorization": f"Token {token}",
+            "Content-Type": "application/json",
+            "Accept": "application/csv",
+        },
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            body = resp.read().decode()
+    except Exception as e:  # noqa: BLE001 - reference parity (:67-69)
+        print(f"Error querying InfluxDB for the oldest timestamp: {e}")
+        return None
+    # annotated CSV: '#'-prefixed annotation rows, then a header row
+    # naming the columns, then data rows — find _time and take the first
+    header: list[str] | None = None
+    for line in body.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        cells = line.split(",")
+        if header is None:
+            header = cells
+            continue
+        if "_time" in header:
+            raw = cells[header.index("_time")]
+            return datetime.fromisoformat(raw).timestamp()
+    return None
+
+
 def write_lines(lines_df: DataFrame, *, url: str | None = None,
                 token: str = "", org: str = "", bucket: str = "",
                 path: str | None = None,

@@ -117,9 +117,11 @@ def test_write_lines_file_transport(spark, sf_dir, tmp_path):
 
 
 class _RecordingInfluxServer:
-    """Localhost stub accepting InfluxDB v2 ``/api/v2/write`` POSTs."""
+    """Localhost stub for the InfluxDB v2 API: records ``/api/v2/write``
+    POSTs; answers ``/api/v2/query`` (the Flux oldest-point probe) with
+    an annotated-CSV row for ``oldest`` (RFC3339) or an empty result."""
 
-    def __init__(self):
+    def __init__(self, oldest: str | None = None):
         import http.server
         import threading
 
@@ -128,12 +130,36 @@ class _RecordingInfluxServer:
         class Handler(http.server.BaseHTTPRequestHandler):
             def do_POST(self):  # noqa: N802 - http.server API
                 body = self.rfile.read(int(self.headers["Content-Length"]))
+                rec = {
+                    "path": self.path,
+                    "auth": self.headers.get("Authorization"),
+                    "body": body.decode(),
+                }
+                if self.path.startswith("/api/v2/query"):
+                    with server.lock:
+                        server.queries.append(rec)
+                    if server.oldest is None:
+                        csv = "\r\n"
+                    else:
+                        csv = (
+                            "#group,false,false,true,true,false,true\r\n"
+                            "#datatype,string,long,dateTime:RFC3339,"
+                            "dateTime:RFC3339,dateTime:RFC3339,string\r\n"
+                            "#default,_result,,,,,\r\n"
+                            ",result,table,_start,_stop,_time,_measurement"
+                            "\r\n"
+                            ",,0,1970-01-01T00:00:00Z,2030-01-01T00:00:00Z,"
+                            f"{server.oldest},units\r\n"
+                        )
+                    out = csv.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/csv")
+                    self.send_header("Content-Length", str(len(out)))
+                    self.end_headers()
+                    self.wfile.write(out)
+                    return
                 with server.lock:
-                    server.requests.append({
-                        "path": self.path,
-                        "auth": self.headers.get("Authorization"),
-                        "body": body.decode(),
-                    })
+                    server.requests.append(rec)
                 self.send_response(204)
                 self.end_headers()
 
@@ -142,6 +168,8 @@ class _RecordingInfluxServer:
 
         self.lock = threading.Lock()
         self.requests = []
+        self.queries = []
+        self.oldest = oldest
         self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
         self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
         self.thread = threading.Thread(
@@ -152,6 +180,39 @@ class _RecordingInfluxServer:
     def stop(self):
         self.httpd.shutdown()
         self.httpd.server_close()
+
+
+def test_probe_oldest_ts_parses_flux_csv():
+    """S5 wire parity: the probe must extract the _time of the single
+    row the reference's Flux returns, or None for an empty bucket."""
+    from datetime import datetime
+
+    from ha_sqllite_2_influxdb_spark.sinks.influx import probe_oldest_ts
+
+    oldest = "2024-01-05T00:00:10.500000Z"
+    server = _RecordingInfluxServer(oldest=oldest)
+    try:
+        got = probe_oldest_ts(server.url, token="t", org="o", bucket="b",
+                              measurement="units")
+        assert got == datetime.fromisoformat(oldest).timestamp()
+        import json
+
+        q = server.queries[0]
+        flux = json.loads(q["body"])["query"]
+        assert 'from(bucket: "b")' in flux
+        assert 'r["_measurement"] == "units"' in flux
+        assert q["auth"] == "Token t"
+    finally:
+        server.stop()
+    empty = _RecordingInfluxServer()
+    try:
+        assert probe_oldest_ts(empty.url, token="t", org="o",
+                               bucket="b") is None
+    finally:
+        empty.stop()
+    # unreachable server -> None (reference's except path, :67-69)
+    assert probe_oldest_ts("http://127.0.0.1:9", token="t", org="o",
+                           bucket="b", timeout=0.5) is None
 
 
 def test_write_lines_http_transport_e2e(spark, sf_dir):

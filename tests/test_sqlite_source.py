@@ -187,6 +187,44 @@ def test_cli_main_migrates_to_http_sink(spark, recorder_db):
         server.stop()
 
 
+def test_cli_main_incremental_via_flux_probe(spark, recorder_db):
+    """Reference parity for the incremental path (main() :163-199 with
+    get_oldest_influx_timestamp :54-69): the sink's oldest point, served
+    by the stub's /api/v2/query, must bound the migration — only states
+    strictly older than it are written."""
+    from datetime import datetime, timezone
+
+    from ha_sqllite_2_influxdb_spark.__main__ import main
+    from tests.test_sinks import _RecordingInfluxServer
+
+    cutoff = 1700000000.0 + 100 * 60.0
+    iso = datetime.fromtimestamp(cutoff, tz=timezone.utc).isoformat() \
+        .replace("+00:00", "Z")
+    server = _RecordingInfluxServer(oldest=iso)
+    try:
+        rc = main({
+            "SQLITE_DB": recorder_db,
+            "INFLUXDB_URL": server.url,
+            "INFLUXDB_TOKEN": "tok",
+            "INFLUXDB_ORG": "o",
+            "INFLUXDB_BUCKET": "b",
+            "SPARK_GRAFT_CPUS": "8",
+        })
+        assert rc == 0
+        assert len(server.queries) == 1  # exactly one probe
+        received = [
+            ln for r in server.requests for ln in r["body"].splitlines()
+            if ln
+        ]
+        # states with i < 100 survive the boundary; 1/5 ('unknown') are
+        # sentinel-dropped by the transform
+        assert len(received) == 100 * 4 // 5
+        cutoff_ns = int(cutoff * 1e9)
+        assert all(int(ln.rsplit(" ", 1)[1]) < cutoff_ns for ln in received)
+    finally:
+        server.stop()
+
+
 def test_cli_main_fails_fast_on_missing_config(capsys):
     from ha_sqllite_2_influxdb_spark.__main__ import main
 
