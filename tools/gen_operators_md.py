@@ -35,7 +35,10 @@ def main() -> None:
     window = set(entry._DRIVER_WINDOW)
     lines = []
     for name, fn in queries.items():
-        doc = (inspect.getdoc(fn) or "").split("\n")[0].rstrip()
+        para = (inspect.getdoc(fn) or "").split("\n\n")[0]
+        doc = " ".join(para.split())
+        if len(doc) > 160:
+            doc = doc[:157].rsplit(" ", 1)[0] + "…"
         mod = fn.__module__.replace("ha_sqllite_2_influxdb_spark.plans.", "")
         tier = ("exact oracle" if name in oracles
                 else "rows-only (pytest-verified)")
