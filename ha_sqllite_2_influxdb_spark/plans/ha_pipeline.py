@@ -310,7 +310,7 @@ lp AS (
              regexp_replace(regexp_replace(state_str, '\\\\', '\\\\\\\\', 'g'),
                             '"', '\\\\"', 'g') || '"'
       END,
-      CAST(CAST(trunc(ts_epoch * 1000000000.0) AS BIGINT) AS VARCHAR)
+      CAST(CAST(round(ts_epoch * 1000000.0) AS BIGINT) * 1000 AS VARCHAR)
     ) AS line
   FROM pts
 )

@@ -45,11 +45,150 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _batch_sessions_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent of the stateful sessionizer: the window-function
+    formulation with the same ``>`` gap, minus each user's open tail
+    session — the exact shape of the DuckDB oracle, expressed in Spark so
+    the streaming drain can be cross-checked in-engine."""
+    from pyspark.sql import Window
+
+    gap_us = GAP_MIN * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = (
+        ev.withColumn("_prev", F.lag("ts_us").over(w))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("ts_us") - F.col("_prev") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    agg = s.groupBy("user_id", "session_id").agg(
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        agg.withColumn(
+            "_mx", F.max("session_id").over(Window.partitionBy("user_id"))
+        )
+        .filter(F.col("session_id") < F.col("_mx"))
+        .drop("_mx")
+    )
+
+
+def _diag_stream_sessions(spark: SparkSession, sf_dir: str,
+                          drained: DataFrame, progress: list) -> None:
+    """Cross-check the drained stateful result against the in-engine batch
+    formulation; on ANY row-level difference, write a diagnostic artifact
+    under ``<repo>/diag/`` carrying the evidence the driver-only hash
+    failure has never left behind: the row diff in both directions,
+    per-micro-batch progress (numInputRows proves/refutes a multi-batch
+    split), session confs, and the events parquet footer schema. The
+    drained result is returned to the caller UNCHANGED either way."""
+    import json
+    import os
+    import time
+    import traceback
+
+    cols = ["user_id", "session_id", "start_us", "end_us", "n_events"]
+    d = drained.select(*cols)
+    b = _batch_sessions_closed(spark, sf_dir).select(
+        F.col("user_id").cast("long"),
+        F.col("session_id").cast("long"),
+        F.col("start_us").cast("long"),
+        F.col("end_us").cast("long"),
+        F.col("n_events").cast("long"),
+    ).toDF(*cols)
+    only_stream = d.exceptAll(b).limit(500).collect()
+    only_batch = b.exceptAll(d).limit(500).collect()
+    if not only_stream and not only_batch:
+        return
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    diag_dir = os.path.join(repo_root, "diag")
+    os.makedirs(diag_dir, exist_ok=True)
+    # artifact name records recentProgress length (micro-batch count)
+    path = os.path.join(
+        diag_dir, f"stream_sessions_p{len(progress)}_{int(time.time())}.json"
+    )
+    ev = load_table(spark, sf_dir, "events")
+    dup_pairs = (
+        ev.groupBy("user_id", "ts").count().filter("count > 1").count()
+    )
+    conf_keys = [
+        "spark.sql.shuffle.partitions",
+        "spark.sql.session.timeZone",
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
+    ]
+    confs = {}
+    for k in conf_keys:
+        try:
+            confs[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001
+            confs[k] = None
+    payload = {
+        "sf_dir": sf_dir,
+        "n_microbatches": len(progress),
+        "num_input_rows_per_batch": [
+            p.get("numInputRows") for p in progress
+        ],
+        "progress": progress,
+        "stream_rows": d.count(),
+        "batch_rows": b.count(),
+        "only_in_stream": [r.asDict() for r in only_stream],
+        "only_in_batch": [r.asDict() for r in only_batch],
+        "events_rows": ev.count(),
+        "dup_user_ts_pairs": dup_pairs,
+        "events_schema": ev.schema.jsonValue(),
+        "spark_version": spark.version,
+        "confs": confs,
+        "trace": "".join(traceback.format_stack(limit=12)),
+    }
+    with open(path, "w") as fh:
+        json.dump(payload, fh, indent=1, default=str)
+    print(f"[stream_sessions] cross-check MISMATCH — diagnostic at {path}")
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): gap-closed
-    sessions from a real AvailableNow streaming drain."""
+    sessions from a real AvailableNow streaming drain.
+
+    Instrumented (VERDICT r4 #1): after the drain, the result is
+    cross-checked in-engine against the batch window-function formulation;
+    any difference writes ``diag/stream_sessions_p<batches>_<ts>.json``
+    with the row diff + per-micro-batch progress, then the drained result
+    is returned unchanged. The final orderBy pins a deterministic total
+    order on the (user_id, session_id) key — memory-sink partition order
+    is not deterministic, and this removes row order as a variable in the
+    driver's hash comparison.
+    """
+    progress: list = []
     out = sessionize_stateful(events_stream(spark, sf_dir))
-    return drain_to_memory(out, "stream_sessions", output_mode="append")
+    drained = drain_to_memory(
+        out, "stream_sessions", output_mode="append", progress_out=progress
+    )
+    try:
+        _diag_stream_sessions(spark, sf_dir, drained, progress)
+    except Exception:  # noqa: BLE001 — diagnostics must never fail the query
+        import traceback
+
+        traceback.print_exc()
+    return drained.orderBy("user_id", "session_id")
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -87,7 +87,12 @@ def line_protocol(points_df: DataFrame, raw_state: Column | None = None,
             F.lit('"'),
         )
     )
-    ts = (F.col("ts_epoch") * (1e9 if precision_ns else 1e6)).cast("long")
+    # integer time path: ts_epoch is integer-micros/1e6, so
+    # round(ts_epoch*1e6) recovers the exact integer micros (a double is
+    # exact only to 2^53 ≈ 104 days at ns resolution, so ts_epoch*1e9
+    # through a double is NOT safe across the epoch range); ns = µs×1000
+    us = F.round(F.col("ts_epoch") * 1e6).cast("long")
+    ts = (us * F.lit(1000)) if precision_ns else us
     return points_df.select(
         "state_id",
         F.concat_ws(" ", tags, field, ts.cast("string")).alias("line"),
@@ -109,12 +114,18 @@ def probe_oldest_ts(url: str, *, token: str = "", org: str = "",
     import urllib.request
     from datetime import datetime
 
+    def flux_str(s: str) -> str:
+        # Flux string literal quoting: backslash, then double quote —
+        # env-controlled names must not be able to break out of the literal
+        return s.replace("\\", "\\\\").replace('"', '\\"')
+
     meas_filter = (
-        f'  |> filter(fn: (r) => r["_measurement"] == "{measurement}")\n'
+        '  |> filter(fn: (r) => r["_measurement"] == '
+        f'"{flux_str(measurement)}")\n'
         if measurement else ""
     )
     flux = (
-        f'from(bucket: "{bucket}")\n'
+        f'from(bucket: "{flux_str(bucket)}")\n'
         "  |> range(start: 0)\n"
         f"{meas_filter}"
         '  |> sort(columns: ["_time"], desc: false)\n'
@@ -138,12 +149,16 @@ def probe_oldest_ts(url: str, *, token: str = "", org: str = "",
         print(f"Error querying InfluxDB for the oldest timestamp: {e}")
         return None
     # annotated CSV: '#'-prefixed annotation rows, then a header row
-    # naming the columns, then data rows — find _time and take the first
+    # naming the columns, then data rows — find _time and take the first.
+    # Real CSV parsing (not line.split): a quoted value containing a comma
+    # in a column before _time must not shift the index.
+    import csv
+    import io
+
     header: list[str] | None = None
-    for line in body.splitlines():
-        if not line or line.startswith("#"):
+    for cells in csv.reader(io.StringIO(body)):
+        if not cells or (cells[0] or "").startswith("#"):
             continue
-        cells = line.split(",")
         if header is None:
             header = cells
             continue

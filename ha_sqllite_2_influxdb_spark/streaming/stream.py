@@ -29,21 +29,38 @@ from pyspark.sql import types as T
 
 from ..session import configure
 
+# one footer probe per (session, dir): every events_stream consumer in a
+# session shares the probed schema instead of re-reading parquet metadata
+_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+#: pytest observability — counts actual footer reads (tests assert == 1
+#: per (session, dir) no matter how many streaming queries ran)
+PROBE_COUNT = {"n": 0}
+
+
+def _events_schema(spark: SparkSession, path: str) -> T.StructType:
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _SCHEMA_CACHE:
+        PROBE_COUNT["n"] += 1
+        _SCHEMA_CACHE[key] = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(path).schema
+        )
+    return _SCHEMA_CACHE[key]
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over events.parquet, normalized to ts: TIMESTAMP (UTC).
 
     The driver has shipped events.ts as TIMESTAMP(NANOS) (surfacing as
     long under nanosAsLong) and as micros-without-UTC-flag (surfacing as
     TIMESTAMP or TIMESTAMP_NTZ). A file stream needs a declared schema, so
-    probe the batch reader's view of the same footer — one metadata read —
-    and declare exactly that, then normalize ts like the batch loader.
+    probe the batch reader's view of the same footer — one metadata read
+    per (session, dir), cached for all four streaming consumers — and
+    declare exactly that, then normalize ts like the batch loader.
     """
     configure(spark)
     path = sf_dir.rstrip("/")
-    probed = (
-        spark.read.option("pathGlobFilter", "events.parquet")
-        .parquet(path).schema
-    )
+    probed = _events_schema(spark, path)
     # the file stream source wants a directory; select just the events
     # table out of the shared sf dir with a glob filter
     raw = (
@@ -139,7 +156,8 @@ _DRAIN_SEQ = itertools.count()
 
 
 def drain_to_memory(sdf: DataFrame, name: str,
-                    output_mode: str = "complete") -> DataFrame:
+                    output_mode: str = "complete",
+                    progress_out: list | None = None) -> DataFrame:
     """Run an AvailableNow drain into a memory sink; return the result.
 
     complete mode emits every window even though the bounded input never
@@ -149,7 +167,14 @@ def drain_to_memory(sdf: DataFrame, name: str,
     The memory-sink table gets a per-invocation unique name: a repeated
     drain under the same logical name in one session would otherwise race
     a still-registered (or leaked, on a prior error) query of that name.
+
+    ``progress_out``: when a list is passed, the query's per-micro-batch
+    ``recentProgress`` dicts are appended to it after termination —
+    diagnostics (numInputRows per batch, state-store metrics) without
+    changing the return type.
     """
+    import json as _json
+
     unique = f"{name}_{next(_DRAIN_SEQ)}"
     q = (
         sdf.writeStream.format("memory").queryName(unique)
@@ -158,6 +183,14 @@ def drain_to_memory(sdf: DataFrame, name: str,
         .start()
     )
     q.awaitTermination()
+    if progress_out is not None:
+        for p in q.recentProgress:
+            try:
+                progress_out.append(
+                    p if isinstance(p, dict) else _json.loads(p.json)
+                )
+            except Exception:  # noqa: BLE001 — diagnostics never fail a drain
+                progress_out.append({"error": "unparseable progress"})
     return sdf.sparkSession.table(unique)
 
 

@@ -108,6 +108,9 @@ def test_tpch_q8_dims_broadcast_single_agg_shuffle(spark, sf_dir):
     # worst admissible shape: li + orders each shuffle for their join,
     # plus the aggregate exchange; the dims must contribute NONE
     assert physical.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_simhash_signature_stage_has_zero_exchange(spark, sf_dir):
     """The signature computation is a per-row fold — no explode, no
     groupBy, no shuffle of word-level data (dedup.simhash_signatures)."""
     from ha_sqllite_2_influxdb_spark.operators.dedup import (

@@ -80,7 +80,16 @@ def test_line_protocol_escaping_property_batch(spark):
     def esc_f(s):
         return s.replace("\\", "\\\\").replace('"', '\\"')
 
-    cases = sorted(set(_LP_CASES))
+    # deterministic seed corpus: the test must not pass vacuously when the
+    # hypothesis collector above didn't run first (xdist / -k selection)
+    seed = [
+        ("m m", "t,=x", 'q"\\e', False),
+        ("a,b", " lead", "", False),
+        ("plain", "", "μé.-_", False),
+        ("x=y", "c,d e", "n/a", True),
+    ]
+    cases = sorted(set(_LP_CASES) | set(seed))
+    assert len(cases) >= len(seed)
     rows = [
         (i, m, "HA", "dom", f"e{i}", tag, 10.0, 21.5 if numeric else None,
          None if numeric else sval, "21.5")

@@ -261,3 +261,42 @@ def test_stream_to_line_protocol_sink(spark, sf_dir, tmp_path):
         line_protocol(to_points(load_table(spark, sf_dir, "events"))).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_schema_probe_cached_per_session_dir(spark, sf_dir):
+    """VERDICT r4 #4: events_stream probes the parquet footer ONCE per
+    (session, dir) — repeated streaming consumers reuse the cached
+    schema instead of re-reading metadata."""
+    from ha_sqllite_2_influxdb_spark.streaming import stream as st
+
+    st.events_stream(spark, sf_dir)  # may or may not be the first probe
+    n0 = st.PROBE_COUNT["n"]
+    for _ in range(3):
+        st.events_stream(spark, sf_dir)
+    assert st.PROBE_COUNT["n"] == n0
+
+
+def test_stream_sessions_crosscheck_matches_and_writes_no_diag(spark, sf_dir):
+    """VERDICT r4 #1: the instrumented drain must equal the in-engine
+    batch formulation (no diag artifact locally) and return rows in the
+    deterministic (user_id, session_id) total order."""
+    import glob
+    import os
+
+    from ha_sqllite_2_influxdb_spark.plans.streaming_ops import (
+        _batch_sessions_closed, q_stream_sessions,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    before = set(glob.glob(os.path.join(repo, "diag", "stream_sessions_*")))
+    got = q_stream_sessions(spark, sf_dir)
+    cols = ["user_id", "session_id", "start_us", "end_us", "n_events"]
+    rows = [tuple(r) for r in got.select(*cols).collect()]
+    assert rows == sorted(rows, key=lambda r: (r[0], r[1]))
+    want = sorted(
+        tuple(r) for r in _batch_sessions_closed(spark, sf_dir)
+        .select(*cols).collect()
+    )
+    assert sorted(rows) == want
+    after = set(glob.glob(os.path.join(repo, "diag", "stream_sessions_*")))
+    assert after == before
