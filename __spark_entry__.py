@@ -38,9 +38,9 @@ _DRIVER_WINDOW = [
     "ha_oldest_point", "ha_backfill_boundary", "ha_line_protocol",
     "ha_ts_format",
     # SURVEY §2 T2-T4: streaming drain / dedup / windows / sessions /
-    # stream-stream interval join
+    # stream-stream interval join + the native session-window tier
     "events_hourly", "stream_dedup", "stream_sessions", "stream_join",
-    "events_sliding",
+    "events_sliding", "session_window_native",
     # LLM data pipeline: deduplication + cluster-canonical selection
     # (minhash_signatures rotated out: neardup_minhash_lsh builds on it)
     "dedup_exact", "neardup_minhash_lsh",
@@ -50,21 +50,24 @@ _DRIVER_WINDOW = [
     "decontaminate", "pack_sequences", "curriculum_topk",
     # similarity search (exact tiers; ANN tiers are rows-only, after window)
     "embedding_knn", "embedding_neardup", "embedding_centroids",
-    # text analysis
-    "token_stats", "text_quality", "lang_id", "fingerprints",
-    "text_clean", "top_bigrams", "text_scrub",
-    # deterministic sampling
-    "sample_uniform", "sample_stratified",
+    # text analysis (rotated r5 per VERDICT r4 #2: token_stats /
+    # text_quality / lang_id / fingerprints / text_clean / top_bigrams /
+    # text_scrub / sample_uniform / sample_stratified / multimodal_meta
+    # left the window after 3 green rounds; their pytest oracle coverage
+    # stays — the slots give the analytics breadth a driver verdict)
     # multimodal columns
-    "multimodal_meta", "multimodal_frames",
+    "multimodal_frames",
     # skew-aware ops
     "salted_join", "distinct_twophase",
-    # analytics breadth: TPC-H adaptations, windows, special joins
-    # (q4/q17, rollup/cube/grouping sets, set ops, pivot, quantiles,
-    # sketches, range_band_join, upsert, z-order and the ANN tiers sit
+    # analytics breadth: TPC-H adaptations, windows, special joins,
+    # grouping sets / rollup, set ops, pivot, quantiles, range-band join
+    # (q4/q17, cube, sketches, upsert, z-order and the ANN tiers sit
     # past the window; all stay covered by the pytest oracle suite)
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q10", "tpch_q18", "tpch_q19", "tpch_q22",
+    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q18",
+    "tpch_q19", "tpch_q22",
+    "grouping_sets", "rollup_orders", "set_ops", "pivot_events",
+    "quantiles", "range_band_join",
     "window_running", "window_topk", "sessionize", "asof_join",
 ]
 assert len(_DRIVER_WINDOW) == 50

@@ -28,6 +28,7 @@ HEADLINE = {
     "sessionize": analytics.q_sessionize,
     "dedup_exact": llm_ops.q_dedup_exact,
     "neardup_xxhash_lsh": llm_ops.q_neardup_xxhash_lsh,
+    "simhash_neighbors_rotated": llm_ops.q_simhash_neighbors_rotated,
     "embedding_knn": llm_ops.q_embedding_knn,
     "token_stats": llm_ops.q_token_stats,
     "lang_id": llm_ops.q_lang_id,
