@@ -55,8 +55,25 @@ def main() -> None:
         df.count()
     llm_ops.recrawl(spark, sf_dir).count()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # generic engine warm-up (standard JMH-style): drive the broadcast-join
+    # machinery, regex evaluator and noop writer through enough executions
+    # that C2 compiles the shared codegen infrastructure BEFORE the first
+    # timed query. Without this the first headline queries sample the JIT
+    # ramp (profiled r5: identical ha_points plan runs 1.85 → 0.74 → 0.66
+    # → 0.58 → … → 0.21 s at sf0.1) and per-round numbers measure warm-up
+    # position, not engine throughput. Shapes here are generic (events ⋈
+    # tiny dim, rlike filter), not any headline query's own plan.
+    from pyspark.sql import functions as F
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.select("user_id").distinct().limit(500)
+    for _ in range(3):
+        (ev.join(F.broadcast(dim), "user_id")
+           .filter(F.col("event_type").rlike("^[a-z]+$"))
+           .select("event_id", "user_id", "event_type")
+           .write.format("noop").mode("overwrite").save())
 
-    steady_runs = 2
+    steady_runs = 3
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
     for name, fn in HEADLINE.items():
@@ -64,10 +81,11 @@ def main() -> None:
         # compilation + AQE re-planning for THIS query shape, ~2s on
         # sub-second queries); steady-state = min over repeated warm runs
         # (the min filters same-host scheduling noise, which measures
-        # ±30% run-to-run on this container), the sustained per-query
+        # ±30% run-to-run on this container, and the tail of the C2 JIT
+        # ramp — see the warm-up note above), the sustained per-query
         # throughput a long-running cluster actually delivers. BOTH are
         # reported so rounds stay comparable (BENCH_r01 was cold-only,
-        # BENCH_r02 steady-only).
+        # BENCH_r02 steady-only, r4 min-of-2, r5+ min-of-3).
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings_cold[name] = round(time.time() - t0, 3)

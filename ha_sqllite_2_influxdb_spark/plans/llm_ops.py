@@ -89,9 +89,16 @@ def q_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_neighbors_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale tier (rows-only): multi-rotation simhash bucketing with the
-    hot-bucket cap ON — pytest asserts recall >= the single bucketing."""
+    hot-bucket cap ON — pytest asserts recall >= the single bucketing.
+
+    ``portable=False``: the scale path hashes words with native xxhash64
+    (48-bit signatures) instead of the per-character rolling hash the
+    DuckDB-oracle tier needs — the word-hash stage drops from O(chars)
+    interpreted lambda steps to one JVM hash call per word (~20% wall on
+    the whole pipeline at sf0.1; the rolling hash exists ONLY for oracle
+    portability, simhash_neighbors keeps it)."""
     return dedup.simhash_neighbors_rotated(
-        recrawl(spark, sf_dir), max_hamming=HAMMING_T
+        recrawl(spark, sf_dir), max_hamming=HAMMING_T, portable=False
     )
 
 
