@@ -281,3 +281,70 @@ def test_neardup_clusters_group_recrawl_copies(spark, sf_dir):
             "exact copy must share its original's cluster"
         assert labels[d][0] <= d, "label must be a reachable minimum"
         assert labels[d][1] >= 2
+
+
+def test_png_decode_golden(spark, sf_dir):
+    """The PNG decoder must chunk-walk, inflate and INVERSE-FILTER back to
+    exactly the pixels the synthesizer encoded: mean_pixel must equal an
+    independent recomputation from the document text (pixel k = utf-8
+    byte k mod len) — a wrong Sub/Up/Average/Paeth inverse shows up here."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    decoded = {r.doc_id: r for r in
+               multimodal.decode_png(
+                   multimodal.png_payloads(docs)).collect()}
+    assert decoded.keys() == texts.keys()
+    for doc_id, text in texts.items():
+        r = decoded[doc_id]
+        w, h = (doc_id % 16) + 4, (doc_id % 8) + 2
+        assert (r.width, r.height, r.bit_depth, r.color_type,
+                r.n_pixels) == (w, h, 8, 0, w * h)
+        src = text.encode("utf-8") or b"\x00"
+        want = np.array([src[k % len(src)] for k in range(w * h)],
+                        dtype=np.float64)
+        assert r.mean_pixel == float(want.mean()), doc_id
+
+
+def test_png_decode_exercises_every_filter_type(spark):
+    """Heights >= 5 guarantee scanline filters 0..4 all occur (the
+    synthesizer cycles them per row); a crafted 6-row doc plus golden
+    pixel check pins each inverse filter individually."""
+    import numpy as np
+
+    df = spark.createDataFrame(
+        # doc_id 20: w=(20%16)+4=8, h=(20%8)+2=6 -> filters 0,1,2,3,4,0
+        [(20, "The quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    r = multimodal.decode_png(multimodal.png_payloads(df)).collect()[0]
+    assert (r.width, r.height) == (8, 6)
+    src = "The quick brown fox jumps over the lazy dog".encode()
+    want = np.array([src[k % len(src)] for k in range(8 * 6)], np.float64)
+    assert r.mean_pixel == float(want.mean())
+
+
+def test_png_decode_rejects_malformed(spark):
+    """Garbage / truncated / wrong-subset payloads become null-dimension
+    rows (the P7 bad-row convention), never batch failures."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    rgb_ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0))
+    bad_idat = chunk(b"IDAT", b"not deflate data")
+    ok_ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0))
+    df = spark.createDataFrame(
+        [(1, b"not a png"), (2, sig), (3, b""),
+         (4, sig + rgb_ihdr),            # unsupported color type
+         (5, sig + ok_ihdr + bad_idat)],  # corrupt deflate stream
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.decode_png(df).collect()}
+    assert len(rows) == 5
+    assert all(rows[i].width is None for i in rows)
