@@ -225,6 +225,55 @@ def test_cli_main_incremental_via_flux_probe(spark, recorder_db):
         server.stop()
 
 
+def test_cli_main_boundary_ts_override_skips_probe(spark, recorder_db):
+    """VERDICT r4 #8: the explicit BOUNDARY_TS mode (write-only tokens /
+    air-gapped sinks) must bound the migration WITHOUT issuing any Flux
+    probe, and the written line set must equal the direct rendering of
+    the boundary-bounded migration scan."""
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.__main__ import main
+    from ha_sqllite_2_influxdb_spark.sinks.influx import line_protocol
+    from tests.test_sinks import _RecordingInfluxServer
+
+    cutoff = 1700000000.0 + 50 * 60.0
+    server = _RecordingInfluxServer(oldest="2000-01-01T00:00:00Z")
+    try:
+        rc = main({
+            "SQLITE_DB": recorder_db,
+            "INFLUXDB_URL": server.url,
+            "INFLUXDB_TOKEN": "tok",
+            "INFLUXDB_ORG": "o",
+            "INFLUXDB_BUCKET": "b",
+            "BOUNDARY_TS": str(cutoff),
+            "SPARK_GRAFT_CPUS": "8",
+        })
+        assert rc == 0
+        assert server.queries == []  # explicit boundary: NO probe issued
+        received = [
+            ln for r in server.requests for ln in r["body"].splitlines()
+            if ln
+        ]
+        want = [
+            r.line for r in line_protocol(
+                src.migration_points(spark, recorder_db, boundary_ts=cutoff),
+                raw_state=F.col("state_raw"),
+            ).collect()
+        ]
+        assert sorted(received) == sorted(want)
+        assert len(received) == 50 * 4 // 5
+    finally:
+        server.stop()
+
+    # malformed BOUNDARY_TS fails fast, before any Spark work
+    assert main({
+        "SQLITE_DB": recorder_db,
+        "INFLUXDB_URL": "http://127.0.0.1:9",
+        "INFLUXDB_TOKEN": "t", "INFLUXDB_ORG": "o", "INFLUXDB_BUCKET": "b",
+        "BOUNDARY_TS": "not-a-float",
+    }) == 1
+
+
 def test_cli_main_fails_fast_on_missing_config(capsys):
     from ha_sqllite_2_influxdb_spark.__main__ import main
 
