@@ -962,6 +962,167 @@ def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: the driver schema has no partsupp, so
+    the "inventory value" relation is part itself): total retail value
+    per p_type, keeping groups above 2% of the GLOBAL value.
+
+    The defining plan: one groupBy, then a filter of groups against a
+    BROADCAST 1-row scalar of the whole relation — groups never shuffle
+    against groups. The 2% threshold compares exact integers
+    (50·value > total ⟺ value > 0.02·total), so the oracle hash is
+    exact, not tolerance-based."""
+    part = _t(spark, sf_dir, "part")
+    v = part.groupBy("p_type").agg(
+        F.sum(_cents(F.col("p_retailprice"))).alias("_v")
+    )
+    total = v.agg(F.sum("_v").alias("_tot"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("_v") * 50 > F.col("_tot"))
+        .select("p_type", (F.col("_v") / 100.0).alias("value"))
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/l_receiptdate in the
+    driver schema — "late" is shipping >60 days after the order date and
+    the grouping key is the ship month of 1997): per month, how many
+    late lineitems belonged to high-priority vs other orders.
+
+    orders joins as the dimension side; the CASE-routed double count is
+    one pass, one shuffle on the 12-key month space."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: quarterly revenue per supplier, keeping
+    the supplier(s) whose revenue EQUALS the maximum (the correlated
+    `= (SELECT max(...))` shape, decorrelated to a broadcast 1-row max
+    joined back — no second scan of lineitem, no window over the whole
+    revenue relation). Ties all surface, exactly like the spec query."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice"))
+              * (100 - _cents(F.col("l_discount")))).alias("_r")
+    )
+    mx = rev.agg(F.max("_r").alias("_mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("_r") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                (F.col("_r") / 10000.0).alias("total_revenue"))
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: supplier-per-part relationships come
+    from lineitem instead of the absent partsupp): distinct supplier
+    count per (p_brand, p_size) for mid-size non-excluded brands.
+
+    part is the broadcast dimension; count(DISTINCT l_suppkey) plans as
+    the two-phase expand/partial-agg — the (key, suppkey) pairs shuffle
+    deduped, never raw lineitems."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").between(10, 25)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: the part qualifier is p_type = 'PROMO'
+    instead of the absent p_name LIKE / partsupp availability check):
+    suppliers who shipped more than 150 units of PROMO parts in 1997 —
+    a two-level IN chain planned as semi joins.
+
+    Qualifying parts broadcast into lineitem; the per-supplier HAVING
+    sum reduces to a small suppkey set that broadcasts into supplier as
+    a LEFT SEMI probe — supplier never shuffles."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    promo = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    heavy = (
+        li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("_q"))
+        .filter(F.col("_q") > 150)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(heavy),
+                  F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: with no commit/receipt dates, "the
+    supplier who kept the order waiting" is the strictly-LAST shipper of
+    a late multi-supplier finished order): per supplier name, how many
+    such orders.
+
+    The spec's EXISTS/NOT EXISTS pair maps to a LEFT SEMI then a LEFT
+    ANTI self-join of lineitem, each an equi-join on l_orderkey whose
+    inequality conjuncts ride as join residuals — no cross product, and
+    the 100 TB side streams through both probes once."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("_k2"),
+                   F.col("l_suppkey").alias("_s2"))
+    l3 = li.select(F.col("l_orderkey").alias("_k3"),
+                   F.col("l_suppkey").alias("_s3"),
+                   F.col("l_shipdate").alias("_d3"))
+    waited = (
+        l1.join(l2, (F.col("_k2") == F.col("l_orderkey"))
+                & (F.col("_s2") != F.col("l_suppkey")), "left_semi")
+        .join(l3, (F.col("_k3") == F.col("l_orderkey"))
+              & (F.col("_s3") != F.col("l_suppkey"))
+              & (F.col("_d3") > F.col("l_shipdate")), "left_anti")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        waited.join(F.broadcast(supp),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 QUERIES = {
     "grouping_sets": q_grouping_sets,
     "tpch_q7": q_tpch_q7,
@@ -974,6 +1135,12 @@ QUERIES = {
     "tpch_q8": q_tpch_q8,
     "tpch_q9": q_tpch_q9,
     "tpch_q13": q_tpch_q13,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
     "unpivot_part": q_unpivot_part,
     "salted_join": q_salted_join,
     "window_analytics": q_window_analytics,
@@ -1017,6 +1184,76 @@ SELECT o_orderstatus, o_orderpriority,
        sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    "tpch_q11": """
+WITH v AS (
+  SELECT p_type, sum(CAST(round(p_retailprice*100) AS BIGINT)) AS _v
+  FROM part GROUP BY p_type
+)
+SELECT p_type, _v / 100.0 AS value
+FROM v WHERE _v * 50 > (SELECT sum(_v) FROM v)
+""",
+    "tpch_q12": """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY strftime(l_shipdate, '%Y-%m')
+""",
+    "tpch_q15": """
+WITH rev AS (
+  SELECT l_suppkey,
+    sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(round(l_discount*100) AS BIGINT))) AS _r
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, _r / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE _r = (SELECT max(_r) FROM rev)
+""",
+    "tpch_q16": """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 10 AND 25
+GROUP BY p_brand, p_size
+""",
+    "tpch_q20": """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+)
+""",
+    "tpch_q21": """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
 """,
     "tpch_q7": """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -132,3 +132,26 @@ def test_bucket_cap_adds_no_extra_exchange(spark, sf_dir):
     capped = explain_str(lsh_candidate_pairs(corpus))
     uncapped = explain_str(lsh_candidate_pairs(corpus, bucket_cap=None))
     assert capped.count("Exchange") == uncapped.count("Exchange"), capped
+
+
+def test_tpch_q21_plans_semi_then_anti_no_cross(spark, sf_dir):
+    """The EXISTS/NOT EXISTS pair must become LeftSemi + LeftAnti
+    equi-joins on l_orderkey (inequalities as residuals) — never a
+    cartesian/nested-loop product of lineitem with itself."""
+    plan = explain_str(analytics.q_tpch_q21(spark, sf_dir))
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "LeftSemi" in physical, plan
+    assert "LeftAnti" in physical, plan
+    assert "CartesianProduct" not in physical, plan
+    assert "BroadcastNestedLoopJoin" not in physical.replace(
+        "BroadcastNestedLoopJoin BuildRight, LeftSemi", ""), plan
+
+
+def test_tpch_q15_max_is_broadcast_scalar(spark, sf_dir):
+    """The `= max(revenue)` subquery must join back as a broadcast 1-row
+    scalar — revenue groups must not shuffle a second time for a window
+    or a self-join."""
+    plan = explain_str(analytics.q_tpch_q15(spark, sf_dir))
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastExchange" in physical, plan
+    assert "Window" not in physical, plan
