@@ -642,3 +642,63 @@ def neardup_clusters(corpus: DataFrame, threshold: float = 0.5,
     return labels.withColumn(
         "n_members", F.count(F.lit(1)).over(W.partitionBy("cluster_id"))
     )
+
+
+def ngram_span_stats(documents: DataFrame, n: int = 8,
+                     use_hash: bool = True) -> DataFrame:
+    """Duplicated n-gram span statistics (the measurement half of
+    substring-level training-data dedup, per Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    document, how many of its word n-grams also appear in ANOTHER
+    document — the per-doc boilerplate/contamination fraction curation
+    thresholds on.
+
+    Output: (doc_id, n_ngrams, n_dup_ngrams, dup_ratio).
+
+    Scale shape (``use_hash=True``, the default): n-gram STRINGS never
+    shuffle — each position becomes one xxhash64 long, so the wire volume
+    is 8 bytes/position instead of ~8 words/position. Three bounded
+    shuffles: (1) groupBy hash for cross-doc occurrence counts, (2) a
+    LEFT SEMI probe of positions against the (usually small) duplicated
+    set, (3) per-doc re-aggregation. ``n_ngrams`` itself is computed
+    map-side from the word count, no shuffle. ``use_hash=False`` groups
+    by the n-gram string — the independent formulation the DuckDB oracle
+    uses; pytest asserts both produce identical stats (a 64-bit collision
+    would have to appear within one corpus to diverge them).
+    """
+    ws = F.split(F.col("text"), " ")
+    n_ngrams = F.greatest(F.size(ws) - (n - 1), F.lit(0)).cast("long")
+    gram = lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n))  # noqa: E731
+    grams = F.when(
+        n_ngrams > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            (lambda i: F.xxhash64(gram(i))) if use_hash else gram,
+        ),
+    ).otherwise(F.array().cast(
+        "array<bigint>" if use_hash else "array<string>"))
+    g = documents.select("doc_id", F.explode(grams).alias("g"))
+    dup = (
+        g.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("g")
+    )
+    dup_per_doc = (
+        g.join(dup, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_ngrams"))
+    )
+    base = documents.select("doc_id", n_ngrams.alias("n_ngrams"))
+    return (
+        base.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_ngrams",
+            F.coalesce(F.col("n_dup_ngrams"), F.lit(0)).alias("n_dup_ngrams"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.coalesce(F.col("n_dup_ngrams"), F.lit(0)).cast("double")
+                / F.col("n_ngrams"),
+            ).alias("dup_ratio"),
+        )
+    )

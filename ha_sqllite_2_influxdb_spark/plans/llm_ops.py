@@ -77,6 +77,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated n-gram span fraction over the recrawl corpus
+    (substring-dedup measurement, Lee et al. 2022). The engine groups
+    xxhash64 longs so n-gram strings never shuffle; the oracle is the
+    independent string-grouping formulation."""
+    return dedup.ngram_span_stats(recrawl(spark, sf_dir), n=8)
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_signatures(_docs(spark, sf_dir).select("doc_id", "text"))
 
@@ -344,6 +352,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "neardup_minhash_lsh": q_neardup_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_span_dedup": q_ngram_span_dedup,
     "neardup_clusters": q_neardup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
     "decontaminate": q_decontaminate,
@@ -754,6 +763,32 @@ cand AS (
 ),
 {_JACCARD_FROM_CAND}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
+""",
+    "ngram_span_dedup": f"""WITH {_CORPUS},
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+pos AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+  FROM w
+),
+g AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS ng FROM pos),
+dup AS (
+  SELECT ng FROM g GROUP BY ng HAVING count(DISTINCT doc_id) > 1
+),
+per AS (
+  SELECT g.doc_id,
+         CAST(sum(CASE WHEN dup.ng IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_ngrams
+  FROM g LEFT JOIN dup ON g.ng = dup.ng
+  GROUP BY g.doc_id
+)
+SELECT w.doc_id,
+  CAST(greatest(len(ws) - 7, 0) AS BIGINT) AS n_ngrams,
+  coalesce(n_dup_ngrams, 0) AS n_dup_ngrams,
+  CASE WHEN len(ws) - 7 > 0
+       THEN CAST(coalesce(n_dup_ngrams, 0) AS DOUBLE)
+            / (len(ws) - 7) END AS dup_ratio
+FROM w LEFT JOIN per ON w.doc_id = per.doc_id
 """,
     "simhash_signatures": f"""WITH corpus AS (SELECT doc_id, text FROM documents),
 w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus),

@@ -348,3 +348,30 @@ def test_png_decode_rejects_malformed(spark):
     rows = {r.doc_id: r for r in multimodal.decode_png(df).collect()}
     assert len(rows) == 5
     assert all(rows[i].width is None for i in rows)
+
+
+def test_ngram_span_stats_crafted_and_formulation_parity(spark, sf_dir):
+    """A shared 8-word span must count as duplicated in BOTH docs and in
+    neither singleton position; the xxhash64-grouping scale path must
+    produce identical stats to the string-grouping oracle formulation."""
+    shared = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, shared + " x y z"), (2, "p q r " + shared), (3, "u v w"),
+         (4, "only seven words here so no grams")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup.ngram_span_stats(df, 8).collect()}
+    # doc1: 4 ngrams, only position 0 ("a..h") appears in doc2 -> 1 dup
+    assert (got[1].n_ngrams, got[1].n_dup_ngrams) == (4, 1)
+    assert (got[2].n_ngrams, got[2].n_dup_ngrams) == (4, 1)
+    assert got[1].dup_ratio == 0.25
+    # doc3: shorter than n -> zero ngrams, NULL ratio
+    assert (got[3].n_ngrams, got[3].n_dup_ngrams) == (0, 0)
+    assert got[3].dup_ratio is None
+    assert got[4].n_ngrams == 0
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(tuple(r) for r in
+               dedup.ngram_span_stats(docs, 8, use_hash=True).collect())
+    b = sorted(tuple(r) for r in
+               dedup.ngram_span_stats(docs, 8, use_hash=False).collect())
+    assert a == b
