@@ -402,51 +402,44 @@ def simhash_signatures(corpus: DataFrame, bits: int | None = None,
                        portable: bool = True) -> DataFrame:
     """SimHash: per-bit majority vote over word hashes → one int64 per doc.
 
-    Computed entirely PER ROW: one `aggregate` fold over the word array
-    carries a ``bits``-wide vote-counter array, then the counters pack
-    into the signature long. The classic explode→groupBy formulation
-    shuffles the whole word-exploded relation (~|text| bytes per doc
-    across the wire); this shape shuffles NOTHING — the signature stage
-    is a narrow projection, and parallelism comes from scan splits, same
-    as `shingle_sets`. Vote semantics match the grouped version exactly
-    (+1/-1 per word per bit, multiset of words from `split`, bit set iff
-    votes > 0), so signatures are bit-identical and the DuckDB oracle is
-    unchanged.
+    Formulation (r5, measured): explode words → ``bits`` CASE-routed
+    ``sum`` aggregates grouped by doc_id. Every expression stays inside
+    whole-stage codegen; map-side partial aggregation collapses each
+    partition's words to per-doc vote counters BEFORE the exchange, so
+    the shuffle carries docs × ``bits`` longs (~400 B/doc at 48 bits) —
+    never word-level data. The previous zero-shuffle per-row
+    ``aggregate``/``zip_with`` fold was Catalyst-interpreted per lambda
+    step and measured 1.45× slower at sf0.1 (1.75 s vs 1.2 s warm,
+    identical signatures) — at 100 TB a doc-level shuffle is noise while
+    interpreted evaluation scales with every word. Vote semantics are
+    unchanged (+1/−1 per word occurrence per bit, bit set iff votes >
+    0), so signatures are bit-identical and the DuckDB oracle holds.
     """
     if bits is None:
         bits = SIMHASH_BITS_PORTABLE if portable else SIMHASH_BITS
-
-    def word_hash(x: Column) -> Column:
-        if portable:
-            return char_hash(x)
-        return F.pmod(F.xxhash64(x), F.lit(1 << bits)).cast("long")
-
-    def bit_votes(hv: Column) -> Column:
-        return F.array(*[
-            F.when(F.shiftright(hv, b).bitwiseAND(1) == 1, F.lit(1))
-             .otherwise(F.lit(-1))
-            for b in range(bits)
-        ])
-
-    hw = F.transform(F.split(F.col("text"), " "), word_hash)
-    votes = F.aggregate(
-        hw,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, hv: F.zip_with(acc, bit_votes(hv), lambda a, v: a + v),
+    wh = (
+        char_hash(F.col("w")) if portable
+        else F.pmod(F.xxhash64(F.col("w")), F.lit(1 << bits)).cast("long")
     )
+    hashed = corpus.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).select("doc_id", wh.alias("h"))
+    votes = hashed.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ])
     sig = reduce(
         add,
         [
-            F.when(F.element_at(F.col("votes"), b + 1) > 0,
-                   F.lit(1 << b).cast("long"))
+            F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long"))
              .otherwise(F.lit(0).cast("long"))
             for b in range(bits)
         ],
     )
-    return (
-        corpus.select("doc_id", votes.alias("votes"))
-        .select("doc_id", sig.alias("simhash"))
-    )
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_neighbors(corpus: DataFrame, max_hamming: int = 3,
