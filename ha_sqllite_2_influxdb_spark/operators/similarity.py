@@ -402,3 +402,89 @@ def ann_lsh_pairs(embeddings: DataFrame, threshold: float = 0.35,
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def kmeans_lloyd(embeddings: DataFrame, k: int = 8, iters: int = 5,
+                 dim: int = DIM, scale: int = 1_000_000) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column — the
+    iterative-algorithm shape (like dedup's connected components) done
+    deterministically end-to-end:
+
+    - **init**: the ``k`` vectors with the smallest vec_id (a bounded
+      driver collect of k×dim floats, the same convention as
+      `ivf_topk`'s codebook — never the relation itself);
+    - **assign**: Arrow-batched ``mapInPandas`` — one numpy matmul per
+      record batch against the broadcast centroid matrix, argmin ties
+      breaking to the lowest cluster id;
+    - **update**: ``posexplode`` → groupBy (cluster, pos) with
+      QUANTIZED-EXACT integer sums (`label_centroids`' fixed-point
+      design) — partial aggregation collapses each partition to
+      ≤ k·dim rows before the one shuffle, and integer associativity
+      makes every iteration's centroids independent of partition order,
+      so the whole fixpoint is bit-reproducible;
+    - empty clusters keep their previous centroid.
+
+    Returns (vec_id, cluster, dist2) for the final assignment. At 100 TB
+    each iteration is one pass over the (persisted) relation: an
+    embarrassingly-parallel scoring map plus a k·dim-row shuffle —
+    nothing quadratic, no driver data beyond k×dim.
+    """
+    import numpy as np
+
+    # one scan per iteration re-reads the source otherwise; iterative
+    # jobs persist their working set (same trade as any Lloyd's run —
+    # memory/disk for k passes). StorageLevel default spills to disk.
+    emb = embeddings.select("vec_id", "embedding").persist()
+    init_rows = (
+        emb.orderBy("vec_id").limit(k).collect()
+    )
+    centroids = np.array([list(r.embedding) for r in init_rows],
+                         dtype=np.float64)
+
+    out_schema = "vec_id long, cluster int, dist2 double, embedding array<float>"
+
+    def make_assign(cents):
+        c = cents.copy()
+        c2 = (c * c).sum(axis=1)
+
+        def assign(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array(list(pdf["embedding"]), dtype=np.float64)
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin unaffected by
+                # the shared ||x||² but dist2 reports the true value
+                d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ c.T) + c2[None, :]
+                cl = d.argmin(axis=1)  # ties -> lowest cluster id
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "cluster": cl.astype("int32"),
+                    "dist2": d[np.arange(len(cl)), cl],
+                    "embedding": pdf["embedding"],
+                })
+
+        return assign
+
+    assigned = None
+    for _ in range(iters):
+        assigned = emb.mapInPandas(make_assign(centroids), out_schema)
+        stats = (
+            assigned.select("cluster", F.posexplode("embedding")
+                            .alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("v").cast("double") * scale)
+                      .cast("long")).alias("qsum"),
+            )
+            .collect()
+        )
+        new_c = centroids.copy()  # empty clusters keep their centroid
+        for r in stats:
+            new_c[r.cluster][r.pos] = (r.qsum / scale) / r.n
+        centroids = new_c
+    return emb.mapInPandas(make_assign(centroids), out_schema) \
+              .select("vec_id", "cluster", "dist2")

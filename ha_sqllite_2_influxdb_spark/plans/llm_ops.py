@@ -152,6 +152,15 @@ def q_curriculum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curriculum_topk(_docs(spark, sf_dir))
 
 
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (iterative, no SQL oracle): deterministic distributed
+    Lloyd's k-means — bit-reproducible across runs and partitionings via
+    quantized-integer centroid updates; pytest asserts run-to-run
+    identity, exact parity with an independent numpy reference, and
+    non-increasing inertia over iterations."""
+    return similarity.kmeans_lloyd(_emb(spark, sf_dir), k=8, iters=3)
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components with quantized-exact accumulation."""
     return similarity.label_centroids(_emb(spark, sf_dir))
@@ -359,6 +368,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "curriculum_topk": q_curriculum_topk,
     "embedding_centroids": q_embedding_centroids,
+    "kmeans_embeddings": q_kmeans_embeddings,
     "simhash_signatures": q_simhash_signatures,
     "simhash_neighbors": q_simhash_neighbors,
     "simhash_neighbors_rotated": q_simhash_neighbors_rotated,

@@ -375,3 +375,48 @@ def test_ngram_span_stats_crafted_and_formulation_parity(spark, sf_dir):
     b = sorted(tuple(r) for r in
                dedup.ngram_span_stats(docs, 8, use_hash=False).collect())
     assert a == b
+
+
+def test_kmeans_deterministic_and_matches_numpy_reference(spark, sf_dir):
+    """The distributed fixpoint must be bit-reproducible run-to-run AND
+    exactly equal an independent single-machine numpy implementation of
+    the same algorithm (same init, same fixed-point quantization) — the
+    quantized-integer update is what makes partition order irrelevant."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k, iters, scale = 4, 3, 1_000_000
+    a = sorted(tuple(r) for r in
+               similarity.kmeans_lloyd(emb, k=k, iters=iters).collect())
+    b = sorted(tuple(r) for r in
+               similarity.kmeans_lloyd(emb, k=k, iters=iters).collect())
+    assert a == b
+    rows = sorted((r.vec_id, list(r.embedding)) for r in
+                  emb.select("vec_id", "embedding").collect())
+    ids = np.array([i for i, _ in rows])
+    x = np.array([v for _, v in rows], dtype=np.float64)
+    c = x[:k].copy()  # k smallest vec_ids, in order
+    for _ in range(iters):
+        d = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+        cl = d.argmin(1)
+        for j in range(k):
+            m = cl == j
+            if m.any():
+                q = np.round(x[m].astype(np.float64) * scale).astype(np.int64)
+                c[j] = (q.sum(0) / scale) / m.sum()
+    d = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
+    cl = d.argmin(1)
+    want = sorted(zip(ids.tolist(), cl.tolist()))
+    got = sorted((v, cc) for v, cc, _ in a)
+    assert got == want
+
+
+def test_kmeans_inertia_non_increasing(spark, sf_dir):
+    """More Lloyd iterations can only tighten the clustering: total
+    within-cluster squared distance must be non-increasing in iters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    inertias = []
+    for iters in (1, 3, 5):
+        df = similarity.kmeans_lloyd(emb, k=4, iters=iters)
+        inertias.append(df.agg({"dist2": "sum"}).collect()[0][0])
+    assert inertias[0] >= inertias[1] >= inertias[2]
