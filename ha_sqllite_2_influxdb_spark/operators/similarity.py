@@ -488,3 +488,207 @@ def kmeans_lloyd(embeddings: DataFrame, k: int = 8, iters: int = 5,
         centroids = new_c
     return emb.mapInPandas(make_assign(centroids), out_schema) \
               .select("vec_id", "cluster", "dist2")
+
+
+def pq_train(embeddings: DataFrame, m: int = 8, ksub: int = 16,
+             iters: int = 3, dim: int = DIM, scale: int = 1_000_000):
+    """Train product-quantization codebooks (Jégou et al. 2011, the
+    IVF-PQ building block): split each (L2-normalized) vector into ``m``
+    subvectors of dim/m and k-means each subspace with ``ksub``
+    centroids.
+
+    All ``m`` subspace k-means run TOGETHER — one Arrow-batched
+    assignment pass + one quantized-integer (sub, code, pos) aggregation
+    per iteration, never a per-subspace job fan-out. Same determinism
+    design as `kmeans_lloyd` (k-smallest-id init, fixed-point sums), so
+    the codebooks are bit-reproducible. Returns a numpy array
+    [m, ksub, dim//m] — bounded driver state (the codebook convention of
+    `ivf_topk`), never the relation.
+    """
+    import numpy as np
+
+    dsub = dim // m
+    emb = _normalized(embeddings).persist()
+    init = emb.orderBy("vec_id").limit(ksub).collect()
+    x0 = np.array([list(r.nv) for r in init], dtype=np.float64)
+    books = np.stack([x0[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+
+    for _ in range(iters):
+        assigned = emb.mapInPandas(
+            _pq_assign(books, m, dsub),
+            "vec_id long, codes array<int>, nv array<double>",
+        )
+        stats = (
+            assigned.select(
+                "codes", F.posexplode("nv").alias("pos", "v")
+            )
+            .select(
+                (F.col("pos") / dsub).cast("int").alias("sub"),
+                F.expr(f"codes[cast(pos / {dsub} as int)]").alias("code"),
+                (F.col("pos") % dsub).alias("spos"),
+                "v",
+            )
+            .groupBy("sub", "code", "spos")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("v") * scale).cast("long")).alias("qsum"),
+            )
+            .collect()
+        )
+        new_books = books.copy()  # empty codes keep their centroid
+        for r in stats:
+            new_books[r.sub][r.code][r.spos] = (r.qsum / scale) / r.n
+        books = new_books
+    return books
+
+
+def _normalized(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, nv): L2-normalized double vector — on the unit sphere,
+    squared-L2 ranking is exactly reverse-cosine ranking, so PQ/ADC
+    results are comparable to the cosine brute-force baseline."""
+    n2 = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda a, v: a + v.cast("double") * v.cast("double"),
+    )
+    return embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: v.cast("double") / F.sqrt(F.greatest(n2, F.lit(1e-30))),
+        ).alias("nv"),
+    )
+
+
+def _pq_assign(books, m: int, dsub: int):
+    import numpy as np
+
+    b = books.copy()
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf["nv"]), dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * dsub:(s + 1) * dsub]
+                cs = b[s]
+                d = ((xs * xs).sum(1)[:, None] - 2.0 * (xs @ cs.T)
+                     + (cs * cs).sum(1)[None, :])
+                codes[:, s] = d.argmin(1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "codes": list(codes),
+                "nv": pdf["nv"],
+            })
+
+    return assign
+
+
+def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+                m: int = 8, ksub: int = 16, iters: int = 3,
+                dim: int = DIM) -> DataFrame:
+    """Approximate top-k by Asymmetric Distance Computation over PQ
+    codes: each query keeps its EXACT subvectors; every candidate is its
+    ``m`` byte codes, scored by a per-query lookup table
+    lut[s][code] = ||q_sub − centroid||² summed across subspaces.
+
+    Scale shape: candidates never rematerialize float vectors at query
+    time — scoring reads m ints per candidate against a broadcast
+    (n_queries × m × ksub) LUT, and each Arrow batch emits only its own
+    per-query top-k (partial top-k inside the batch, the map-side-combine
+    analog), so the final window ranks ≤ batches·k rows per query
+    instead of all candidates. Output: (query_id, cand_id, adc_dist, rk).
+    """
+    import numpy as np
+
+    books = pq_train(embeddings, m=m, ksub=ksub, iters=iters, dim=dim)
+    dsub = dim // m
+    emb = _normalized(embeddings)
+    codes = emb.filter(F.col("vec_id") >= n_queries).mapInPandas(
+        _pq_assign(books, m, dsub), "vec_id long, codes array<int>, nv array<double>"
+    ).select("vec_id", "codes")
+    qrows = sorted(
+        (r.vec_id, list(r.nv))
+        for r in emb.filter(F.col("vec_id") < n_queries).collect()
+    )
+    qids = np.array([i for i, _ in qrows], dtype=np.int64)
+    qv = np.array([v for _, v in qrows], dtype=np.float64)
+    lut = np.empty((len(qids), m, ksub), dtype=np.float64)
+    for s in range(m):
+        qs = qv[:, s * dsub:(s + 1) * dsub]
+        cs = books[s]
+        lut[:, s, :] = ((qs * qs).sum(1)[:, None] - 2.0 * (qs @ cs.T)
+                        + (cs * cs).sum(1)[None, :])
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.array(list(pdf["codes"]), dtype=np.int64)  # [n, m]
+            ids = pdf["vec_id"].to_numpy()
+            out = {"query_id": [], "cand_id": [], "adc_dist": []}
+            for qi in range(len(qids)):
+                d = lut[qi][np.arange(m)[None, :], c].sum(1)  # [n]
+                top = np.argsort(d, kind="stable")[:k]
+                out["query_id"].extend([qids[qi]] * len(top))
+                out["cand_id"].extend(ids[top].tolist())
+                out["adc_dist"].extend(d[top].tolist())
+            yield pd.DataFrame(out)
+
+    partial = codes.mapInPandas(
+        score, "query_id long, cand_id long, adc_dist double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "adc_dist", "rk")
+    )
+
+
+def pq_rerank_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+                   shortlist_factor: int = 5, m: int = 8, ksub: int = 16,
+                   iters: int = 3, dim: int = DIM) -> DataFrame:
+    """PQ/ADC with exact re-ranking — the production IVF-PQ pattern:
+    ADC produces a shortlist of ``k·shortlist_factor`` candidates per
+    query (cheap, code-only), then ONLY the shortlist rematerializes
+    exact vectors for true-cosine scoring and the final top-k.
+
+    The shortlist id set (≤ n_queries·k·factor rows) BROADCASTS into a
+    semi-probe of the embedding relation, so the exact pass reads a
+    bounded sliver of the 100 TB side; the full-vector crossJoin of the
+    brute-force tier never happens. Output schema matches
+    `knn_brute_force` (query_id, cand_id, cos_sim, rk) so recall is
+    directly comparable.
+    """
+    short = pq_adc_topk(
+        embeddings, n_queries=n_queries, k=k * shortlist_factor,
+        m=m, ksub=ksub, iters=iters, dim=dim,
+    ).select("query_id", "cand_id")
+    cand = embeddings.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    ).withColumn("cn2", norm2_chain("cv"))
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    ).withColumn("qn2", norm2_chain("qv"))
+    scored = (
+        cand.join(F.broadcast(short), "cand_id")  # bounded shortlist probe
+        .join(F.broadcast(q), F.col("query_id") == F.col("qid"))
+        .select(
+            "query_id", "cand_id",
+            cosine(dot_chain("qv", "cv"), F.col("qn2"), F.col("cn2"))
+            .alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rk")
+    )

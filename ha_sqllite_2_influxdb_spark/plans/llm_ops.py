@@ -161,6 +161,18 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_lloyd(_emb(spark, sf_dir), k=8, iters=3)
 
 
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (approximate): product-quantization ANN with exact
+    re-ranking (Jégou et al. 2011) — codebooks trained in-engine
+    (deterministic quantized k-means per subspace, one pass per
+    iteration for all subspaces), ADC shortlist over m-byte codes, exact
+    cosine re-rank of the bounded shortlist. pytest asserts recall vs
+    knn_brute_force and bit-determinism."""
+    return similarity.pq_rerank_topk(
+        _emb(spark, sf_dir), n_queries=5, k=10, shortlist_factor=10
+    )
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components with quantized-exact accumulation."""
     return similarity.label_centroids(_emb(spark, sf_dir))
@@ -369,6 +381,7 @@ QUERIES = {
     "curriculum_topk": q_curriculum_topk,
     "embedding_centroids": q_embedding_centroids,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "pq_ann_topk": q_pq_ann_topk,
     "simhash_signatures": q_simhash_signatures,
     "simhash_neighbors": q_simhash_neighbors,
     "simhash_neighbors_rotated": q_simhash_neighbors_rotated,

@@ -420,3 +420,37 @@ def test_kmeans_inertia_non_increasing(spark, sf_dir):
         df = similarity.kmeans_lloyd(emb, k=4, iters=iters)
         inertias.append(df.agg({"dist2": "sum"}).collect()[0][0])
     assert inertias[0] >= inertias[1] >= inertias[2]
+
+
+def test_pq_codebooks_and_codes_shape(spark, sf_dir):
+    """Codebooks are [m, ksub, dim/m]; training is bit-reproducible."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = similarity.pq_train(emb, m=8, ksub=16, iters=2)
+    b2 = similarity.pq_train(emb, m=8, ksub=16, iters=2)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+
+
+def test_pq_rerank_recall_vs_brute_force(spark, sf_dir):
+    """ADC shortlist + exact re-rank must recover most of the exact
+    cosine top-10 (conservative bound: synthetic near-uniform embeddings
+    are PQ's worst case; measured 0.88 at factor 10) and every reported
+    neighbor must carry its TRUE cosine (same value the brute-force tier
+    reports for that pair)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_brute_force(emb, n_queries=5, k=10).collect()
+    approx = similarity.pq_rerank_topk(
+        emb, n_queries=5, k=10, shortlist_factor=10).collect()
+    ex, exval = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.cand_id)
+        exval[(r.query_id, r.cand_id)] = r.cos_sim
+    ap = {}
+    for r in approx:
+        ap.setdefault(r.query_id, set()).add(r.cand_id)
+        if (r.query_id, r.cand_id) in exval:
+            assert r.cos_sim == exval[(r.query_id, r.cand_id)]
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
