@@ -187,6 +187,31 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs `window_running`'s ROWS frame): per
+    user, the trailing-1-hour event count and value sum at every event.
+
+    A RANGE frame is defined by the ORDER-BY VALUE interval, so peers
+    (equal timestamps) share one frame and no tiebreaker is needed for
+    determinism — semantics a ROWS frame cannot express. Spark plans it
+    as a single window over one (user) shuffle with a sliding frame
+    pointer, not a self-join; integer-cents sums keep the oracle exact.
+    """
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)  # trailing 1 h in µs, inclusive
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).over(w) / 100.0)
+        .alias("sum_trailing_1h"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (lag + cumulative flag sum): the classic
     streaming-ish window pattern run as batch. 30-minute inactivity gap."""
@@ -1163,6 +1188,7 @@ QUERIES = {
     "top_customers": q_top_customers,
     "window_topk": q_window_topk,
     "window_running": q_window_running,
+    "window_time_range": q_window_time_range,
     "sessionize": q_sessionize,
     "set_ops": q_set_ops,
     "pivot_events": q_pivot_events,
@@ -1585,6 +1611,14 @@ SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
     ) AS rk
   FROM orders
 ) t WHERE rk <= 3
+""",
+    "window_time_range": """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+  count(*) OVER w AS n_trailing_1h,
+  sum(CAST(round(value*100) AS BIGINT)) OVER w / 100.0 AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """,
     "window_running": """
 SELECT l_suppkey, l_orderkey, l_linenumber,
