@@ -456,3 +456,110 @@ def multimodal_meta(documents: DataFrame) -> DataFrame:
             ((F.col("n_bytes") % 64) + 1).alias("fake_height"),
         )
     )
+
+
+WAV_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_channels", T.LongType()),
+    T.StructField("bits_per_sample", T.LongType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("mean_amplitude", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def wav_payloads(documents: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Synthesize a VALID 16-bit mono PCM WAV per document (RIFF/fmt/data
+    chunks; samples derived from the UTF-8 text bytes, centered and
+    scaled to int16) so `decode_wav` exercises a real audio parser —
+    the audio leg of the BMP/PNG real-codec pattern."""
+
+    def _make(batches: Iterator):
+        import struct
+
+        import pandas as pd
+
+        def one(text: str) -> bytes:
+            # empty text -> a valid zero-sample WAV (decoder: n_samples=0,
+            # NULL stats — the same NULL the oracle's 0/0 division yields)
+            src = text.encode("utf-8")
+            samples = struct.pack(
+                "<%dh" % len(src), *(((b - 128) * 256) for b in src)
+            )
+            fmt = struct.pack("<HHIIHH", 1, 1, sample_rate,
+                              sample_rate * 2, 2, 16)
+            data_sz = len(samples)
+            return (b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_sz)
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", data_sz) + samples)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [one(t) for t in pdf["text"]],
+            })
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def decode_wav(payload_df: DataFrame) -> DataFrame:
+    """REAL audio decode, dependency-free: walk the RIFF chunk list,
+    parse the fmt chunk (rate/channels/width), locate data, and read
+    int16 PCM samples via numpy — mean amplitude and RMS come from the
+    DECODED samples, so an endianness or offset mistake is observable.
+    Malformed/unsupported payloads yield null-dimension rows (the P7
+    bad-row convention)."""
+
+    def _decode(batches: Iterator):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes):
+            try:
+                if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    return None
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(b):
+                    tag = b[pos:pos + 4]
+                    (ln,) = struct.unpack_from("<I", b, pos + 4)
+                    if tag == b"fmt ":
+                        fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
+                    elif tag == b"data":
+                        data = b[pos + 8:pos + 8 + ln]
+                    pos += 8 + ln + (ln & 1)  # RIFF chunks pad to even
+                if fmt is None or data is None:
+                    return None
+                codec, nch, rate, _br, _ba, width = fmt
+                if codec != 1 or width != 16 or nch < 1:
+                    return None  # outside the PCM-int16 subset
+                s = np.frombuffer(data, dtype="<i2").astype(np.float64)
+                n = len(s) // nch
+                if n == 0:
+                    return (rate, nch, width, 0, 0.0, None, None)
+                return (rate, nch, width, n, n * 1000.0 / rate,
+                        float(s.mean()), float(np.sqrt((s * s).mean())))
+            except (struct.error, ValueError):
+                return None
+
+        for pdf in batches:
+            rows = [one(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sample_rate": [r[0] if r else None for r in rows],
+                "n_channels": [r[1] if r else None for r in rows],
+                "bits_per_sample": [r[2] if r else None for r in rows],
+                "n_samples": [r[3] if r else None for r in rows],
+                "duration_ms": [r[4] if r else None for r in rows],
+                "mean_amplitude": [r[5] if r else None for r in rows],
+                "rms": [r[6] if r else None for r in rows],
+            })
+
+    return payload_df.mapInPandas(_decode, schema=WAV_DECODE_SCHEMA)

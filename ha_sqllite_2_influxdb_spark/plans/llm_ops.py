@@ -340,6 +340,21 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "color_type", "n_pixels")
 
 
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path: synthesize valid RIFF/PCM-int16 WAVs, then
+    chunk-walk + decode samples with the dependency-free parser. The
+    SQL-predictable fields — format constants, sample count (= utf-8
+    byte length), duration, and the mean amplitude as one exact integer
+    expression (256·byte_sum − 32768·n)/n — are oracle-checked; RMS (a
+    per-sample square) is asserted vs numpy in pytest."""
+    decoded = multimodal.decode_wav(
+        multimodal.wav_payloads(_docs(spark, sf_dir))
+    )
+    return decoded.select("doc_id", "sample_rate", "n_channels",
+                          "bits_per_sample", "n_samples", "duration_ms",
+                          "mean_amplitude")
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas fan-out: every 4th fixed-size frame of each payload;
     the frame INVENTORY (ids, indices, sizes) is exact-oracle-checked,
@@ -406,6 +421,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_bmp": q_multimodal_bmp,
     "multimodal_png": q_multimodal_png,
+    "multimodal_wav": q_multimodal_wav,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -944,5 +960,22 @@ SELECT doc_id,
   ({_ROLL.format(col="text").replace("(a*31 + b) % 2147483647", "a + b")}) % 64 + 1 AS fake_width,
   CAST(length(text) AS BIGINT) % 64 + 1 AS fake_height
 FROM documents
+""",
+    "multimodal_wav": f"""
+WITH b AS (
+  SELECT doc_id,
+    CAST(strlen(text) AS BIGINT) AS n,
+    {_ROLL.format(col="text").replace("(a*31 + b) % 2147483647", "a + b")} AS byte_sum
+  FROM documents
+)
+SELECT doc_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(1 AS BIGINT) AS n_channels,
+  CAST(16 AS BIGINT) AS bits_per_sample,
+  n AS n_samples,
+  CAST(n * 1000 AS DOUBLE) / 8000 AS duration_ms,
+  -- exact-integer numerator, ONE rounding (matches numpy's int-sum/n)
+  CAST(256 * byte_sum - 32768 * n AS DOUBLE) / n AS mean_amplitude
+FROM b
 """,
 }

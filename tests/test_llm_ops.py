@@ -454,3 +454,50 @@ def test_pq_rerank_recall_vs_brute_force(spark, sf_dir):
             assert r.cos_sim == exval[(r.query_id, r.cand_id)]
     recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_wav_decode_golden(spark, sf_dir):
+    """The WAV parser must recover the synthesizer's format constants and
+    sample stats; mean/RMS must equal an independent numpy recomputation
+    from the document text ((byte-128)*256 int16 samples)."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    decoded = {r.doc_id: r for r in
+               multimodal.decode_wav(
+                   multimodal.wav_payloads(docs)).collect()}
+    assert decoded.keys() == texts.keys()
+    for doc_id, text in texts.items():
+        r = decoded[doc_id]
+        src = text.encode("utf-8")
+        s = np.array([(b - 128) * 256 for b in src], dtype=np.float64)
+        assert (r.sample_rate, r.n_channels, r.bits_per_sample,
+                r.n_samples) == (8000, 1, 16, len(src))
+        assert r.duration_ms == len(src) * 1000.0 / 8000
+        assert r.mean_amplitude == float(s.mean())
+        assert r.rms == float(np.sqrt((s * s).mean()))
+
+
+def test_wav_decode_rejects_malformed(spark):
+    """Garbage / truncated / non-PCM payloads become null rows (P7);
+    a zero-sample WAV decodes to n_samples=0 with NULL stats."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    empty = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+             + b"data" + struct.pack("<I", 0))
+    float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    float_wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(float_fmt) + 8)
+                 + b"WAVE" + b"fmt " + struct.pack("<I", len(float_fmt))
+                 + float_fmt + b"data" + struct.pack("<I", 0))
+    df = spark.createDataFrame(
+        [(1, b"not a wav"), (2, b"RIFF"), (3, b""),
+         (4, float_wav),  # non-PCM codec -> rejected
+         (5, empty)],     # valid but zero samples
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.decode_wav(df).collect()}
+    assert all(rows[i].sample_rate is None for i in (1, 2, 3, 4))
+    assert rows[5].n_samples == 0 and rows[5].mean_amplitude is None
