@@ -250,6 +250,40 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the one join type the surface didn't yet carry:
+    per-nation supplier and customer account totals, nations appearing
+    on either side surviving with NULL-filled partners.
+
+    Both inputs pre-aggregate to nation-level BEFORE the join (two
+    small-key shuffles + a join of ~25-row relations), never a full
+    outer join of raw fact tables — the order-of-operations that matters
+    at 100 TB. Full outer cannot broadcast (both sides must surface
+    unmatched rows), so Spark plans a sort-merge join; the tiny key
+    domain makes that cheap here and AQE handles it at scale."""
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (F.sum(_cents(F.col("s_acctbal"))) / 100.0).alias("supp_acctbal"),
+        )
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(_cents(F.col("c_acctbal"))) / 100.0).alias("cust_acctbal"),
+        )
+    )
+    return supp.join(cust, "nationkey", "full_outer").select(
+        "nationkey", "n_suppliers", "supp_acctbal",
+        "n_customers", "cust_acctbal",
+    )
+
+
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type counts as fixed columns."""
     ev = _t(spark, sf_dir, "events")
@@ -1191,6 +1225,7 @@ QUERIES = {
     "window_time_range": q_window_time_range,
     "sessionize": q_sessionize,
     "set_ops": q_set_ops,
+    "full_outer_join": q_full_outer_join,
     "pivot_events": q_pivot_events,
     "rollup_orders": q_rollup_orders,
     "agg_stats": q_agg_stats,
@@ -1611,6 +1646,21 @@ SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
     ) AS rk
   FROM orders
 ) t WHERE rk <= 3
+""",
+    "full_outer_join": """
+WITH s AS (
+  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
+         sum(CAST(round(s_acctbal*100) AS BIGINT)) / 100.0 AS supp_acctbal
+  FROM supplier GROUP BY s_nationkey
+),
+c AS (
+  SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+         sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS cust_acctbal
+  FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey
+)
+SELECT coalesce(s.nationkey, c.nationkey) AS nationkey,
+       n_suppliers, supp_acctbal, n_customers, cust_acctbal
+FROM s FULL OUTER JOIN c ON s.nationkey = c.nationkey
 """,
     "window_time_range": """
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,

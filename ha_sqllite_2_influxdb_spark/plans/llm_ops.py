@@ -11,6 +11,7 @@ counterparts in tests/.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import curation, dedup, multimodal, similarity
 from ..operators.dedup import SIMHASH_BITS_PORTABLE
@@ -150,6 +151,29 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_curriculum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curriculum_topk(_docs(spark, sf_dir))
+
+
+def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation composition, one oracle over the whole chain:
+    exact dedup (keep lowest doc_id per content digest) → drop docs
+    contaminated by benchmark overlap (`decontaminate`) → per-language
+    quality curriculum top-25. Each stage is the already-verified
+    operator; composing them exercises what a real training-data job
+    runs as ONE plan — Catalyst fuses the digest groupBy, the anti-join
+    and the windowed rank without materializing intermediates."""
+    docs = _docs(spark, sf_dir)
+    keep = (
+        docs.groupBy(F.md5(F.encode("text", "UTF-8")).alias("_d"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = docs.join(keep, "doc_id", "left_semi")
+    flagged = curation.decontaminate(
+        deduped.select("doc_id", "text"),
+        curation.benchmark_prefixes(docs.select("doc_id", "text")),
+    ).select("doc_id").distinct()
+    clean = deduped.join(flagged, "doc_id", "left_anti")
+    return curation.curriculum_topk(clean)
 
 
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,6 +418,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "curriculum_topk": q_curriculum_topk,
+    "curate_pipeline": q_curate_pipeline,
     "embedding_centroids": q_embedding_centroids,
     "kmeans_embeddings": q_kmeans_embeddings,
     "pq_ann_topk": q_pq_ann_topk,
@@ -979,3 +1004,27 @@ SELECT doc_id,
 FROM b
 """,
 }
+
+# composed-pipeline oracle: reuses the verified decontaminate oracle as a
+# derived table and the shared quality expression, so the end-to-end chain
+# is checked by the same independent formulations as its stages
+ORACLES["curate_pipeline"] = f"""WITH dedup AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+flagged AS (
+  SELECT DISTINCT doc_id FROM ({ORACLES["decontaminate"]}) f
+),
+clean AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d
+  JOIN dedup USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+),
+q AS (SELECT doc_id, lang, {_QUALITY} AS quality_score FROM clean),
+r AS (
+  SELECT doc_id, lang, quality_score,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY quality_score DESC, doc_id ASC) AS rk
+  FROM q
+)
+SELECT doc_id, lang, quality_score, rk FROM r WHERE rk <= 25
+"""
