@@ -381,6 +381,8 @@ def decode_png(payload_df: DataFrame) -> DataFrame:
                 w, h, depth, ctype, comp, filt, interlace = meta
                 if (depth, ctype, comp, filt, interlace) != (8, 0, 0, 0, 0):
                     return None  # outside the supported grayscale subset
+                if w <= 0 or h <= 0:
+                    return None  # zero-area: P7 null row, not a NaN mean
                 raw = zlib.decompress(idat)
                 if len(raw) != h * (w + 1):
                     return None
@@ -483,8 +485,12 @@ def wav_payloads(documents: DataFrame, sample_rate: int = 8000) -> DataFrame:
 
         def one(text: str) -> bytes:
             # empty text -> a valid zero-sample WAV (decoder: n_samples=0,
-            # NULL stats — the same NULL the oracle's 0/0 division yields)
-            src = text.encode("utf-8")
+            # NULL stats — the same NULL the oracle's 0/0 division yields).
+            # ascii/replace: one sample per CHARACTER (non-ASCII -> '?'),
+            # so the SQL oracle's per-character fold stays exact even if a
+            # regenerated fixture introduces non-ASCII text (utf-8 bytes
+            # would diverge from DuckDB's code-point functions there).
+            src = text.encode("ascii", errors="replace")
             samples = struct.pack(
                 "<%dh" % len(src), *(((b - 128) * 256) for b in src)
             )

@@ -486,8 +486,17 @@ def kmeans_lloyd(embeddings: DataFrame, k: int = 8, iters: int = 5,
         for r in stats:
             new_c[r.cluster][r.pos] = (r.qsum / scale) / r.n
         centroids = new_c
-    return emb.mapInPandas(make_assign(centroids), out_schema) \
-              .select("vec_id", "cluster", "dist2")
+    # localCheckpoint materializes the final assignment so the working
+    # set can be unpersisted NOW — repeated invocations (bench runs, each
+    # pytest case) must not pin one relation per call for the session
+    # lifetime (same eager-cut pattern as dedup.neardup_clusters)
+    result = (
+        emb.mapInPandas(make_assign(centroids), out_schema)
+        .select("vec_id", "cluster", "dist2")
+        .localCheckpoint(eager=True)
+    )
+    emb.unpersist()
+    return result
 
 
 def pq_train(embeddings: DataFrame, m: int = 8, ksub: int = 16,
@@ -509,37 +518,43 @@ def pq_train(embeddings: DataFrame, m: int = 8, ksub: int = 16,
 
     dsub = dim // m
     emb = _normalized(embeddings).persist()
-    init = emb.orderBy("vec_id").limit(ksub).collect()
-    x0 = np.array([list(r.nv) for r in init], dtype=np.float64)
-    books = np.stack([x0[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+    try:
+        init = emb.orderBy("vec_id").limit(ksub).collect()
+        x0 = np.array([list(r.nv) for r in init], dtype=np.float64)
+        books = np.stack([x0[:, s * dsub:(s + 1) * dsub] for s in range(m)])
 
-    for _ in range(iters):
-        assigned = emb.mapInPandas(
-            _pq_assign(books, m, dsub),
-            "vec_id long, codes array<int>, nv array<double>",
-        )
-        stats = (
-            assigned.select(
-                "codes", F.posexplode("nv").alias("pos", "v")
+        for _ in range(iters):
+            assigned = emb.mapInPandas(
+                _pq_assign(books, m, dsub),
+                "vec_id long, codes array<int>, nv array<double>",
             )
-            .select(
-                (F.col("pos") / dsub).cast("int").alias("sub"),
-                F.expr(f"codes[cast(pos / {dsub} as int)]").alias("code"),
-                (F.col("pos") % dsub).alias("spos"),
-                "v",
+            stats = (
+                assigned.select(
+                    "codes", F.posexplode("nv").alias("pos", "v")
+                )
+                .select(
+                    (F.col("pos") / dsub).cast("int").alias("sub"),
+                    F.expr(f"codes[cast(pos / {dsub} as int)]").alias("code"),
+                    (F.col("pos") % dsub).alias("spos"),
+                    "v",
+                )
+                .groupBy("sub", "code", "spos")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.round(F.col("v") * scale).cast("long"))
+                    .alias("qsum"),
+                )
+                .collect()
             )
-            .groupBy("sub", "code", "spos")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.round(F.col("v") * scale).cast("long")).alias("qsum"),
-            )
-            .collect()
-        )
-        new_books = books.copy()  # empty codes keep their centroid
-        for r in stats:
-            new_books[r.sub][r.code][r.spos] = (r.qsum / scale) / r.n
-        books = new_books
-    return books
+            new_books = books.copy()  # empty codes keep their centroid
+            for r in stats:
+                new_books[r.sub][r.code][r.spos] = (r.qsum / scale) / r.n
+            books = new_books
+        return books
+    finally:
+        # every training artifact is the driver-side numpy array; the
+        # working set must not stay pinned after training
+        emb.unpersist()
 
 
 def _normalized(embeddings: DataFrame) -> DataFrame:
@@ -635,7 +650,12 @@ def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
             out = {"query_id": [], "cand_id": [], "adc_dist": []}
             for qi in range(len(qids)):
                 d = lut[qi][np.arange(m)[None, :], c].sum(1)  # [n]
-                top = np.argsort(d, kind="stable")[:k]
+                # total order (dist, cand_id): identical-code ties at the
+                # k-th cut resolve the same way in EVERY batch, so the
+                # global top-k under this order survives partial
+                # selection regardless of partitioning — argsort alone
+                # would keep whichever tie arrived first in the batch
+                top = np.lexsort((ids, d))[:k]
                 out["query_id"].extend([qids[qi]] * len(top))
                 out["cand_id"].extend(ids[top].tolist())
                 out["adc_dist"].extend(d[top].tolist())

@@ -989,8 +989,12 @@ FROM documents
     "multimodal_wav": f"""
 WITH b AS (
   SELECT doc_id,
-    CAST(strlen(text) AS BIGINT) AS n,
-    {_ROLL.format(col="text").replace("(a*31 + b) % 2147483647", "a + b")} AS byte_sum
+    CAST(length(text) AS BIGINT) AS n,
+    -- per-CHARACTER sum, non-ASCII clamped to '?' (63): the synthesizer
+    -- encodes ascii/replace, so chars==samples for ANY unicode text
+    list_reduce(list_transform(string_split(text, ''),
+      c -> CASE WHEN ascii(c) < 128 THEN CAST(ascii(c) AS BIGINT)
+                ELSE CAST(63 AS BIGINT) END), (a, b) -> a + b) AS byte_sum
   FROM documents
 )
 SELECT doc_id,

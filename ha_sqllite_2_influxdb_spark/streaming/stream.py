@@ -38,7 +38,18 @@ PROBE_COUNT = {"n": 0}
 
 
 def _events_schema(spark: SparkSession, path: str) -> T.StructType:
-    key = (spark.sparkContext.applicationId, path)
+    import os
+
+    # mtime+size in the key: a regenerated events.parquet under the SAME
+    # path (the driver rewrites /root/testdata between rounds) must not
+    # be served a stale schema — a stat() is far cheaper than the footer
+    # read it guards
+    try:
+        st = os.stat(os.path.join(path, "events.parquet"))
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None
+    key = (spark.sparkContext.applicationId, path, stamp)
     if key not in _SCHEMA_CACHE:
         PROBE_COUNT["n"] += 1
         _SCHEMA_CACHE[key] = (

@@ -345,9 +345,14 @@ def test_png_decode_rejects_malformed(spark):
          (5, sig + ok_ihdr + bad_idat)],  # corrupt deflate stream
         "doc_id long, payload binary",
     )
+    zero = (sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"")))
+    df = df.unionByName(spark.createDataFrame(
+        [(6, zero)], "doc_id long, payload binary"))
     rows = {r.doc_id: r for r in multimodal.decode_png(df).collect()}
-    assert len(rows) == 5
+    assert len(rows) == 6
     assert all(rows[i].width is None for i in rows)
+    assert rows[6].mean_pixel is None  # zero-area: null row, never NaN
 
 
 def test_ngram_span_stats_crafted_and_formulation_parity(spark, sf_dir):
@@ -395,6 +400,11 @@ def test_kmeans_deterministic_and_matches_numpy_reference(spark, sf_dir):
                   emb.select("vec_id", "embedding").collect())
     ids = np.array([i for i, _ in rows])
     x = np.array([v for _, v in rows], dtype=np.float64)
+    def round_half_up(v):
+        # Spark F.round is HALF_UP away from zero; np.round is
+        # half-to-even — an exact .5 quantization value would diverge
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
     c = x[:k].copy()  # k smallest vec_ids, in order
     for _ in range(iters):
         d = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
@@ -402,7 +412,8 @@ def test_kmeans_deterministic_and_matches_numpy_reference(spark, sf_dir):
         for j in range(k):
             m = cl == j
             if m.any():
-                q = np.round(x[m].astype(np.float64) * scale).astype(np.int64)
+                q = round_half_up(
+                    x[m].astype(np.float64) * scale).astype(np.int64)
                 c[j] = (q.sum(0) / scale) / m.sum()
     d = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + (c * c).sum(1)[None, :]
     cl = d.argmin(1)
@@ -470,13 +481,21 @@ def test_wav_decode_golden(spark, sf_dir):
     assert decoded.keys() == texts.keys()
     for doc_id, text in texts.items():
         r = decoded[doc_id]
-        src = text.encode("utf-8")
+        src = text.encode("ascii", errors="replace")
         s = np.array([(b - 128) * 256 for b in src], dtype=np.float64)
         assert (r.sample_rate, r.n_channels, r.bits_per_sample,
                 r.n_samples) == (8000, 1, 16, len(src))
         assert r.duration_ms == len(src) * 1000.0 / 8000
         assert r.mean_amplitude == float(s.mean())
         assert r.rms == float(np.sqrt((s * s).mean()))
+    # non-ASCII chars clamp to '?' — one sample per CHARACTER, so the
+    # per-character SQL oracle stays exact on any unicode fixture
+    uni = spark.createDataFrame([(7, "aé☃b")], "doc_id long, text string")
+    r = multimodal.decode_wav(multimodal.wav_payloads(uni)).collect()[0]
+    assert r.n_samples == 4
+    src = "aé☃b".encode("ascii", errors="replace")
+    s = np.array([(b - 128) * 256 for b in src], dtype=np.float64)
+    assert r.mean_amplitude == float(s.mean())
 
 
 def test_wav_decode_rejects_malformed(spark):
@@ -501,3 +520,16 @@ def test_wav_decode_rejects_malformed(spark):
     rows = {r.doc_id: r for r in multimodal.decode_wav(df).collect()}
     assert all(rows[i].sample_rate is None for i in (1, 2, 3, 4))
     assert rows[5].n_samples == 0 and rows[5].mean_amplitude is None
+
+
+def test_pq_rerank_deterministic_across_partitionings(spark, sf_dir):
+    """The (dist, cand_id) total order in the per-batch partial top-k
+    makes results identical run-to-run AND across repartitionings —
+    identical-code ties at the batch cut must resolve the same way in
+    every batch layout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(tuple(r) for r in similarity.pq_rerank_topk(
+        emb, n_queries=3, k=5, shortlist_factor=4).collect())
+    b = sorted(tuple(r) for r in similarity.pq_rerank_topk(
+        emb.repartition(7), n_queries=3, k=5, shortlist_factor=4).collect())
+    assert a == b
