@@ -356,7 +356,13 @@ s AS (
   FROM g
 ),
 agg AS (
-  SELECT user_id, session_id, min(ts_us) AS start_us,
+  -- CAST: sum() OVER yields HUGEINT (int128) in DuckDB, which pandas
+  -- can only represent as float64 — the driver's value compare then
+  -- sees 1.0 vs Spark's 1 and hash-mismatches with rows/schema green
+  -- (the exact three-round driver-red signature of this query). BIGINT
+  -- round-trips losslessly.
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         min(ts_us) AS start_us,
          max(ts_us) AS end_us, count(*) AS n_events
   FROM s GROUP BY user_id, session_id
 )
