@@ -58,6 +58,20 @@ def main():
 
     qs, oracles = ent.queries(), ent.oracle_sql()
     fails = []
+    # dtype audit: a projected HUGEINT (DuckDB's type for integer sum()
+    # and sum() OVER) degrades to float64 in any pandas/arrow fetch, so a
+    # repr-exact driver hash sees 1.0 vs Spark's 1 — rows/schema green,
+    # values red (the stream_sessions rounds-2..4 failure). fetchall()
+    # below returns lossless Python ints and CANNOT catch this, so audit
+    # the declared types explicitly.
+    LOSSY = ("HUGEINT", "UHUGEINT", "UBIGINT")
+    for name, sql in sorted(oracles.items()):
+        desc = con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+        bad = [(c, t) for c, t, *_ in desc if t in LOSSY]
+        if bad:
+            print(f"FAIL {name:24s} LOSSY-ORACLE-TYPE {bad} "
+                  "(cast to BIGINT in the oracle)")
+            fails.append(name)
     for name in sorted(qs):
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
