@@ -1021,6 +1021,47 @@ def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the part↔supplier relation comes from
+    DISTINCT lineitem pairs instead of the absent partsupp, and the
+    qualifier is a size band instead of region/type): for each
+    qualifying part, the supplier(s) with the MINIMUM account balance
+    among its shippers — the per-GROUP min correlated subquery,
+    decorrelated to a keyed aggregate joined back on the correlation key
+    (q15 is the global-scalar cousin; q17 the per-group average).
+
+    Scale shape: the (part, supp) pair relation distincts once (its own
+    shuffle), supplier and the filtered part dimension broadcast, the
+    per-part min re-joins on the aggregate's own partitioning, and the
+    final ordering is TakeOrdered top-100 — lineitem itself never joins
+    a second time. Ties on the min balance keep every tying supplier,
+    exactly like the spec query."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_size").between(15, 20)
+    ).select("p_partkey", "p_brand", "p_type")
+    shippers = ps.join(F.broadcast(supp),
+                       F.col("l_suppkey") == F.col("s_suppkey"))
+    mins = shippers.groupBy("l_partkey").agg(
+        F.min("s_acctbal").alias("_min_bal")
+    )
+    return (
+        shippers.join(mins, "l_partkey")
+        .filter(F.col("s_acctbal") == F.col("_min_bal"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_brand", "p_type",
+                "s_suppkey", "s_name", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey"))
+        .limit(100)
+    )
+
+
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (adapted: the driver schema has no partsupp, so
     the "inventory value" relation is part itself): total retail value
@@ -1194,6 +1235,7 @@ QUERIES = {
     "tpch_q8": q_tpch_q8,
     "tpch_q9": q_tpch_q9,
     "tpch_q13": q_tpch_q13,
+    "tpch_q2": q_tpch_q2,
     "tpch_q11": q_tpch_q11,
     "tpch_q12": q_tpch_q12,
     "tpch_q15": q_tpch_q15,
@@ -1245,6 +1287,21 @@ SELECT o_orderstatus, o_orderpriority,
        sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    "tpch_q2": """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+sh AS (
+  SELECT l_partkey, s_suppkey, s_name, s_acctbal
+  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT p_partkey, p_brand, p_type, s_suppkey, s_name, s_acctbal
+FROM sh
+JOIN part ON l_partkey = p_partkey
+WHERE p_size BETWEEN 15 AND 20
+  AND s_acctbal = (SELECT min(s2.s_acctbal) FROM sh s2
+                   WHERE s2.l_partkey = sh.l_partkey)
+ORDER BY s_acctbal DESC, p_partkey ASC, s_suppkey ASC
+LIMIT 100
 """,
     "tpch_q11": """
 WITH v AS (
