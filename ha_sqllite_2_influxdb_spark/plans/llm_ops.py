@@ -314,6 +314,35 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every epoch of a training
+    run needs the SAME pseudo-random document order on every worker —
+    (shard, shard_pos) where the order within a shard is the md5 of the
+    doc id (engine-independent, seedable by salting the hashed string).
+
+    Scale shape: a GLOBAL row_number would serialize the corpus through
+    one window partition; sharding first (doc_id mod n_shards — balance,
+    not randomness, is the shard key's job) gives n_shards independent
+    windows that rank concurrently, and a training loader reads shards
+    round-robin for the interleaved stream. At 100 TB n_shards tracks
+    the cluster's partition count instead of 16."""
+    n_shards = 16
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard"),
+            h.alias("h"),
+        )
+        .withColumn("shard_pos", F.row_number().over(w))
+        .select("doc_id", "shard", "shard_pos")
+    )
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic downsampling: survival probability
     equals the doc's quality score, as a pure hash filter."""
@@ -442,6 +471,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "dataset_split": q_dataset_split,
     "sample_weighted": q_sample_weighted,
+    "training_shuffle": q_training_shuffle,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_bmp": q_multimodal_bmp,
@@ -976,6 +1006,17 @@ SELECT doc_id, frame_idx,
   CASE WHEN (frame_idx + 1) * 64 <= n_bytes THEN 64
        ELSE n_bytes - frame_idx * 64 END AS frame_bytes
 FROM f
+""",
+    "training_shuffle": """
+WITH h AS (
+  SELECT doc_id, doc_id % 16 AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+       AS BIGINT) AS shard_pos
+FROM h
 """,
     "multimodal_meta": f"""
 SELECT doc_id,
