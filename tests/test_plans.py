@@ -166,3 +166,28 @@ def test_tpch_q15_max_is_broadcast_scalar(spark, sf_dir):
     physical = plan.split("== Physical Plan ==")[-1]
     assert "BroadcastExchange" in physical, plan
     assert "Window" not in physical, plan
+
+
+def test_simhash_rotated_three_exchange_pipeline(spark, sf_dir):
+    """The rotated-bucketing scale tier must keep exactly THREE
+    exchanges end-to-end: the doc-keyed signature aggregate, ONE bucket
+    shuffle shared by the hot-bucket cap window AND the in-bucket
+    collect (the cap must not add its own), and the final distinct of
+    true-neighbor pairs. A fourth exchange means either the cap or a
+    rotation started shuffling on its own."""
+    import re
+
+    from ha_sqllite_2_influxdb_spark.operators.dedup import (
+        recrawl_corpus, simhash_neighbors_rotated,
+    )
+
+    df = simhash_neighbors_rotated(
+        recrawl_corpus(load_table(spark, sf_dir, "documents")),
+        portable=False,
+    )
+    plan = explain_str(df)
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert len(re.findall(r"\(\d+\) Exchange", physical)) == 3, plan
+    parts = re.findall(r"hashpartitioning\((\w+)#", physical)
+    assert parts == ["doc_id", "bucket", "doc_a"], plan
+    assert len(re.findall(r"\(\d+\) Window", physical)) == 1, plan
