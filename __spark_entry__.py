@@ -30,45 +30,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # pytest (tests/test_oracle_parity.py covers the whole registry).
 _DRIVER_WINDOW = [
     # SURVEY §2 reference pipeline: S/P/J/A/O/F rows + T1 backfill.
-    # Rotated r4 per VERDICT r2 #7: ha_migration_scan / ha_entity_split /
-    # ha_state_route / ha_min_ts left the window (their transforms are
-    # exercised INSIDE ha_points / ha_oldest_point, which stay) to give
-    # tpch_q7/q10/q22, window_topk and events_sliding a driver verdict.
+    # Rotated r6 per VERDICT r5 #1: 15 three-rounds-green slots
+    # (ha_ts_format, events_hourly, stream_dedup, stream_join, dedup_exact,
+    # neardup_minhash_lsh, decontaminate, pack_sequences, curriculum_topk,
+    # embedding_centroids, tpch_q1/q6/q19, set_ops, window_running) left the
+    # window — their pytest oracle coverage stays — to give every round-5
+    # addition its first independent driver verdict.
     "ha_points", "ha_attr_fields",
     "ha_oldest_point", "ha_backfill_boundary", "ha_line_protocol",
-    "ha_ts_format",
-    # SURVEY §2 T2-T4: streaming drain / dedup / windows / sessions /
-    # stream-stream interval join + the native session-window tier
-    "events_hourly", "stream_dedup", "stream_sessions", "stream_join",
-    "events_sliding", "session_window_native",
+    # SURVEY §2 T2-T4: sessions stays per VERDICT r5 #1 to confirm the
+    # HUGEINT oracle-type fix under the real driver; stream_static_join
+    # gets its first driver row.
+    "stream_sessions", "events_sliding", "session_window_native",
+    "stream_static_join",
     # LLM data pipeline: deduplication + cluster-canonical selection
-    # (minhash_signatures rotated out: neardup_minhash_lsh builds on it)
-    "dedup_exact", "neardup_minhash_lsh",
     "neardup_clusters", "dedup_keep_best", "ngram_jaccard",
-    "simhash_signatures", "simhash_neighbors",
-    # corpus curation: decontamination, packing, curriculum
-    "decontaminate", "pack_sequences", "curriculum_topk",
+    "simhash_signatures", "simhash_neighbors", "ngram_span_dedup",
+    # corpus curation: end-to-end pipeline + training-order ops (first
+    # driver verdicts for all three r5 additions)
+    "curate_pipeline", "training_shuffle", "dataset_split",
     # similarity search (exact tiers; ANN tiers are rows-only, after window)
-    "embedding_knn", "embedding_neardup", "embedding_centroids",
-    # text analysis (rotated r5 per VERDICT r4 #2: token_stats /
-    # text_quality / lang_id / fingerprints / text_clean / top_bigrams /
-    # text_scrub / sample_uniform / sample_stratified / multimodal_meta
-    # left the window after 3 green rounds; their pytest oracle coverage
-    # stays — the slots give the analytics breadth a driver verdict)
+    "embedding_knn", "embedding_neardup",
     # multimodal columns
     "multimodal_frames",
-    # skew-aware ops
-    "salted_join", "distinct_twophase",
+    # skew-aware ops + upsert
+    "salted_join", "distinct_twophase", "upsert_latest",
     # analytics breadth: TPC-H adaptations, windows, special joins,
-    # grouping sets / rollup, set ops, pivot, quantiles, range-band join
-    # (q4/q17, cube, sketches, upsert, z-order and the ANN tiers sit
-    # past the window; all stay covered by the pytest oracle suite)
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q13", "tpch_q18",
-    "tpch_q19", "tpch_q22",
-    "grouping_sets", "rollup_orders", "set_ops", "pivot_events",
-    "quantiles", "range_band_join",
-    "window_running", "window_topk", "sessionize", "asof_join",
+    # grouping sets / rollup, pivot, quantiles, range-band join.
+    # tpch_q2/q11/q12/q15/q16/q20/q21, full_outer_join and
+    # window_time_range enter for their first driver verdict.
+    "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q18", "tpch_q20",
+    "tpch_q21", "tpch_q22",
+    "grouping_sets", "rollup_orders", "pivot_events",
+    "quantiles", "range_band_join", "full_outer_join",
+    "window_time_range", "window_topk", "sessionize", "asof_join",
 ]
 assert len(_DRIVER_WINDOW) == 50
 

@@ -413,7 +413,15 @@ def simhash_signatures(corpus: DataFrame, bits: int | None = None,
     identical signatures) — at 100 TB a doc-level shuffle is noise while
     interpreted evaluation scales with every word. Vote semantics are
     unchanged (+1/−1 per word occurrence per bit, bit set iff votes >
-    0), so signatures are bit-identical and the DuckDB oracle holds.
+    0), so signatures are bit-identical for every non-null text and the
+    DuckDB oracle holds.
+
+    NULL-text rows: ``explode`` eliminates them, so a NULL-text doc
+    yields NO signature row — a deliberate change from the pre-r5
+    per-row fold (which emitted a row) to match the oracle's
+    ``unnest(string_split(...))`` semantics, which drops the row too.
+    Empty-but-non-null text still yields one ''-token vote on both
+    sides, so those rows are preserved.
     """
     if bits is None:
         bits = SIMHASH_BITS_PORTABLE if portable else SIMHASH_BITS

@@ -544,8 +544,12 @@ def decode_wav(payload_df: DataFrame) -> DataFrame:
                 if fmt is None or data is None:
                     return None
                 codec, nch, rate, _br, _ba, width = fmt
-                if codec != 1 or width != 16 or nch < 1:
-                    return None  # outside the PCM-int16 subset
+                # mono only: interleaved-stream stats vs per-channel frame
+                # counts would mix conventions for nch > 1, so multichannel
+                # is outside the honest subset (bad-row → null, like any
+                # unsupported codec) until a per-channel de-interleave lands
+                if codec != 1 or width != 16 or nch != 1:
+                    return None  # outside the PCM-int16 mono subset
                 s = np.frombuffer(data, dtype="<i2").astype(np.float64)
                 n = len(s) // nch
                 if n == 0:

@@ -45,7 +45,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02"))
     )
     ep, d, t = _cents(F.col("l_extendedprice")), _cents(F.col("l_discount")), _cents(F.col("l_tax"))
-    qty = F.col("l_quantity").cast("long")
+    qty = F.floor("l_quantity")
     agg = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -183,7 +183,7 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.select(
         "l_suppkey", "l_orderkey", "l_linenumber",
-        F.sum(F.col("l_quantity").cast("long")).over(w).alias("running_qty"),
+        F.sum(F.floor("l_quantity")).over(w).alias("running_qty"),
     )
 
 
@@ -405,7 +405,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     per_part = li.groupBy("l_partkey").agg(
-        F.avg(F.col("l_quantity").cast("long")).alias("avg_qty")
+        F.avg(F.floor("l_quantity")).alias("avg_qty")
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -427,7 +427,7 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     per_order = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .agg(F.sum(F.floor("l_quantity")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 250)
     )
     return (
@@ -612,7 +612,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_join
 
     li = _t(spark, sf_dir, "lineitem").select(
-        "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+        "l_suppkey", F.floor("l_quantity").alias("qty")
     )
     supp = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
@@ -816,7 +816,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .agg(F.sum(F.floor("l_quantity")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 300)
     )
     orders = _t(spark, sf_dir, "orders")
@@ -926,7 +926,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     ep, d = _cents(F.col("l_extendedprice")), _cents(F.col("l_discount"))
     cost = _cents(F.col("p_retailprice"))
-    qty = F.col("l_quantity").cast("long")
+    qty = F.floor("l_quantity")
     # rev is in cents·100 (price×(100-disc)); scale cost×qty to match
     profit = ep * (100 - d) - cost * qty * 100
     return (
@@ -1171,7 +1171,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = (
         li.join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("_q"))
+        .agg(F.sum(F.floor("l_quantity")).alias("_q"))
         .filter(F.col("_q") > 150)
     )
     supp = _t(spark, sf_dir, "supplier")
@@ -1353,7 +1353,7 @@ WHERE s_suppkey IN (
     AND l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate <  TIMESTAMP '1998-01-01'
   GROUP BY l_suppkey
-  HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+  HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 150
 )
 """,
     "tpch_q21": """
@@ -1412,7 +1412,7 @@ SELECT n_name AS nation, year(o_orderdate) AS o_year,
   sum(CAST(round(l_extendedprice*100) AS BIGINT)
       * (100 - CAST(round(l_discount*100) AS BIGINT))
       - CAST(round(p_retailprice*100) AS BIGINT)
-        * CAST(l_quantity AS BIGINT) * 100) / 10000.0 AS sum_profit
+        * CAST(floor(l_quantity) AS BIGINT) * 100) / 10000.0 AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1483,9 +1483,9 @@ SELECT c_name, c_custkey, o_orderkey,
   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, sum_qty
 FROM orders
 JOIN (SELECT l_orderkey,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
       FROM lineitem GROUP BY l_orderkey
-      HAVING sum(CAST(l_quantity AS BIGINT)) > 300) b
+      HAVING sum(CAST(floor(l_quantity) AS BIGINT)) > 300) b
   ON o_orderkey = b.l_orderkey
 JOIN customer ON c_custkey = o_custkey
 ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey
@@ -1511,7 +1511,7 @@ FROM part
 """,
     "salted_join": """
 SELECT s_nationkey,
-       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
        count(*) AS n_lineitems
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
@@ -1574,7 +1574,7 @@ FROM j GROUP BY month
 """,
     "small_qty_revenue": """
 WITH pp AS (
-  SELECT l_partkey, avg(CAST(l_quantity AS BIGINT)) AS avg_qty
+  SELECT l_partkey, avg(CAST(floor(l_quantity) AS BIGINT)) AS avg_qty
   FROM lineitem GROUP BY l_partkey
 )
 SELECT
@@ -1589,7 +1589,7 @@ WHERE CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
     "big_orders": """
 WITH po AS (
   SELECT l_orderkey,
-         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
   FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
 )
 SELECT c_custkey, c_name, o_orderkey,
@@ -1632,7 +1632,7 @@ FROM customer GROUP BY c_mktsegment
     "tpch_q1": """
 WITH c AS (
   SELECT l_returnflag, l_linestatus,
-    CAST(l_quantity AS BIGINT) AS qty,
+    CAST(floor(l_quantity) AS BIGINT) AS qty,
     CAST(round(l_extendedprice*100) AS BIGINT) AS ep,
     CAST(round(l_discount*100) AS BIGINT) AS d,
     CAST(round(l_tax*100) AS BIGINT) AS t
@@ -1729,7 +1729,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """,
     "window_running": """
 SELECT l_suppkey, l_orderkey, l_linenumber,
-  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) OVER (
     PARTITION BY l_suppkey
     ORDER BY l_shipdate, l_orderkey, l_linenumber
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW

@@ -168,26 +168,34 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): gap-closed
     sessions from a real AvailableNow streaming drain.
 
-    Instrumented (VERDICT r4 #1): after the drain, the result is
-    cross-checked in-engine against the batch window-function formulation;
-    any difference writes ``diag/stream_sessions_p<batches>_<ts>.json``
-    with the row diff + per-micro-batch progress, then the drained result
-    is returned unchanged. The final orderBy pins a deterministic total
-    order on the (user_id, session_id) key — memory-sink partition order
-    is not deterministic, and this removes row order as a variable in the
-    driver's hash comparison.
+    Diagnostic cross-check (VERDICT r4 #1, gated r6 per VERDICT r5 #3):
+    with ``SPARK_GRAFT_DIAG=1`` the drained result is cross-checked
+    in-engine against the batch window-function formulation; any
+    difference writes ``diag/stream_sessions_p<batches>_<ts>.json`` with
+    the row diff + per-micro-batch progress, then the drained result is
+    returned unchanged. Default OFF: the rounds-2..4 driver red was
+    root-caused to oracle typing (DuckDB HUGEINT → float64 in the
+    driver's pandas fetch, fixed by CAST AS BIGINT below) and confirmed
+    green by the r5 driver, so the two extra exceptAll jobs per
+    invocation are pure forensic overhead now. The final orderBy pins a
+    deterministic total order on the (user_id, session_id) key —
+    memory-sink partition order is not deterministic, and this removes
+    row order as a variable in the driver's hash comparison.
     """
+    import os
+
     progress: list = []
     out = sessionize_stateful(events_stream(spark, sf_dir))
     drained = drain_to_memory(
         out, "stream_sessions", output_mode="append", progress_out=progress
     )
-    try:
-        _diag_stream_sessions(spark, sf_dir, drained, progress)
-    except Exception:  # noqa: BLE001 — diagnostics must never fail the query
-        import traceback
+    if os.environ.get("SPARK_GRAFT_DIAG") == "1":
+        try:
+            _diag_stream_sessions(spark, sf_dir, drained, progress)
+        except Exception:  # noqa: BLE001 — diagnostics never fail the query
+            import traceback
 
-        traceback.print_exc()
+            traceback.print_exc()
     return drained.orderBy("user_id", "session_id")
 
 

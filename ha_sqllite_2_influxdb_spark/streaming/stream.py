@@ -29,9 +29,13 @@ from pyspark.sql import types as T
 
 from ..session import configure
 
-# one footer probe per (session, dir): every events_stream consumer in a
-# session shares the probed schema instead of re-reading parquet metadata
-_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+# one footer probe per (session, dir, file-stamp): every events_stream
+# consumer in a session shares the probed schema instead of re-reading
+# parquet metadata; stale stamps for the same (session, dir) are evicted
+# on insert so a long-lived session doesn't accumulate dead entries
+_SCHEMA_CACHE: dict[
+    tuple[str, str, tuple[int, int] | None], T.StructType
+] = {}
 #: pytest observability — counts actual footer reads (tests assert == 1
 #: per (session, dir) no matter how many streaming queries ran)
 PROBE_COUNT = {"n": 0}
@@ -51,6 +55,10 @@ def _events_schema(spark: SparkSession, path: str) -> T.StructType:
         stamp = None
     key = (spark.sparkContext.applicationId, path, stamp)
     if key not in _SCHEMA_CACHE:
+        # evict entries for the same (session, dir) with an older stamp —
+        # a regenerated fixture replaces, not accumulates
+        for stale in [k for k in _SCHEMA_CACHE if k[:2] == key[:2]]:
+            del _SCHEMA_CACHE[stale]
         PROBE_COUNT["n"] += 1
         _SCHEMA_CACHE[key] = (
             spark.read.option("pathGlobFilter", "events.parquet")

@@ -24,6 +24,26 @@ def test_oracle_parity(name, spark, sf_dir, duck):
     assert result["ok"], result
 
 
+def test_no_lossy_oracle_types(duck):
+    """VERDICT r5 #8: no oracle may project a DuckDB type that degrades
+    in a pandas/arrow fetch. HUGEINT (DuckDB's type for integer sum()
+    and sum() OVER) becomes float64, so the driver's repr-exact value
+    hash sees 1.0 vs Spark's 1 — rows/schema green, values red (the
+    rounds-2..4 stream_sessions failure). fetchall() returns lossless
+    Python ints and CANNOT catch this, so audit the DECLARED projected
+    types; a future oracle edit reintroducing one fails here, locally."""
+    lossy = ("HUGEINT", "UHUGEINT", "UBIGINT")
+    offenders = {}
+    for name, sql in sorted(ORACLES.items()):
+        desc = duck.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+        bad = [(c, t) for c, t, *_ in desc if t in lossy]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"lossy projected oracle types (cast to BIGINT): {offenders}"
+    )
+
+
 def test_driver_window_contract():
     """The driver correctness-checks the FIRST 50 registry entries: that
     prefix must be exactly the curated window, every one oracle-backed —

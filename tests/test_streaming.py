@@ -276,10 +276,13 @@ def test_schema_probe_cached_per_session_dir(spark, sf_dir):
     assert st.PROBE_COUNT["n"] == n0
 
 
-def test_stream_sessions_crosscheck_matches_and_writes_no_diag(spark, sf_dir):
-    """VERDICT r4 #1: the instrumented drain must equal the in-engine
-    batch formulation (no diag artifact locally) and return rows in the
-    deterministic (user_id, session_id) total order."""
+def test_stream_sessions_crosscheck_matches_and_writes_no_diag(
+    spark, sf_dir, monkeypatch
+):
+    """VERDICT r4 #1 / r5 #3: with SPARK_GRAFT_DIAG=1 the drain runs the
+    in-engine cross-check against the batch formulation (no diag artifact
+    when they agree) and returns rows in the deterministic
+    (user_id, session_id) total order."""
     import glob
     import os
 
@@ -287,6 +290,7 @@ def test_stream_sessions_crosscheck_matches_and_writes_no_diag(spark, sf_dir):
         _batch_sessions_closed, q_stream_sessions,
     )
 
+    monkeypatch.setenv("SPARK_GRAFT_DIAG", "1")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     before = set(glob.glob(os.path.join(repo, "diag", "stream_sessions_*")))
     got = q_stream_sessions(spark, sf_dir)
@@ -300,3 +304,19 @@ def test_stream_sessions_crosscheck_matches_and_writes_no_diag(spark, sf_dir):
     assert sorted(rows) == want
     after = set(glob.glob(os.path.join(repo, "diag", "stream_sessions_*")))
     assert after == before
+
+
+def test_stream_sessions_diag_default_off(spark, sf_dir, monkeypatch):
+    """VERDICT r5 #3: without SPARK_GRAFT_DIAG the drain must NOT invoke
+    the cross-check (two exceptAll jobs of pure forensic overhead)."""
+    from ha_sqllite_2_influxdb_spark.plans import streaming_ops as so
+
+    monkeypatch.delenv("SPARK_GRAFT_DIAG", raising=False)
+    called = []
+    monkeypatch.setattr(
+        so, "_diag_stream_sessions",
+        lambda *a, **k: called.append(True),
+    )
+    got = so.q_stream_sessions(spark, sf_dir)
+    assert got.count() > 0
+    assert called == []
