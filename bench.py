@@ -29,9 +29,17 @@ HEADLINE = {
     "dedup_exact": llm_ops.q_dedup_exact,
     "neardup_xxhash_lsh": llm_ops.q_neardup_xxhash_lsh,
     "simhash_neighbors_rotated": llm_ops.q_simhash_neighbors_rotated,
+    "ngram_span_dedup": llm_ops.q_ngram_span_dedup,
     "embedding_knn": llm_ops.q_embedding_knn,
+    # the ANN scale tier benched NEXT TO the exact crossJoin tier
+    # (VERDICT r5 #2): embedding_knn stays as the recall oracle, but the
+    # 100× plan is the PQ shortlist + exact re-rank
+    "pq_ann_topk": llm_ops.q_pq_ann_topk,
     "token_stats": llm_ops.q_token_stats,
     "lang_id": llm_ops.q_lang_id,
+    # the end-to-end curation plan — the closest headline to the
+    # product's real workload (VERDICT r5 #7)
+    "curate_pipeline": llm_ops.q_curate_pipeline,
 }
 
 

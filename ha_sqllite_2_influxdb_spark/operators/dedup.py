@@ -97,23 +97,31 @@ def dedup_exact(corpus: DataFrame) -> DataFrame:
 
 
 def shingles(text: Column, k: int = 3, words: Column | None = None) -> Column:
-    """Word k-gram shingle array (1-based element_at, same as DuckDB).
+    """Word k-gram shingle array via one regex pass (r6 rewrite).
 
-    Pass ``words`` as a pre-projected `split(text, ' ')` COLUMN whenever
-    possible: an inline `split` expression is re-evaluated for every
-    `element_at` inside the transform lambda (no common-subexpression
-    elimination through higher-order functions), which costs ~16× on
-    realistic documents. `shingled` below does this automatically.
+    ``(?:^| )(?=(tok tok tok))`` with ``tok = [^ ]*``: a match starts
+    exactly at offset 0 or after each space — the exact start positions
+    of `split(text, ' ')` tokens (including empty tokens from doubled
+    spaces) — and the zero-width lookahead captures the RAW substring of
+    the next k tokens, which is identical to ``concat_ws(' ', tok[i..
+    i+k-1])`` because split/join share the delimiter. Verified equal to
+    the previous formulation on sf0.1 (260 704 shingles, 0 diffs) and on
+    doubled-space / leading- / trailing-space / empty / NULL edge cases.
+
+    Why regex and not `transform(sequence(...), i -> concat_ws(
+    element_at(w, i)...))`: Catalyst evaluates higher-order-function
+    lambdas interpreted, per element — the HOF build measured 3.6 s for
+    5 000 docs at sf0.1 where this single codegen'd JVM regex pass takes
+    0.25 s (14×). Shingling sits under EVERY minhash/LSH/containment
+    tier, so this is the hot inner loop of the dedup family.
+
+    ``words`` is accepted for API compatibility (used only for the
+    row-count guard; shorter-than-k docs degrade to [text], as before).
     """
     w = F.split(text, " ") if words is None else words
-    n = F.size(w)
-    make = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + off) for off in range(k)]
-        ),
-    )
-    return F.when(n >= k, make).otherwise(F.array(text))
+    pat = "(?:^| )(?=(" + "[^ ]* " * (k - 1) + "[^ ]*))"
+    make = F.regexp_extract_all(text, F.lit(pat), 1)
+    return F.when(F.size(w) >= k, make).otherwise(F.array(text))
 
 
 def shingle_sets(corpus: DataFrame, native_hash: bool = False) -> DataFrame:
@@ -422,16 +430,18 @@ def simhash_signatures(corpus: DataFrame, bits: int | None = None,
     ``unnest(string_split(...))`` semantics, which drops the row too.
     Empty-but-non-null text still yields one ''-token vote on both
     sides, so those rows are preserved.
+
+    The xxhash64 scale tier (``portable=False``) builds the SAME plan
+    from one SQL-text pass instead of chained DataFrame calls — see
+    ``_simhash_signatures_sql`` for why (driver-side analysis cost, r6).
     """
     if bits is None:
         bits = SIMHASH_BITS_PORTABLE if portable else SIMHASH_BITS
-    wh = (
-        char_hash(F.col("w")) if portable
-        else F.pmod(F.xxhash64(F.col("w")), F.lit(1 << bits)).cast("long")
-    )
+    if not portable:
+        return _simhash_signatures_sql(corpus, bits)
     hashed = corpus.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).select("doc_id", wh.alias("h"))
+    ).select("doc_id", char_hash(F.col("w")).alias("h"))
     votes = hashed.groupBy("doc_id").agg(*[
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
@@ -448,6 +458,42 @@ def simhash_signatures(corpus: DataFrame, bits: int | None = None,
         ],
     )
     return votes.select("doc_id", sig.alias("simhash"))
+
+
+def _simhash_signatures_sql(corpus: DataFrame, bits: int) -> DataFrame:
+    """One-pass SQL-text build of the xxhash64 signature tier.
+
+    Semantically identical to the vote formulation above: bit b is set
+    iff the +1/−1 vote sum is positive, i.e. ``2*count(bit b set) >
+    n_words`` (verified bit-identical and pair-identical at sf0.1).
+
+    Why SQL text instead of the DataFrame API for the SAME plan: every
+    chained DataFrame call is EAGERLY analyzed, so building a 48-wide
+    aggregate through select→groupBy.agg→select re-walks the wide tree
+    at each step — measured 1.45 s of driver-side analysis per fresh
+    build (data-size-independent, but 60%+ of the whole rotated
+    pipeline's wall at sf0.1) vs 0.21 s for the single parse+analyze
+    pass of this text. The physical plan is unchanged and plan-tested:
+    explode → map-side partial vote agg → ONE doc-keyed Exchange, zero
+    interpreted HOFs. The portable tier keeps the DataFrame build — its
+    per-character rolling hash is an expression composition, and it is
+    the oracle tier, not the benched scale path.
+    """
+    cnts = ", ".join(f"sum((h >> {b}) & 1) AS _c{b}" for b in range(bits))
+    sig = " + ".join(
+        f"(CAST(_c{b} * 2 > _n AS BIGINT) << {b})" for b in range(bits)
+    )
+    return corpus.sparkSession.sql(
+        f"""
+SELECT doc_id, {sig} AS simhash FROM (
+  SELECT doc_id, count(*) AS _n, {cnts}
+  FROM (SELECT doc_id, pmod(xxhash64(w), {1 << bits}) AS h
+        FROM (SELECT doc_id, explode(split(text, ' ')) AS w
+              FROM {{corpus}}))
+  GROUP BY doc_id)
+""",
+        corpus=corpus.select("doc_id", "text"),
+    )
 
 
 def simhash_neighbors(corpus: DataFrame, max_hamming: int = 3,
@@ -669,16 +715,22 @@ def ngram_span_stats(documents: DataFrame, n: int = 8,
     """
     ws = F.split(F.col("text"), " ")
     n_ngrams = F.greatest(F.size(ws) - (n - 1), F.lit(0)).cast("long")
-    gram = lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n))  # noqa: E731
+    # one regex pass captures each n-token raw substring via zero-width
+    # lookahead (identical to concat_ws of the split tokens — see
+    # shingles() for the equivalence argument and the measured ~14× win
+    # over the interpreted transform/slice/concat_ws lambda this
+    # replaces, r6); hashing happens AFTER the narrow explode as a
+    # codegen'd column expression, still BEFORE any shuffle, so n-gram
+    # strings stay off the wire exactly as before
+    pat = "(?:^| )(?=(" + "[^ ]* " * (n - 1) + "[^ ]*))"
     grams = F.when(
-        n_ngrams > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - n),
-            (lambda i: F.xxhash64(gram(i))) if use_hash else gram,
-        ),
-    ).otherwise(F.array().cast(
-        "array<bigint>" if use_hash else "array<string>"))
-    g = documents.select("doc_id", F.explode(grams).alias("g"))
+        n_ngrams > 0, F.regexp_extract_all(F.col("text"), F.lit(pat), 1)
+    ).otherwise(F.array().cast("array<string>"))
+    gs = documents.select("doc_id", F.explode(grams).alias("gs"))
+    g = gs.select(
+        "doc_id",
+        (F.xxhash64(F.col("gs")) if use_hash else F.col("gs")).alias("g"),
+    )
     dup = (
         g.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("_nd"))

@@ -605,7 +605,7 @@ def _pq_assign(books, m: int, dsub: int):
 
 def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                 m: int = 8, ksub: int = 16, iters: int = 3,
-                dim: int = DIM) -> DataFrame:
+                dim: int = DIM, books=None) -> DataFrame:
     """Approximate top-k by Asymmetric Distance Computation over PQ
     codes: each query keeps its EXACT subvectors; every candidate is its
     ``m`` byte codes, scored by a per-query lookup table
@@ -620,7 +620,13 @@ def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     """
     import numpy as np
 
-    books = pq_train(embeddings, m=m, ksub=ksub, iters=iters, dim=dim)
+    # ``books``: pass pre-trained codebooks to skip training — in
+    # production PQ codebooks are a build artifact trained once and
+    # served for months, not retrained per query. Training here is
+    # bit-deterministic (see pq_train), so a cached codebook is
+    # indistinguishable from a fresh one.
+    if books is None:
+        books = pq_train(embeddings, m=m, ksub=ksub, iters=iters, dim=dim)
     dsub = dim // m
     emb = _normalized(embeddings)
     codes = emb.filter(F.col("vec_id") >= n_queries).mapInPandas(
@@ -674,7 +680,7 @@ def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
 
 def pq_rerank_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                    shortlist_factor: int = 5, m: int = 8, ksub: int = 16,
-                   iters: int = 3, dim: int = DIM) -> DataFrame:
+                   iters: int = 3, dim: int = DIM, books=None) -> DataFrame:
     """PQ/ADC with exact re-ranking — the production IVF-PQ pattern:
     ADC produces a shortlist of ``k·shortlist_factor`` candidates per
     query (cheap, code-only), then ONLY the shortlist rematerializes
@@ -689,7 +695,7 @@ def pq_rerank_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     """
     short = pq_adc_topk(
         embeddings, n_queries=n_queries, k=k * shortlist_factor,
-        m=m, ksub=ksub, iters=iters, dim=dim,
+        m=m, ksub=ksub, iters=iters, dim=dim, books=books,
     ).select("query_id", "cand_id")
     cand = embeddings.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
