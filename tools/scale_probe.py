@@ -1,0 +1,158 @@
+"""Scale-linearity probe (VERDICT r5 #5): do the dedup/ANN scale tiers
+stay ~linear from 1× to 10× corpus, with flat driver state?
+
+Corpus construction — replication that PRESERVES workload shape:
+replicating text verbatim would make every replica an exact duplicate of
+the base, so near-dup pair output (and hot-bucket membership) would grow
+QUADRATICALLY in the replica count — a 10× input with a ~100× workload is
+not a linearity probe. Instead every replica k prefixes each WORD with
+``r<k>`` (one regexp_replace at word starts): all shingles/word-hashes
+become disjoint across replicas, so each replica carries the SAME internal
+duplicate structure as the base and nothing pairs across replicas — 10×
+input, exactly 10× work and 10× output. Embeddings replicate with offset
+vec_ids (identical vectors are fine for ANN scoring cost, which is linear
+in candidates; ties resolve deterministically by cand_id).
+
+Measures, per tier, steady-state wall (min of RUNS) at 1× and 10×, the
+wall ratio vs the 10.0 linear ideal, JVM used-heap delta and Python driver
+RSS. Fails (exit 1) if any tier's ratio exceeds LINEAR_SLACK × 10 or
+driver RSS grows by more than RSS_CAP_MB during the 10× pass.
+
+Run: ``python tools/scale_probe.py`` (≈4 min at sf0.1 on local[32]).
+"""
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = os.environ.get("SCALE_PROBE_DIR", "/tmp/scale_probe")
+REPLICAS = 10
+RUNS = 3
+LINEAR_SLACK = 1.3
+RSS_CAP_MB = 1500
+
+
+def rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def jvm_used_mb(spark) -> float:
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    return (rt.totalMemory() - rt.freeMemory()) / 1e6
+
+
+def build_corpora(spark):
+    """Write 1× and 10× corpora to parquet ONCE so every tier reads the
+    same physical input (scan included in the measurement, like bench)."""
+    from ha_sqllite_2_influxdb_spark.operators.dedup import recrawl_corpus
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    base = recrawl_corpus(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    )
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    paths = {}
+    for scale, n in (("x1", 1), ("x10", REPLICAS)):
+        reps = [
+            base.select(
+                (F.col("doc_id") + 10_000_000 * k).alias("doc_id"),
+                (F.col("text") if k == 0 else
+                 F.regexp_replace("text", "(^| )", f"$1r{k}")).alias("text"),
+            )
+            for k in range(n)
+        ]
+        docs = reps[0]
+        for r in reps[1:]:
+            docs = docs.unionByName(r)
+        dp = f"{WORK}/docs_{scale}.parquet"
+        docs.repartition(32).write.mode("overwrite").parquet(dp)
+        ereps = [
+            emb.select((F.col("vec_id") + 1_000_000 * k).alias("vec_id"),
+                       "embedding")
+            for k in range(n)
+        ]
+        e = ereps[0]
+        for r in ereps[1:]:
+            e = e.unionByName(r)
+        ep = f"{WORK}/emb_{scale}.parquet"
+        e.repartition(32).write.mode("overwrite").parquet(ep)
+        paths[scale] = (dp, ep)
+    return paths
+
+
+def tiers(spark, docs_path, emb_path, books):
+    from ha_sqllite_2_influxdb_spark.operators import dedup, similarity
+
+    docs = spark.read.parquet(docs_path)
+    emb = spark.read.parquet(emb_path)
+    return {
+        "neardup_xxhash_lsh": lambda: dedup.neardup_pairs(
+            docs, threshold=0.5, n_seeds=8, portable=False),
+        "simhash_neighbors_rotated": lambda: dedup.simhash_neighbors_rotated(
+            docs, max_hamming=3, portable=False),
+        "ngram_span_dedup": lambda: dedup.ngram_span_stats(docs, n=8),
+        "pq_rerank_topk": lambda: similarity.pq_rerank_topk(
+            emb, n_queries=5, k=10, shortlist_factor=10, books=books),
+    }
+
+
+def main() -> None:
+    from ha_sqllite_2_influxdb_spark.operators import similarity
+    from ha_sqllite_2_influxdb_spark.session import get_spark
+
+    spark = get_spark("scale_probe", cpus=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    paths = build_corpora(spark)
+    # PQ books are a build artifact; the probe measures SERVING at both
+    # scales with the same codebooks (replica vectors are identical, so
+    # base-trained books are exact for the 10× corpus too)
+    books = similarity.pq_train(spark.read.parquet(paths["x1"][1]))
+
+    walls: dict[str, dict[str, float]] = {}
+    mems: dict[str, dict[str, float]] = {}
+    for scale in ("x1", "x10"):
+        dp, ep = paths[scale]
+        for name, make in tiers(spark, dp, ep, books).items():
+            best = float("inf")
+            rss0, jvm0 = rss_mb(), jvm_used_mb(spark)
+            for i in range(RUNS + 1):  # first run is warm-up for this shape
+                t0 = time.time()
+                make().write.format("noop").mode("overwrite").save()
+                if i:
+                    best = min(best, time.time() - t0)
+            walls.setdefault(name, {})[scale] = round(best, 3)
+            mems.setdefault(name, {})[f"rss_delta_{scale}"] = round(
+                rss_mb() - rss0, 1)
+            mems[name][f"jvm_delta_{scale}"] = round(
+                jvm_used_mb(spark) - jvm0, 1)
+
+    failures = []
+    report = {}
+    for name, w in walls.items():
+        ratio = round(w["x10"] / w["x1"], 2)
+        report[name] = {
+            "wall_x1": w["x1"], "wall_x10": w["x10"],
+            "ratio": ratio, "linear_ideal": float(REPLICAS),
+            **mems[name],
+        }
+        if ratio > LINEAR_SLACK * REPLICAS:
+            failures.append(f"{name}: ratio {ratio} > "
+                            f"{LINEAR_SLACK * REPLICAS}")
+        if mems[name]["rss_delta_x10"] > RSS_CAP_MB:
+            failures.append(f"{name}: driver RSS grew "
+                            f"{mems[name]['rss_delta_x10']} MB at 10×")
+    print(json.dumps({"sf_dir": SF_DIR, "replicas": REPLICAS,
+                      "tiers": report, "failures": failures}))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
