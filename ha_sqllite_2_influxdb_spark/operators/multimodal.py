@@ -573,3 +573,376 @@ def decode_wav(payload_df: DataFrame) -> DataFrame:
             })
 
     return payload_df.mapInPandas(_decode, schema=WAV_DECODE_SCHEMA)
+
+
+# --------------------------------------------------------------- JPEG tier
+#
+# Baseline-DCT JPEG (ITU-T T.81), dependency-free: numpy DCT/IDCT, stdlib
+# everything else — the last codec format an hermetic container can still
+# decode honestly (VERDICT r5 #6). Grayscale baseline subset: 8-bit
+# precision, one component, 1×1 sampling, no restart markers.
+#
+# The decoder is GENERAL for that subset (it rebuilds canonical Huffman
+# tables from whatever DHT segments the stream carries — the spec's
+# example tables or any other — and crops partial edge blocks); the
+# encoder is the test fixture. The encoder emits a PROGRAMMATIC canonical
+# Huffman assignment (every symbol at one code length, carried in DHT as
+# the format requires) rather than a hand-transcribed copy of the spec's
+# example tables: zero transcription risk, identical decode path.
+#
+# Oracle-exactness by construction: the quant table's DC step is 8. An
+# orthonormal 8×8 DCT maps a constant block v to DC = 8·(v−128) with all
+# AC exactly 0, so with step 8 the quantized code is the INTEGER v−128
+# and the round-trip is LOSSLESS for per-block-constant images.
+# jpeg_payloads therefore defaults to per-block-constant pixels, making
+# width, height, block count AND decoded mean_pixel all SQL-predictable;
+# the lossy general path (varying pixels, AC coefficients, ZRL/EOB runs)
+# is pytest-bounded instead.
+#
+# All helpers live INSIDE the mapInPandas closures: module-level
+# references would make cloudpickle import this package on executor
+# Python workers, which only see the closure (same hermetic-worker
+# convention as every other codec above).
+
+JPEG_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_blocks", T.LongType()),
+    T.StructField("n_pixels", T.LongType()),
+    T.StructField("mean_pixel", T.DoubleType()),
+])
+
+JPEG_DC_QSTEP = 8      # exactness invariant — see module note
+JPEG_AC_QSTEP = 16
+
+
+def _jpeg_common():
+    """Shared pure-python/numpy pieces, built fresh inside each closure
+    (returned as a dict so encoder and decoder stay in lock-step without
+    module-level state)."""
+    import numpy as np
+
+    zigzag = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1],
+                        rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+    )
+    qtable = [JPEG_DC_QSTEP] + [JPEG_AC_QSTEP] * 63
+    x = np.arange(8)
+    C = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    C[0, :] = 1.0
+    scale = np.empty(8)
+    scale[0] = 1.0 / np.sqrt(8.0)
+    scale[1:] = np.sqrt(2.0 / 8.0)
+    C = scale[:, None] * C
+
+    def canonical(bits, vals):
+        """{symbol: (code, len)} per T.81 canonical assignment."""
+        out, code, i = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[i]] = (code, ln)
+                code += 1
+                i += 1
+            code <<= 1
+        return out
+
+    return {"zigzag": zigzag, "qtable": qtable, "C": C,
+            "canonical": canonical}
+
+
+def jpeg_payloads(documents: DataFrame,
+                  per_block_constant: bool = True) -> DataFrame:
+    """Synthesize a VALID baseline grayscale JPEG per document.
+
+    Dimensions 8·((doc_id%3)+1) × 8·((doc_id%2)+1); block pixels are the
+    constant (doc_id·31 + i·7) % 256 for row-major block index i by
+    default (SQL-exact decode — see module note), or text-byte-cycling
+    varying pixels with ``per_block_constant=False`` (the lossy path
+    pytest bounds)."""
+    # evaluated DRIVER-side: the closure captures plain data (lists, a
+    # numpy array, one nested function), which cloudpickle ships by
+    # value — a module-global reference would make workers import this
+    # package, which they cannot
+    cm = _jpeg_common()
+
+    def _make(batches: Iterator):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        zigzag, C = cm["zigzag"], cm["C"]
+        qtable = cm["qtable"]
+        # DC: 12 categories at 5 bits (codes 0..11 — all-ones unused, as
+        # T.81 requires); AC: EOB, ZRL and every (run, size) at 8 bits
+        # (162 codes, 255 unused)
+        dc_bits = [0] * 16
+        dc_bits[4] = 12
+        dc_vals = list(range(12))
+        ac_bits = [0] * 16
+        ac_bits[7] = 162
+        ac_vals = [0x00, 0xF0] + [
+            (run << 4) | size for run in range(16) for size in range(1, 11)
+        ]
+        dc_code = cm["canonical"](dc_bits, dc_vals)
+        ac_code = cm["canonical"](ac_bits, ac_vals)
+        q = np.empty((8, 8))
+        for k, (r, c) in enumerate(zigzag):
+            q[r, c] = qtable[k]
+
+        class BitWriter:
+            def __init__(self):
+                self.buf, self.acc, self.n = bytearray(), 0, 0
+
+            def put(self, code, length):
+                self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+                self.n += length
+                while self.n >= 8:
+                    byte = (self.acc >> (self.n - 8)) & 0xFF
+                    self.buf.append(byte)
+                    if byte == 0xFF:
+                        self.buf.append(0x00)  # byte stuffing
+                    self.n -= 8
+
+            def flush(self):
+                if self.n:
+                    pad = 8 - self.n
+                    self.put((1 << pad) - 1, pad)  # pad with 1s per T.81
+                return bytes(self.buf)
+
+        def category(v):
+            return 0 if v == 0 else abs(v).bit_length()
+
+        def headers(w, h):
+            dqt = bytes([0]) + bytes(qtable)
+            sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+            dht_dc = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+            dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+            sos = bytes([1, 1, 0x00, 0, 63, 0])
+
+            def seg(marker, body):
+                return struct.pack(">HH", marker, len(body) + 2) + body
+
+            return (b"\xff\xd8" + seg(0xFFDB, dqt) + seg(0xFFC0, sof)
+                    + seg(0xFFC4, dht_dc) + seg(0xFFC4, dht_ac)
+                    + seg(0xFFDA, sos))
+
+        def one(doc_id, text):
+            w = 8 * ((doc_id % 3) + 1)
+            h = 8 * ((doc_id % 2) + 1)
+            bx, by = w // 8, h // 8
+            img = np.empty((h, w), dtype=np.float64)
+            if per_block_constant:
+                for r in range(by):
+                    for c in range(bx):
+                        img[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = (
+                            doc_id * 31 + (r * bx + c) * 7) % 256
+            else:
+                src = (text or "?").encode("ascii", errors="replace") or b"?"
+                flat = np.frombuffer(
+                    (src * (h * w // len(src) + 1))[:h * w], dtype=np.uint8)
+                img[:] = flat.reshape(h, w)
+            bw = BitWriter()
+            prev_dc = 0
+            for r in range(by):
+                for c in range(bx):
+                    blk = img[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] - 128.0
+                    coef = C @ blk @ C.T
+                    zz = [int(np.round(coef[rr, cc] / q[rr, cc]))
+                          for rr, cc in zigzag]
+                    diff = zz[0] - prev_dc
+                    prev_dc = zz[0]
+                    t = category(diff)
+                    bw.put(*dc_code[t])
+                    if t:
+                        bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                    run = 0
+                    for k in range(1, 64):
+                        if zz[k] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            bw.put(*ac_code[0xF0])  # ZRL
+                            run -= 16
+                        s = category(zz[k])
+                        bw.put(*ac_code[(run << 4) | s])
+                        v = zz[k]
+                        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        bw.put(*ac_code[0x00])  # EOB
+            return headers(w, h) + bw.flush() + b"\xff\xd9"
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [one(int(d), t)
+                            for d, t in zip(pdf["doc_id"], pdf["text"])],
+            })
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def decode_jpeg(payload_df: DataFrame) -> DataFrame:
+    """REAL baseline-DCT JPEG decode, dependency-free: marker walk, DQT /
+    SOF0 / DHT parse (canonical Huffman rebuilt from the DHT payload),
+    entropy decode with byte unstuffing, dequantize, inverse zigzag,
+    numpy IDCT, level shift, clamp, crop. Grayscale baseline subset
+    (precision 8, one component, 1×1 sampling, no restart markers);
+    anything else — and any malformed stream — yields a null-dimension
+    row (the P7 bad-row convention). mean_pixel is over the RECONSTRUCTED
+    pixels, so a wrong Huffman walk, dequant or IDCT is observable, not
+    cosmetic."""
+    cm = _jpeg_common()  # driver-side eval: closure ships plain data
+
+    def _decode(batches: Iterator):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        zigzag, C = cm["zigzag"], cm["C"]
+
+        def one(b: bytes):
+            try:
+                if b[:2] != b"\xff\xd8":
+                    return None
+                pos = 2
+                qt, huff = {}, {}
+                sof = None
+                scan_comp = scan_at = None
+                while pos + 4 <= len(b):
+                    if b[pos] != 0xFF:
+                        return None
+                    marker = b[pos + 1]
+                    if marker == 0xD9:
+                        break
+                    (ln,) = struct.unpack_from(">H", b, pos + 2)
+                    body = b[pos + 4:pos + 2 + ln]
+                    if marker == 0xDB:
+                        o = 0
+                        while o < len(body):
+                            pq, tq = body[o] >> 4, body[o] & 0xF
+                            if pq != 0:
+                                return None  # 16-bit tables: out of subset
+                            qt[tq] = list(body[o + 1:o + 65])
+                            o += 65
+                    elif marker == 0xC0:
+                        sof = body
+                    elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        return None  # non-baseline SOF: out of subset
+                    elif marker == 0xC4:
+                        o = 0
+                        while o < len(body):
+                            tc, th = body[o] >> 4, body[o] & 0xF
+                            bits = list(body[o + 1:o + 17])
+                            n = sum(bits)
+                            vals = list(body[o + 17:o + 17 + n])
+                            dec, code, i = {}, 0, 0
+                            for clen in range(1, 17):
+                                for _ in range(bits[clen - 1]):
+                                    dec[(clen, code)] = vals[i]
+                                    code += 1
+                                    i += 1
+                                code <<= 1
+                            huff[(tc, th)] = dec
+                            o += 17 + n
+                    elif marker == 0xDA:
+                        scan_comp = body[1:1 + 2 * body[0]]
+                        scan_at = pos + 2 + ln
+                        break
+                    pos += 2 + ln
+                if sof is None or scan_at is None:
+                    return None
+                prec, h, w, ncomp = struct.unpack_from(">BHHB", sof, 0)
+                if prec != 8 or ncomp != 1 or w <= 0 or h <= 0:
+                    return None
+                sampling, tq = sof[7], sof[8]
+                if sampling != 0x11 or tq not in qt:
+                    return None
+                td, ta = scan_comp[1] >> 4, scan_comp[1] & 0xF
+                if (0, td) not in huff or (1, ta) not in huff:
+                    return None
+                dc_dec, ac_dec = huff[(0, td)], huff[(1, ta)]
+                q = np.empty((8, 8))
+                for k, (r, c) in enumerate(zigzag):
+                    q[r, c] = qt[tq][k]
+
+                bitpos = [scan_at * 8]
+
+                def read_bit():
+                    byte_i = bitpos[0] >> 3
+                    byte = b[byte_i]
+                    bit = (byte >> (7 - (bitpos[0] & 7))) & 1
+                    bitpos[0] += 1
+                    if (bitpos[0] & 7) == 0 and byte == 0xFF:
+                        if b[byte_i + 1] != 0x00:
+                            raise ValueError("marker inside scan")
+                        bitpos[0] += 8  # skip the stuffed 0x00
+                    return bit
+
+                def read_huff(dec):
+                    code = clen = 0
+                    while clen < 16:
+                        code = (code << 1) | read_bit()
+                        clen += 1
+                        if (clen, code) in dec:
+                            return dec[(clen, code)]
+                    raise ValueError("bad huffman code")
+
+                def receive_extend(t):
+                    if t == 0:
+                        return 0
+                    v = 0
+                    for _ in range(t):
+                        v = (v << 1) | read_bit()
+                    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+                bx, by = (w + 7) // 8, (h + 7) // 8
+                img = np.empty((by * 8, bx * 8), dtype=np.float64)
+                prev_dc = 0
+                for br in range(by):
+                    for bc in range(bx):
+                        zz = np.zeros(64)
+                        prev_dc += receive_extend(read_huff(dc_dec))
+                        zz[0] = prev_dc
+                        k = 1
+                        while k < 64:
+                            sym = read_huff(ac_dec)
+                            if sym == 0x00:
+                                break
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            if k > 63:
+                                raise ValueError("AC run past block")
+                            zz[k] = receive_extend(sym & 0xF)
+                            k += 1
+                        coef = np.zeros((8, 8))
+                        for k2, (rr, cc) in enumerate(zigzag):
+                            coef[rr, cc] = zz[k2]
+                        img[br * 8:br * 8 + 8, bc * 8:bc * 8 + 8] = (
+                            C.T @ (coef * q) @ C + 128.0)
+                pix = np.clip(np.round(img[:h, :w]), 0, 255)
+                return (w, h, bx * by, w * h, float(pix.mean()))
+            except (struct.error, ValueError, IndexError):
+                return None
+
+        for pdf in batches:
+            rows = [one(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [r[0] if r else None for r in rows],
+                "height": [r[1] if r else None for r in rows],
+                "n_blocks": [r[2] if r else None for r in rows],
+                "n_pixels": [r[3] if r else None for r in rows],
+                "mean_pixel": [r[4] if r else None for r in rows],
+            })
+
+    return payload_df.mapInPandas(_decode, schema=JPEG_DECODE_SCHEMA)

@@ -533,3 +533,77 @@ def test_pq_rerank_deterministic_across_partitionings(spark, sf_dir):
     b = sorted(tuple(r) for r in similarity.pq_rerank_topk(
         emb.repartition(7), n_queries=3, k=5, shortlist_factor=4).collect())
     assert a == b
+
+
+def test_jpeg_decode_flat_blocks_exact(spark, sf_dir):
+    """Per-block-constant fixture + DC quant step 8 make baseline JPEG
+    LOSSLESS (constant block → DC = 8·(v−128), an exact step multiple;
+    AC exactly 0): decoded dims, block count and mean must equal an
+    independent recomputation from doc_id alone — a wrong Huffman walk,
+    dequant, zigzag or IDCT breaks exact equality."""
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    decoded = {r.doc_id: r for r in
+               multimodal.decode_jpeg(
+                   multimodal.jpeg_payloads(docs)).collect()}
+    assert set(decoded) == set(ids)
+    for d in ids:
+        r = decoded[d]
+        bx, by = (d % 3) + 1, (d % 2) + 1
+        assert (r.width, r.height, r.n_blocks, r.n_pixels) == (
+            8 * bx, 8 * by, bx * by, 64 * bx * by), d
+        vals = [(d * 31 + i * 7) % 256 for i in range(bx * by)]
+        assert r.mean_pixel == sum(vals) / len(vals), d
+
+
+def test_jpeg_lossy_roundtrip_bounded(spark, sf_dir):
+    """Varying pixels exercise the full AC path (categories, ZRL, EOB):
+    the decode is lossy but must stay within the quantization error
+    budget — per-block DC error ≤ (q_dc/2)/8 = 0.5 grey levels on the
+    mean, so a decoded mean drifting further means a real codec bug."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    decoded = {r.doc_id: r for r in
+               multimodal.decode_jpeg(multimodal.jpeg_payloads(
+                   docs, per_block_constant=False)).collect()}
+    for d, text in texts.items():
+        r = decoded[d]
+        w, h = 8 * ((d % 3) + 1), 8 * ((d % 2) + 1)
+        assert (r.width, r.height) == (w, h), d
+        src = (text or "?").encode("ascii", errors="replace") or b"?"
+        want = np.frombuffer(
+            (src * (h * w // len(src) + 1))[:h * w], np.uint8
+        ).astype(np.float64).mean()
+        assert abs(r.mean_pixel - want) <= 2.0, (d, r.mean_pixel, want)
+
+
+def test_jpeg_encoder_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    a = {r.doc_id: bytes(r.payload)
+         for r in multimodal.jpeg_payloads(docs).collect()}
+    b = {r.doc_id: bytes(r.payload)
+         for r in multimodal.jpeg_payloads(docs).collect()}
+    assert a == b
+
+
+def test_jpeg_decode_rejects_malformed(spark):
+    """Garbage / truncated / out-of-subset payloads become null rows
+    (the P7 bad-row convention), never batch failures."""
+    import struct
+
+    # a valid stream to mutate: take one real payload
+    base_df = spark.createDataFrame([(7, "x")], "doc_id long, text string")
+    good = bytes(multimodal.jpeg_payloads(base_df).collect()[0].payload)
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)  # SOF2
+    truncated = good[:len(good) // 2]
+    df = spark.createDataFrame(
+        [(1, b"not a jpeg"), (2, b"\xff\xd8"), (3, b""),
+         (4, progressive), (5, truncated), (6, good)],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.decode_jpeg(df).collect()}
+    assert len(rows) == 6
+    assert all(rows[i].width is None for i in (1, 2, 3, 4, 5))
+    assert rows[6].width == 8 * (7 % 3 + 1) and rows[6].mean_pixel is not None
