@@ -3,11 +3,15 @@
 Pattern for image/audio/video at 100 TB: the payload is a ``binary`` column
 (or a pointer to object storage), metadata is typed columns, and
 decode/feature-extract runs as Arrow-batched ``mapInPandas`` so Python sees
-whole record batches, never rows. JPEG/video codec libraries are not in
-this container, so `decode_features`/`resize_images` use a deterministic
-fake clearly marked as a stub; `decode_bmp` is the REAL codec tier — BMP's
-layout is public and trivial enough to parse dependency-free (header, DIB,
-stride-padded pixel array), so one honest decode path exists end-to-end.
+whole record batches, never rows. Four REAL dependency-free codec tiers
+exist end-to-end — `decode_bmp` (header/DIB/stride parse), `decode_png`
+(stdlib zlib + full inverse-filter set), `decode_jpeg` (baseline-DCT:
+canonical Huffman from DHT, dequant, numpy IDCT) and `decode_wav`
+(RIFF/PCM walk) — plus `image_thumbnails`, a real grayscale area-average
+resize that magic-byte-dispatches across the three image codecs. Only
+formats whose decode genuinely needs an external library (video
+containers, progressive/chroma JPEG, …) remain behind the clearly-marked
+`decode_features`/`resize_images` stubs.
 
 ``payloads`` synthesizes binary from ``documents.text`` (UTF-8 bytes) so
 byte-level results are oracle-checkable: byte length and byte sum computed
@@ -58,9 +62,13 @@ def decode_features(payload_df: DataFrame, real_decode: bool = False) -> DataFra
 
         for pdf in batches:
             if real_decode:
-                # Real codecs (PIL/libav/...) are not installed in this
-                # environment; the plumbing around this is the deliverable.
-                raise NotImplementedError("codec libraries unavailable; use stub")
+                # external codec libraries (PIL/libav/...) are not in
+                # this container; the REAL in-repo tiers are decode_bmp /
+                # decode_png / decode_jpeg / decode_wav / image_thumbnails
+                raise NotImplementedError(
+                    "external codec libraries unavailable; use the real "
+                    "in-repo tiers (decode_bmp/png/jpeg/wav, "
+                    "image_thumbnails) or this stub")
             raw = pdf["payload"]
             n_bytes = raw.str.len().astype("int64")
             byte_sum = raw.map(lambda b: sum(b)).astype("int64")
@@ -95,10 +103,10 @@ FRAME_SCHEMA = T.StructType([
 def resize_images(payload_df: DataFrame, width: int = 8,
                   height: int = 8) -> DataFrame:
     """Thumbnail 'resize': 1 row in → 1 row out, output binary has the
-    exact target size. STUB decode (no codec libs in this container) —
-    the deterministic fake cycles payload bytes to width*height; the
-    plumbing (Arrow batches, binary-in/binary-out, fixed output schema,
-    partition preservation) is the real deliverable.
+    exact target size. STUB decode for arbitrary/unknown payloads — the
+    deterministic fake cycles payload bytes to width*height. For BMP /
+    PNG / JPEG payloads use `image_thumbnails`, the REAL decode +
+    area-average resize tier (r6).
     """
     target = width * height
 
@@ -207,6 +215,38 @@ def bmp_payloads(documents: DataFrame) -> DataFrame:
     )
 
 
+def _bmp_pixels_fn():
+    """Factory → ``one(bytes) -> (w, h, bpp, n_pixel_bytes,
+    uint8[h, w·3] samples) | None``. Built driver-side and shipped by
+    value into mapInPandas closures (the hermetic-worker convention);
+    single source of truth for the BMP parse shared by `decode_bmp` and
+    `image_thumbnails`."""
+    import struct
+
+    import numpy as np
+
+    def one(b: bytes):
+        try:
+            if len(b) < 54 or b[:2] != b"BM":
+                return None
+            off = struct.unpack_from("<I", b, 10)[0]
+            w, h = struct.unpack_from("<ii", b, 18)
+            bpp = struct.unpack_from("<H", b, 28)[0]
+            comp = struct.unpack_from("<I", b, 30)[0]
+            if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+                return None
+            stride = (3 * w + 3) & ~3
+            arr = np.frombuffer(b, dtype=np.uint8,
+                                count=stride * h, offset=off)
+            # samples EXCLUDING row padding — the parser must understand
+            # the stride, not just slice bytes
+            return (w, h, bpp, stride * h, arr.reshape(h, stride)[:, :3 * w])
+        except (struct.error, ValueError):
+            return None
+
+    return one
+
+
 def decode_bmp(payload_df: DataFrame) -> DataFrame:
     """REAL image decode in the Arrow batch: parse the BMP file header,
     DIB header and pixel array (row stride + padding) with no codec
@@ -214,33 +254,20 @@ def decode_bmp(payload_df: DataFrame) -> DataFrame:
     format an hermetic container can decode honestly. Malformed payloads
     yield a null-dimension row instead of failing the batch (the P7
     bad-row convention). The mean is over actual pixel samples,
-    EXCLUDING row padding — i.e. the parser must understand the stride,
-    not just slice bytes."""
+    EXCLUDING row padding."""
+    pixels_of = _bmp_pixels_fn()
 
     def _decode(batches: Iterator):
-        import struct
-
         import numpy as np
         import pandas as pd
 
         def one(b: bytes):
-            try:
-                if len(b) < 54 or b[:2] != b"BM":
-                    return None
-                off = struct.unpack_from("<I", b, 10)[0]
-                w, h = struct.unpack_from("<ii", b, 18)
-                bpp = struct.unpack_from("<H", b, 28)[0]
-                comp = struct.unpack_from("<I", b, 30)[0]
-                if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
-                    return None
-                stride = (3 * w + 3) & ~3
-                arr = np.frombuffer(b, dtype=np.uint8,
-                                    count=stride * h, offset=off)
-                pixels = arr.reshape(h, stride)[:, :3 * w]
-                return (w, h, bpp, stride * h,
-                        float(pixels.astype(np.float64).mean()))
-            except (struct.error, ValueError):
+            r = pixels_of(b)
+            if r is None:
                 return None
+            w, h, bpp, n_bytes, samples = r
+            return (w, h, bpp, n_bytes,
+                    float(samples.astype(np.float64).mean()))
 
         for pdf in batches:
             rows = [one(bytes(b)) for b in pdf["payload"]]
@@ -343,6 +370,85 @@ def png_payloads(documents: DataFrame) -> DataFrame:
     )
 
 
+def _png_pixels_fn():
+    """Factory → ``one(bytes) -> (w, h, depth, ctype, uint8[h, w]) |
+    None`` for the 8-bit grayscale PNG subset: chunk walk, IDAT inflate,
+    full inverse-filter set (None/Sub/Up/Average/Paeth). Driver-built,
+    shipped by value; shared by `decode_png` and `image_thumbnails`.
+    Sub (r6) is vectorized via uint8 cumsum (c[i] = line[i] + c[i-1] is
+    exactly a mod-256 prefix sum); Up was already one vector add;
+    Average/Paeth stay per-pixel (their predictor needs the just-written
+    left neighbor AND the prior row — inherently sequential per the
+    spec)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def one(b: bytes):
+        try:
+            if b[:8] != b"\x89PNG\r\n\x1a\n":
+                return None
+            pos, idat, meta = 8, b"", None
+            while pos + 8 <= len(b):
+                (ln,) = struct.unpack_from(">I", b, pos)
+                tag = b[pos + 4:pos + 8]
+                data = b[pos + 8:pos + 8 + ln]
+                if tag == b"IHDR":
+                    meta = struct.unpack(">IIBBBBB", data)
+                elif tag == b"IDAT":
+                    idat += data
+                elif tag == b"IEND":
+                    break
+                pos += 12 + ln
+            if meta is None:
+                return None
+            w, h, depth, ctype, comp, filt, interlace = meta
+            if (depth, ctype, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                return None  # outside the supported grayscale subset
+            if w <= 0 or h <= 0:
+                return None  # zero-area: P7 null row, not a NaN mean
+            raw = zlib.decompress(idat)
+            if len(raw) != h * (w + 1):
+                return None
+            img = np.zeros((h, w), dtype=np.uint8)
+            prior = np.zeros(w, dtype=np.uint8)
+            for r in range(h):
+                ft = raw[r * (w + 1)]
+                line = np.frombuffer(
+                    raw, np.uint8, count=w, offset=r * (w + 1) + 1)
+                if ft == 0:
+                    cur = line.copy()
+                elif ft == 1:    # Sub — mod-256 prefix sum, vectorized
+                    cur = np.cumsum(line, dtype=np.uint8)
+                elif ft == 2:    # Up — vectorized
+                    cur = line + prior
+                elif ft in (3, 4):  # Average/Paeth — sequential
+                    cur = np.zeros(w, dtype=np.uint8)
+                    for i in range(w):
+                        a = int(cur[i - 1]) if i else 0
+                        if ft == 3:
+                            pred = (a + int(prior[i])) // 2
+                        else:
+                            bb = int(prior[i])
+                            c = int(prior[i - 1]) if i else 0
+                            p = a + bb - c
+                            pa, pb, pc = (abs(p - a), abs(p - bb),
+                                          abs(p - c))
+                            pred = a if (pa <= pb and pa <= pc) else (
+                                bb if pb <= pc else c)
+                        cur[i] = (int(line[i]) + pred) & 0xFF
+                else:
+                    return None
+                img[r] = cur
+                prior = cur
+            return (w, h, depth, ctype, img)
+        except (struct.error, ValueError, zlib.error):
+            return None
+
+    return one
+
+
 def decode_png(payload_df: DataFrame) -> DataFrame:
     """REAL compressed-image decode, dependency-free (stdlib zlib): walk
     the chunk stream, parse IHDR, concatenate IDAT, inflate, and run the
@@ -352,75 +458,19 @@ def decode_png(payload_df: DataFrame) -> DataFrame:
     payloads yield a null-dimension row instead of failing the batch (the
     P7 bad-row convention). mean_pixel is over RECONSTRUCTED samples, so
     a wrong inverse filter is observable, not cosmetic."""
+    pixels_of = _png_pixels_fn()
 
     def _decode(batches: Iterator):
-        import struct
-        import zlib
-
         import numpy as np
         import pandas as pd
 
         def one(b: bytes):
-            try:
-                if b[:8] != b"\x89PNG\r\n\x1a\n":
-                    return None
-                pos, idat, meta = 8, b"", None
-                while pos + 8 <= len(b):
-                    (ln,) = struct.unpack_from(">I", b, pos)
-                    tag = b[pos + 4:pos + 8]
-                    data = b[pos + 8:pos + 8 + ln]
-                    if tag == b"IHDR":
-                        meta = struct.unpack(">IIBBBBB", data)
-                    elif tag == b"IDAT":
-                        idat += data
-                    elif tag == b"IEND":
-                        break
-                    pos += 12 + ln
-                if meta is None:
-                    return None
-                w, h, depth, ctype, comp, filt, interlace = meta
-                if (depth, ctype, comp, filt, interlace) != (8, 0, 0, 0, 0):
-                    return None  # outside the supported grayscale subset
-                if w <= 0 or h <= 0:
-                    return None  # zero-area: P7 null row, not a NaN mean
-                raw = zlib.decompress(idat)
-                if len(raw) != h * (w + 1):
-                    return None
-                img = np.zeros((h, w), dtype=np.uint8)
-                prior = np.zeros(w, dtype=np.uint8)
-                for r in range(h):
-                    ft = raw[r * (w + 1)]
-                    line = np.frombuffer(
-                        raw, np.uint8, count=w, offset=r * (w + 1) + 1)
-                    if ft == 0:
-                        cur = line.copy()
-                    elif ft == 2:    # Up — vectorized
-                        cur = line + prior
-                    else:            # Sub/Average/Paeth — sequential
-                        cur = np.zeros(w, dtype=np.uint8)
-                        for i in range(w):
-                            a = int(cur[i - 1]) if i else 0
-                            if ft == 1:
-                                pred = a
-                            elif ft == 3:
-                                pred = (a + int(prior[i])) // 2
-                            elif ft == 4:
-                                bb = int(prior[i])
-                                c = int(prior[i - 1]) if i else 0
-                                p = a + bb - c
-                                pa, pb, pc = (abs(p - a), abs(p - bb),
-                                              abs(p - c))
-                                pred = a if (pa <= pb and pa <= pc) else (
-                                    bb if pb <= pc else c)
-                            else:
-                                return None
-                            cur[i] = (int(line[i]) + pred) & 0xFF
-                    img[r] = cur
-                    prior = cur
-                return (w, h, depth, ctype, w * h,
-                        float(img.astype(np.float64).mean()))
-            except (struct.error, ValueError, zlib.error):
+            r = pixels_of(b)
+            if r is None:
                 return None
+            w, h, depth, ctype, img = r
+            return (w, h, depth, ctype, w * h,
+                    float(img.astype(np.float64).mean()))
 
         for pdf in batches:
             rows = [one(bytes(b)) for b in pdf["payload"]]
@@ -787,6 +837,149 @@ def jpeg_payloads(documents: DataFrame,
     )
 
 
+def _jpeg_pixels_fn():
+    """Factory → ``one(bytes) -> (w, h, n_blocks, float64[h, w] rounded
+    clamped pixels) | None`` for the grayscale baseline JPEG subset.
+    Driver-built and shipped by value into mapInPandas closures (the
+    hermetic-worker convention); single source of truth for the JPEG
+    parse shared by `decode_jpeg` and `image_thumbnails`."""
+    import struct
+
+    import numpy as np
+
+    cm = _jpeg_common()
+    zigzag, C = cm["zigzag"], cm["C"]
+
+    def one(b: bytes):
+        try:
+            if b[:2] != b"\xff\xd8":
+                return None
+            pos = 2
+            qt, huff = {}, {}
+            sof = None
+            scan_comp = scan_at = None
+            while pos + 4 <= len(b):
+                if b[pos] != 0xFF:
+                    return None
+                marker = b[pos + 1]
+                if marker == 0xD9:
+                    break
+                (ln,) = struct.unpack_from(">H", b, pos + 2)
+                body = b[pos + 4:pos + 2 + ln]
+                if marker == 0xDB:
+                    o = 0
+                    while o < len(body):
+                        pq, tq = body[o] >> 4, body[o] & 0xF
+                        if pq != 0:
+                            return None  # 16-bit tables: out of subset
+                        qt[tq] = list(body[o + 1:o + 65])
+                        o += 65
+                elif marker == 0xC0:
+                    sof = body
+                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    return None  # non-baseline SOF: out of subset
+                elif marker == 0xC4:
+                    o = 0
+                    while o < len(body):
+                        tc, th = body[o] >> 4, body[o] & 0xF
+                        bits = list(body[o + 1:o + 17])
+                        n = sum(bits)
+                        vals = list(body[o + 17:o + 17 + n])
+                        dec, code, i = {}, 0, 0
+                        for clen in range(1, 17):
+                            for _ in range(bits[clen - 1]):
+                                dec[(clen, code)] = vals[i]
+                                code += 1
+                                i += 1
+                            code <<= 1
+                        huff[(tc, th)] = dec
+                        o += 17 + n
+                elif marker == 0xDA:
+                    scan_comp = body[1:1 + 2 * body[0]]
+                    scan_at = pos + 2 + ln
+                    break
+                pos += 2 + ln
+            if sof is None or scan_at is None:
+                return None
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", sof, 0)
+            if prec != 8 or ncomp != 1 or w <= 0 or h <= 0:
+                return None
+            sampling, tq = sof[7], sof[8]
+            if sampling != 0x11 or tq not in qt:
+                return None
+            td, ta = scan_comp[1] >> 4, scan_comp[1] & 0xF
+            if (0, td) not in huff or (1, ta) not in huff:
+                return None
+            dc_dec, ac_dec = huff[(0, td)], huff[(1, ta)]
+            q = np.empty((8, 8))
+            for k, (r, c) in enumerate(zigzag):
+                q[r, c] = qt[tq][k]
+
+            bitpos = [scan_at * 8]
+
+            def read_bit():
+                byte_i = bitpos[0] >> 3
+                byte = b[byte_i]
+                bit = (byte >> (7 - (bitpos[0] & 7))) & 1
+                bitpos[0] += 1
+                if (bitpos[0] & 7) == 0 and byte == 0xFF:
+                    if b[byte_i + 1] != 0x00:
+                        raise ValueError("marker inside scan")
+                    bitpos[0] += 8  # skip the stuffed 0x00
+                return bit
+
+            def read_huff(dec):
+                code = clen = 0
+                while clen < 16:
+                    code = (code << 1) | read_bit()
+                    clen += 1
+                    if (clen, code) in dec:
+                        return dec[(clen, code)]
+                raise ValueError("bad huffman code")
+
+            def receive_extend(t):
+                if t == 0:
+                    return 0
+                v = 0
+                for _ in range(t):
+                    v = (v << 1) | read_bit()
+                return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+            bx, by = (w + 7) // 8, (h + 7) // 8
+            img = np.empty((by * 8, bx * 8), dtype=np.float64)
+            prev_dc = 0
+            for br in range(by):
+                for bc in range(bx):
+                    zz = np.zeros(64)
+                    prev_dc += receive_extend(read_huff(dc_dec))
+                    zz[0] = prev_dc
+                    k = 1
+                    while k < 64:
+                        sym = read_huff(ac_dec)
+                        if sym == 0x00:
+                            break
+                        if sym == 0xF0:
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        if k > 63:
+                            raise ValueError("AC run past block")
+                        zz[k] = receive_extend(sym & 0xF)
+                        k += 1
+                    coef = np.zeros((8, 8))
+                    for k2, (rr, cc) in enumerate(zigzag):
+                        coef[rr, cc] = zz[k2]
+                    img[br * 8:br * 8 + 8, bc * 8:bc * 8 + 8] = (
+                        C.T @ (coef * q) @ C + 128.0)
+            pix = np.clip(np.round(img[:h, :w]), 0, 255)
+            return (w, h, bx * by, pix)
+        except (struct.error, ValueError, IndexError):
+            return None
+
+    return one
+
+
 def decode_jpeg(payload_df: DataFrame) -> DataFrame:
     """REAL baseline-DCT JPEG decode, dependency-free: marker walk, DQT /
     SOF0 / DHT parse (canonical Huffman rebuilt from the DHT payload),
@@ -797,142 +990,17 @@ def decode_jpeg(payload_df: DataFrame) -> DataFrame:
     row (the P7 bad-row convention). mean_pixel is over the RECONSTRUCTED
     pixels, so a wrong Huffman walk, dequant or IDCT is observable, not
     cosmetic."""
-    cm = _jpeg_common()  # driver-side eval: closure ships plain data
+    pixels_of = _jpeg_pixels_fn()
 
     def _decode(batches: Iterator):
-        import struct
-
-        import numpy as np
         import pandas as pd
 
-        zigzag, C = cm["zigzag"], cm["C"]
-
         def one(b: bytes):
-            try:
-                if b[:2] != b"\xff\xd8":
-                    return None
-                pos = 2
-                qt, huff = {}, {}
-                sof = None
-                scan_comp = scan_at = None
-                while pos + 4 <= len(b):
-                    if b[pos] != 0xFF:
-                        return None
-                    marker = b[pos + 1]
-                    if marker == 0xD9:
-                        break
-                    (ln,) = struct.unpack_from(">H", b, pos + 2)
-                    body = b[pos + 4:pos + 2 + ln]
-                    if marker == 0xDB:
-                        o = 0
-                        while o < len(body):
-                            pq, tq = body[o] >> 4, body[o] & 0xF
-                            if pq != 0:
-                                return None  # 16-bit tables: out of subset
-                            qt[tq] = list(body[o + 1:o + 65])
-                            o += 65
-                    elif marker == 0xC0:
-                        sof = body
-                    elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                        return None  # non-baseline SOF: out of subset
-                    elif marker == 0xC4:
-                        o = 0
-                        while o < len(body):
-                            tc, th = body[o] >> 4, body[o] & 0xF
-                            bits = list(body[o + 1:o + 17])
-                            n = sum(bits)
-                            vals = list(body[o + 17:o + 17 + n])
-                            dec, code, i = {}, 0, 0
-                            for clen in range(1, 17):
-                                for _ in range(bits[clen - 1]):
-                                    dec[(clen, code)] = vals[i]
-                                    code += 1
-                                    i += 1
-                                code <<= 1
-                            huff[(tc, th)] = dec
-                            o += 17 + n
-                    elif marker == 0xDA:
-                        scan_comp = body[1:1 + 2 * body[0]]
-                        scan_at = pos + 2 + ln
-                        break
-                    pos += 2 + ln
-                if sof is None or scan_at is None:
-                    return None
-                prec, h, w, ncomp = struct.unpack_from(">BHHB", sof, 0)
-                if prec != 8 or ncomp != 1 or w <= 0 or h <= 0:
-                    return None
-                sampling, tq = sof[7], sof[8]
-                if sampling != 0x11 or tq not in qt:
-                    return None
-                td, ta = scan_comp[1] >> 4, scan_comp[1] & 0xF
-                if (0, td) not in huff or (1, ta) not in huff:
-                    return None
-                dc_dec, ac_dec = huff[(0, td)], huff[(1, ta)]
-                q = np.empty((8, 8))
-                for k, (r, c) in enumerate(zigzag):
-                    q[r, c] = qt[tq][k]
-
-                bitpos = [scan_at * 8]
-
-                def read_bit():
-                    byte_i = bitpos[0] >> 3
-                    byte = b[byte_i]
-                    bit = (byte >> (7 - (bitpos[0] & 7))) & 1
-                    bitpos[0] += 1
-                    if (bitpos[0] & 7) == 0 and byte == 0xFF:
-                        if b[byte_i + 1] != 0x00:
-                            raise ValueError("marker inside scan")
-                        bitpos[0] += 8  # skip the stuffed 0x00
-                    return bit
-
-                def read_huff(dec):
-                    code = clen = 0
-                    while clen < 16:
-                        code = (code << 1) | read_bit()
-                        clen += 1
-                        if (clen, code) in dec:
-                            return dec[(clen, code)]
-                    raise ValueError("bad huffman code")
-
-                def receive_extend(t):
-                    if t == 0:
-                        return 0
-                    v = 0
-                    for _ in range(t):
-                        v = (v << 1) | read_bit()
-                    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
-
-                bx, by = (w + 7) // 8, (h + 7) // 8
-                img = np.empty((by * 8, bx * 8), dtype=np.float64)
-                prev_dc = 0
-                for br in range(by):
-                    for bc in range(bx):
-                        zz = np.zeros(64)
-                        prev_dc += receive_extend(read_huff(dc_dec))
-                        zz[0] = prev_dc
-                        k = 1
-                        while k < 64:
-                            sym = read_huff(ac_dec)
-                            if sym == 0x00:
-                                break
-                            if sym == 0xF0:
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            if k > 63:
-                                raise ValueError("AC run past block")
-                            zz[k] = receive_extend(sym & 0xF)
-                            k += 1
-                        coef = np.zeros((8, 8))
-                        for k2, (rr, cc) in enumerate(zigzag):
-                            coef[rr, cc] = zz[k2]
-                        img[br * 8:br * 8 + 8, bc * 8:bc * 8 + 8] = (
-                            C.T @ (coef * q) @ C + 128.0)
-                pix = np.clip(np.round(img[:h, :w]), 0, 255)
-                return (w, h, bx * by, w * h, float(pix.mean()))
-            except (struct.error, ValueError, IndexError):
+            r = pixels_of(b)
+            if r is None:
                 return None
+            w, h, n_blocks, pix = r
+            return (w, h, n_blocks, w * h, float(pix.mean()))
 
         for pdf in batches:
             rows = [one(bytes(p)) for p in pdf["payload"]]
@@ -946,3 +1014,100 @@ def decode_jpeg(payload_df: DataFrame) -> DataFrame:
             })
 
     return payload_df.mapInPandas(_decode, schema=JPEG_DECODE_SCHEMA)
+
+
+# --------------------------------------------------- real thumbnail tier
+
+THUMBNAIL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("src_format", T.StringType()),
+    T.StructField("src_width", T.LongType()),
+    T.StructField("src_height", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("thumb_mean", T.DoubleType()),
+    T.StructField("thumbnail", T.BinaryType()),
+])
+
+
+def image_thumbnails(payload_df: DataFrame, width: int = 8,
+                     height: int = 8) -> DataFrame:
+    """REAL resize over REAL codecs (r6 — retires the resize stub's
+    "no codec libs" caveat for the formats this repo decodes honestly):
+    magic-byte dispatch to the in-repo BMP / PNG / JPEG decoders, then
+    grayscale area-average downsample to (width, height).
+
+    - BMP samples are BGR triplets → grayscale is the per-pixel channel
+      mean; PNG/JPEG are already single-channel.
+    - Area averaging uses floor bucket edges (region i spans source rows
+      ``[i·h//th, (i+1)·h//th)``), every region non-empty whenever the
+      source is at least target-sized; smaller sources upsample by pixel
+      repetition through the same index math.
+    - Output is the raw row-major uint8 grid (np.round, half-to-even)
+      plus its mean — binary out, bounded size, one row per input row,
+      partitioning preserved (no shuffle).
+    - Unrecognized or malformed payloads → null row (P7 convention).
+    """
+    deps = (_bmp_pixels_fn(), _png_pixels_fn(), _jpeg_pixels_fn())
+
+    def _resize(batches: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        bmp_of, png_of, jpeg_of = deps
+
+        def gray_of(b: bytes):
+            if b[:2] == b"BM":
+                r = bmp_of(b)
+                if r is None:
+                    return None
+                w, h, _bpp, _nb, samples = r
+                # BGR triplets -> per-pixel channel mean
+                return "bmp", w, h, samples.reshape(h, w, 3).astype(
+                    np.float64).mean(axis=2)
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                r = png_of(b)
+                if r is None:
+                    return None
+                w, h, _d, _ct, img = r
+                return "png", w, h, img.astype(np.float64)
+            if b[:2] == b"\xff\xd8":
+                r = jpeg_of(b)
+                if r is None:
+                    return None
+                w, h, _nb, pix = r
+                return "jpeg", w, h, pix
+            return None
+
+        def one(b: bytes):
+            g = gray_of(b)
+            if g is None:
+                return None
+            fmt, w, h, img = g
+            re = np.arange(height + 1) * h // height
+            ce = np.arange(width + 1) * w // width
+            out = np.empty((height, width), dtype=np.float64)
+            for i in range(height):
+                r0, r1 = re[i], max(re[i + 1], re[i] + 1)
+                for j in range(width):
+                    c0, c1 = ce[j], max(ce[j + 1], ce[j] + 1)
+                    out[i, j] = img[min(r0, h - 1):r1,
+                                    min(c0, w - 1):c1].mean()
+            thumb = np.round(out).astype(np.uint8)
+            return (fmt, w, h, float(thumb.astype(np.float64).mean()),
+                    thumb.tobytes())
+
+        for pdf in batches:
+            rows = [one(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "src_format": [r[0] if r else None for r in rows],
+                "src_width": [r[1] if r else None for r in rows],
+                "src_height": [r[2] if r else None for r in rows],
+                "width": [width if r else None for r in rows],
+                "height": [height if r else None for r in rows],
+                "thumb_mean": [r[3] if r else None for r in rows],
+                "thumbnail": [r[4] if r else None for r in rows],
+            })
+
+    return payload_df.mapInPandas(_resize, schema=THUMBNAIL_SCHEMA)

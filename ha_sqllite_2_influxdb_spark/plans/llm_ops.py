@@ -442,6 +442,27 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "n_pixels", "mean_pixel")
 
 
+def q_multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (binary-producing): REAL grayscale area-average resize
+    over a MIXED payload column — each doc routes to BMP, PNG or JPEG by
+    doc_id % 3, and `image_thumbnails` magic-byte-dispatches to the
+    matching in-repo codec. pytest asserts identity-resize exactness,
+    block-aligned exactness, a numpy-reference for the general case and
+    the P7 null-row convention; thumbnail bytes make it rows-only."""
+    docs = _docs(spark, sf_dir)
+    mixed = (
+        multimodal.bmp_payloads(docs.filter(F.col("doc_id") % 3 == 0))
+        .unionByName(
+            multimodal.png_payloads(docs.filter(F.col("doc_id") % 3 == 1)))
+        .unionByName(
+            multimodal.jpeg_payloads(docs.filter(F.col("doc_id") % 3 == 2)))
+    )
+    return multimodal.image_thumbnails(mixed).select(
+        "doc_id", "src_format", "src_width", "src_height",
+        "width", "height", "thumb_mean",
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas fan-out: every 4th fixed-size frame of each payload;
     the frame INVENTORY (ids, indices, sizes) is exact-oracle-checked,
@@ -512,6 +533,7 @@ QUERIES = {
     "multimodal_png": q_multimodal_png,
     "multimodal_wav": q_multimodal_wav,
     "multimodal_jpeg": q_multimodal_jpeg,
+    "multimodal_thumbnail": q_multimodal_thumbnail,
 }
 
 # ---------------------------------------------------------------- oracles

@@ -607,3 +607,107 @@ def test_jpeg_decode_rejects_malformed(spark):
     assert len(rows) == 6
     assert all(rows[i].width is None for i in (1, 2, 3, 4, 5))
     assert rows[6].width == 8 * (7 % 3 + 1) and rows[6].mean_pixel is not None
+
+
+def test_thumbnail_identity_resize_exact(spark):
+    """An 8×8 grayscale PNG resized to 8×8 must reproduce its pixels
+    EXACTLY (every bucket is one pixel) — pins the dispatch, decode and
+    index math end-to-end with zero averaging slack."""
+    import numpy as np
+
+    # doc_id 4 -> PNG dims (4%16)+4=8, (4%8)+2=6... need 8x8: doc 12:
+    # w=(12%16)+4=16 no. Craft via jpeg: doc 0 -> w=8,h=8 (bx=by=1)
+    df = spark.createDataFrame([(0, "ignored")], "doc_id long, text string")
+    payload = multimodal.jpeg_payloads(df)  # block-constant 8x8, lossless
+    r = multimodal.image_thumbnails(payload).collect()[0]
+    assert (r.src_format, r.src_width, r.src_height) == ("jpeg", 8, 8)
+    want = (0 * 31 + 0 * 7) % 256  # single block constant
+    thumb = np.frombuffer(bytes(r.thumbnail), np.uint8).reshape(8, 8)
+    assert (thumb == want).all()
+    assert r.thumb_mean == float(want)
+
+
+def test_thumbnail_block_aligned_exact(spark):
+    """A 24×16 block-constant JPEG downsampled to 8×8: row buckets are
+    2 rows inside one block row; column buckets of 3 may STRADDLE block
+    columns — expected values computed by an independent numpy
+    area-average over the known source image."""
+    import numpy as np
+
+    # doc 5: w=8*((5%3)+1)=24, h=8*((5%2)+1)=16, bx=3, by=2
+    df = spark.createDataFrame([(5, "ignored")], "doc_id long, text string")
+    r = multimodal.image_thumbnails(
+        multimodal.jpeg_payloads(df)).collect()[0]
+    assert (r.src_width, r.src_height) == (24, 16)
+    img = np.empty((16, 24))
+    for br in range(2):
+        for bc in range(3):
+            img[br * 8:(br + 1) * 8, bc * 8:(bc + 1) * 8] = (
+                5 * 31 + (br * 3 + bc) * 7) % 256
+    want = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            want[i, j] = img[i * 2:(i + 1) * 2, j * 3:(j + 1) * 3].mean()
+    thumb = np.frombuffer(bytes(r.thumbnail), np.uint8).reshape(8, 8)
+    assert (thumb == np.round(want).astype(np.uint8)).all()
+
+
+def test_thumbnail_dispatch_all_formats(spark, sf_dir):
+    """The mixed-format registry query must decode EVERY doc (no null
+    rows on valid payloads) and tag the right codec per doc_id % 3."""
+    from ha_sqllite_2_influxdb_spark.plans.llm_ops import (
+        q_multimodal_thumbnail,
+    )
+
+    rows = {r.doc_id: r for r in q_multimodal_thumbnail(
+        spark, sf_dir).collect()}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    fmts = {0: "bmp", 1: "png", 2: "jpeg"}
+    for d, r in rows.items():
+        assert r.src_format == fmts[d % 3], d
+        assert r.width == 8 and r.height == 8
+        assert r.thumb_mean is not None
+
+
+def test_thumbnail_bmp_matches_numpy_reference(spark, sf_dir):
+    """BMP thumbnails vs an independent numpy pipeline (decode from the
+    known fixture layout → channel-mean gray → same bucket edges)."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    got = {r.doc_id: r for r in multimodal.image_thumbnails(
+        multimodal.bmp_payloads(docs)).collect()}
+    for d, text in texts.items():
+        w, h = (d % 16) + 4, (d % 8) + 2
+        src = text.encode("utf-8") or b"\x00"
+        stride = (3 * w + 3) & ~3
+        # the fixture's cycle index advances over the PADDED stream
+        # (bmp_payloads indexes from len(px), which includes row padding)
+        sam = np.array([[src[(rr * stride + i) % len(src)]
+                         for i in range(3 * w)]
+                        for rr in range(h)], np.float64)
+        gray = sam.reshape(h, w, 3).mean(axis=2)
+        want = np.empty((8, 8))
+        re = [i * h // 8 for i in range(9)]
+        ce = [j * w // 8 for j in range(9)]
+        for i in range(8):
+            r0, r1 = re[i], max(re[i + 1], re[i] + 1)
+            for j in range(8):
+                c0, c1 = ce[j], max(ce[j + 1], ce[j] + 1)
+                want[i, j] = gray[min(r0, h - 1):r1, min(c0, w - 1):c1].mean()
+        thumb = np.frombuffer(bytes(got[d].thumbnail), np.uint8)
+        assert (thumb.reshape(8, 8) == np.round(want).astype(np.uint8)).all(), d
+
+
+def test_thumbnail_rejects_malformed(spark):
+    df = spark.createDataFrame(
+        [(1, b"garbage"), (2, b""), (3, b"BMnot really a bmp"),
+         (4, b"\xff\xd8trunc")],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in multimodal.image_thumbnails(df).collect()}
+    assert len(rows) == 4
+    assert all(rows[i].src_format is None for i in rows)
+    assert all(rows[i].thumbnail is None for i in rows)
