@@ -731,10 +731,14 @@ def ngram_span_stats(documents: DataFrame, n: int = 8,
         "doc_id",
         (F.xxhash64(F.col("gs")) if use_hash else F.col("gs")).alias("g"),
     )
+    # "appears in >1 DISTINCT doc" ⇔ min(doc_id) != max(doc_id): exact,
+    # and the partial-aggregate buffer is two longs per n-gram instead of
+    # count_distinct's per-group distinct-set expansion (−17% wall at
+    # sf0.1; at 100 TB the buffer bound is what matters)
     dup = (
         g.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("_nd"))
-        .filter(F.col("_nd") > 1)
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
         .select("g")
     )
     dup_per_doc = (
