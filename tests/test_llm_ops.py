@@ -711,3 +711,114 @@ def test_thumbnail_rejects_malformed(spark):
     assert len(rows) == 4
     assert all(rows[i].src_format is None for i in rows)
     assert all(rows[i].thumbnail is None for i in rows)
+
+
+def test_dedup_incremental_crafted_statuses(spark):
+    """All three classifications on a hand-built shard: content already
+    curated -> exact_dup; duplicated within the shard -> the smallest
+    doc_id is new, the rest incoming_dup; fresh content -> new."""
+    existing = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(10, "alpha"),          # exact_dup (curated)
+         (11, "gamma"), (12, "gamma"),  # new + incoming_dup
+         (13, "delta")],         # new
+        "doc_id long, text string")
+    got = {r.doc_id: r.status for r in dedup.dedup_incremental(
+        existing, incoming).collect()}
+    assert got == {10: "exact_dup", 11: "new",
+                   12: "incoming_dup", 13: "new"}
+
+
+def _reference_bpe(word_counts, n_merges):
+    """Independent pure-python BPE (Sennrich): argmax pair by (count
+    desc, left asc, right asc), full re-count each round."""
+    seqs = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for w, seq in seqs.items():
+            wc = word_counts[w]
+            for i in range(len(seq) - 1):
+                counts[(seq[i], seq[i + 1])] = (
+                    counts.get((seq[i], seq[i + 1]), 0) + wc)
+        if not counts:
+            break
+        (a, b), weight = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, a + b, weight))
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
+    """The distributed trainer must produce EXACTLY the reference merge
+    table — same pairs, same order, same weights — over the real corpus
+    word-frequency relation (ties resolved identically)."""
+    from ha_sqllite_2_influxdb_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = {}
+    for r in docs.collect():
+        for w in (r.text or "").split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    want, ref_seqs = _reference_bpe(wc, 12)
+    got = bpe.bpe_train(docs, n_merges=12)
+    assert [(m["rank"], m["left"], m["right"], m["merged"], m["weight"])
+            for m in got] == want
+
+
+def test_bpe_tokenize_matches_reference_apply(spark, sf_dir):
+    """Token counts from the learned merges must equal the reference
+    apply's final symbol-sequence lengths per document."""
+    from ha_sqllite_2_influxdb_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    wc = {}
+    texts = {}
+    for r in docs.collect():
+        texts[r.doc_id] = r.text or ""
+        for w in texts[r.doc_id].split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    merges = bpe.bpe_train(docs, n_merges=8)
+    ranked = [(m["left"], m["right"]) for m in merges]
+
+    def ref_tokens(word):
+        seq = list(word)
+        for a, b in ranked:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return len(seq)
+
+    got = {r.doc_id: (r.n_words, r.n_tokens)
+           for r in bpe.bpe_tokenize(docs, merges).collect()}
+    for d, text in texts.items():
+        ws = [w for w in text.split(" ") if w]
+        assert got[d] == (len(ws), sum(ref_tokens(w) for w in ws)), d
+
+
+def test_bpe_deterministic_across_partitionings(spark, sf_dir):
+    from ha_sqllite_2_influxdb_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = bpe.bpe_train(docs, n_merges=6)
+    b = bpe.bpe_train(docs.repartition(7), n_merges=6)
+    assert a == b
