@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ..streaming.stateful import GAP_MIN, sessionize_stateful
-from ..streaming.stream import drain_to_memory, events_stream, windowed_agg
+from ..streaming.stream import (
+    documents_stream, drain_to_memory, events_stream, windowed_agg,
+)
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,6 +247,34 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(joined, "stream_static_t", output_mode="append")
 
 
+def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup — the streaming face of
+    `dedup.dedup_incremental`: documents ARRIVE as a stream and each is
+    classified against the static curated-corpus digest index
+    (doc_id % 4 != 0 plays the curated side). The index reduces to
+    16-byte digests before the join and broadcasts — the stream never
+    shuffles and carries no state; at index sizes past broadcast range
+    the same plan runs as a digest-keyed stream-static shuffle join.
+    exact_dup = content already curated; new = first sight."""
+    curated = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 != 0)
+        .select(F.md5("text").alias("_d")).distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    arriving = documents_stream(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("_d")
+    )
+    classified = arriving.join(F.broadcast(curated), "_d", "left").select(
+        "doc_id",
+        F.when(F.col("_hit").isNotNull(), F.lit("exact_dup"))
+        .otherwise(F.lit("new")).alias("status"),
+    )
+    return drain_to_memory(
+        classified, "stream_dedup_incr", output_mode="append"
+    ).orderBy("doc_id")
+
+
 def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's BUILT-IN gap sessionization (`F.session_window`): where the
     engine already has the operator, use it — the custom
@@ -281,6 +311,7 @@ QUERIES = {
     "stream_sessions": q_stream_sessions,
     "stream_join": q_stream_join,
     "stream_static_join": q_stream_static_join,
+    "stream_dedup_incremental": q_stream_dedup_incremental,
     "session_window_native": q_session_window_native,
 }
 
@@ -325,6 +356,15 @@ FROM events p JOIN events c
     "stream_static_join": """
 SELECT event_id, user_id, event_type, c_mktsegment
 FROM events JOIN customer ON user_id = c_custkey
+""",
+    "stream_dedup_incremental": """
+WITH cur AS (
+  SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 4 <> 0
+)
+SELECT doc_id,
+  CASE WHEN md5(text) IN (SELECT d FROM cur)
+       THEN 'exact_dup' ELSE 'new' END AS status
+FROM documents
 """,
     "session_window_native": f"""
 WITH g AS (

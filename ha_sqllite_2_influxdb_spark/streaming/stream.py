@@ -98,6 +98,24 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over documents.parquet — the 'arriving shard' source
+    for streaming incremental dedup. A file stream needs a declared
+    schema; probe the batch reader's footer view (documents carry no
+    timestamp column, so no ts normalization applies)."""
+    configure(spark)
+    path = sf_dir.rstrip("/")
+    probed = (
+        spark.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(path).schema
+    )
+    return (
+        spark.readStream.schema(probed)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(path)
+    )
+
+
 def windowed_agg(events: DataFrame, window: str = "1 hour",
                  watermark: str = "30 minutes") -> DataFrame:
     """Tumbling event-time aggregation, late data bounded by the watermark.

@@ -320,3 +320,29 @@ def test_stream_sessions_diag_default_off(spark, sf_dir, monkeypatch):
     got = so.q_stream_sessions(spark, sf_dir)
     assert got.count() > 0
     assert called == []
+
+
+def test_stream_dedup_incremental_matches_batch(spark, sf_dir):
+    """The drained streaming classification must equal the batch digest
+    probe over identical input, and every curated doc must classify as
+    exact_dup (its own content IS in the index)."""
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.plans.streaming_ops import (
+        q_stream_dedup_incremental,
+    )
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    got = {r.doc_id: r.status for r in
+           q_stream_dedup_incremental(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    curated_digests = {
+        r._d for r in docs.filter(F.col("doc_id") % 4 != 0)
+        .select(F.md5("text").alias("_d")).collect()
+    }
+    want = {
+        r.doc_id: ("exact_dup" if r._d in curated_digests else "new")
+        for r in docs.select("doc_id", F.md5("text").alias("_d")).collect()
+    }
+    assert got == want
+    assert all(got[d] == "exact_dup" for d in got if d % 4 != 0)
