@@ -72,3 +72,61 @@ def weighted_sample(df: DataFrame, key: str, weight: Column) -> DataFrame:
     mass, with zero RNG state and exact cross-engine reproducibility.
     Still a pure filter: parallel, shuffle-free, pushdown-friendly."""
     return df.filter(bucket100(F.col(key)).cast("double") < weight * 100.0)
+
+
+def bucket10000(key: Column) -> Column:
+    """Deterministic [0, 10000) bucket — basis-point resolution for rates
+    computed from data (see `lang_rebalance`)."""
+    return F.pmod(key.cast("long") * F.lit(KNUTH), F.lit(10_000))
+
+
+def lang_rebalance(df: DataFrame, stratum: str = "lang",
+                   key: str = "doc_id") -> DataFrame:
+    """Temperature-flattened mixture sampling (T = 2, i.e. exponent ½):
+    every stratum keeps rate (n_min/n_l)^½ in basis points, so
+    over-represented languages downsample toward the flattened share
+    while the rarest stratum keeps everything — the standard multilingual
+    rebalancing move (cf. the sampling-temperature schemes of multilingual
+    pretraining corpora).
+
+    Deterministic AND cross-engine exact: membership is the hash-bucket
+    filter of this module, and the rate is ``floor(10000·sqrt(mn/n))``
+    where mn/n is an IEEE double division of two exact longs and sqrt is
+    correctly rounded — identical bits in any engine, so the DuckDB
+    oracle checks the exact row set. The stratum-count relation is tiny
+    and broadcasts; the corpus side stays a pure filter (no shuffle)."""
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_mn"))
+    rate_bp = F.floor(
+        F.lit(10_000)
+        * F.sqrt(F.col("_mn").cast("double") / F.col("_n").cast("double"))
+    )
+    return (
+        df.join(F.broadcast(counts), stratum)
+        .join(F.broadcast(n_min))
+        .filter(bucket10000(F.col(key)) < rate_bp)
+        .drop("_n", "_mn")
+    )
+
+
+def split_leakage_free(df: DataFrame, text_col: str = "text",
+                       val_pct: int = 5, test_pct: int = 10) -> DataFrame:
+    """Train/val/test split keyed on CONTENT, not id: every copy of the
+    same text lands in the same split, so exact duplicates can never sit
+    on both sides of a train/eval boundary (the eval-leakage failure
+    mode an id-keyed split cannot prevent). Near-duplicate co-location
+    needs cluster labels — pair with `neardup_clusters` and split on the
+    cluster id; this exact tier stays a pure projection.
+
+    The content key is the portable rolling hash (`text.char_hash`), so
+    the DuckDB oracle reproduces the exact assignment; at 100 TB swap in
+    ``xxhash64(text)`` — same shape, engine-native hash."""
+    from .text import char_hash
+
+    b = bucket100(char_hash(F.col(text_col)))
+    return df.withColumn(
+        "split",
+        F.when(b < val_pct, "val")
+         .when(b < val_pct + test_pct, "test")
+         .otherwise("train"),
+    )

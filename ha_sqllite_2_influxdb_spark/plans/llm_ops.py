@@ -386,6 +386,30 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (T=2) multilingual mixture: every language
+    keeps rate (n_min/n_lang)^1/2 basis points — over-represented
+    languages downsample toward the flattened share, the rarest keeps
+    everything. Exact-oracle-checked row set (integer hash buckets +
+    IEEE-deterministic sqrt rate)."""
+    from ..operators.sampling import lang_rebalance
+
+    return lang_rebalance(
+        _docs(spark, sf_dir).select("doc_id", "lang")
+    )
+
+
+def q_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed train/val/test split: identical text ⇒ identical
+    split, so exact duplicates can never straddle a train/eval boundary
+    (the leakage mode an id-keyed split can't prevent)."""
+    from ..operators.sampling import split_leakage_free
+
+    return split_leakage_free(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ).select("doc_id", "split")
+
+
 def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: every epoch of a training
     run needs the SAME pseudo-random document order on every worker —
@@ -583,6 +607,8 @@ QUERIES = {
     "sample_uniform": q_sample_uniform,
     "sample_stratified": q_sample_stratified,
     "dataset_split": q_dataset_split,
+    "lang_rebalance": q_lang_rebalance,
+    "split_leakage_free": q_split_leakage_free,
     "sample_weighted": q_sample_weighted,
     "training_shuffle": q_training_shuffle,
     "multimodal_meta": q_multimodal_meta,
@@ -775,6 +801,24 @@ FROM documents
 WITH q AS (SELECT doc_id, {_QUALITY} AS quality_score FROM documents)
 SELECT doc_id, quality_score FROM q
 WHERE CAST((doc_id * 2654435761) % 100 AS DOUBLE) < quality_score * 100.0
+""",
+    "lang_rebalance": """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+m AS (SELECT min(n) AS mn FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c ON d.lang = c.lang, m
+WHERE (d.doc_id * 2654435761) % 10000
+      < floor(10000 * sqrt(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE)))
+""",
+    "split_leakage_free": f"""
+WITH h AS (SELECT doc_id, {_ROLL.format(col="text")} AS ch FROM documents)
+SELECT doc_id,
+  CASE WHEN (ch * 2654435761) % 100 < 5 THEN 'val'
+       WHEN (ch * 2654435761) % 100 < 15 THEN 'test'
+       ELSE 'train' END AS split
+FROM h
 """,
     "dedup_exact": f"""WITH {_CORPUS}
 SELECT md5(text) AS content_md5, min(doc_id) AS keep_doc_id,

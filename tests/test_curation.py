@@ -141,3 +141,48 @@ def test_label_centroids_match_numpy(spark, sf_dir):
             n_vecs, centroid = got[(label, pos)]
             assert n_vecs == len(vecs)
             assert centroid == pytest.approx(mean[pos], abs=1e-12)
+
+
+def test_lang_rebalance_flattens_toward_uniform(spark, sf_dir):
+    """The kept mixture must be FLATTER than the input: the ratio
+    max/min stratum size must shrink, the rarest language must keep
+    everything (rate 10000 bp), and membership must be the deterministic
+    hash filter (re-run identical)."""
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.operators.sampling import lang_rebalance
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    before = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = lang_rebalance(docs)
+    after = {r.lang: r.n for r in
+             kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    rarest = min(before, key=lambda k: before[k])
+    assert after[rarest] == before[rarest], "rarest stratum keeps all"
+    ratio_before = max(before.values()) / min(before.values())
+    ratio_after = max(after.values()) / min(after.values())
+    assert ratio_after <= ratio_before
+    a = sorted(tuple(r) for r in kept.collect())
+    b = sorted(tuple(r) for r in lang_rebalance(docs.repartition(7)).collect())
+    assert a == b
+
+
+def test_split_leakage_free_colocates_duplicates(spark, sf_dir):
+    """Every exact duplicate of the recrawl corpus must land in the SAME
+    split as its original — the property the op exists for — and splits
+    must be non-degenerate."""
+    from ha_sqllite_2_influxdb_spark.operators.dedup import recrawl_corpus
+    from ha_sqllite_2_influxdb_spark.operators.sampling import (
+        split_leakage_free,
+    )
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rc = recrawl_corpus(docs)
+    split = {r.doc_id: r.split for r in
+             split_leakage_free(rc).select("doc_id", "split").collect()}
+    for r in docs.select("doc_id").collect():
+        assert split[r.doc_id] == split[r.doc_id + 2_000_000], r.doc_id
+    assert len(set(split.values())) >= 2
