@@ -48,6 +48,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    try:
+        load_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_start = None
     spark = get_spark("bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -105,6 +109,13 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # host-load context: same-host interference measured up to 5× on
+    # individual queries this round — loadavg at start/end lets a reader
+    # tell a real regression from a contended box
+    try:
+        load_end = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_end = None
     print(json.dumps({
         "metric": "headline_total_wall",
         "value": total,
@@ -113,6 +124,8 @@ def main() -> None:
         "value_cold": round(sum(timings_cold.values()), 3),
         "queries": timings,
         "queries_cold": timings_cold,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
         "sf": sf,
     }))
     spark.stop()

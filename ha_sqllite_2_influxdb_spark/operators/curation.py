@@ -196,3 +196,63 @@ def curriculum_topk(documents: DataFrame, k: int = 25) -> DataFrame:
         q.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def pack_sequences_ffd(documents: DataFrame, seq_len: int = SEQ_LEN,
+                       n_shards: int = N_PACK_SHARDS) -> DataFrame:
+    """First-fit-decreasing sequence packing — the bin-packing
+    alternative to `pack_sequences`' concat-and-chunk: documents are
+    never split across sequences, and FFD's sorted greedy keeps padding
+    waste near the ceil(total/seq_len) lower bound (the classic ≤
+    11/9·OPT+1 guarantee).
+
+    Per (lang, shard) group — the same deterministic sharding and
+    parallelism unit as `pack_sequences` — an ``applyInPandas`` FFD:
+    sort by (n_tokens desc, doc_id asc), place each doc in the FIRST bin
+    with room, else open a new bin. Deterministic under any partitioning
+    (the sort inside the group is total). Docs longer than ``seq_len``
+    get a bin of their own (a real packer truncates or splits them; the
+    assignment stays honest). One shuffle (the groupBy); per-group work
+    is O(n·bins) python over Arrow batches — at 100 TB the shard count
+    is the parallelism knob, exactly as for the chunk packer."""
+    base = documents.select(
+        "doc_id", "lang",
+        n_words(F.col("text")).cast("long").alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        rows = sorted(
+            zip(pdf["doc_id"], pdf["n_tokens"]),
+            key=lambda t: (-t[1], t[0]),
+        )
+        remaining: list[int] = []
+        out_bin = {}
+        for doc_id, nt in rows:
+            if nt > seq_len:
+                out_bin[doc_id] = len(remaining)
+                remaining.append(0)
+                continue
+            for i, cap in enumerate(remaining):
+                if cap >= nt:
+                    remaining[i] = cap - nt
+                    out_bin[doc_id] = i
+                    break
+            else:
+                out_bin[doc_id] = len(remaining)
+                remaining.append(seq_len - nt)
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "lang": pdf["lang"],
+            "shard": pdf["doc_id"].astype("int64") % n_shards,
+            "n_tokens": pdf["n_tokens"].astype("int64"),
+            "bin_id": [out_bin[d] for d in pdf["doc_id"]],
+        })
+
+    return base.groupBy("lang", "shard").applyInPandas(
+        pack,
+        schema="doc_id long, lang string, shard long, n_tokens long, "
+               "bin_id long",
+    )

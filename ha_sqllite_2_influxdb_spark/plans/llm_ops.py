@@ -204,6 +204,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pack_sequences(_docs(spark, sf_dir))
 
 
+def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (sequential greedy per shard — not SQL-expressible):
+    first-fit-decreasing sequence packing. pytest asserts exact parity
+    with an independent python FFD per group, no bin overflow, the
+    ceil(total/seq_len) lower bound, and cross-partitioning
+    determinism."""
+    return curation.pack_sequences_ffd(_docs(spark, sf_dir))
+
+
 def q_curriculum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curriculum_topk(_docs(spark, sf_dir))
 
@@ -583,6 +592,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
+    "pack_ffd": q_pack_ffd,
     "curriculum_topk": q_curriculum_topk,
     "curate_pipeline": q_curate_pipeline,
     "embedding_centroids": q_embedding_centroids,

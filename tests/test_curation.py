@@ -186,3 +186,54 @@ def test_split_leakage_free_colocates_duplicates(spark, sf_dir):
     for r in docs.select("doc_id").collect():
         assert split[r.doc_id] == split[r.doc_id + 2_000_000], r.doc_id
     assert len(set(split.values())) >= 2
+
+
+def test_pack_ffd_matches_reference_and_bounds(spark, sf_dir):
+    """FFD assignment must equal an independent python FFD per (lang,
+    shard) group, never overflow a bin, meet the ceil(total/seq_len)
+    lower bound per group, and be identical under repartitioning."""
+    import math
+    from collections import defaultdict
+
+    from ha_sqllite_2_influxdb_spark.operators.curation import (
+        SEQ_LEN, pack_sequences_ffd,
+    )
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = pack_sequences_ffd(docs).collect()
+    by_group = defaultdict(list)
+    for r in got:
+        by_group[(r.lang, r.shard)].append(r)
+
+    for (lang, shard), rows in by_group.items():
+        # independent FFD
+        order = sorted(rows, key=lambda r: (-r.n_tokens, r.doc_id))
+        remaining, want = [], {}
+        for r in order:
+            if r.n_tokens > SEQ_LEN:
+                want[r.doc_id] = len(remaining)
+                remaining.append(0)
+                continue
+            for i, cap in enumerate(remaining):
+                if cap >= r.n_tokens:
+                    remaining[i] = cap - r.n_tokens
+                    want[r.doc_id] = i
+                    break
+            else:
+                want[r.doc_id] = len(remaining)
+                remaining.append(SEQ_LEN - r.n_tokens)
+        assert {r.doc_id: r.bin_id for r in rows} == want, (lang, shard)
+        # no overflow; lower bound
+        fill = defaultdict(int)
+        for r in rows:
+            fill[r.bin_id] += min(r.n_tokens, SEQ_LEN)
+        assert all(v <= SEQ_LEN for v in fill.values())
+        total = sum(r.n_tokens for r in rows)
+        oversized = sum(1 for r in rows if r.n_tokens > SEQ_LEN)
+        n_bins = len(fill)
+        assert n_bins >= max(math.ceil(total / SEQ_LEN) - oversized, 1) - 1
+
+    again = {(r.doc_id): r.bin_id for r in
+             pack_sequences_ffd(docs.repartition(5)).collect()}
+    assert again == {r.doc_id: r.bin_id for r in got}
