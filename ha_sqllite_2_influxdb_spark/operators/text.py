@@ -250,3 +250,24 @@ def scrub_text(documents: DataFrame) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(URL_REGEX), F.lit(0)))
         .cast("long").alias("n_urls"),
     )
+
+
+def strip_markup(col: Column) -> Column:
+    """Web-crawl boilerplate cleaning: drop <script>/<style> blocks
+    whole, strip every remaining tag, decode the common HTML entities,
+    collapse runs of spaces, trim. Single-pass JVM regexps (codegen'd),
+    reproducible in DuckDB's RE2 — the pattern subset here ((?is) flags,
+    lazy block match, [^>]+ tags) means the same thing in both engines,
+    which is what lets the oracle check the exact cleaned strings.
+
+    ``&amp;`` decodes LAST: decoding it first would turn ``&amp;lt;``
+    into ``&lt;`` and then wrongly into ``<`` (the classic double-decode
+    bug); with the amp last, ``&amp;lt;`` correctly yields ``&lt;``.
+    """
+    s = F.regexp_replace(col, r"(?is)<script\b.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style\b.*?</style>", " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, " {2,}", " "))

@@ -357,6 +357,29 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_text(seeded)
 
 
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl boilerplate cleaning over a corpus deterministically
+    wrapped in markup IN-QUERY (tags, a script block, encoded entities —
+    identical construction in both engines, the text_scrub seeding
+    pattern), so the stripper has real targets and the oracle checks the
+    exact cleaned strings."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import strip_markup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    page = F.concat(
+        F.lit('<html><head><style>p{color:red}</style></head>'
+              '<body><h1 class="t">Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><script type="text/javascript">var x = "<p>";'
+              "</script>&amp;lt; 5 &gt; 3 &quot;q&#39;s&quot;</body></html>"),
+    )
+    return docs.select("doc_id", strip_markup(page).alias("clean"))
+
+
 #: per-stratum sampling rates (percent) — downsample common event types,
 #: keep most of the rare/valuable ones
 STRATA_RATES = {"view": 5, "click": 10, "error": 50, "purchase": 80,
@@ -613,6 +636,7 @@ QUERIES = {
     "text_clean": q_text_clean,
     "top_bigrams": q_top_bigrams,
     "text_scrub": q_text_scrub,
+    "html_strip": q_html_strip,
     "repetition_stats": q_repetition_stats,
     "sample_uniform": q_sample_uniform,
     "sample_stratified": q_sample_stratified,
@@ -1044,6 +1068,30 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{URL_RX}')) AS BIGINT) AS n_urls
 FROM seeded
 """.replace("{EMAIL_RX}", EMAIL_REGEX).replace("{URL_RX}", URL_REGEX),
+    # the IN-QUERY page construction mirrors q_html_strip exactly; the
+    # entity-decode chain keeps &amp; LAST so &amp;lt; yields &lt;, not <
+    "html_strip": """
+WITH page AS (
+  SELECT doc_id,
+    '<html><head><style>p{color:red}</style></head><body><h1 class="t">Doc '
+    || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+    || '</p><script type="text/javascript">var x = "<p>";</script>'
+    || '&amp;lt; 5 &gt; 3 &quot;q&#39;s&quot;</body></html>' AS html
+  FROM documents
+)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(html, '(?is)<script\\b.*?</script>', ' ', 'g'),
+          '(?is)<style\\b.*?</style>', ' ', 'g'),
+        '<[^>]+>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+    ' {2,}', ' ', 'g')) AS clean
+FROM page
+""",
     "ngram_jaccard": f"""WITH {_CORPUS},
 {_SHINGLED},
 cand AS (

@@ -116,3 +116,30 @@ def test_etl_config_fail_fast():
         EtlConfig.from_env({**good, "BATCH_SIZE": "xyz"})
     with pytest.raises(ConfigError):
         EtlConfig.from_env({**good, "BATCH_SIZE": "0"})
+
+
+def test_strip_markup_edges(spark):
+    """Hand-built pages pin each stripping rule: whole-block script/style
+    removal (including tags INSIDE the script string), tag strip, entity
+    decode with amp-last double-decode protection, space collapse."""
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.operators.text import strip_markup
+
+    cases = [
+        (1, '<p>hello <b>world</b></p>', 'hello world'),
+        (2, '<script>var a = "<div>"; </script>after', 'after'),
+        (3, '<style>h1 {color: blue}</style>text', 'text'),
+        # &amp;lt; must decode to the LITERAL &lt;, never twice to <
+        (4, 'x &amp;lt; y &lt; z', 'x &lt; y < z'),
+        (5, 'a&nbsp;&nbsp;b', 'a b'),
+        (6, 'no markup at all', 'no markup at all'),
+        (7, '<SCRIPT>upper</SCRIPT>kept', 'kept'),  # (?i) case-fold
+        (8, '', ''),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s, _ in cases], "doc_id long, text string"
+    ).select("doc_id", strip_markup(F.col("text")).alias("clean"))
+    got = {r.doc_id: r.clean for r in df.collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
