@@ -240,6 +240,27 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curriculum_topk(clean)
 
 
+def q_curate_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END mixture curation, one oracle over the whole chain
+    (the round-6 sibling of `curate_pipeline`): exact dedup (keep lowest
+    doc_id per content) → temperature-flattened language rebalance
+    (T=2) → content-keyed leakage-free train/val/test assignment. Each
+    stage is the already-verified operator; composed, they produce the
+    exact (doc_id, lang, split) a training job consumes — one Catalyst
+    plan, digest/hash keys only on the wire, no text shuffle anywhere."""
+    from ..operators.sampling import lang_rebalance, split_leakage_free
+
+    docs = _docs(spark, sf_dir)
+    keep = (
+        docs.groupBy(F.md5(F.encode("text", "UTF-8")).alias("_d"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = docs.join(keep, "doc_id", "left_semi")
+    balanced = lang_rebalance(deduped.select("doc_id", "lang", "text"))
+    return split_leakage_free(balanced).select("doc_id", "lang", "split")
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (iterative, no SQL oracle): deterministic distributed
     Lloyd's k-means — bit-reproducible across runs and partitionings via
@@ -618,6 +639,7 @@ QUERIES = {
     "pack_ffd": q_pack_ffd,
     "curriculum_topk": q_curriculum_topk,
     "curate_pipeline": q_curate_pipeline,
+    "curate_mixture_pipeline": q_curate_mixture_pipeline,
     "embedding_centroids": q_embedding_centroids,
     "kmeans_embeddings": q_kmeans_embeddings,
     "pq_ann_topk": q_pq_ann_topk,
@@ -1340,4 +1362,32 @@ r AS (
   FROM q
 )
 SELECT doc_id, lang, quality_score, rk FROM r WHERE rk <= 25
+"""
+
+
+# round-6 composed pipeline: each stage reuses its stage-oracle formulation
+# (dedup keep-min, sqrt-rate rebalance over POST-dedup counts, rolling-hash
+# content split), so the end-to-end chain is checked by the same
+# independent logic as its parts
+ORACLES["curate_mixture_pipeline"] = f"""WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+dd AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN keep ON d.doc_id = keep.doc_id
+),
+c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM dd GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM c),
+bal AS (
+  SELECT dd.doc_id, dd.lang, dd.text
+  FROM dd JOIN c ON dd.lang = c.lang, m
+  WHERE (dd.doc_id * 2654435761) % 10000
+        < floor(10000 * sqrt(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE)))
+),
+h AS (SELECT doc_id, lang, {_ROLL.format(col="text")} AS ch FROM bal)
+SELECT doc_id, lang,
+  CASE WHEN (ch * 2654435761) % 100 < 5 THEN 'val'
+       WHEN (ch * 2654435761) % 100 < 15 THEN 'test'
+       ELSE 'train' END AS split
+FROM h
 """
