@@ -1,0 +1,130 @@
+"""IR-style relevance ranking over the documents table: TF-IDF term
+extraction and BM25 retrieval (beyond-reference, BASELINE.json north star —
+keyword search / relevance filtering is a standard corpus-curation stage).
+
+Cross-engine exactness: both scores use the *rational* Robertson idf
+surrogate instead of ``ln`` — JVM ``StrictMath.log`` (fdlibm) and DuckDB's
+libm ``ln`` are not guaranteed to round identically in the last ulp, while
+IEEE-754 ``+ - * /`` are exact-rounded and engine-independent as long as the
+expression tree associates identically. Every formula below is written in
+the same association order as its oracle SQL, so the doubles are
+bit-identical. Monotonicity in (tf, 1/df) — the property ranking needs — is
+preserved; swap in ``F.log`` for absolute-score parity with a specific IR
+library if required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import words
+
+#: default BM25 free parameters (Robertson et al., public literature values)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: the fixed query for the registry/bench entry — three mid-frequency
+#: corpus terms so scores spread and the top-k is selective
+DEFAULT_QUERY = ("spark", "scan", "merge")
+
+
+def tfidf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    score = tf * (N + 1) / (df + 1)  — rational idf (see module docstring).
+
+    Scale shape (100 TB): tf aggregates on (doc_id, term) — one shuffle,
+    map-side partial combine; df aggregates the already-distinct (doc, term)
+    relation on term — second shuffle over the *vocabulary*, not the corpus;
+    N is a 1-row broadcast scalar; the per-doc top-k window repartitions on
+    doc_id. No collect, no crossJoin beyond the 1-row scalar broadcast.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * (F.col("n_docs") + F.lit(1)).cast("double")
+            / (F.col("df") + F.lit(1)).cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def _tf(term: str):
+    """Row-local term frequency: exact word-match count in the split."""
+    return F.size(F.filter(words(F.col("text")), lambda w: w == F.lit(term)))
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query: tuple[str, ...] = DEFAULT_QUERY,
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 retrieval for a fixed query: top-k documents by score.
+
+    idf(t) = (N - df + 0.5) / (df + 0.5)        [rational Robertson idf]
+    s(d,t) = idf * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    score  = s(d,t1) + s(d,t2) + ...            [FIXED left-to-right order]
+
+    The per-term scores are separate row-local columns summed in query-term
+    order — never a groupBy SUM over exploded terms — so float addition
+    order is deterministic and identical to the oracle's expression tree.
+
+    Scale shape (100 TB): ONE corpus scan computes the 1-row stats relation
+    (per-term document frequencies + total doc count + total corpus length
+    via conditional aggregation), broadcast back; scoring is then row-local
+    on a second scan and top-k is TakeOrderedAndProject — no wide shuffle at
+    any point, which is the plan you want for interactive retrieval over a
+    petabyte corpus.
+    """
+    dl = F.size(words(F.col("text")))
+    stats_aggs = [
+        F.sum(F.when(_tf(t) > 0, 1).otherwise(0)).alias(f"df_{i}")
+        for i, t in enumerate(query)
+    ] + [
+        F.count("*").alias("n_docs"),
+        F.sum(dl.cast("long")).alias("sum_dl"),
+    ]
+    stats = documents.agg(*stats_aggs)
+
+    scored = documents.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    dl_norm = F.lit(1.0) - F.lit(b) + F.lit(b) * dl.cast("double") / avgdl
+    score = None
+    for i, t in enumerate(query):
+        tf = _tf(t).cast("double")
+        idf = (
+            (F.col("n_docs").cast("double") - F.col(f"df_{i}").cast("double")
+             + F.lit(0.5))
+            / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        )
+        s = idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * dl_norm)
+        score = s if score is None else score + s
+    return (
+        scored.select(
+            "doc_id",
+            dl.alias("doc_len"),
+            score.alias("bm25"),
+        )
+        .filter(F.col("bm25") > 0.0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

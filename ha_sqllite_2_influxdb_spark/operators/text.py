@@ -100,6 +100,63 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     return base.withColumn("quality_score", score).drop("nw")
 
 
+def gopher_rules(
+    documents: DataFrame,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_avg_word: float = 3.0,
+    max_avg_word: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document-quality rule gates (Rae et al. 2021, public
+    paper §A1.1): per-document boolean flags plus the conjunction `keep`.
+
+    Rules (thresholds parameterized; defaults adapted to the fixture's
+    ~20-word docs — production uses the paper's 50/100k):
+      word_count      min_words <= n_words <= max_words
+      mean_word_len   min_avg_word <= (chars-per-word) <= max_avg_word
+      alpha_ratio     >= min_alpha_ratio of words contain a letter
+      stopword_gate   >= min_stopwords English stopwords appear
+
+    Unlike ``quality_scores`` (a soft [0,1] score for curriculum /
+    weighted sampling) these are the hard gates a filtering stage applies
+    first. Everything is a row-local JVM expression — pure map, no
+    shuffle, fully pushdown-friendly; the mean-word-length division is
+    IEEE-exact so the oracle doubles match bit-for-bit.
+    """
+    w = words(F.col("text"))
+    base = documents.select("doc_id", "lang", w.alias("w"))
+    nw = F.size("w")
+    # single-space-joined text: total word chars = sum of word lengths
+    mean_len = (
+        F.aggregate(F.col("w"), F.lit(0), lambda a, x: a + F.length(x))
+        .cast("double") / nw.cast("double")
+    )
+    alpha_ratio = (
+        F.size(F.filter(F.col("w"), lambda t: t.rlike("[A-Za-z]")))
+        .cast("double") / nw.cast("double")
+    )
+    n_stop = F.size(F.filter(F.col("w"), lambda t: t.isin(*STOPWORDS["en"])))
+    flagged = base.select(
+        "doc_id", "lang",
+        nw.alias("n_words_g"),
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_stop.alias("n_stopwords"),
+        ((nw >= min_words) & (nw <= max_words)).alias("pass_word_count"),
+        ((mean_len >= min_avg_word) & (mean_len <= max_avg_word))
+        .alias("pass_mean_word_len"),
+        (alpha_ratio >= min_alpha_ratio).alias("pass_alpha_ratio"),
+        (n_stop >= min_stopwords).alias("pass_stopwords"),
+    )
+    return flagged.withColumn(
+        "keep",
+        F.col("pass_word_count") & F.col("pass_mean_word_len")
+        & F.col("pass_alpha_ratio") & F.col("pass_stopwords"),
+    )
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Stopword-overlap language ID with deterministic argmax.
 

@@ -13,13 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import curation, dedup, multimodal, similarity
+from ..operators import curation, dedup, multimodal, ranking, similarity
 from ..operators.dedup import SIMHASH_BITS_PORTABLE
 from ..operators.similarity import DIM
 from ..operators.text import (
     EMAIL_REGEX, STOPWORDS, TOKEN_REGEX, URL_REGEX, clean_text,
-    fingerprints, lang_id, quality_scores, repetition_stats, scrub_text,
-    token_stats, top_bigrams,
+    fingerprints, gopher_rules, lang_id, quality_scores, repetition_stats,
+    scrub_text, token_stats, top_bigrams,
 )
 from ..sources.tables import load_table
 
@@ -325,6 +325,23 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (rational idf — see ranking.py)."""
+    return ranking.tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed 3-term query: one stats scan broadcast
+    back, row-local scoring, TakeOrderedAndProject — no wide shuffle."""
+    return ranking.bm25_topk(_docs(spark, sf_dir))
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality gates (Rae et al. 2021): per-doc rule
+    flags + keep conjunction, all row-local JVM expressions."""
+    return gopher_rules(_docs(spark, sf_dir))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,6 +669,9 @@ QUERIES = {
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ivf": q_embedding_ivf,
     "token_stats": q_token_stats,
+    "tfidf_topk": q_tfidf_topk,
+    "bm25_topk": q_bm25_topk,
+    "gopher_rules": q_gopher_rules,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -678,6 +698,62 @@ QUERIES = {
 
 # ---------------------------------------------------------------- oracles
 # generated SQL fragments (parameters shared with the Spark operators)
+
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+def _bm25_oracle() -> str:
+    """BM25 oracle generated from ranking.py's constants so the two sides
+    cannot drift: rational Robertson idf (no ln — see ranking.py docstring
+    on cross-engine ulp), every expression in the same association order
+    as the Spark column tree, float literals via repr() of the exact
+    doubles Spark uses."""
+    q = ranking.DEFAULT_QUERY
+    k1, b = repr(ranking.BM25_K1), repr(ranking.BM25_B)
+    k1p1 = repr(ranking.BM25_K1 + 1.0)
+    tf_cols = ",\n    ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(q)
+    )
+    df_cols = ",\n    ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df_{i}"
+        for i in range(len(q))
+    )
+    dlnorm = (
+        f"1.0 - {b} + {b} * CAST(dl AS DOUBLE) / "
+        f"(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    )
+    terms = " + ".join(
+        f"(CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5)"
+        f" * (CAST(tf_{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(tf_{i} AS DOUBLE) + {k1} * ({dlnorm}))"
+        for i in range(len(q))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, len(w) AS dl,
+    {tf_cols}
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+stats AS (
+  SELECT
+    {df_cols},
+    count(*)::BIGINT AS n_docs,
+    sum(dl)::BIGINT AS sum_dl
+  FROM t
+),
+scored AS (
+  SELECT doc_id, dl AS doc_len,
+    {terms} AS bm25
+  FROM t CROSS JOIN stats
+)
+SELECT doc_id, doc_len, bm25 FROM scored
+WHERE bm25 > 0.0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+"""
+
 
 _ROLL = (
     "list_reduce(list_transform(string_split({col}, ''), "
@@ -1205,6 +1281,51 @@ SELECT doc_id,
   len(string_split(text, ' ')) AS ws_tokens,
   len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS bpe_tokens
 FROM documents
+""",
+    "tfidf_topk": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs + 1 AS DOUBLE)
+      / CAST(df.df + 1 AS DOUBLE) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS "rank"
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, "rank" FROM ranked WHERE "rank" <= 5
+""",
+    "bm25_topk": _bm25_oracle(),
+    "gopher_rules": f"""
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+),
+f AS (
+  SELECT doc_id, lang,
+    len(w) AS n_words_g,
+    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) AS mean_word_len,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      / CAST(len(w) AS DOUBLE) AS alpha_ratio,
+    len(list_filter(w, x -> x IN ({_EN_STOP_SQL}))) AS n_stopwords
+  FROM w
+)
+SELECT doc_id, lang, n_words_g, mean_word_len, alpha_ratio, n_stopwords,
+  n_words_g >= 10 AND n_words_g <= 100000 AS pass_word_count,
+  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS pass_mean_word_len,
+  alpha_ratio >= 0.8 AS pass_alpha_ratio,
+  n_stopwords >= 2 AS pass_stopwords,
+  (n_words_g >= 10 AND n_words_g <= 100000)
+    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+    AND alpha_ratio >= 0.8 AND n_stopwords >= 2 AS keep
+FROM f
 """,
     "text_quality": """
 WITH b AS (

@@ -1,0 +1,129 @@
+"""IR ranking operators (ranking.py) + Gopher rule gates (text.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from ha_sqllite_2_influxdb_spark.operators import ranking
+from ha_sqllite_2_influxdb_spark.operators.text import gopher_rules
+from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+
+def _tiny(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark scan merge join the the a"),
+            (2, "spark spark spark filter"),
+            (3, "sort window batch"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_tfidf_hand_computed(spark):
+    """tf * (N+1)/(df+1) against hand-derived values on a 3-doc corpus."""
+    out = {
+        (r["doc_id"], r["term"]): r
+        for r in ranking.tfidf_topk(_tiny(spark), k=10).collect()
+    }
+    # 'spark' appears in docs 1,2 -> df=2; N=3 -> idf = 4/3
+    r = out[(2, "spark")]
+    assert r["tf"] == 3 and r["df"] == 2
+    assert r["tfidf"] == 3.0 * 4.0 / 3.0
+    # doc 2's top term must be 'spark' (highest tf * idf)
+    top2 = [r for r in out.values() if r["doc_id"] == 2 and r["rank"] == 1]
+    assert top2[0]["term"] == "spark"
+    # every term of doc 3 is unique to it -> df=1, idf = 4/2 = 2
+    assert out[(3, "sort")]["tfidf"] == 1.0 * 4.0 / 2.0
+
+
+def test_tfidf_rank_window_bounded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = ranking.tfidf_topk(docs, k=5)
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("rank").alias("mx")
+    )
+    bad = per_doc.filter((F.col("n") > 5) | (F.col("mx") > 5)).count()
+    assert bad == 0
+
+
+def test_bm25_monotonic_in_tf_and_beats_absent(spark):
+    """Doc with more query-term hits outranks docs with fewer/none, and
+    docs containing no query term are filtered out."""
+    rows = ranking.bm25_topk(
+        _tiny(spark), query=("spark",), k=10
+    ).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids[0] == 2            # tf=3, shortest doc
+    assert 3 not in ids           # no query term -> filtered
+    assert all(rows[i]["bm25"] >= rows[i + 1]["bm25"]
+               for i in range(len(rows) - 1))
+
+
+def test_bm25_matches_independent_python(spark, sf_dir):
+    """Engine scores equal an independent pure-python BM25 (same rational
+    idf) computed from a collected sample — catches any association-order
+    or stats-wiring bug."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = ranking.DEFAULT_QUERY
+    out = {r["doc_id"]: r for r in ranking.bm25_topk(docs, k=20).collect()}
+    sample = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    n_docs = len(sample)
+    words = {d: t.split(" ") for d, t in sample}
+    df = [sum(1 for w in words.values() if term in w) for term in q]
+    sum_dl = sum(len(w) for w in words.values())
+    k1, b = ranking.BM25_K1, ranking.BM25_B
+    scores = {}
+    for d, w in words.items():
+        dl = len(w)
+        s = 0.0
+        for i, term in enumerate(q):
+            tf = float(w.count(term))
+            idf = (n_docs - df[i] + 0.5) / (df[i] + 0.5)
+            dlnorm = 1.0 - b + b * dl / (sum_dl / n_docs)
+            s = s + idf * (tf * (k1 + 1.0)) / (tf + k1 * dlnorm)
+        if s > 0.0:
+            scores[d] = s
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert set(out) == {d for d, _ in top}
+    for d, s in top:
+        assert math.isclose(out[d]["bm25"], s, rel_tol=1e-12)
+
+
+def test_bm25_plan_has_no_wide_shuffle(spark, sf_dir):
+    """The retrieval plan: one stats agg broadcast back + TakeOrdered —
+    no hash-partitioned Exchange anywhere (the 100 TB property)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = ranking.bm25_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_gopher_rules_flags(spark):
+    docs = spark.createDataFrame(
+        [
+            # passes all gates (>=10 words, the+a+for stopwords, alpha)
+            (1, "x", "the quick brown fox jumps over a lazy dog for fun"),
+            # too short
+            (2, "x", "only three words"),
+            # no stopwords
+            (3, "x", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["pass_word_count"] is False
+    assert out[3]["keep"] is False and out[3]["pass_stopwords"] is False
+    # keep is exactly the conjunction of the four gates
+    for r in out.values():
+        assert r["keep"] == (
+            r["pass_word_count"] and r["pass_mean_word_len"]
+            and r["pass_alpha_ratio"] and r["pass_stopwords"]
+        )
+
+
+def test_gopher_rules_row_local_no_shuffle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
