@@ -54,6 +54,25 @@ def upsert_latest(base: DataFrame, updates: DataFrame,
     )
 
 
+def latest_per_key(df: DataFrame, keys: list[str],
+                   order_cols: list[str]) -> DataFrame:
+    """Arg-max per key under the total order ``order_cols`` (descending,
+    left-to-right significance): ONE windowed rank on the key shuffle.
+
+    Because the winner under a total order is associative and
+    commutative, this reduction can be applied per-micro-batch and then
+    across batches (see streaming.stream.drain_upsert) and still equal
+    the one-shot batch result — the algebraic property that makes the
+    streaming upsert sink idempotent under replay.
+    """
+    w = W.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
 def zorder_key(x: Column, y: Column, bits: int = ZBITS) -> Column:
     """Morton interleave of the low ``bits`` bits of two non-negative
     ints: bit b of x lands at position 2b, bit b of y at 2b+1.

@@ -1004,6 +1004,35 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build from a change log:
+    collapse consecutive equal values per key, emit validity intervals
+    [valid_from, valid_to) with NULL-open current rows.
+
+    The standard warehouse pattern: lag() marks change points, the
+    filtered change set gets lead() for interval ends. Both windows key
+    on user_id — ONE shuffle; the second window reuses the first's
+    partitioning (filter preserves distribution), so Catalyst plans a
+    single Exchange. Deterministic under ts ties via the event_id
+    tie-break.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    us = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev_type", F.lag("event_type").over(us)).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    lead_ts = F.lead("ts").over(us)
+    return changes.select(
+        "user_id", "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(lead_ts).alias("valid_to_us"),
+        lead_ts.isNull().alias("is_current"),
+    )
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-key over (user bucket, minute bucket): the layout key
     `operators.merge.zorder_layout` range-partitions writes by, so
@@ -1272,6 +1301,7 @@ QUERIES = {
     "rollup_orders": q_rollup_orders,
     "agg_stats": q_agg_stats,
     "upsert_latest": q_upsert_latest,
+    "scd2_intervals": q_scd2_intervals,
     "zorder_events": q_zorder_events,
 }
 
@@ -1822,6 +1852,25 @@ r AS (
   FROM u
 )
 SELECT event_id, ts_us, user_id, event_type, value FROM r WHERE rk = 1
+""",
+    "scd2_intervals": """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+),
+c AS (
+  SELECT user_id, ts, event_id, event_type FROM o
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+  epoch_us(ts) AS valid_from_us,
+  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+    AS valid_to_us,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    AS is_current
+FROM c
 """,
     "zorder_events": """
 WITH d AS (

@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from ..streaming.stateful import GAP_MIN, sessionize_stateful
 from ..streaming.stream import (
-    documents_stream, drain_to_memory, events_stream, windowed_agg,
+    documents_stream, drain_to_memory, drain_upsert, events_stream,
+    windowed_agg,
 )
 
 
@@ -275,6 +276,32 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE/upsert sink (foreachBatch): the events stream
+    drained into a latest-row-per-user store — the CDC pattern production
+    pipelines run as foreachBatch + MERGE INTO, here via the algebraic
+    arg-max merge (streaming.stream.drain_upsert), idempotent under
+    replay by construction. A real AvailableNow drain with a fresh
+    checkpoint; the oracle is simply the batch latest-per-user."""
+    import tempfile
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_upsert_ckpt_")
+    store = drain_upsert(
+        ev, keys=["user_id"], order_cols=["ts", "event_id"],
+        checkpoint=ckpt,
+    )
+    return store.select(
+        "user_id",
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's BUILT-IN gap sessionization (`F.session_window`): where the
     engine already has the operator, use it — the custom
@@ -312,6 +339,7 @@ QUERIES = {
     "stream_join": q_stream_join,
     "stream_static_join": q_stream_static_join,
     "stream_dedup_incremental": q_stream_dedup_incremental,
+    "stream_upsert": q_stream_upsert,
     "session_window_native": q_session_window_native,
 }
 
@@ -365,6 +393,17 @@ SELECT doc_id,
   CASE WHEN md5(text) IN (SELECT d FROM cur)
        THEN 'exact_dup' ELSE 'new' END AS status
 FROM documents
+""",
+    "stream_upsert": """
+WITH r AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+    row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value
+FROM r WHERE rk = 1
 """,
     "session_window_native": f"""
 WITH g AS (

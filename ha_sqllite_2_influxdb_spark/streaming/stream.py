@@ -231,6 +231,44 @@ def drain_to_memory(sdf: DataFrame, name: str,
     return sdf.sparkSession.table(unique)
 
 
+def drain_upsert(sdf: DataFrame, keys: list[str], order_cols: list[str],
+                 checkpoint: str) -> DataFrame:
+    """Streaming MERGE/upsert sink via foreachBatch: maintain
+    latest-per-key state across micro-batches, return the final store.
+
+    The pattern production pipelines run as `foreachBatch + MERGE INTO`
+    on a table format, expressed without one: each micro-batch first
+    reduces to its own per-key winners (map-side shrink — the store
+    never sees more than one row per key per batch), then merges into
+    the accumulated store with the same arg-max. Because arg-max under
+    a total order is associative/commutative, batch arrival order and
+    replayed batches (at-least-once delivery) cannot change the result —
+    the idempotence MERGE gives you, recovered algebraically.
+
+    Scale shape: state lives as a distributed DataFrame
+    (localCheckpoint breaks lineage so the plan doesn't grow per batch);
+    each merge is ONE shuffle on the key, sized by |keys|, not by the
+    stream history. The memory-sink equivalent would collect to the
+    driver — this never does.
+    """
+    from ..operators.merge import latest_per_key
+
+    state: dict[str, DataFrame] = {}
+
+    def merge(batch: DataFrame, _epoch: int) -> None:
+        winners = latest_per_key(batch, keys, order_cols)
+        if "store" in state:
+            winners = latest_per_key(
+                state["store"].unionByName(winners), keys, order_cols
+            )
+        state["store"] = winners.localCheckpoint(eager=True)
+
+    drain_foreach_batch(sdf, checkpoint, merge)
+    if "store" not in state:  # empty stream
+        return sdf.sparkSession.createDataFrame([], sdf.schema)
+    return state["store"]
+
+
 def drain_foreach_batch(sdf: DataFrame, checkpoint: str, batch_fn) -> int:
     """T2: the reference's fetch→transform→write loop as foreachBatch.
 

@@ -191,3 +191,53 @@ def test_simhash_rotated_three_exchange_pipeline(spark, sf_dir):
     parts = re.findall(r"hashpartitioning\((\w+)#", physical)
     assert parts == ["doc_id", "bucket", "doc_a"], plan
     assert len(re.findall(r"\(\d+\) Window", physical)) == 1, plan
+
+
+def test_scd2_intervals_crafted_and_single_exchange(spark, sf_dir):
+    """SCD2 semantics on crafted input: consecutive equal values collapse,
+    re-appearing values reopen, intervals chain [from, to) with a
+    NULL-open current row — and the whole plan pays ONE shuffle (the
+    second window reuses the first's user_id partitioning)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.plans.analytics import q_scd2_intervals
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1: A A B A  -> intervals A@0, B@20, A@30(open)
+        (1, ts(0), 100, "A"), (1, ts(10), 101, "A"),
+        (1, ts(20), 102, "B"), (1, ts(30), 103, "A"),
+        # user 2: single event -> one open interval
+        (2, ts(5), 200, "X"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    df.createOrReplaceTempView("_scd2_src")
+
+    import ha_sqllite_2_influxdb_spark.plans.analytics as an
+    orig = an._t
+    an._t = lambda s, d, name: df if name == "events" else orig(s, d, name)
+    try:
+        out = sorted(
+            map(tuple, q_scd2_intervals(spark, sf_dir).collect())
+        )
+    finally:
+        an._t = orig
+
+    us = lambda s: int(dt.datetime(  # noqa: E731
+        2024, 1, 1, 0, 0, s, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert out == sorted([
+        (1, "A", us(0), us(20), False),
+        (1, "B", us(20), us(30), False),
+        (1, "A", us(30), None, True),
+        (2, "X", us(5), None, True),
+    ])
+
+    plan = q_scd2_intervals(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

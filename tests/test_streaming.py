@@ -346,3 +346,61 @@ def test_stream_dedup_incremental_matches_batch(spark, sf_dir):
     }
     assert got == want
     assert all(got[d] == "exact_dup" for d in got if d % 4 != 0)
+
+
+def test_drain_upsert_multibatch_equals_batch_argmax(spark, tmp_path):
+    """drain_upsert across THREE micro-batches (one file each, forced by
+    maxFilesPerTrigger=1) equals the one-shot batch arg-max — the
+    associativity the streaming MERGE pattern rests on. Later files
+    carry both newer and older versions of the same keys, so the merge
+    must keep winners from any batch position."""
+    import datetime as dt
+    import os
+
+    from ha_sqllite_2_influxdb_spark.operators.merge import latest_per_key
+    from ha_sqllite_2_influxdb_spark.streaming.stream import drain_upsert
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def mk(rows, name):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, value double"
+        ).coalesce(1).write.parquet(f"{src}/{name}")
+
+    rows1 = [(u, 1_000_000 * (u + 1), 10 + u, 1.0) for u in range(5)]
+    rows2 = [(u, 1_000_000 * (u + 3), 20 + u, 2.0) for u in range(5)]
+    # batch 3 is OLDER than batch 2 for every key (straggler replay)
+    rows3 = [(u, 1_000_000 * (u + 2), 30 + u, 3.0) for u in range(5)]
+
+    def ts(us):
+        return dt.datetime.fromtimestamp(us / 1e6, dt.timezone.utc).replace(
+            tzinfo=None
+        )
+
+    mk([(u, ts(a), e, v) for u, a, e, v in rows1], "f1")
+    mk([(u, ts(a), e, v) for u, a, e, v in rows2], "f2")
+    mk([(u, ts(a), e, v) for u, a, e, v in rows3], "f3")
+
+    sdf = (
+        spark.readStream
+        .schema("user_id long, ts timestamp, event_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    got = drain_upsert(
+        sdf, keys=["user_id"], order_cols=["ts", "event_id"],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    want = latest_per_key(
+        spark.read.option("recursiveFileLookup", "true").parquet(src),
+        ["user_id"], ["ts", "event_id"],
+    )
+    cols = ["user_id", "ts", "event_id", "value"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+    # every winner is from batch 2 (newest ts)
+    assert all(r["event_id"] >= 20 and r["event_id"] < 30
+               for r in got.collect())
