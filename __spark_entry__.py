@@ -43,13 +43,13 @@ _DRIVER_WINDOW = [
     # gets its first driver row.
     "stream_sessions", "events_sliding", "session_window_native",
     "stream_static_join",
-    # streaming MERGE sink (new r6, first driver verdict)
-    "stream_upsert",
+    # streaming MERGE sink + stateful EMA fold (new r6, first verdicts)
+    "stream_upsert", "stream_ema",
     # LLM data pipeline: deduplication + cluster-canonical selection
     "neardup_clusters", "dedup_keep_best", "ngram_jaccard",
     "simhash_signatures", "simhash_neighbors", "ngram_span_dedup",
-    # IR ranking + quality gates (new r6, first driver verdicts)
-    "tfidf_topk", "bm25_topk", "gopher_rules",
+    # IR ranking + quality gates + LM rarity (new r6, first verdicts)
+    "tfidf_topk", "bm25_topk", "gopher_rules", "lm_rare_bigrams",
     # corpus curation: end-to-end pipeline + training-order ops (first
     # driver verdicts for all three r5 additions)
     "curate_pipeline", "training_shuffle", "dataset_split",
@@ -67,12 +67,12 @@ _DRIVER_WINDOW = [
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q18", "tpch_q20",
     "tpch_q21", "tpch_q22",
-    "grouping_sets", "rollup_orders",
     "range_band_join", "full_outer_join",
     "window_time_range", "scd2_intervals",
-    # pivot_events / quantiles / window_topk / sessionize / asof_join
-    # rotated out this round (multi-round green; pytest oracle coverage
-    # stays) to give the five r6 additions first driver verdicts.
+    # pivot_events / quantiles / window_topk / sessionize / asof_join /
+    # grouping_sets / rollup_orders rotated out this round (multi-round
+    # green; pytest oracle coverage stays) to give the seven r6
+    # additions first driver verdicts.
 ]
 assert len(_DRIVER_WINDOW) == 50
 

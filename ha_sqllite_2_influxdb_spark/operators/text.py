@@ -191,6 +191,55 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def lm_rare_bigrams(documents: DataFrame, rare_den: int = 40) -> DataFrame:
+    """CCNet-style language-model quality signal, integer-exact: train a
+    bigram LM on the corpus itself, then score each document by the rate
+    of low-probability bigrams. High rare-rate marks out-of-domain /
+    garbled text the way CCNet's KenLM-perplexity buckets do — but with
+    no ``ln`` anywhere, the flag is pure integer arithmetic
+    (P(b|a) < 1/rare_den  ⇔  rare_den * c_ab < c_a) so the oracle
+    reproduces every value bit-exactly; the only double is the final
+    exact IEEE division.
+
+    Scale shape (100 TB): bigram extraction is the same single codegen'd
+    regex pass as the dedup shinglers (HOFs are interpreted — see
+    dedup.word_shingles); the LM table aggregates on the bigram string
+    (one corpus shuffle, map-side combine); history counts derive from
+    the LM table itself (vocab-scale, no second corpus pass); the
+    score join is bigram-keyed — the LM side is bounded by the observed
+    bigram vocabulary, so AQE broadcasts it when it fits and the corpus
+    side never shuffles; finally one doc_id groupBy. Integer sums
+    everywhere → partial-agg order cannot flip bits.
+    """
+    w = F.split(F.col("text"), " ")
+    pat = "(?:^| )(?=([^ ]* [^ ]*))"
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.regexp_extract_all(F.col("text"), F.lit(pat), 1),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = documents.select("doc_id", F.explode(bigrams).alias("bg"))
+    lm = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab")).withColumn(
+        "w1", F.substring_index("bg", " ", 1)
+    )
+    hist = lm.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    lmh = lm.join(hist, "w1").select("bg", "c_ab", "c_a")
+    rare = F.when(
+        F.lit(rare_den) * F.col("c_ab") < F.col("c_a"), 1
+    ).otherwise(0)
+    return (
+        bg.join(lmh, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(rare).alias("n_rare"),
+        )
+        .withColumn(
+            "rare_rate",
+            F.col("n_rare").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
 def clean_text(documents: DataFrame) -> DataFrame:
     """Normalization pass every training corpus gets: lowercase, strip
     non-alphanumerics, collapse whitespace runs, trim. Pure JVM regex —

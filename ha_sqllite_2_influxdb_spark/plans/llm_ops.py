@@ -18,8 +18,8 @@ from ..operators.dedup import SIMHASH_BITS_PORTABLE
 from ..operators.similarity import DIM
 from ..operators.text import (
     EMAIL_REGEX, STOPWORDS, TOKEN_REGEX, URL_REGEX, clean_text,
-    fingerprints, gopher_rules, lang_id, quality_scores, repetition_stats,
-    scrub_text, token_stats, top_bigrams,
+    fingerprints, gopher_rules, lang_id, lm_rare_bigrams, quality_scores,
+    repetition_stats, scrub_text, token_stats, top_bigrams,
 )
 from ..sources.tables import load_table
 
@@ -342,6 +342,13 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style hard quality gates (Rae et al. 2021): per-doc rule
     flags + keep conjunction, all row-local JVM expressions."""
     return gopher_rules(_docs(spark, sf_dir))
+
+
+def q_lm_rare_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal, integer-exact (no ln): per-doc
+    rate of bigrams with P(b|a) < 1/40 under the corpus-trained bigram
+    LM."""
+    return lm_rare_bigrams(_docs(spark, sf_dir))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,6 +679,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
     "gopher_rules": q_gopher_rules,
+    "lm_rare_bigrams": q_lm_rare_bigrams,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -1303,6 +1311,31 @@ ranked AS (
 SELECT doc_id, term, tf, df, tfidf, "rank" FROM ranked WHERE "rank" <= 5
 """,
     "bm25_topk": _bm25_oracle(),
+    "lm_rare_bigrams": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+b AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+),
+lm AS (
+  SELECT bg, count(*)::BIGINT AS c_ab FROM b GROUP BY bg
+),
+hist AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(c_ab)::BIGINT AS c_a
+  FROM lm GROUP BY split_part(bg, ' ', 1)
+),
+j AS (
+  SELECT b.doc_id,
+    CASE WHEN 40 * lm.c_ab < hist.c_a THEN 1 ELSE 0 END AS rare
+  FROM b JOIN lm USING (bg)
+  JOIN hist ON split_part(b.bg, ' ', 1) = hist.w1
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(rare)::BIGINT AS n_rare,
+  CAST(sum(rare) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rare_rate
+FROM j GROUP BY doc_id
+""",
     "gopher_rules": f"""
 WITH w AS (
   SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents

@@ -302,6 +302,26 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming: a per-user event-time EMA — an
+    order-dependent fold no windowed aggregate can express — wired
+    through Spark 4's transformWithStateInPandas where its protobuf
+    dependency exists, else the legacy applyInPandasWithState (this
+    container; same fold/state/output — streaming/tws.py). Real
+    AvailableNow drain in Update mode; the per-batch cumulative
+    snapshots reduce to each key's final one via arg-max on the
+    monotonic n_events. Oracle replays the identical IEEE fold with
+    DuckDB's ordered list_reduce — bit-exact doubles."""
+    from ..operators.merge import latest_per_key
+    from ..streaming.tws import ema_per_user
+
+    ev = events_stream(spark, sf_dir)
+    out = drain_to_memory(
+        ema_per_user(ev), "stream_ema_t", output_mode="update"
+    )
+    return latest_per_key(out, ["user_id"], ["n_events"])
+
+
 def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's BUILT-IN gap sessionization (`F.session_window`): where the
     engine already has the operator, use it — the custom
@@ -340,10 +360,33 @@ QUERIES = {
     "stream_static_join": q_stream_static_join,
     "stream_dedup_incremental": q_stream_dedup_incremental,
     "stream_upsert": q_stream_upsert,
+    "stream_ema": q_stream_ema,
     "session_window_native": q_session_window_native,
 }
 
 _GAP_US = GAP_MIN * 60 * 1_000_000
+
+
+def _ema_oracle() -> str:
+    """Generated from tws.ALPHA so the fold constants cannot drift:
+    repr() of the exact doubles the Python worker multiplies by."""
+    from ..streaming.tws import ALPHA
+
+    keep, take = repr(1.0 - ALPHA), repr(ALPHA)
+    return f"""
+WITH o AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vs,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  list_reduce(vs, (a, x) -> a * {keep} + x * {take}) AS ema,
+  n_events
+FROM o
+"""
+
+
+_EMA_ORACLE = _ema_oracle()
 
 ORACLES = {
     "events_hourly": """
@@ -405,6 +448,7 @@ SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
        event_type AS last_event_type, value AS last_value
 FROM r WHERE rk = 1
 """,
+    "stream_ema": _EMA_ORACLE,
     "session_window_native": f"""
 WITH g AS (
   SELECT user_id, epoch_us(ts) AS ts_us,

@@ -127,3 +127,24 @@ def test_gopher_rules_row_local_no_shuffle(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_lm_rare_bigrams_crafted(spark):
+    """Bigram-LM rarity on a crafted corpus: 'x y' occurs once among
+    41 'x'-history bigrams -> P = 1/41 < 1/40 -> rare; the common
+    'x x' continuation is not."""
+    from ha_sqllite_2_influxdb_spark.operators.text import lm_rare_bigrams
+
+    # doc 1..40: 'x x'; doc 41: 'x y' -> c(x·)=41, c(x x)=40, c(x y)=1
+    rows = [(i, "x x") for i in range(1, 41)] + [(41, "x y")]
+    out = {r["doc_id"]: r for r in lm_rare_bigrams(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()}
+    assert out[41]["n_rare"] == 1 and out[41]["rare_rate"] == 1.0
+    assert out[1]["n_rare"] == 0 and out[1]["n_bigrams"] == 1
+    # single-word docs produce no bigrams and drop out
+    out2 = lm_rare_bigrams(
+        spark.createDataFrame([(1, "solo"), (2, "a b")],
+                              "doc_id long, text string")
+    ).collect()
+    assert sorted(r["doc_id"] for r in out2) == [2]

@@ -404,3 +404,69 @@ def test_drain_upsert_multibatch_equals_batch_argmax(spark, tmp_path):
     # every winner is from batch 2 (newest ts)
     assert all(r["event_id"] >= 20 and r["event_id"] < 30
                for r in got.collect())
+
+
+def test_ema_stream_matches_batch_fold_across_batches(spark, tmp_path):
+    """EMA state carries across TWO micro-batches (event-time-ordered
+    files): drained snapshots reduce to the same result as one
+    pure-python fold over the full ordered input."""
+    import datetime as dt
+    import os
+
+    from ha_sqllite_2_influxdb_spark.operators.merge import latest_per_key
+    from ha_sqllite_2_influxdb_spark.streaming.stream import drain_to_memory
+    from ha_sqllite_2_influxdb_spark.streaming.tws import ALPHA, ema_per_user
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    sch = "user_id long, ts timestamp, event_id long, value double"
+    b1 = [(u, ts(i), u * 100 + i, float(u + i))
+          for u in (1, 2) for i in range(3)]
+    b2 = [(u, ts(10 + i), u * 100 + 10 + i, float(u * i + 0.25))
+          for u in (1, 2) for i in range(3)]
+    spark.createDataFrame(b1, sch).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame(b2, sch).coalesce(1).write.parquet(f"{src}/f2")
+
+    sdf = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    drained = drain_to_memory(
+        ema_per_user(sdf), "ema_t", output_mode="update"
+    )
+    got = {
+        r["user_id"]: (r["ema"], r["n_events"])
+        for r in latest_per_key(
+            drained, ["user_id"], ["n_events"]
+        ).collect()
+    }
+
+    want = {}
+    for u in (1, 2):
+        vals = [v for (uu, _t, _e, v) in sorted(b1 + b2, key=lambda r: r[1])
+                if uu == u]
+        ema = None
+        for v in vals:
+            ema = v if ema is None else ema * (1.0 - ALPHA) + v * ALPHA
+        want[u] = (ema, len(vals))
+    assert got == want  # bit-exact: same IEEE ops in the same order
+
+
+def test_tws_gating_matches_runtime_dependency(spark):
+    """tws_available() must reflect whether google.protobuf imports; in
+    either case ema_per_user wires a runnable plan (this container lacks
+    protobuf, so the legacy applyInPandasWithState path serves)."""
+    from ha_sqllite_2_influxdb_spark.streaming import tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        assert tws.tws_available() is True
+    except ImportError:
+        assert tws.tws_available() is False
