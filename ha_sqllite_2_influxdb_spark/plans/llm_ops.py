@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import curation, dedup, multimodal, ranking, similarity
+from ..operators import graph as _graph
 from ..operators.dedup import SIMHASH_BITS_PORTABLE
 from ..operators.similarity import DIM
 from ..operators.text import (
@@ -351,6 +352,17 @@ def q_lm_rare_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_rare_bigrams(_docs(spark, sf_dir))
 
 
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords: integer-exact PageRank power iteration
+    (quantized ranks, rational damping 17/20) over the word
+    co-occurrence graph — an ITERATIVE distributed operator whose fixed
+    iteration count makes it fully oracle-checkable (10 unrolled CTE
+    iterations in DuckDB, bit-identical BIGINT ranks)."""
+    from ..operators.graph import textrank_keywords
+
+    return textrank_keywords(_docs(spark, sf_dir))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(_docs(spark, sf_dir))
 
@@ -680,6 +692,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "gopher_rules": q_gopher_rules,
     "lm_rare_bigrams": q_lm_rare_bigrams,
+    "textrank_keywords": q_textrank_keywords,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -1311,6 +1324,7 @@ ranked AS (
 SELECT doc_id, term, tf, df, tfidf, "rank" FROM ranked WHERE "rank" <= 5
 """,
     "bm25_topk": _bm25_oracle(),
+    "textrank_keywords": _graph.pagerank_oracle_sql(),
     "lm_rare_bigrams": """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -148,3 +148,82 @@ def test_lm_rare_bigrams_crafted(spark):
                               "doc_id long, text string")
     ).collect()
     assert sorted(r["doc_id"] for r in out2) == [2]
+
+
+def _pure_python_pagerank(edges, iters):
+    """Independent integer PageRank reference (same quantization)."""
+    from ha_sqllite_2_influxdb_spark.operators.graph import (
+        PR_D_DEN, PR_D_NUM, PR_SCALE,
+    )
+
+    both = set(edges) | {(b, a) for a, b in edges}
+    both = {(a, b) for a, b in both if a != b}
+    nodes = sorted({a for a, _ in both})
+    outdeg = {u: sum(1 for a, _ in both if a == u) for u in nodes}
+    n = len(nodes)
+    base = ((PR_D_DEN - PR_D_NUM) * PR_SCALE) // (PR_D_DEN * n)
+    r = {u: PR_SCALE // n for u in nodes}
+    for _ in range(iters):
+        s = {u: 0 for u in nodes}
+        for a, b in both:
+            s[b] += r[a] // outdeg[a]
+        r = {u: base + (PR_D_NUM * s[u]) // PR_D_DEN for u in nodes}
+    return r
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    """Engine PageRank == independent integer reference, bit-for-bit, on
+    a crafted corpus; the hub word must rank first."""
+    from ha_sqllite_2_influxdb_spark.operators.graph import (
+        cooccurrence_edges, pagerank,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hub a hub b hub c"),
+            (2, "a b"),
+            (3, "c d hub d"),
+        ],
+        "doc_id long, text string",
+    )
+    edges = cooccurrence_edges(docs)
+    got = {r["node"]: r["rank_q"] for r in pagerank(edges, iters=10).collect()}
+    raw = [
+        ("hub", "a"), ("a", "hub"), ("hub", "b"), ("b", "hub"),
+        ("hub", "c"), ("a", "b"), ("c", "d"), ("d", "hub"),
+    ]
+    want = _pure_python_pagerank(raw, 10)
+    assert got == want
+    assert max(got, key=lambda u: (got[u], u)) == "hub"
+
+
+def test_pagerank_deterministic_across_partitionings(spark, sf_dir):
+    """Quantized-integer accumulation: identical BIGINT ranks regardless
+    of input partitioning (the float formulation would drift)."""
+    from ha_sqllite_2_influxdb_spark.operators.graph import (
+        cooccurrence_edges, pagerank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    e1 = cooccurrence_edges(docs)
+    e2 = cooccurrence_edges(docs.repartition(13, "doc_id"))
+    r1 = sorted(map(tuple, pagerank(e1, iters=5).collect()))
+    r2 = sorted(map(tuple, pagerank(e2, iters=5).collect()))
+    assert r1 == r2
+
+
+def test_pagerank_mass_conserved_within_floor_loss(spark, sf_dir):
+    """Σ ranks stays within N floor-losses of the full quantized mass:
+    each of the ~2 floors per node per iteration loses < 1 unit."""
+    from ha_sqllite_2_influxdb_spark.operators.graph import (
+        PR_SCALE, cooccurrence_edges, pagerank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = cooccurrence_edges(docs)
+    n = edges.select("src").distinct().count()
+    total = pagerank(edges, iters=3).agg(
+        F.sum("rank_q").alias("s")).first()["s"]
+    # mass only shrinks (floors), bounded by ~(edges+nodes) units/iter
+    assert total <= PR_SCALE
+    assert total > PR_SCALE - 4 * (edges.count() + n)
