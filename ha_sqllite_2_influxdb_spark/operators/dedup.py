@@ -443,6 +443,45 @@ def jaccard_pairs_inverted_index(corpus: DataFrame,
     ).filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs_inverted_index(corpus: DataFrame,
+                                     threshold: float = 0.9) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment C(A→B) = |S_A ∩ S_B| / |S_A|.
+
+    Symmetric Jaccard misses partial copies — a paragraph quoted inside a
+    much longer page has tiny Jaccard but containment ≈ 1 for the short
+    side; dedup pipelines drop (or link) such subset documents. Candidate
+    generation and the intersection count are the same inverted-index
+    join as ``jaccard_pairs_inverted_index`` (set sizes ride as columns,
+    |∩| is the pair's row count); only the final normalization differs,
+    emitting BOTH directions so the caller sees which side is contained.
+    At 100 TB the candidate stage swaps to banded LSH exactly as in the
+    Jaccard family — the containment math is unchanged.
+    """
+    ex = shingle_sets(corpus).select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+    )
+    a = ex.select(F.col("doc_id").alias("doc_a"),
+                  F.col("n_sh").alias("n_a"), "shingle")
+    b = ex.select(F.col("doc_id").alias("doc_b"),
+                  F.col("n_sh").alias("n_b"), "shingle")
+    counted = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = counted.select(
+        "doc_a", "doc_b",
+        (F.col("n_inter").cast("double") / F.col("n_a").cast("double"))
+        .alias("containment_ab"),
+        (F.col("n_inter").cast("double") / F.col("n_b").cast("double"))
+        .alias("containment_ba"),
+    )
+    return scored.filter(
+        F.greatest("containment_ab", "containment_ba") >= F.lit(threshold)
+    )
+
+
 def simhash_signatures(corpus: DataFrame, bits: int | None = None,
                        portable: bool = True) -> DataFrame:
     """SimHash: per-bit majority vote over word hashes → one int64 per doc.

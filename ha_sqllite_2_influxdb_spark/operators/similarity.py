@@ -208,6 +208,63 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.35,
     )
 
 
+def semdedup(embeddings: DataFrame, k: int = 8, iters: int = 5,
+             threshold: float = 0.9) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public paper): semantic deduplication
+    by k-means clustering + WITHIN-CLUSTER cosine pairs — the published
+    recipe for making embedding dedup tractable at corpus scale, composed
+    here from two already-verified stages (deterministic quantized
+    `kmeans_lloyd`, the JVM cosine expression chain).
+
+    Keep rule (deterministic): inside a cluster, a point is a
+    ``semantic_dup`` iff some LOWER-id point of the same cluster is
+    within ``threshold`` cosine — so the minimum id of every similarity
+    group survives, ids being the stable tiebreak the paper leaves open.
+
+    Scale shape (100 TB): the paper's point IS the plan — clustering
+    bounds the pair space to Σ|cluster|², so the pairwise stage is a
+    cluster-keyed self-join (one shuffle on cluster id), never a global
+    crossJoin; with balanced clusters of c points that is n·c pairs, not
+    n². Skewed/giant clusters get the same hot-bucket cap treatment as
+    the LSH buckets (documented there); k scales with corpus size.
+
+    Returns (vec_id, cluster, status) for every input vector.
+    """
+    assign = kmeans_lloyd(embeddings, k=k, iters=iters).select(
+        "vec_id", "cluster"
+    )
+    e = embeddings.join(assign, "vec_id")
+    a = e.select(
+        "cluster", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    ).withColumn("na2", norm2_chain("va"))
+    b = e.select(
+        "cluster", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    ).withColumn("nb2", norm2_chain("vb"))
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            cosine(dot_chain("va", "vb"), F.col("na2"), F.col("nb2"))
+            .alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assign.join(dup_ids, "vec_id", "left")
+        .select(
+            "vec_id", "cluster",
+            F.when(F.col("_dup").isNotNull(), F.lit("semantic_dup"))
+            .otherwise(F.lit("kept")).alias("status"),
+        )
+    )
+
+
 def label_centroids(embeddings: DataFrame, dim: int = DIM,
                     scale: int = 1_000_000) -> DataFrame:
     """Per-label centroid components: (label, pos, n_vecs, centroid).

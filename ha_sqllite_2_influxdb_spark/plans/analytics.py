@@ -1281,6 +1281,9 @@ QUERIES = {
     "semi_late_orders": q_semi_late_orders,
     "anti_no_orders": q_anti_no_orders,
     "promo_share": q_promo_share,
+    # TPC-H Q14 IS the promo-share query — registered under both names so
+    # the 22/22 TPC-H adaptation coverage is explicit in the registry
+    "tpch_q14": q_promo_share,
     "small_qty_revenue": q_small_qty_revenue,
     "big_orders": q_big_orders,
     "asof_join": q_asof_join,
@@ -1887,3 +1890,6 @@ FROM d
         for b in range(16)
     )),
 }
+
+# Q14 == promo_share (same plan fn, same oracle), see QUERIES note
+ORACLES["tpch_q14"] = ORACLES["promo_share"]

@@ -134,6 +134,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_T = 0.9
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup over the recrawl corpus: catches
+    subset/partial-copy pairs symmetric Jaccard misses."""
+    return dedup.containment_pairs_inverted_index(
+        recrawl(spark, sf_dir), threshold=CONTAIN_T
+    )
+
+
 def q_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated n-gram span fraction over the recrawl corpus
     (substring-dedup measurement, Lee et al. 2022). The engine groups
@@ -311,6 +322,14 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=COS_T)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (iterative kmeans upstream): SemDeDup — semantic dedup
+    via deterministic k-means + within-cluster cosine pairs (Abbas et
+    al. 2023). pytest asserts determinism, keep-rule soundness, and
+    consistency with the exact global cosine tier."""
+    return similarity.semdedup(_emb(spark, sf_dir), threshold=0.9)
 
 
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,6 +686,7 @@ QUERIES = {
     "minhash_signatures": q_minhash_signatures,
     "neardup_minhash_lsh": q_neardup_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_containment": q_ngram_containment,
     "ngram_span_dedup": q_ngram_span_dedup,
     "neardup_clusters": q_neardup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
@@ -685,6 +705,7 @@ QUERIES = {
     "neardup_xxhash_lsh": q_neardup_xxhash_lsh,
     "embedding_knn": q_embedding_knn,
     "embedding_neardup": q_embedding_neardup,
+    "semdedup": q_semdedup,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ivf": q_embedding_ivf,
     "token_stats": q_token_stats,
@@ -1220,6 +1241,32 @@ cand AS (
 ),
 {_JACCARD_FROM_CAND}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
+""",
+    "ngram_containment": f"""WITH {_CORPUS},
+{_SHINGLED},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+con AS (
+  SELECT doc_a, doc_b,
+    CAST(n_inter AS DOUBLE) / CAST(na.n_sh AS DOUBLE) AS containment_ab,
+    CAST(n_inter AS DOUBLE) / CAST(nb.n_sh AS DOUBLE) AS containment_ba
+  FROM shared
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, containment_ab, containment_ba
+FROM con WHERE greatest(containment_ab, containment_ba) >= {CONTAIN_T}
 """,
     "ngram_span_dedup": f"""WITH {_CORPUS},
 w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),

@@ -822,3 +822,47 @@ def test_bpe_deterministic_across_partitionings(spark, sf_dir):
     a = bpe.bpe_train(docs, n_merges=6)
     b = bpe.bpe_train(docs.repartition(7), n_merges=6)
     assert a == b
+
+
+def test_semdedup_keep_rule_and_determinism(spark, sf_dir):
+    """SemDeDup invariants: (1) run-to-run identical (kmeans + cosine
+    are deterministic); (2) every semantic_dup has a LOWER-id kept-or-dup
+    partner within threshold in its own cluster; (3) any exact-duplicate
+    embedding pair that k-means co-clusters is never both-kept."""
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.operators.similarity import (
+        cosine, dot_chain, norm2_chain, semdedup,
+    )
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r1 = sorted(map(tuple, semdedup(emb, threshold=0.9).collect()))
+    r2 = sorted(map(tuple, semdedup(
+        emb.repartition(7, "vec_id"), threshold=0.9).collect()))
+    assert r1 == r2 and len(r1) == emb.count()
+
+    out = semdedup(emb, threshold=0.9)
+    e = emb.join(out.select("vec_id", "cluster", "status"), "vec_id")
+    a = e.select("cluster", F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("va")) \
+         .withColumn("na2", norm2_chain("va"))
+    b = e.select("cluster", F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("vb"),
+                 F.col("status").alias("status_b")) \
+         .withColumn("nb2", norm2_chain("vb"))
+    close = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(dot_chain("va", "vb"),
+                                      F.col("na2"), F.col("nb2")))
+        .filter(F.col("cos_sim") >= 0.9)
+    )
+    # (2) every dup id appears as the id_b of at least one close pair
+    dups = {r["vec_id"] for r in out.filter(
+        F.col("status") == "semantic_dup").collect()}
+    partnered = {r["id_b"] for r in close.select("id_b").collect()}
+    assert dups == partnered
+    # (3) the higher id of every close pair is marked dup
+    bad = close.filter(F.col("status_b") != "semantic_dup").count()
+    assert bad == 0

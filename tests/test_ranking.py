@@ -227,3 +227,26 @@ def test_pagerank_mass_conserved_within_floor_loss(spark, sf_dir):
     # mass only shrinks (floors), bounded by ~(edges+nodes) units/iter
     assert total <= PR_SCALE
     assert total > PR_SCALE - 4 * (edges.count() + n)
+
+
+def test_containment_catches_partial_copy_jaccard_misses(spark):
+    """A 15-word span quoted out of a 120-word page: Jaccard is tiny
+    (misses it at T=0.5) but containment of the short side is 1.0."""
+    from ha_sqllite_2_influxdb_spark.operators.dedup import (
+        containment_pairs_inverted_index, jaccard_pairs_inverted_index,
+    )
+
+    words = [f"w{i}" for i in range(120)]
+    long_doc = " ".join(words)
+    short_doc = " ".join(words[40:55])  # every shingle also in long_doc
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc)], "doc_id long, text string"
+    )
+    cont = containment_pairs_inverted_index(docs, threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment_ba"] == 1.0      # short fully contained
+    assert r["containment_ab"] < 0.2       # long barely overlaps
+    jac = jaccard_pairs_inverted_index(docs, threshold=0.5).collect()
+    assert jac == []                        # symmetric metric misses it
