@@ -230,9 +230,14 @@ def semdedup(embeddings: DataFrame, k: int = 8, iters: int = 5,
 
     Returns (vec_id, cluster, status) for every input vector.
     """
+    # materialize the assignment ONCE: three plan branches consume it
+    # (both pair sides + the final status join), and a lazy kmeans plan
+    # would re-run all of Lloyd's iterations per branch (measured 16.7 s
+    # -> 4.6 s at sf0.1; the README's single-consumer rule). 2-column
+    # distributed rows, never a driver collect.
     assign = kmeans_lloyd(embeddings, k=k, iters=iters).select(
         "vec_id", "cluster"
-    )
+    ).localCheckpoint(eager=True)
     e = embeddings.join(assign, "vec_id")
     a = e.select(
         "cluster", F.col("vec_id").alias("id_a"),
