@@ -332,3 +332,55 @@ def test_write_lines_rerun_overwrites_not_appends(spark, sf_dir, tmp_path):
     assert first == second
     # no leftover attempt temp files
     assert not list((tmp_path / "lp").glob(".part-*"))
+
+
+def test_compaction_shrinks_files_preserves_rows_and_clusters(spark, sf_dir, tmp_path):
+    """Small-file compaction: 40 micro-batch files -> few key-clustered
+    files behind an atomically-swapped pointer; rows identical; output
+    files have disjoint sort-key ranges (min/max prunable)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.sinks.compact import (
+        compact, read_current,
+    )
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    table = str(tmp_path / "ev")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    # simulate 40 micro-batch appends (small files, unclustered)
+    ev.repartition(40).write.mode("overwrite").parquet(table)
+    n_small = len(glob.glob(f"{table}/*.parquet"))
+    assert n_small >= 40
+
+    total_bytes = sum(os.path.getsize(p)
+                      for p in glob.glob(f"{table}/*.parquet"))
+    gen = compact(spark, table, "event_id",
+                  target_file_bytes=max(1, total_bytes // 4))
+    files = glob.glob(f"{gen}/*.parquet")
+    assert 1 <= len(files) <= 8  # ~4 target files, far fewer than 40
+
+    got = read_current(spark, table)
+    assert got.count() == ev.count()
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ev.collect()))
+
+    # key-clustered: per-file [min,max] event_id ranges must not overlap
+    ranges = []
+    for p in sorted(files):
+        mn, mx = spark.read.parquet(p).agg(
+            F.min("event_id"), F.max("event_id")).first()
+        ranges.append((mn, mx))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+
+    # second compaction reads via the pointer and is content-idempotent
+    gen2 = compact(spark, table, "event_id",
+                   target_file_bytes=max(1, total_bytes // 4))
+    assert gen2 != gen
+    assert read_current(spark, table).count() == ev.count()

@@ -88,7 +88,9 @@ def build_corpora(spark):
 
 
 def tiers(spark, docs_path, emb_path, books):
-    from ha_sqllite_2_influxdb_spark.operators import dedup, similarity
+    from ha_sqllite_2_influxdb_spark.operators import (
+        dedup, graph, similarity, text,
+    )
 
     docs = spark.read.parquet(docs_path)
     emb = spark.read.parquet(emb_path)
@@ -100,6 +102,14 @@ def tiers(spark, docs_path, emb_path, books):
         "ngram_span_dedup": lambda: dedup.ngram_span_stats(docs, n=8),
         "pq_rerank_topk": lambda: similarity.pq_rerank_topk(
             emb, n_queries=5, k=10, shortlist_factor=10, books=books),
+        # r6 additions: the word-prefix replication keeps shingle groups,
+        # bigram vocab and the co-occurrence graph disjoint per replica,
+        # so inverted-index pair work, LM joins and PageRank iterations
+        # all scale with replica count — a valid linearity probe for each
+        "ngram_containment": lambda: dedup.containment_pairs_inverted_index(
+            docs, threshold=0.9),
+        "lm_rare_bigrams": lambda: text.lm_rare_bigrams(docs),
+        "textrank_keywords": lambda: graph.textrank_keywords(docs),
     }
 
 
