@@ -1004,6 +1004,69 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust outlier summary via EXACT median + MAD — no
+    percentile_approx, no float medians: values quantize to integer
+    cents, the median lives in the 2×cents domain (odd n → doubled
+    middle element, even n → sum of the two middle elements) and the MAD
+    in 4×cents, so every comparison — |value−med| > 3·MAD as
+    2·dev2 > 3·mad4 — is integer-exact and engine-reproducible.
+
+    Shape: both order statistics are row_number windows keyed on
+    user_id, the same partitioning as every groupBy/join here — ONE key
+    shuffle end-to-end at scale; medians-of-groups never touch a global
+    sort. (The sketch tier for this is `quantiles`/`sketch_quantiles`;
+    this is the exact tier with the robust-statistics application.)
+    """
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cv")
+    )
+    wo = W.partitionBy("user_id").orderBy("cv")
+    wp = W.partitionBy("user_id")
+    ranked = base.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wp)
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.expr("(cnt + 1) div 2"))
+        | (F.col("rn") == F.expr("cnt div 2 + 1"))
+    )
+    med = mid.groupBy("user_id").agg(
+        F.sum("cv").alias("_s"), F.count(F.lit(1)).alias("_k"),
+        F.max("cnt").alias("n_events"),
+    ).select(
+        "user_id", "n_events",
+        F.when(F.col("_k") == 1, 2 * F.col("_s"))
+        .otherwise(F.col("_s")).alias("med2"),
+    )
+    dev = base.join(med, "user_id").withColumn(
+        "dev2", F.abs(2 * F.col("cv") - F.col("med2"))
+    )
+    wd = W.partitionBy("user_id").orderBy("dev2")
+    dranked = dev.withColumn("rn", F.row_number().over(wd))
+    dmid = dranked.filter(
+        (F.col("rn") == F.expr("(n_events + 1) div 2"))
+        | (F.col("rn") == F.expr("n_events div 2 + 1"))
+    )
+    mad = dmid.groupBy("user_id").agg(
+        F.sum("dev2").alias("_s"), F.count(F.lit(1)).alias("_k"),
+    ).select(
+        "user_id",
+        F.when(F.col("_k") == 1, 2 * F.col("_s"))
+        .otherwise(F.col("_s")).alias("mad4"),
+    )
+    flagged = dev.join(mad, "user_id").withColumn(
+        "is_out",
+        F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        (F.max("med2") / 200.0).alias("median_value"),
+        (F.max("mad4") / 400.0).alias("mad_value"),
+        F.sum("is_out").alias("n_outliers"),
+    )
+
+
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 history build from a change log:
     collapse consecutive equal values per key, emit validity intervals
@@ -1305,6 +1368,7 @@ QUERIES = {
     "agg_stats": q_agg_stats,
     "upsert_latest": q_upsert_latest,
     "scd2_intervals": q_scd2_intervals,
+    "robust_outliers": q_robust_outliers,
     "zorder_events": q_zorder_events,
 }
 
@@ -1855,6 +1919,47 @@ r AS (
   FROM u
 )
 SELECT event_id, ts_us, user_id, event_type, value FROM r WHERE rk = 1
+""",
+    "robust_outliers": """
+WITH base AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cv FROM events
+),
+ranked AS (
+  SELECT user_id, cv,
+    row_number() OVER (PARTITION BY user_id ORDER BY cv) AS rn,
+    count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM base
+),
+med AS (
+  SELECT user_id, CAST(max(cnt) AS BIGINT) AS n_events,
+    CASE WHEN count(*) = 1 THEN 2*sum(cv) ELSE sum(cv) END AS med2
+  FROM ranked
+  WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+  GROUP BY user_id
+),
+dev AS (
+  SELECT b.user_id, b.cv, m.n_events, m.med2,
+         abs(2*b.cv - m.med2) AS dev2
+  FROM base b JOIN med m USING (user_id)
+),
+dranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY dev2) AS rn
+  FROM dev
+),
+mad AS (
+  SELECT user_id,
+    CASE WHEN count(*) = 1 THEN 2*sum(dev2) ELSE sum(dev2) END AS mad4
+  FROM dranked
+  WHERE rn = (n_events + 1) // 2 OR rn = n_events // 2 + 1
+  GROUP BY user_id
+)
+SELECT d.user_id, CAST(max(d.n_events) AS BIGINT) AS n_events,
+  CAST(max(d.med2) AS BIGINT) / 200.0 AS median_value,
+  CAST(max(a.mad4) AS BIGINT) / 400.0 AS mad_value,
+  CAST(sum(CASE WHEN 2*d.dev2 > 3*a.mad4 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+FROM dev d JOIN mad a USING (user_id)
+GROUP BY d.user_id
 """,
     "scd2_intervals": """
 WITH o AS (

@@ -102,6 +102,17 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
          for m in merges], schema)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: apply the trained BPE merges to every document (the
+    tokenization stage a training pipeline runs after bpe_train) —
+    Arrow-batched mapInPandas, merges broadcast by closure. pytest
+    asserts exact parity with a pure-python reference apply and
+    cross-partitioning determinism."""
+    from ha_sqllite_2_influxdb_spark.operators import bpe
+
+    return bpe.bpe_tokenize(_docs(spark, sf_dir), _bpe_merges(spark, sf_dir))
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-shard dedup: the recrawl corpus split as 'curated
     corpus' (originals) vs 'arriving shard' (near + exact recrawls);
@@ -682,6 +693,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_encode": q_bpe_encode,
     "bpe_vocab": q_bpe_vocab,
     "minhash_signatures": q_minhash_signatures,
     "neardup_minhash_lsh": q_neardup_minhash_lsh,

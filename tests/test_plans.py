@@ -288,3 +288,40 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_robust_outliers_exact_median_mad_crafted(spark, sf_dir):
+    """Exact median/MAD outlier summary on crafted values: odd and even
+    group sizes, an unambiguous 3-MAD outlier, and integer-exact halves
+    (median 2.5 on even n)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    import ha_sqllite_2_influxdb_spark.plans.analytics as an
+
+    rows = [
+        # user 1 (n=5, odd): values 1..4 + outlier 100 -> median 3.0,
+        # deviations {2,1,0,1,97} -> MAD 1.0; |100-3|=97 > 3 -> 1 outlier
+        (1, 1.0), (1, 2.0), (1, 3.0), (1, 4.0), (1, 100.0),
+        # user 2 (n=4, even): 1,2,3,4 -> median 2.5, devs {1.5,0.5} x2
+        # -> MAD 1.0; max dev 1.5 <= 3 -> 0 outliers
+        (2, 1.0), (2, 2.0), (2, 3.0), (2, 4.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, 1), i, "t", v, "{}")
+         for i, (u, v) in enumerate(rows)],
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = an._t
+    an._t = lambda s, d, name: df if name == "events" else orig(s, d, name)
+    try:
+        out = {r["user_id"]: r
+               for r in an.q_robust_outliers(spark, sf_dir).collect()}
+    finally:
+        an._t = orig
+    assert out[1]["median_value"] == 3.0 and out[1]["mad_value"] == 1.0
+    assert out[1]["n_outliers"] == 1 and out[1]["n_events"] == 5
+    assert out[2]["median_value"] == 2.5 and out[2]["mad_value"] == 1.0
+    assert out[2]["n_outliers"] == 0 and out[2]["n_events"] == 4
