@@ -1004,6 +1004,54 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill (last observation
+    carried forward) — the canonical sensor-history operator for this
+    engine's domain: per user, an hourly grid spanning [first, last]
+    event hour, each slot carrying the hour's last reading or the most
+    recent prior one, with gap slots flagged.
+
+    Shape: per-hour last-reading dedup (row_number on (user, hour)),
+    per-user span agg, `sequence()`+explode for the grid (no
+    crossJoin with a calendar table), left join, then ONE ordered
+    window for the fill — every stage keys on user_id, and the first
+    grid slot always holds a real reading (the span starts at an
+    event), so the fill never sees a leading NULL.
+    """
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select("user_id", "ts", "event_id", "value")
+    h = F.date_trunc("hour", F.col("ts"))
+    wlast = W.partitionBy("user_id", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    hv = (
+        b.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(wlast))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "h", "value")
+    )
+    span = b.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = grid.join(hv, ["user_id", "h"], "left")
+    wfill = W.partitionBy("user_id").orderBy("h").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return j.select(
+        "user_id",
+        F.unix_micros("h").alias("grid_us"),
+        F.last("value", ignorenulls=True).over(wfill).alias("value_locf"),
+        F.col("value").isNull().alias("gap_filled"),
+    )
+
+
 def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user robust outlier summary via EXACT median + MAD — no
     percentile_approx, no float medians: values quantize to integer
@@ -1369,6 +1417,7 @@ QUERIES = {
     "upsert_latest": q_upsert_latest,
     "scd2_intervals": q_scd2_intervals,
     "robust_outliers": q_robust_outliers,
+    "resample_locf": q_resample_locf,
     "zorder_events": q_zorder_events,
 }
 
@@ -1919,6 +1968,36 @@ r AS (
   FROM u
 )
 SELECT event_id, ts_us, user_id, event_type, value FROM r WHERE rk = 1
+""",
+    "resample_locf": """
+WITH b AS (SELECT user_id, ts, event_id, value FROM events),
+hr AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, value,
+    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rk
+  FROM b
+),
+hv AS (SELECT user_id, h, value FROM hr WHERE rk = 1),
+span AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM b GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM span
+),
+j AS (
+  SELECT g.user_id, g.h, hv.value
+  FROM grid g LEFT JOIN hv ON g.user_id = hv.user_id AND g.h = hv.h
+)
+SELECT user_id, epoch_us(h) AS grid_us,
+  last_value(value IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+  value IS NULL AS gap_filled
+FROM j
 """,
     "robust_outliers": """
 WITH base AS (

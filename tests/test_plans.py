@@ -325,3 +325,49 @@ def test_robust_outliers_exact_median_mad_crafted(spark, sf_dir):
     assert out[1]["n_outliers"] == 1 and out[1]["n_events"] == 5
     assert out[2]["median_value"] == 2.5 and out[2]["mad_value"] == 1.0
     assert out[2]["n_outliers"] == 0 and out[2]["n_events"] == 4
+
+
+def test_resample_locf_fills_gaps_crafted(spark, sf_dir):
+    """Hourly LOCF grid: a 3-hour silence carries the last reading
+    forward and flags exactly the silent slots."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    import ha_sqllite_2_influxdb_spark.plans.analytics as an
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        # hours 0 (two readings: last wins), 1, then silence 2-4, then 5
+        (1, ts(0, 10), 1, 5.0), (1, ts(0, 50), 2, 7.0),
+        (1, ts(1, 30), 3, 9.0), (1, ts(5, 0), 4, 11.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, e, "t", v, "{}") for (u, t, e, v) in rows],
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = an._t
+    an._t = lambda s, d, name: df if name == "events" else orig(s, d, name)
+    try:
+        out = sorted(
+            (r["grid_us"], r["value_locf"], r["gap_filled"])
+            for r in an.q_resample_locf(spark, sf_dir).collect()
+        )
+    finally:
+        an._t = orig
+
+    def us(h):
+        return int(dt.datetime(
+            2024, 1, 1, h, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+
+    assert out == [
+        (us(0), 7.0, False),   # last reading of hour 0
+        (us(1), 9.0, False),
+        (us(2), 9.0, True),    # carried forward
+        (us(3), 9.0, True),
+        (us(4), 9.0, True),
+        (us(5), 11.0, False),
+    ]
