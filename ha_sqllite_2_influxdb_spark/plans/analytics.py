@@ -1004,6 +1004,46 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view → click → purchase): per user,
+    the earliest time each step completes GIVEN the previous step
+    already had — the sequential-dependency analytics pattern.
+
+    Decorrelated into three conditional min-aggregations on the same
+    user_id key (step N's filter references step N−1's time via a
+    re-join on the key): identical partitioning end-to-end, so Catalyst
+    plans one logical key shuffle and two co-partitioned joins — never a
+    per-user sort or an ordered array_agg (at scale a user's history
+    doesn't need materializing to answer 'first completion time').
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .filter((F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("view_us"),
+            F.unix_micros("t2").alias("click_us"),
+            F.unix_micros("t3").alias("purchase_us"),
+            (F.col("t2").isNotNull().cast("int")
+             + F.col("t3").isNotNull().cast("int") + 1).alias("steps_done"),
+        )
+    )
+
+
 def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling with forward fill (last observation
     carried forward) — the canonical sensor-history operator for this
@@ -1418,6 +1458,7 @@ QUERIES = {
     "scd2_intervals": q_scd2_intervals,
     "robust_outliers": q_robust_outliers,
     "resample_locf": q_resample_locf,
+    "funnel_steps": q_funnel_steps,
     "zorder_events": q_zorder_events,
 }
 
@@ -1968,6 +2009,34 @@ r AS (
   FROM u
 )
 SELECT event_id, ts_us, user_id, event_type, value FROM r WHERE rk = 1
+""",
+    "funnel_steps": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+  epoch_us(t1) AS view_us,
+  epoch_us(t2) AS click_us,
+  epoch_us(t3) AS purchase_us,
+  CAST(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+     + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END + 1 AS INTEGER)
+    AS steps_done
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
 """,
     "resample_locf": """
 WITH b AS (SELECT user_id, ts, event_id, value FROM events),

@@ -250,3 +250,70 @@ def test_containment_catches_partial_copy_jaccard_misses(spark):
     assert r["containment_ab"] < 0.2       # long barely overlaps
     jac = jaccard_pairs_inverted_index(docs, threshold=0.5).collect()
     assert jac == []                        # symmetric metric misses it
+
+
+# ---------------------------------------------------------- properties
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_WORD = st.sampled_from(
+    ["the", "a", "for", "spark", "scan", "x1", "yy", "Zq", "9", "..."]
+)
+_DOC = st.lists(_WORD, min_size=1, max_size=12).map(" ".join)
+
+_GOPHER_CASES: list[str] = []
+
+
+@settings(max_examples=150, deadline=None)
+@given(_DOC)
+def test_gopher_property_accumulate(s):
+    _GOPHER_CASES.append(s)
+
+
+def test_gopher_property_batch(spark):
+    """gopher_rules flags equal an independent pure-python evaluation of
+    the same rules for every hypothesis-generated doc (one Spark job)."""
+    import re
+
+    from ha_sqllite_2_influxdb_spark.operators.text import STOPWORDS
+
+    cases = sorted(set(_GOPHER_CASES))
+    df = spark.createDataFrame(
+        [(i, "en", s) for i, s in enumerate(cases)],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    for i, s in enumerate(cases):
+        ws = s.split(" ")
+        nw = len(ws)
+        mean_len = sum(len(w) for w in ws) / nw
+        alpha = sum(1 for w in ws if re.search("[A-Za-z]", w)) / nw
+        nstop = sum(1 for w in ws if w in STOPWORDS["en"])
+        r = got[i]
+        assert r["n_words_g"] == nw
+        assert r["mean_word_len"] == mean_len
+        assert r["alpha_ratio"] == alpha
+        assert r["n_stopwords"] == nstop
+        assert r["keep"] == (
+            (10 <= nw <= 100_000) and (3.0 <= mean_len <= 10.0)
+            and alpha >= 0.8 and nstop >= 2
+        ), s
+
+
+def test_containment_dominates_jaccard_on_fixture(spark, sf_dir):
+    """Metric identity: for any pair, max-containment >= Jaccard
+    (|∩|/min side >= |∩|/|union|) — so the containment op at threshold T
+    must surface every Jaccard-T pair. Checked on the recrawl corpus."""
+    from ha_sqllite_2_influxdb_spark.operators.dedup import (
+        containment_pairs_inverted_index, jaccard_pairs_inverted_index,
+        recrawl_corpus,
+    )
+
+    docs = recrawl_corpus(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in jaccard_pairs_inverted_index(docs, 0.5).collect()}
+    con = {(r["doc_a"], r["doc_b"])
+           for r in containment_pairs_inverted_index(docs, 0.5).collect()}
+    assert jac <= con
