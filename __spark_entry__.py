@@ -48,16 +48,15 @@ _DRIVER_WINDOW = [
     # LLM data pipeline: deduplication + cluster-canonical selection
     "neardup_clusters", "dedup_keep_best", "ngram_jaccard",
     "simhash_signatures", "simhash_neighbors", "ngram_span_dedup",
+    "ngram_containment",
     # IR ranking + quality gates + LM rarity (new r6, first verdicts)
     "tfidf_topk", "bm25_topk", "gopher_rules", "lm_rare_bigrams",
     "textrank_keywords",
     # corpus curation: end-to-end pipeline + training-order ops (first
     # driver verdicts for all three r5 additions)
     "curate_pipeline", "training_shuffle", "dataset_split",
-    # similarity search (exact tiers; ANN tiers are rows-only, after window)
-    "embedding_knn", "embedding_neardup",
-    # multimodal columns
-    "multimodal_frames",
+    # similarity search (exact tier; ANN tiers are rows-only, after window)
+    "embedding_knn",
     # skew-aware ops + upsert
     "salted_join", "distinct_twophase", "upsert_latest",
     # analytics breadth: TPC-H adaptations, windows, special joins,
@@ -66,14 +65,16 @@ _DRIVER_WINDOW = [
     # window_time_range enter for their first driver verdict.
     "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q15", "tpch_q16", "tpch_q18", "tpch_q20",
-    "tpch_q21", "tpch_q22",
+    "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q21",
     "range_band_join", "full_outer_join",
     "window_time_range", "scd2_intervals",
+    # exact robust statistics + time-series resample + funnel (new r6)
+    "robust_outliers", "resample_locf", "funnel_steps",
     # pivot_events / quantiles / window_topk / sessionize / asof_join /
-    # grouping_sets / rollup_orders / tpch_q13 rotated out this round
+    # grouping_sets / rollup_orders / tpch_q13 / tpch_q18 / tpch_q22 /
+    # multimodal_frames / embedding_neardup rotated out this round
     # (multi-round green; pytest oracle coverage stays) to give the
-    # eight r6 additions first driver verdicts.
+    # twelve r6 additions first driver verdicts.
 ]
 assert len(_DRIVER_WINDOW) == 50
 
