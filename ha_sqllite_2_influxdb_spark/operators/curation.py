@@ -145,6 +145,39 @@ def decontaminate(train: DataFrame, bench: DataFrame,
     )
 
 
+def chunk_documents(documents: DataFrame, chunk_words: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep stage
+    (RAG corpora, long-doc training): word windows of ``chunk_words``
+    advancing by ``chunk_words - overlap``, last partial window kept.
+
+    Declarative on purpose: chunk starts come from ``sequence()`` (one
+    explode), each chunk is ``slice`` + ``array_join`` — codegen'd array
+    expressions, NOT lambda higher-order functions (those run
+    interpreted — see dedup.word_shingles) and NOT a Python UDTF (the
+    same fan-out at Python speed). Pure narrow map + explode: zero
+    shuffle, linear in output size, trivially partition-parallel.
+
+    Output: (doc_id, chunk_id, chunk_text, n_chunk_words) with chunk_id
+    0-based in document order.
+    """
+    stride = chunk_words - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_words")
+    w = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w) - overlap, F.lit(1)),
+                        F.lit(stride))
+    chunked = documents.select(
+        "doc_id", w.alias("w"), F.posexplode(starts).alias("chunk_id", "s")
+    )
+    piece = F.slice(F.col("w"), F.col("s"), chunk_words)
+    return chunked.select(
+        "doc_id", "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_chunk_words"),
+    )
+
+
 def pack_sequences(documents: DataFrame, seq_len: int = SEQ_LEN,
                    n_shards: int = N_PACK_SHARDS) -> DataFrame:
     """Concat-and-chunk sequence packing: each document's placement in a

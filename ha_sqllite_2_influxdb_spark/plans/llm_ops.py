@@ -227,6 +227,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.pack_sequences(_docs(spark, sf_dir))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-word chunks, 16-word overlap) — the
+    RAG/long-context prep stage, as pure codegen'd array expressions
+    (no HOF lambdas, no Python UDTF): zero shuffle."""
+    return curation.chunk_documents(_docs(spark, sf_dir))
+
+
 def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (sequential greedy per shard — not SQL-expressible):
     first-fit-decreasing sequence packing. pytest asserts exact parity
@@ -704,6 +711,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
+    "chunk_documents": q_chunk_documents,
     "pack_ffd": q_pack_ffd,
     "curriculum_topk": q_curriculum_topk,
     "curate_pipeline": q_curate_pipeline,
@@ -1137,6 +1145,18 @@ SELECT doc_id, bench_id,
   CAST(n_i AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment
 FROM hits JOIN bsz USING (bench_id)
 WHERE CAST(n_i AS DOUBLE) / CAST(n_b AS DOUBLE) >= {curation.CONTAIN_T}
+""",
+    "chunk_documents": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+st AS (
+  SELECT doc_id, w,
+    unnest(generate_series(1, greatest(len(w) - 16, 1), 48)) AS s
+  FROM w
+)
+SELECT doc_id, (s - 1) // 48 AS chunk_id,
+  array_to_string(w[s:s+63], ' ') AS chunk_text,
+  len(w[s:s+63]) AS n_chunk_words
+FROM st
 """,
     "pack_sequences": f"""WITH b AS (
   SELECT doc_id, lang,

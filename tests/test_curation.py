@@ -237,3 +237,34 @@ def test_pack_ffd_matches_reference_and_bounds(spark, sf_dir):
     again = {(r.doc_id): r.bin_id for r in
              pack_sequences_ffd(docs.repartition(5)).collect()}
     assert again == {r.doc_id: r.bin_id for r in got}
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every word lands in >=1 chunk; consecutive chunks overlap by
+    exactly `overlap` words (except a shorter tail); short docs give one
+    whole-doc chunk."""
+    from ha_sqllite_2_influxdb_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    words = [f"w{i}" for i in range(130)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b c")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_words=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    # starts 1, 49, 97 -> 3 chunks; sizes 64, 64, 34
+    assert [r["n_chunk_words"] for r in c1] == [64, 64, 34]
+    texts = [r["chunk_text"].split(" ") for r in c1]
+    assert texts[0][:2] == ["w0", "w1"] and texts[-1][-1] == "w129"
+    # overlap: chunk k's last 16 words == chunk k+1's first 16
+    assert texts[0][-16:] == texts[1][:16]
+    covered = set()
+    for t in texts:
+        covered.update(t)
+    assert covered == set(words)
+    # short doc: single chunk, whole text
+    assert [r["chunk_text"] for r in by_doc[2]] == ["a b c"]
