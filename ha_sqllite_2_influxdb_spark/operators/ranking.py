@@ -66,6 +66,80 @@ def tfidf_topk(documents: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+#: reciprocal-rank-fusion constant (Cormack et al. 2009 public value)
+RRF_K = 60
+
+
+def rrf_fuse(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query: tuple[str, ...] = DEFAULT_QUERY,
+    query_vec_id: int = 0,
+    depth: int = 50,
+    k: int = 20,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-`depth` fused with cosine
+    semantic top-`depth` (query = the `query_vec_id` embedding, which is
+    that document's own vector — excluded from both candidate sets) by
+    reciprocal-rank fusion: rrf(d) = Σ 1/(RRF_K + rank_list(d)) over the
+    lists containing d. The modern RAG retrieval stage, rank-only so the
+    two scorers' incomparable scales never mix.
+
+    Float exactness: ranks are integers; each term is one exact IEEE
+    division and the two-term sum is written in fixed lexical-then-
+    semantic order on both engines.
+
+    Shape (100 TB): each side is its own already-scale-shaped retrieval
+    (BM25: broadcast stats + TakeOrdered; cosine: broadcast 1-row query +
+    TakeOrdered); fusion then joins two ≤depth-row relations — the
+    rank windows and full-outer join run on driver-trivial data, never
+    the corpus.
+    """
+    from .similarity import cosine, dot_chain, norm2_chain
+
+    lex = bm25_topk(
+        documents.filter(F.col("doc_id") != query_vec_id), query, k=depth
+    )
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("r_lex"))
+
+    q = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("qv"))
+        .withColumn("qn2", norm2_chain("qv"))
+    )
+    sem = (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .select(F.col("vec_id").alias("doc_id"),
+                F.col("embedding").alias("cv"))
+        .withColumn("cn2", norm2_chain("cv"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            cosine(dot_chain("qv", "cv"), F.col("qn2"), F.col("cn2"))
+            .alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(depth)
+    )
+    ws = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    semr = sem.select("doc_id", F.row_number().over(ws).alias("r_sem"))
+
+    one = F.lit(1.0)
+    rrf = (
+        F.coalesce(one / (F.lit(RRF_K) + F.col("r_lex")).cast("double"),
+                   F.lit(0.0))
+        + F.coalesce(one / (F.lit(RRF_K) + F.col("r_sem")).cast("double"),
+                     F.lit(0.0))
+    )
+    return (
+        lexr.join(semr, "doc_id", "full")
+        .select("doc_id", "r_lex", "r_sem", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def _tf(term: str):
     """Row-local term frequency: exact word-match count in the split."""
     return F.size(F.filter(words(F.col("text")), lambda w: w == F.lit(term)))

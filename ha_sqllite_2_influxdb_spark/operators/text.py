@@ -278,6 +278,58 @@ def top_bigrams(documents: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def pmi_bigrams(
+    documents: DataFrame, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Collocation mining: top-k word bigrams by a PMI-monotone lift
+    ratio — phrases whose words co-occur far above chance ('machine
+    learning' vs 'of the'), the standard phrase-detection stage before
+    tokenizer training.
+
+    score = (n_xy * B) / (n_x * n_y) where B is the bigram total and
+    n_x / n_y are first-/second-position marginals: exactly exp(PMI)
+    under the bigram event space, so the ranking equals PMI ranking
+    without a cross-engine ``ln`` (see ranking.py on ulp portability);
+    the doubles divide identical longs in identical association order
+    on both engines.
+
+    Shape (100 TB): ONE corpus-scale shuffle (the bigram groupBy, with
+    map-side combine absorbing hot pairs); both marginals and the total
+    aggregate the already-counted vocabulary-sized relation and
+    broadcast back; top-k is TakeOrderedAndProject with a (w1, w2)
+    tiebreak — no global sort, no second corpus pass.
+    """
+    w = words(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    c = (
+        documents.select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    left = c.groupBy("w1").agg(F.sum("n_xy").alias("n_x"))
+    right = c.groupBy("w2").agg(F.sum("n_xy").alias("n_y"))
+    total = c.agg(F.sum("n_xy").alias("bt"))
+    return (
+        c.filter(F.col("n_xy") >= min_count)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "n_xy", "n_x", "n_y",
+            ((F.col("n_xy").cast("double") * F.col("bt").cast("double"))
+             / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+             ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Content fingerprints: md5 (exact dedup key) + rolling hash."""
     return documents.select(

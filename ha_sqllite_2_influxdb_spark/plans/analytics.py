@@ -1201,6 +1201,125 @@ def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, then distinct-active counts per (cohort, week offset) with the
+    retention ratio against cohort size — the standard product-analytics
+    triangle the reference's events stream feeds at scale.
+
+    Shape: first-activity and the activity join both key on user_id (one
+    logical key shuffle, co-partitioned join); the (cohort, offset)
+    aggregate runs on the *distinct* per-user activity relation so hot
+    users collapse before the cohort shuffle; cohort sizes are a
+    vocabulary-sized relation broadcast back. week_offset is an exact
+    multiple of 7 days, so the /7 double is integer-valued and the
+    bigint cast is truncation-free in both engines.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    sizes = first.groupBy("cohort_w").agg(
+        F.count("*").alias("cohort_users")
+    )
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_w",
+            (F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_w"))
+             / 7).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    ret = act.groupBy("cohort_w", "week_offset").agg(
+        F.count("*").alias("active_users")
+    )
+    return ret.join(F.broadcast(sizes), "cohort_w").select(
+        F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "active_users",
+        "cohort_users",
+        (F.col("active_users").cast("double")
+         / F.col("cohort_users").cast("double")).alias("retention"),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    each (event_type → next event_type) edge, its count and conditional
+    probability — session path analysis / next-action modeling.
+
+    Shape: ONE user_id shuffle for the per-user ordered `lead` (unique
+    (ts, event_id) tiebreak makes the successor deterministic), then the
+    edge count aggregates map-side onto the tiny type×type key space; the
+    out-degree normalization is a window over that vocabulary-sized
+    relation, not the corpus. The probability divides the same longs in
+    the same order on both engines, so the doubles are bit-identical.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.withColumn("next_type", F.lead("event_type").over(w)).filter(
+        F.col("next_type").isNotNull()
+    )
+    trans = nxt.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    out = W.partitionBy("event_type")
+    return trans.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.sum("n").over(out).alias("out_total"),
+        (F.col("n").cast("double")
+         / F.sum("n").over(out).cast("double")).alias("p"),
+    )
+
+
+#: columns profiled by q_profile_columns — exact-cents money/quantity
+#: columns so min/max/sum stay in the integer domain (module docstring)
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of lineitem's numeric columns in ONE scan:
+    per column the non-null count, exact distinct count, min/max/sum in
+    integer cents — the table-health summary a pipeline runs before
+    trusting a new 100 TB drop.
+
+    Shape: a single global aggregate (partial map-side combine, 1-row
+    result) followed by a driver-free `stack` unpivot to long format.
+    Multiple exact count_distincts expand the scan 3× internally
+    (Catalyst's Expand) — still one pass over the files; the
+    approximate tier for wider tables is `sketch_distinct`.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        x = _cents(F.col(c))
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.countDistinct(x).alias(f"nd_{c}"),
+            F.min(x).alias(f"mn_{c}"),
+            F.max(x).alias(f"mx_{c}"),
+            F.sum(x).alias(f"sm_{c}"),
+        ]
+    row = li.agg(F.count("*").alias("n_rows"), *aggs)
+    stack = "stack({}, {}) AS (column_name, n_nonnull, n_distinct, min_cents, max_cents, sum_cents)".format(
+        len(PROFILE_COLS),
+        ", ".join(
+            f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}, sm_{c}"
+            for c in PROFILE_COLS
+        ),
+    )
+    return row.select("n_rows", F.expr(stack)).select(
+        "column_name", "n_rows", "n_nonnull", "n_distinct",
+        "min_cents", "max_cents", "sum_cents",
+    )
+
+
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted: the part↔supplier relation comes from
     DISTINCT lineitem pairs instead of the absent partsupp, and the
@@ -1459,6 +1578,9 @@ QUERIES = {
     "robust_outliers": q_robust_outliers,
     "resample_locf": q_resample_locf,
     "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
+    "event_transitions": q_event_transitions,
+    "profile_columns": q_profile_columns,
     "zorder_events": q_zorder_events,
 }
 
@@ -2009,6 +2131,78 @@ r AS (
   FROM u
 )
 SELECT event_id, ts_us, user_id, event_type, value FROM r WHERE rk = 1
+""",
+    "cohort_retention": """
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_w, count(*)::BIGINT AS cohort_users FROM f GROUP BY cohort_w
+),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort_w,
+    CAST(datediff('day', f.cohort_w, date_trunc('week', e.ts)) / 7
+         AS BIGINT) AS week_offset
+  FROM events e JOIN f ON e.user_id = f.user_id
+),
+ret AS (
+  SELECT cohort_w, week_offset, count(*)::BIGINT AS active_users
+  FROM act GROUP BY cohort_w, week_offset
+)
+SELECT strftime(r.cohort_w, '%Y-%m-%d') AS cohort_week,
+  r.week_offset, r.active_users, s.cohort_users,
+  CAST(r.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)
+    AS retention
+FROM ret r JOIN sizes s ON r.cohort_w = s.cohort_w
+""",
+    "event_transitions": """
+WITH nxt AS (
+  SELECT event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type, next_type, count(*)::BIGINT AS n
+  FROM nxt WHERE next_type IS NOT NULL GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS out_total,
+  CAST(n AS DOUBLE)
+    / CAST(CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS DOUBLE)
+    AS p
+FROM trans
+""",
+    "profile_columns": """
+WITH c AS (
+  SELECT count(*)::BIGINT AS n_rows FROM lineitem
+)
+SELECT * FROM (
+SELECT 'l_quantity' AS column_name, c.n_rows,
+  count(l_quantity)::BIGINT AS n_nonnull,
+  count(DISTINCT CAST(round(l_quantity*100) AS BIGINT))::BIGINT AS n_distinct,
+  min(CAST(round(l_quantity*100) AS BIGINT)) AS min_cents,
+  max(CAST(round(l_quantity*100) AS BIGINT)) AS max_cents,
+  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM lineitem, c GROUP BY c.n_rows
+UNION ALL
+SELECT 'l_extendedprice', c.n_rows,
+  count(l_extendedprice)::BIGINT,
+  count(DISTINCT CAST(round(l_extendedprice*100) AS BIGINT))::BIGINT,
+  min(CAST(round(l_extendedprice*100) AS BIGINT)),
+  max(CAST(round(l_extendedprice*100) AS BIGINT)),
+  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+FROM lineitem, c GROUP BY c.n_rows
+UNION ALL
+SELECT 'l_discount', c.n_rows,
+  count(l_discount)::BIGINT,
+  count(DISTINCT CAST(round(l_discount*100) AS BIGINT))::BIGINT,
+  min(CAST(round(l_discount*100) AS BIGINT)),
+  max(CAST(round(l_discount*100) AS BIGINT)),
+  CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)
+FROM lineitem, c GROUP BY c.n_rows
+)
 """,
     "funnel_steps": """
 WITH s1 AS (

@@ -376,6 +376,21 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.bm25_topk(_docs(spark, sf_dir))
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RAG retrieval: BM25 lexical top-50 + cosine semantic top-50
+    (query = doc 0's embedding) fused by reciprocal-rank fusion — see
+    ranking.rrf_fuse for the scale shape."""
+    return ranking.rrf_fuse(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 bigrams by exp(PMI) lift over bigram
+    marginals — one corpus shuffle, broadcast marginals (text.pmi_bigrams)."""
+    from ..operators.text import pmi_bigrams
+
+    return pmi_bigrams(_docs(spark, sf_dir))
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style hard quality gates (Rae et al. 2021): per-doc rule
     flags + keep conjunction, all row-local JVM expressions."""
@@ -731,6 +746,8 @@ QUERIES = {
     "token_stats": q_token_stats,
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk": q_bm25_topk,
+    "hybrid_rrf": q_hybrid_rrf,
+    "pmi_bigrams": q_pmi_bigrams,
     "gopher_rules": q_gopher_rules,
     "lm_rare_bigrams": q_lm_rare_bigrams,
     "textrank_keywords": q_textrank_keywords,
@@ -764,12 +781,13 @@ QUERIES = {
 _EN_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(k: int = 20, src: str = "documents") -> str:
     """BM25 oracle generated from ranking.py's constants so the two sides
     cannot drift: rational Robertson idf (no ln — see ranking.py docstring
     on cross-engine ulp), every expression in the same association order
     as the Spark column tree, float literals via repr() of the exact
-    doubles Spark uses."""
+    doubles Spark uses. `k`/`src` parameterize the top-k depth and the
+    corpus subquery so _rrf_oracle reuses the identical scoring text."""
     q = ranking.DEFAULT_QUERY
     k1, b = repr(ranking.BM25_K1), repr(ranking.BM25_B)
     k1p1 = repr(ranking.BM25_K1 + 1.0)
@@ -796,7 +814,7 @@ def _bm25_oracle() -> str:
 WITH t AS (
   SELECT doc_id, len(w) AS dl,
     {tf_cols}
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
 ),
 stats AS (
   SELECT
@@ -813,6 +831,47 @@ scored AS (
 SELECT doc_id, doc_len, bm25 FROM scored
 WHERE bm25 > 0.0
 ORDER BY bm25 DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def _rrf_oracle() -> str:
+    """Reciprocal-rank-fusion oracle: the BM25 CTE is the *same generated
+    text* as the bm25_topk oracle (src-filtered, depth 50) and the cosine
+    CTE the same fixed-order dot chain as the knn oracle, so neither
+    scorer can drift from its standalone entry."""
+    from ..operators.ranking import RRF_K
+
+    bm = _bm25_oracle(
+        k=50, src="(SELECT * FROM documents WHERE doc_id <> 0)"
+    )
+    return f"""
+WITH lex AS ({bm}),
+lexr AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+  FROM lex
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT doc_id,
+    (({_dot("qv", "cv")}) / sqrt({_dot("qv", "qv")})) / sqrt({_dot("cv", "cv")})
+      AS cos_sim
+  FROM (SELECT vec_id AS doc_id, embedding AS cv
+        FROM embeddings WHERE vec_id <> 0) CROSS JOIN q
+  ORDER BY cos_sim DESC, doc_id ASC
+  LIMIT 50
+),
+semr AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS r_sem
+  FROM sem
+)
+SELECT doc_id, r_lex, r_sem,
+  coalesce(1.0 / CAST({RRF_K} + r_lex AS DOUBLE), 0.0)
+  + coalesce(1.0 / CAST({RRF_K} + r_sem AS DOUBLE), 0.0) AS rrf
+FROM lexr FULL OUTER JOIN semr USING (doc_id)
+ORDER BY rrf DESC, doc_id ASC
 LIMIT 20
 """
 
@@ -1403,6 +1462,28 @@ ranked AS (
 SELECT doc_id, term, tf, df, tfidf, "rank" FROM ranked WHERE "rank" <= 5
 """,
     "bm25_topk": _bm25_oracle(),
+    "hybrid_rrf": _rrf_oracle(),
+    "pmi_bigrams": """
+WITH b AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM (SELECT string_split(text, ' ') AS ws FROM documents) t,
+       unnest(generate_series(1, len(ws) - 1)) AS g(i)
+),
+c AS (SELECT w1, w2, count(*)::BIGINT AS n_xy FROM b GROUP BY w1, w2),
+l AS (SELECT w1, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c GROUP BY w1),
+r AS (SELECT w2, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c GROUP BY w2),
+t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS bt FROM c)
+SELECT c.w1, c.w2, n_xy, n_x, n_y,
+  (CAST(n_xy AS DOUBLE) * CAST(bt AS DOUBLE))
+  / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)) AS lift
+FROM c
+JOIN l ON c.w1 = l.w1
+JOIN r ON c.w2 = r.w2
+CROSS JOIN t
+WHERE n_xy >= 5
+ORDER BY lift DESC, c.w1 ASC, c.w2 ASC
+LIMIT 50
+""",
     "textrank_keywords": _graph.pagerank_oracle_sql(),
     "lm_rare_bigrams": """
 WITH w AS (

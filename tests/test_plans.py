@@ -371,3 +371,47 @@ def test_resample_locf_fills_gaps_crafted(spark, sf_dir):
         (us(4), 9.0, True),
         (us(5), 11.0, False),
     ]
+
+
+def test_cohort_retention_invariants_and_plan(spark, sf_dir):
+    """Offset-0 of every cohort has retention exactly 1.0 (the first-
+    activity week is by construction an active week for every member);
+    actives never exceed cohort size; cohort sizes join back broadcast."""
+    df = analytics.q_cohort_retention(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["active_users"] <= r["cohort_users"]
+        if r["week_offset"] == 0:
+            assert r["active_users"] == r["cohort_users"]
+            assert r["retention"] == 1.0
+    assert "BroadcastHashJoin" in explain_str(df)
+
+
+def test_event_transitions_rows_sum_to_one(spark, sf_dir):
+    """Per source event_type the conditional probabilities partition the
+    outgoing mass: sum(p) == 1 within float-sum tolerance, and out_total
+    equals the sum of its edge counts."""
+    rows = analytics.q_event_transitions(spark, sf_dir).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["event_type"], []).append(r)
+    for src, edges in by_src.items():
+        tot = edges[0]["out_total"]
+        assert all(e["out_total"] == tot for e in edges)
+        assert sum(e["n"] for e in edges) == tot
+        assert abs(sum(e["p"] for e in edges) - 1.0) < 1e-9
+
+
+def test_profile_columns_single_scan_consistency(spark, sf_dir):
+    """One row per profiled column; bounds are consistent (nn <= n_rows,
+    distinct <= nn, min <= max) and quantity cents are integral 100s."""
+    rows = {r["column_name"]: r
+            for r in analytics.q_profile_columns(spark, sf_dir).collect()}
+    assert set(rows) == set(analytics.PROFILE_COLS)
+    for r in rows.values():
+        assert 0 < r["n_nonnull"] <= r["n_rows"]
+        assert 0 < r["n_distinct"] <= r["n_nonnull"]
+        assert r["min_cents"] <= r["max_cents"]
+    assert rows["l_quantity"]["min_cents"] % 100 == 0

@@ -317,3 +317,54 @@ def test_containment_dominates_jaccard_on_fixture(spark, sf_dir):
     con = {(r["doc_a"], r["doc_b"])
            for r in containment_pairs_inverted_index(docs, 0.5).collect()}
     assert jac <= con
+
+
+def test_rrf_fuse_union_semantics_and_bounds(spark, sf_dir):
+    """RRF over the union of both lists: every fused doc appears in at
+    least one source top-50; a doc present in BOTH lists outranks the
+    same-rank single-list doc; scores stay within the analytic bounds
+    0 < rrf <= 2/(RRF_K+1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    fused = ranking.rrf_fuse(docs, emb).collect()
+    assert 0 < len(fused) <= 20
+    k = ranking.RRF_K
+    for r in fused:
+        assert r["r_lex"] is not None or r["r_sem"] is not None
+        expect = (1.0 / (k + r["r_lex"]) if r["r_lex"] is not None else 0.0) \
+            + (1.0 / (k + r["r_sem"]) if r["r_sem"] is not None else 0.0)
+        assert r["rrf"] == expect
+        assert 0.0 < r["rrf"] <= 2.0 / (k + 1)
+    # descending by fused score, doc_id tiebreak
+    keys = [(-r["rrf"], r["doc_id"]) for r in fused]
+    assert keys == sorted(keys)
+    # the #1 of each source list must survive fusion into the top-20:
+    # its rrf >= 1/(K+1) ties at worst with 20 dual-list docs of rank
+    # sums >= that — on this fixture both heads are present
+    lex_head = {r["doc_id"] for r in fused if r["r_lex"] == 1}
+    sem_head = {r["doc_id"] for r in fused if r["r_sem"] == 1}
+    assert lex_head and sem_head
+
+
+def test_pmi_bigrams_lift_identity(spark):
+    """On a crafted corpus the lift ratio equals the hand-derived
+    n_xy*B/(n_x*n_y) and the always-adjacent pair beats the chance-level
+    pair."""
+    from ha_sqllite_2_influxdb_spark.operators.text import pmi_bigrams
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("x y" if i % 2 else "y x")) for i in range(10)],
+        "doc_id long, text string",
+    )
+    rows = {(r["w1"], r["w2"]): r
+            for r in pmi_bigrams(docs, min_count=5, k=100).collect()}
+    # each doc: bigrams (alpha,beta) (beta,x|y) (x,y)|(y,x) -> B = 30
+    ab = rows[("alpha", "beta")]
+    assert ab["n_xy"] == 10
+    # alpha starts 10 bigrams; beta is second in 10
+    assert ab["n_x"] == 10 and ab["n_y"] == 10
+    assert ab["lift"] == (10.0 * 30.0) / (10.0 * 10.0)
+    # 'beta x' occurs 5 times but x as second word also in 'y x' -> lower lift
+    bx = rows[("beta", "x")]
+    assert bx["n_xy"] == 5
+    assert bx["lift"] < ab["lift"]
