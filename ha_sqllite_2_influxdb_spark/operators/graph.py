@@ -163,3 +163,125 @@ FROM r{iters}
 ORDER BY rank_q DESC, term ASC
 LIMIT {k}
 """
+
+
+def copurchase_edges(lineitem: DataFrame, min_co: int = 2) -> DataFrame:
+    """Market-basket co-occurrence graph: canonical undirected edges
+    (u < v) between parts bought together in the same order at least
+    `min_co` times.
+
+    Scale shape: the pair fan-out is per-order local (quadratic only in
+    basket size, bounded by the catalog's max order width) on the
+    l_orderkey equi-join; the edge aggregate is one shuffle on the pair
+    key with map-side combine, and `min_co` prunes the random-pair noise
+    floor before any downstream graph work.
+    """
+    a = lineitem.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = lineitem.select("l_orderkey", F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= min_co)
+        .select("u", "v")
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation via the degree-oriented 'forward'
+    algorithm (Schank & Wagner 2005, public literature): orient every
+    undirected edge from the (degree, id)-smaller endpoint to the larger,
+    enumerate wedges from each source's out-neighborhood, and close them
+    with ONE equi-join against the canonical (u < v) edge set.
+
+    Why this is the 100 TB plan: degree orientation bounds every
+    out-degree by O(sqrt(m)), so the wedge self-join — the only
+    super-linear step — is quadratic per *oriented* adjacency list, not
+    per raw hub degree; a power-law hub with 10^6 neighbors contributes
+    almost nothing as a source because its edges orient INTO it. The
+    closing step is a plain equi-join on (x, y), never an OR-condition
+    join (which would force a nested-loop), and per-node counts come
+    from exploding each triangle's three corners into one aggregate.
+    Everything is exact integer arithmetic — oracle-checkable.
+
+    `edges` must be canonical: one row per undirected edge with u < v.
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.join(
+            deg.select(F.col("node").alias("u"), F.col("deg").alias("du")),
+            "u",
+        ).join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
+            "v",
+        )
+    )
+    # u < v by construction, so the (deg, id) tie falls to u
+    u_first = (F.col("du") < F.col("dv")) | (F.col("du") == F.col("dv"))
+    o = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    wedges = (
+        o.select(F.col("src").alias("s"), F.col("dst").alias("x"))
+        .join(o.select(F.col("src").alias("s"), F.col("dst").alias("y")), "s")
+        .filter(F.col("x") < F.col("y"))
+    )
+    tri = wedges.join(
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+    )
+    corners = tri.select(F.explode(F.array("s", "x", "y")).alias("node"))
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+        .join(deg, "node")
+        .select(F.col("node").alias("part_key"), "deg", "n_tri")
+        .orderBy(F.desc("n_tri"), F.asc("part_key"))
+    )
+
+
+def triangle_oracle_sql(min_co: int = 2) -> str:
+    """Oracle: the identical degree-oriented wedge-close pipeline in SQL,
+    generated from the same `min_co` so the graphs cannot drift."""
+    return f"""
+WITH pr AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= {min_co}),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN d1.deg <= d2.deg THEN e.u ELSE e.v END AS src,
+         CASE WHEN d1.deg <= d2.deg THEN e.v ELSE e.u END AS dst
+  FROM e
+  JOIN deg d1 ON e.u = d1.node
+  JOIN deg d2 ON e.v = d2.node
+),
+w AS (
+  SELECT o1.src AS s, o1.dst AS x, o2.dst AS y
+  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst
+),
+tri AS (
+  SELECT s, x, y FROM w JOIN e ON w.x = e.u AND w.y = e.v
+),
+corners AS (
+  SELECT unnest([s, x, y]) AS node FROM tri
+),
+cnt AS (SELECT node, count(*)::BIGINT AS n_tri FROM corners GROUP BY node)
+SELECT c.node AS part_key, d.deg, c.n_tri
+FROM cnt c JOIN deg d ON c.node = d.node
+ORDER BY c.n_tri DESC, part_key ASC
+"""

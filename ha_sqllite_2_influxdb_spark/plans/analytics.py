@@ -1320,6 +1320,69 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the 25 most common within-session
+    event-type sequences (30-min gap sessions, same windows as
+    q_sessionize) — the sequence-pattern summary behind funnel design.
+
+    The per-session path is `array_sort(collect_list(struct(ts,
+    event_id, event_type)))` — collect_list alone is partition-order
+    nondeterministic; sorting on the unique (ts, event_id) prefix
+    makes the path reproducible and oracle-equal. Materializing a
+    session's events into one array is bounded by session length (the
+    30-min gap caps it), never by corpus size; the path-frequency
+    groupBy then aggregates a sessions-sized relation with map-side
+    combine, and top-25 is TakeOrderedAndProject.
+    """
+    ev = _t(spark, sf_dir, "events")
+    us = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(us))
+    ws = (
+        ev.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(us.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    paths = ws.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            " > ",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_steps"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_steps").alias("n_steps"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(25)
+    )
+
+
+def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph (parts
+    bought together in >=2 orders): degree-oriented wedge enumeration +
+    one equi-join close — see operators.graph.triangle_counts for why
+    this shape survives power-law hubs at 100 TB."""
+    from ..operators.graph import copurchase_edges, triangle_counts
+
+    return triangle_counts(
+        copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    )
+
+
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted: the part↔supplier relation comes from
     DISTINCT lineitem pairs instead of the absent partsupp, and the
@@ -1581,6 +1644,8 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "event_transitions": q_event_transitions,
     "profile_columns": q_profile_columns,
+    "path_mining": q_path_mining,
+    "triangle_copurchase": q_triangle_copurchase,
     "zorder_events": q_zorder_events,
 }
 
@@ -2132,6 +2197,32 @@ r AS (
 )
 SELECT event_id, ts_us, user_id, event_type, value FROM r WHERE rk = 1
 """,
+    "path_mining": """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, ts, event_type,
+    CAST(sum(CASE WHEN gap IS NULL OR gap > 30*60*1000000 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS session_id
+  FROM g
+),
+p AS (
+  SELECT user_id, session_id,
+    string_agg(event_type, ' > ' ORDER BY ts, event_id) AS path,
+    count(*)::BIGINT AS n_steps
+  FROM s GROUP BY user_id, session_id
+)
+SELECT path, count(*)::BIGINT AS n_sessions, max(n_steps) AS n_steps
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 25
+""",
     "cohort_retention": """
 WITH f AS (
   SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
@@ -2340,3 +2431,7 @@ FROM d
 
 # Q14 == promo_share (same plan fn, same oracle), see QUERIES note
 ORACLES["tpch_q14"] = ORACLES["promo_share"]
+
+from ..operators.graph import triangle_oracle_sql as _tri_sql  # noqa: E402
+
+ORACLES["triangle_copurchase"] = _tri_sql()

@@ -415,3 +415,58 @@ def test_profile_columns_single_scan_consistency(spark, sf_dir):
         assert 0 < r["n_distinct"] <= r["n_nonnull"]
         assert r["min_cents"] <= r["max_cents"]
     assert rows["l_quantity"]["min_cents"] % 100 == 0
+
+
+def test_triangle_counts_k4_and_no_nested_loop(spark, sf_dir):
+    """K4 has 4 triangles, every node in 3 of them with degree 3; a node
+    hanging off one corner joins no triangle and must not appear. The
+    fixture plan must close wedges with hash equi-joins — a nested-loop
+    (OR-condition) close would be the 100 TB killer."""
+    from ha_sqllite_2_influxdb_spark.operators.graph import (
+        copurchase_edges, triangle_counts,
+    )
+
+    k4 = [(u, v) for u in range(4) for v in range(4) if u < v]
+    edges = spark.createDataFrame(k4 + [(3, 9)], "u long, v long")
+    rows = {r["part_key"]: r for r in triangle_counts(edges).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert all(r["n_tri"] == 3 for r in rows.values())
+    assert rows[0]["deg"] == 3 and rows[3]["deg"] == 4  # 3 has the pendant
+    plan = explain_str(
+        analytics.q_triangle_copurchase(spark, sf_dir)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_path_mining_crafted_sessions(spark):
+    """Two users, one with a 30-min gap split: paths reflect the split
+    and the per-path session counts aggregate across users."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mk = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = [
+        # user 1: view>click then (gap 40min) view
+        (1, mk(0), 1, "view", 0.0, None),
+        (2, mk(5), 1, "click", 0.0, None),
+        (3, mk(45), 1, "view", 0.0, None),
+        # user 2: view>click in one session
+        (4, mk(0), 2, "view", 0.0, None),
+        (5, mk(1), 2, "click", 0.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import ha_sqllite_2_influxdb_spark.plans.analytics as A
+    orig = A._t
+    A._t = lambda s, d, n: ev
+    try:
+        out = {r["path"]: r for r in A.q_path_mining(spark, "x").collect()}
+    finally:
+        A._t = orig
+    assert out["view > click"]["n_sessions"] == 2
+    assert out["view > click"]["n_steps"] == 2
+    assert out["view"]["n_sessions"] == 1
