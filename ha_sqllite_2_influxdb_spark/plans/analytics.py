@@ -1320,6 +1320,53 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: anomaly threshold: |value − seasonal mean| > 100.00 units (in cents)
+ANOMALY_T_CENTS = 10_000
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection over the sensor/event stream:
+    flag readings deviating > 100 units from their (user, hour-of-day)
+    seasonal mean — the alerting primitive for exactly the sensor-history
+    data the reference migrates.
+
+    Exactness: the predicate is the cross-multiplied integer form
+    ``|v_cents·n − Σcents| > T·n`` (no float mean in the filter), so the
+    flag set is bit-reproducible and engine-identical; the reported
+    deviation divides the same longs in the same order on both engines.
+
+    Shape (100 TB): baseline and comparison fuse into ONE window over
+    (user_id, hour-of-day) — a single corpus shuffle, no second baseline
+    relation and no join-back; the filter then drops 97% of rows before
+    anything else happens.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    vc = F.round(F.col("value") * 100).cast("long")
+    base = ev.select(
+        "event_id", "user_id",
+        F.hour("ts").alias("hod"), vc.alias("vc"),
+    )
+    w = W.partitionBy("user_id", "hod")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("vc").over(w)
+    return (
+        base.select(
+            "event_id", "user_id", "hod",
+            F.col("vc").alias("value_cents"),
+            n.alias("n_obs"),
+            ((F.col("vc").cast("double")
+              - s.cast("double") / n.cast("double"))
+             / F.lit(100.0)).alias("deviation"),
+            (F.abs(F.col("vc") * n - s)
+             > F.lit(ANOMALY_T_CENTS) * n).alias("_flag"),
+        )
+        .filter(F.col("_flag"))
+        .drop("_flag")
+    )
+
+
 def q_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clickstream path mining: the 25 most common within-session
     event-type sequences (30-min gap sessions, same windows as
@@ -1646,6 +1693,7 @@ QUERIES = {
     "profile_columns": q_profile_columns,
     "path_mining": q_path_mining,
     "triangle_copurchase": q_triangle_copurchase,
+    "seasonal_anomaly": q_seasonal_anomaly,
     "zorder_events": q_zorder_events,
 }
 
@@ -2196,6 +2244,22 @@ r AS (
   FROM u
 )
 SELECT event_id, ts_us, user_id, event_type, value FROM r WHERE rk = 1
+""",
+    "seasonal_anomaly": f"""
+WITH w AS (
+  SELECT event_id, user_id, hour(ts) AS hod,
+    CAST(round(value*100) AS BIGINT) AS vc,
+    count(*) OVER (PARTITION BY user_id, hour(ts)) AS n,
+    CAST(sum(CAST(round(value*100) AS BIGINT))
+         OVER (PARTITION BY user_id, hour(ts)) AS BIGINT) AS s
+  FROM events
+)
+SELECT event_id, user_id, hod, vc AS value_cents,
+  CAST(n AS BIGINT) AS n_obs,
+  (CAST(vc AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0
+    AS deviation
+FROM w
+WHERE abs(vc * n - s) > {ANOMALY_T_CENTS} * n
 """,
     "path_mining": """
 WITH g AS (

@@ -470,3 +470,45 @@ def test_path_mining_crafted_sessions(spark):
     assert out["view > click"]["n_sessions"] == 2
     assert out["view > click"]["n_steps"] == 2
     assert out["view"]["n_sessions"] == 1
+
+
+def test_seasonal_anomaly_crafted_outlier(spark):
+    """A (user, hour) group with mean 50 and one 250-reading: only the
+    outlier flags; its deviation is value − group mean (computed WITH the
+    outlier in the baseline); a tight group flags nothing."""
+    import datetime as dt
+
+    t = lambda h, i: dt.datetime(2024, 1, 1 + i, h, 0, 0)
+    rows = (
+        [(i, t(9, i), 1, "view", 50.0, None) for i in range(4)]
+        + [(9, t(9, 4), 1, "view", 250.0, None)]
+        + [(20 + i, t(11, i), 2, "view", 50.0 + i, None) for i in range(4)]
+    )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import ha_sqllite_2_influxdb_spark.plans.analytics as A
+    orig = A._t
+    A._t = lambda s, d, n: ev
+    try:
+        out = A.q_seasonal_anomaly(spark, "x").collect()
+    finally:
+        A._t = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r["event_id"] == 9 and r["hod"] == 9 and r["n_obs"] == 5
+    # group mean = (4*50 + 250)/5 = 90 -> deviation = 250 - 90 = 160
+    assert r["deviation"] == 160.0
+
+
+def test_pmi_bigrams_marginals_broadcast(spark, sf_dir):
+    """The vocabulary-sized marginal/total relations must join back onto
+    the bigram counts as broadcasts — a sort-merge there would re-shuffle
+    the corpus-scale count relation twice more at 100 TB."""
+    from ha_sqllite_2_influxdb_spark.plans import llm_ops
+
+    plan = explain_str(llm_ops.QUERIES["pmi_bigrams"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan

@@ -110,6 +110,10 @@ def tiers(spark, docs_path, emb_path, books):
             docs, threshold=0.9),
         "lm_rare_bigrams": lambda: text.lm_rare_bigrams(docs),
         "textrank_keywords": lambda: graph.textrank_keywords(docs),
+        # PMI collocations: one bigram-count shuffle + broadcast marginals;
+        # the word-prefix replication keeps each replica's bigram space
+        # disjoint, so counts AND vocabulary scale with replica count
+        "pmi_bigrams": lambda: text.pmi_bigrams(docs),
     }
 
 
