@@ -46,9 +46,11 @@ _DRIVER_WINDOW = [
     # streaming MERGE sink + stateful EMA fold (new r6, first verdicts)
     "stream_upsert", "stream_ema",
     # LLM data pipeline: deduplication + cluster-canonical selection
-    "neardup_clusters", "dedup_keep_best", "ngram_jaccard",
-    "simhash_signatures", "simhash_neighbors", "ngram_span_dedup",
-    "ngram_containment",
+    # (ngram_jaccard / simhash_signatures rotated out late-r6 — r5-green —
+    # for the two newest scoring/projection ops' first verdicts)
+    "neardup_clusters", "dedup_keep_best",
+    "simhash_neighbors", "ngram_span_dedup",
+    "ngram_containment", "quality_classifier", "random_projection",
     # IR ranking + quality gates + LM rarity (new r6, first verdicts)
     "tfidf_topk", "bm25_topk", "gopher_rules", "lm_rare_bigrams",
     "textrank_keywords",
@@ -63,7 +65,10 @@ _DRIVER_WINDOW = [
     # grouping sets / rollup, pivot, quantiles, range-band join.
     # tpch_q2/q11/q12/q15/q16/q20/q21, full_outer_join and
     # window_time_range enter for their first driver verdict.
-    "tpch_q2", "tpch_q3", "tpch_q5", "tpch_q7",
+    # tpch_q3/q5 rotated out late-r6 (green r1-r5; still benched) for the
+    # validation + streaming-topk first verdicts
+    "data_expectations", "stream_window_topk",
+    "tpch_q2", "tpch_q7",
     "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q21",
     "range_band_join", "full_outer_join",

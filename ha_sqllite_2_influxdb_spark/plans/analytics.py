@@ -1632,6 +1632,18 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style ingest validation: a 7-rule suite (null / range /
+    domain / composite-key uniqueness / referential integrity) over
+    lineitem+orders in 2 scans + 1 keyed shuffle + 1 anti join — see
+    operators/validate.py for the 100 TB shape."""
+    from ..operators.validate import expectations_report
+
+    return expectations_report(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
 QUERIES = {
     "grouping_sets": q_grouping_sets,
     "tpch_q7": q_tpch_q7,
@@ -1695,6 +1707,7 @@ QUERIES = {
     "triangle_copurchase": q_triangle_copurchase,
     "seasonal_anomaly": q_seasonal_anomaly,
     "zorder_events": q_zorder_events,
+    "data_expectations": q_data_expectations,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -2494,6 +2507,57 @@ FROM d
 }
 
 # Q14 == promo_share (same plan fn, same oracle), see QUERIES note
+ORACLES["data_expectations"] = """
+WITH li AS (
+  SELECT
+    CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS v_null,
+    CAST(sum(CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 0.5, FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+    CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+),
+o AS (
+  SELECT
+    CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+    CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+    CAST(count(*) AS BIGINT) AS n
+  FROM orders
+),
+u AS (
+  SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS violations,
+         CAST(coalesce(sum(c), 0) AS BIGINT) AS n
+  FROM (SELECT count(*) AS c FROM lineitem
+        GROUP BY l_orderkey, l_linenumber)
+),
+ri AS (
+  SELECT CAST(count(*) AS BIGINT) AS violations,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n
+  FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders x
+                    WHERE x.o_orderkey = l.l_orderkey)
+),
+all_rules AS (
+  SELECT 'lineitem.l_quantity between 1 and 50' AS rule,
+         v_qty AS violations, n FROM li
+  UNION ALL SELECT 'lineitem.l_orderkey not null', v_null, n FROM li
+  UNION ALL SELECT 'lineitem.l_discount between 0 and 0.5', v_disc, n
+            FROM li
+  UNION ALL SELECT 'orders.o_orderstatus in (O,F,P)', v_status, n FROM o
+  UNION ALL SELECT 'orders.o_totalprice > 0', v_price, n FROM o
+  UNION ALL SELECT 'lineitem (l_orderkey, l_linenumber) unique',
+            violations, n FROM u
+  UNION ALL SELECT 'lineitem.l_orderkey references orders',
+            violations, n FROM ri
+)
+SELECT rule, violations, n AS total, violations = 0 AS passed
+FROM all_rules ORDER BY rule
+"""
+
 ORACLES["tpch_q14"] = ORACLES["promo_share"]
 
 from ..operators.graph import triangle_oracle_sql as _tri_sql  # noqa: E402

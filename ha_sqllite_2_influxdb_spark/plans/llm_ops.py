@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from ..operators import curation, dedup, multimodal, ranking, similarity
 from ..operators import graph as _graph
 from ..operators.dedup import SIMHASH_BITS_PORTABLE
-from ..operators.similarity import DIM
+from ..operators.scoring import (
+    N_BUCKETS as _QC_BUCKETS, _MIX as _QC_MIX, _W_RANGE as _QC_WRANGE,
+)
+from ..operators.similarity import (
+    DIM, RP_OUT_DIM as _RP_OUT, _RP_MIX, _RP_MIX2, _RP_P,
+)
 from ..operators.text import (
     EMAIL_REGEX, STOPWORDS, TOKEN_REGEX, URL_REGEX, clean_text,
     fingerprints, gopher_rules, lang_id, lm_rare_bigrams, quality_scores,
@@ -415,6 +420,32 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(_docs(spark, sf_dir))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality scorer: unigram+bigram
+    features → bucket weights → integer mean score, keep if positive.
+    Entirely row-local (no shuffle); see operators/scoring.py for the
+    learned-weight swap-in path."""
+    from ..operators.scoring import quality_classify
+
+    return quality_classify(_docs(spark, sf_dir))
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign random projection 64→16 over embeddings, quantized-exact
+    integer outputs — row-local map stage, no shuffle (similarity.py)."""
+    return similarity.random_projection(_emb(spark, sf_dir))
+
+
+def q_sketch_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch tier: Misra–Gries bounded-state candidates
+    + exact recount over word bigrams (operators/sketches.py). Exact by
+    the MG guarantee (k-th count > n/(m+1), asserted adversarially in
+    tests/test_sketches.py)."""
+    from ..operators.sketches import corpus_bigram_heavy_hitters
+
+    return corpus_bigram_heavy_hitters(_docs(spark, sf_dir))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(_docs(spark, sf_dir))
 
@@ -751,6 +782,9 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,
     "lm_rare_bigrams": q_lm_rare_bigrams,
     "textrank_keywords": q_textrank_keywords,
+    "quality_classifier": q_quality_classifier,
+    "random_projection": q_random_projection,
+    "sketch_topk_ngrams": q_sketch_topk_ngrams,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -1569,6 +1603,53 @@ SELECT doc_id, md5(text) AS md5,
   {_ROLL.format(col="text")} AS roll_hash
 FROM documents
 """,
+    # constants inlined from operators.scoring / similarity so the two
+    # sides cannot drift
+    "quality_classifier": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+f AS (
+  SELECT doc_id, ws[i] AS feat
+  FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+  UNION ALL
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS feat
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+),
+h AS (SELECT doc_id,
+             ({_ROLL.format(col="feat")}) % {_QC_BUCKETS} AS b FROM f),
+s AS (
+  SELECT doc_id,
+    CAST(sum((b * {_QC_MIX}) % {_QC_WRANGE} - 1000) AS BIGINT)
+      AS score_int,
+    CAST(count(*) AS BIGINT) AS n_features
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, score_int, n_features,
+  CAST(score_int AS DOUBLE) / CAST(n_features * 1000 AS DOUBLE) AS score,
+  score_int > 0 AS keep
+FROM s
+""",
+    "sketch_topk_ngrams": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT ws[i] || ' ' || ws[i+1] AS token
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY token),
+r AS (
+  SELECT token, n,
+    row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM c
+)
+SELECT token, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 20
+""",
+    "random_projection": "SELECT vec_id, " + ", ".join(
+        f"CAST(list_sum(list_transform(generate_series(0, {DIM - 1}), "
+        f"i -> CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) "
+        f"AS BIGINT) * (1 - 2 * ((((i + 1) * {_RP_MIX}) % {_RP_P} "
+        f"* {(_j + 1) * _RP_MIX2 % _RP_P}) % {_RP_P} % 2)))) "
+        f"AS BIGINT) AS p{_j}"
+        for _j in range(_RP_OUT)
+    ) + " FROM embeddings",
     "multimodal_bmp": """
 SELECT doc_id,
   CAST((doc_id % 16) + 4 AS BIGINT) AS width,

@@ -351,6 +351,29 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly top-3 event types by count — the standard Structured
+    Streaming "trending items" pattern: rank over an unbounded stream is
+    unsupported, so the stream-capable stage is the windowed COUNT (the
+    exact `windowed_agg` plan events_hourly drains) and the rank is a
+    batch finishing stage over the drained per-window aggregate — tiny
+    by construction (|windows|·|event_types| rows), so the rank's single
+    shuffle moves aggregate rows, never events. tests/test_streaming.py
+    runs the real readStream drain + this finishing stage and asserts
+    identity with the batch form."""
+    from pyspark.sql import Window
+
+    agg = windowed_agg(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n_events", "rk")
+    )
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "stream_dedup": q_stream_dedup,
@@ -362,6 +385,7 @@ QUERIES = {
     "stream_upsert": q_stream_upsert,
     "stream_ema": q_stream_ema,
     "session_window_native": q_session_window_native,
+    "stream_window_topk": q_stream_window_topk,
 }
 
 _GAP_US = GAP_MIN * 60 * 1_000_000
@@ -398,6 +422,21 @@ GROUP BY date_trunc('hour', ts), event_type
 """,
     "stream_dedup": """
 SELECT event_id, event_type, user_id FROM events
+""",
+    "stream_window_topk": """
+WITH a AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT window_start, event_type, n_events,
+    row_number() OVER (PARTITION BY window_start
+                       ORDER BY n_events DESC, event_type ASC) AS rk
+  FROM a
+)
+SELECT window_start, event_type, n_events, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
 """,
     "events_sliding": """
 WITH cand AS (

@@ -47,3 +47,52 @@ def test_gk_quantiles_close_to_exact(spark, sf_dir):
         e50, e95 = exact[pr]
         assert abs(a50 - e50) / e50 < 0.05, (pr, a50, e50)
         assert abs(a95 - e95) / e95 < 0.05, (pr, a95, e95)
+
+
+def test_misra_gries_guarantee_under_decrements(spark):
+    """Adversarial corpus where m < vocab (the decrement path actually
+    runs): a zipf-ish stream of 500 distinct tokens with 10 planted
+    heavy hitters, m=32. MG guarantees every token with count > n/(m+1)
+    reaches the candidate set; the exact recount then makes the top-k
+    true — asserted against a plain groupBy."""
+    from ha_sqllite_2_influxdb_spark.operators.sketches import heavy_hitters
+
+    rows = []
+    # 10 heavy tokens × 400 occurrences, 490 tail tokens × ~8 each
+    for h in range(10):
+        rows += [(f"hot_{h}",)] * 400
+    for t in range(490):
+        rows += [(f"tail_{t}",)] * 8
+    # deterministic interleave so heavy tokens span partitions
+    rows = [rows[i] for i in range(0, len(rows), 7)] + [
+        rows[i] for i in range(len(rows)) if i % 7 != 0
+    ]
+    tokens = spark.createDataFrame(rows, "token string").repartition(8)
+    n = len(rows)
+    m = 32
+    got = heavy_hitters(tokens, m=m, k=10).collect()
+    exact = (
+        tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token")).limit(10).collect()
+    )
+    # the guarantee's precondition holds: 10th true count > n/(m+1)
+    assert exact[-1].n > n / (m + 1)
+    assert [(r.token, r.n) for r in got] == [(r.token, r.n) for r in exact]
+    assert [r.rank for r in got] == list(range(1, 11))
+
+
+def test_misra_gries_summary_state_bounded(spark):
+    """Each partition summary must respect the m-counter cap even when
+    the stream has far more distinct tokens than m."""
+    from ha_sqllite_2_influxdb_spark.operators.sketches import (
+        _mg_partition_summaries,
+    )
+
+    tokens = spark.createDataFrame(
+        [(f"t{i % 700}",) for i in range(10_000)], "token string"
+    ).coalesce(1)
+    m = 16
+    summary = tokens.mapInPandas(
+        _mg_partition_summaries("token", m), "token string, est long"
+    ).collect()
+    assert 0 < len(summary) <= m

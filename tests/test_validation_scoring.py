@@ -1,0 +1,191 @@
+"""Behavioral tests for the r6 additions: data expectations, the hashed
+quality classifier, JL random projection, and streaming windowed top-k.
+(Oracle value parity for all four is covered by test_oracle_parity.)"""
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from ha_sqllite_2_influxdb_spark.operators.scoring import quality_classify
+from ha_sqllite_2_influxdb_spark.operators.similarity import (
+    random_projection,
+)
+from ha_sqllite_2_influxdb_spark.operators.validate import (
+    expectations_report,
+)
+from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+
+def test_expectations_flags_injected_violations(spark):
+    """Each rule must count exactly the rows planted to violate it."""
+    li = spark.createDataFrame(
+        [
+            # (okey, linenumber, qty, discount)       violations planted:
+            (1, 1, 10.0, 0.05),   # clean
+            (1, 2, 99.0, 0.05),   # qty out of range
+            (None, 1, 10.0, 0.05),  # null orderkey (+ orphan by NOT EXISTS)
+            (2, 1, 10.0, 0.9),    # discount out of range
+            (2, 1, 10.0, 0.05),   # duplicate (2, 1) key
+            (7, 1, 10.0, 0.05),   # orphan: no order 7
+        ],
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "F", 20.0), (3, "X", -5.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    rows = {r.rule: r for r in expectations_report(li, orders).collect()}
+    assert rows["lineitem.l_quantity between 1 and 50"].violations == 1
+    assert rows["lineitem.l_orderkey not null"].violations == 1
+    assert rows["lineitem.l_discount between 0 and 0.5"].violations == 1
+    assert rows["orders.o_orderstatus in (O,F,P)"].violations == 1
+    assert rows["orders.o_totalprice > 0"].violations == 1
+    assert rows["lineitem (l_orderkey, l_linenumber) unique"].violations == 1
+    # NOT-EXISTS semantics: the null key never matches, so 2 orphans
+    assert rows["lineitem.l_orderkey references orders"].violations == 2
+    assert all(not r.passed for r in rows.values())
+    assert all(r.total == (3 if r.rule.startswith("orders") else 6)
+               for r in rows.values())
+
+
+def test_expectations_on_fixture(spark, sf_dir):
+    """On the driver fixture: six rules pass clean; the composite-key
+    uniqueness rule genuinely FIRES (the synthetic generator reuses
+    (l_orderkey, l_linenumber)) and its count must equal an
+    independently computed extra-copies total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rep = {r.rule: r for r in expectations_report(
+        li, load_table(spark, sf_dir, "orders")).collect()}
+    assert len(rep) == 7
+    uniq = rep.pop("lineitem (l_orderkey, l_linenumber) unique")
+    assert all(r.passed and r.violations == 0 for r in rep.values())
+    want = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .count().agg(F.sum(F.col("count") - 1)).collect()[0][0]
+    )
+    assert uniq.violations == want and uniq.passed == (want == 0)
+
+
+def test_quality_classifier_tiers_agree_on_features(spark, sf_dir):
+    """Portable (rolling-hash) and xxhash64 tiers must agree on the
+    feature COUNT per doc (hashing changes bucket ids, never arity) and
+    on the row-local schema; both plans must be shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    port = quality_classify(docs, portable=True)
+    native = quality_classify(docs, portable=False)
+    assert port.columns == native.columns
+    a = {r.doc_id: r.n_features for r in port.collect()}
+    b = {r.doc_id: r.n_features for r in native.collect()}
+    assert a == b
+    for df in (port, native):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+def test_quality_classifier_feature_arity(spark):
+    """n words → n unigrams + (n-1) bigrams; 1 word → no bigram (the
+    descending-sequence guard)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha beta"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_features
+           for r in quality_classify(docs).collect()}
+    assert got == {1: 1, 2: 3, 3: 7}
+
+
+def test_random_projection_no_shuffle_and_linearity(spark, sf_dir):
+    """Row-local plan (no Exchange); and on inputs that quantize exactly
+    (multiples of 1e-3), the projection is linear: p(2·e) == 2·p(e) in
+    integer arithmetic. (On arbitrary floats round(2e·s) ≠ 2·round(e·s),
+    so exactness is only claimed post-quantization.)"""
+    emb = load_table(spark, sf_dir, "embeddings").limit(8)
+    proj = random_projection(emb)
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    exact = spark.createDataFrame(
+        [(i, [((i * 64 + d) % 37 - 18) / 1000.0 for d in range(64)])
+         for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    doubled = exact.select(
+        "vec_id",
+        F.transform("embedding", lambda e: e * 2).alias("embedding"),
+    )
+    p1 = {r.vec_id: [r[f"p{j}"] for j in range(16)]
+          for r in random_projection(exact).collect()}
+    p2 = {r.vec_id: [r[f"p{j}"] for j in range(16)]
+          for r in random_projection(doubled).collect()}
+    assert p2 == {k: [2 * x for x in v] for k, v in p1.items()}
+    # the sign matrix must not be rank-1 (the j-parity collapse): distinct
+    # output dims must differ in magnitude, not only in sign
+    mags = {tuple(abs(x) for x in v) for v in p1.values()}
+    assert all(len(set(m)) > 2 for m in mags)
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """The JL property: squared L2 distances in the 16-d sign projection
+    correlate strongly with the exact 64-d distances."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    proj = {r.vec_id: np.array([r[f"p{j}"] for j in range(16)],
+                               dtype=np.float64) / 1e6
+            for r in random_projection(emb).collect()}
+    ids = sorted(orig)
+    d_orig, d_proj = [], []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d_orig.append(float(np.sum((orig[a] - orig[b]) ** 2)))
+            # E[||Sx||^2] = out_dim·||x||^2 for a ±1 sign matrix
+            d_proj.append(float(np.sum((proj[a] - proj[b]) ** 2)) / 16.0)
+    r = np.corrcoef(d_orig, d_proj)[0, 1]
+    # self-calibrating bar: at out_dim=16 even a TRUE random ±1 matrix
+    # only reaches ~0.35 on these embeddings, so compare against that
+    # baseline rather than an absolute threshold
+    rng = np.random.default_rng(7)
+    X = np.stack([orig[k] for k in ids])
+    base = []
+    for _ in range(5):
+        S = rng.choice([-1.0, 1.0], size=(64, 16))
+        Y = X @ S
+        db = [float(np.sum((Y[i] - Y[k]) ** 2)) / 16.0
+              for i in range(len(ids)) for k in range(i + 1, len(ids))]
+        base.append(np.corrcoef(d_orig, db)[0, 1])
+    r_rand = float(np.mean(base))
+    assert r > 0.5 * r_rand, (
+        f"JL correlation {r:.3f} below half the random baseline "
+        f"{r_rand:.3f}"
+    )
+
+
+def test_stream_window_topk_drain_equals_batch(spark, sf_dir):
+    """The real streaming path: drain the windowed count, apply the rank
+    finishing stage to the sink table — identical to the batch form."""
+    from pyspark.sql import Window
+
+    from ha_sqllite_2_influxdb_spark.plans.streaming_ops import (
+        q_stream_window_topk,
+    )
+    from ha_sqllite_2_influxdb_spark.streaming.stream import (
+        drain_to_memory, events_stream, windowed_agg,
+    )
+
+    drained = drain_to_memory(
+        windowed_agg(events_stream(spark, sf_dir)),
+        f"topk_{uuid.uuid4().hex[:8]}",
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    got = sorted(
+        drained.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n_events", "rk")
+        .collect()
+    )
+    want = sorted(q_stream_window_topk(spark, sf_dir).collect())
+    assert got == want
