@@ -48,10 +48,12 @@ _DRIVER_WINDOW = [
     # LLM data pipeline: deduplication + cluster-canonical selection
     # (ngram_jaccard / simhash_signatures rotated out late-r6 — r5-green —
     # for the two newest scoring/projection ops' first verdicts)
-    "dedup_keep_best",
-    "simhash_neighbors", "ngram_span_dedup",
+    "ngram_span_dedup",
     "ngram_containment", "quality_classifier", "random_projection",
     "sketch_topk_ngrams",
+    # incremental MV maintenance + LPA communities (newest r6 additions;
+    # dedup_keep_best / simhash_neighbors rotate out r5-green)
+    "incremental_agg", "lpa_communities",
     # IR ranking + quality gates + LM rarity (new r6, first verdicts)
     "tfidf_topk", "bm25_topk", "gopher_rules", "lm_rare_bigrams",
     "textrank_keywords",

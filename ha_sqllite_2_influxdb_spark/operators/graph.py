@@ -285,3 +285,89 @@ SELECT c.node AS part_key, d.deg, c.n_tri
 FROM cnt c JOIN deg d ON c.node = d.node
 ORDER BY c.n_tri DESC, part_key ASC
 """
+
+
+LPA_ITERS = 5
+
+
+def lpa_communities(edges: DataFrame, iters: int = LPA_ITERS,
+                    checkpoint_every: int = 2) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, public
+    paper) over a canonical undirected edge list (u < v): every node
+    starts as its own label; each iteration it adopts the most frequent
+    label among its NEIGHBORS, ties broken by smallest label — fully
+    deterministic, so a fixed iteration count makes this iterative
+    operator oracle-checkable by unrolled CTEs (the pagerank precedent;
+    the usual random-order asynchronous LPA is not).
+
+    Scale shape: per iteration ONE join of the symmetrized edges against
+    the label relation (both keyed by node), one (node, label) groupBy
+    with map-side combine, one windowed argmax on the node shuffle it
+    already has. All integer arithmetic; driver state is nothing.
+    localCheckpoint every `checkpoint_every` iterations bounds plan
+    depth (pagerank precedent). Returns (node, community, csize).
+    """
+    from pyspark.sql import Window as W
+
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = W.partitionBy("n").orderBy(F.desc("c"), F.asc("label"))
+    for i in range(iters):
+        votes = sym.join(labels, sym.v == labels.node).select(
+            F.col("u").alias("n"), "label"
+        )
+        labels = (
+            votes.groupBy("n", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("n").alias("node"), "label")
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            labels = labels.localCheckpoint(eager=True)
+    sym.unpersist()
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("community"), "csize"
+    )
+
+
+def lpa_oracle_sql(iters: int = LPA_ITERS, min_co: int = 2) -> str:
+    """Oracle: identical synchronous propagation as unrolled CTEs over
+    the same co-purchase graph (same `min_co`)."""
+    its = []
+    for i in range(iters):
+        its.append(f"""
+v{i} AS (SELECT s.u AS n, l.label FROM sym s JOIN l{i} l ON s.v = l.node),
+c{i} AS (SELECT n, label, count(*) AS c FROM v{i} GROUP BY n, label),
+l{i + 1} AS (
+  SELECT n AS node, label FROM (
+    SELECT n, label,
+      row_number() OVER (PARTITION BY n ORDER BY c DESC, label ASC) AS rk
+    FROM c{i}
+  ) WHERE rk = 1
+)""")
+    return f"""
+WITH pr AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= {min_co}),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+{",".join(its)},
+sz AS (SELECT label, CAST(count(*) AS BIGINT) AS csize
+       FROM l{iters} GROUP BY label)
+SELECT l.node, l.label AS community, sz.csize
+FROM l{iters} l JOIN sz ON l.label = sz.label
+"""

@@ -12,6 +12,13 @@
   partitioned storage is the same `repartitionByRange` write the sinks
   already use.
 
+- **agg_state / merge_agg_states / finalize_agg** — incremental
+  materialized-view maintenance: per-key partial aggregate states
+  (count / fixed-point sum / min / max, all commutative monoids) merged
+  by a groupBy over STATE rows, so a refresh scans only the delta shard.
+  The same algebra Spark uses internally for partial aggregation,
+  surfaced as a persistable cross-batch artifact.
+
 - **zorder_key** — bit-interleaved (Morton) sort key over two bounded
   integer dimensions. Sorting/range-partitioning by this key co-locates
   rows that are close in BOTH dimensions, so min/max pruning (parquet
@@ -70,6 +77,56 @@ def latest_per_key(df: DataFrame, keys: list[str],
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk")
+    )
+
+
+def agg_state(facts: DataFrame, keys: list[str], value_col: str,
+              scale: int = 100) -> DataFrame:
+    """Per-key PARTIAL aggregate state: (n, sum, min, max) with the sum
+    held as ``scale``-fixed-point integers (associative — merge order
+    cannot flip low bits).
+
+    This is the building block of incremental materialized-view
+    maintenance: every component is a commutative monoid, so the state
+    of ``base ∪ delta`` equals the monoid-merge of the two states
+    (`merge_agg_states`) — a 100 TB rolling aggregate refresh then costs
+    one scan of the DELTA plus a groupBy over state rows (|keys| of
+    them), never a recompute of the base facts.
+    """
+    cents = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    return facts.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sum_c"),
+        F.min(cents).alias("min_c"),
+        F.max(cents).alias("max_c"),
+    )
+
+
+def merge_agg_states(states: list[DataFrame],
+                     keys: list[str]) -> DataFrame:
+    """Monoid-merge partial states: one groupBy over the (tiny) union of
+    state relations. n/sum merge by +, min/max by min/max."""
+    merged = reduce(lambda a, b: a.unionByName(b), states)
+    return merged.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_c").alias("sum_c"),
+        F.min("min_c").alias("min_c"),
+        F.max("max_c").alias("max_c"),
+    )
+
+
+def finalize_agg(state: DataFrame, scale: int = 100) -> DataFrame:
+    """Resolve the fixed-point state to user-facing doubles. avg divides
+    the exact integer sum once (identical IEEE result in any engine)."""
+    return state.select(
+        *[c for c in state.columns
+          if c not in ("n", "sum_c", "min_c", "max_c")],
+        F.col("n"),
+        (F.col("sum_c").cast("double") / scale).alias("sum_value"),
+        (F.col("min_c").cast("double") / scale).alias("min_value"),
+        (F.col("max_c").cast("double") / scale).alias("max_value"),
+        (F.col("sum_c").cast("double") / scale / F.col("n").cast("double"))
+        .alias("avg_value"),
     )
 
 

@@ -1430,6 +1430,18 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the co-purchase graph: deterministic
+    synchronous label propagation, 5 fixed iterations (neighbors-only
+    vote, min-label tie-break) — oracle-checked by unrolled CTEs like
+    the PageRank family; see operators.graph.lpa_communities."""
+    from ..operators.graph import copurchase_edges, lpa_communities
+
+    return lpa_communities(
+        copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    )
+
+
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (adapted: the part↔supplier relation comes from
     DISTINCT lineitem pairs instead of the absent partsupp, and the
@@ -1632,6 +1644,24 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: per-event-type stats
+    maintained as mergeable partial states. The events relation is split
+    deterministically into a 'base' shard (event_id % 10 < 8) and a
+    'delta' shard; each shard's state is computed independently
+    (operators/merge.py agg_state), monoid-merged, and finalized. The
+    oracle is the FULL direct aggregate — proving merged incremental
+    state equals a from-scratch recompute, which is what lets a 100 TB
+    rolling aggregate refresh scan only the arriving delta."""
+    from ..operators.merge import agg_state, finalize_agg, merge_agg_states
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 10 < 8)
+    delta = ev.filter(F.col("event_id") % 10 >= 8)
+    states = [agg_state(s, ["event_type"], "value") for s in (base, delta)]
+    return finalize_agg(merge_agg_states(states, ["event_type"]))
+
+
 def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style ingest validation: a 7-rule suite (null / range /
     domain / composite-key uniqueness / referential integrity) over
@@ -1705,9 +1735,11 @@ QUERIES = {
     "profile_columns": q_profile_columns,
     "path_mining": q_path_mining,
     "triangle_copurchase": q_triangle_copurchase,
+    "lpa_communities": q_lpa_communities,
     "seasonal_anomaly": q_seasonal_anomaly,
     "zorder_events": q_zorder_events,
     "data_expectations": q_data_expectations,
+    "incremental_agg": q_incremental_agg,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -2507,6 +2539,23 @@ FROM d
 }
 
 # Q14 == promo_share (same plan fn, same oracle), see QUERIES note
+ORACLES["incremental_agg"] = """
+WITH s AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+    CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_c,
+    CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_c
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+  CAST(sum_c AS DOUBLE) / 100 AS sum_value,
+  CAST(min_c AS DOUBLE) / 100 AS min_value,
+  CAST(max_c AS DOUBLE) / 100 AS max_value,
+  CAST(sum_c AS DOUBLE) / 100 / CAST(n AS DOUBLE) AS avg_value
+FROM s
+"""
+
 ORACLES["data_expectations"] = """
 WITH li AS (
   SELECT
@@ -2563,3 +2612,7 @@ ORACLES["tpch_q14"] = ORACLES["promo_share"]
 from ..operators.graph import triangle_oracle_sql as _tri_sql  # noqa: E402
 
 ORACLES["triangle_copurchase"] = _tri_sql()
+
+from ..operators.graph import lpa_oracle_sql as _lpa_sql  # noqa: E402
+
+ORACLES["lpa_communities"] = _lpa_sql()

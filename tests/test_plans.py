@@ -512,3 +512,24 @@ def test_pmi_bigrams_marginals_broadcast(spark, sf_dir):
     plan = explain_str(llm_ops.QUERIES["pmi_bigrams"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_lpa_two_cliques_converge_and_deterministic(spark):
+    """Two 4-cliques joined by one bridge edge: after 5 synchronous
+    iterations every clique collapses onto its min node id, the bridge
+    does not merge them, and the result is identical under a different
+    partitioning (partition-order independence)."""
+    from ha_sqllite_2_influxdb_spark.operators.graph import lpa_communities
+
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges += [(3, 10)]  # bridge
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {r.node: (r.community, r.csize)
+           for r in lpa_communities(df).collect()}
+    assert {n for n, (c, _) in got.items() if c == 0} == {0, 1, 2, 3}
+    assert {n for n, (c, _) in got.items() if c == 10} == {10, 11, 12, 13}
+    assert all(s == 4 for _, s in got.values())
+    again = {r.node: (r.community, r.csize)
+             for r in lpa_communities(df.repartition(7)).collect()}
+    assert again == got

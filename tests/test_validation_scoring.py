@@ -189,3 +189,30 @@ def test_stream_window_topk_drain_equals_batch(spark, sf_dir):
     )
     want = sorted(q_stream_window_topk(spark, sf_dir).collect())
     assert got == want
+
+
+def test_incremental_agg_state_monoid(spark, sf_dir):
+    """Merging per-shard states equals the one-shot state for ANY shard
+    decomposition (3-way and 10-way splits), and merging with an empty
+    state is the identity — the algebra that makes a delta refresh exact."""
+    from ha_sqllite_2_influxdb_spark.operators.merge import (
+        agg_state, finalize_agg, merge_agg_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    one_shot = sorted(
+        finalize_agg(agg_state(ev, ["event_type"], "value")).collect()
+    )
+    for mod in (3, 10):
+        shards = [ev.filter(F.col("event_id") % mod == i)
+                  for i in range(mod)]
+        states = [agg_state(s, ["event_type"], "value") for s in shards]
+        merged = sorted(
+            finalize_agg(merge_agg_states(states, ["event_type"])).collect()
+        )
+        assert merged == one_shot, mod
+    empty = agg_state(ev.filter(F.lit(False)), ["event_type"], "value")
+    with_empty = sorted(finalize_agg(merge_agg_states(
+        [agg_state(ev, ["event_type"], "value"), empty], ["event_type"]
+    )).collect())
+    assert with_empty == one_shot

@@ -89,7 +89,7 @@ def build_corpora(spark):
 
 def tiers(spark, docs_path, emb_path, books):
     from ha_sqllite_2_influxdb_spark.operators import (
-        dedup, graph, similarity, text,
+        dedup, graph, scoring, similarity, sketches, text,
     )
 
     docs = spark.read.parquet(docs_path)
@@ -114,6 +114,14 @@ def tiers(spark, docs_path, emb_path, books):
         # the word-prefix replication keeps each replica's bigram space
         # disjoint, so counts AND vocabulary scale with replica count
         "pmi_bigrams": lambda: text.pmi_bigrams(docs),
+        # r6 late additions: row-local scorer (pure map stage — the probe's
+        # closest thing to a linearity control) and MG heavy hitters
+        # (bounded per-partition state; replication grows the bigram vocab
+        # 10×, so candidate sets and recount groups scale with replicas)
+        "quality_classifier": lambda: scoring.quality_classify(
+            docs, portable=False),
+        "sketch_topk_ngrams": lambda: sketches.corpus_bigram_heavy_hitters(
+            docs),
     }
 
 
