@@ -6,16 +6,20 @@ checks, key uniqueness, referential integrity. This module evaluates a
 rule suite in the minimum number of passes and emits one report row per
 rule: ``(rule, violations, total, passed)``.
 
-Spark-first shape:
-- all ROW-LOCAL rules over one table collapse into a SINGLE scan with
-  conditional partial aggregation (`sum(case when …)`) — adding a rule
-  adds a column to the aggregate, not a pass over the data;
-- key uniqueness is one shuffle on the key (map-side combine does the
-  heavy lifting — group sizes, not rows, cross the wire);
-- referential integrity is a LEFT ANTI join on the key. Both sides are
-  fact-sized here, so the plan is a shuffle anti join — the correct plan
-  at 100 TB, where neither side broadcasts; AQE converts it to broadcast
-  when a filtered side turns out small.
+Spark-first shape — the fact table is scanned ONCE:
+- lineitem collapses to a per-(l_orderkey, l_linenumber) grouped
+  relation carrying the group size AND per-group conditional violation
+  sums. Every row-local rule is then a second-level sum over the grouped
+  relation (Σ per-group conditional sums ≡ the global conditional sum),
+  uniqueness is Σ(group_size − 1), and referential integrity consumes
+  the grouped relation's keys (orphan ROWS = Σ group sizes of orphan
+  keys) — so the single grouped pipeline feeds all seven lineitem-side
+  numbers. Spark's ReuseExchange collapses the branch re-reads of the
+  grouped relation; adding a rule adds a column, not a pass.
+- orders' row-local rules collapse into one conditional-sum scan.
+- the RI check is a LEFT ANTI join of grouped keys vs orders. Both
+  sides are fact-sized at 100 TB, so the shuffle anti join is the right
+  plan; AQE converts it to broadcast when a filtered side turns small.
 
 The report itself is a handful of 1-row aggregates unioned together —
 driver-safe by construction.
@@ -26,46 +30,41 @@ input; this extends the engine surface for production ingest gating.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _viol(cond) -> F.Column:
-    """Count rows violating ``cond`` (null predicate counts as violation)."""
-    return F.sum(
-        F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
-    ).cast("long")
+def _viol(cond: Column) -> Column:
+    """Per-row violation indicator (null predicate counts as violation)."""
+    return F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
 
 
 def expectations_report(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """Evaluate the standard order-pipeline rule suite; one row per rule."""
-    total_li = F.count(F.lit(1)).cast("long")
+    # ONE lineitem scan: per-key group sizes + per-group violation sums
+    grouped = lineitem.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(_viol(F.col("l_quantity").between(1, 50))).alias("g_qty"),
+        F.sum(_viol(F.col("l_discount").between(0.0, 0.5))).alias("g_disc"),
+    )
 
-    # one scan of lineitem: every row-local rule as a conditional sum
-    li_rowlocal = lineitem.agg(
-        _viol(F.col("l_quantity").between(1, 50)).alias("v_qty_range"),
-        _viol(F.col("l_orderkey").isNotNull()).alias("v_okey_null"),
-        _viol(
-            F.col("l_discount").between(0.0, 0.5)
-        ).alias("v_discount_range"),
-        total_li.alias("n"),
-    ).select(
-        F.expr(
-            "stack(3,"
-            " 'lineitem.l_quantity between 1 and 50', v_qty_range,"
-            " 'lineitem.l_orderkey not null', v_okey_null,"
-            " 'lineitem.l_discount between 0 and 0.5', v_discount_range)"
-            " as (rule, violations)"
-        ),
-        "n",
+    li_totals = grouped.agg(
+        F.sum("g_qty").cast("long").alias("v_qty_range"),
+        F.sum(
+            F.when(F.col("l_orderkey").isNull(), F.col("c")).otherwise(0)
+        ).cast("long").alias("v_okey_null"),
+        F.sum("g_disc").cast("long").alias("v_discount_range"),
+        F.sum(F.col("c") - 1).cast("long").alias("v_dup_key"),
+        F.sum("c").cast("long").alias("n"),
     )
 
     # one scan of orders: same collapse
-    o_rowlocal = orders.agg(
-        _viol(
-            F.col("o_orderstatus").isin("O", "F", "P")
-        ).alias("v_status_domain"),
-        _viol(F.col("o_totalprice") > 0).alias("v_price_pos"),
+    o_rules = orders.agg(
+        F.sum(
+            _viol(F.col("o_orderstatus").isin("O", "F", "P"))
+        ).cast("long").alias("v_status_domain"),
+        F.sum(_viol(F.col("o_totalprice") > 0)).cast("long")
+        .alias("v_price_pos"),
         F.count(F.lit(1)).cast("long").alias("n"),
     ).select(
         F.expr(
@@ -77,38 +76,32 @@ def expectations_report(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         "n",
     )
 
-    # uniqueness: extra copies beyond the first per composite key
-    uniq = (
-        lineitem.groupBy("l_orderkey", "l_linenumber")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(
-            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
-            .cast("long").alias("violations"),
-            F.sum("c").cast("long").alias("n"),
-        )
-        .select(
-            F.lit("lineitem (l_orderkey, l_linenumber) unique").alias("rule"),
-            "violations", "n",
-        )
-    )
-
-    # referential integrity: lineitem orphans vs orders
-    ri = (
-        lineitem.select("l_orderkey")
+    # referential integrity over the GROUPED keys: orphan rows = Σ c
+    ri_viol = (
+        grouped.select("l_orderkey", "c")
         .join(orders.select(F.col("o_orderkey").alias("l_orderkey")),
               "l_orderkey", "left_anti")
-        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
-        .crossJoin(  # 1-row × 1-row: attach the denominator
-            lineitem.agg(F.count(F.lit(1)).cast("long").alias("n"))
-        )
-        .select(
-            F.lit("lineitem.l_orderkey references orders").alias("rule"),
-            "violations", "n",
-        )
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v_ri"))
     )
 
-    report = li_rowlocal.unionByName(o_rowlocal).unionByName(uniq) \
-        .unionByName(ri)
+    # ONE 1-row relation carries every lineitem-side number (violations
+    # AND the shared denominator), so lineitem contributes exactly two
+    # scan subtrees to the plan: the stats aggregate and the RI anti
+    # join — the floor without materializing the grouped relation
+    li_rules = li_totals.crossJoin(ri_viol).select(
+        F.expr(
+            "stack(5,"
+            " 'lineitem.l_quantity between 1 and 50', v_qty_range,"
+            " 'lineitem.l_orderkey not null', v_okey_null,"
+            " 'lineitem.l_discount between 0 and 0.5', v_discount_range,"
+            " 'lineitem (l_orderkey, l_linenumber) unique', v_dup_key,"
+            " 'lineitem.l_orderkey references orders', v_ri)"
+            " as (rule, violations)"
+        ),
+        "n",
+    )
+
+    report = li_rules.unionByName(o_rules)
     return report.select(
         "rule",
         "violations",

@@ -302,6 +302,26 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-aggregate maintenance: the events stream
+    drained into per-event-type (count/sum/min/max) monoid states via
+    foreachBatch (streaming.stream.drain_agg_state) — the streaming twin
+    of the batch `incremental_agg` query, exact across micro-batches by
+    the same state-merge algebra. Real AvailableNow drain, fresh
+    checkpoint; the oracle is the full direct aggregate."""
+    import tempfile
+
+    from ..operators.merge import finalize_agg
+    from ..streaming.stream import drain_agg_state
+
+    ev = events_stream(spark, sf_dir).select("event_type", "value")
+    ckpt = tempfile.mkdtemp(prefix="stream_inc_agg_ckpt_")
+    state = drain_agg_state(
+        ev, keys=["event_type"], value_col="value", checkpoint=ckpt
+    )
+    return finalize_agg(state)
+
+
 def q_stream_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming: a per-user event-time EMA — an
     order-dependent fold no windowed aggregate can express — wired
@@ -384,6 +404,7 @@ QUERIES = {
     "stream_dedup_incremental": q_stream_dedup_incremental,
     "stream_upsert": q_stream_upsert,
     "stream_ema": q_stream_ema,
+    "stream_incremental_agg": q_stream_incremental_agg,
     "session_window_native": q_session_window_native,
     "stream_window_topk": q_stream_window_topk,
 }
@@ -542,3 +563,9 @@ FROM (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS mx
 WHERE session_id < mx
 """,
 }
+
+# the streaming incremental aggregate must equal the batch one, which
+# must equal a full recompute — ONE oracle text for both registry entries
+from .analytics import ORACLES as _ANALYTICS_ORACLES  # noqa: E402
+
+ORACLES["stream_incremental_agg"] = _ANALYTICS_ORACLES["incremental_agg"]

@@ -269,6 +269,40 @@ def drain_upsert(sdf: DataFrame, keys: list[str], order_cols: list[str],
     return state["store"]
 
 
+def drain_agg_state(sdf: DataFrame, keys: list[str], value_col: str,
+                    checkpoint: str) -> DataFrame:
+    """Streaming incremental-aggregate sink via foreachBatch: maintain
+    per-key (count/sum/min/max) partial states across micro-batches and
+    return the final state relation.
+
+    The batch twin is operators.merge.agg_state + merge_agg_states; the
+    SAME monoid algebra makes the streaming fold exact: each micro-batch
+    first collapses to its own per-key state (map-side shrink), then
+    monoid-merges into the accumulated store — one shuffle sized by
+    |keys| per batch, state as a distributed DataFrame (localCheckpoint
+    bounds lineage), nothing on the driver. This is how a 100 TB rolling
+    dashboard aggregate ingests a stream without ever re-scanning
+    history.
+    """
+    from ..operators.merge import agg_state, merge_agg_states
+
+    state: dict[str, DataFrame] = {}
+
+    def merge(batch: DataFrame, _epoch: int) -> None:
+        part = agg_state(batch, keys, value_col)
+        if "store" in state:
+            part = merge_agg_states([state["store"], part], keys)
+        state["store"] = part.localCheckpoint(eager=True)
+
+    drain_foreach_batch(sdf, checkpoint, merge)
+    if "store" not in state:  # empty stream
+        schema = ", ".join(f"{k} string" for k in keys)
+        return sdf.sparkSession.createDataFrame(
+            [], schema + ", n long, sum_c long, min_c long, max_c long"
+        )
+    return state["store"]
+
+
 def drain_foreach_batch(sdf: DataFrame, checkpoint: str, batch_fn) -> int:
     """T2: the reference's fetch→transform→write loop as foreachBatch.
 

@@ -470,3 +470,43 @@ def test_tws_gating_matches_runtime_dependency(spark):
         assert tws.tws_available() is True
     except ImportError:
         assert tws.tws_available() is False
+
+
+def test_drain_agg_state_across_batches_equals_batch(spark, sf_dir,
+                                                     tmp_path):
+    """The streaming incremental aggregate must be exact across MULTIPLE
+    micro-batches (one file per trigger): the per-batch states monoid-
+    merge into precisely the one-shot batch aggregate — integer state,
+    so not just approximately."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.operators.merge import (
+        agg_state, finalize_agg,
+    )
+    from ha_sqllite_2_influxdb_spark.streaming.stream import drain_agg_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src = str(tmp_path / "ev_parts")
+    os.makedirs(src)
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite").parquet(f"{src}/b{i}")
+
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    got = sorted(finalize_agg(drain_agg_state(
+        raw.select("event_type", "value"), ["event_type"], "value",
+        checkpoint=str(tmp_path / "ckpt"),
+    )).collect())
+    want = sorted(finalize_agg(
+        agg_state(ev, ["event_type"], "value")
+    ).collect())
+    assert got == want

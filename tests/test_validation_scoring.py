@@ -216,3 +216,26 @@ def test_incremental_agg_state_monoid(spark, sf_dir):
         [agg_state(ev, ["event_type"], "value"), empty], ["event_type"]
     )).collect())
     assert with_empty == one_shot
+
+
+def test_expectations_single_stats_scan(spark, sf_dir):
+    """Plan pin: lineitem contributes exactly TWO scan subtrees — the
+    grouped stats aggregate (all rule columns) and the RI anti join
+    (pruned to the key) — not one per rule. Guards against the naive
+    one-branch-per-rule regression (5 scans). AQE's toString repeats
+    the tree under '== Initial Plan ==', so only the final section is
+    counted."""
+    import re
+
+    rep = expectations_report(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+    rep.collect()
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    li_scans = [
+        m.group(0) for m in
+        re.finditer(r".*(?:Scan|FileScan) parquet.*l_orderkey.*", final)
+    ]
+    assert len(li_scans) <= 2, final
