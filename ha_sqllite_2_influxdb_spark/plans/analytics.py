@@ -1644,6 +1644,41 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / returning users + cumulative reach — the
+    product-analytics staple computed the scalable way: 'new' is derived
+    from each user's min-first-day relation (one user-keyed shuffle,
+    map-side combined) instead of any day-over-day distinct scan, and
+    cumulative reach is the running sum of n_new over the (tiny) daily
+    relation — NOT a running count-distinct over events. At 100 TB the
+    only corpus-scale work is two user/day aggregations; the window
+    runs over |days| rows."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    day_users = ev.distinct()
+    first_day = day_users.groupBy("user_id").agg(
+        F.min("day").alias("first_day")
+    )
+    daily = (
+        day_users.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).cast("long").alias("n_new"),
+        )
+        .withColumn("n_returning", F.col("n_active") - F.col("n_new"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn(
+        "cum_users", F.sum("n_new").over(w).cast("long")
+    )
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: per-event-type stats
     maintained as mergeable partial states. The events relation is split
@@ -1740,6 +1775,7 @@ QUERIES = {
     "zorder_events": q_zorder_events,
     "data_expectations": q_data_expectations,
     "incremental_agg": q_incremental_agg,
+    "daily_new_returning": q_daily_new_returning,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -2539,6 +2575,29 @@ FROM d
 }
 
 # Q14 == promo_share (same plan fn, same oracle), see QUERIES note
+ORACLES["daily_new_returning"] = """
+WITH du AS (
+  -- CAST: day-granularity date_trunc yields DATE in DuckDB (hour yields
+  -- TIMESTAMP); Spark's is always TIMESTAMP, and the driver compares str()
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+  FROM events
+),
+fd AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id),
+daily AS (
+  SELECT du.day,
+    CAST(count(*) AS BIGINT) AS n_active,
+    CAST(sum(CASE WHEN du.day = fd.first_day THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_new
+  FROM du JOIN fd ON du.user_id = fd.user_id
+  GROUP BY du.day
+)
+SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+  CAST(sum(n_new) OVER (ORDER BY day
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_users
+FROM daily
+"""
+
 ORACLES["incremental_agg"] = """
 WITH s AS (
   SELECT event_type,
