@@ -39,6 +39,57 @@ def _viol(cond: Column) -> Column:
     return F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
 
 
+def quarantine_rows(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Per-row routing with violation lineage — the dead-letter pattern:
+    every fact row is tagged with the exact rules it violates and a
+    quarantined flag, so the clean subset proceeds and the quarantine
+    carries WHY (not just that the batch-level report failed).
+
+    Same rule suite as `expectations_report`, evaluated per row: the
+    row-local rules are free column expressions; duplicate-key detection
+    is one window count over the key shuffle; referential integrity is a
+    broadcast-eligible LEFT join marking unmatched keys (shuffle join at
+    100 TB — the same plan the report's anti join uses). Reasons render
+    in fixed rule order, so the output is deterministic.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey", "l_linenumber")
+    matched = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("_hit")
+    )
+    flagged = (
+        lineitem.select("l_orderkey", "l_linenumber", "l_quantity",
+                        "l_discount")
+        .withColumn("_dup", F.count(F.lit(1)).over(w) > 1)
+        .join(matched, "l_orderkey", "left")
+        .withColumn(
+            "reasons",
+            F.concat_ws(
+                ",",
+                F.filter(
+                    F.array(
+                        F.when(_viol(F.col("l_quantity").between(1, 50))
+                               == 1, F.lit("qty_range")),
+                        F.when(F.col("l_orderkey").isNull(),
+                               F.lit("null_key")),
+                        F.when(_viol(F.col("l_discount").between(0.0, 0.5))
+                               == 1, F.lit("discount_range")),
+                        F.when(F.col("_dup"), F.lit("dup_key")),
+                        F.when(F.col("_hit").isNull(), F.lit("orphan")),
+                    ),
+                    lambda r: r.isNotNull(),
+                ),
+            ),
+        )
+    )
+    return flagged.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "reasons",
+        (F.col("reasons") != "").alias("quarantined"),
+    )
+
+
 def expectations_report(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """Evaluate the standard order-pipeline rule suite; one row per rule."""
     # ONE lineitem scan: per-key group sizes + per-group violation sums

@@ -1679,6 +1679,17 @@ def q_daily_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quarantine_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing: every lineitem row tagged with the exact
+    rules it violates (fixed order) + quarantined flag — the per-row
+    companion of data_expectations (operators/validate.py)."""
+    from ..operators.validate import quarantine_rows
+
+    return quarantine_rows(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: per-event-type stats
     maintained as mergeable partial states. The events relation is split
@@ -1776,6 +1787,7 @@ QUERIES = {
     "data_expectations": q_data_expectations,
     "incremental_agg": q_incremental_agg,
     "daily_new_returning": q_daily_new_returning,
+    "quarantine_rows": q_quarantine_rows,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -2575,6 +2587,34 @@ FROM d
 }
 
 # Q14 == promo_share (same plan fn, same oracle), see QUERIES note
+ORACLES["quarantine_rows"] = """
+WITH f AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+    count(*) OVER (PARTITION BY l_orderkey, l_linenumber) > 1 AS dup,
+    EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey) AS hit
+  FROM lineitem l
+),
+r AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+    -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+    -- concat_ws over an empty array is '' — pin the engine behavior
+    coalesce(array_to_string(list_filter([
+      CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+           THEN 'qty_range' END,
+      CASE WHEN l_orderkey IS NULL THEN 'null_key' END,
+      CASE WHEN NOT coalesce(l_discount BETWEEN 0 AND 0.5, FALSE)
+           THEN 'discount_range' END,
+      CASE WHEN dup THEN 'dup_key' END,
+      CASE WHEN NOT hit THEN 'orphan' END
+    ], x -> x IS NOT NULL), ','), '') AS reasons
+  FROM f
+)
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount, reasons,
+  reasons <> '' AS quarantined
+FROM r
+"""
+
 ORACLES["daily_new_returning"] = """
 WITH du AS (
   -- CAST: day-granularity date_trunc yields DATE in DuckDB (hour yields

@@ -239,3 +239,85 @@ def test_expectations_single_stats_scan(spark, sf_dir):
         re.finditer(r".*(?:Scan|FileScan) parquet.*l_orderkey.*", final)
     ]
     assert len(li_scans) <= 2, final
+
+
+def test_quarantine_rows_reasons_lineage(spark):
+    """Each planted violation appears in the row's reasons string, in
+    fixed rule order; clean rows pass with empty reasons."""
+    from ha_sqllite_2_influxdb_spark.operators.validate import (
+        quarantine_rows,
+    )
+
+    li = spark.createDataFrame(
+        [
+            (1, 1, 10.0, 0.05),    # clean
+            (1, 2, 99.0, 0.9),     # qty + discount
+            (None, 1, 10.0, 0.05),  # null key (=> also orphan)
+            (2, 1, 10.0, 0.05),    # dup pair...
+            (2, 1, 99.0, 0.05),    # ...dup pair + qty
+            (7, 1, 10.0, 0.05),    # orphan
+        ],
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "F", 20.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    rows = quarantine_rows(li, orders).collect()
+    got = {(r.l_orderkey, r.l_linenumber, r.l_quantity): r.reasons
+           for r in rows}
+    assert got[(1, 1, 10.0)] == ""
+    assert got[(1, 2, 99.0)] == "qty_range,discount_range"
+    assert got[(None, 1, 10.0)] == "null_key,orphan"
+    assert got[(2, 1, 10.0)] == "dup_key"
+    assert got[(2, 1, 99.0)] == "qty_range,dup_key"
+    assert got[(7, 1, 10.0)] == "orphan"
+    assert {r.quarantined for r in rows if r.reasons} == {True}
+    # the clean/quarantine split covers every input row exactly once
+    assert len(rows) == 6
+
+
+def test_quality_classifier_matches_pure_python_reference(spark):
+    """score_int must equal an independent pure-python re-implementation
+    of the hashed model on edge-case inputs (doubled spaces produce ''
+    tokens under the corpus convention text.split(' '); single chars;
+    punctuation; long repeats)."""
+    from ha_sqllite_2_influxdb_spark.operators.scoring import (
+        N_BUCKETS, _MIX, _W_RANGE,
+    )
+
+    M = 2_147_483_647
+
+    def py_score(text):
+        ws = text.split(" ")
+        feats = list(ws)
+        if len(ws) >= 2:
+            feats += [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+        def ch(s):
+            h = 0
+            for c in s:
+                h = (h * 31 + ord(c)) % M
+            return h
+
+        wts = [(ch(f) % N_BUCKETS) * _MIX % _W_RANGE - 1000 for f in feats]
+        return sum(wts), len(feats)
+
+    cases = [
+        "hello world",
+        "a",
+        "double  space",   # '' token in the middle
+        "trailing space ",
+        " leading",
+        "punct! mix? yes.",
+        "repeat " * 50 + "repeat",
+        "x y z w v u t s r q p",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.score_int, r.n_features)
+           for r in quality_classify(docs).collect()}
+    want = {i: py_score(t) for i, t in enumerate(cases)}
+    assert got == want
