@@ -41,7 +41,10 @@ _DRIVER_WINDOW = [
     # SURVEY §2 T2-T4: sessions stays per VERDICT r5 #1 to confirm the
     # HUGEINT oracle-type fix under the real driver; stream_static_join
     # gets its first driver row.
-    "stream_sessions", "events_sliding", "session_window_native",
+    # events_sliding rotated out late-r6 (multi-round green) for the
+    # composed ingest_pipeline first verdict
+    "stream_sessions", "session_window_native",
+    "ingest_pipeline",
     "stream_static_join",
     # streaming MERGE sink + stateful EMA fold (new r6, first verdicts)
     "stream_upsert", "stream_ema",
@@ -61,7 +64,9 @@ _DRIVER_WINDOW = [
     # driver verdicts for all three r5 additions)
     "curate_pipeline", "training_shuffle", "dataset_split",
     # similarity search (exact tier; ANN tiers are rows-only, after window)
-    "embedding_knn",
+    # embedding_knn rotated out late-r6 (green r1-r5, still benched
+    # with its paired PQ tier) for the per-row quarantine gate
+    "quarantine_rows",
     # skew-aware ops + upsert
     "salted_join", "distinct_twophase", "upsert_latest",
     # analytics breadth: TPC-H adaptations, windows, special joins,

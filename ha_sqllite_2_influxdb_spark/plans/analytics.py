@@ -1644,6 +1644,43 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: admission rules for the ingest pipeline — shared between the Spark
+#: plan and the generated oracle so the two sides cannot drift
+_INGEST_VALUE_LO, _INGEST_VALUE_HI = 0, 95
+_INGEST_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ingest refresh as ONE composed plan — the production
+    loop every 100 TB event store runs per arriving shard: the delta
+    (event_id % 10 >= 8) passes a row-local admission gate (value range,
+    known event type, non-null user — rows failing any rule are dropped
+    to quarantine), and ONLY the admitted rows' partial aggregate state
+    monoid-merges with the base shard's state (operators/merge.py) into
+    the refreshed per-type stats. The base side is scanned once for its
+    state and the gate never touches it; at scale the base state would
+    be the PERSISTED artifact of the previous refresh, so the marginal
+    cost is one delta scan + a |keys|-row merge. The oracle recomputes
+    the same admission set from scratch — composed correctness, the
+    curate_pipeline precedent on the analytics side."""
+    from ..operators.merge import agg_state, finalize_agg, merge_agg_states
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 10 < 8)
+    delta = ev.filter(F.col("event_id") % 10 >= 8)
+    admitted = delta.filter(
+        F.coalesce(
+            F.col("value").between(_INGEST_VALUE_LO, _INGEST_VALUE_HI)
+            & F.col("event_type").isin(*_INGEST_TYPES)
+            & F.col("user_id").isNotNull(),
+            F.lit(False),
+        )
+    )
+    states = [agg_state(s, ["event_type"], "value")
+              for s in (base, admitted)]
+    return finalize_agg(merge_agg_states(states, ["event_type"]))
+
+
 def q_daily_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active / new / returning users + cumulative reach — the
     product-analytics staple computed the scalable way: 'new' is derived
@@ -1788,6 +1825,7 @@ QUERIES = {
     "incremental_agg": q_incremental_agg,
     "daily_new_returning": q_daily_new_returning,
     "quarantine_rows": q_quarantine_rows,
+    "ingest_pipeline": q_ingest_pipeline,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -2587,6 +2625,32 @@ FROM d
 }
 
 # Q14 == promo_share (same plan fn, same oracle), see QUERIES note
+ORACLES["ingest_pipeline"] = f"""
+WITH adm AS (
+  SELECT event_type, value FROM events WHERE event_id % 10 < 8
+  UNION ALL
+  SELECT event_type, value FROM events
+  WHERE event_id % 10 >= 8
+    AND coalesce(value BETWEEN {_INGEST_VALUE_LO} AND {_INGEST_VALUE_HI}
+                 AND event_type IN {_INGEST_TYPES}
+                 AND user_id IS NOT NULL, FALSE)
+),
+s AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+    CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_c,
+    CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_c
+  FROM adm GROUP BY event_type
+)
+SELECT event_type, n,
+  CAST(sum_c AS DOUBLE) / 100 AS sum_value,
+  CAST(min_c AS DOUBLE) / 100 AS min_value,
+  CAST(max_c AS DOUBLE) / 100 AS max_value,
+  CAST(sum_c AS DOUBLE) / 100 / CAST(n AS DOUBLE) AS avg_value
+FROM s
+"""
+
 ORACLES["quarantine_rows"] = """
 WITH f AS (
   SELECT l_orderkey, l_linenumber, l_quantity, l_discount,

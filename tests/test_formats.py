@@ -65,3 +65,31 @@ def test_csv_malformed_rows_route_to_corrupt_column(spark, tmp_path):
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     assert good.count() == 1 and bad.count() == 2
     assert {r.event_id for r in good.collect()} == {1}
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir,
+                                                     tmp_path):
+    """Hive-style partitioned layout: writing events partitioned by
+    event_type and filtering one type on read must prune at PLANNING
+    time — the scan's partitionFilters carry the predicate and only the
+    matching directory is listed. This is the layout contract that makes
+    a 100 TB store readable by type without scanning the other types."""
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = str(tmp_path / "by_type")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    want = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == want
+
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    scan = next(l for l in final.splitlines() if "FileScan" in l)
+    assert "PartitionFilters" in scan and "event_type" in scan.split(
+        "PartitionFilters")[1].split("]")[0], scan

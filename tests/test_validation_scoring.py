@@ -321,3 +321,33 @@ def test_quality_classifier_matches_pure_python_reference(spark):
            for r in quality_classify(docs).collect()}
     want = {i: py_score(t) for i, t in enumerate(cases)}
     assert got == want
+
+
+def test_ingest_pipeline_gate_fires_and_merge_exact(spark, sf_dir):
+    """The composed refresh: (a) the admission gate genuinely drops
+    delta rows on this fixture; (b) the merged incremental state equals
+    a direct aggregate over base ∪ admitted — composition correctness."""
+    from ha_sqllite_2_influxdb_spark.operators.merge import (
+        agg_state, finalize_agg,
+    )
+    from ha_sqllite_2_influxdb_spark.plans.analytics import (
+        _INGEST_TYPES, _INGEST_VALUE_HI, _INGEST_VALUE_LO,
+        q_ingest_pipeline,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    admitted = ev.filter(
+        (F.col("event_id") % 10 < 8)
+        | F.coalesce(
+            F.col("value").between(_INGEST_VALUE_LO, _INGEST_VALUE_HI)
+            & F.col("event_type").isin(*_INGEST_TYPES)
+            & F.col("user_id").isNotNull(),
+            F.lit(False),
+        )
+    )
+    assert admitted.count() < ev.count()  # the gate drops something
+    got = sorted(q_ingest_pipeline(spark, sf_dir).collect())
+    want = sorted(
+        finalize_agg(agg_state(admitted, ["event_type"], "value")).collect()
+    )
+    assert got == want
