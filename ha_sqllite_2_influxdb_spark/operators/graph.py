@@ -371,3 +371,97 @@ sz AS (SELECT label, CAST(count(*) AS BIGINT) AS csize
 SELECT l.node, l.label AS community, sz.csize
 FROM l{iters} l JOIN sz ON l.label = sz.label
 """
+
+
+def link_prediction(edges: DataFrame, k: int = 50) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg
+    2003, public literature): for every NON-adjacent pair at distance 2,
+    score = |N(u)∩N(v)| / |N(u)∪N(v)| — the classic 'customers who
+    bought X also bought Y' candidate feature.
+
+    Shape: wedges enumerate once per common neighbor (mid) via the
+    symmetric-adjacency self-join with a < b — unlike triangle counting
+    there is no orientation trick, because every wedge contributes to
+    its endpoint pair's count; hub mids are therefore the scale risk,
+    and at 100 TB the mitigation is the same hot-bucket cap the LSH
+    family uses (drop mids above a degree ceiling — they contribute
+    near-zero Jaccard anyway since deg(mid) inflates both unions).
+    Here the fixture's co-purchase degrees are bounded, so the exact
+    tier runs uncapped and stays oracle-checkable. One groupBy on the
+    candidate pair, LEFT ANTI against the edge set (predict NEW links
+    only), broadcast-size degree relation joined twice, TakeOrdered for
+    the top-k.
+
+    Integers end-to-end except the single final division (identical
+    IEEE double in any engine). Returns (a, b, common, deg_a, deg_b,
+    jaccard) — top-k by (jaccard desc, a, b).
+    """
+    # the edge relation feeds SEVEN plan subtrees (sym twice, the degree
+    # relation, the anti probe); a lazy localCheckpoint materializes the
+    # expensive co-purchase aggregation exactly once instead of
+    # replaying the corpus self-join per subtree
+    edges = edges.localCheckpoint(eager=False)
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    w1 = sym.select(F.col("v").alias("mid"), F.col("u").alias("a"))
+    w2 = sym.select(F.col("v").alias("mid"), F.col("u").alias("b"))
+    pairs = (
+        w1.join(w2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+              ["a", "b"], "left_anti")
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("deg").alias("deg_b"))
+    scored = (
+        pairs.join(da, "a").join(db, "b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+            .cast("double"),
+        )
+    )
+    return (
+        scored.select("a", "b", "common", "deg_a", "deg_b", "jaccard")
+        .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )
+
+
+def link_prediction_oracle_sql(k: int = 50, min_co: int = 2) -> str:
+    """Oracle: the identical wedge-count + anti-edge + Jaccard pipeline
+    over the same co-purchase graph."""
+    return f"""
+WITH pr AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= {min_co}),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+cand AS (
+  SELECT w1.u AS a, w2.u AS b, CAST(count(*) AS BIGINT) AS common
+  FROM sym w1 JOIN sym w2 ON w1.v = w2.v AND w1.u < w2.u
+  GROUP BY w1.u, w2.u
+),
+nonedge AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.a AND e.v = c.b)
+)
+SELECT n.a, n.b, n.common,
+  da.deg AS deg_a, db.deg AS deg_b,
+  CAST(n.common AS DOUBLE)
+    / CAST(da.deg + db.deg - n.common AS DOUBLE) AS jaccard
+FROM nonedge n
+JOIN deg da ON n.a = da.u
+JOIN deg db ON n.b = db.u
+ORDER BY jaccard DESC, n.a ASC, n.b ASC
+LIMIT {k}
+"""

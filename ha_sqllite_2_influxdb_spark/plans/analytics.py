@@ -1430,6 +1430,17 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 predicted co-purchase links by neighborhood Jaccard over
+    non-adjacent distance-2 part pairs (operators.graph.link_prediction
+    — the 'also bought' candidate feature, oracle-exact)."""
+    from ..operators.graph import copurchase_edges, link_prediction
+
+    return link_prediction(
+        copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    )
+
+
 def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection over the co-purchase graph: deterministic
     synchronous label propagation, 5 fixed iterations (neighbors-only
@@ -1819,6 +1830,7 @@ QUERIES = {
     "path_mining": q_path_mining,
     "triangle_copurchase": q_triangle_copurchase,
     "lpa_communities": q_lpa_communities,
+    "link_prediction": q_link_prediction,
     "seasonal_anomaly": q_seasonal_anomaly,
     "zorder_events": q_zorder_events,
     "data_expectations": q_data_expectations,
@@ -2779,3 +2791,7 @@ ORACLES["triangle_copurchase"] = _tri_sql()
 from ..operators.graph import lpa_oracle_sql as _lpa_sql  # noqa: E402
 
 ORACLES["lpa_communities"] = _lpa_sql()
+
+from ..operators.graph import link_prediction_oracle_sql as _lp_sql  # noqa: E402
+
+ORACLES["link_prediction"] = _lp_sql()

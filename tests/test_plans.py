@@ -533,3 +533,17 @@ def test_lpa_two_cliques_converge_and_deterministic(spark):
     again = {r.node: (r.community, r.csize)
              for r in lpa_communities(df.repartition(7)).collect()}
     assert again == got
+
+
+def test_link_prediction_known_graph(spark):
+    """4-cycle a-b-c-d: both diagonals score Jaccard 1.0 (two common
+    neighbors, degree 2 each); existing edges must NOT appear."""
+    from ha_sqllite_2_influxdb_spark.operators.graph import link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "u long, v long"
+    )
+    rows = link_prediction(edges).collect()
+    got = {(r.a, r.b): (r.common, r.deg_a, r.deg_b, r.jaccard)
+           for r in rows}
+    assert got == {(1, 3): (2, 2, 2, 1.0), (2, 4): (2, 2, 2, 1.0)}
