@@ -465,3 +465,73 @@ JOIN deg db ON n.b = db.u
 ORDER BY jaccard DESC, n.a ASC, n.b ASC
 LIMIT {k}
 """
+
+
+BFS_DEPTH = 4
+
+
+def bfs_distances(edges: DataFrame, depth: int = BFS_DEPTH) -> DataFrame:
+    """Frontier BFS over the undirected graph from a deterministic
+    source (the minimum node id): (node, dist) for every node within
+    ``depth`` hops — the traversal primitive under reachability /
+    ego-network features.
+
+    Scale shape: per level ONE join of the CURRENT frontier (not the
+    visited set) against the adjacency relation keyed by node, one
+    distinct, one anti join against the visited relation — work is
+    proportional to the frontier's edge boundary, the textbook
+    frontier-BFS bound. Visited state stays a distributed DataFrame
+    (localCheckpoint per level bounds lineage depth, the pagerank
+    precedent); driver state is the single source id. Fixed depth makes
+    the iterative operator oracle-checkable by unrolled CTEs.
+    """
+    edges = edges.localCheckpoint(eager=False)
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    source = edges.agg(F.min("u")).first()[0]
+    dist = edges.sparkSession.createDataFrame(
+        [(source, 0)], "node long, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for d in range(1, depth + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
+def bfs_oracle_sql(depth: int = BFS_DEPTH, min_co: int = 2) -> str:
+    """Oracle: identical frontier expansion as unrolled CTEs over the
+    same co-purchase graph, source = min node id."""
+    its = []
+    for d in range(1, depth + 1):
+        its.append(f"""
+f{d} AS (
+  SELECT DISTINCT s.v AS node, {d} AS dist
+  FROM sym s JOIN f{d - 1} p ON s.u = p.node
+  WHERE NOT EXISTS (SELECT 1 FROM a{d - 1} x WHERE x.node = s.v)
+),
+a{d} AS (SELECT node, dist FROM a{d - 1}
+         UNION ALL SELECT node, dist FROM f{d})""")
+    return f"""
+WITH pr AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= {min_co}),
+sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+f0 AS (SELECT min(u) AS node, 0 AS dist FROM e),
+a0 AS (SELECT node, dist FROM f0),
+{",".join(its)}
+SELECT node, CAST(dist AS INT) AS dist FROM a{depth}
+"""

@@ -202,3 +202,35 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def build_inverted_index(documents: DataFrame,
+                         n_shards: int = 1) -> DataFrame:
+    """Materialize the inverted index itself — the artifact BM25/TF-IDF
+    retrieval serves from: per (term, shard) a SORTED posting list of
+    doc_ids plus the term's document frequency.
+
+    Scale shape: one corpus-scale shuffle on (term, shard). Posting
+    lists are the classic hot-key hazard (a stopword's list is the
+    corpus), so lists shard by ``doc_id % n_shards`` — each grouped
+    list is bounded by |docs|/n_shards, shards of one term land on
+    different reducers, and a serving layer unions shards per term.
+    n_shards=1 keeps the fixture tier oracle-exact with whole lists;
+    the df column is computed per shard pre-aggregation and summed, so
+    it is exact at any shard count.
+
+    Output: (term, shard, df, postings) — postings ascending, so any
+    engine produces byte-identical lists.
+    """
+    terms = documents.select(
+        "doc_id", F.explode(F.array_distinct(words(F.col("text"))))
+        .alias("term")
+    )
+    return (
+        terms.withColumn("shard", F.pmod("doc_id", F.lit(n_shards)))
+        .groupBy("term", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+    )

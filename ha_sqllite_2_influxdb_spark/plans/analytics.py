@@ -1430,6 +1430,17 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier BFS from the minimum part id over the co-purchase
+    graph: every node within 4 hops with its hop distance
+    (operators.graph.bfs_distances, unrolled-CTE oracle)."""
+    from ..operators.graph import bfs_distances, copurchase_edges
+
+    return bfs_distances(
+        copurchase_edges(_t(spark, sf_dir, "lineitem"))
+    )
+
+
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 predicted co-purchase links by neighborhood Jaccard over
     non-adjacent distance-2 part pairs (operators.graph.link_prediction
@@ -1831,6 +1842,7 @@ QUERIES = {
     "triangle_copurchase": q_triangle_copurchase,
     "lpa_communities": q_lpa_communities,
     "link_prediction": q_link_prediction,
+    "bfs_distances": q_bfs_distances,
     "seasonal_anomaly": q_seasonal_anomaly,
     "zorder_events": q_zorder_events,
     "data_expectations": q_data_expectations,
@@ -2795,3 +2807,7 @@ ORACLES["lpa_communities"] = _lpa_sql()
 from ..operators.graph import link_prediction_oracle_sql as _lp_sql  # noqa: E402
 
 ORACLES["link_prediction"] = _lp_sql()
+
+from ..operators.graph import bfs_oracle_sql as _bfs_sql  # noqa: E402
+
+ORACLES["bfs_distances"] = _bfs_sql()

@@ -436,6 +436,13 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.random_projection(_emb(spark, sf_dir))
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index (sorted posting lists + df) — the
+    serving artifact behind bm25_topk/tfidf_topk; sharding story in
+    operators/ranking.py."""
+    return ranking.build_inverted_index(_docs(spark, sf_dir))
+
+
 def q_sketch_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items sketch tier: Misra–Gries bounded-state candidates
     + exact recount over word bigrams (operators/sketches.py). Exact by
@@ -785,6 +792,7 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "random_projection": q_random_projection,
     "sketch_topk_ngrams": q_sketch_topk_ngrams,
+    "inverted_index": q_inverted_index,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -1627,6 +1635,17 @@ SELECT doc_id, score_int, n_features,
   CAST(score_int AS DOUBLE) / CAST(n_features * 1000 AS DOUBLE) AS score,
   score_int > 0 AS keep
 FROM s
+""",
+    "inverted_index": """
+WITH t AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  )
+)
+SELECT term, CAST(doc_id % 1 AS BIGINT) AS shard,
+  CAST(count(*) AS BIGINT) AS df,
+  list(doc_id ORDER BY doc_id) AS postings
+FROM t GROUP BY term, CAST(doc_id % 1 AS BIGINT)
 """,
     "sketch_topk_ngrams": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -547,3 +547,17 @@ def test_link_prediction_known_graph(spark):
     got = {(r.a, r.b): (r.common, r.deg_a, r.deg_b, r.jaccard)
            for r in rows}
     assert got == {(1, 3): (2, 2, 2, 1.0), (2, 4): (2, 2, 2, 1.0)}
+
+
+def test_bfs_distances_path_graph(spark):
+    """Path 1-2-3-4-5-6 plus isolated pair 10-11: from source 1 the
+    distances are hop counts, depth 4 truncates node 6, and the
+    disconnected component never appears."""
+    from ha_sqllite_2_influxdb_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "u long, v long",
+    )
+    got = {r.node: r.dist for r in bfs_distances(edges, depth=4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
