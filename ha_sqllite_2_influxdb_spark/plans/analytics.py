@@ -1430,6 +1430,30 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction the typed way: events.props parses
+    through `from_json` with an explicit schema (JVM-side, one pass —
+    never per-field get_json_object re-parses), malformed documents
+    land as NULL and are counted, and the typed column aggregates like
+    any other. At 100 TB the schema-first parse is the difference
+    between one Jackson pass per row and one per extracted field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_unparsed"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
 def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier BFS from the minimum part id over the co-purchase
     graph: every node within 4 hops with its hop distance
@@ -1843,6 +1867,7 @@ QUERIES = {
     "lpa_communities": q_lpa_communities,
     "link_prediction": q_link_prediction,
     "bfs_distances": q_bfs_distances,
+    "json_props_stats": q_json_props_stats,
     "seasonal_anomaly": q_seasonal_anomaly,
     "zorder_events": q_zorder_events,
     "data_expectations": q_data_expectations,
@@ -2811,3 +2836,20 @@ ORACLES["link_prediction"] = _lp_sql()
 from ..operators.graph import bfs_oracle_sql as _bfs_sql  # noqa: E402
 
 ORACLES["bfs_distances"] = _bfs_sql()
+
+ORACLES["json_props_stats"] = """
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS k
+  FROM events
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unparsed,
+  CAST(sum(k) AS BIGINT) AS sum_k,
+  min(k) AS min_k,
+  max(k) AS max_k,
+  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM p GROUP BY event_type
+"""

@@ -62,6 +62,7 @@ def _emb(spark, sf_dir):
 # ---------------------------------------------------------------- queries
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per md5 content digest."""
     return dedup.dedup_exact(recrawl(spark, sf_dir))
 
 
@@ -132,12 +133,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature rows (seed, minhash) — portable tier."""
     return dedup.minhash_signatures(
         _docs(spark, sf_dir).select("doc_id", "text"), n_seeds=N_SEEDS
     )
 
 
 def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: banded MinHash-LSH candidates, Jaccard-verified."""
     return dedup.neardup_pairs(
         recrawl(spark, sf_dir),
         threshold=JACCARD_T, n_seeds=N_SEEDS,
@@ -145,6 +148,7 @@ def q_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from the n-gram inverted index, Jaccard >= 0.5."""
     return dedup.jaccard_pairs_inverted_index(
         recrawl(spark, sf_dir), threshold=JACCARD_T
     )
@@ -170,10 +174,12 @@ def q_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures via codegen explode + partial agg."""
     return dedup.simhash_signatures(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
 def q_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-neighbor pairs within Hamming distance 3."""
     return dedup.simhash_neighbors(
         recrawl(spark, sf_dir), max_hamming=HAMMING_T
     )
@@ -229,6 +235,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into fixed token-budget training rows."""
     return curation.pack_sequences(_docs(spark, sf_dir))
 
 
@@ -249,6 +256,7 @@ def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_curriculum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum selection: top-25 docs per language by quality score."""
     return curation.curriculum_topk(_docs(spark, sf_dir))
 
 
@@ -340,10 +348,12 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors (ANN oracle tier)."""
     return similarity.knn_brute_force(_emb(spark, sf_dir))
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above cosine 0.35, quantized-exact."""
     return similarity.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=COS_T)
 
 
@@ -367,6 +377,7 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts: whitespace words + BPE-ish regex tokens."""
     return token_stats(_docs(spark, sf_dir))
 
 
@@ -454,22 +465,27 @@ def q_sketch_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals: length, stopword/punct ratios, score."""
     return quality_scores(_docs(spark, sf_dir))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID with per-language scores."""
     return lang_id(_docs(spark, sf_dir))
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc md5 + portable rolling-hash fingerprints."""
     return fingerprints(_docs(spark, sf_dir))
 
 
 def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lowercase/strip/whitespace-collapse normalization pass."""
     return clean_text(_docs(spark, sf_dir))
 
 
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 word bigrams by count (full groupBy tier)."""
     return top_bigrams(_docs(spark, sf_dir))
 
 
@@ -632,6 +648,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary media columns (magic bytes, size)."""
     return multimodal.multimodal_meta(_docs(spark, sf_dir))
 
 

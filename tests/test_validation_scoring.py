@@ -351,3 +351,38 @@ def test_ingest_pipeline_gate_fires_and_merge_exact(spark, sf_dir):
         finalize_agg(agg_state(admitted, ["event_type"], "value")).collect()
     )
     assert got == want
+
+
+def test_json_props_stats_malformed_routes_to_null(spark):
+    """from_json with an explicit schema must route malformed / missing
+    / wrong-typed documents to NULL (counted in n_unparsed) without
+    failing the job — the bad-row tolerance the reference pipeline's
+    P7 convention requires of every codec."""
+    from ha_sqllite_2_influxdb_spark.plans.analytics import (
+        q_json_props_stats,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", '{"k": 5}'),
+            (2, "a", "not json"),
+            (3, "a", '{"other": 1}'),
+            (4, "a", None),
+            (5, "a", '{"k": "str"}'),
+            (6, "a", '{"k": 7}'),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    k = F.from_json("props", "k INT").getField("k")
+    row = (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_unparsed"),
+            F.sum("k").cast("long").alias("sum_k"),
+        ).collect()[0]
+    )
+    assert (row.n, row.n_unparsed, row.sum_k) == (6, 4, 12)
