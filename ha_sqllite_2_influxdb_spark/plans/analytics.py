@@ -1430,6 +1430,15 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral similarity search: top-20 users by event-sequence
+    trigram Jaccard vs user 0 (operators/sequence.py — ordered streams,
+    broadcast query set, no pairwise join)."""
+    from ..operators.sequence import user_sequence_similarity
+
+    return user_sequence_similarity(_t(spark, sf_dir, "events"))
+
+
 def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction the typed way: events.props parses
     through `from_json` with an explicit schema (JVM-side, one pass —
@@ -1868,6 +1877,7 @@ QUERIES = {
     "link_prediction": q_link_prediction,
     "bfs_distances": q_bfs_distances,
     "json_props_stats": q_json_props_stats,
+    "sequence_similarity": q_sequence_similarity,
     "seasonal_anomaly": q_seasonal_anomaly,
     "zorder_events": q_zorder_events,
     "data_expectations": q_data_expectations,
@@ -2836,6 +2846,12 @@ ORACLES["link_prediction"] = _lp_sql()
 from ..operators.graph import bfs_oracle_sql as _bfs_sql  # noqa: E402
 
 ORACLES["bfs_distances"] = _bfs_sql()
+
+from ..operators.sequence import (  # noqa: E402
+    sequence_similarity_oracle_sql as _seq_sql,
+)
+
+ORACLES["sequence_similarity"] = _seq_sql()
 
 ORACLES["json_props_stats"] = """
 WITH p AS (

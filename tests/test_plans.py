@@ -561,3 +561,28 @@ def test_bfs_distances_path_graph(spark):
     )
     got = {r.node: r.dist for r in bfs_distances(edges, depth=4).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_sequence_similarity_is_order_sensitive(spark):
+    """Users with identical event BAGS but different orders must not be
+    identical: user 1 repeats the query user's order (jaccard 1.0),
+    user 2 reverses it (disjoint trigrams, jaccard 0.0)."""
+    import datetime as dt
+
+    from ha_sqllite_2_influxdb_spark.operators.sequence import (
+        user_sequence_similarity,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    fwd = ["a", "b", "c", "d", "e"]
+    for uid, seq in [(0, fwd), (1, fwd), (2, list(reversed(fwd)))]:
+        for i, et in enumerate(seq):
+            rows.append((uid * 100 + i, t0 + dt.timedelta(minutes=i),
+                         uid, et))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r.user_id: r.jaccard
+           for r in user_sequence_similarity(ev, query_user=0).collect()}
+    assert got == {1: 1.0, 2: 0.0}
