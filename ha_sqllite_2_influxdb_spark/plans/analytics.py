@@ -1430,6 +1430,44 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout with CUPED variance reduction: per-variant adjusted
+    post-period mean via theta from five integer sums — no per-row
+    float accumulation anywhere (operators/experiment.py)."""
+    from ..operators.experiment import cuped_readout
+
+    return cuped_readout(_t(spark, sf_dir, "events"))
+
+
+def q_behavior_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL user pairs with event-sequence 3-gram Jaccard >= 0.35 —
+    exact, via prefix filtering (operators.dedup.allpairs_jaccard):
+    behavioral similarity is moderate by nature (max ~0.49 on this
+    fixture), where banded MinHash-LSH recall collapses; the
+    prefix-filter index finds every pair with zero false negatives."""
+    from ..operators.dedup import allpairs_jaccard
+
+    ev = _t(spark, sf_dir, "events")
+    corpus = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x.getField("event_type"),
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select(F.col("user_id").alias("doc_id"), "text")
+    )
+    return allpairs_jaccard(corpus, threshold=0.35)
+
+
 def q_sequence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral similarity search: top-20 users by event-sequence
     trigram Jaccard vs user 0 (operators/sequence.py — ordered streams,
@@ -1878,6 +1916,8 @@ QUERIES = {
     "bfs_distances": q_bfs_distances,
     "json_props_stats": q_json_props_stats,
     "sequence_similarity": q_sequence_similarity,
+    "behavior_allpairs": q_behavior_allpairs,
+    "cuped_readout": q_cuped_readout,
     "seasonal_anomaly": q_seasonal_anomaly,
     "zorder_events": q_zorder_events,
     "data_expectations": q_data_expectations,
@@ -2852,6 +2892,84 @@ from ..operators.sequence import (  # noqa: E402
 )
 
 ORACLES["sequence_similarity"] = _seq_sql()
+
+ORACLES["cuped_readout"] = """
+WITH per_user AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+             THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS x,
+    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+             THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT)
+      AS y,
+    user_id % 2 AS variant
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM per_user
+),
+th AS (
+  SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar_all
+  FROM m
+),
+v AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(x) AS BIGINT) AS vx, CAST(sum(y) AS BIGINT) AS vy
+  FROM per_user GROUP BY variant
+)
+SELECT variant, n_users,
+  CAST(vx AS DOUBLE) / CAST(n_users AS DOUBLE) AS xbar,
+  CAST(vy AS DOUBLE) / CAST(n_users AS DOUBLE) AS ybar,
+  theta,
+  CAST(vy AS DOUBLE) / CAST(n_users AS DOUBLE)
+    - theta * (CAST(vx AS DOUBLE) / CAST(n_users AS DOUBLE) - xbar_all)
+    AS adjusted
+FROM v CROSS JOIN th
+ORDER BY variant
+"""
+
+# brute-force oracle: prefix filtering is exact, so the reference is the
+# full quadratic pipeline — no need to mirror the index mechanics
+ORACLES["behavior_allpairs"] = """
+WITH corpus AS (
+  SELECT user_id AS doc_id,
+         array_to_string(list(event_type ORDER BY ts, event_id), ' ')
+           AS text
+  FROM events GROUP BY user_id
+),
+sh0 AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(w) >= 3
+      THEN list_transform(range(1, len(w) - 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      ELSE [text] END) AS shingle
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM corpus) b
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+  CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+    AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+      >= 0.35
+"""
 
 ORACLES["json_props_stats"] = """
 WITH p AS (

@@ -866,3 +866,51 @@ def test_semdedup_keep_rule_and_determinism(spark, sf_dir):
     # (3) the higher id of every close pair is marked dup
     bad = close.filter(F.col("status_b") != "semantic_dup").count()
     assert bad == 0
+
+
+def test_allpairs_prefix_filter_equals_brute_force(spark, sf_dir):
+    """The prefix-filter theorem in practice: allpairs_jaccard must
+    produce EXACTLY the brute-force cross-join pairs >= t — zero false
+    negatives (the property LSH trades away) and zero extras."""
+    from ha_sqllite_2_influxdb_spark.operators.dedup import (
+        allpairs_jaccard, shingle_sets,
+    )
+
+    t = 0.35
+    ev = load_table(spark, sf_dir, "events")
+    corpus = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x.getField("event_type"),
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select(F.col("user_id").alias("doc_id"), "text")
+    )
+    got = {(r.doc_a, r.doc_b): r.n_inter
+           for r in allpairs_jaccard(corpus, threshold=t).collect()}
+
+    sh = shingle_sets(corpus)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("ni", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "j",
+            F.col("ni").cast("double")
+            / (F.size("sa") + F.size("sb") - F.col("ni")).cast("double"),
+        )
+        .filter(F.col("j") >= t)
+    )
+    want = {(r.doc_a, r.doc_b): r.ni for r in brute.collect()}
+    assert got == want and len(got) > 0

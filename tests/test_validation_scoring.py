@@ -386,3 +386,33 @@ def test_json_props_stats_malformed_routes_to_null(spark):
         ).collect()[0]
     )
     assert (row.n, row.n_unparsed, row.sum_k) == (6, 4, 12)
+
+
+def test_cuped_fully_corrects_preexisting_difference(spark):
+    """If y == x (experiment changes nothing and the covariate predicts
+    perfectly), theta == 1 and BOTH variants' adjusted means collapse to
+    the global mean — a pre-existing imbalance between variants
+    disappears, while the raw ybar difference stays."""
+    import datetime as dt
+
+    from ha_sqllite_2_influxdb_spark.operators.experiment import (
+        cuped_readout,
+    )
+
+    pre = dt.datetime(2024, 1, 10)
+    post = dt.datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    for uid in range(20):
+        base = 100.0 + 50.0 * (uid % 2) + uid  # variant 1 richer pre
+        for ts in (pre, post):
+            rows.append((eid, ts, uid, "view", base))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    out = {r.variant: r for r in cuped_readout(ev).collect()}
+    assert abs(out[0].theta - 1.0) < 1e-12
+    assert abs(out[0].ybar - out[1].ybar) > 10  # raw means differ
+    assert abs(out[0].adjusted - out[1].adjusted) < 1e-9  # CUPED corrects
