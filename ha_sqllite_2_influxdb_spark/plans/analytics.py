@@ -1430,6 +1430,66 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE-sketch storage pattern (Apache DataSketches HLL):
+    build one HLL sketch per (day, event_type) — the artifact a 100 TB
+    store persists per partition — then answer the month-level distinct
+    question by UNIONING sketches, never rescanning events. Rows-only
+    (estimates); pytest bounds the estimate against the exact distinct
+    and asserts the union-of-sketches estimate equals the
+    one-shot-sketch estimate (mergeability)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long").alias("approx_users_month"),
+            F.count(F.lit(1)).cast("long").alias("n_daily_sketches"),
+        )
+    )
+
+
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-3 market-basket mining: frequent part TRIPLES
+    (support >= 2 orders) grown from the frequent-pair relation — the
+    candidate join is pair x item WITHIN the same order, so the
+    combinatorial space prunes by the downward-closure property instead
+    of enumerating all C(basket,3) triples. One pair shuffle (reused
+    from copurchase), one candidate shuffle, exact counts."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("item")
+    ).distinct()
+    a = li.select("l_orderkey", F.col("item").alias("u"))
+    b = li.select("l_orderkey", F.col("item").alias("v"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+        .select("u", "v")
+    )
+    # candidate triples: frequent pair x third item in the SAME order
+    per_order_pairs = (
+        a.join(b, "l_orderkey").filter(F.col("u") < F.col("v"))
+        .join(pairs, ["u", "v"], "left_semi")
+    )
+    triples = (
+        per_order_pairs
+        .join(li.select("l_orderkey", F.col("item").alias("w")),
+              "l_orderkey")
+        .filter(F.col("w") > F.col("v"))
+        .groupBy("u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return triples
+
+
 def q_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B readout with CUPED variance reduction: per-variant adjusted
     post-period mean via theta from five integer sums — no per-row
@@ -1918,6 +1978,8 @@ QUERIES = {
     "sequence_similarity": q_sequence_similarity,
     "behavior_allpairs": q_behavior_allpairs,
     "cuped_readout": q_cuped_readout,
+    "frequent_triples": q_frequent_triples,
+    "sketch_hll_partitioned": q_sketch_hll_partitioned,
     "seasonal_anomaly": q_seasonal_anomaly,
     "zorder_events": q_zorder_events,
     "data_expectations": q_data_expectations,
@@ -2892,6 +2954,22 @@ from ..operators.sequence import (  # noqa: E402
 )
 
 ORACLES["sequence_similarity"] = _seq_sql()
+
+# frequent_triples: exact triple counts over distinct order-items
+ORACLES["frequent_triples"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey AS item FROM lineitem
+),
+tr AS (
+  SELECT a.item AS u, b.item AS v, c.item AS w,
+         CAST(count(*) AS BIGINT) AS support
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+  JOIN li c ON a.l_orderkey = c.l_orderkey AND b.item < c.item
+  GROUP BY 1, 2, 3
+)
+SELECT u, v, w, support FROM tr WHERE support >= 2
+"""
 
 ORACLES["cuped_readout"] = """
 WITH per_user AS (

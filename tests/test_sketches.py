@@ -96,3 +96,35 @@ def test_misra_gries_summary_state_bounded(spark):
         _mg_partition_summaries("token", m), "token string, est long"
     ).collect()
     assert 0 < len(summary) <= m
+
+
+def test_hll_union_of_partition_sketches_equals_one_shot(spark, sf_dir):
+    """The mergeable-artifact property the partitioned-sketch pattern
+    rests on: unioning per-day sketches must estimate the same as one
+    sketch built over the whole range, and both must sit within the
+    HLL error envelope of the exact distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = {
+        r.event_type: r.est for r in
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+             .cast("long").alias("est"))
+        .collect()
+    }
+    one_shot = {
+        r.event_type: r.est for r in
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+             .cast("long").alias("est"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n for r in
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert merged == one_shot
+    for et, est in merged.items():
+        assert abs(est - exact[et]) <= max(2, 0.05 * exact[et]), et
