@@ -1430,6 +1430,82 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every event-type pair, the distinct
+    users doing BOTH, plus each side's audience and the overlap Jaccard
+    — the segment-intersection question behind every campaign-planning
+    tool. Shape: the corpus collapses ONCE to the distinct (type, user)
+    relation; the pair overlap is a self-join on user_id (shuffle keyed
+    by user, pairs generated inside the join, aggregated map-side) —
+    never a distinct-count per pair over raw events."""
+    ev = _t(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            (F.col("n_both").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+             .cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def q_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion (a purchase over 150) by
+    variant (user_id % 2) — the readout that decides an experiment.
+    Everything derives from four integer counts; the z statistic's only
+    irrational op is sqrt, which IEEE-754 requires CORRECTLY ROUNDED
+    (unlike ln/exp), so the double is engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when((F.col("event_type") == "purchase")
+                   & (F.col("value") > 150), 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("variant", F.pmod("user_id", F.lit(2)))
+    counts = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    w = counts.groupBy().pivot("variant", [0, 1]).agg(
+        F.first("n").alias("n"), F.first("conv").alias("conv")
+    )
+    n0, c0 = F.col("0_n"), F.col("0_conv")
+    n1, c1 = F.col("1_n"), F.col("1_conv")
+    p0 = c0.cast("double") / n0.cast("double")
+    p1 = c1.cast("double") / n1.cast("double")
+    pp = (c0 + c1).cast("double") / (n0 + n1).cast("double")
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / n0.cast("double") + F.lit(1.0) / n1.cast("double"))
+    )
+    return w.select(
+        n0.cast("long").alias("n_control"),
+        c0.cast("long").alias("conv_control"),
+        n1.cast("long").alias("n_treat"),
+        c1.cast("long").alias("conv_treat"),
+        p0.alias("p_control"), p1.alias("p_treat"),
+        ((p1 - p0) / se).alias("z"),
+    )
+
+
 def q_sketch_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MERGEABLE-sketch storage pattern (Apache DataSketches HLL):
     build one HLL sketch per (day, event_type) — the artifact a 100 TB
@@ -1979,6 +2055,8 @@ QUERIES = {
     "behavior_allpairs": q_behavior_allpairs,
     "cuped_readout": q_cuped_readout,
     "frequent_triples": q_frequent_triples,
+    "audience_overlap": q_audience_overlap,
+    "ab_proportion_test": q_ab_proportion_test,
     "sketch_hll_partitioned": q_sketch_hll_partitioned,
     "seasonal_anomaly": q_seasonal_anomaly,
     "zorder_events": q_zorder_events,
@@ -2954,6 +3032,61 @@ from ..operators.sequence import (  # noqa: E402
 )
 
 ORACLES["sequence_similarity"] = _seq_sql()
+
+ORACLES["audience_overlap"] = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM tu GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM tu a JOIN tu b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both, sa.n AS n_a, sb.n AS n_b,
+  CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE)
+    AS jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+ORACLES["ab_proportion_test"] = """
+WITH per_user AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'purchase' AND value > 150
+        THEN 1 ELSE 0 END)
+      AS converted,
+    user_id % 2 AS variant
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(converted) AS BIGINT) AS conv
+  FROM per_user GROUP BY variant
+),
+w AS (
+  SELECT
+    max(CASE WHEN variant = 0 THEN n END) AS n0,
+    max(CASE WHEN variant = 0 THEN conv END) AS c0,
+    max(CASE WHEN variant = 1 THEN n END) AS n1,
+    max(CASE WHEN variant = 1 THEN conv END) AS c1
+  FROM c
+)
+SELECT n0 AS n_control, c0 AS conv_control,
+       n1 AS n_treat, c1 AS conv_treat,
+  CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p_control,
+  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p_treat,
+  (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+   - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+  / sqrt(
+      (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+      * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))
+    ) AS z
+FROM w
+"""
 
 # frequent_triples: exact triple counts over distinct order-items
 ORACLES["frequent_triples"] = """
