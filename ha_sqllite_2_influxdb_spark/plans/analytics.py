@@ -1430,6 +1430,78 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (the finance bar aggregation):
+    open/close are selected by a DETERMINISTIC total order (ts,
+    event_id) — `first(value)` under a bare groupBy would be
+    partition-order-dependent — via one window rank on the same
+    (type, hour) shuffle the aggregate itself needs; high/low/volume
+    come from integer-cents min/max/sum. One shuffle total."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "hour")
+    marked = (
+        ev.withColumn(
+            "_rn_a",
+            F.row_number().over(w.orderBy("ts", "event_id")),
+        )
+        .withColumn(
+            "_rn_d",
+            F.row_number().over(
+                w.orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+    )
+    return (
+        marked.groupBy("event_type", "hour")
+        .agg(
+            (F.max(F.when(F.col("_rn_a") == 1, F.col("cents"))) / 100.0)
+            .alias("open"),
+            (F.max("cents") / 100.0).alias("high"),
+            (F.min("cents") / 100.0).alias("low"),
+            (F.max(F.when(F.col("_rn_d") == 1, F.col("cents"))) / 100.0)
+            .alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+            (F.sum("cents") / 100.0).alias("volume"),
+        )
+    )
+
+
+def q_data_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-completeness monitoring: every (event_type, hour) cell of
+    the full observation calendar with ZERO events — the missing-feed
+    alarm every ingest pipeline needs. The calendar derives from the
+    data's own bounds (sequence over the min/max hour — a 1-row
+    aggregate, never a collect), crosses the tiny type dimension, and
+    anti-joins the observed cells; at 100 TB the observed relation is
+    the only big input and it arrives pre-aggregated."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    observed = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).distinct()
+    return (
+        hours.crossJoin(types)
+        .join(observed, ["event_type", "hour"], "left_anti")
+        .orderBy("event_type", "hour")
+    )
+
+
 def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap matrix: for every event-type pair, the distinct
     users doing BOTH, plus each side's audience and the overlap Jaccard
@@ -2056,6 +2128,8 @@ QUERIES = {
     "cuped_readout": q_cuped_readout,
     "frequent_triples": q_frequent_triples,
     "audience_overlap": q_audience_overlap,
+    "ohlc_bars": q_ohlc_bars,
+    "data_gaps": q_data_gaps,
     "ab_proportion_test": q_ab_proportion_test,
     "sketch_hll_partitioned": q_sketch_hll_partitioned,
     "seasonal_anomaly": q_seasonal_anomaly,
@@ -3032,6 +3106,52 @@ from ..operators.sequence import (  # noqa: E402
 )
 
 ORACLES["sequence_similarity"] = _seq_sql()
+
+ORACLES["ohlc_bars"] = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, hour
+                       ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY event_type, hour
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM ev
+)
+SELECT event_type, hour,
+  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) / 100.0
+    AS open,
+  CAST(max(cents) AS BIGINT) / 100.0 AS high,
+  CAST(min(cents) AS BIGINT) / 100.0 AS low,
+  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) / 100.0
+    AS close,
+  CAST(count(*) AS BIGINT) AS n_trades,
+  CAST(sum(cents) AS BIGINT) / 100.0 AS volume
+FROM m GROUP BY event_type, hour
+"""
+
+ORACLES["data_gaps"] = """
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+),
+types AS (SELECT DISTINCT event_type FROM events),
+observed AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour FROM events
+)
+SELECT t.event_type, h.hour
+FROM hours h CROSS JOIN types t
+WHERE NOT EXISTS (SELECT 1 FROM observed o
+                  WHERE o.event_type = t.event_type AND o.hour = h.hour)
+ORDER BY t.event_type, h.hour
+"""
 
 ORACLES["audience_overlap"] = """
 WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
