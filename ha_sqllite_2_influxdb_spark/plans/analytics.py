@@ -1430,6 +1430,49 @@ def q_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, the latency from FIRST
+    signup to the first purchase at-or-after it, histogrammed by whole
+    hours — the activation-funnel timing readout. Latencies are exact
+    integer microsecond differences bucketed by integer division (no
+    float time math); users who sign up but never purchase afterward
+    land in the explicit 'never' bucket (-1) so the funnel loss is in
+    the same relation. Two conditional-min aggregations on one user
+    shuffle; the histogram is a tiny second aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+        ).alias("s_us"),
+    )
+    first_purchase = (
+        ev.select("user_id", F.unix_micros("ts").alias("p_us"),
+                  "event_type")
+        .filter(F.col("event_type") == "purchase")
+        .join(per_user, "user_id")
+        .filter(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"), F.first("s_us").alias("s_us"))
+    )
+    signed = per_user.filter(F.col("s_us").isNotNull())
+    latencies = (
+        signed.join(first_purchase.select("user_id", "p_us"),
+                    "user_id", "left")
+        .select(
+            F.when(
+                F.col("p_us").isNotNull(),
+                ((F.col("p_us") - F.col("s_us"))
+                 / F.lit(3_600_000_000)).cast("long"),
+            ).otherwise(F.lit(-1)).alias("latency_hours")
+        )
+    )
+    return (
+        latencies.groupBy("latency_hours")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("latency_hours")
+    )
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars per event type (the finance bar aggregation):
     open/close are selected by a DETERMINISTIC total order (ts,
@@ -2129,6 +2172,7 @@ QUERIES = {
     "frequent_triples": q_frequent_triples,
     "audience_overlap": q_audience_overlap,
     "ohlc_bars": q_ohlc_bars,
+    "conversion_latency": q_conversion_latency,
     "data_gaps": q_data_gaps,
     "ab_proportion_test": q_ab_proportion_test,
     "sketch_hll_partitioned": q_sketch_hll_partitioned,
@@ -3106,6 +3150,29 @@ from ..operators.sequence import (  # noqa: E402
 )
 
 ORACLES["sequence_similarity"] = _seq_sql()
+
+ORACLES["conversion_latency"] = """
+WITH pu AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us
+  FROM events GROUP BY user_id
+),
+signed AS (SELECT user_id, s_us FROM pu WHERE s_us IS NOT NULL),
+fp AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN signed s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+  GROUP BY e.user_id
+),
+lat AS (
+  SELECT CASE WHEN fp.p_us IS NOT NULL
+         THEN CAST((fp.p_us - s.s_us) // 3600000000 AS BIGINT)
+         ELSE -1 END AS latency_hours
+  FROM signed s LEFT JOIN fp ON s.user_id = fp.user_id
+)
+SELECT latency_hours, CAST(count(*) AS BIGINT) AS n_users
+FROM lat GROUP BY latency_hours ORDER BY latency_hours
+"""
 
 ORACLES["ohlc_bars"] = """
 WITH ev AS (

@@ -416,3 +416,44 @@ def test_cuped_fully_corrects_preexisting_difference(spark):
     assert abs(out[0].theta - 1.0) < 1e-12
     assert abs(out[0].ybar - out[1].ybar) > 10  # raw means differ
     assert abs(out[0].adjusted - out[1].adjusted) < 1e-9  # CUPED corrects
+
+
+def test_ohlc_deterministic_under_repartition(spark, sf_dir):
+    """open/close must come from the (ts, event_id) total order — the
+    result cannot move when the input partitioning changes."""
+    from ha_sqllite_2_influxdb_spark.plans.analytics import q_ohlc_bars
+
+    base = sorted(map(tuple, q_ohlc_bars(spark, sf_dir).collect()))
+    ev = load_table(spark, sf_dir, "events").repartition(13)
+
+    import ha_sqllite_2_influxdb_spark.plans.analytics as an
+
+    # same computation over a different partitioning of the same rows
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", "hour")
+    e2 = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour"),
+        "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    marked = (
+        e2.withColumn("_rn_a",
+                      F.row_number().over(w.orderBy("ts", "event_id")))
+        .withColumn("_rn_d", F.row_number().over(
+            w.orderBy(F.desc("ts"), F.desc("event_id"))))
+    )
+    again = sorted(map(tuple, (
+        marked.groupBy("event_type", "hour")
+        .agg(
+            (F.max(F.when(F.col("_rn_a") == 1, F.col("cents"))) / 100.0)
+            .alias("open"),
+            (F.max("cents") / 100.0).alias("high"),
+            (F.min("cents") / 100.0).alias("low"),
+            (F.max(F.when(F.col("_rn_d") == 1, F.col("cents"))) / 100.0)
+            .alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+            (F.sum("cents") / 100.0).alias("volume"),
+        )
+    ).collect()))
+    assert again == base
