@@ -1184,6 +1184,114 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join — the feature-store correctness
+    pattern: each purchase fact picks up the user's activity-state
+    interval (SCD2 history built from their NON-purchase events) that
+    was valid AT the purchase timestamp, never a later one (no leakage
+    from the future). Scalable shape: the interval relation is
+    change-points only (collapsed, small per user); candidates join on
+    user with valid_from <= ts and reduce by arg-max valid_from — a
+    max(struct) aggregate on the fact key, no window over raw events.
+    Purchases before any state land with NULL state (LEFT join)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    us = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nonp = ev.filter(F.col("event_type") != "purchase")
+    changes = (
+        nonp.withColumn("prev_type", F.lag("event_type").over(us))
+        .filter(F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", F.col("event_type").alias("state"),
+                F.unix_micros("ts").alias("valid_from_us"))
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    # the temporal predicate must ride IN the left join: filtering after
+    # it would erase facts whose states all start in the future, while
+    # the PIT contract keeps them with a NULL state. The dimension key
+    # is renamed up front — dropping a join-ambiguous column by
+    # reference resolves unpredictably.
+    dim = changes.withColumnRenamed("user_id", "_c_uid")
+    cand = facts.join(
+        dim,
+        (facts.user_id == dim._c_uid)
+        & (dim.valid_from_us <= facts.ts_us),
+        "left",
+    ).drop("_c_uid")
+    return (
+        cand.groupBy("event_id")
+        .agg(
+            F.first("user_id").alias("user_id"),
+            F.first("ts_us").alias("ts_us"),
+            F.max(F.struct("valid_from_us", "state")).alias("_m"),
+        )
+        .select(
+            "event_id", "user_id", "ts_us",
+            F.col("_m.state").alias("state_at_purchase"),
+            F.col("_m.valid_from_us").alias("state_from_us"),
+        )
+    )
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) of the co-purchase graph by iterative
+    peeling, 5 fixed rounds: drop nodes with degree < k, re-derive the
+    induced subgraph, repeat — the density filter under community and
+    spam-cluster analysis. Fixed rounds make the iterative operator
+    oracle-checkable by unrolled CTEs (pagerank/LPA precedent); each
+    round is one degree aggregate + two semi joins on the (persisted)
+    edge relation. Returns surviving (node, deg) after round 5."""
+    from ..operators.graph import copurchase_edges
+
+    k = 3
+    edges = copurchase_edges(
+        _t(spark, sf_dir, "lineitem")
+    ).localCheckpoint(eager=False)
+    sym = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    for _ in range(5):
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return sym.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).select(F.col("u").alias("node"), "deg")
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 5, min_co: int = 2) -> str:
+    its = []
+    for r in range(1, rounds + 1):
+        its.append(f"""
+d{r - 1} AS (SELECT u, count(*) AS deg FROM s{r - 1} GROUP BY u),
+k{r - 1} AS (SELECT u FROM d{r - 1} WHERE deg >= {k}),
+s{r} AS (
+  SELECT s.u, s.v FROM s{r - 1} s
+  WHERE EXISTS (SELECT 1 FROM k{r - 1} a WHERE a.u = s.u)
+    AND EXISTS (SELECT 1 FROM k{r - 1} b WHERE b.u = s.v)
+)""")
+    return f"""
+WITH pr AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+e AS (SELECT u, v FROM pr GROUP BY u, v HAVING count(*) >= {min_co}),
+s0 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+{",".join(its)}
+SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+FROM s{rounds} GROUP BY u
+"""
+
+
 def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-key over (user bucket, minute bucket): the layout key
     `operators.merge.zorder_layout` range-partitions writes by, so
@@ -2173,6 +2281,8 @@ QUERIES = {
     "audience_overlap": q_audience_overlap,
     "ohlc_bars": q_ohlc_bars,
     "conversion_latency": q_conversion_latency,
+    "pit_join": q_pit_join,
+    "kcore": q_kcore,
     "data_gaps": q_data_gaps,
     "ab_proportion_test": q_ab_proportion_test,
     "sketch_hll_partitioned": q_sketch_hll_partitioned,
@@ -3150,6 +3260,41 @@ from ..operators.sequence import (  # noqa: E402
 )
 
 ORACLES["sequence_similarity"] = _seq_sql()
+
+ORACLES["kcore"] = _kcore_oracle()
+
+ORACLES["pit_join"] = """
+WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+changes AS (
+  SELECT user_id, event_type AS state, epoch_us(ts) AS valid_from_us
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+      lag(event_type) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev_type
+    FROM ev WHERE event_type <> 'purchase'
+  )
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+facts AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+  FROM ev WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT f.event_id, f.user_id, f.ts_us, c.state, c.valid_from_us
+  FROM facts f LEFT JOIN changes c
+    ON f.user_id = c.user_id AND c.valid_from_us <= f.ts_us
+),
+best AS (
+  SELECT event_id, user_id, ts_us, state, valid_from_us,
+    row_number() OVER (PARTITION BY event_id
+                       ORDER BY valid_from_us DESC NULLS LAST) AS rk
+  FROM cand
+)
+SELECT event_id, user_id, ts_us,
+       state AS state_at_purchase,
+       valid_from_us AS state_from_us
+FROM best WHERE rk = 1
+"""
 
 ORACLES["conversion_latency"] = """
 WITH pu AS (

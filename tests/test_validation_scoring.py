@@ -457,3 +457,18 @@ def test_ohlc_deterministic_under_repartition(spark, sf_dir):
         )
     ).collect()))
     assert again == base
+
+
+def test_pit_join_never_leaks_future_state(spark, sf_dir):
+    """PIT contract on the fixture: every attached state interval must
+    START at or before its purchase; and no purchase row is lost even
+    when a user's states all start later (NULL state instead)."""
+    from ha_sqllite_2_influxdb_spark.plans.analytics import q_pit_join
+
+    rows = q_pit_join(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    assert len(rows) == n_purchases
+    for r in rows:
+        if r.state_from_us is not None:
+            assert r.state_from_us <= r.ts_us, r
