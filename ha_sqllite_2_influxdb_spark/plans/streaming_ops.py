@@ -394,6 +394,42 @@ def q_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ohlc_windowed(ev: DataFrame) -> DataFrame:
+    """Mode-agnostic windowed OHLC aggregation (see q_stream_ohlc)."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    key = F.unix_micros("ts") * 4096 + F.col("event_id")
+    prepped = ev.select(
+        "ts", "event_type", cents.alias("cents"), key.alias("k")
+    )
+    return (
+        prepped.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            (F.min_by("cents", "k") / 100.0).alias("open"),
+            (F.max("cents") / 100.0).alias("high"),
+            (F.min("cents") / 100.0).alias("low"),
+            (F.max_by("cents", "k") / 100.0).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+            (F.sum("cents") / 100.0).alias("volume"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "open", "high", "low", "close", "n_trades", "volume")
+    )
+
+
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-capable OHLC bars: open/close via min_by/max_by over a
+    packed (ts, event_id) BIGINT ordering key — plain aggregates, so the
+    SAME expression runs under a watermarked windowed stream (where the
+    batch ohlc_bars' window-rank formulation cannot). The key packs
+    ts_us*4096 + event_id, unique because event_id is, and inside int64
+    for this fixture's time range; a production pipeline would widen to
+    a struct ordering on engines that support it.
+    tests/test_streaming.py drains the real stream and asserts identity
+    with this batch form."""
+    return ohlc_windowed(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "stream_dedup": q_stream_dedup,
@@ -407,6 +443,7 @@ QUERIES = {
     "stream_incremental_agg": q_stream_incremental_agg,
     "session_window_native": q_session_window_native,
     "stream_window_topk": q_stream_window_topk,
+    "stream_ohlc": q_stream_ohlc,
 }
 
 _GAP_US = GAP_MIN * 60 * 1_000_000
@@ -443,6 +480,22 @@ GROUP BY date_trunc('hour', ts), event_type
 """,
     "stream_dedup": """
 SELECT event_id, event_type, user_id FROM events
+""",
+    "stream_ohlc": """
+WITH ev AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) * 4096 + event_id AS k
+  FROM events
+)
+SELECT window_start, event_type,
+  CAST(arg_min(cents, k) AS BIGINT) / 100.0 AS open,
+  CAST(max(cents) AS BIGINT) / 100.0 AS high,
+  CAST(min(cents) AS BIGINT) / 100.0 AS low,
+  CAST(arg_max(cents, k) AS BIGINT) / 100.0 AS close,
+  CAST(count(*) AS BIGINT) AS n_trades,
+  CAST(sum(cents) AS BIGINT) / 100.0 AS volume
+FROM ev GROUP BY window_start, event_type
 """,
     "stream_window_topk": """
 WITH a AS (

@@ -510,3 +510,21 @@ def test_drain_agg_state_across_batches_equals_batch(spark, sf_dir,
         agg_state(ev, ["event_type"], "value")
     ).collect())
     assert got == want
+
+
+def test_stream_ohlc_drain_equals_batch(spark, sf_dir):
+    """min_by/max_by OHLC as a REAL watermarked streaming aggregation:
+    the AvailableNow drain must equal the batch form exactly."""
+    from ha_sqllite_2_influxdb_spark.plans.streaming_ops import (
+        ohlc_windowed, q_stream_ohlc,
+    )
+    from ha_sqllite_2_influxdb_spark.streaming.stream import (
+        drain_to_memory, events_stream,
+    )
+
+    got = sorted(map(tuple, drain_to_memory(
+        ohlc_windowed(events_stream(spark, sf_dir)),
+        f"ohlc_{uuid.uuid4().hex[:8]}",
+    ).collect()))
+    want = sorted(map(tuple, q_stream_ohlc(spark, sf_dir).collect()))
+    assert got == want
