@@ -19,6 +19,9 @@ RSS. Fails (exit 1) if any tier's ratio exceeds LINEAR_SLACK × 10 or
 driver RSS grows by more than RSS_CAP_MB during the 10× pass.
 
 Run: ``python tools/scale_probe.py`` (≈4 min at sf0.1 on local[32]).
+Optional argv: tier names to probe (default all) — re-measuring a subset
+in a fresh JVM isolates a tier from heap/GC pressure accumulated by the
+tiers that ran before it in a full-session run.
 """
 
 import json
@@ -122,6 +125,12 @@ def tiers(spark, docs_path, emb_path, books):
             docs, portable=False),
         "sketch_topk_ngrams": lambda: sketches.corpus_bigram_heavy_hitters(
             docs),
+        # exact all-pairs similarity (prefix filter): replication keeps
+        # per-replica shingle vocabularies disjoint, so global dfs —
+        # and with them every doc's prefix — are replica-local: work
+        # scales with replica count, pairs never cross replicas
+        "allpairs_jaccard": lambda: dedup.allpairs_jaccard(
+            docs, threshold=0.5),
     }
 
 
@@ -137,11 +146,14 @@ def main() -> None:
     # base-trained books are exact for the 10× corpus too)
     books = similarity.pq_train(spark.read.parquet(paths["x1"][1]))
 
+    only = set(sys.argv[1:])
     walls: dict[str, dict[str, float]] = {}
     mems: dict[str, dict[str, float]] = {}
     for scale in ("x1", "x10"):
         dp, ep = paths[scale]
         for name, make in tiers(spark, dp, ep, books).items():
+            if only and name not in only:
+                continue
             best = float("inf")
             rss0, jvm0 = rss_mb(), jvm_used_mb(spark)
             for i in range(RUNS + 1):  # first run is warm-up for this shape
