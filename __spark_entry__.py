@@ -76,9 +76,14 @@ _DRIVER_WINDOW = [
     # tpch_q3/q5 rotated out late-r6 (green r1-r5; still benched) for the
     # validation + streaming-topk first verdicts
     "data_expectations", "stream_window_topk",
-    "tpch_q2", "tpch_q7",
-    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q2",
+    "tpch_q11", "tpch_q12",
     "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q21",
+    # InfluxQL post-migration query layer (newest r6 additions — the
+    # sink-side functions reference users run on the migrated series;
+    # tpch_q7/q8/q9/q10 rotate out green r1-r5, pytest coverage stays)
+    "influx_derivative", "influx_integral", "influx_moving_average",
+    "influx_series_stats",
     "range_band_join", "full_outer_join",
     "window_time_range", "scd2_intervals",
     # exact robust statistics + time-series resample + funnel (new r6)
@@ -96,7 +101,7 @@ def _registry():
     from ha_sqllite_2_influxdb_spark.plans import ha_pipeline
 
     modules = [ha_pipeline]
-    for name in ("analytics", "llm_ops", "streaming_ops"):
+    for name in ("analytics", "llm_ops", "streaming_ops", "influxql"):
         try:
             mod = __import__(
                 f"ha_sqllite_2_influxdb_spark.plans.{name}", fromlist=[name]

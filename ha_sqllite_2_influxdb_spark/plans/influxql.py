@@ -1,0 +1,303 @@
+"""InfluxQL-style query functions over the migrated point series.
+
+The reference (``sqllite2influxdb.py``) ships Home-Assistant history INTO
+InfluxDB so users can query it there with InfluxQL functions —
+``DERIVATIVE``, ``INTEGRAL``, ``MOVING_AVERAGE``, ``SPREAD`` /
+``FIRST`` / ``LAST`` / ``ELAPSED``. This module re-expresses that
+post-migration query surface Spark-side over the same point relation the
+pipeline produces (`..operators.transform.points`), so a reference user
+can run their sink-side dashboards without the sink.
+
+Scale shape: every function is a per-series window or aggregate —
+partitioned by the (measurement, domain, entity_id) series key, which is
+exactly how InfluxDB shards too. No global windows, no driver state; at
+100 TB the one shuffle is keyed on series id and AQE handles hot
+entities. Float determinism: per-row expressions are written with the
+SAME association in Spark and the DuckDB oracle (bit-identical IEEE
+ops); the one accumulating aggregate (the trapezoid integral) sums
+micro-quantized BIGINTs, so it is partition-order-independent and
+repr-exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.transform import points
+from .ha_pipeline import _CTE, _JOINED, _POINTS, _PTS_COLS, _ha
+
+# numeric point series: InfluxQL transformations apply to float fields
+_SERIES = ("measurement", "domain", "entity_id")
+
+
+def _numeric_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        points(*_ha(spark, sf_dir))
+        .filter(F.col("value").isNotNull())
+        .select("state_id", *_SERIES, "ts_epoch", "value")
+    )
+
+
+def _w():
+    # ts ties are possible in the fixture; state_id breaks them
+    # identically in both engines
+    return Window.partitionBy(*_SERIES).orderBy("ts_epoch", "state_id")
+
+
+_ORACLE_NUM = f"""{_CTE},
+{_JOINED},
+{_POINTS},
+num AS (
+  SELECT state_id, measurement, domain, entity_id, ts_epoch, value
+  FROM pts WHERE value IS NOT NULL
+)"""
+
+
+def q_influx_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``DERIVATIVE(value, 1s)``: per-series rate of change
+    between consecutive points. One window on the series-key shuffle;
+    the first point of each series has no predecessor and is dropped,
+    zero-Δt pairs yield NULL (InfluxDB skips them too)."""
+    pts = _numeric_points(spark, sf_dir)
+    w = _w()
+    dv = F.col("value") - F.lag("value").over(w)
+    dt = F.col("ts_epoch") - F.lag("ts_epoch").over(w)
+    return (
+        pts.select(
+            "state_id", *_SERIES, "ts_epoch",
+            F.when(dt != 0, dv / dt).alias("deriv_per_s"),
+            dt.alias("dt_s"),
+        )
+        .filter(F.col("dt_s").isNotNull())
+    )
+
+
+def q_influx_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``INTEGRAL(value, 1s)``: per-series trapezoidal area
+    under the curve, in value·seconds. Each consecutive-pair trapezoid
+    is computed row-locally as a double (bit-identical in both engines),
+    micro-quantized to BIGINT, and summed as integers — the established
+    partition-order-independent accumulation pattern (see
+    operators/similarity.py centroids) — then scaled back once."""
+    pts = _numeric_points(spark, sf_dir)
+    w = _w()
+    trap = (
+        (F.col("value") + F.lag("value").over(w))
+        * (F.col("ts_epoch") - F.lag("ts_epoch").over(w))
+        / F.lit(2.0)
+    )
+    terms = pts.select(
+        *_SERIES,
+        F.round(trap * 1e6).cast("long").alias("trap_micro"),
+    ).filter(F.col("trap_micro").isNotNull())
+    return terms.groupBy(*_SERIES).agg(
+        (F.sum("trap_micro") / 1e6).alias("integral_vs"),
+        (F.count(F.lit(1)) + 1).alias("n_points"),
+    )
+
+
+def q_influx_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``MOVING_AVERAGE(value, 3)``: trailing 3-point mean per
+    series, emitted only once the window is full (InfluxDB semantics).
+    Written as explicit lags with a FIXED association
+    ``((v-2 + v-1) + v) / 3`` so Spark and the oracle produce
+    bit-identical doubles — a frame-spec AVG would leave summation
+    order to the engine."""
+    pts = _numeric_points(spark, sf_dir)
+    w = _w()
+    l1, l2 = F.lag("value", 1).over(w), F.lag("value", 2).over(w)
+    return pts.select(
+        "state_id", *_SERIES, "ts_epoch", "value",
+        (((l2 + l1) + F.col("value")) / F.lit(3.0)).alias("ma3"),
+    ).filter(F.col("ma3").isNotNull())
+
+
+def q_influx_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``SPREAD`` / ``FIRST`` / ``LAST`` / ``ELAPSED`` as one
+    per-series summary: value spread (max−min, exact — no
+    accumulation), first/last value under the deterministic
+    (ts, state_id) total order (the OHLC row_number trick — one window
+    rank riding the same series shuffle the aggregate needs), total
+    elapsed seconds, and the largest inter-point gap (a max over
+    per-row elapsed — order-independent)."""
+    pts = _numeric_points(spark, sf_dir)
+    w = _w()
+    marked = (
+        pts.withColumn("_rn_a", F.row_number().over(w))
+        .withColumn(
+            "_rn_d",
+            F.row_number().over(
+                Window.partitionBy(*_SERIES)
+                .orderBy(F.desc("ts_epoch"), F.desc("state_id"))
+            ),
+        )
+        .withColumn("_gap", F.col("ts_epoch") - F.lag("ts_epoch").over(w))
+    )
+    return marked.groupBy(*_SERIES).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.max("value") - F.min("value")).alias("spread"),
+        F.max(F.when(F.col("_rn_a") == 1, F.col("value"))).alias("first_val"),
+        F.max(F.when(F.col("_rn_d") == 1, F.col("value"))).alias("last_val"),
+        (F.max("ts_epoch") - F.min("ts_epoch")).alias("elapsed_s"),
+        F.max("_gap").alias("max_gap_s"),
+    )
+
+
+def q_influx_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``CUMULATIVE_SUM(value)``: per-series running total.
+    Values micro-quantize to BIGINT once per row, the ROWS-frame running
+    sum accumulates integers (exact at any prefix, any partitioning),
+    and one division restores the scale — the `window_running` integer
+    pattern applied to float fields."""
+    pts = _numeric_points(spark, sf_dir)
+    w = _w().rowsBetween(Window.unboundedPreceding, 0)
+    micro = F.round(F.col("value") * 1e6).cast("long")
+    return pts.select(
+        "state_id", *_SERIES, "ts_epoch",
+        (F.sum(micro).over(w) / 1e6).alias("cum_sum"),
+    )
+
+
+def q_influx_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``DIFFERENCE(value)`` + ``NON_NEGATIVE_DIFFERENCE``:
+    per-point change vs the previous point in the series (the counter
+    pattern — non-negative drops counter resets to NULL). Pure per-row
+    double subtraction on one series window."""
+    pts = _numeric_points(spark, sf_dir)
+    d = F.col("value") - F.lag("value").over(_w())
+    return pts.select(
+        "state_id", *_SERIES, "ts_epoch",
+        d.alias("diff"),
+        F.when(d >= 0, d).alias("nn_diff"),
+    ).filter(F.col("diff").isNotNull())
+
+
+def q_influx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``PERCENTILE(value, 95)``: the ACTUAL SAMPLE at the
+    95th percentile rank (no interpolation — Influx semantics), rank
+    ``max(1, ceil(0.95·n))`` under the (value, state_id) total order.
+    row_number and the partition count ride ONE series shuffle; the
+    filter keeps one row per series."""
+    pts = _numeric_points(spark, sf_dir)
+    wv = Window.partitionBy(*_SERIES).orderBy("value", "state_id")
+    n = F.count(F.lit(1)).over(Window.partitionBy(*_SERIES))
+    ranked = pts.select(
+        *_SERIES, "value",
+        F.row_number().over(wv).alias("_rn"),
+        F.greatest(F.lit(1), F.ceil(n * F.lit(0.95))).alias("_target"),
+        n.alias("n_points"),
+    )
+    return (
+        ranked.filter(F.col("_rn") == F.col("_target"))
+        .select(*_SERIES, F.col("value").alias("p95"), "n_points")
+    )
+
+
+QUERIES = {
+    "influx_derivative": q_influx_derivative,
+    "influx_integral": q_influx_integral,
+    "influx_moving_average": q_influx_moving_average,
+    "influx_series_stats": q_influx_series_stats,
+    "influx_cumulative_sum": q_influx_cumulative_sum,
+    "influx_difference": q_influx_difference,
+    "influx_percentile": q_influx_percentile,
+}
+
+ORACLES = {
+    "influx_derivative": f"""{_ORACLE_NUM},
+lagged AS (
+  SELECT state_id, measurement, domain, entity_id, ts_epoch,
+    value - lag(value) OVER w AS dv,
+    ts_epoch - lag(ts_epoch) OVER w AS dt_s
+  FROM num
+  WINDOW w AS (PARTITION BY measurement, domain, entity_id
+               ORDER BY ts_epoch, state_id)
+)
+SELECT state_id, measurement, domain, entity_id, ts_epoch,
+  CASE WHEN dt_s <> 0 THEN dv / dt_s END AS deriv_per_s, dt_s
+FROM lagged WHERE dt_s IS NOT NULL
+""",
+    "influx_integral": f"""{_ORACLE_NUM},
+terms AS (
+  SELECT measurement, domain, entity_id,
+    CAST(round((value + lag(value) OVER w)
+               * (ts_epoch - lag(ts_epoch) OVER w) / 2.0 * 1e6)
+         AS BIGINT) AS trap_micro
+  FROM num
+  WINDOW w AS (PARTITION BY measurement, domain, entity_id
+               ORDER BY ts_epoch, state_id)
+)
+SELECT measurement, domain, entity_id,
+  CAST(sum(trap_micro) AS BIGINT) / 1e6 AS integral_vs,
+  count(*) + 1 AS n_points
+FROM terms WHERE trap_micro IS NOT NULL
+GROUP BY measurement, domain, entity_id
+""",
+    "influx_moving_average": f"""{_ORACLE_NUM},
+lagged AS (
+  SELECT state_id, measurement, domain, entity_id, ts_epoch, value,
+    lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2
+  FROM num
+  WINDOW w AS (PARTITION BY measurement, domain, entity_id
+               ORDER BY ts_epoch, state_id)
+)
+SELECT state_id, measurement, domain, entity_id, ts_epoch, value,
+  ((l2 + l1) + value) / 3.0 AS ma3
+FROM lagged WHERE l2 IS NOT NULL AND l1 IS NOT NULL
+""",
+    "influx_cumulative_sum": f"""{_ORACLE_NUM}
+SELECT state_id, measurement, domain, entity_id, ts_epoch,
+  -- running sum of BIGINTs types as HUGEINT in DuckDB: cast back before
+  -- the scale division or the driver's pandas fetch degrades to float64
+  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) OVER (
+    PARTITION BY measurement, domain, entity_id
+    ORDER BY ts_epoch, state_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 1e6
+    AS cum_sum
+FROM num
+""",
+    "influx_difference": f"""{_ORACLE_NUM},
+lagged AS (
+  SELECT state_id, measurement, domain, entity_id, ts_epoch,
+    value - lag(value) OVER (PARTITION BY measurement, domain, entity_id
+                             ORDER BY ts_epoch, state_id) AS diff
+  FROM num
+)
+SELECT state_id, measurement, domain, entity_id, ts_epoch, diff,
+  CASE WHEN diff >= 0 THEN diff END AS nn_diff
+FROM lagged WHERE diff IS NOT NULL
+""",
+    "influx_percentile": f"""{_ORACLE_NUM},
+ranked AS (
+  SELECT measurement, domain, entity_id, value,
+    row_number() OVER (PARTITION BY measurement, domain, entity_id
+                       ORDER BY value, state_id) AS rn,
+    count(*) OVER (PARTITION BY measurement, domain, entity_id) AS n_points
+  FROM num
+)
+SELECT measurement, domain, entity_id, value AS p95, n_points
+FROM ranked WHERE rn = greatest(1, ceil(n_points * 0.95))
+""",
+    "influx_series_stats": f"""{_ORACLE_NUM},
+m AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY measurement, domain, entity_id
+                       ORDER BY ts_epoch, state_id) AS rn_a,
+    row_number() OVER (PARTITION BY measurement, domain, entity_id
+                       ORDER BY ts_epoch DESC, state_id DESC) AS rn_d,
+    ts_epoch - lag(ts_epoch) OVER (
+      PARTITION BY measurement, domain, entity_id
+      ORDER BY ts_epoch, state_id) AS gap
+  FROM num
+)
+SELECT measurement, domain, entity_id,
+  count(*) AS n_points,
+  max(value) - min(value) AS spread,
+  max(CASE WHEN rn_a = 1 THEN value END) AS first_val,
+  max(CASE WHEN rn_d = 1 THEN value END) AS last_val,
+  max(ts_epoch) - min(ts_epoch) AS elapsed_s,
+  max(gap) AS max_gap_s
+FROM m GROUP BY measurement, domain, entity_id
+""",
+}

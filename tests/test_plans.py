@@ -586,3 +586,53 @@ def test_sequence_similarity_is_order_sensitive(spark):
     got = {r.user_id: r.jaccard
            for r in user_sequence_similarity(ev, query_user=0).collect()}
     assert got == {1: 1.0, 2: 0.0}
+
+
+def test_influxql_windows_ride_one_series_exchange(spark, sf_dir):
+    """Every InfluxQL-layer query pays exactly ONE series-key shuffle:
+    the lag/row_number windows, the second (descending) window in
+    series_stats, and the per-series groupBy aggregates must all reuse
+    the same (measurement, domain, entity_id) hashpartitioning — a
+    second series exchange would double the 100 TB shuffle volume.
+    (The HA-fixture derivation's internal exchanges sit under a cached
+    InMemoryTableScan and partition on other keys, so they can't match.)"""
+    from ha_sqllite_2_influxdb_spark.plans import influxql
+
+    for name, fn in influxql.QUERIES.items():
+        physical = explain_str(fn(spark, sf_dir))
+        n = physical.count("hashpartitioning(measurement")
+        assert n == 1, f"{name}: {n} series exchanges\n{physical}"
+
+
+def test_influx_integral_trapezoid_crafted(spark):
+    """Trapezoidal integral on a hand-computed series: values 0→10 over
+    10 s (area 50), then constant 10 for 5 s (area 50) ⇒ 100 value·s;
+    a second 1-point series produces no trapezoids and must be absent
+    (InfluxDB emits nothing for it either)."""
+    from ha_sqllite_2_influxdb_spark.plans.influxql import (
+        q_influx_integral, q_influx_derivative)
+    from ha_sqllite_2_influxdb_spark.sources import ha_fixture
+
+    rows = [
+        # (state_id, measurement, domain, entity_id, ts_epoch, value)
+        (1, "W", "sensor", "power", 100.0, 0.0),
+        (2, "W", "sensor", "power", 110.0, 10.0),
+        (3, "W", "sensor", "power", 115.0, 10.0),
+        (4, "C", "sensor", "temp", 50.0, 21.5),
+    ]
+    pts = spark.createDataFrame(
+        rows, "state_id long, measurement string, domain string, "
+              "entity_id string, ts_epoch double, value double")
+
+    import ha_sqllite_2_influxdb_spark.plans.influxql as iq
+    orig = iq._numeric_points
+    iq._numeric_points = lambda spark, sf_dir: pts
+    try:
+        got = {(r.measurement, r.entity_id): (r.integral_vs, r.n_points)
+               for r in q_influx_integral(spark, "unused").collect()}
+        deriv = {r.state_id: r.deriv_per_s
+                 for r in q_influx_derivative(spark, "unused").collect()}
+    finally:
+        iq._numeric_points = orig
+    assert got == {("W", "power"): (100.0, 3)}
+    assert deriv == {2: 1.0, 3: 0.0}
