@@ -194,6 +194,60 @@ def q_influx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_influx_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``SELECT MEAN(value) … GROUP BY time(1h) FILL(previous)``
+    — the canonical Grafana dashboard downsample. Per series: hourly
+    buckets over the series' own [first, last] hour span (integer
+    ``sequence()`` + explode — no calendar crossJoin), bucket mean from
+    micro-quantized integer sums (exact across engines), empty buckets
+    LOCF-filled and flagged. The first bucket always holds data (the
+    span starts at an observation), so the fill never sees a leading
+    NULL. Plan shape: the big point relation is scanned ONCE into the
+    (series, hour) bucket partial-agg; empty grid slots then derive
+    from each bucket's DISTANCE to its predecessor (lag + sequence
+    explode on the downsampled relation) — no span branch, no
+    grid-to-bucket join, no second consumer of anything. Two exchanges
+    total: the bucket agg and the series window the gap expansion and
+    the LOCF fill share."""
+    pts = _numeric_points(spark, sf_dir)
+    hr = F.floor(F.col("ts_epoch") / 3600).cast("long")
+    micro = F.round(F.col("value") * 1e6).cast("long")
+    buckets = (
+        pts.select(*_SERIES, hr.alias("hour_idx"), micro.alias("micro"))
+        .groupBy(*_SERIES, "hour_idx")
+        .agg(
+            ((F.sum("micro") / 1e6) / F.count(F.lit(1))).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+    wseries = Window.partitionBy(*_SERIES).orderBy("hour_idx")
+    lagged = buckets.select(
+        *_SERIES, "hour_idx", "mean_val", "n_points",
+        F.lag("hour_idx").over(wseries).alias("_prev"),
+    )
+    expanded = lagged.select(
+        *_SERIES, "hour_idx", "mean_val", "n_points",
+        F.explode(
+            F.sequence(
+                F.coalesce(F.col("_prev") + 1, F.col("hour_idx")),
+                F.col("hour_idx"),
+            )
+        ).alias("grid_idx"),
+    )
+    is_real = F.col("grid_idx") == F.col("hour_idx")
+    wfill = wseries.orderBy("grid_idx").rowsBetween(
+        Window.unboundedPreceding, 0)
+    return expanded.select(
+        *_SERIES,
+        (F.col("grid_idx") * 3600).alias("bucket_epoch"),
+        F.last(F.when(is_real, F.col("mean_val")), ignorenulls=True)
+         .over(wfill).alias("mean_locf"),
+        F.when(is_real, F.col("n_points")).otherwise(F.lit(0))
+         .alias("n_points"),
+        (~is_real).alias("gap_filled"),
+    )
+
+
 QUERIES = {
     "influx_derivative": q_influx_derivative,
     "influx_integral": q_influx_integral,
@@ -202,6 +256,7 @@ QUERIES = {
     "influx_cumulative_sum": q_influx_cumulative_sum,
     "influx_difference": q_influx_difference,
     "influx_percentile": q_influx_percentile,
+    "influx_downsample": q_influx_downsample,
 }
 
 ORACLES = {
@@ -278,6 +333,39 @@ ranked AS (
 )
 SELECT measurement, domain, entity_id, value AS p95, n_points
 FROM ranked WHERE rn = greatest(1, ceil(n_points * 0.95))
+""",
+    "influx_downsample": f"""{_ORACLE_NUM},
+buckets AS (
+  SELECT measurement, domain, entity_id,
+    CAST(floor(ts_epoch / 3600) AS BIGINT) AS hour_idx,
+    (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+      / count(*) AS mean_val,
+    count(*) AS n_points
+  FROM num
+  GROUP BY measurement, domain, entity_id,
+           CAST(floor(ts_epoch / 3600) AS BIGINT)
+),
+lagged AS (
+  SELECT *, lag(hour_idx) OVER (
+    PARTITION BY measurement, domain, entity_id ORDER BY hour_idx) AS prev
+  FROM buckets
+),
+expanded AS (
+  SELECT measurement, domain, entity_id, hour_idx, mean_val, n_points,
+    unnest(generate_series(coalesce(prev + 1, hour_idx), hour_idx))
+      AS grid_idx
+  FROM lagged
+)
+SELECT measurement, domain, entity_id,
+  grid_idx * 3600 AS bucket_epoch,
+  last_value(CASE WHEN grid_idx = hour_idx THEN mean_val END
+             IGNORE NULLS) OVER (
+    PARTITION BY measurement, domain, entity_id ORDER BY grid_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean_locf,
+  CAST(CASE WHEN grid_idx = hour_idx THEN n_points ELSE 0 END AS BIGINT)
+    AS n_points,
+  grid_idx <> hour_idx AS gap_filled
+FROM expanded
 """,
     "influx_series_stats": f"""{_ORACLE_NUM},
 m AS (

@@ -598,10 +598,14 @@ def test_influxql_windows_ride_one_series_exchange(spark, sf_dir):
     InMemoryTableScan and partition on other keys, so they can't match.)"""
     from ha_sqllite_2_influxdb_spark.plans import influxql
 
+    # downsample legitimately pays two: the (series, hour) bucket agg
+    # plus the series window its gap expansion and LOCF fill share
+    budget = {"influx_downsample": 2}
     for name, fn in influxql.QUERIES.items():
         physical = explain_str(fn(spark, sf_dir))
         n = physical.count("hashpartitioning(measurement")
-        assert n == 1, f"{name}: {n} series exchanges\n{physical}"
+        want = budget.get(name, 1)
+        assert n == want, f"{name}: {n} series exchanges\n{physical}"
 
 
 def test_influx_integral_trapezoid_crafted(spark):
@@ -619,6 +623,10 @@ def test_influx_integral_trapezoid_crafted(spark):
         (2, "W", "sensor", "power", 110.0, 10.0),
         (3, "W", "sensor", "power", 115.0, 10.0),
         (4, "C", "sensor", "temp", 50.0, 21.5),
+        # downsample gap series: hours 0 and 2 observed, hour 1 empty
+        (5, "kWh", "sensor", "energy", 10.0, 0.5),
+        (6, "kWh", "sensor", "energy", 20.0, 1.5),
+        (7, "kWh", "sensor", "energy", 7300.0, 4.0),
     ]
     pts = spark.createDataFrame(
         rows, "state_id long, measurement string, domain string, "
@@ -629,10 +637,24 @@ def test_influx_integral_trapezoid_crafted(spark):
     iq._numeric_points = lambda spark, sf_dir: pts
     try:
         got = {(r.measurement, r.entity_id): (r.integral_vs, r.n_points)
-               for r in q_influx_integral(spark, "unused").collect()}
+               for r in q_influx_integral(spark, "unused").collect()
+               if r.measurement == "W"}
         deriv = {r.state_id: r.deriv_per_s
-                 for r in q_influx_derivative(spark, "unused").collect()}
+                 for r in q_influx_derivative(spark, "unused").collect()
+                 if r.measurement == "W"}
+        ds = {(r.measurement, r.bucket_epoch):
+              (r.mean_locf, r.n_points, r.gap_filled)
+              for r in iq.q_influx_downsample(spark, "unused").collect()
+              if r.measurement == "kWh"}
     finally:
         iq._numeric_points = orig
     assert got == {("W", "power"): (100.0, 3)}
     assert deriv == {2: 1.0, 3: 0.0}
+    # downsample gap fill: observations in hours 0 and 2 (7200 s apart)
+    # ⇒ the empty hour-1 bucket materializes, carries the hour-0 mean,
+    # and is flagged; real buckets keep their own means
+    assert ds == {
+        ("kWh", 0): (1.0, 2, False),      # mean(0.5, 1.5)
+        ("kWh", 3600): (1.0, 0, True),    # LOCF-filled gap
+        ("kWh", 7200): (4.0, 1, False),
+    }
