@@ -15,7 +15,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ha_sqllite_2_influxdb_spark.plans import analytics, ha_pipeline, llm_ops
+from ha_sqllite_2_influxdb_spark.plans import (
+    analytics, ha_pipeline, influxql, llm_ops,
+)
 from ha_sqllite_2_influxdb_spark.session import get_spark
 
 HEADLINE = {
@@ -40,6 +42,9 @@ HEADLINE = {
     # the end-to-end curation plan — the closest headline to the
     # product's real workload (VERDICT r5 #7)
     "curate_pipeline": llm_ops.q_curate_pipeline,
+    # the post-migration InfluxQL dashboard workload (r6): hourly
+    # downsample + FILL(previous) over every numeric series
+    "influx_downsample": influxql.q_influx_downsample,
 }
 
 
