@@ -248,6 +248,24 @@ def q_influx_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_influx_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``HOLT_WINTERS(12, 24)``: 12-hour-ahead forecast per
+    series with a 24-hour season, fitted on the gap-filled hourly
+    downsample (the InfluxDB input contract — HOLT_WINTERS consumes a
+    GROUP BY time() result). Iterative recurrence ⇒ no SQL oracle;
+    rows-only tier whose recurrence is bit-pinned against an
+    independent reference loop in pytest (`operators/forecast.py`)."""
+    from ..operators.forecast import holt_winters_forecast
+
+    ds = q_influx_downsample(spark, sf_dir)
+    hourly = ds.select(
+        *_SERIES,
+        (F.col("bucket_epoch") / 3600).cast("long").alias("hour_idx"),
+        F.col("mean_locf").alias("mean_val"),
+    )
+    return holt_winters_forecast(hourly, season_len=24, horizon=12)
+
+
 QUERIES = {
     "influx_derivative": q_influx_derivative,
     "influx_integral": q_influx_integral,
@@ -257,6 +275,7 @@ QUERIES = {
     "influx_difference": q_influx_difference,
     "influx_percentile": q_influx_percentile,
     "influx_downsample": q_influx_downsample,
+    "influx_holt_winters": q_influx_holt_winters,
 }
 
 ORACLES = {

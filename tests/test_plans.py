@@ -600,7 +600,7 @@ def test_influxql_windows_ride_one_series_exchange(spark, sf_dir):
 
     # downsample legitimately pays two: the (series, hour) bucket agg
     # plus the series window its gap expansion and LOCF fill share
-    budget = {"influx_downsample": 2}
+    budget = {"influx_downsample": 2, "influx_holt_winters": 2}
     for name, fn in influxql.QUERIES.items():
         physical = explain_str(fn(spark, sf_dir))
         n = physical.count("hashpartitioning(measurement")
@@ -658,3 +658,47 @@ def test_influx_integral_trapezoid_crafted(spark):
         ("kWh", 3600): (1.0, 0, True),    # LOCF-filled gap
         ("kWh", 7200): (4.0, 1, False),
     }
+
+
+def test_holt_winters_recurrence_pinned_and_sane(spark):
+    """The additive Holt-Winters recurrence is pinned BIT-EXACTLY
+    against an independent scalar reimplementation (so a future
+    vectorization cannot silently reassociate the float ops), and on a
+    clean trend+season series the forecast must track the ground truth
+    closely; series shorter than two seasons yield no rows."""
+    import math
+
+    from ha_sqllite_2_influxdb_spark.operators.forecast import (
+        hw_additive, holt_winters_forecast)
+
+    m, h, a, b, g = 24, 12, 0.5, 0.1, 0.1
+    pattern = [math.sin(2 * math.pi * i / 24) * 10 for i in range(24)]
+    vals = [0.25 * t + pattern[t % 24] for t in range(24 * 8)]
+
+    # independent reference loop (same classic formulation, written out)
+    lvl = sum(vals[:m]) / m
+    tr = (sum(vals[m:2 * m]) / m - lvl) / m
+    sea = [vals[i] - (lvl + (i - (m - 1) / 2.0) * tr) for i in range(m)]
+    for t in range(m, len(vals)):
+        old = lvl
+        lvl = a * (vals[t] - sea[t % m]) + (1 - a) * (lvl + tr)
+        tr = b * (lvl - old) + (1 - b) * tr
+        sea[t % m] = g * (vals[t] - lvl) + (1 - g) * sea[t % m]
+    ref = [lvl + (k + 1) * tr + sea[(len(vals) + k) % m] for k in range(h)]
+
+    got = hw_additive(vals, m, h, a, b, g)
+    assert got == ref  # bit-exact
+
+    truth = [0.25 * (len(vals) + k) + pattern[(len(vals) + k) % 24]
+             for k in range(h)]
+    assert max(abs(x - y) for x, y in zip(got, truth)) < 1.0
+
+    rows = [("W", "sensor", "power", i, v) for i, v in enumerate(vals)]
+    rows += [("C", "sensor", "temp", i, 1.0) for i in range(30)]  # < 2m
+    hourly = spark.createDataFrame(
+        rows, "measurement string, domain string, entity_id string, "
+              "hour_idx long, mean_val double")
+    out = holt_winters_forecast(hourly, season_len=m, horizon=h,
+                                alpha=a, beta=b, gamma=g).collect()
+    assert {r.measurement for r in out} == {"W"}  # short series dropped
+    assert [r.forecast for r in sorted(out, key=lambda r: r.step)] == got
