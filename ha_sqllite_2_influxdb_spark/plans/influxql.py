@@ -248,6 +248,37 @@ def q_influx_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_influx_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``MODE(value)``: the most frequent value per series,
+    ties broken by the smallest value (InfluxDB's documented rule:
+    lowest value wins on equal counts). One (series, value) count agg,
+    then a min_by over (-freq, value) — the second agg rides a smaller
+    relation keyed by the same series columns."""
+    pts = _numeric_points(spark, sf_dir)
+    freq = pts.groupBy(*_SERIES, "value").agg(
+        F.count(F.lit(1)).alias("freq"))
+    return freq.groupBy(*_SERIES).agg(
+        F.min_by("value", F.struct((-F.col("freq")).alias("nf"), "value"))
+         .alias("mode_val"),
+        F.max("freq").alias("mode_freq"),
+    )
+
+
+def q_influx_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``TOP(value, 3)``: the three largest points per series
+    WITH their timestamps (TOP keeps the source row, unlike MAX) —
+    ties resolved by earliest time then state_id, descending-rank
+    window on the one series shuffle."""
+    pts = _numeric_points(spark, sf_dir)
+    w = Window.partitionBy(*_SERIES).orderBy(
+        F.desc("value"), F.asc("ts_epoch"), F.asc("state_id"))
+    return (
+        pts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("state_id", *_SERIES, "ts_epoch", "value", "rank")
+    )
+
+
 def q_influx_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``HOLT_WINTERS(12, 24)``: 12-hour-ahead forecast per
     series with a 24-hour season, fitted on the gap-filled hourly
@@ -275,6 +306,8 @@ QUERIES = {
     "influx_difference": q_influx_difference,
     "influx_percentile": q_influx_percentile,
     "influx_downsample": q_influx_downsample,
+    "influx_mode": q_influx_mode,
+    "influx_top3": q_influx_top3,
     "influx_holt_winters": q_influx_holt_winters,
 }
 
@@ -385,6 +418,32 @@ SELECT measurement, domain, entity_id,
     AS n_points,
   grid_idx <> hour_idx AS gap_filled
 FROM expanded
+""",
+    "influx_mode": f"""{_ORACLE_NUM},
+freq AS (
+  SELECT measurement, domain, entity_id, value,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM num GROUP BY measurement, domain, entity_id, value
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY measurement, domain, entity_id
+                               ORDER BY freq DESC, value ASC) AS rn
+  FROM freq
+)
+SELECT measurement, domain, entity_id,
+  value AS mode_val, freq AS mode_freq
+FROM ranked WHERE rn = 1
+""",
+    "influx_top3": f"""{_ORACLE_NUM},
+ranked AS (
+  SELECT state_id, measurement, domain, entity_id, ts_epoch, value,
+    row_number() OVER (PARTITION BY measurement, domain, entity_id
+                       ORDER BY value DESC, ts_epoch ASC, state_id ASC)
+      AS rank
+  FROM num
+)
+SELECT state_id, measurement, domain, entity_id, ts_epoch, value, rank
+FROM ranked WHERE rank <= 3
 """,
     "influx_series_stats": f"""{_ORACLE_NUM},
 m AS (

@@ -600,7 +600,8 @@ def test_influxql_windows_ride_one_series_exchange(spark, sf_dir):
 
     # downsample legitimately pays two: the (series, hour) bucket agg
     # plus the series window its gap expansion and LOCF fill share
-    budget = {"influx_downsample": 2, "influx_holt_winters": 2}
+    budget = {"influx_downsample": 2, "influx_holt_winters": 2,
+              "influx_mode": 2}
     for name, fn in influxql.QUERIES.items():
         physical = explain_str(fn(spark, sf_dir))
         n = physical.count("hashpartitioning(measurement")
