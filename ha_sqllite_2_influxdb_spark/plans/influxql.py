@@ -279,6 +279,22 @@ def q_influx_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_influx_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``SAMPLE(value, 5)``: a pseudo-random sample of 5 points
+    per series — derandomized the engine way (`operators/sampling.py`
+    precedent): rank by md5(state_id), identical in Spark and DuckDB,
+    so task retries and the oracle reproduce the same sample. One
+    series window."""
+    pts = _numeric_points(spark, sf_dir)
+    w = Window.partitionBy(*_SERIES).orderBy(
+        F.md5(F.col("state_id").cast("string")), "state_id")
+    return (
+        pts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .select("state_id", *_SERIES, "ts_epoch", "value")
+    )
+
+
 def q_influx_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``HOLT_WINTERS(12, 24)``: 12-hour-ahead forecast per
     series with a 24-hour season, fitted on the gap-filled hourly
@@ -308,6 +324,7 @@ QUERIES = {
     "influx_downsample": q_influx_downsample,
     "influx_mode": q_influx_mode,
     "influx_top3": q_influx_top3,
+    "influx_sample": q_influx_sample,
     "influx_holt_winters": q_influx_holt_winters,
 }
 
@@ -444,6 +461,17 @@ ranked AS (
 )
 SELECT state_id, measurement, domain, entity_id, ts_epoch, value, rank
 FROM ranked WHERE rank <= 3
+""",
+    "influx_sample": f"""{_ORACLE_NUM},
+ranked AS (
+  SELECT state_id, measurement, domain, entity_id, ts_epoch, value,
+    row_number() OVER (PARTITION BY measurement, domain, entity_id
+                       ORDER BY md5(CAST(state_id AS VARCHAR)), state_id)
+      AS rk
+  FROM num
+)
+SELECT state_id, measurement, domain, entity_id, ts_epoch, value
+FROM ranked WHERE rk <= 5
 """,
     "influx_series_stats": f"""{_ORACLE_NUM},
 m AS (
