@@ -29,70 +29,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # (no-oracle scale tiers, redundant analytics variants) still run under
 # pytest (tests/test_oracle_parity.py covers the whole registry).
 _DRIVER_WINDOW = [
-    # SURVEY §2 reference pipeline: S/P/J/A/O/F rows + T1 backfill.
-    # Rotated r6 per VERDICT r5 #1: 15 three-rounds-green slots
-    # (ha_ts_format, events_hourly, stream_dedup, stream_join, dedup_exact,
-    # neardup_minhash_lsh, decontaminate, pack_sequences, curriculum_topk,
-    # embedding_centroids, tpch_q1/q6/q19, set_ops, window_running) left the
-    # window — their pytest oracle coverage stays — to give every round-5
-    # addition its first independent driver verdict.
-    "ha_points", "ha_attr_fields",
-    "ha_oldest_point", "ha_backfill_boundary", "ha_line_protocol",
-    # SURVEY §2 T2-T4: sessions stays per VERDICT r5 #1 to confirm the
-    # HUGEINT oracle-type fix under the real driver; stream_static_join
-    # gets its first driver row.
-    # events_sliding rotated out late-r6 (multi-round green) for the
-    # composed ingest_pipeline first verdict
-    "stream_sessions", "session_window_native",
-    "ingest_pipeline",
-    "stream_static_join",
-    # streaming MERGE sink + stateful EMA fold (new r6, first verdicts)
-    "stream_upsert", "stream_ema",
-    # LLM data pipeline: deduplication + cluster-canonical selection
-    # (ngram_jaccard / simhash_signatures rotated out late-r6 — r5-green —
-    # for the two newest scoring/projection ops' first verdicts)
-    "ngram_span_dedup",
-    "ngram_containment", "quality_classifier", "random_projection",
-    "sketch_topk_ngrams",
-    # incremental MV maintenance + LPA communities (newest r6 additions;
-    # dedup_keep_best / simhash_neighbors rotate out r5-green)
-    "incremental_agg", "lpa_communities",
-    # IR ranking + quality gates + LM rarity (new r6, first verdicts)
-    "tfidf_topk", "bm25_topk", "gopher_rules", "lm_rare_bigrams",
-    "textrank_keywords",
-    # corpus curation: end-to-end pipeline + training-order ops (first
-    # driver verdicts for all three r5 additions)
-    "curate_pipeline", "training_shuffle", "dataset_split",
-    # similarity search (exact tier; ANN tiers are rows-only, after window)
-    # embedding_knn rotated out late-r6 (green r1-r5, still benched
-    # with its paired PQ tier) for the per-row quarantine gate
-    "quarantine_rows",
-    # skew-aware ops + upsert
-    "salted_join", "distinct_twophase", "upsert_latest",
-    # analytics breadth: TPC-H adaptations, windows, special joins,
-    # grouping sets / rollup, pivot, quantiles, range-band join.
-    # tpch_q2/q11/q12/q15/q16/q20/q21, full_outer_join and
-    # window_time_range enter for their first driver verdict.
-    # tpch_q3/q5 rotated out late-r6 (green r1-r5; still benched) for the
-    # validation + streaming-topk first verdicts
-    "data_expectations", "stream_window_topk",
-    "tpch_q2",
-    "tpch_q11", "tpch_q12",
-    "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q21",
-    # InfluxQL post-migration query layer (newest r6 additions — the
-    # sink-side functions reference users run on the migrated series;
-    # tpch_q7/q8/q9/q10 rotate out green r1-r5, pytest coverage stays)
-    "influx_derivative", "influx_integral", "influx_moving_average",
-    "influx_series_stats",
-    "range_band_join", "full_outer_join",
-    "window_time_range", "scd2_intervals",
-    # exact robust statistics + time-series resample + funnel (new r6)
-    "robust_outliers", "resample_locf", "funnel_steps",
-    # pivot_events / quantiles / window_topk / sessionize / asof_join /
-    # grouping_sets / rollup_orders / tpch_q13 / tpch_q18 / tpch_q22 /
-    # multimodal_frames / embedding_neardup rotated out this round
-    # (multi-round green; pytest oracle coverage stays) to give the
-    # twelve r6 additions first driver verdicts.
+    # Rotated r7 per VERDICT r6 #1 ("rotate hard: >=40 first-verdict
+    # entries, shrink the never-checked set below 20"): every slot except
+    # the two ha_* canaries goes to an oracle-backed entry that has NEVER
+    # had a real driver row (48 of the 49 such entries; behavior_allpairs
+    # waits for r8 — it is the one all-pairs exact tier and the costliest
+    # at sf0.01). Everything rotated out keeps full pytest oracle coverage
+    # (tests/test_oracle_parity.py runs the whole registry).
+    "ha_points", "ha_oldest_point",  # canaries (6-for-6 green r1-r6)
+    # TPC-H remainder + analytics breadth (first verdicts)
+    "tpch_q14", "cohort_retention", "event_transitions", "profile_columns",
+    "json_props_stats", "ohlc_bars", "conversion_latency", "pit_join",
+    "data_gaps", "zorder_events", "daily_new_returning", "seasonal_anomaly",
+    # experimentation readouts (first verdicts)
+    "cuped_readout", "ab_proportion_test", "audience_overlap",
+    # graph analytics tier (first verdicts)
+    "path_mining", "triangle_copurchase", "link_prediction",
+    "bfs_distances", "kcore", "frequent_triples",
+    # sequence / behavior ops (first verdicts)
+    "sequence_similarity",
+    # LLM-pipeline curation + retrieval (first verdicts)
+    "dedup_incremental", "bpe_pair_counts", "chunk_documents",
+    "curate_mixture_pipeline", "hybrid_rrf", "pmi_bigrams",
+    "inverted_index", "html_strip", "repetition_stats", "lang_rebalance",
+    "split_leakage_free", "sample_weighted",
+    # multimodal codecs — oracle-backed metadata/stats rows (first verdicts)
+    "multimodal_bmp", "multimodal_png", "multimodal_wav", "multimodal_jpeg",
+    # streaming incremental tiers (first verdicts)
+    "stream_dedup_incremental", "stream_incremental_agg", "stream_ohlc",
+    # InfluxQL post-migration layer remainder, incl. bench-headline
+    # influx_downsample which was benched r6 but never driver-checked
+    "influx_cumulative_sum", "influx_difference", "influx_percentile",
+    "influx_downsample", "influx_mode", "influx_top3", "influx_sample",
 ]
 assert len(_DRIVER_WINDOW) == 50
 

@@ -482,6 +482,98 @@ def containment_pairs_inverted_index(corpus: DataFrame,
     )
 
 
+def containment_pairs_df_capped(corpus: DataFrame,
+                                threshold: float = 0.9,
+                                max_df: int = 64,
+                                native_hash: bool = False) -> DataFrame:
+    """Containment near-dup with a document-frequency-capped candidate
+    stage (VERDICT r6 #2: de-quadratic the containment tier).
+
+    The exact inverted-index tier pays Σ df² candidate rows per shingle
+    with no cap — one viral boilerplate shingle appearing in m docs is an
+    m² straggler at 100 TB (measured the steepest probe tier, 8.5× at
+    10×). This tier bounds the join: candidates come ONLY from RARE
+    shingles (df ≤ ``max_df``), so each shingle contributes ≤ max_df²
+    rows regardless of corpus size, then survivors are rescored EXACTLY.
+
+    Stages (3 exchanges total, all key-bounded):
+      1. one shingle-keyed window pass stamps df on the exploded relation
+         (same shuffle key the join needs — AQE reuses the exchange);
+      2. rare-only self-join → (pair, n_inter_rare); per-doc hot counts
+         (shingles with df > max_df) aggregate on doc_id;
+      3. upper-bound prune — C(A→B) ≤ (n_inter_rare + least(hot_a,
+         hot_b)) / n_a, sound because A's hot shingles present in B
+         number at most min(hot_a, hot_b) — then exact rescore of the
+         few survivors via ``array_intersect`` on the per-doc shingle
+         arrays (both verify joins broadcast the candidate side).
+
+    Because the prune is an upper bound and rescoring is exact, the
+    output is EXACTLY the true-positive pairs that share at least one
+    rare shingle: precision 1.0 by construction; the only recall loss is
+    a pair whose overlap is 100% viral shingles (measured in pytest
+    against the exact tier). ``native_hash=True`` is the 100 TB
+    configuration (8-byte shingle ids end-to-end); the portable string
+    tier is oracle-exact in DuckDB.
+    """
+    sets = shingle_sets(corpus, native_hash=native_hash)
+    ex = (
+        sets.select("doc_id", F.size("sh").alias("n_sh"),
+                    F.explode("sh").alias("shingle"))
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+    )
+    rare = ex.filter(F.col("df") <= max_df)
+    hot = (
+        ex.filter(F.col("df") > max_df)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("hot"))
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"),
+                    F.col("n_sh").alias("n_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"),
+                    F.col("n_sh").alias("n_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+        .join(F.broadcast(hot.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("hot").alias("hot_a"))),
+              "doc_a", "left")
+        .join(F.broadcast(hot.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("hot").alias("hot_b"))),
+              "doc_b", "left")
+        .fillna(0, subset=["hot_a", "hot_b"])
+    )
+    ub_inter = F.col("n_rare") + F.least("hot_a", "hot_b")
+    cand = cand.filter(
+        F.greatest(ub_inter / F.col("n_a"), ub_inter / F.col("n_b"))
+        >= F.lit(threshold)
+    ).select("doc_a", "doc_b")
+    # exact rescore of the pruned candidate set: both joins broadcast the
+    # (small, already-pruned) pair list into the shingle-array relation.
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    scored = (
+        sa.join(F.broadcast(cand), "doc_a")
+        .join(F.broadcast(sb.join(
+            F.broadcast(cand.select("doc_b").distinct()), "doc_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
+            F.size("sh_a").alias("n_a"), F.size("sh_b").alias("n_b"),
+        )
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_inter").cast("double") / F.col("n_a").cast("double"))
+            .alias("containment_ab"),
+            (F.col("n_inter").cast("double") / F.col("n_b").cast("double"))
+            .alias("containment_ba"),
+        )
+    )
+    return scored.filter(
+        F.greatest("containment_ab", "containment_ba") >= F.lit(threshold)
+    )
+
+
 def simhash_signatures(corpus: DataFrame, bits: int | None = None,
                        portable: bool = True) -> DataFrame:
     """SimHash: per-bit majority vote over word hashes → one int64 per doc.

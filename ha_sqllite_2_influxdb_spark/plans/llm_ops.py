@@ -165,6 +165,19 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_MAX_DF = 64
+
+
+def q_ngram_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup with the df-capped candidate stage (VERDICT
+    r6 #2): candidates from rare shingles only (df <= CONTAIN_MAX_DF),
+    exact rescore — so the result is exactly the true-positive pairs
+    that share at least one rare shingle, which the oracle reproduces."""
+    return dedup.containment_pairs_df_capped(
+        recrawl(spark, sf_dir), threshold=CONTAIN_T, max_df=CONTAIN_MAX_DF
+    )
+
+
 def q_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated n-gram span fraction over the recrawl corpus
     (substring-dedup measurement, Lee et al. 2022). The engine groups
@@ -776,6 +789,7 @@ QUERIES = {
     "neardup_minhash_lsh": q_neardup_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_containment": q_ngram_containment,
+    "ngram_containment_capped": q_ngram_containment_capped,
     "ngram_span_dedup": q_ngram_span_dedup,
     "neardup_clusters": q_neardup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
@@ -1397,6 +1411,37 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+con AS (
+  SELECT doc_a, doc_b,
+    CAST(n_inter AS DOUBLE) / CAST(na.n_sh AS DOUBLE) AS containment_ab,
+    CAST(n_inter AS DOUBLE) / CAST(nb.n_sh AS DOUBLE) AS containment_ba
+  FROM shared
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, containment_ab, containment_ba
+FROM con WHERE greatest(containment_ab, containment_ba) >= {CONTAIN_T}
+""",
+    "ngram_containment_capped": f"""WITH {_CORPUS},
+{_SHINGLED},
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+rare AS (
+  SELECT s.doc_id, s.shingle FROM sh s
+  JOIN dfreq USING (shingle) WHERE df <= {CONTAIN_MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle
   WHERE a.doc_id < b.doc_id
 ),
 shared AS (

@@ -252,6 +252,54 @@ def test_containment_catches_partial_copy_jaccard_misses(spark):
     assert jac == []                        # symmetric metric misses it
 
 
+def test_containment_df_capped_matches_exact_and_bounds_hot_work(spark):
+    """VERDICT r6 #2 recall bound: on a corpus with one viral shingle in
+    every doc, the capped tier (a) still finds every true pair that
+    shares >=1 rare shingle, with scores IDENTICAL to the exact tier
+    (precision 1.0 — rescoring is exact), and (b) misses exactly the
+    pairs whose entire overlap is hot shingles — the documented, bounded
+    recall loss that buys the max_df² work cap."""
+    from ha_sqllite_2_influxdb_spark.operators.dedup import (
+        containment_pairs_df_capped, containment_pairs_inverted_index,
+    )
+
+    viral = "hot0 hot1 hot2 hot3"   # shared 4-word prefix → hot shingles
+    rows = [
+        # near-dup pair 50/51: viral prefix + 12 shared rare words
+        (50, viral + " " + " ".join(f"a{i}" for i in range(12))),
+        (51, viral + " " + " ".join(f"a{i}" for i in range(12)) + " zz"),
+        # hot-only pair 60/61: overlap is ONLY the viral prefix
+        (60, viral + " " + " ".join(f"b{i}" for i in range(12))),
+        (61, viral + " " + " ".join(f"c{i}" for i in range(12))),
+    ] + [(100 + k, viral + f" fill{k} x{k} y{k} z{k}") for k in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {(r["doc_a"], r["doc_b"]): (r["containment_ab"],
+                                        r["containment_ba"])
+             for r in containment_pairs_inverted_index(
+                 docs, threshold=0.9).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): (r["containment_ab"],
+                                         r["containment_ba"])
+              for r in containment_pairs_df_capped(
+                  docs, threshold=0.9, max_df=3).collect()}
+    # every capped pair is a true pair with the exact tier's exact score
+    for pair, scores in capped.items():
+        assert exact[pair] == scores
+    # the rare-sharing near-dup pair survives the cap
+    assert (50, 51) in capped
+    # recall loss is EXACTLY the hot-only-overlap pairs, nothing else
+    missed = set(exact) - set(capped)
+    assert all(a >= 60 for a, b in missed)  # only viral-prefix-only pairs
+    # both orderings agree at the uncapped setting (cap high → identical)
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in containment_pairs_df_capped(
+        docs, threshold=0.9, max_df=1000).collect()}
+    assert uncapped == set(exact)
+    # native-hash tier: same pair set as portable on this fixture
+    native = {(r["doc_a"], r["doc_b"]) for r in containment_pairs_df_capped(
+        docs, threshold=0.9, max_df=3, native_hash=True).collect()}
+    assert native == set(capped)
+
+
 # ---------------------------------------------------------- properties
 
 from hypothesis import given, settings, strategies as st  # noqa: E402

@@ -111,6 +111,12 @@ def tiers(spark, docs_path, emb_path, books):
         # all scale with replica count — a valid linearity probe for each
         "ngram_containment": lambda: dedup.containment_pairs_inverted_index(
             docs, threshold=0.9),
+        # r7: the df-capped candidate stage (VERDICT r6 #2) — candidates
+        # from rare shingles only, exact rescore; per-shingle join work is
+        # bounded at max_df² so the Σm² blowup of the exact tier cannot
+        # occur. native_hash: 8-byte shingle ids on the wire (100 TB config)
+        "ngram_containment_capped": lambda: dedup.containment_pairs_df_capped(
+            docs, threshold=0.9, native_hash=True),
         "lm_rare_bigrams": lambda: text.lm_rare_bigrams(docs),
         "textrank_keywords": lambda: graph.textrank_keywords(docs),
         # PMI collocations: one bigram-count shuffle + broadcast marginals;
@@ -134,7 +140,58 @@ def tiers(spark, docs_path, emb_path, books):
     }
 
 
+MAX_TIERS_PER_JVM = 10
+
+
+def tier_names() -> list[str]:
+    """Static tier list without a SparkSession (for batch planning)."""
+    import inspect
+    import re
+
+    src = inspect.getsource(tiers)
+    return re.findall(r'^\s{8}"([a-z0-9_]+)":', src, re.M)
+
+
+def run_batched(names: list[str]) -> None:
+    """VERDICT r6 #8: a single JVM accumulates heap/GC pressure across
+    tiers, which inflated 15-tier runs into false linearity positives
+    mid-r6. Enforce the documented ≤10-tiers-per-JVM cap structurally:
+    re-exec this tool per batch and merge the per-batch JSON reports."""
+    import subprocess
+
+    merged_tiers: dict = {}
+    failures: list[str] = []
+    meta: dict = {}
+    for i in range(0, len(names), MAX_TIERS_PER_JVM):
+        batch = names[i:i + MAX_TIERS_PER_JVM]
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *batch],
+            capture_output=True, text=True)
+        line = next((ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if line is None:
+            failures.append(f"batch {batch}: no report "
+                            f"(rc={proc.returncode}, "
+                            f"stderr tail: {proc.stderr[-300:]})")
+            continue
+        rep = json.loads(line)
+        meta = {k: rep[k] for k in ("sf_dir", "replicas")}
+        merged_tiers.update(rep["tiers"])
+        failures.extend(rep["failures"])
+    print(json.dumps({**meta, "batched": True,
+                      "jvm_batches": (len(names) + MAX_TIERS_PER_JVM - 1)
+                      // MAX_TIERS_PER_JVM,
+                      "tiers": merged_tiers, "failures": failures}))
+    sys.exit(1 if failures else 0)
+
+
 def main() -> None:
+    names = tier_names()
+    requested = sys.argv[1:] or names
+    if len(requested) > MAX_TIERS_PER_JVM:
+        run_batched(requested)
+        return
+
     from ha_sqllite_2_influxdb_spark.operators import similarity
     from ha_sqllite_2_influxdb_spark.session import get_spark
 
