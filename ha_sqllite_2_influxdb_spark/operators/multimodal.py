@@ -522,11 +522,18 @@ WAV_DECODE_SCHEMA = T.StructType([
 ])
 
 
-def wav_payloads(documents: DataFrame, sample_rate: int = 8000) -> DataFrame:
-    """Synthesize a VALID 16-bit mono PCM WAV per document (RIFF/fmt/data
+def wav_payloads(documents: DataFrame, sample_rate: int = 8000,
+                 n_channels: int = 1) -> DataFrame:
+    """Synthesize a VALID 16-bit PCM WAV per document (RIFF/fmt/data
     chunks; samples derived from the UTF-8 text bytes, centered and
     scaled to int16) so `decode_wav` exercises a real audio parser —
-    the audio leg of the BMP/PNG real-codec pattern."""
+    the audio leg of the BMP/PNG real-codec pattern.
+
+    ``n_channels > 1`` (r7, VERDICT r6 #3) interleaves one FRAME per
+    character: channel 0 carries (b−128)·256 exactly as mono, channel c
+    carries the channel-rotated (((b + 17·c) % 256) − 128)·256 so every
+    channel has a distinct, per-character-predictable waveform. The
+    mono path (default) is byte-identical to pre-r7 output."""
 
     def _make(batches: Iterator):
         import struct
@@ -541,11 +548,15 @@ def wav_payloads(documents: DataFrame, sample_rate: int = 8000) -> DataFrame:
             # regenerated fixture introduces non-ASCII text (utf-8 bytes
             # would diverge from DuckDB's code-point functions there).
             src = text.encode("ascii", errors="replace")
-            samples = struct.pack(
-                "<%dh" % len(src), *(((b - 128) * 256) for b in src)
-            )
-            fmt = struct.pack("<HHIIHH", 1, 1, sample_rate,
-                              sample_rate * 2, 2, 16)
+            if n_channels == 1:
+                vals = [((b - 128) * 256) for b in src]
+            else:
+                vals = [(((b + 17 * c) % 256 - 128) * 256)
+                        for b in src for c in range(n_channels)]
+            samples = struct.pack("<%dh" % len(vals), *vals)
+            fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                              sample_rate * 2 * n_channels,
+                              2 * n_channels, 16)
             data_sz = len(samples)
             return (b"RIFF"
                     + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_sz)
@@ -623,6 +634,84 @@ def decode_wav(payload_df: DataFrame) -> DataFrame:
             })
 
     return payload_df.mapInPandas(_decode, schema=WAV_DECODE_SCHEMA)
+
+
+WAV_MC_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("n_channels", T.LongType()),
+    T.StructField("bits_per_sample", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("channel_mean", T.ArrayType(T.DoubleType())),
+    T.StructField("channel_rms", T.ArrayType(T.DoubleType())),
+])
+
+
+def decode_wav_multichannel(payload_df: DataFrame) -> DataFrame:
+    """Multichannel WAV decode (r7, VERDICT r6 #3): the honest-subset
+    extension `decode_wav` documents as its boundary.
+
+    Frames convention (the one `decode_wav` declined to pick for nch>1):
+    a FRAME is one int16 sample per channel at one instant, interleaved
+    ch0..ch(n−1); ``n_frames = data_bytes // (2·nch)`` with any trailing
+    partial frame DROPPED (a truncated stream loses at most the last
+    instant, it does not shift channels); ``duration_ms = n_frames·1000 /
+    rate``. Stats are PER CHANNEL after de-interleave (`reshape(-1,
+    nch)` column views) — `channel_mean[c]` / `channel_rms[c]` — so mono
+    payloads yield 1-element arrays whose values equal `decode_wav`'s
+    scalars exactly (pytest-pinned). Same RIFF walk and bad-row
+    convention as the mono tier; only the nch==1 gate is lifted."""
+
+    def _decode(batches: Iterator):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes):
+            try:
+                if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    return None
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(b):
+                    tag = b[pos:pos + 4]
+                    (ln,) = struct.unpack_from("<I", b, pos + 4)
+                    if tag == b"fmt ":
+                        fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
+                    elif tag == b"data":
+                        data = b[pos + 8:pos + 8 + ln]
+                    pos += 8 + ln + (ln & 1)  # RIFF chunks pad to even
+                if fmt is None or data is None:
+                    return None
+                codec, nch, rate, _br, _ba, width = fmt
+                if codec != 1 or width != 16 or nch < 1:
+                    return None  # outside the PCM-int16 subset
+                frames = len(data) // (2 * nch)
+                if frames == 0:
+                    return (rate, nch, width, 0, 0.0, None, None)
+                s = (np.frombuffer(data[:frames * 2 * nch], dtype="<i2")
+                     .astype(np.float64).reshape(-1, nch))
+                return (rate, nch, width, frames, frames * 1000.0 / rate,
+                        [float(v) for v in s.mean(axis=0)],
+                        [float(v) for v in np.sqrt((s * s).mean(axis=0))])
+            except (struct.error, ValueError):
+                return None
+
+        for pdf in batches:
+            rows = [one(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sample_rate": [r[0] if r else None for r in rows],
+                "n_channels": [r[1] if r else None for r in rows],
+                "bits_per_sample": [r[2] if r else None for r in rows],
+                "n_frames": [r[3] if r else None for r in rows],
+                "duration_ms": [r[4] if r else None for r in rows],
+                "channel_mean": [r[5] if r else None for r in rows],
+                "channel_rms": [r[6] if r else None for r in rows],
+            })
+
+    return payload_df.mapInPandas(_decode, schema=WAV_MC_DECODE_SCHEMA)
 
 
 # --------------------------------------------------------------- JPEG tier
@@ -1014,6 +1103,394 @@ def decode_jpeg(payload_df: DataFrame) -> DataFrame:
             })
 
     return payload_df.mapInPandas(_decode, schema=JPEG_DECODE_SCHEMA)
+
+
+# ------------------------------------------------- color JPEG tier (r7)
+#
+# 4:2:0 YCbCr baseline (VERDICT r6 #3: "chroma is the subset extension a
+# real corpus hits first"). Same dependency-free machinery as grayscale;
+# the scan is MCU-interleaved per T.81 A.2.3: each 16×16 MCU carries
+# four Y blocks (2×2 raster order) then one Cb and one Cr block, each
+# component keeping its own DC predictor. The grayscale decoder path is
+# bit-unchanged — color lives in its own factory.
+#
+# Exactness extends the grayscale invariant: per-MCU-constant planes make
+# every block constant, so with DC step 8 the round-trip is LOSSLESS per
+# plane and mean_y / mean_cb / mean_cr are SQL-exact integer averages.
+
+JPEG_COLOR_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_mcus", T.LongType()),
+    T.StructField("n_pixels", T.LongType()),
+    T.StructField("mean_y", T.DoubleType()),
+    T.StructField("mean_cb", T.DoubleType()),
+    T.StructField("mean_cr", T.DoubleType()),
+])
+
+
+def jpeg_color_payloads(documents: DataFrame) -> DataFrame:
+    """Synthesize a VALID 4:2:0 YCbCr baseline JPEG per document.
+
+    Dimensions 16·((doc_id%2)+1) × 16·((doc_id%3)+1); MCU m (row-major)
+    is a constant color: Y = (doc_id·31 + m·7) % 256, Cb = (doc_id·13 +
+    m·5) % 256, Cr = (doc_id·7 + m·11) % 256 — per-MCU-constant planes,
+    so the decode is lossless (module note) and SQL-predictable. Two
+    quant tables (luma 0 / chroma 1, same steps) and two Huffman pairs
+    are emitted so the decoder's per-component table routing is actually
+    exercised, not just tolerated."""
+    cm = _jpeg_common()
+
+    def _make(batches: Iterator):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        zigzag, C = cm["zigzag"], cm["C"]
+        qtable = cm["qtable"]
+        dc_bits = [0] * 16
+        dc_bits[4] = 12
+        dc_vals = list(range(12))
+        ac_bits = [0] * 16
+        ac_bits[7] = 162
+        ac_vals = [0x00, 0xF0] + [
+            (run << 4) | size for run in range(16) for size in range(1, 11)
+        ]
+        dc_code = cm["canonical"](dc_bits, dc_vals)
+        ac_code = cm["canonical"](ac_bits, ac_vals)
+        q = np.empty((8, 8))
+        for k, (r, c) in enumerate(zigzag):
+            q[r, c] = qtable[k]
+
+        class BitWriter:
+            def __init__(self):
+                self.buf, self.acc, self.n = bytearray(), 0, 0
+
+            def put(self, code, length):
+                self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+                self.n += length
+                while self.n >= 8:
+                    byte = (self.acc >> (self.n - 8)) & 0xFF
+                    self.buf.append(byte)
+                    if byte == 0xFF:
+                        self.buf.append(0x00)  # byte stuffing
+                    self.n -= 8
+
+            def flush(self):
+                if self.n:
+                    pad = 8 - self.n
+                    self.put((1 << pad) - 1, pad)
+                return bytes(self.buf)
+
+        def category(v):
+            return 0 if v == 0 else abs(v).bit_length()
+
+        def headers(w, h):
+            dqt = (bytes([0]) + bytes(qtable)
+                   + bytes([1]) + bytes(qtable))
+            sof = (struct.pack(">BHHB", 8, h, w, 3)
+                   + bytes([1, 0x22, 0])    # Y: 2×2 sampling, qtable 0
+                   + bytes([2, 0x11, 1])    # Cb: 1×1, qtable 1
+                   + bytes([3, 0x11, 1]))   # Cr: 1×1, qtable 1
+            dht = (bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+                   + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+                   + bytes([0x01]) + bytes(dc_bits) + bytes(dc_vals)
+                   + bytes([0x11]) + bytes(ac_bits) + bytes(ac_vals))
+            sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+
+            def seg(marker, body):
+                return struct.pack(">HH", marker, len(body) + 2) + body
+
+            return (b"\xff\xd8" + seg(0xFFDB, dqt) + seg(0xFFC0, sof)
+                    + seg(0xFFC4, dht) + seg(0xFFDA, sos))
+
+        def encode_block(bw, value, prev_dc):
+            """DC-only block for a constant plane value; returns new DC."""
+            blk = np.full((8, 8), float(value)) - 128.0
+            coef = C @ blk @ C.T
+            zz = [int(np.round(coef[rr, cc] / q[rr, cc]))
+                  for rr, cc in zigzag]
+            diff = zz[0] - prev_dc
+            t = category(diff)
+            bw.put(*dc_code[t])
+            if t:
+                bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*ac_code[0xF0])
+                    run -= 16
+                s = category(zz[k])
+                bw.put(*ac_code[(run << 4) | s])
+                v = zz[k]
+                bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                bw.put(*ac_code[0x00])
+            return zz[0]
+
+        def one(doc_id):
+            w = 16 * ((doc_id % 2) + 1)
+            h = 16 * ((doc_id % 3) + 1)
+            mx, my = w // 16, h // 16
+            bw = BitWriter()
+            dc = {"y": 0, "cb": 0, "cr": 0}
+            for mr in range(my):
+                for mc in range(mx):
+                    m = mr * mx + mc
+                    yv = (doc_id * 31 + m * 7) % 256
+                    cb = (doc_id * 13 + m * 5) % 256
+                    cr = (doc_id * 7 + m * 11) % 256
+                    for _ in range(4):            # 2×2 Y blocks
+                        dc["y"] = encode_block(bw, yv, dc["y"])
+                    dc["cb"] = encode_block(bw, cb, dc["cb"])
+                    dc["cr"] = encode_block(bw, cr, dc["cr"])
+            return headers(w, h) + bw.flush() + b"\xff\xd9"
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [one(int(d)) for d in pdf["doc_id"]],
+            })
+
+    return documents.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def _jpeg_ycbcr_fn():
+    """Factory → ``one(bytes) -> (w, h, n_mcus, Y, Cb, Cr float64
+    planes) | None`` for baseline JPEG with 1 or 3 components.
+
+    Generalizes the grayscale walk: per-component quant/Huffman routing
+    from SOF/SOS, MCU-interleaved entropy decode (T.81 A.2.3) with one
+    DC predictor per component, chroma planes stored at their native
+    (subsampled) resolution and upsampled by PIXEL REPLICATION — the
+    nearest-neighbor convention, documented so goldens are exact — then
+    cropped to (h, w). Supported sampling: Y at 1×1 or 2×2, chroma at
+    1×1 (4:4:4 and 4:2:0); grayscale streams decode with Cb=Cr=None.
+    The grayscale factory `_jpeg_pixels_fn` is untouched."""
+    import struct
+
+    import numpy as np
+
+    cm = _jpeg_common()
+    zigzag, C = cm["zigzag"], cm["C"]
+
+    def one(b: bytes):
+        try:
+            if b[:2] != b"\xff\xd8":
+                return None
+            pos = 2
+            qt, huff = {}, {}
+            sof = None
+            scan_comp = scan_at = None
+            while pos + 4 <= len(b):
+                if b[pos] != 0xFF:
+                    return None
+                marker = b[pos + 1]
+                if marker == 0xD9:
+                    break
+                (ln,) = struct.unpack_from(">H", b, pos + 2)
+                body = b[pos + 4:pos + 2 + ln]
+                if marker == 0xDB:
+                    o = 0
+                    while o < len(body):
+                        pq, tq = body[o] >> 4, body[o] & 0xF
+                        if pq != 0:
+                            return None
+                        qt[tq] = list(body[o + 1:o + 65])
+                        o += 65
+                elif marker == 0xC0:
+                    sof = body
+                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    return None
+                elif marker == 0xC4:
+                    o = 0
+                    while o < len(body):
+                        tc, th = body[o] >> 4, body[o] & 0xF
+                        bits = list(body[o + 1:o + 17])
+                        n = sum(bits)
+                        vals = list(body[o + 17:o + 17 + n])
+                        dec, code, i = {}, 0, 0
+                        for clen in range(1, 17):
+                            for _ in range(bits[clen - 1]):
+                                dec[(clen, code)] = vals[i]
+                                code += 1
+                                i += 1
+                            code <<= 1
+                        huff[(tc, th)] = dec
+                        o += 17 + n
+                elif marker == 0xDA:
+                    scan_comp = body[1:1 + 2 * body[0]]
+                    scan_at = pos + 2 + ln
+                    break
+                pos += 2 + ln
+            if sof is None or scan_at is None:
+                return None
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", sof, 0)
+            if prec != 8 or ncomp not in (1, 3) or w <= 0 or h <= 0:
+                return None
+            comps = []  # (comp_id, hs, vs, tq)
+            for ci in range(ncomp):
+                cid = sof[6 + 3 * ci]
+                samp = sof[7 + 3 * ci]
+                tq = sof[8 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            ok_sampling = (
+                (ncomp == 1 and comps[0][1:3] == (1, 1)) or
+                (ncomp == 3 and comps[0][1:3] in ((1, 1), (2, 2))
+                 and comps[1][1:3] == (1, 1) and comps[2][1:3] == (1, 1))
+            )
+            if not ok_sampling:
+                return None
+            if any(c[3] not in qt for c in comps):
+                return None
+            # per-component entropy table selection from SOS
+            tables = {}
+            for si in range(len(scan_comp) // 2):
+                cs, tt = scan_comp[2 * si], scan_comp[2 * si + 1]
+                tables[cs] = (tt >> 4, tt & 0xF)
+            for cid, _, _, _ in comps:
+                td, ta = tables[cid]
+                if (0, td) not in huff or (1, ta) not in huff:
+                    return None
+            qmat = {}
+            for tq_id, steps in qt.items():
+                m = np.empty((8, 8))
+                for k, (r, c) in enumerate(zigzag):
+                    m[r, c] = steps[k]
+                qmat[tq_id] = m
+
+            bitpos = [scan_at * 8]
+
+            def read_bit():
+                byte_i = bitpos[0] >> 3
+                byte = b[byte_i]
+                bit = (byte >> (7 - (bitpos[0] & 7))) & 1
+                bitpos[0] += 1
+                if (bitpos[0] & 7) == 0 and byte == 0xFF:
+                    if b[byte_i + 1] != 0x00:
+                        raise ValueError("marker inside scan")
+                    bitpos[0] += 8
+                return bit
+
+            def read_huff(dec):
+                code = clen = 0
+                while clen < 16:
+                    code = (code << 1) | read_bit()
+                    clen += 1
+                    if (clen, code) in dec:
+                        return dec[(clen, code)]
+                raise ValueError("bad huffman code")
+
+            def receive_extend(t):
+                if t == 0:
+                    return 0
+                v = 0
+                for _ in range(t):
+                    v = (v << 1) | read_bit()
+                return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+            mcu_w, mcu_h = 8 * hmax, 8 * vmax
+            mx = (w + mcu_w - 1) // mcu_w
+            my = (h + mcu_h - 1) // mcu_h
+            planes = []
+            for cid, hs, vs, tq_id in comps:
+                planes.append(np.empty((my * vs * 8, mx * hs * 8)))
+            prev_dc = [0] * ncomp
+            for mr in range(my):
+                for mc in range(mx):
+                    for ci, (cid, hs, vs, tq_id) in enumerate(comps):
+                        td, ta = tables[cid]
+                        dc_dec, ac_dec = huff[(0, td)], huff[(1, ta)]
+                        for vy in range(vs):
+                            for vx in range(hs):
+                                zz = np.zeros(64)
+                                prev_dc[ci] += receive_extend(
+                                    read_huff(dc_dec))
+                                zz[0] = prev_dc[ci]
+                                k = 1
+                                while k < 64:
+                                    sym = read_huff(ac_dec)
+                                    if sym == 0x00:
+                                        break
+                                    if sym == 0xF0:
+                                        k += 16
+                                        continue
+                                    k += sym >> 4
+                                    if k > 63:
+                                        raise ValueError("AC run past block")
+                                    zz[k] = receive_extend(sym & 0xF)
+                                    k += 1
+                                coef = np.zeros((8, 8))
+                                for k2, (rr, cc) in enumerate(zigzag):
+                                    coef[rr, cc] = zz[k2]
+                                blk = C.T @ (coef * qmat[tq_id]) @ C + 128.0
+                                r0 = (mr * vs + vy) * 8
+                                c0 = (mc * hs + vx) * 8
+                                planes[ci][r0:r0 + 8, c0:c0 + 8] = blk
+            out = []
+            for ci, (cid, hs, vs, tq_id) in enumerate(comps):
+                p = planes[ci]
+                # replicate up to full MCU-grid resolution, then crop
+                p = np.repeat(np.repeat(p, vmax // vs, axis=0),
+                              hmax // hs, axis=1)
+                out.append(np.clip(np.round(p[:h, :w]), 0, 255))
+            ypl = out[0]
+            cbpl = out[1] if ncomp == 3 else None
+            crpl = out[2] if ncomp == 3 else None
+            return (w, h, mx * my, ypl, cbpl, crpl)
+        except (struct.error, ValueError, IndexError):
+            return None
+
+    return one
+
+
+def decode_jpeg_color(payload_df: DataFrame) -> DataFrame:
+    """REAL 4:2:0/4:4:4 color JPEG decode (r7): per-component table
+    routing, MCU-interleaved Huffman walk with per-component DC
+    predictors, chroma upsample by replication, crop. Plane means are
+    over RECONSTRUCTED pixels — a wrong MCU interleave order or a
+    swapped chroma table shifts them observably. Grayscale payloads
+    also decode here (NULL chroma means); malformed or out-of-subset
+    streams yield null-dimension rows (the P7 bad-row convention)."""
+    pixels_of = _jpeg_ycbcr_fn()
+
+    def _decode(batches: Iterator):
+        import pandas as pd
+
+        def one(b: bytes):
+            r = pixels_of(b)
+            if r is None:
+                return None
+            w, h, n_mcus, ypl, cbpl, crpl = r
+            return (w, h, n_mcus, w * h, float(ypl.mean()),
+                    None if cbpl is None else float(cbpl.mean()),
+                    None if crpl is None else float(crpl.mean()))
+
+        for pdf in batches:
+            rows = [one(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [r[0] if r else None for r in rows],
+                "height": [r[1] if r else None for r in rows],
+                "n_mcus": [r[2] if r else None for r in rows],
+                "n_pixels": [r[3] if r else None for r in rows],
+                "mean_y": [r[4] if r else None for r in rows],
+                "mean_cb": [r[5] if r else None for r in rows],
+                "mean_cr": [r[6] if r else None for r in rows],
+            })
+
+    return payload_df.mapInPandas(_decode, schema=JPEG_COLOR_DECODE_SCHEMA)
 
 
 # --------------------------------------------------- real thumbnail tier

@@ -122,11 +122,16 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     spark = embeddings.sparkSession
     n_part = spark.sparkContext.defaultParallelism
 
-    # --- codebook: every stride-th vector, capped at n_cells ---------
+    # --- codebook: n_cells smallest vec_ids BY HASH (r7, VERDICT r6 #7):
+    # ordering by xxhash64 makes this a uniform without-replacement
+    # sample no matter how vec_ids correlate with insertion time — the
+    # old vec_id-prefix stride was a biased codebook on time-ordered
+    # ids. Same physical shape (TakeOrderedAndProject: per-partition
+    # partial top-n + driver merge, never a full sort), same bounded
+    # O(K·dim) driver state, still deterministic.
     cent_rows = (
-        embeddings.orderBy("vec_id")
-        .limit(n_cells * 7)                     # deterministic prefix
-        .filter(F.pmod("vec_id", F.lit(7)) == 0)
+        embeddings
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(n_cells)
         .select("embedding")
         .collect()
@@ -539,8 +544,13 @@ def kmeans_lloyd(embeddings: DataFrame, k: int = 8, iters: int = 5,
     deterministically end-to-end:
 
     - **init**: the ``k`` vectors with the smallest vec_id (a bounded
-      driver collect of k×dim floats, the same convention as
-      `ivf_topk`'s codebook — never the relation itself);
+      driver collect of k×dim floats — never the relation itself).
+      Unlike the IVF/PQ CODEBOOK samples (hash-salted since r7), this
+      stays the k-smallest-id convention deliberately: it is a
+      documented, independently-replicable API semantic (the numpy
+      reference test reproduces it without xxhash64), and Lloyd
+      iterations move centroids to the data, so init bias does not
+      persist the way a one-shot codebook sample does;
     - **assign**: Arrow-batched ``mapInPandas`` — one numpy matmul per
       record batch against the broadcast centroid matrix, argmin ties
       breaking to the lowest cluster id;
@@ -637,8 +647,10 @@ def pq_train(embeddings: DataFrame, m: int = 8, ksub: int = 16,
     All ``m`` subspace k-means run TOGETHER — one Arrow-batched
     assignment pass + one quantized-integer (sub, code, pos) aggregation
     per iteration, never a per-subspace job fan-out. Same determinism
-    design as `kmeans_lloyd` (k-smallest-id init, fixed-point sums), so
-    the codebooks are bit-reproducible. Returns a numpy array
+    design as `kmeans_lloyd` (fixed-point sums); init is the ksub
+    smallest vec_ids BY xxhash64 (r7 — an unbiased deterministic sample
+    even when ids correlate with insertion time), so the codebooks stay
+    bit-reproducible. Returns a numpy array
     [m, ksub, dim//m] — bounded driver state (the codebook convention of
     `ivf_topk`), never the relation.
     """
@@ -647,7 +659,11 @@ def pq_train(embeddings: DataFrame, m: int = 8, ksub: int = 16,
     dsub = dim // m
     emb = _normalized(embeddings).persist()
     try:
-        init = emb.orderBy("vec_id").limit(ksub).collect()
+        # salted init (r7, VERDICT r6 #7): ksub smallest vec_ids BY HASH —
+        # unbiased under time-correlated ids, still deterministic and
+        # bit-reproducible (xxhash64 is a pure function of vec_id)
+        init = (emb.orderBy(F.xxhash64("vec_id"), "vec_id")
+                .limit(ksub).collect())
         x0 = np.array([list(r.nv) for r in init], dtype=np.float64)
         books = np.stack([x0[:, s * dsub:(s + 1) * dsub] for s in range(m)])
 

@@ -522,6 +522,114 @@ def test_wav_decode_rejects_malformed(spark):
     assert rows[5].n_samples == 0 and rows[5].mean_amplitude is None
 
 
+def test_wav_multichannel_golden(spark, sf_dir):
+    """r7 honest-subset extension (VERDICT r6 #3): stereo payloads
+    de-interleave under the frames convention; per-channel mean/RMS must
+    equal an independent numpy recomputation, and a mono payload through
+    the multichannel decoder must reproduce `decode_wav`'s scalars as
+    1-element arrays (the mono tier itself is bit-unchanged)."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    decoded = {r.doc_id: r for r in multimodal.decode_wav_multichannel(
+        multimodal.wav_payloads(docs, n_channels=2)).collect()}
+    for d, text in texts.items():
+        r = decoded[d]
+        src = text.encode("ascii", errors="replace")
+        assert (r.n_channels, r.n_frames) == (2, len(src))
+        for c in range(2):
+            s = np.array([((b + 17 * c) % 256 - 128) * 256 for b in src],
+                         dtype=np.float64)
+            assert r.channel_mean[c] == float(s.mean()), (d, c)
+            assert r.channel_rms[c] == float(np.sqrt((s * s).mean())), (d, c)
+    mono_scalar = {r.doc_id: r for r in multimodal.decode_wav(
+        multimodal.wav_payloads(docs)).collect()}
+    mono_mc = {r.doc_id: r for r in multimodal.decode_wav_multichannel(
+        multimodal.wav_payloads(docs)).collect()}
+    for d in texts:
+        a, b = mono_scalar[d], mono_mc[d]
+        assert b.n_channels == 1 and b.n_frames == a.n_samples
+        assert b.channel_mean == [a.mean_amplitude]
+        assert b.channel_rms == [a.rms]
+
+
+def test_wav_multichannel_partial_frame_dropped(spark):
+    """A truncated stream loses at most the final instant — a trailing
+    partial frame is DROPPED, never allowed to shift channel alignment."""
+    import struct
+
+    nch, rate = 2, 8000
+    vals = [100, -100, 200, -200, 300]  # 2.5 frames: last sample partial
+    samples = struct.pack("<%dh" % len(vals), *vals)
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * 4, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(samples))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(samples)) + samples)
+    df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    r = multimodal.decode_wav_multichannel(df).collect()[0]
+    assert r.n_frames == 2
+    assert r.channel_mean == [150.0, -150.0]   # ch0: 100,200; ch1: -100,-200
+
+
+def test_jpeg_color_planes_exact(spark, sf_dir):
+    """4:2:0 fixture planes are per-MCU-constant, so the decode is
+    lossless per plane: every reconstructed pixel must equal its MCU's
+    constant — full-plane equality, not just means — and the query-level
+    means must match the doc_id formulas. A grayscale stream through the
+    color decoder yields identical pixels to the grayscale factory (that
+    path is bit-unchanged) with NULL chroma."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(24)
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    pays = {r.doc_id: bytes(r.payload) for r in
+            multimodal.jpeg_color_payloads(docs).collect()}
+    one = multimodal._jpeg_ycbcr_fn()
+    for d in ids:
+        w, h = 16 * (d % 2 + 1), 16 * (d % 3 + 1)
+        mx, my = w // 16, h // 16
+        res = one(pays[d])
+        assert res is not None, d
+        rw, rh, nm, ypl, cbpl, crpl = res
+        assert (rw, rh, nm) == (w, h, mx * my)
+        for mr in range(my):
+            for mc in range(mx):
+                m = mr * mx + mc
+                sl = np.s_[mr * 16:(mr + 1) * 16, mc * 16:(mc + 1) * 16]
+                assert (ypl[sl] == (d * 31 + m * 7) % 256).all(), (d, m)
+                assert (cbpl[sl] == (d * 13 + m * 5) % 256).all(), (d, m)
+                assert (crpl[sl] == (d * 7 + m * 11) % 256).all(), (d, m)
+    # grayscale payloads: color decoder ≡ grayscale decoder, NULL chroma
+    gray = {r.doc_id: bytes(r.payload) for r in
+            multimodal.jpeg_payloads(docs.limit(8)).collect()}
+    gone = multimodal._jpeg_pixels_fn()
+    for d, b in gray.items():
+        rw, rh, nb, ypl, cbpl, crpl = one(b)
+        gw, gh, gnb, gpix = gone(b)
+        assert (rw, rh, nb) == (gw, gh, gnb)
+        assert (ypl == gpix).all(), d
+        assert cbpl is None and crpl is None
+
+
+def test_jpeg_color_rejects_malformed(spark):
+    """Out-of-subset color streams (e.g. 4:2:2 sampling) and truncated
+    scans become null rows, never batch failures."""
+    base = spark.createDataFrame([(3, "x")], "doc_id long, text string")
+    good = bytes(multimodal.jpeg_color_payloads(base).collect()[0].payload)
+    # corrupt the Y sampling byte 0x22 -> 0x21 (4:2:2, outside subset):
+    # SOF0 component 1 sampling is at a fixed offset in our stream
+    i = good.index(b"\xff\xc0")  # sampling byte: marker+len(4) + 7 into body
+    assert good[i + 11] == 0x22
+    bad_sampling = good[:i + 11] + b"\x21" + good[i + 12:]
+    df = spark.createDataFrame(
+        [(1, b"junk"), (2, good[:60]), (3, bad_sampling), (4, good)],
+        "doc_id long, payload binary")
+    rows = {r.doc_id: r for r in multimodal.decode_jpeg_color(df).collect()}
+    assert all(rows[i].width is None for i in (1, 2, 3))
+    assert rows[4].width == 32 and rows[4].mean_cb is not None
+
+
 def test_pq_rerank_deterministic_across_partitionings(spark, sf_dir):
     """The (dist, cand_id) total order in the per-batch partial top-k
     makes results identical run-to-run AND across repartitionings —

@@ -57,6 +57,12 @@ def main():
             f"read_parquet('{SF_DIR}/{t}.parquet')")
 
     qs, oracles = ent.queries(), ent.oracle_sql()
+    only = set(sys.argv[1:])
+    if only:
+        unknown = only - set(qs)
+        assert not unknown, f"unknown queries: {unknown}"
+        qs = {n: qs[n] for n in qs if n in only}
+        oracles = {n: s for n, s in oracles.items() if n in only}
     fails = []
     # dtype audit: a projected HUGEINT (DuckDB's type for integer sum()
     # and sum() OVER) degrades to float64 in any pandas/arrow fetch, so a
