@@ -45,6 +45,10 @@ HEADLINE = {
     # the post-migration InfluxQL dashboard workload (r6): hourly
     # downsample + FILL(previous) over every numeric series
     "influx_downsample": influxql.q_influx_downsample,
+    # r7 (VERDICT r6 #4): the SPREAD/FIRST/LAST summary every Grafana
+    # variable panel issues — tracks the per-series window shuffle in a
+    # second shape beside the downsample
+    "influx_series_stats": influxql.q_influx_series_stats,
 }
 
 

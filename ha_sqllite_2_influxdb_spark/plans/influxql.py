@@ -173,6 +173,74 @@ def q_influx_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("diff").isNotNull())
 
 
+def q_influx_nn_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``NON_NEGATIVE_DERIVATIVE(value, 1s)`` — the counter
+    rate pattern (the most-issued counter query in practice): same
+    per-series rate as DERIVATIVE but negative results (counter resets)
+    are DROPPED, not emitted (InfluxDB documents drop, unlike
+    NON_NEGATIVE_DIFFERENCE's NULL row). Same single series-key window
+    shuffle as the plain derivative."""
+    pts = _numeric_points(spark, sf_dir)
+    w = _w()
+    dv = F.col("value") - F.lag("value").over(w)
+    dt = F.col("ts_epoch") - F.lag("ts_epoch").over(w)
+    return (
+        pts.select(
+            "state_id", *_SERIES, "ts_epoch",
+            F.when(dt != 0, dv / dt).alias("nn_deriv_per_s"),
+            dt.alias("dt_s"),
+        )
+        .filter(F.col("dt_s").isNotNull()
+                & (F.col("nn_deriv_per_s") >= 0))
+    )
+
+
+def q_influx_stddev_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``STDDEV(value)`` + ``MEDIAN(value)`` per series, both
+    cross-engine-exact:
+
+    - STDDEV from milli-quantized integer moments — Σx and Σx² as
+      BIGINTs (order-independent), then ONE double expression
+      ``sqrt((n·Σx² − (Σx)²) / (n·(n−1)))`` with the same association
+      in both engines. Milli (1e3) rather than micro bounds Σx² at
+      ~1e14·n for |value| ≤ 1e4 — exact to ~3e4 points/series (the HA
+      series shape); a corpus with longer series would flip this
+      aggregate to DOUBLE moments, correct to ~1 ulp but no longer
+      bit-pinned cross-engine.
+    - MEDIAN per InfluxDB's documented rule: middle value for odd n,
+      the AVERAGE of the two middle values for even n — two rank
+      picks on the (value, state_id) total order riding the same
+      series shuffle, ``(lo + hi) / 2`` exact.
+    """
+    pts = _numeric_points(spark, sf_dir)
+    milli = F.round(F.col("value") * 1e3).cast("long")
+    wv = Window.partitionBy(*_SERIES).orderBy("value", "state_id")
+    n = F.count(F.lit(1)).over(Window.partitionBy(*_SERIES))
+    ranked = pts.select(
+        *_SERIES, "value", milli.alias("_m"),
+        F.row_number().over(wv).alias("_rn"),
+        n.alias("_n"),
+        # middle ranks: odd n -> both = (n+1)/2; even n -> n/2, n/2+1
+        F.floor((n + 1) / 2).cast("long").alias("_lo"),
+        (F.floor(n / 2) + 1).cast("long").alias("_hi"),
+    )
+    return ranked.groupBy(*_SERIES).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.when(
+            F.count(F.lit(1)) > 1,
+            F.sqrt(
+                (F.count(F.lit(1)) * F.sum(F.col("_m") * F.col("_m"))
+                 - F.sum("_m") * F.sum("_m")).cast("double")
+                / (F.count(F.lit(1))
+                   * (F.count(F.lit(1)) - 1)).cast("double")
+            ) / F.lit(1e3),
+        ).alias("stddev_val"),
+        ((F.max(F.when(F.col("_rn") == F.col("_lo"), F.col("value")))
+          + F.max(F.when(F.col("_rn") == F.col("_hi"), F.col("value"))))
+         / F.lit(2.0)).alias("median_val"),
+    )
+
+
 def q_influx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``PERCENTILE(value, 95)``: the ACTUAL SAMPLE at the
     95th percentile rank (no interpolation — Influx semantics), rank
@@ -242,6 +310,62 @@ def q_influx_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("grid_idx") * 3600).alias("bucket_epoch"),
         F.last(F.when(is_real, F.col("mean_val")), ignorenulls=True)
          .over(wfill).alias("mean_locf"),
+        F.when(is_real, F.col("n_points")).otherwise(F.lit(0))
+         .alias("n_points"),
+        (~is_real).alias("gap_filled"),
+    )
+
+
+def q_influx_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``GROUP BY time(1h) FILL(linear)``: hourly mean
+    downsample with empty buckets linearly INTERPOLATED between their
+    neighboring real buckets (vs ``FILL(previous)``'s LOCF in
+    `q_influx_downsample`). Same two-exchange shape: one scan into the
+    (series, hour) partial agg, then gap expansion by lag + sequence on
+    the DOWNSAMPLED relation — each gap row carries both endpoints from
+    its generating real bucket (prev value via lag, current value on
+    the row), so the interpolation ``v0 + (v1−v0)·(g−p)/(h−p)`` is a
+    row-local double expression with the same association in both
+    engines; no second window pass, no join back."""
+    pts = _numeric_points(spark, sf_dir)
+    hr = F.floor(F.col("ts_epoch") / 3600).cast("long")
+    micro = F.round(F.col("value") * 1e6).cast("long")
+    buckets = (
+        pts.select(*_SERIES, hr.alias("hour_idx"), micro.alias("micro"))
+        .groupBy(*_SERIES, "hour_idx")
+        .agg(
+            ((F.sum("micro") / 1e6) / F.count(F.lit(1))).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )
+    wseries = Window.partitionBy(*_SERIES).orderBy("hour_idx")
+    lagged = buckets.select(
+        *_SERIES, "hour_idx", "mean_val", "n_points",
+        F.lag("hour_idx").over(wseries).alias("_prev"),
+        F.lag("mean_val").over(wseries).alias("_prev_val"),
+    )
+    expanded = lagged.select(
+        *_SERIES, "hour_idx", "mean_val", "n_points",
+        "_prev", "_prev_val",
+        F.explode(
+            F.sequence(
+                F.coalesce(F.col("_prev") + 1, F.col("hour_idx")),
+                F.col("hour_idx"),
+            )
+        ).alias("grid_idx"),
+    )
+    is_real = F.col("grid_idx") == F.col("hour_idx")
+    interp = (
+        F.col("_prev_val")
+        + (F.col("mean_val") - F.col("_prev_val"))
+        * (F.col("grid_idx") - F.col("_prev")).cast("double")
+        / (F.col("hour_idx") - F.col("_prev")).cast("double")
+    )
+    return expanded.select(
+        *_SERIES,
+        (F.col("grid_idx") * 3600).alias("bucket_epoch"),
+        F.when(is_real, F.col("mean_val")).otherwise(interp)
+         .alias("mean_lin"),
         F.when(is_real, F.col("n_points")).otherwise(F.lit(0))
          .alias("n_points"),
         (~is_real).alias("gap_filled"),
@@ -320,8 +444,11 @@ QUERIES = {
     "influx_series_stats": q_influx_series_stats,
     "influx_cumulative_sum": q_influx_cumulative_sum,
     "influx_difference": q_influx_difference,
+    "influx_nn_derivative": q_influx_nn_derivative,
+    "influx_stddev_median": q_influx_stddev_median,
     "influx_percentile": q_influx_percentile,
     "influx_downsample": q_influx_downsample,
+    "influx_fill_linear": q_influx_fill_linear,
     "influx_mode": q_influx_mode,
     "influx_top3": q_influx_top3,
     "influx_sample": q_influx_sample,
@@ -402,6 +529,84 @@ ranked AS (
 )
 SELECT measurement, domain, entity_id, value AS p95, n_points
 FROM ranked WHERE rn = greatest(1, ceil(n_points * 0.95))
+""",
+    "influx_nn_derivative": f"""{_ORACLE_NUM},
+lagged AS (
+  SELECT state_id, measurement, domain, entity_id, ts_epoch,
+    value - lag(value) OVER w AS dv,
+    ts_epoch - lag(ts_epoch) OVER w AS dt_s
+  FROM num
+  WINDOW w AS (PARTITION BY measurement, domain, entity_id
+               ORDER BY ts_epoch, state_id)
+)
+SELECT state_id, measurement, domain, entity_id, ts_epoch,
+  CASE WHEN dt_s <> 0 THEN dv / dt_s END AS nn_deriv_per_s, dt_s
+FROM lagged
+WHERE dt_s IS NOT NULL
+  AND CASE WHEN dt_s <> 0 THEN dv / dt_s END >= 0
+""",
+    "influx_stddev_median": f"""{_ORACLE_NUM},
+ranked AS (
+  SELECT measurement, domain, entity_id, value,
+    CAST(round(value * 1e3) AS BIGINT) AS m,
+    row_number() OVER (PARTITION BY measurement, domain, entity_id
+                       ORDER BY value, state_id) AS rn,
+    count(*) OVER (PARTITION BY measurement, domain, entity_id) AS n,
+    CAST(floor((count(*) OVER (PARTITION BY measurement, domain,
+                               entity_id) + 1) / 2) AS BIGINT) AS lo,
+    CAST(floor(count(*) OVER (PARTITION BY measurement, domain,
+                              entity_id) / 2) + 1 AS BIGINT) AS hi
+  FROM num
+)
+SELECT measurement, domain, entity_id,
+  CAST(count(*) AS BIGINT) AS n_points,
+  CASE WHEN count(*) > 1 THEN
+    sqrt(CAST(count(*) * CAST(sum(m * m) AS BIGINT)
+              - CAST(sum(m) AS BIGINT) * CAST(sum(m) AS BIGINT)
+              AS DOUBLE)
+         / CAST(count(*) * (count(*) - 1) AS DOUBLE)) / 1e3
+  END AS stddev_val,
+  (max(CASE WHEN rn = lo THEN value END)
+   + max(CASE WHEN rn = hi THEN value END)) / 2.0 AS median_val
+FROM ranked
+GROUP BY measurement, domain, entity_id
+""",
+    "influx_fill_linear": f"""{_ORACLE_NUM},
+buckets AS (
+  SELECT measurement, domain, entity_id,
+    CAST(floor(ts_epoch / 3600) AS BIGINT) AS hour_idx,
+    (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+      / count(*) AS mean_val,
+    count(*) AS n_points
+  FROM num
+  GROUP BY measurement, domain, entity_id,
+           CAST(floor(ts_epoch / 3600) AS BIGINT)
+),
+lagged AS (
+  SELECT *,
+    lag(hour_idx) OVER w AS prev,
+    lag(mean_val) OVER w AS prev_val
+  FROM buckets
+  WINDOW w AS (PARTITION BY measurement, domain, entity_id
+               ORDER BY hour_idx)
+),
+expanded AS (
+  SELECT measurement, domain, entity_id, hour_idx, mean_val, n_points,
+    prev, prev_val,
+    unnest(generate_series(coalesce(prev + 1, hour_idx), hour_idx))
+      AS grid_idx
+  FROM lagged
+)
+SELECT measurement, domain, entity_id,
+  grid_idx * 3600 AS bucket_epoch,
+  CASE WHEN grid_idx = hour_idx THEN mean_val
+       ELSE prev_val + (mean_val - prev_val)
+            * CAST(grid_idx - prev AS DOUBLE)
+            / CAST(hour_idx - prev AS DOUBLE) END AS mean_lin,
+  CAST(CASE WHEN grid_idx = hour_idx THEN n_points ELSE 0 END AS BIGINT)
+    AS n_points,
+  grid_idx <> hour_idx AS gap_filled
+FROM expanded
 """,
     "influx_downsample": f"""{_ORACLE_NUM},
 buckets AS (

@@ -598,10 +598,11 @@ def test_influxql_windows_ride_one_series_exchange(spark, sf_dir):
     InMemoryTableScan and partition on other keys, so they can't match.)"""
     from ha_sqllite_2_influxdb_spark.plans import influxql
 
-    # downsample legitimately pays two: the (series, hour) bucket agg
-    # plus the series window its gap expansion and LOCF fill share
+    # downsample (and fill_linear, its interpolating sibling)
+    # legitimately pay two: the (series, hour) bucket agg plus the
+    # series window the gap expansion and fill share
     budget = {"influx_downsample": 2, "influx_holt_winters": 2,
-              "influx_mode": 2}
+              "influx_mode": 2, "influx_fill_linear": 2}
     for name, fn in influxql.QUERIES.items():
         physical = explain_str(fn(spark, sf_dir))
         n = physical.count("hashpartitioning(measurement")
