@@ -240,6 +240,65 @@ def lm_rare_bigrams(documents: DataFrame, rare_den: int = 40) -> DataFrame:
     )
 
 
+def lm_surprise_scores(documents: DataFrame,
+                       scale: int = 1_000_000) -> DataFrame:
+    """Graded LM quality score without transcendentals (r7): per-doc
+    MEAN INVERSE bigram probability under an add-one-smoothed corpus
+    bigram LM — the perplexity-adjacent signal `lm_rare_bigrams`'s
+    binary flag can't grade by. 1/P(b|a) = (c_a + V) / (c_ab + 1) is a
+    ratio of exact integers (V = successor vocabulary size), so each
+    term is ONE IEEE division + round to micro units, integer-summed —
+    the established cross-engine-exact accumulation (no ``ln``, whose
+    last-ulp differences between libm implementations would break the
+    value hash; the arithmetic mean of 1/P ranks documents the same
+    way the geometric mean underlying perplexity does for a filter
+    threshold).
+
+    Scale shape: identical to `lm_rare_bigrams` — one codegen'd regex
+    bigram pass, vocab-bounded LM relation joined bigram-keyed (AQE
+    broadcasts it when it fits), V as a 1-row broadcast, one doc_id
+    groupBy. Integer sums ⇒ partition-order-independent.
+    """
+    w = F.split(F.col("text"), " ")
+    pat = "(?:^| )(?=([^ ]* [^ ]*))"
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.regexp_extract_all(F.col("text"), F.lit(pat), 1),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = documents.select("doc_id", F.explode(bigrams).alias("bg"))
+    lm = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab")).withColumn(
+        "w1", F.substring_index("bg", " ", 1)
+    )
+    hist = lm.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    vocab = lm.select(
+        F.countDistinct(F.substring_index("bg", " ", -1)).alias("v")
+    )
+    lmh = (
+        lm.join(hist, "w1")
+        .crossJoin(F.broadcast(vocab))          # 1-row scalar
+        .select(
+            "bg",
+            F.round(
+                (F.col("c_a") + F.col("v")).cast("double") * scale
+                / (F.col("c_ab") + 1).cast("double")
+            ).cast("long").alias("inv_p_micro"),
+        )
+    )
+    return (
+        bg.join(lmh, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("inv_p_micro").alias("_s"),
+        )
+        .select(
+            "doc_id", "n_bigrams",
+            ((F.col("_s") / F.lit(float(scale)))
+             / F.col("n_bigrams").cast("double")).alias("mean_inv_prob"),
+        )
+    )
+
+
 def clean_text(documents: DataFrame) -> DataFrame:
     """Normalization pass every training corpus gets: lowercase, strip
     non-alphanumerics, collapse whitespace runs, trim. Pure JVM regex —

@@ -166,6 +166,21 @@ def q_line_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_protocol(pts, raw_state=F.col("state_raw"))
 
 
+def q_lineprotocol_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 wire-format round trip: render every point to line protocol,
+    then PARSE the strings back with `sources.lineprotocol` — the
+    output must equal the point relation computed directly (the
+    oracle), proving parse ∘ format = identity over real escaping
+    (spaces/commas/equals in tags, quoted-and-escaped state strings,
+    ns timestamps). Two narrow map stages, zero shuffles."""
+    from ..sinks.influx import line_protocol
+    from ..sources.lineprotocol import parse_line_protocol
+
+    pts = points(*_ha(spark, sf_dir), keep_state=True)
+    lp = line_protocol(pts, raw_state=F.col("state_raw"))
+    return parse_line_protocol(lp)
+
+
 def q_entity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 in isolation: first-dot partition over all entity ids."""
     from ..functions.entity import entity_domain, entity_short
@@ -216,6 +231,7 @@ QUERIES = {
     "ha_oldest_point": q_oldest_point,
     "ha_backfill_boundary": q_backfill_boundary,
     "ha_line_protocol": q_line_protocol,
+    "ha_lineprotocol_roundtrip": q_lineprotocol_roundtrip,
     "ha_state_route": q_state_route,
     "ha_entity_split": q_entity_split,
     "ha_ts_format": q_ts_format,
@@ -291,6 +307,17 @@ SELECT state_id, measurement, ts_epoch FROM pts ORDER BY ts_epoch ASC LIMIT 1
 {_POINTS}
 SELECT {_PTS_COLS} FROM pts
 WHERE ts_epoch < (SELECT min(ts_epoch) FROM pts WHERE measurement = 'W')
+""",
+    # parse∘format = identity: the round trip must land exactly on the
+    # directly-computed point relation (ts through the ns wire integer)
+    "ha_lineprotocol_roundtrip": f"""{_CTE},
+{_JOINED},
+{_POINTS}
+SELECT state_id, measurement, source, domain, entity_id, friendly_name,
+  CAST(CAST(round(ts_epoch * 1000000.0) AS BIGINT) AS DOUBLE) / 1e6
+    AS ts_epoch,
+  value, state_str
+FROM pts
 """,
     "ha_line_protocol": f"""{_CTE},
 {_JOINED},

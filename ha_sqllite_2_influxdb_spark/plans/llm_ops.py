@@ -433,6 +433,16 @@ def q_lm_rare_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_rare_bigrams(_docs(spark, sf_dir))
 
 
+def q_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded LM quality score (r7): per-doc mean INVERSE bigram
+    probability under the add-one-smoothed corpus LM — perplexity-
+    adjacent ranking with zero transcendentals, so every value is
+    oracle-exact (per-term division+round to micro, integer sums)."""
+    from ..operators.text import lm_surprise_scores
+
+    return lm_surprise_scores(_docs(spark, sf_dir))
+
+
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank corpus keywords: integer-exact PageRank power iteration
     (quantized ranks, rational damping 17/20) over the word
@@ -846,6 +856,7 @@ QUERIES = {
     "pmi_bigrams": q_pmi_bigrams,
     "gopher_rules": q_gopher_rules,
     "lm_rare_bigrams": q_lm_rare_bigrams,
+    "lm_surprise": q_lm_surprise,
     "textrank_keywords": q_textrank_keywords,
     "quality_classifier": q_quality_classifier,
     "random_projection": q_random_projection,
@@ -1642,6 +1653,38 @@ j AS (
 SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(rare)::BIGINT AS n_rare,
   CAST(sum(rare) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rare_rate
 FROM j GROUP BY doc_id
+""",
+    "lm_surprise": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+b AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+),
+lm AS (
+  SELECT bg, count(*)::BIGINT AS c_ab FROM b GROUP BY bg
+),
+hist AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(c_ab)::BIGINT AS c_a
+  FROM lm GROUP BY split_part(bg, ' ', 1)
+),
+vocab AS (
+  SELECT count(DISTINCT split_part(bg, ' ', 2))::BIGINT AS v FROM lm
+),
+scored AS (
+  SELECT lm.bg,
+    CAST(round(CAST(hist.c_a + vocab.v AS DOUBLE) * 1000000
+               / CAST(lm.c_ab + 1 AS DOUBLE)) AS BIGINT) AS inv_p_micro
+  FROM lm
+  JOIN hist ON split_part(lm.bg, ' ', 1) = hist.w1
+  CROSS JOIN vocab
+)
+SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+  (CAST(sum(inv_p_micro) AS BIGINT) / 1000000.0)
+    / CAST(count(*) AS DOUBLE) AS mean_inv_prob
+FROM b JOIN scored USING (bg)
+GROUP BY b.doc_id
 """,
     "gopher_rules": f"""
 WITH w AS (

@@ -46,6 +46,45 @@ def test_line_protocol_escaping_golden(spark):
     )
 
 
+def test_lineprotocol_parser_roundtrip_adversarial(spark):
+    """r7 parser (`sources.lineprotocol`): parse ∘ format must be the
+    identity on adversarial escaping — tags holding commas/equals/
+    spaces, string states holding quotes, backslashes, and decoy
+    ``value=5``/``state="..."`` substrings, empty strings, negative and
+    scientific numerics, ns timestamps at real epoch magnitudes."""
+    from ha_sqllite_2_influxdb_spark.sources.lineprotocol import (
+        parse_line_protocol,
+    )
+
+    rows = [
+        (1, "deg C", "HA", "sensor", "temp_1", "Temp, out=side",
+         1706464196.616591, 21.5, None, "21.5"),
+        (2, "count", "HA", "light", "l1", "plain",
+         11.0, None, 'say "hi" \\ bye', "x"),
+        (3, "m,s", "HA", "d", "e", "n",
+         12.0, None, 'value=5', "x"),          # decoy numeric in string
+        (4, "count", "HA", "d", "e", "n",
+         13.0, None, 'state="x" 99', "x"),     # decoy field in string
+        (5, "count", "HA", "d", "e", "n", 14.0, None, "", "x"),  # empty
+        (6, "count", "HA", "d", "e", "a b,c=d", 15.0, -1.25e-3, None,
+         "-1.25e-3"),                          # scientific numeric text
+    ]
+    df = spark.createDataFrame(
+        rows,
+        ("state_id measurement source domain entity_id friendly_name "
+         "ts_epoch value state_str state_raw").split(),
+    )
+    lp = line_protocol(df, raw_state=F.col("state_raw"))
+    got = {r.state_id: r for r in parse_line_protocol(lp).collect()}
+    for (sid, m, src, dom, ent, fn, ts, val, sstr, _raw) in rows:
+        r = got[sid]
+        assert (r.measurement, r.source, r.domain, r.entity_id,
+                r.friendly_name) == (m, src, dom, ent, fn), sid
+        assert r.ts_epoch == ts, sid
+        assert r.value == val, sid
+        assert r.state_str == sstr, sid
+
+
 _LP_ALPHABET = (
     "abcXYZ012 ,=\"\\.-_éμ"  # specials the escaping rules must handle
 )
