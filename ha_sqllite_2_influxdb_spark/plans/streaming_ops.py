@@ -26,6 +26,50 @@ from ..streaming.stream import (
 )
 
 
+def q_stream_lineprotocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: REAL streaming re-ingest of the sink's own wire format. The
+    point relation renders to line-protocol TEXT FILES once per
+    (application, sf_dir) — the shape a bucket export / telegraf file
+    drop arrives in — then ``readStream.text`` → escape-aware parse
+    (`sources.lineprotocol`, pure JVM regex inside the micro-batch) →
+    per-measurement stats, drained AvailableNow through the memory sink
+    (the `stream_sessions` pattern). The value sum micro-quantizes
+    before aggregation so the oracle (which recomputes the same stats
+    straight from the point relation, never touching the wire) matches
+    bit-exactly. One shuffle (the measurement agg) per micro-batch; the
+    parse is a map stage, so at 100 TB ingest scales with file
+    listing + text scan exactly like the formatter's write side."""
+    import os
+
+    from ..plans.ha_pipeline import _ha
+    from ..operators.transform import points
+    from ..sinks.influx import line_protocol
+    from ..sources.lineprotocol import parse_line_protocol
+
+    app = spark.sparkContext.applicationId
+    tag = sf_dir.strip("/").replace("/", "_")
+    lp_dir = f"/tmp/spark_graft_lp/{app}/{tag}"
+    if not os.path.isdir(lp_dir):
+        pts = points(*_ha(spark, sf_dir), keep_state=True)
+        (line_protocol(pts, raw_state=F.col("state_raw"))
+         .select("line").coalesce(4)
+         .write.mode("overwrite").text(lp_dir))
+    lines = spark.readStream.format("text").load(lp_dir)
+    parsed = parse_line_protocol(lines, col="value")
+    agg = parsed.groupBy("measurement").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1e6)
+              .cast("long")).alias("_vmicro"),
+        F.sum(F.when(F.col("state_str").isNotNull(), 1).otherwise(0))
+         .cast("long").alias("n_string_states"),
+    ).select(
+        "measurement", "n_points",
+        (F.col("_vmicro") / 1e6).alias("sum_value"),
+        "n_string_states",
+    )
+    return drain_to_memory(agg, "lp_ingest")
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: tumbling 1-hour event-time window (+watermark, no-op in batch)."""
     return windowed_agg(load_table(spark, sf_dir, "events"))
@@ -444,6 +488,7 @@ QUERIES = {
     "session_window_native": q_session_window_native,
     "stream_window_topk": q_stream_window_topk,
     "stream_ohlc": q_stream_ohlc,
+    "stream_lineprotocol": q_stream_lineprotocol,
 }
 
 _GAP_US = GAP_MIN * 60 * 1_000_000
@@ -470,7 +515,28 @@ FROM o
 
 _EMA_ORACLE = _ema_oracle()
 
+
+def _lp_ingest_oracle() -> str:
+    """Recomputes the streaming re-ingest stats straight from the point
+    relation — the wire format never appears, so a parse bug cannot
+    hide in a matching-but-wrong oracle."""
+    from .ha_pipeline import _CTE, _JOINED, _POINTS
+
+    return f"""{_CTE},
+{_JOINED},
+{_POINTS}
+SELECT measurement,
+  count(*)::BIGINT AS n_points,
+  CAST(sum(CAST(round(coalesce(value, 0) * 1e6) AS BIGINT)) AS BIGINT)
+    / 1e6 AS sum_value,
+  sum(CASE WHEN state_str IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+    AS n_string_states
+FROM pts GROUP BY measurement
+"""
+
+
 ORACLES = {
+    "stream_lineprotocol": _lp_ingest_oracle(),
     "events_hourly": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
