@@ -496,80 +496,111 @@ def containment_pairs_df_capped(corpus: DataFrame,
     shingles (df ≤ ``max_df``), so each shingle contributes ≤ max_df²
     rows regardless of corpus size, then survivors are rescored EXACTLY.
 
-    Stages (3 exchanges total, all key-bounded):
-      1. one shingle-keyed window pass stamps df on the exploded relation
-         (same shuffle key the join needs — AQE reuses the exchange);
-      2. rare-only self-join → (pair, n_inter_rare); per-doc hot counts
-         (shingles with df > max_df) aggregate on doc_id;
-      3. upper-bound prune — C(A→B) ≤ (n_inter_rare + least(hot_a,
-         hot_b)) / n_a, sound because A's hot shingles present in B
-         number at most min(hot_a, hot_b) — then exact rescore of the
-         few survivors via ``array_intersect`` on the per-doc shingle
-         arrays (both verify joins broadcast the candidate side).
+    Stages — every corpus-scale shuffle is LINEAR in token count; the
+    pair relation is touched by exactly one aggregation and one filter,
+    never a join; NOTHING corpus-sized is materialized (a draft that
+    ``localCheckpoint``-ed the df-stamped relation paid a 10×-growing
+    disk write; exchange reuse makes it unnecessary — every shuffle
+    below appears once in the physical plan and is ``ReusedExchange``
+    everywhere else):
+      1. df per shingle via groupBy + join-back — both keyed on
+         shingle, so every branch that needs df rides the SAME two
+         exchanges (partial-agg'd and raw) of the exploded relation;
+      2. per-doc HOT COUNTS need no second branch at all: shingle sets
+         are sets, so ``hot_n = n_sh − n_rare_doc`` falls out of one
+         doc-keyed window over the rare relation, stamped BEFORE pair
+         formation so the prune below never joins on the (much larger)
+         pair relation (a draft that joined hot data onto raw pairs
+         measured ~2.5× over the exact tier at 10×);
+      3. rare-only self-join → exact shared-RARE count per pair (each
+         shingle contributes ≤ max_df² rows ⇒ candidate volume
+         ≤ max_df · total_tokens), pruned immediately by the SOUND
+         upper bound C ≤ (n_rare + least(hot_a, hot_b)) / n (A's hot
+         shingles inside B number at most min(hot_a, hot_b));
+      4. exact hot overlap for the few survivors only: per-doc hot
+         ARRAYS are built over the reused df-stamped exchange,
+         restricted to candidate docs by broadcasting the
+         (output-bounded) candidate key set, then the tiny result
+         broadcast-joins back — ``n_inter = n_rare + |hot_a ∩ hot_b|``
+         is EXACT with no corpus re-scan and no forced broadcast of
+         anything that grows with the corpus.
 
-    Because the prune is an upper bound and rescoring is exact, the
-    output is EXACTLY the true-positive pairs that share at least one
+    Output is EXACTLY the true-positive pairs that share at least one
     rare shingle: precision 1.0 by construction; the only recall loss is
-    a pair whose overlap is 100% viral shingles (measured in pytest
+    a pair whose entire overlap is viral shingles (measured in pytest
     against the exact tier). ``native_hash=True`` is the 100 TB
     configuration (8-byte shingle ids end-to-end); the portable string
     tier is oracle-exact in DuckDB.
     """
-    sets = shingle_sets(corpus, native_hash=native_hash)
-    ex = (
-        sets.select("doc_id", F.size("sh").alias("n_sh"),
-                    F.explode("sh").alias("shingle"))
-        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+    ex = shingle_sets(corpus, native_hash=native_hash).select(
+        "doc_id", F.size("sh").alias("n_sh"),
+        F.explode("sh").alias("shingle"),
     )
-    rare = ex.filter(F.col("df") <= max_df)
-    hot = (
-        ex.filter(F.col("df") > max_df)
-        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("hot"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    stamped = ex.join(dfreq, "shingle")
+    rare = (
+        stamped.filter(F.col("df") <= max_df)
+        .withColumn("n_rare_doc",
+                    F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+        .select("doc_id", "n_sh", "shingle",
+                (F.col("n_sh") - F.col("n_rare_doc")).alias("hot_n"))
     )
     a = rare.select(F.col("doc_id").alias("doc_a"),
-                    F.col("n_sh").alias("n_a"), "shingle")
+                    F.col("n_sh").alias("n_a"),
+                    F.col("hot_n").alias("hot_a"), "shingle")
     b = rare.select(F.col("doc_id").alias("doc_b"),
-                    F.col("n_sh").alias("n_b"), "shingle")
+                    F.col("n_sh").alias("n_b"),
+                    F.col("hot_n").alias("hot_b"), "shingle")
+    ub = F.col("n_rare") + F.least("hot_a", "hot_b")
     cand = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b", "hot_a", "hot_b")
         .agg(F.count(F.lit(1)).alias("n_rare"))
-        .join(F.broadcast(hot.select(F.col("doc_id").alias("doc_a"),
-                                     F.col("hot").alias("hot_a"))),
-              "doc_a", "left")
-        .join(F.broadcast(hot.select(F.col("doc_id").alias("doc_b"),
-                                     F.col("hot").alias("hot_b"))),
-              "doc_b", "left")
-        .fillna(0, subset=["hot_a", "hot_b"])
+        .filter(
+            F.greatest(ub / F.col("n_a"), ub / F.col("n_b"))
+            >= F.lit(threshold)
+        )
+        # lineage cut at the SMALL relation: cand is referenced three
+        # times below (both cand_docs sides + the rescore base), and each
+        # logical reference would clone the whole candidate subtree —
+        # measured 48 parquet scans in one static plan without the cut.
+        # localCheckpoint here materializes the pruned pair list once
+        # (output-bounded, not corpus-sized — a draft that checkpointed
+        # the df-stamped token relation instead paid a 10×-growing write).
+        .localCheckpoint(eager=False)
     )
-    ub_inter = F.col("n_rare") + F.least("hot_a", "hot_b")
-    cand = cand.filter(
-        F.greatest(ub_inter / F.col("n_a"), ub_inter / F.col("n_b"))
-        >= F.lit(threshold)
-    ).select("doc_a", "doc_b")
-    # exact rescore of the pruned candidate set: both joins broadcast the
-    # (small, already-pruned) pair list into the shingle-array relation.
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    hot_sel = (
+        stamped.filter(F.col("df") > max_df)
+        .join(F.broadcast(cand_docs), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("hot_sh"))
+    )
     scored = (
-        sa.join(F.broadcast(cand), "doc_a")
-        .join(F.broadcast(sb.join(
-            F.broadcast(cand.select("doc_b").distinct()), "doc_b")), "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_inter"),
-            F.size("sh_a").alias("n_a"), F.size("sh_b").alias("n_b"),
-        )
-        .select(
-            "doc_a", "doc_b",
-            (F.col("n_inter").cast("double") / F.col("n_a").cast("double"))
-            .alias("containment_ab"),
-            (F.col("n_inter").cast("double") / F.col("n_b").cast("double"))
-            .alias("containment_ba"),
-        )
+        cand
+        .join(F.broadcast(hot_sel.select(F.col("doc_id").alias("doc_a"),
+                                         F.col("hot_sh").alias("ha"))),
+              "doc_a", "left")
+        .join(F.broadcast(hot_sel.select(F.col("doc_id").alias("doc_b"),
+                                         F.col("hot_sh").alias("hb"))),
+              "doc_b", "left")
     )
-    return scored.filter(
+    n_inter = F.col("n_rare") + F.when(
+        F.col("ha").isNotNull() & F.col("hb").isNotNull(),
+        F.size(F.array_intersect("ha", "hb")),
+    ).otherwise(F.lit(0))
+    return scored.select(
+        "doc_a", "doc_b",
+        (n_inter.cast("double") / F.col("n_a").cast("double"))
+        .alias("containment_ab"),
+        (n_inter.cast("double") / F.col("n_b").cast("double"))
+        .alias("containment_ba"),
+    ).filter(
         F.greatest("containment_ab", "containment_ba") >= F.lit(threshold)
     )
 

@@ -403,6 +403,38 @@ def q_influx_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_influx_bottom3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``BOTTOM(value, 3)``: the three smallest points per
+    series with their timestamps — TOP's mirror (ascending value,
+    earliest-time tie-break), the same one-window shape."""
+    pts = _numeric_points(spark, sf_dir)
+    w = Window.partitionBy(*_SERIES).orderBy(
+        F.asc("value"), F.asc("ts_epoch"), F.asc("state_id"))
+    return (
+        pts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("state_id", *_SERIES, "ts_epoch", "value", "rank")
+    )
+
+
+def q_influx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``COUNT(DISTINCT(value))`` + ``MODE``-adjacent cardinality
+    summary per series: distinct value count, total points, and the
+    min/max distinct value — one (series, value) pre-aggregation (the
+    two-phase distinct pattern: map-side combine collapses duplicates
+    BEFORE the series shuffle) feeding a series-keyed agg on the
+    much smaller distinct relation."""
+    pts = _numeric_points(spark, sf_dir)
+    dv = pts.groupBy(*_SERIES, "value").agg(
+        F.count(F.lit(1)).alias("_n"))
+    return dv.groupBy(*_SERIES).agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("_n").alias("n_points"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+    )
+
+
 def q_influx_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``SAMPLE(value, 5)``: a pseudo-random sample of 5 points
     per series — derandomized the engine way (`operators/sampling.py`
@@ -451,6 +483,8 @@ QUERIES = {
     "influx_fill_linear": q_influx_fill_linear,
     "influx_mode": q_influx_mode,
     "influx_top3": q_influx_top3,
+    "influx_bottom3": q_influx_bottom3,
+    "influx_distinct": q_influx_distinct,
     "influx_sample": q_influx_sample,
     "influx_holt_winters": q_influx_holt_winters,
 }
@@ -666,6 +700,29 @@ ranked AS (
 )
 SELECT state_id, measurement, domain, entity_id, ts_epoch, value, rank
 FROM ranked WHERE rank <= 3
+""",
+    "influx_bottom3": f"""{_ORACLE_NUM},
+ranked AS (
+  SELECT state_id, measurement, domain, entity_id, ts_epoch, value,
+    row_number() OVER (PARTITION BY measurement, domain, entity_id
+                       ORDER BY value ASC, ts_epoch ASC, state_id ASC)
+      AS rank
+  FROM num
+)
+SELECT state_id, measurement, domain, entity_id, ts_epoch, value, rank
+FROM ranked WHERE rank <= 3
+""",
+    "influx_distinct": f"""{_ORACLE_NUM},
+dv AS (
+  SELECT measurement, domain, entity_id, value,
+         count(*)::BIGINT AS n FROM num
+  GROUP BY measurement, domain, entity_id, value
+)
+SELECT measurement, domain, entity_id,
+  count(*)::BIGINT AS n_distinct,
+  CAST(sum(n) AS BIGINT) AS n_points,
+  min(value) AS min_val, max(value) AS max_val
+FROM dv GROUP BY measurement, domain, entity_id
 """,
     "influx_sample": f"""{_ORACLE_NUM},
 ranked AS (

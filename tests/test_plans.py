@@ -601,8 +601,13 @@ def test_influxql_windows_ride_one_series_exchange(spark, sf_dir):
     # downsample (and fill_linear, its interpolating sibling)
     # legitimately pay two: the (series, hour) bucket agg plus the
     # series window the gap expansion and fill share
+    # mode/distinct pay two by design: the (series, value) pre-agg
+    # keyed on series+value, then the series agg on the collapsed
+    # relation (two-phase distinct — both exchanges start with the
+    # series columns so both match the count)
     budget = {"influx_downsample": 2, "influx_holt_winters": 2,
-              "influx_mode": 2, "influx_fill_linear": 2}
+              "influx_mode": 2, "influx_fill_linear": 2,
+              "influx_distinct": 2}
     for name, fn in influxql.QUERIES.items():
         physical = explain_str(fn(spark, sf_dir))
         n = physical.count("hashpartitioning(measurement")

@@ -60,22 +60,35 @@ def build_corpora(spark):
     base = recrawl_corpus(
         load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     )
+    # viral variant (r7): the SAME boilerplate sentence prefixed to EVERY
+    # doc — the web-corpus shape (cookie banners, nav chrome) that makes
+    # the uncapped containment tier's Σ df² quadratic. Prepended BEFORE
+    # replication so each replica's viral shingles stay replica-local
+    # (word-prefixing applies to them too): 10× input ⇒ 10× viral
+    # groups of the same size, a valid linearity probe.
+    boiler = " ".join(f"boil{i}" for i in range(12))
+    viral_base = base.select(
+        "doc_id", F.concat(F.lit(boiler + " "), F.col("text")).alias("text")
+    )
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
     paths = {}
     for scale, n in (("x1", 1), ("x10", REPLICAS)):
-        reps = [
-            base.select(
-                (F.col("doc_id") + 10_000_000 * k).alias("doc_id"),
-                (F.col("text") if k == 0 else
-                 F.regexp_replace("text", "(^| )", f"$1r{k}")).alias("text"),
-            )
-            for k in range(n)
-        ]
-        docs = reps[0]
-        for r in reps[1:]:
-            docs = docs.unionByName(r)
+        for tag, src in (("docs", base), ("viral", viral_base)):
+            reps = [
+                src.select(
+                    (F.col("doc_id") + 10_000_000 * k).alias("doc_id"),
+                    (F.col("text") if k == 0 else
+                     F.regexp_replace("text", "(^| )", f"$1r{k}"))
+                    .alias("text"),
+                )
+                for k in range(n)
+            ]
+            docs = reps[0]
+            for r in reps[1:]:
+                docs = docs.unionByName(r)
+            docs.repartition(32).write.mode("overwrite").parquet(
+                f"{WORK}/{tag}_{scale}.parquet")
         dp = f"{WORK}/docs_{scale}.parquet"
-        docs.repartition(32).write.mode("overwrite").parquet(dp)
         ereps = [
             emb.select((F.col("vec_id") + 1_000_000 * k).alias("vec_id"),
                        "embedding")
@@ -86,17 +99,18 @@ def build_corpora(spark):
             e = e.unionByName(r)
         ep = f"{WORK}/emb_{scale}.parquet"
         e.repartition(32).write.mode("overwrite").parquet(ep)
-        paths[scale] = (dp, ep)
+        paths[scale] = (dp, ep, f"{WORK}/viral_{scale}.parquet")
     return paths
 
 
-def tiers(spark, docs_path, emb_path, books):
+def tiers(spark, docs_path, emb_path, books, viral_path=None):
     from ha_sqllite_2_influxdb_spark.operators import (
         dedup, graph, scoring, similarity, sketches, text,
     )
 
     docs = spark.read.parquet(docs_path)
     emb = spark.read.parquet(emb_path)
+    viral = spark.read.parquet(viral_path or docs_path)
     return {
         "neardup_xxhash_lsh": lambda: dedup.neardup_pairs(
             docs, threshold=0.5, n_seeds=8, portable=False),
@@ -117,6 +131,15 @@ def tiers(spark, docs_path, emb_path, books):
         # occur. native_hash: 8-byte shingle ids on the wire (100 TB config)
         "ngram_containment_capped": lambda: dedup.containment_pairs_df_capped(
             docs, threshold=0.9, native_hash=True),
+        # the cap's REASON, measured: a corpus where every doc shares a
+        # 12-word boilerplate prefix (viral shingles, df ≈ corpus size).
+        # The uncapped tier is Σ df² ≈ quadratic here and is deliberately
+        # NOT probed on this corpus (a single 10× run materializes ~1e8
+        # pair rows); the capped tier prunes the viral shingles from
+        # candidate generation and must stay ~linear.
+        "ngram_containment_capped_viral":
+            lambda: dedup.containment_pairs_df_capped(
+                viral, threshold=0.9, native_hash=True),
         "lm_rare_bigrams": lambda: text.lm_rare_bigrams(docs),
         "textrank_keywords": lambda: graph.textrank_keywords(docs),
         # PMI collocations: one bigram-count shuffle + broadcast marginals;
@@ -207,8 +230,8 @@ def main() -> None:
     walls: dict[str, dict[str, float]] = {}
     mems: dict[str, dict[str, float]] = {}
     for scale in ("x1", "x10"):
-        dp, ep = paths[scale]
-        for name, make in tiers(spark, dp, ep, books).items():
+        dp, ep, vp = paths[scale]
+        for name, make in tiers(spark, dp, ep, books, vp).items():
             if only and name not in only:
                 continue
             best = float("inf")
