@@ -69,7 +69,8 @@ def _registry():
     from ha_sqllite_2_influxdb_spark.plans import ha_pipeline
 
     modules = [ha_pipeline]
-    for name in ("analytics", "llm_ops", "streaming_ops", "influxql"):
+    for name in ("analytics", "llm_ops", "streaming_ops", "influxql",
+                 "influxql_text"):
         try:
             mod = __import__(
                 f"ha_sqllite_2_influxdb_spark.plans.{name}", fromlist=[name]

@@ -1,0 +1,702 @@
+"""InfluxQL TEXT surface: tokenizer, recursive-descent parser, compiler.
+
+`plans/influxql.py` re-expresses the post-migration query surface as
+Python functions; this module closes the loop for the reference *user*,
+who types InfluxQL (reference `sqllite2influxdb.py` ships points into an
+InfluxDB bucket precisely so dashboards can issue InfluxQL against it):
+an InfluxQL SELECT string compiles to the SAME Spark plans the function
+layer builds — the text layer adds zero new physical shapes.
+
+Supported grammar (a documented, tested subset — anything outside it
+raises ``InfluxQLError`` rather than mis-executing):
+
+  query  := SELECT proj (',' proj)* FROM source
+            [WHERE cond (AND cond)*]
+            [GROUP BY item (',' item)*] [FILL '(' fillarg ')']
+            [ORDER BY time [ASC|DESC]] [LIMIT n] [SLIMIT n]
+  proj   := FUNC '(' value [',' number] ')' | value
+  FUNC   := COUNT|SUM|MEAN|MIN|MAX|SPREAD|FIRST|LAST
+          | TOP|BOTTOM | PERCENTILE
+          | DERIVATIVE|NON_NEGATIVE_DERIVATIVE|DIFFERENCE
+          | CUMULATIVE_SUM|MOVING_AVERAGE
+  source := ident | '"' any '"'
+  cond   := time (< <= > >=) timelit | tag (= !=) 'string'
+          | value (< <= > >= = !=) number
+  item   := time '(' duration ')' | tag | '*'
+
+Semantics follow InfluxDB's documented behavior on the migrated point
+relation (series key = measurement/domain/entity_id, field = value):
+
+- ``GROUP BY *`` groups by all tags (domain, entity_id); explicit tags
+  group by those; NO group clause merges every point of the measurement
+  into one series ordered by (time, state_id) — exactly InfluxQL's
+  merge behavior for ungrouped queries.
+- ``GROUP BY time(d)`` buckets at epoch-aligned ``floor(ts/d)``
+  boundaries (InfluxDB's preset epoch-zero alignment), with
+  ``FILL(none|null|previous|linear|<number>)`` over each series' own
+  observed bucket span. Bucket means/sums accumulate micro-quantized
+  BIGINTs, so results are bit-identical in the DuckDB oracles.
+- ``LIMIT n`` is per series when the query is grouped (InfluxDB returns
+  the first n points of each series), a global time-ordered limit when
+  ungrouped. ``SLIMIT n`` keeps the first n series in series-key order.
+
+Scale shape: identical to the function layer — one shuffle keyed on the
+series columns for windows/aggregates (InfluxDB's own shard key), time
+buckets as a second exchange only when FILL expansion needs the series
+window, SLIMIT as a distinct+limit on the (tiny) series relation
+broadcast back. The parser itself is driver-side string work on a
+<1 KB query — no per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .influxql import _ORACLE_NUM, _numeric_points
+
+__all__ = ["InfluxQLError", "parse_influxql", "compile_influxql",
+           "QUERIES", "ORACLES"]
+
+_TAGS = ("domain", "entity_id")
+
+
+class InfluxQLError(ValueError):
+    """Raised on any query outside the documented grammar subset."""
+
+
+# ---------------------------------------------------------------- tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<dquote>"[^"]*")
+    | (?P<squote>'[^']*')
+    | (?P<duration>\d+(?:ns|us|ms|s|m|h|d|w))
+    | (?P<number>-?\d+(?:\.\d+)?)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op><=|>=|!=|<>|=|<|>)
+    | (?P<punct>[(),*])
+    )""",
+    re.VERBOSE,
+)
+
+_DUR_S = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800}
+
+
+@dataclass(frozen=True)
+class _Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == pos:
+            if text[pos:].strip():
+                raise InfluxQLError(f"bad token at: {text[pos:pos + 20]!r}")
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        out.append(_Tok(kind, m.group(kind)))
+    return out
+
+
+# ------------------------------------------------------------------- AST
+
+@dataclass(frozen=True)
+class Proj:
+    func: str | None          # None = raw field
+    arg: float | None = None  # TOP/BOTTOM n, PERCENTILE p, MOVING_AVERAGE n
+
+
+@dataclass(frozen=True)
+class Cond:
+    lhs: str                  # 'time' | tag name | 'value'
+    op: str
+    rhs: object               # float for time/value, str for tags
+
+
+@dataclass(frozen=True)
+class InfluxSelect:
+    projs: tuple[Proj, ...]
+    measurement: str
+    where: tuple[Cond, ...] = ()
+    bucket_s: int | None = None
+    group_tags: tuple[str, ...] = ()
+    grouped: bool = False     # any GROUP BY tag clause present (incl. *)
+    fill: object = "none"     # none|null|previous|linear|float
+    order_desc: bool = False
+    limit: int | None = None
+    slimit: int | None = None
+
+
+_AGGS = {"count", "sum", "mean", "min", "max", "spread", "first", "last"}
+_SELECTORS = {"top", "bottom", "percentile"}
+_TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
+               "cumulative_sum", "moving_average"}
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+
+    def _peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> _Tok:
+        t = self._peek()
+        if t is None:
+            raise InfluxQLError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def _kw(self, *words: str) -> bool:
+        t = self._peek()
+        if t and t.kind == "ident" and t.text.lower() == words[0]:
+            save = self.i
+            for w in words:
+                t = self._peek()
+                if not (t and t.kind == "ident" and t.text.lower() == w):
+                    self.i = save
+                    return False
+                self.i += 1
+            return True
+        return False
+
+    def _expect(self, text: str) -> None:
+        t = self._next()
+        if t.text.lower() != text.lower():
+            raise InfluxQLError(f"expected {text!r}, got {t.text!r}")
+
+    def parse(self) -> InfluxSelect:
+        if not self._kw("select"):
+            raise InfluxQLError("query must start with SELECT")
+        projs = [self._proj()]
+        while self._peek() and self._peek().text == ",":
+            self._next()
+            projs.append(self._proj())
+        if not self._kw("from"):
+            raise InfluxQLError("expected FROM")
+        src = self._next()
+        if src.kind == "dquote":
+            measurement = src.text[1:-1]
+        elif src.kind == "ident":
+            measurement = src.text
+        else:
+            raise InfluxQLError(f"bad FROM source {src.text!r}")
+
+        where: list[Cond] = []
+        if self._kw("where"):
+            where.append(self._cond())
+            while self._kw("and"):
+                where.append(self._cond())
+
+        bucket_s, group_tags, grouped = None, [], False
+        if self._kw("group", "by"):
+            while True:
+                t = self._next()
+                name = t.text.lower()
+                if name == "time":
+                    self._expect("(")
+                    d = self._next()
+                    if d.kind != "duration":
+                        raise InfluxQLError(f"bad duration {d.text!r}")
+                    unit = re.sub(r"^\d+", "", d.text)
+                    if unit not in _DUR_S:
+                        raise InfluxQLError(
+                            f"sub-second GROUP BY time({d.text}) unsupported")
+                    bucket_s = int(d.text[:-len(unit)]) * _DUR_S[unit]
+                    self._expect(")")
+                elif t.text == "*":
+                    grouped = True
+                    group_tags = list(_TAGS)
+                elif name in _TAGS:
+                    grouped = True
+                    if name not in group_tags:
+                        group_tags.append(name)
+                else:
+                    raise InfluxQLError(f"cannot GROUP BY {t.text!r}")
+                if self._peek() and self._peek().text == ",":
+                    self._next()
+                else:
+                    break
+
+        fill: object = "none"
+        if self._kw("fill"):
+            self._expect("(")
+            t = self._next()
+            if t.kind == "number":
+                fill = float(t.text)
+            elif t.text.lower() in ("none", "null", "previous", "linear"):
+                fill = t.text.lower()
+            else:
+                raise InfluxQLError(f"bad FILL argument {t.text!r}")
+            self._expect(")")
+            if bucket_s is None:
+                raise InfluxQLError("FILL requires GROUP BY time()")
+
+        order_desc = False
+        if self._kw("order", "by"):
+            self._expect("time")
+            if self._kw("desc"):
+                order_desc = True
+            else:
+                self._kw("asc")
+
+        limit = slimit = None
+        if self._kw("limit"):
+            limit = int(self._next().text)
+        if self._kw("slimit"):
+            slimit = int(self._next().text)
+        if self._peek() is not None:
+            raise InfluxQLError(f"trailing input at {self._peek().text!r}")
+        return InfluxSelect(tuple(projs), measurement, tuple(where),
+                            bucket_s, tuple(group_tags), grouped, fill,
+                            order_desc, limit, slimit)
+
+    def _proj(self) -> Proj:
+        t = self._next()
+        name = t.text.lower()
+        if t.kind == "ident" and name == "value":
+            return Proj(None)
+        if t.kind != "ident" or name not in (_AGGS | _SELECTORS
+                                             | _TRANSFORMS):
+            raise InfluxQLError(f"unsupported projection {t.text!r}")
+        self._expect("(")
+        a = self._next()
+        if not (a.kind == "ident" and a.text.lower() == "value"):
+            raise InfluxQLError(f"functions take the value field, "
+                                f"got {a.text!r}")
+        arg = None
+        if self._peek() and self._peek().text == ",":
+            self._next()
+            n = self._next()
+            if n.kind != "number":
+                raise InfluxQLError(f"bad function argument {n.text!r}")
+            arg = float(n.text)
+        self._expect(")")
+        if name in ("top", "bottom", "percentile", "moving_average") \
+                and arg is None:
+            raise InfluxQLError(f"{name.upper()} needs a second argument")
+        return Proj(name, arg)
+
+    def _cond(self) -> Cond:
+        lhs = self._next()
+        op = self._next()
+        if op.kind != "op":
+            raise InfluxQLError(f"expected comparison, got {op.text!r}")
+        rhs = self._next()
+        name = lhs.text.lower()
+        if name == "time":
+            if rhs.kind == "duration":          # 1704067200s epoch literal
+                if not rhs.text.endswith("s") or rhs.text.endswith("ms"):
+                    raise InfluxQLError(f"bad time literal {rhs.text!r}")
+                val = float(rhs.text[:-1])
+            elif rhs.kind == "number":
+                val = float(rhs.text)
+            else:
+                raise InfluxQLError(f"bad time literal {rhs.text!r}")
+            return Cond("time", op.text, val)
+        if name in _TAGS:
+            if rhs.kind != "squote" or op.text not in ("=", "!=", "<>"):
+                raise InfluxQLError(f"tag {name} compares = or != to a "
+                                    "'string'")
+            return Cond(name, "!=" if op.text == "<>" else op.text,
+                        rhs.text[1:-1])
+        if name == "value":
+            if rhs.kind != "number":
+                raise InfluxQLError(f"bad field literal {rhs.text!r}")
+            return Cond("value", "!=" if op.text == "<>" else op.text,
+                        float(rhs.text))
+        raise InfluxQLError(f"cannot filter on {lhs.text!r}")
+
+
+def parse_influxql(text: str) -> InfluxSelect:
+    return _Parser(text).parse()
+
+
+# ---------------------------------------------------------------- compiler
+
+_OPS = {"=": "==", "!=": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+
+
+def _apply_where(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
+    out = pts.filter(F.col("measurement") == ast.measurement)
+    for c in ast.where:
+        col = F.col("ts_epoch") if c.lhs == "time" else F.col(c.lhs)
+        expr = {
+            "=": col == F.lit(c.rhs), "!=": col != F.lit(c.rhs),
+            "<": col < F.lit(c.rhs), "<=": col <= F.lit(c.rhs),
+            ">": col > F.lit(c.rhs), ">=": col >= F.lit(c.rhs),
+        }[c.op]
+        out = out.filter(expr)
+    return out
+
+
+def _series_cols(ast: InfluxSelect) -> list[str]:
+    return ["measurement", *ast.group_tags]
+
+
+def _series_window(ast: InfluxSelect) -> Window:
+    return (Window.partitionBy(*_series_cols(ast))
+            .orderBy("ts_epoch", "state_id"))
+
+
+_MICRO = 1e6
+
+
+def _agg_expr(p: Proj):
+    """Bucket/series aggregate for one projection, cross-engine-exact
+    (mean/sum via micro-quantized BIGINT accumulation)."""
+    micro = F.sum(F.round(F.col("value") * _MICRO).cast("long"))
+    order = F.struct("ts_epoch", "state_id")
+    return {
+        "count": F.count(F.lit(1)).alias("count"),
+        "sum": (micro / _MICRO).alias("sum"),
+        "mean": ((micro / _MICRO) / F.count(F.lit(1))).alias("mean"),
+        "min": F.min("value").alias("min"),
+        "max": F.max("value").alias("max"),
+        "spread": (F.max("value") - F.min("value")).alias("spread"),
+        "first": F.min_by("value", order).alias("first"),
+        "last": F.max_by("value", order).alias("last"),
+    }[p.func]
+
+
+def _compile_raw(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
+    out = pts.select("state_id", *_series_cols(ast),
+                     F.col("ts_epoch").alias("time"), "value")
+    if ast.grouped:
+        if ast.limit is not None:
+            w = (Window.partitionBy(*_series_cols(ast))
+                 .orderBy(*([F.desc("time"), F.desc("state_id")]
+                            if ast.order_desc
+                            else [F.asc("time"), F.asc("state_id")])))
+            out = (out.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") <= ast.limit).drop("_rn"))
+        return out
+    if ast.limit is not None:
+        keys = ([F.desc("time"), F.desc("state_id")] if ast.order_desc
+                else [F.asc("time"), F.asc("state_id")])
+        out = out.orderBy(*keys).limit(ast.limit)   # TakeOrderedAndProject
+    return out
+
+
+def _compile_transform(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
+    p = ast.projs[0]
+    w = _series_window(ast)
+    base = ["state_id", *_series_cols(ast),
+            F.col("ts_epoch").alias("time")]
+    dv = F.col("value") - F.lag("value").over(w)
+    dt = F.col("ts_epoch") - F.lag("ts_epoch").over(w)
+    if p.func == "derivative":
+        out = pts.select(*base, F.when(dt != 0, dv / dt).alias("derivative"),
+                         dt.alias("_dt")).filter(
+            F.col("_dt").isNotNull()).drop("_dt")
+    elif p.func == "non_negative_derivative":
+        out = pts.select(
+            *base, F.when(dt != 0, dv / dt).alias("non_negative_derivative"),
+            dt.alias("_dt"),
+        ).filter(F.col("_dt").isNotNull()
+                 & (F.col("non_negative_derivative") >= 0)).drop("_dt")
+    elif p.func == "difference":
+        out = pts.select(*base, dv.alias("difference")).filter(
+            F.col("difference").isNotNull())
+    elif p.func == "cumulative_sum":
+        micro = F.round(F.col("value") * _MICRO).cast("long")
+        run = w.rowsBetween(Window.unboundedPreceding, 0)
+        out = pts.select(
+            *base, (F.sum(micro).over(run) / _MICRO).alias("cumulative_sum"))
+    else:                                   # moving_average(value, n)
+        n = int(p.arg)
+        if not 2 <= n <= 64:
+            raise InfluxQLError("MOVING_AVERAGE window must be in [2, 64]")
+        # explicit left-associated sum: bit-identical in the oracle,
+        # unlike a frame-spec AVG whose association the engine picks
+        acc = F.lag("value", n - 1).over(w)
+        for k in range(n - 2, 0, -1):
+            acc = acc + F.lag("value", k).over(w)
+        acc = (acc + F.col("value")) / F.lit(float(n))
+        out = pts.select(*base, acc.alias("moving_average")).filter(
+            F.col("moving_average").isNotNull())
+    if ast.order_desc:
+        out = out.orderBy(*_series_cols(ast), F.desc("time"),
+                          F.desc("state_id"))
+    return out
+
+
+def _compile_selector(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
+    p = ast.projs[0]
+    if p.func == "percentile":
+        wv = (Window.partitionBy(*_series_cols(ast))
+              .orderBy("value", "state_id"))
+        n = F.count(F.lit(1)).over(Window.partitionBy(*_series_cols(ast)))
+        ranked = pts.select(
+            *_series_cols(ast), "value",
+            F.row_number().over(wv).alias("_rn"),
+            F.greatest(F.lit(1),
+                       F.ceil(n * F.lit(p.arg / 100.0))).alias("_t"),
+        )
+        return (ranked.filter(F.col("_rn") == F.col("_t"))
+                .select(*_series_cols(ast),
+                        F.col("value").alias("percentile")))
+    n = int(p.arg)
+    order = ([F.desc("value"), F.asc("ts_epoch"), F.asc("state_id")]
+             if p.func == "top"
+             else [F.asc("value"), F.asc("ts_epoch"), F.asc("state_id")])
+    w = Window.partitionBy(*_series_cols(ast)).orderBy(*order)
+    return (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .select("state_id", *_series_cols(ast),
+                F.col("ts_epoch").alias("time"),
+                F.col("value").alias(p.func), F.col("_rn").alias("rank"))
+    )
+
+
+def _compile_agg(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
+    keys = _series_cols(ast)
+    aggs = [_agg_expr(p) for p in ast.projs]
+    if ast.bucket_s is None:
+        return pts.groupBy(*keys).agg(*aggs)
+
+    bucket = F.floor(F.col("ts_epoch") / ast.bucket_s).cast("long")
+    buckets = (pts.select(*keys, bucket.alias("_b"), "value",
+                          "ts_epoch", "state_id")
+               .groupBy(*keys, "_b").agg(*aggs))
+    names = [p.func for p in ast.projs]
+    if ast.fill == "none":
+        return buckets.select(
+            *keys, (F.col("_b") * ast.bucket_s).alias("time"), *names)
+
+    # gap expansion on the DOWNSAMPLED relation (lag + sequence — the
+    # q_influx_downsample shape; no calendar crossJoin, two exchanges)
+    wseries = Window.partitionBy(*keys).orderBy("_b")
+    prevs = [F.lag("_b").over(wseries).alias("_prev")]
+    if ast.fill == "linear":
+        if len(names) != 1:
+            raise InfluxQLError("FILL(linear) supports one aggregate")
+        prevs.append(F.lag(names[0]).over(wseries).alias("_prev_val"))
+    lagged = buckets.select(*keys, "_b", *names, *prevs)
+    expanded = lagged.select(
+        *keys, "_b", *names,
+        *(["_prev_val"] if ast.fill == "linear" else []),
+        "_prev",
+        F.explode(F.sequence(
+            F.coalesce(F.col("_prev") + 1, F.col("_b")), F.col("_b"),
+        )).alias("_g"),
+    )
+    is_real = F.col("_g") == F.col("_b")
+    out_cols = [(F.col("_g") * ast.bucket_s).alias("time")]
+    for name in names:
+        if ast.fill == "previous":
+            wfill = (Window.partitionBy(*keys).orderBy("_g")
+                     .rowsBetween(Window.unboundedPreceding, 0))
+            val = F.last(F.when(is_real, F.col(name)),
+                         ignorenulls=True).over(wfill)
+        elif ast.fill == "null":
+            val = F.when(is_real, F.col(name))
+        elif ast.fill == "linear":
+            interp = (
+                F.col("_prev_val")
+                + (F.col(name) - F.col("_prev_val"))
+                * (F.col("_g") - F.col("_prev")).cast("double")
+                / (F.col("_b") - F.col("_prev")).cast("double"))
+            val = F.when(is_real, F.col(name)).otherwise(interp)
+        else:                               # FILL(<number>)
+            val = F.when(is_real, F.col(name)).otherwise(F.lit(ast.fill))
+            if name == "count":
+                val = val.cast("long")
+        out_cols.append(val.alias(name))
+    return expanded.select(*_series_cols(ast), *out_cols)
+
+
+def _apply_slimit(out: DataFrame, ast: InfluxSelect) -> DataFrame:
+    if ast.slimit is None:
+        return out
+    keys = _series_cols(ast)
+    series = (out.select(*keys).distinct()
+              .orderBy(*keys).limit(ast.slimit))
+    return out.join(F.broadcast(series), keys)
+
+
+def compile_influxql(spark: SparkSession, sf_dir: str,
+                     text: str) -> DataFrame:
+    """Parse InfluxQL ``text`` and build its DataFrame over the migrated
+    point relation at ``sf_dir``."""
+    ast = parse_influxql(text)
+    return compile_ast(_numeric_points(spark, sf_dir), ast)
+
+
+def compile_ast(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
+    funcs = {p.func for p in ast.projs}
+    if funcs == {None}:
+        if len(ast.projs) != 1:
+            raise InfluxQLError("SELECT value supports a single field")
+        out = _compile_raw(_apply_where(pts, ast), ast)
+    elif funcs <= _AGGS:
+        out = _compile_agg(_apply_where(pts, ast), ast)
+    elif len(funcs) == 1 and funcs <= _TRANSFORMS:
+        if ast.bucket_s is not None:
+            raise InfluxQLError("transforms do not take GROUP BY time()")
+        out = _compile_transform(_apply_where(pts, ast), ast)
+    elif len(funcs) == 1 and funcs <= _SELECTORS:
+        if ast.bucket_s is not None:
+            raise InfluxQLError("selectors do not take GROUP BY time()")
+        out = _compile_selector(_apply_where(pts, ast), ast)
+    else:
+        raise InfluxQLError(
+            f"cannot mix projection kinds {sorted(f or 'value' for f in funcs)}")
+    return _apply_slimit(out, ast)
+
+
+# ---------------------------------------------------- registry + oracles
+
+_Q_DOWNSAMPLE = ('SELECT MEAN(value), COUNT(value) FROM "W" '
+                 "WHERE time >= 1704067200 AND time < 1706668800 "
+                 "GROUP BY time(1h), * FILL(previous)")
+_Q_RATE = ('SELECT NON_NEGATIVE_DERIVATIVE(value) FROM "%" GROUP BY *')
+_Q_TOP = ("SELECT TOP(value, 3) FROM default_measurement "
+          "WHERE domain = 'sensor' GROUP BY *")
+_Q_RAW = ('SELECT value FROM default_measurement WHERE value > 50 '
+          "ORDER BY time DESC LIMIT 100")
+_Q_SUMMARY = ("SELECT SPREAD(value), COUNT(value), FIRST(value), "
+              'LAST(value), MEAN(value) FROM "W" GROUP BY * SLIMIT 40')
+
+
+def q_influxql_text_downsample(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The Grafana dashboard query typed as TEXT: hourly mean + count
+    per series with LOCF fill — compiles to the q_influx_downsample
+    plan shape (two exchanges; pinned in tests/test_influxql_text.py)."""
+    return compile_influxql(spark, sf_dir, _Q_DOWNSAMPLE)
+
+
+def q_influxql_text_counter_rate(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``NON_NEGATIVE_DERIVATIVE`` from text — the counter-rate query."""
+    return compile_influxql(spark, sf_dir, _Q_RATE)
+
+
+def q_influxql_text_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TOP(value, 3)`` with a tag-equality WHERE, from text."""
+    return compile_influxql(spark, sf_dir, _Q_TOP)
+
+
+def q_influxql_text_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw field select with value predicate + global ordered LIMIT
+    (TakeOrderedAndProject), from text."""
+    return compile_influxql(spark, sf_dir, _Q_RAW)
+
+
+def q_influxql_text_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate series summary + SLIMIT series cap, from text."""
+    return compile_influxql(spark, sf_dir, _Q_SUMMARY)
+
+
+QUERIES = {
+    "influxql_text_downsample": q_influxql_text_downsample,
+    "influxql_text_counter_rate": q_influxql_text_counter_rate,
+    "influxql_text_top": q_influxql_text_top,
+    "influxql_text_raw": q_influxql_text_raw,
+    "influxql_text_summary": q_influxql_text_summary,
+}
+
+ORACLES = {
+    "influxql_text_downsample": f"""{_ORACLE_NUM},
+src AS (
+  SELECT * FROM num WHERE measurement = 'W'
+    AND ts_epoch >= 1704067200 AND ts_epoch < 1706668800
+),
+buckets AS (
+  SELECT measurement, domain, entity_id,
+         CAST(floor(ts_epoch / 3600) AS BIGINT) AS b,
+         (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+           / count(*) AS mean_v,
+         count(*) AS count_v
+  FROM src GROUP BY 1, 2, 3, 4
+),
+lagged AS (
+  SELECT *, lag(b) OVER (PARTITION BY measurement, domain, entity_id
+                         ORDER BY b) AS prev
+  FROM buckets
+),
+expanded AS (
+  SELECT measurement, domain, entity_id, b, mean_v, count_v,
+         unnest(generate_series(coalesce(prev + 1, b), b)) AS g
+  FROM lagged
+)
+SELECT measurement, domain, entity_id, g * 3600 AS time,
+  last_value(CASE WHEN g = b THEN mean_v END IGNORE NULLS)
+    OVER (PARTITION BY measurement, domain, entity_id ORDER BY g
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean,
+  last_value(CASE WHEN g = b THEN count_v END IGNORE NULLS)
+    OVER (PARTITION BY measurement, domain, entity_id ORDER BY g
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS "count"
+FROM expanded
+""",
+    "influxql_text_counter_rate": f"""{_ORACLE_NUM},
+src AS (SELECT * FROM num WHERE measurement = '%'),
+d AS (
+  SELECT state_id, measurement, domain, entity_id, ts_epoch AS time,
+    CASE WHEN ts_epoch - lag(ts_epoch) OVER w != 0 THEN
+      (value - lag(value) OVER w) / (ts_epoch - lag(ts_epoch) OVER w)
+    END AS non_negative_derivative,
+    ts_epoch - lag(ts_epoch) OVER w AS dt
+  FROM src
+  WINDOW w AS (PARTITION BY measurement, domain, entity_id
+               ORDER BY ts_epoch, state_id)
+)
+SELECT state_id, measurement, domain, entity_id, time,
+       non_negative_derivative
+FROM d WHERE dt IS NOT NULL AND non_negative_derivative >= 0
+""",
+    "influxql_text_top": f"""{_ORACLE_NUM},
+src AS (SELECT * FROM num
+        WHERE measurement = 'default_measurement' AND domain = 'sensor'),
+ranked AS (
+  SELECT state_id, measurement, domain, entity_id, ts_epoch AS time,
+         value AS top,
+         row_number() OVER (PARTITION BY measurement, domain, entity_id
+                            ORDER BY value DESC, ts_epoch ASC,
+                                     state_id ASC) AS rank
+  FROM src
+)
+SELECT * FROM ranked WHERE rank <= 3
+""",
+    "influxql_text_raw": f"""{_ORACLE_NUM}
+SELECT state_id, measurement, ts_epoch AS time, value
+FROM num WHERE measurement = 'default_measurement' AND value > 50
+ORDER BY ts_epoch DESC, state_id DESC LIMIT 100
+""",
+    "influxql_text_summary": f"""{_ORACLE_NUM},
+src AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY measurement, domain, entity_id
+                       ORDER BY ts_epoch, state_id) AS rn_a,
+    row_number() OVER (PARTITION BY measurement, domain, entity_id
+                       ORDER BY ts_epoch DESC, state_id DESC) AS rn_d
+  FROM num WHERE measurement = 'W'
+),
+agg AS (
+  SELECT measurement, domain, entity_id,
+    max(value) - min(value) AS spread,
+    count(*) AS "count",
+    max(CASE WHEN rn_a = 1 THEN value END) AS "first",
+    max(CASE WHEN rn_d = 1 THEN value END) AS "last",
+    (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+      / count(*) AS mean
+  FROM src GROUP BY 1, 2, 3
+),
+keep AS (
+  SELECT measurement, domain, entity_id FROM agg
+  ORDER BY measurement, domain, entity_id LIMIT 40
+)
+SELECT agg.* FROM agg JOIN keep USING (measurement, domain, entity_id)
+""",
+}

@@ -1,0 +1,190 @@
+"""InfluxQL text surface: parser unit tests, grammar rejection tests,
+compile semantics on synthetic frames, and plan-shape pins showing the
+text layer builds the same physical shapes as the function layer.
+(Registry-level DuckDB oracle parity for the five influxql_text_*
+entries runs in test_oracle_parity.py like every other entry.)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ha_sqllite_2_influxdb_spark.plans.influxql_text import (
+    InfluxQLError,
+    compile_ast,
+    compile_influxql,
+    parse_influxql,
+)
+from tests.test_plans import explain_str
+
+
+# ------------------------------------------------------------------ parser
+
+def test_parse_full_clause_set():
+    ast = parse_influxql(
+        'SELECT MEAN(value), COUNT(value) FROM "W" '
+        "WHERE time >= 1704067200s AND time < 1706668800 "
+        "AND domain = 'sensor' "
+        "GROUP BY time(1h), * FILL(previous) "
+        "ORDER BY time DESC LIMIT 10 SLIMIT 5")
+    assert [p.func for p in ast.projs] == ["mean", "count"]
+    assert ast.measurement == "W"
+    assert [(c.lhs, c.op, c.rhs) for c in ast.where] == [
+        ("time", ">=", 1704067200.0), ("time", "<", 1706668800.0),
+        ("domain", "=", "sensor")]
+    assert ast.bucket_s == 3600
+    assert ast.group_tags == ("domain", "entity_id") and ast.grouped
+    assert ast.fill == "previous"
+    assert ast.order_desc and ast.limit == 10 and ast.slimit == 5
+
+
+def test_parse_durations_and_args():
+    assert parse_influxql(
+        "SELECT SUM(value) FROM m GROUP BY time(30m)").bucket_s == 1800
+    assert parse_influxql(
+        "SELECT SUM(value) FROM m GROUP BY time(2d)").bucket_s == 172800
+    ast = parse_influxql("SELECT TOP(value, 3) FROM m GROUP BY *")
+    assert ast.projs[0].func == "top" and ast.projs[0].arg == 3.0
+    ast = parse_influxql("SELECT PERCENTILE(value, 95) FROM m GROUP BY *")
+    assert ast.projs[0].arg == 95.0
+
+
+@pytest.mark.parametrize("bad", [
+    "MEAN(value) FROM m",                          # no SELECT
+    "SELECT MEAN(value)",                          # no FROM
+    "SELECT MEAN(field2) FROM m",                  # unknown field
+    "SELECT EXPLODE(value) FROM m",                # unknown function
+    "SELECT TOP(value) FROM m",                    # missing selector arg
+    "SELECT MEAN(value) FROM m GROUP BY time(10ms)",   # sub-second bucket
+    "SELECT MEAN(value) FROM m GROUP BY region",   # unknown tag
+    "SELECT MEAN(value) FROM m FILL(previous)",    # FILL without time()
+    "SELECT MEAN(value), TOP(value, 3) FROM m",    # mixed proj kinds
+    "SELECT DERIVATIVE(value) FROM m GROUP BY time(1h)",  # transform+bucket
+    "SELECT value FROM m WHERE domain = sensor",   # unquoted tag literal
+    "SELECT value FROM m WHERE name = 'x'",        # unfilterable column
+    "SELECT value FROM m extra",                   # trailing input
+])
+def test_parse_rejects_out_of_grammar(bad):
+    with pytest.raises(InfluxQLError):
+        df = parse_influxql(bad)
+        compile_ast(None, df)   # some errors surface at compile time
+
+
+# --------------------------------------------------------------- semantics
+
+def _pts(spark):
+    rows = [
+        # (state_id, measurement, domain, entity_id, ts_epoch, value)
+        (1, "m", "sensor", "a", 0.0, 1.0),
+        (2, "m", "sensor", "a", 3600.0, 3.0),
+        (3, "m", "sensor", "a", 14400.0, 5.0),   # 3-bucket gap before this
+        (4, "m", "sensor", "b", 0.0, 10.0),
+        (5, "m", "sensor", "b", 60.0, 20.0),
+        (6, "m", "power", "c", 0.0, 7.0),
+        (7, "other", "sensor", "a", 0.0, 99.0),
+    ]
+    return spark.createDataFrame(
+        rows, "state_id long, measurement string, domain string, "
+              "entity_id string, ts_epoch double, value double")
+
+
+def test_fill_modes_on_gap(spark):
+    pts = _pts(spark)
+    base = 'SELECT MEAN(value) FROM m GROUP BY time(1h), * FILL({})'
+    prev = {(r["entity_id"], r["time"]): r["mean"] for r in compile_ast(
+        pts, parse_influxql(base.format("previous"))).collect()}
+    # series a: buckets 0,1,4 real; 2,3 LOCF from bucket 1's mean 3.0
+    assert prev[("a", 7200)] == 3.0 and prev[("a", 10800)] == 3.0
+    assert prev[("a", 14400)] == 5.0
+    lin = {(r["entity_id"], r["time"]): r["mean"] for r in compile_ast(
+        pts, parse_influxql(base.format("linear"))).collect()}
+    # linear between (bucket 1, 3.0) and (bucket 4, 5.0)
+    assert lin[("a", 7200)] == pytest.approx(3 + 2 * 1 / 3)
+    assert lin[("a", 10800)] == pytest.approx(3 + 2 * 2 / 3)
+    zero = {(r["entity_id"], r["time"]): r["mean"] for r in compile_ast(
+        pts, parse_influxql(base.format("0")))[["entity_id", "time",
+                                                "mean"]].collect()}
+    assert zero[("a", 7200)] == 0.0
+    none = compile_ast(pts, parse_influxql(base.format("none"))).collect()
+    assert not [r for r in none if r["entity_id"] == "a"
+                and r["time"] in (7200, 10800)]
+
+
+def test_ungrouped_merges_series_grouped_splits(spark):
+    pts = _pts(spark)
+    merged = compile_ast(
+        pts, parse_influxql("SELECT COUNT(value) FROM m")).collect()
+    assert len(merged) == 1 and merged[0]["count"] == 6
+    split = compile_ast(
+        pts, parse_influxql("SELECT COUNT(value) FROM m GROUP BY *"))
+    assert {(r["domain"], r["entity_id"]): r["count"]
+            for r in split.collect()} == {
+        ("sensor", "a"): 3, ("sensor", "b"): 2, ("power", "c"): 1}
+
+
+def test_limit_per_series_vs_global(spark):
+    pts = _pts(spark)
+    per_series = compile_ast(pts, parse_influxql(
+        "SELECT value FROM m GROUP BY * LIMIT 1")).collect()
+    # first point of each of the 3 series
+    assert sorted(r["value"] for r in per_series) == [1.0, 7.0, 10.0]
+    global_lim = compile_ast(pts, parse_influxql(
+        "SELECT value FROM m ORDER BY time DESC LIMIT 2")).collect()
+    # latest two points overall: ts 14400 (5.0) and ts 3600 (3.0)
+    assert sorted(r["value"] for r in global_lim) == [3.0, 5.0]
+
+
+def test_slimit_keeps_first_series(spark):
+    pts = _pts(spark)
+    out = compile_ast(pts, parse_influxql(
+        "SELECT COUNT(value) FROM m GROUP BY * SLIMIT 2")).collect()
+    # series order: (power,c) < (sensor,a)
+    assert {(r["domain"], r["entity_id"]) for r in out} == {
+        ("power", "c"), ("sensor", "a")}
+
+
+def test_moving_average_and_where(spark):
+    pts = _pts(spark)
+    out = compile_ast(pts, parse_influxql(
+        "SELECT MOVING_AVERAGE(value, 2) FROM m "
+        "WHERE entity_id = 'a' GROUP BY *")).collect()
+    assert [r["moving_average"] for r in
+            sorted(out, key=lambda r: r["time"])] == [2.0, 4.0]
+
+
+def test_tag_and_value_where(spark):
+    pts = _pts(spark)
+    out = compile_ast(pts, parse_influxql(
+        "SELECT value FROM m WHERE domain != 'sensor'")).collect()
+    assert [r["value"] for r in out] == [7.0]
+    out = compile_ast(pts, parse_influxql(
+        "SELECT value FROM m WHERE value >= 10 AND value < 20")).collect()
+    assert [r["value"] for r in out] == [10.0]
+
+
+# ------------------------------------------------------------- plan shape
+
+def test_text_downsample_matches_function_layer_shape(spark, sf_dir):
+    """The text-compiled Grafana downsample keeps the function layer's
+    two-exchange budget: the (series, bucket) partial agg plus the one
+    series window the gap expansion and LOCF fill share."""
+    df = compile_influxql(
+        spark, sf_dir,
+        'SELECT MEAN(value) FROM "W" GROUP BY time(1h), * FILL(previous)')
+    physical = explain_str(df)
+    assert physical.count("hashpartitioning(measurement") == 2, physical
+
+
+def test_text_transform_single_series_exchange(spark, sf_dir):
+    df = compile_influxql(
+        spark, sf_dir,
+        'SELECT NON_NEGATIVE_DERIVATIVE(value) FROM "%" GROUP BY *')
+    physical = explain_str(df)
+    assert physical.count("hashpartitioning(measurement") == 1, physical
+
+
+def test_text_raw_global_limit_is_take_ordered(spark, sf_dir):
+    df = compile_influxql(
+        spark, sf_dir,
+        "SELECT value FROM default_measurement "
+        "ORDER BY time DESC LIMIT 100")
+    assert "TakeOrderedAndProject" in explain_str(df)
