@@ -141,6 +141,16 @@ _TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
                "cumulative_sum", "moving_average"}
 
 
+@dataclass(frozen=True)
+class InfluxShow:
+    """AST for the SHOW meta statements (the InfluxQL surface every
+    Grafana datasource browser issues to populate its dropdowns)."""
+    kind: str                        # measurements|tag_keys|tag_values|
+    #                                  field_keys|cardinality
+    measurement: str | None = None   # optional FROM filter
+    with_key: str | None = None      # SHOW TAG VALUES ... WITH KEY = k
+
+
 class _Parser:
     def __init__(self, text: str):
         self.toks = _tokenize(text)
@@ -174,9 +184,11 @@ class _Parser:
         if t.text.lower() != text.lower():
             raise InfluxQLError(f"expected {text!r}, got {t.text!r}")
 
-    def parse(self) -> InfluxSelect:
+    def parse(self) -> InfluxSelect | InfluxShow:
+        if self._kw("show"):
+            return self._show()
         if not self._kw("select"):
-            raise InfluxQLError("query must start with SELECT")
+            raise InfluxQLError("query must start with SELECT or SHOW")
         projs = [self._proj()]
         while self._peek() and self._peek().text == ",":
             self._next()
@@ -259,6 +271,45 @@ class _Parser:
         return InfluxSelect(tuple(projs), measurement, tuple(where),
                             bucket_s, tuple(group_tags), grouped, fill,
                             order_desc, limit, slimit)
+
+    def _show(self) -> InfluxShow:
+        if self._kw("measurements"):
+            kind = "measurements"
+        elif self._kw("tag", "keys"):
+            kind = "tag_keys"
+        elif self._kw("tag", "values"):
+            kind = "tag_values"
+        elif self._kw("field", "keys"):
+            kind = "field_keys"
+        elif self._kw("series", "exact", "cardinality") \
+                or self._kw("series", "cardinality"):
+            kind = "cardinality"
+        else:
+            raise InfluxQLError(
+                f"unsupported SHOW statement at {self._peek()!r}")
+        measurement = None
+        if self._kw("from"):
+            src = self._next()
+            if src.kind == "dquote":
+                measurement = src.text[1:-1]
+            elif src.kind == "ident":
+                measurement = src.text
+            else:
+                raise InfluxQLError(f"bad FROM source {src.text!r}")
+        with_key = None
+        if self._kw("with", "key"):
+            self._expect("=")
+            k = self._next()
+            name = (k.text[1:-1] if k.kind == "dquote"
+                    else k.text).lower()
+            if name not in _TAGS:
+                raise InfluxQLError(f"unknown tag key {name!r}")
+            with_key = name
+        if kind == "tag_values" and with_key is None:
+            raise InfluxQLError("SHOW TAG VALUES needs WITH KEY = <tag>")
+        if self._peek() is not None:
+            raise InfluxQLError(f"trailing input at {self._peek().text!r}")
+        return InfluxShow(kind, measurement, with_key)
 
     def _proj(self) -> Proj:
         t = self._next()
@@ -525,6 +576,36 @@ def _apply_slimit(out: DataFrame, ast: InfluxSelect) -> DataFrame:
     return out.join(F.broadcast(series), keys)
 
 
+def _compile_show(pts: DataFrame, ast: InfluxShow) -> DataFrame:
+    """SHOW meta statements — every one is a distinct/count-distinct over
+    the series-key columns, so the plan is a partial aggregation (map-side
+    combine collapses each partition to its distinct series first) plus
+    one exchange on the already-tiny distinct relation."""
+    if ast.measurement is not None:
+        pts = pts.filter(F.col("measurement") == ast.measurement)
+    if ast.kind == "measurements":
+        return (pts.select(F.col("measurement").alias("name"))
+                .distinct().orderBy("name"))
+    if ast.kind == "tag_keys":
+        return (pts.select("measurement").distinct()
+                .select("measurement",
+                        F.explode(F.array(*[F.lit(t) for t in _TAGS]))
+                        .alias("tagKey"))
+                .orderBy("measurement", "tagKey"))
+    if ast.kind == "tag_values":
+        return (pts.select(F.lit(ast.with_key).alias("key"),
+                           F.col(ast.with_key).alias("value"))
+                .distinct().orderBy("value"))
+    if ast.kind == "field_keys":
+        return (pts.select("measurement").distinct()
+                .select("measurement", F.lit("value").alias("fieldKey"),
+                        F.lit("float").alias("fieldType"))
+                .orderBy("measurement"))
+    # series cardinality: exact distinct count of (measurement, tags)
+    return (pts.select("measurement", *_TAGS).distinct()
+            .agg(F.count(F.lit(1)).alias("count")))
+
+
 def compile_influxql(spark: SparkSession, sf_dir: str,
                      text: str) -> DataFrame:
     """Parse InfluxQL ``text`` and build its DataFrame over the migrated
@@ -533,7 +614,10 @@ def compile_influxql(spark: SparkSession, sf_dir: str,
     return compile_ast(_numeric_points(spark, sf_dir), ast)
 
 
-def compile_ast(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
+def compile_ast(pts: DataFrame,
+                ast: InfluxSelect | InfluxShow) -> DataFrame:
+    if isinstance(ast, InfluxShow):
+        return _compile_show(pts, ast)
     funcs = {p.func for p in ast.projs}
     if funcs == {None}:
         if len(ast.projs) != 1:
@@ -599,12 +683,40 @@ def q_influxql_text_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_influxql(spark, sf_dir, _Q_SUMMARY)
 
 
+_Q_SHOW_TAGVALS = ('SHOW TAG VALUES FROM default_measurement '
+                   'WITH KEY = "domain"')
+
+
+def q_influxql_show_measurements(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``SHOW MEASUREMENTS`` — the first query every Grafana InfluxQL
+    datasource issues."""
+    return compile_influxql(spark, sf_dir, "SHOW MEASUREMENTS")
+
+
+def q_influxql_show_tag_values(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """``SHOW TAG VALUES ... WITH KEY`` — the dashboard-variable query."""
+    return compile_influxql(spark, sf_dir, _Q_SHOW_TAGVALS)
+
+
+def q_influxql_show_cardinality(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """``SHOW SERIES EXACT CARDINALITY`` — exact distinct series count
+    (two-phase distinct: map-side combine collapses to per-partition
+    distinct series before the one exchange)."""
+    return compile_influxql(spark, sf_dir, "SHOW SERIES EXACT CARDINALITY")
+
+
 QUERIES = {
     "influxql_text_downsample": q_influxql_text_downsample,
     "influxql_text_counter_rate": q_influxql_text_counter_rate,
     "influxql_text_top": q_influxql_text_top,
     "influxql_text_raw": q_influxql_text_raw,
     "influxql_text_summary": q_influxql_text_summary,
+    "influxql_show_measurements": q_influxql_show_measurements,
+    "influxql_show_tag_values": q_influxql_show_tag_values,
+    "influxql_show_cardinality": q_influxql_show_cardinality,
 }
 
 ORACLES = {
@@ -698,5 +810,16 @@ keep AS (
   ORDER BY measurement, domain, entity_id LIMIT 40
 )
 SELECT agg.* FROM agg JOIN keep USING (measurement, domain, entity_id)
+""",
+    "influxql_show_measurements": f"""{_ORACLE_NUM}
+SELECT DISTINCT measurement AS name FROM num
+""",
+    "influxql_show_tag_values": f"""{_ORACLE_NUM}
+SELECT DISTINCT 'domain' AS key, domain AS value FROM num
+WHERE measurement = 'default_measurement'
+""",
+    "influxql_show_cardinality": f"""{_ORACLE_NUM}
+SELECT count(*) AS "count" FROM
+  (SELECT DISTINCT measurement, domain, entity_id FROM num)
 """,
 }

@@ -26,6 +26,62 @@ from ..streaming.stream import (
 )
 
 
+def _lp_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-protocol text files for (application, sf_dir) — rendered once
+    per session via the sink's own formatter — opened as a readStream and
+    parsed back to typed point rows (`sources.lineprotocol`, pure JVM
+    regex inside the micro-batch)."""
+    import os
+
+    from ..operators.transform import points
+    from ..plans.ha_pipeline import _ha
+    from ..sinks.influx import line_protocol
+    from ..sources.lineprotocol import parse_line_protocol
+
+    app = spark.sparkContext.applicationId
+    tag = sf_dir.strip("/").replace("/", "_")
+    lp_dir = f"/tmp/spark_graft_lp/{app}/{tag}"
+    if not os.path.isdir(lp_dir):
+        pts = points(*_ha(spark, sf_dir), keep_state=True)
+        (line_protocol(pts, raw_state=F.col("state_raw"))
+         .select("line").coalesce(4)
+         .write.mode("overwrite").text(lp_dir))
+    lines = spark.readStream.format("text").load(lp_dir)
+    return parse_line_protocol(lines, col="value")
+
+
+def q_stream_cq_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxDB CONTINUOUS QUERY, the streaming face of
+    ``influx_downsample``: a CQ is exactly ``SELECT MEAN(value) INTO ...
+    GROUP BY time(1h), *`` re-run as data arrives — here the arriving
+    data is the sink's own wire format (the `_lp_stream` re-ingest),
+    aggregated per (series, event-time hour window) and drained
+    AvailableNow in complete mode (append would withhold the final
+    window on a bounded stream — the documented gotcha). Bucket means
+    accumulate micro-quantized BIGINTs, so the batch oracle — the
+    downsample's bucket CTE straight off the point relation, never
+    touching the wire — matches bit-exactly. One shuffle per micro-batch
+    (the window+series agg); at 100 TB this is InfluxDB's own CQ
+    sharding: state is bounded by open windows × active series."""
+    parsed = _lp_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    win = F.window(F.timestamp_seconds(F.col("ts_epoch")), "1 hour")
+    agg = (
+        parsed.groupBy(F.col("measurement"), F.col("domain"),
+                       F.col("entity_id"), win.alias("w"))
+        .agg(F.sum(F.round(F.col("value") * 1e6).cast("long"))
+             .alias("_vmicro"),
+             F.count(F.lit(1)).alias("n_points"))
+        .select(
+            "measurement", "domain", "entity_id",
+            F.unix_seconds(F.col("w.start")).alias("bucket_epoch"),
+            ((F.col("_vmicro") / 1e6) / F.col("n_points"))
+            .alias("mean_val"),
+            "n_points",
+        )
+    )
+    return drain_to_memory(agg, "cq_downsample")
+
+
 def q_stream_lineprotocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7: REAL streaming re-ingest of the sink's own wire format. The
     point relation renders to line-protocol TEXT FILES once per
@@ -39,23 +95,7 @@ def q_stream_lineprotocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-exactly. One shuffle (the measurement agg) per micro-batch; the
     parse is a map stage, so at 100 TB ingest scales with file
     listing + text scan exactly like the formatter's write side."""
-    import os
-
-    from ..plans.ha_pipeline import _ha
-    from ..operators.transform import points
-    from ..sinks.influx import line_protocol
-    from ..sources.lineprotocol import parse_line_protocol
-
-    app = spark.sparkContext.applicationId
-    tag = sf_dir.strip("/").replace("/", "_")
-    lp_dir = f"/tmp/spark_graft_lp/{app}/{tag}"
-    if not os.path.isdir(lp_dir):
-        pts = points(*_ha(spark, sf_dir), keep_state=True)
-        (line_protocol(pts, raw_state=F.col("state_raw"))
-         .select("line").coalesce(4)
-         .write.mode("overwrite").text(lp_dir))
-    lines = spark.readStream.format("text").load(lp_dir)
-    parsed = parse_line_protocol(lines, col="value")
+    parsed = _lp_stream(spark, sf_dir)
     agg = parsed.groupBy("measurement").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.sum(F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1e6)
@@ -489,6 +529,7 @@ QUERIES = {
     "stream_window_topk": q_stream_window_topk,
     "stream_ohlc": q_stream_ohlc,
     "stream_lineprotocol": q_stream_lineprotocol,
+    "stream_cq_downsample": q_stream_cq_downsample,
 }
 
 _GAP_US = GAP_MIN * 60 * 1_000_000
@@ -535,8 +576,30 @@ FROM pts GROUP BY measurement
 """
 
 
+def _cq_downsample_oracle() -> str:
+    """The CQ's batch truth: the downsample bucket CTE straight off the
+    point relation (fill-free — a CQ materializes only buckets with
+    data), micro-quantized mean, bucket epoch from the same
+    floor(ts/3600) the event-time window computes."""
+    from .ha_pipeline import _CTE, _JOINED, _POINTS
+
+    return f"""{_CTE},
+{_JOINED},
+{_POINTS}
+SELECT measurement, domain, entity_id,
+  CAST(floor(ts_epoch / 3600) AS BIGINT) * 3600 AS bucket_epoch,
+  (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+    / count(*) AS mean_val,
+  count(*)::BIGINT AS n_points
+FROM pts WHERE value IS NOT NULL
+GROUP BY measurement, domain, entity_id,
+         CAST(floor(ts_epoch / 3600) AS BIGINT)
+"""
+
+
 ORACLES = {
     "stream_lineprotocol": _lp_ingest_oracle(),
+    "stream_cq_downsample": _cq_downsample_oracle(),
     "events_hourly": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,

@@ -161,6 +161,41 @@ def test_tag_and_value_where(spark):
     assert [r["value"] for r in out] == [10.0]
 
 
+def test_show_statements(spark):
+    pts = _pts(spark)
+    from ha_sqllite_2_influxdb_spark.plans.influxql_text import InfluxShow
+
+    ast = parse_influxql("SHOW MEASUREMENTS")
+    assert ast == InfluxShow("measurements")
+    assert [r["name"] for r in compile_ast(pts, ast).collect()] == [
+        "m", "other"]
+
+    ast = parse_influxql('SHOW TAG VALUES FROM m WITH KEY = "domain"')
+    assert ast == InfluxShow("tag_values", "m", "domain")
+    assert {r["value"] for r in compile_ast(pts, ast).collect()} == {
+        "sensor", "power"}
+
+    out = compile_ast(pts, parse_influxql("SHOW TAG KEYS FROM m")).collect()
+    assert [(r["measurement"], r["tagKey"]) for r in out] == [
+        ("m", "domain"), ("m", "entity_id")]
+
+    out = compile_ast(pts, parse_influxql("SHOW FIELD KEYS")).collect()
+    assert {(r["fieldKey"], r["fieldType"]) for r in out} == {
+        ("value", "float")}
+
+    card = compile_ast(
+        pts, parse_influxql("SHOW SERIES CARDINALITY")).collect()
+    assert card[0]["count"] == 4   # (m,sensor,a) (m,sensor,b) (m,power,c) (other,sensor,a)
+    card_m = compile_ast(
+        pts, parse_influxql("SHOW SERIES EXACT CARDINALITY FROM m"))
+    assert card_m.collect()[0]["count"] == 3
+
+    with pytest.raises(InfluxQLError):
+        parse_influxql("SHOW TAG VALUES FROM m")     # missing WITH KEY
+    with pytest.raises(InfluxQLError):
+        parse_influxql("SHOW RETENTION POLICIES")    # unsupported
+
+
 # ------------------------------------------------------------- plan shape
 
 def test_text_downsample_matches_function_layer_shape(spark, sf_dir):
