@@ -104,3 +104,52 @@ def holt_winters_forecast(hourly: DataFrame, season_len: int = 24,
         .groupBy("measurement", "domain", "entity_id")
         .applyInPandas(fc, schema=_OUT_SCHEMA)
     )
+
+
+_EMA_SCHEMA = T.StructType([
+    T.StructField("state_id", T.LongType()),
+    T.StructField("measurement", T.StringType()),
+    T.StructField("domain", T.StringType()),
+    T.StructField("entity_id", T.StringType()),
+    T.StructField("ts_epoch", T.DoubleType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("ema", T.DoubleType()),
+])
+
+
+def ema_recurrence(vals: list[float], n: int) -> list[float]:
+    """Standard exponential moving average, adjust-free form:
+    ema_0 = v_0; ema_i = alpha*v_i + (1-alpha)*ema_{i-1},
+    alpha = 2/(n+1). Scalar float64, fixed evaluation order —
+    bit-identical run-to-run (pytest-pinned)."""
+    if not vals:
+        return []
+    alpha = 2.0 / (n + 1.0)
+    out = [float(vals[0])]
+    for v in vals[1:]:
+        out.append(alpha * float(v) + (1.0 - alpha) * out[-1])
+    return out
+
+
+def ema_points(pts: DataFrame, n: int = 9) -> DataFrame:
+    """Per-series EMA over raw points in (ts_epoch, state_id) order —
+    InfluxQL's ``EXPONENTIAL_MOVING_AVERAGE`` shape. One group per
+    series (`holt_winters_forecast`'s applyInPandas model: sequential
+    within a series, parallel across series); HA series are bounded by
+    an entity's observation count — for unbounded series, feed the
+    DOWNSAMPLED relation instead, exactly as InfluxDB users wrap EMA
+    around GROUP BY time()."""
+    import pandas as pd
+
+    def ema(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts_epoch", "state_id"]).reset_index(
+            drop=True)
+        pdf["ema"] = ema_recurrence([float(v) for v in pdf["value"]], n)
+        return pdf
+
+    return (
+        pts.select("state_id", "measurement", "domain", "entity_id",
+                   "ts_epoch", "value")
+        .groupBy("measurement", "domain", "entity_id")
+        .applyInPandas(ema, schema=_EMA_SCHEMA)
+    )

@@ -262,6 +262,41 @@ def q_influx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_influx_percentile_approx(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The 100 TB face of ``PERCENTILE(value, 95)``: per-series
+    ``percentile_approx`` (Greenwald-Khanna sketch). The exact tier
+    (`q_influx_percentile`) rides a row_number window — a full sort of
+    every series; this tier is a hash AGGREGATE of mergeable sketches:
+    map-side partial sketches combine before the one series exchange,
+    no sort anywhere, bounded state per series (the sketch, not the
+    points). Rows-only registry tier (Spark's sketch is not DuckDB's);
+    pytest brackets every approx value between the series' exact p90
+    and p99 ranks and asserts it is a real sample of the series."""
+    pts = _numeric_points(spark, sf_dir)
+    return pts.groupBy(*_SERIES).agg(
+        F.percentile_approx("value", 0.95, 10_000).alias("p95_approx"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def q_influx_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxQL ``EXPONENTIAL_MOVING_AVERAGE(value, 9)`` per series —
+    the second inherently-recursive sink-side function (after
+    HOLT_WINTERS): ema_0 = v_0, ema_i = α·v_i + (1−α)·ema_{i−1} with
+    α = 2/(N+1) (the standard adjust-free recurrence, N = 9). SQL
+    window functions cannot express the recurrence without 2^n
+    expansion, so this is the forecast-operator pattern:
+    ``applyInPandas`` with one group per series (sequential within a
+    series, embarrassingly parallel across series — exactly InfluxDB's
+    shard model), scalar float64 loop in fixed order so results are
+    bit-identical run-to-run and to the pytest-pinned pure-Python
+    reference. Rows-only registry tier (no SQL oracle possible)."""
+    from ..operators.forecast import ema_points
+
+    return ema_points(_numeric_points(spark, sf_dir), n=9)
+
+
 def q_influx_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``SELECT MEAN(value) … GROUP BY time(1h) FILL(previous)``
     — the canonical Grafana dashboard downsample. Per series: hourly
@@ -277,7 +312,14 @@ def q_influx_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid-to-bucket join, no second consumer of anything. Two exchanges
     total: the bucket agg and the series window the gap expansion and
     the LOCF fill share."""
-    pts = _numeric_points(spark, sf_dir)
+    return downsample_fill_previous(_numeric_points(spark, sf_dir))
+
+
+def downsample_fill_previous(pts: DataFrame) -> DataFrame:
+    """The downsample core over any (series, ts_epoch, value) point
+    relation — factored out so the scale probe can measure it on
+    replicated series corpora (see `q_influx_downsample` for the plan
+    shape and float-determinism notes)."""
     hr = F.floor(F.col("ts_epoch") / 3600).cast("long")
     micro = F.round(F.col("value") * 1e6).cast("long")
     buckets = (
@@ -487,6 +529,8 @@ QUERIES = {
     "influx_distinct": q_influx_distinct,
     "influx_sample": q_influx_sample,
     "influx_holt_winters": q_influx_holt_winters,
+    "influx_percentile_approx": q_influx_percentile_approx,
+    "influx_ema": q_influx_ema,
 }
 
 ORACLES = {

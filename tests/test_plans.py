@@ -709,3 +709,52 @@ def test_holt_winters_recurrence_pinned_and_sane(spark):
                                 alpha=a, beta=b, gamma=g).collect()
     assert {r.measurement for r in out} == {"W"}  # short series dropped
     assert [r.forecast for r in sorted(out, key=lambda r: r.step)] == got
+
+
+def test_influx_percentile_approx_brackets_exact(spark, sf_dir):
+    """The sketch tier must return a REAL sample of each series, bracketed
+    between the series' exact p90 and p99 rank values (rows-only tier
+    contract — Spark's GK sketch is not DuckDB-checkable)."""
+    from ha_sqllite_2_influxdb_spark.plans.influxql import (
+        _numeric_points, q_influx_percentile_approx)
+
+    raw = _numeric_points(spark, sf_dir).collect()
+    series: dict = {}
+    for r in raw:
+        series.setdefault(
+            (r.measurement, r.domain, r.entity_id), []).append(r.value)
+    approx = q_influx_percentile_approx(spark, sf_dir).collect()
+    assert len(approx) == len(series)
+    import math
+    for r in approx:
+        vals = sorted(series[(r.measurement, r.domain, r.entity_id)])
+        assert r.n_points == len(vals)
+        assert r.p95_approx in vals, "not a real sample"
+        lo = vals[max(1, math.ceil(0.90 * len(vals))) - 1]
+        hi = vals[max(1, math.ceil(0.99 * len(vals))) - 1]
+        assert lo <= r.p95_approx <= hi, (r, lo, hi)
+
+
+def test_influx_ema_bit_pinned(spark):
+    """EMA recurrence: hand-pinned goldens on a crafted series, exact
+    agreement between the Spark applyInPandas tier and the pure-Python
+    reference (bit-equality, not approx), and run-to-run determinism."""
+    from ha_sqllite_2_influxdb_spark.operators.forecast import (
+        ema_points, ema_recurrence)
+
+    # alpha = 2/(2+1) = 2/3 for n=2: hand-computable
+    assert ema_recurrence([3.0, 6.0], 2) == [3.0, 5.0]
+    assert ema_recurrence([], 9) == []
+
+    rows = [(i, "W", "sensor", "power", float(10 * i), float(v))
+            for i, v in enumerate([5.0, 8.0, 2.0, 7.5, 7.5, 0.25])]
+    rows += [(99, "C", "sensor", "temp", 0.0, 21.5)]
+    pts = spark.createDataFrame(
+        rows, "state_id long, measurement string, domain string, "
+              "entity_id string, ts_epoch double, value double")
+    got = {r.state_id: r.ema for r in ema_points(pts, n=9).collect()}
+    ref = ema_recurrence([5.0, 8.0, 2.0, 7.5, 7.5, 0.25], 9)
+    assert [got[i] for i in range(6)] == ref        # bit-exact
+    assert got[99] == 21.5                          # 1-point series
+    again = {r.state_id: r.ema for r in ema_points(pts, n=9).collect()}
+    assert again == got

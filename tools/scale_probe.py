@@ -71,6 +71,12 @@ def build_corpora(spark):
         "doc_id", F.concat(F.lit(boiler + " "), F.col("text")).alias("text")
     )
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    # point-series corpus (r7, for the InfluxQL family): replicas suffix
+    # entity_id, so a 10× corpus has 10× SERIES of unchanged length —
+    # exactly how a larger device fleet scales, and series stay
+    # replica-local so per-series windows do 10× work, never wider ones.
+    from ha_sqllite_2_influxdb_spark.plans.influxql import _numeric_points
+    pts_base = _numeric_points(spark, SF_DIR)
     paths = {}
     for scale, n in (("x1", 1), ("x10", REPLICAS)):
         for tag, src in (("docs", base), ("viral", viral_base)):
@@ -99,18 +105,35 @@ def build_corpora(spark):
             e = e.unionByName(r)
         ep = f"{WORK}/emb_{scale}.parquet"
         e.repartition(32).write.mode("overwrite").parquet(ep)
-        paths[scale] = (dp, ep, f"{WORK}/viral_{scale}.parquet")
+        preps = [
+            pts_base.select(
+                (F.col("state_id") + 10_000_000 * k).alias("state_id"),
+                "measurement", "domain",
+                F.concat("entity_id", F.lit(f"_r{k}")).alias("entity_id"),
+                "ts_epoch", "value",
+            )
+            for k in range(n)
+        ]
+        p = preps[0]
+        for r in preps[1:]:
+            p = p.unionByName(r)
+        pp = f"{WORK}/points_{scale}.parquet"
+        p.repartition(32).write.mode("overwrite").parquet(pp)
+        paths[scale] = (dp, ep, f"{WORK}/viral_{scale}.parquet", pp)
     return paths
 
 
-def tiers(spark, docs_path, emb_path, books, viral_path=None):
+def tiers(spark, docs_path, emb_path, books, viral_path=None,
+          pts_path=None):
     from ha_sqllite_2_influxdb_spark.operators import (
         dedup, graph, scoring, similarity, sketches, text,
     )
+    from ha_sqllite_2_influxdb_spark.plans import influxql
 
     docs = spark.read.parquet(docs_path)
     emb = spark.read.parquet(emb_path)
     viral = spark.read.parquet(viral_path or docs_path)
+    pts = spark.read.parquet(pts_path or docs_path)
     return {
         "neardup_xxhash_lsh": lambda: dedup.neardup_pairs(
             docs, threshold=0.5, n_seeds=8, portable=False),
@@ -160,6 +183,13 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None):
         # scales with replica count, pairs never cross replicas
         "allpairs_jaccard": lambda: dedup.allpairs_jaccard(
             docs, threshold=0.5),
+        # r7: the InfluxQL read family's heaviest shape — hourly bucket
+        # agg + lag/sequence gap expansion + LOCF on one series window.
+        # Replicas suffix entity_id, so 10× = 10× series of unchanged
+        # length (a larger device fleet), and both exchanges are keyed
+        # on the series columns — InfluxDB's own shard key.
+        "influx_downsample": lambda: influxql.downsample_fill_previous(
+            pts),
     }
 
 
@@ -230,8 +260,8 @@ def main() -> None:
     walls: dict[str, dict[str, float]] = {}
     mems: dict[str, dict[str, float]] = {}
     for scale in ("x1", "x10"):
-        dp, ep, vp = paths[scale]
-        for name, make in tiers(spark, dp, ep, books, vp).items():
+        dp, ep, vp, pp = paths[scale]
+        for name, make in tiers(spark, dp, ep, books, vp, pp).items():
             if only and name not in only:
                 continue
             best = float("inf")
