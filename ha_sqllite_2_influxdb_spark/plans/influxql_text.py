@@ -112,6 +112,7 @@ def _tokenize(text: str) -> list[_Tok]:
 class Proj:
     func: str | None          # None = raw field
     arg: float | None = None  # TOP/BOTTOM n, PERCENTILE p, MOVING_AVERAGE n
+    field: str = "value"      # outer queries aggregate an inner column
 
 
 @dataclass(frozen=True)
@@ -124,7 +125,7 @@ class Cond:
 @dataclass(frozen=True)
 class InfluxSelect:
     projs: tuple[Proj, ...]
-    measurement: str
+    measurement: object       # str, or a nested InfluxSelect (subquery)
     where: tuple[Cond, ...] = ()
     bucket_s: int | None = None
     group_tags: tuple[str, ...] = ()
@@ -186,22 +187,37 @@ class _Parser:
 
     def parse(self) -> InfluxSelect | InfluxShow:
         if self._kw("show"):
-            return self._show()
-        if not self._kw("select"):
+            ast: InfluxSelect | InfluxShow = self._show()
+        elif self._kw("select"):
+            ast = self._select_body()
+        else:
             raise InfluxQLError("query must start with SELECT or SHOW")
+        if self._peek() is not None:
+            raise InfluxQLError(f"trailing input at {self._peek().text!r}")
+        return ast
+
+    def _select_body(self) -> InfluxSelect:
         projs = [self._proj()]
         while self._peek() and self._peek().text == ",":
             self._next()
             projs.append(self._proj())
         if not self._kw("from"):
             raise InfluxQLError("expected FROM")
-        src = self._next()
-        if src.kind == "dquote":
-            measurement = src.text[1:-1]
-        elif src.kind == "ident":
-            measurement = src.text
+        if self._peek() and self._peek().text == "(":
+            # InfluxQL subquery: FROM ( SELECT ... )
+            self._next()
+            if not self._kw("select"):
+                raise InfluxQLError("subquery must be a SELECT")
+            measurement = self._select_body()
+            self._expect(")")
         else:
-            raise InfluxQLError(f"bad FROM source {src.text!r}")
+            src = self._next()
+            if src.kind == "dquote":
+                measurement = src.text[1:-1]
+            elif src.kind == "ident":
+                measurement = src.text
+            else:
+                raise InfluxQLError(f"bad FROM source {src.text!r}")
 
         where: list[Cond] = []
         if self._kw("where"):
@@ -266,8 +282,6 @@ class _Parser:
             limit = int(self._next().text)
         if self._kw("slimit"):
             slimit = int(self._next().text)
-        if self._peek() is not None:
-            raise InfluxQLError(f"trailing input at {self._peek().text!r}")
         return InfluxSelect(tuple(projs), measurement, tuple(where),
                             bucket_s, tuple(group_tags), grouped, fill,
                             order_desc, limit, slimit)
@@ -307,8 +321,6 @@ class _Parser:
             with_key = name
         if kind == "tag_values" and with_key is None:
             raise InfluxQLError("SHOW TAG VALUES needs WITH KEY = <tag>")
-        if self._peek() is not None:
-            raise InfluxQLError(f"trailing input at {self._peek().text!r}")
         return InfluxShow(kind, measurement, with_key)
 
     def _proj(self) -> Proj:
@@ -321,9 +333,12 @@ class _Parser:
             raise InfluxQLError(f"unsupported projection {t.text!r}")
         self._expect("(")
         a = self._next()
-        if not (a.kind == "ident" and a.text.lower() == "value"):
-            raise InfluxQLError(f"functions take the value field, "
-                                f"got {a.text!r}")
+        if a.kind == "dquote":
+            fld = a.text[1:-1].lower()
+        elif a.kind == "ident":
+            fld = a.text.lower()
+        else:
+            raise InfluxQLError(f"functions take a field, got {a.text!r}")
         arg = None
         if self._peek() and self._peek().text == ",":
             self._next()
@@ -335,7 +350,7 @@ class _Parser:
         if name in ("top", "bottom", "percentile", "moving_average") \
                 and arg is None:
             raise InfluxQLError(f"{name.upper()} needs a second argument")
-        return Proj(name, arg)
+        return Proj(name, arg, fld)
 
     def _cond(self) -> Cond:
         lhs = self._next()
@@ -614,10 +629,82 @@ def compile_influxql(spark: SparkSession, sf_dir: str,
     return compile_ast(_numeric_points(spark, sf_dir), ast)
 
 
+def _compile_outer_agg(inner_df: DataFrame,
+                       ast: InfluxSelect) -> DataFrame:
+    """The outer half of an InfluxQL subquery — aggregates over the
+    inner SELECT's result (the Grafana re-bucketing idiom, e.g. daily
+    MEAN of hourly MAXes). The inner relation is already downsampled, so
+    this stage aggregates the SMALL relation; its exchange keys start
+    with the same series columns as the inner's, and an outer
+    ``GROUP BY time(d)`` re-buckets the inner's epoch-aligned ``time``."""
+    inner = ast.measurement
+    inner_names = {p.func for p in inner.projs}
+    for p in ast.projs:
+        if p.func not in _AGGS:
+            raise InfluxQLError(
+                "subquery outer SELECT supports aggregates only")
+        if p.field not in inner_names:
+            raise InfluxQLError(
+                f"outer field {p.field!r} is not produced by the "
+                f"subquery (has: {sorted(n for n in inner_names if n)})")
+    if not set(ast.group_tags) <= set(inner.group_tags):
+        raise InfluxQLError("outer GROUP BY tags must be a subset of "
+                            "the subquery's")
+    if ast.where:
+        raise InfluxQLError("put WHERE inside the subquery")
+    if ast.bucket_s is not None and inner.bucket_s is None:
+        raise InfluxQLError("outer GROUP BY time() needs a time-bucketed "
+                            "subquery")
+    if inner.bucket_s is None and any(p.func in ("first", "last")
+                                      for p in ast.projs):
+        raise InfluxQLError("outer FIRST/LAST need the subquery's time "
+                            "column (add GROUP BY time())")
+    if ast.fill != "none":
+        raise InfluxQLError("outer FILL is unsupported")
+
+    keys: list = ["measurement", *ast.group_tags]
+    out_time: list = []
+    if ast.bucket_s is not None:
+        grid = (F.floor(F.col("time") / ast.bucket_s).cast("long")
+                * ast.bucket_s)
+        inner_df = inner_df.withColumn("_ot", grid)
+        keys = [*keys, "_ot"]
+        out_time = [F.col("_ot").alias("time")]
+
+    aggs = []
+    for p in ast.projs:
+        f_ = p.field
+        micro = F.sum(F.round(F.col(f_) * _MICRO).cast("long"))
+        aggs.append({
+            "count": F.count(F.col(f_)),
+            "sum": micro / _MICRO,
+            "mean": (micro / _MICRO) / F.count(F.col(f_)),
+            "min": F.min(f_),
+            "max": F.max(f_),
+            "spread": F.max(f_) - F.min(f_),
+            # the inner bucket grid is unique per (series, time), so
+            # time alone is a total order within a series
+            "first": F.min_by(f_, F.col("time")),
+            "last": F.max_by(f_, F.col("time")),
+        }[p.func].alias(p.func))
+    out = inner_df.groupBy(*keys).agg(*aggs)
+    return out.select("measurement", *ast.group_tags, *out_time,
+                      *[p.func for p in ast.projs])
+
+
 def compile_ast(pts: DataFrame,
                 ast: InfluxSelect | InfluxShow) -> DataFrame:
     if isinstance(ast, InfluxShow):
         return _compile_show(pts, ast)
+    if isinstance(ast.measurement, InfluxSelect):
+        return _apply_slimit(
+            _compile_outer_agg(compile_ast(pts, ast.measurement), ast),
+            ast)
+    for p in ast.projs:
+        if p.field != "value":
+            raise InfluxQLError(
+                f"unknown field {p.field!r} (the point relation has one "
+                "field: value)")
     funcs = {p.func for p in ast.projs}
     if funcs == {None}:
         if len(ast.projs) != 1:
@@ -708,12 +795,28 @@ def q_influxql_show_cardinality(spark: SparkSession,
     return compile_influxql(spark, sf_dir, "SHOW SERIES EXACT CARDINALITY")
 
 
+_Q_SUBQUERY = ("SELECT MEAN(max), MIN(max) FROM "
+               "(SELECT MAX(value) FROM default_measurement "
+               "GROUP BY time(1h), *) GROUP BY time(1d), *")
+
+
+def q_influxql_text_subquery(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The InfluxQL SUBQUERY re-bucketing idiom: daily MEAN and MIN of
+    hourly MAXes — ``FROM (SELECT ...)`` with an outer GROUP BY time(1d)
+    over the inner time(1h) grid. The outer aggregate runs on the
+    already-downsampled inner relation (tiny), re-using its series-led
+    exchange keys."""
+    return compile_influxql(spark, sf_dir, _Q_SUBQUERY)
+
+
 QUERIES = {
     "influxql_text_downsample": q_influxql_text_downsample,
     "influxql_text_counter_rate": q_influxql_text_counter_rate,
     "influxql_text_top": q_influxql_text_top,
     "influxql_text_raw": q_influxql_text_raw,
     "influxql_text_summary": q_influxql_text_summary,
+    "influxql_text_subquery": q_influxql_text_subquery,
     "influxql_show_measurements": q_influxql_show_measurements,
     "influxql_show_tag_values": q_influxql_show_tag_values,
     "influxql_show_cardinality": q_influxql_show_cardinality,
@@ -810,6 +913,21 @@ keep AS (
   ORDER BY measurement, domain, entity_id LIMIT 40
 )
 SELECT agg.* FROM agg JOIN keep USING (measurement, domain, entity_id)
+""",
+    "influxql_text_subquery": f"""{_ORACLE_NUM},
+hourly AS (
+  SELECT measurement, domain, entity_id,
+         CAST(floor(ts_epoch / 3600) AS BIGINT) * 3600 AS t,
+         max(value) AS mx
+  FROM num WHERE measurement = 'default_measurement'
+  GROUP BY 1, 2, 3, 4
+)
+SELECT measurement, domain, entity_id,
+  CAST(floor(t / 86400) AS BIGINT) * 86400 AS time,
+  (CAST(sum(CAST(round(mx * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+    / count(mx) AS mean,
+  min(mx) AS min
+FROM hourly GROUP BY 1, 2, 3, 4
 """,
     "influxql_show_measurements": f"""{_ORACLE_NUM}
 SELECT DISTINCT measurement AS name FROM num

@@ -196,6 +196,49 @@ def test_show_statements(spark):
         parse_influxql("SHOW RETENTION POLICIES")    # unsupported
 
 
+def test_subquery_daily_mean_of_hourly_max(spark):
+    """The re-bucketing idiom on a crafted frame: hourly maxes 3, 5
+    (day 0) and 7 (day 1) for series a -> daily means 4.0 and 7.0."""
+    pts = _pts(spark)  # a: (0h: 1,?), (1h: 3), (4h: 5) -- all day 0
+    out = compile_ast(pts, parse_influxql(
+        "SELECT MEAN(max) FROM (SELECT MAX(value) FROM m "
+        "GROUP BY time(1h), *) GROUP BY time(1d), *")).collect()
+    got = {(r["entity_id"], r["time"]): r["mean"] for r in out}
+    # series a day 0: hourly maxes 1,3,5 -> mean 3; b: 20; c: 7
+    assert got[("a", 0)] == 3.0
+    assert got[("b", 0)] == 20.0 and got[("c", 0)] == 7.0
+
+    # ungrouped-time outer over a bucketed inner: global max of means
+    out2 = compile_ast(pts, parse_influxql(
+        "SELECT MAX(mean), COUNT(mean) FROM (SELECT MEAN(value) FROM m "
+        "GROUP BY time(1h), *) GROUP BY *")).collect()
+    got2 = {(r["entity_id"]): (r["max"], r["count"]) for r in out2}
+    assert got2[("a")] == (5.0, 3) and got2[("b")] == (15.0, 1)
+
+
+def test_subquery_validation_errors(spark):
+    pts = _pts(spark)
+    for bad in [
+        # outer field not produced by the subquery
+        "SELECT MEAN(sum) FROM (SELECT MAX(value) FROM m GROUP BY *)",
+        # outer tags exceed the inner grouping
+        "SELECT MEAN(max) FROM (SELECT MAX(value) FROM m) GROUP BY *",
+        # outer time bucket without inner time bucket
+        "SELECT MEAN(max) FROM (SELECT MAX(value) FROM m GROUP BY *) "
+        "GROUP BY time(1d), *",
+        # outer WHERE
+        "SELECT MEAN(max) FROM (SELECT MAX(value) FROM m GROUP BY *) "
+        "WHERE value > 1",
+        # non-aggregate outer
+        "SELECT DERIVATIVE(max) FROM (SELECT MAX(value) FROM m "
+        "GROUP BY time(1h), *)",
+        # unknown field on a plain measurement
+        "SELECT MEAN(foo) FROM m",
+    ]:
+        with pytest.raises(InfluxQLError):
+            compile_ast(pts, parse_influxql(bad))
+
+
 # ------------------------------------------------------------- plan shape
 
 def test_text_downsample_matches_function_layer_shape(spark, sf_dir):
