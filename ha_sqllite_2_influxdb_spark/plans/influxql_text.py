@@ -134,12 +134,24 @@ class InfluxSelect:
     order_desc: bool = False
     limit: int | None = None
     slimit: int | None = None
+    into: str | None = None   # SELECT ... INTO target (CQ bodies)
 
 
 _AGGS = {"count", "sum", "mean", "min", "max", "spread", "first", "last"}
 _SELECTORS = {"top", "bottom", "percentile"}
 _TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
                "cumulative_sum", "moving_average"}
+
+
+@dataclass(frozen=True)
+class InfluxCQ:
+    """``CREATE CONTINUOUS QUERY <name> ON <db> BEGIN SELECT ... END`` —
+    InfluxDB's standing downsample. The body must be a time-bucketed
+    aggregate with INTO (exactly InfluxDB's own CQ contract); it runs
+    as Structured Streaming (see ``run_continuous_query``)."""
+    name: str
+    db: str
+    select: InfluxSelect
 
 
 @dataclass(frozen=True)
@@ -185,13 +197,16 @@ class _Parser:
         if t.text.lower() != text.lower():
             raise InfluxQLError(f"expected {text!r}, got {t.text!r}")
 
-    def parse(self) -> InfluxSelect | InfluxShow:
+    def parse(self) -> InfluxSelect | InfluxShow | InfluxCQ:
         if self._kw("show"):
-            ast: InfluxSelect | InfluxShow = self._show()
+            ast: InfluxSelect | InfluxShow | InfluxCQ = self._show()
+        elif self._kw("create", "continuous", "query"):
+            ast = self._cq()
         elif self._kw("select"):
             ast = self._select_body()
         else:
-            raise InfluxQLError("query must start with SELECT or SHOW")
+            raise InfluxQLError(
+                "query must start with SELECT, SHOW or CREATE")
         if self._peek() is not None:
             raise InfluxQLError(f"trailing input at {self._peek().text!r}")
         return ast
@@ -201,6 +216,10 @@ class _Parser:
         while self._peek() and self._peek().text == ",":
             self._next()
             projs.append(self._proj())
+        into = None
+        if self._kw("into"):
+            tgt = self._next()
+            into = tgt.text[1:-1] if tgt.kind == "dquote" else tgt.text
         if not self._kw("from"):
             raise InfluxQLError("expected FROM")
         if self._peek() and self._peek().text == "(":
@@ -284,7 +303,42 @@ class _Parser:
             slimit = int(self._next().text)
         return InfluxSelect(tuple(projs), measurement, tuple(where),
                             bucket_s, tuple(group_tags), grouped, fill,
-                            order_desc, limit, slimit)
+                            order_desc, limit, slimit, into)
+
+    def _cq(self) -> InfluxCQ:
+        def _name() -> str:
+            t = self._next()
+            if t.kind == "dquote":
+                return t.text[1:-1]
+            if t.kind == "ident":
+                return t.text
+            raise InfluxQLError(f"bad identifier {t.text!r}")
+
+        name = _name()
+        self._expect("on")
+        db = _name()
+        self._expect("begin")
+        if not self._kw("select"):
+            raise InfluxQLError("CQ body must be a SELECT")
+        body = self._select_body()
+        self._expect("end")
+        if body.into is None:
+            raise InfluxQLError("a continuous query needs INTO")
+        if body.bucket_s is None:
+            raise InfluxQLError("a continuous query needs GROUP BY time()")
+        if body.fill != "none":
+            raise InfluxQLError(
+                "CQ FILL is unsupported (a standing stream materializes "
+                "observed buckets; fill on read)")
+        # first/last need the state_id tie-break the wire stream does not
+        # carry — honest subset: the order-free aggregates only
+        bad = {p.func for p in body.projs} - (_AGGS - {"first", "last"})
+        if bad:
+            raise InfluxQLError(f"CQ body supports order-free aggregates "
+                                f"only, got {sorted(bad)}")
+        if not isinstance(body.measurement, str):
+            raise InfluxQLError("CQ body cannot use a subquery")
+        return InfluxCQ(name, db, body)
 
     def _show(self) -> InfluxShow:
         if self._kw("measurements"):
@@ -692,10 +746,46 @@ def _compile_outer_agg(inner_df: DataFrame,
                       *[p.func for p in ast.projs])
 
 
+def run_continuous_query(spark: SparkSession, sf_dir: str,
+                         text: str) -> DataFrame:
+    """Execute a ``CREATE CONTINUOUS QUERY`` statement the way InfluxDB
+    does — as a STANDING query over arriving data: the parsed body's
+    aggregates run per (series, event-time bucket window) on the
+    line-protocol ingest stream (`plans.streaming_ops._lp_stream`) and
+    drain AvailableNow in complete mode (the bounded-stream convention
+    of `stream_cq_downsample`). The INTO target names the result
+    relation; the memory sink stands in for the target measurement.
+    State is bounded by open windows × active series — InfluxDB's own
+    CQ shard model."""
+    from .streaming_ops import _lp_stream, drain_to_memory
+
+    ast = parse_influxql(text)
+    if not isinstance(ast, InfluxCQ):
+        raise InfluxQLError("not a CREATE CONTINUOUS QUERY statement")
+    sel = ast.select
+    pts = _lp_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    pts = _apply_where(pts, sel)
+    win = F.window(F.timestamp_seconds(F.col("ts_epoch")),
+                   f"{sel.bucket_s} seconds")
+    agg = (
+        pts.groupBy(*[F.col(c) for c in _series_cols(sel)], win.alias("w"))
+        .agg(*[_agg_expr(p) for p in sel.projs])
+        .select(
+            *_series_cols(sel),
+            F.unix_seconds(F.col("w.start")).alias("time"),
+            *[p.func for p in sel.projs],
+        )
+    )
+    return drain_to_memory(agg, f"cq_{ast.name}")
+
+
 def compile_ast(pts: DataFrame,
                 ast: InfluxSelect | InfluxShow) -> DataFrame:
     if isinstance(ast, InfluxShow):
         return _compile_show(pts, ast)
+    if isinstance(ast, InfluxCQ):
+        raise InfluxQLError(
+            "CREATE CONTINUOUS QUERY runs via run_continuous_query()")
     if isinstance(ast.measurement, InfluxSelect):
         return _apply_slimit(
             _compile_outer_agg(compile_ast(pts, ast.measurement), ast),
@@ -810,6 +900,19 @@ def q_influxql_text_subquery(spark: SparkSession,
     return compile_influxql(spark, sf_dir, _Q_SUBQUERY)
 
 
+_Q_CQ = ("CREATE CONTINUOUS QUERY cq_hourly ON ha BEGIN "
+         "SELECT MEAN(value), COUNT(value) INTO ha_hourly "
+         "FROM default_measurement GROUP BY time(1h), * END")
+
+
+def q_influxql_text_cq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full CREATE CONTINUOUS QUERY statement, parsed and RUN as
+    Structured Streaming over the line-protocol ingest stream — the
+    user's standing downsample executing the way InfluxDB executes it,
+    with the memory sink standing in for the INTO target."""
+    return run_continuous_query(spark, sf_dir, _Q_CQ)
+
+
 QUERIES = {
     "influxql_text_downsample": q_influxql_text_downsample,
     "influxql_text_counter_rate": q_influxql_text_counter_rate,
@@ -817,6 +920,7 @@ QUERIES = {
     "influxql_text_raw": q_influxql_text_raw,
     "influxql_text_summary": q_influxql_text_summary,
     "influxql_text_subquery": q_influxql_text_subquery,
+    "influxql_text_cq": q_influxql_text_cq,
     "influxql_show_measurements": q_influxql_show_measurements,
     "influxql_show_tag_values": q_influxql_show_tag_values,
     "influxql_show_cardinality": q_influxql_show_cardinality,
@@ -913,6 +1017,15 @@ keep AS (
   ORDER BY measurement, domain, entity_id LIMIT 40
 )
 SELECT agg.* FROM agg JOIN keep USING (measurement, domain, entity_id)
+""",
+    "influxql_text_cq": f"""{_ORACLE_NUM}
+SELECT measurement, domain, entity_id,
+  CAST(floor(ts_epoch / 3600) AS BIGINT) * 3600 AS time,
+  (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+    / count(*) AS mean,
+  count(*) AS "count"
+FROM num WHERE measurement = 'default_measurement'
+GROUP BY 1, 2, 3, 4
 """,
     "influxql_text_subquery": f"""{_ORACLE_NUM},
 hourly AS (

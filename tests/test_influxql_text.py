@@ -239,6 +239,37 @@ def test_subquery_validation_errors(spark):
             compile_ast(pts, parse_influxql(bad))
 
 
+def test_cq_parse_and_validation():
+    from ha_sqllite_2_influxdb_spark.plans.influxql_text import InfluxCQ
+
+    ast = parse_influxql(
+        'CREATE CONTINUOUS QUERY "cq_1h" ON mydb BEGIN '
+        "SELECT MEAN(value) INTO hourly FROM m GROUP BY time(1h), * END")
+    assert isinstance(ast, InfluxCQ)
+    assert ast.name == "cq_1h" and ast.db == "mydb"
+    assert ast.select.into == "hourly" and ast.select.bucket_s == 3600
+
+    for bad in [
+        # no INTO
+        "CREATE CONTINUOUS QUERY c ON d BEGIN "
+        "SELECT MEAN(value) FROM m GROUP BY time(1h), * END",
+        # no time bucket
+        "CREATE CONTINUOUS QUERY c ON d BEGIN "
+        "SELECT MEAN(value) INTO h FROM m GROUP BY * END",
+        # FILL in a standing stream
+        "CREATE CONTINUOUS QUERY c ON d BEGIN SELECT MEAN(value) "
+        "INTO h FROM m GROUP BY time(1h), * FILL(previous) END",
+        # selector body
+        "CREATE CONTINUOUS QUERY c ON d BEGIN SELECT TOP(value, 3) "
+        "INTO h FROM m GROUP BY time(1h), * END",
+        # first/last need the tie-break the wire stream lacks
+        "CREATE CONTINUOUS QUERY c ON d BEGIN SELECT FIRST(value) "
+        "INTO h FROM m GROUP BY time(1h), * END",
+    ]:
+        with pytest.raises(InfluxQLError):
+            parse_influxql(bad)
+
+
 # ------------------------------------------------------------- plan shape
 
 def test_text_downsample_matches_function_layer_shape(spark, sf_dir):
