@@ -262,6 +262,56 @@ def q_influx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _state_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-state points (binary_sensor/switch/... series): the other
+    half of the reference's output — `sqllite2influxdb.py` writes
+    ``state="..."`` fields for every non-numeric state, and the classic
+    HA dashboard queries (current mode, time-in-state) run on them."""
+    return (
+        points(*_ha(spark, sf_dir))
+        .filter(F.col("state_str").isNotNull())
+        .select("state_id", *_SERIES, "ts_epoch", "state_str")
+    )
+
+
+def q_influx_state_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MODE(state)`` over string-state series — InfluxDB's MODE works
+    on string fields too (ties → lowest lexicographic value, the same
+    documented rule as numeric MODE). Two-phase: (series, state) counts,
+    then one rank pick; both exchanges lead with the series columns."""
+    st = _state_points(spark, sf_dir)
+    freq = st.groupBy(*_SERIES, "state_str").agg(
+        F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy(*_SERIES).orderBy(F.desc("f"),
+                                             F.asc("state_str"))
+    return (
+        freq.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*_SERIES, F.col("state_str").alias("mode_state"),
+                F.col("f").alias("mode_freq"))
+    )
+
+
+def q_influx_state_durations(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Time-in-state per (series, state) — the HA "history stats" query
+    (how long was the light on): each state holds from its point until
+    the series' NEXT point (the final, still-open state contributes no
+    closed interval). Per-row hold seconds are the same double in both
+    engines; totals sum micro-quantized BIGINTs, so the result is
+    repr-exact. One series window (lead) feeding one (series, state)
+    aggregate — both exchanges series-led."""
+    st = _state_points(spark, sf_dir)
+    w = Window.partitionBy(*_SERIES).orderBy("ts_epoch", "state_id")
+    dur = F.round((F.lead("ts_epoch").over(w) - F.col("ts_epoch"))
+                  * 1e6).cast("long")
+    iv = st.select(*_SERIES, "state_str", dur.alias("_d"))
+    return iv.groupBy(*_SERIES, "state_str").agg(
+        (F.sum("_d") / 1e6).alias("total_s"),
+        F.count("_d").alias("n_intervals"),
+    )
+
+
 def q_influx_percentile_approx(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """The 100 TB face of ``PERCENTILE(value, 95)``: per-series
@@ -531,9 +581,46 @@ QUERIES = {
     "influx_holt_winters": q_influx_holt_winters,
     "influx_percentile_approx": q_influx_percentile_approx,
     "influx_ema": q_influx_ema,
+    "influx_state_mode": q_influx_state_mode,
+    "influx_state_durations": q_influx_state_durations,
 }
 
+_ORACLE_ST = f"""{_CTE},
+{_JOINED},
+{_POINTS},
+st AS (
+  SELECT state_id, measurement, domain, entity_id, ts_epoch, state_str
+  FROM pts WHERE state_str IS NOT NULL
+)"""
+
 ORACLES = {
+    "influx_state_mode": f"""{_ORACLE_ST},
+freq AS (
+  SELECT measurement, domain, entity_id, state_str, count(*) AS f
+  FROM st GROUP BY 1, 2, 3, 4
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY measurement, domain, entity_id
+                               ORDER BY f DESC, state_str ASC) AS rn
+  FROM freq
+)
+SELECT measurement, domain, entity_id, state_str AS mode_state,
+       CAST(f AS BIGINT) AS mode_freq
+FROM r WHERE rn = 1
+""",
+    "influx_state_durations": f"""{_ORACLE_ST},
+iv AS (
+  SELECT measurement, domain, entity_id, state_str,
+    CAST(round((lead(ts_epoch) OVER (
+        PARTITION BY measurement, domain, entity_id
+        ORDER BY ts_epoch, state_id) - ts_epoch) * 1e6) AS BIGINT) AS d
+  FROM st
+)
+SELECT measurement, domain, entity_id, state_str,
+  CAST(sum(d) AS BIGINT) / 1e6 AS total_s,
+  count(d)::BIGINT AS n_intervals
+FROM iv GROUP BY 1, 2, 3, 4
+""",
     "influx_derivative": f"""{_ORACLE_NUM},
 lagged AS (
   SELECT state_id, measurement, domain, entity_id, ts_epoch,

@@ -605,9 +605,13 @@ def test_influxql_windows_ride_one_series_exchange(spark, sf_dir):
     # keyed on series+value, then the series agg on the collapsed
     # relation (two-phase distinct — both exchanges start with the
     # series columns so both match the count)
+    # state_mode pays two: the (series, state) freq agg cannot serve the
+    # series-only rank window. state_durations pays ONE: the (series,
+    # state) agg consumes the lead-window's series partitioning directly
+    # (a subset of the grouping keys clusters every group)
     budget = {"influx_downsample": 2, "influx_holt_winters": 2,
               "influx_mode": 2, "influx_fill_linear": 2,
-              "influx_distinct": 2}
+              "influx_distinct": 2, "influx_state_mode": 2}
     for name, fn in influxql.QUERIES.items():
         physical = explain_str(fn(spark, sf_dir))
         n = physical.count("hashpartitioning(measurement")
