@@ -289,3 +289,78 @@ def pack_sequences_ffd(documents: DataFrame, seq_len: int = SEQ_LEN,
         schema="doc_id long, lang string, shard long, n_tokens long, "
                "bin_id long",
     )
+
+
+def _hex_bucket(col: Column, n_buckets: int) -> Column:
+    """Deterministic bucket from the first 4 hex chars of an md5 string,
+    via ascii() arithmetic — chosen over xxhash64 because the identical
+    expression runs in DuckDB, so the oracle reproduces bucket choices
+    bit-for-bit. Slightly lumpy (hex chars occupy 2 ascii ranges) but
+    uniform enough for load-spreading, which is all a ring bucket needs.
+    """
+    b = F.lit(0)
+    for i in range(1, 5):
+        b = b * 131 + F.ascii(F.substring(col, i, 1))
+    return F.pmod(b, F.lit(n_buckets))
+
+
+def contrastive_triplets(corpus: DataFrame,
+                         n_buckets: int = 1024) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive embedding
+    training — the data-prep step behind retrieval/embedding models
+    (in-batch negatives need pre-mined positives; hard-negative mining
+    comes later in the pipeline).
+
+    - POSITIVES: the anchor's NEXT neighbor on an md5 ring *within its
+      (lang, source) group* — the standard "same-cluster/same-source"
+      positive proxy (e.g. Contriever-style same-document or
+      same-source pairs) made deterministic. Wrap-around via the
+      group's first row; groups of 1 produce no triplet. The group key
+      shuffles; text never does.
+    - NEGATIVES: the NEXT doc on a bucket-local md5 ring (buckets from
+      `_hex_bucket`, ordered by (ring_key, doc_id), wrap via the
+      bucket's first row). Bucket-local keeps the ring window PARALLEL
+      — no global ordering, no single-partition window; at 100 TB each
+      bucket is corpus/n_buckets and the windows shard across
+      executors. A ring neighbor that shares the anchor's (lang,
+      source) group is dropped rather than silently kept as a false
+      negative — exactly mirrored in the oracle.
+
+    Derandomized like every sampler here (`sampling.py`): hash rings,
+    never rand() — task retries and the DuckDB oracle reproduce the
+    same triplets bit-for-bit.
+    """
+    wg = W.partitionBy("lang", "source").orderBy("ring_key", "doc_id")
+    ring = W.partitionBy("bucket").orderBy("ring_key", "doc_id")
+    full = (W.unboundedPreceding, W.unboundedFollowing)
+    base = corpus.select(
+        "doc_id", "lang", "source",
+        F.md5(F.concat(F.lit("ring:"), F.col("doc_id").cast("string")))
+        .alias("ring_key"),
+    ).withColumn("bucket", _hex_bucket(F.col("ring_key"), n_buckets))
+    ringed = base.select(
+        "doc_id", "lang", "source",
+        F.count(F.lit(1)).over(
+            W.partitionBy("lang", "source")).alias("_grpn"),
+        F.coalesce(
+            F.lead("doc_id").over(wg),
+            F.first("doc_id").over(wg.rowsBetween(*full)),
+        ).alias("positive_id"),
+        F.coalesce(
+            F.lead("doc_id").over(ring),
+            F.first("doc_id").over(ring.rowsBetween(*full)),
+        ).alias("negative_id"),
+        F.coalesce(
+            F.lead(F.concat_ws("\x1f", "lang", "source")).over(ring),
+            F.first(F.concat_ws("\x1f", "lang", "source")).over(
+                ring.rowsBetween(*full)),
+        ).alias("_neg_grp"),
+    )
+    return (
+        ringed.filter(F.col("_grpn") >= 2)
+        .filter(F.col("_neg_grp")
+                != F.concat_ws("\x1f", "lang", "source"))
+        .filter(F.col("negative_id") != F.col("doc_id"))
+        .select(F.col("doc_id").alias("anchor_id"),
+                "positive_id", "negative_id")
+    )

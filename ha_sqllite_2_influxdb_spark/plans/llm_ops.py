@@ -296,6 +296,17 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curriculum_topk(clean)
 
 
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet mining (anchor, positive, negative):
+    positives = next neighbor on a deterministic md5 ring *within* the
+    anchor's (lang, source) group (the same-cluster positive proxy);
+    negatives = next doc on a bucket-local md5 ring, dropped when it
+    lands in the anchor's own group. Exact oracle — the hex-char bucket
+    and both ring windows are engine-portable arithmetic."""
+    return curation.contrastive_triplets(_docs(spark, sf_dir),
+                                         n_buckets=64)
+
+
 def q_curate_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END mixture curation, one oracle over the whole chain
     (the round-6 sibling of `curate_pipeline`): exact dedup (keep lowest
@@ -837,6 +848,7 @@ QUERIES = {
     "curriculum_topk": q_curriculum_topk,
     "curate_pipeline": q_curate_pipeline,
     "curate_mixture_pipeline": q_curate_mixture_pipeline,
+    "contrastive_triplets": q_contrastive_triplets,
     "embedding_centroids": q_embedding_centroids,
     "kmeans_embeddings": q_kmeans_embeddings,
     "pq_ann_topk": q_pq_ann_topk,
@@ -2003,4 +2015,42 @@ SELECT doc_id, lang,
        WHEN (ch * 2654435761) % 100 < 15 THEN 'test'
        ELSE 'train' END AS split
 FROM h
+"""
+
+ORACLES["contrastive_triplets"] = """WITH base AS (
+  SELECT doc_id, lang, source,
+         md5('ring:' || CAST(doc_id AS VARCHAR)) AS ring_key
+  FROM documents
+),
+b2 AS (
+  SELECT *,
+    (((ascii(substring(ring_key, 1, 1)) * 131
+       + ascii(substring(ring_key, 2, 1))) * 131
+       + ascii(substring(ring_key, 3, 1))) * 131
+       + ascii(substring(ring_key, 4, 1))) % 64 AS bucket
+  FROM base
+),
+ringed AS (
+  SELECT doc_id, lang, source,
+    count(*) OVER (PARTITION BY lang, source) AS grpn,
+    coalesce(lead(doc_id) OVER wg,
+             first_value(doc_id) OVER wgf) AS positive_id,
+    coalesce(lead(doc_id) OVER wb,
+             first_value(doc_id) OVER wbf) AS negative_id,
+    coalesce(lead(lang || chr(31) || source) OVER wb,
+             first_value(lang || chr(31) || source) OVER wbf) AS neg_grp
+  FROM b2
+  WINDOW
+    wg AS (PARTITION BY lang, source ORDER BY ring_key, doc_id),
+    wgf AS (PARTITION BY lang, source ORDER BY ring_key, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+    wb AS (PARTITION BY bucket ORDER BY ring_key, doc_id),
+    wbf AS (PARTITION BY bucket ORDER BY ring_key, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT doc_id AS anchor_id, positive_id, negative_id
+FROM ringed
+WHERE grpn >= 2
+  AND neg_grp != (lang || chr(31) || source)
+  AND negative_id != doc_id
 """

@@ -268,3 +268,41 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert covered == set(words)
     # short doc: single chunk, whole text
     assert [r["chunk_text"] for r in by_doc[2]] == ["a b c"]
+
+
+def test_contrastive_triplets_invariants(spark, sf_dir):
+    """Triplet semantics the oracle equality can't state: every positive
+    shares the anchor's (lang, source) group and differs from it; every
+    negative comes from a DIFFERENT group; each anchor appears at most
+    once; and the mining is deterministic across partitioning."""
+    corpus = load_table(spark, sf_dir, "documents")
+    trip = curation.contrastive_triplets(corpus, n_buckets=64).persist()
+    grp = corpus.select("doc_id", "lang", "source")
+
+    labeled = (
+        trip
+        .join(grp.selectExpr("doc_id AS anchor_id", "lang AS a_lang",
+                             "source AS a_src"), "anchor_id")
+        .join(grp.selectExpr("doc_id AS positive_id", "lang AS p_lang",
+                             "source AS p_src"), "positive_id")
+        .join(grp.selectExpr("doc_id AS negative_id", "lang AS n_lang",
+                             "source AS n_src"), "negative_id")
+    )
+    n = trip.count()
+    assert n > 0
+    # anchors unique
+    assert trip.select("anchor_id").distinct().count() == n
+    # positive: same group, different doc
+    assert labeled.filter(
+        "a_lang != p_lang OR a_src != p_src OR anchor_id = positive_id"
+    ).count() == 0
+    # negative: different group
+    assert labeled.filter(
+        "a_lang = n_lang AND a_src = n_src"
+    ).count() == 0
+    # deterministic under a different input partitioning
+    again = curation.contrastive_triplets(
+        corpus.repartition(7, "lang"), n_buckets=64)
+    assert trip.exceptAll(again).count() == 0
+    assert again.exceptAll(trip).count() == 0
+    trip.unpersist()
