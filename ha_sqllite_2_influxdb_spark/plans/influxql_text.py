@@ -11,17 +11,24 @@ Supported grammar (a documented, tested subset — anything outside it
 raises ``InfluxQLError`` rather than mis-executing):
 
   query  := SELECT proj (',' proj)* FROM source
-            [WHERE cond (AND cond)*]
+            [WHERE wexpr]
             [GROUP BY item (',' item)*] [FILL '(' fillarg ')']
-            [ORDER BY time [ASC|DESC]] [LIMIT n] [SLIMIT n]
+            [ORDER BY time [ASC|DESC]]
+            [LIMIT n [OFFSET n]] [SLIMIT n [SOFFSET n]]
   proj   := FUNC '(' value [',' number] ')' | value
+          | COUNT '(' DISTINCT '(' value ')' ')'
   FUNC   := COUNT|SUM|MEAN|MIN|MAX|SPREAD|FIRST|LAST
-          | TOP|BOTTOM | PERCENTILE
+          | STDDEV|MEDIAN | MODE|DISTINCT|INTEGRAL
+          | TOP|BOTTOM | PERCENTILE|SAMPLE
           | DERIVATIVE|NON_NEGATIVE_DERIVATIVE|DIFFERENCE
-          | CUMULATIVE_SUM|MOVING_AVERAGE
-  source := ident | '"' any '"'
+          | CUMULATIVE_SUM|MOVING_AVERAGE|ELAPSED
+  source := ident | '"' any '"' | '/' regex '/'
+  wexpr  := wfact (AND wfact)*
+  wfact  := '(' wexpr (OR wexpr)* ')' | cond
   cond   := time (< <= > >=) timelit | tag (= !=) 'string'
+          | tag (=~ !~) '/' regex '/'
           | value (< <= > >= = !=) number
+  timelit:= epoch 's' | number | now() [± duration]   (now_s pinned)
   item   := time '(' duration ')' | tag | '*'
 
 Semantics follow InfluxDB's documented behavior on the migrated point
@@ -74,11 +81,12 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
       (?P<dquote>"[^"]*")
     | (?P<squote>'[^']*')
+    | (?P<regex>/(?:\\.|[^/\\])*/)
     | (?P<duration>\d+(?:ns|us|ms|s|m|h|d|w))
-    | (?P<number>-?\d+(?:\.\d+)?)
+    | (?P<number>\d+(?:\.\d+)?)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op><=|>=|!=|<>|=|<|>)
-    | (?P<punct>[(),*])
+    | (?P<op>=~|!~|<=|>=|!=|<>|=|<|>)
+    | (?P<punct>[(),*+-])
     )""",
     re.VERBOSE,
 )
@@ -118,15 +126,30 @@ class Proj:
 @dataclass(frozen=True)
 class Cond:
     lhs: str                  # 'time' | tag name | 'value'
-    op: str
-    rhs: object               # float for time/value, str for tags
+    op: str                   # comparison, or '=~' / '!~' regex match
+    rhs: object               # float for time/value, str for tags/regex
+
+
+@dataclass(frozen=True)
+class CondOr:
+    """OR of AND-chains: ``alts`` holds one tuple of Cond/CondOr per OR
+    alternative — the parenthesized boolean subset real dashboards use
+    (``(a OR b) AND c``)."""
+    alts: tuple[tuple, ...]
+
+
+@dataclass(frozen=True)
+class Regex:
+    """``/pattern/`` — unanchored match, Influx's Go-regexp semantics
+    (Spark ``rlike`` / DuckDB ``regexp_matches`` are both unanchored)."""
+    pattern: str
 
 
 @dataclass(frozen=True)
 class InfluxSelect:
     projs: tuple[Proj, ...]
-    measurement: object       # str, or a nested InfluxSelect (subquery)
-    where: tuple[Cond, ...] = ()
+    measurement: object       # str, Regex, or nested InfluxSelect
+    where: tuple = ()         # AND-chain of Cond | CondOr
     bucket_s: int | None = None
     group_tags: tuple[str, ...] = ()
     grouped: bool = False     # any GROUP BY tag clause present (incl. *)
@@ -135,12 +158,16 @@ class InfluxSelect:
     limit: int | None = None
     slimit: int | None = None
     into: str | None = None   # SELECT ... INTO target (CQ bodies)
+    offset: int | None = None
+    soffset: int | None = None
 
 
-_AGGS = {"count", "sum", "mean", "min", "max", "spread", "first", "last"}
-_SELECTORS = {"top", "bottom", "percentile"}
+_AGGS = {"count", "sum", "mean", "min", "max", "spread", "first", "last",
+         "stddev", "median", "count_distinct"}
+_SELECTORS = {"top", "bottom", "percentile", "sample"}
 _TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
-               "cumulative_sum", "moving_average"}
+               "cumulative_sum", "moving_average", "elapsed"}
+_SINGLETONS = {"mode", "integral", "distinct"}  # dedicated compile paths
 
 
 @dataclass(frozen=True)
@@ -165,9 +192,10 @@ class InfluxShow:
 
 
 class _Parser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, now_s: float | None = None):
         self.toks = _tokenize(text)
         self.i = 0
+        self.now_s = now_s
 
     def _peek(self) -> _Tok | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -196,6 +224,28 @@ class _Parser:
         t = self._next()
         if t.text.lower() != text.lower():
             raise InfluxQLError(f"expected {text!r}, got {t.text!r}")
+
+    def _number(self) -> float:
+        """A possibly-signed numeric literal (the tokenizer emits the
+        sign as punct so ``now()-7d`` lexes cleanly)."""
+        t = self._next()
+        sign = 1.0
+        if t.text in ("+", "-"):
+            sign = -1.0 if t.text == "-" else 1.0
+            t = self._next()
+        if t.kind != "number":
+            raise InfluxQLError(f"expected a number, got {t.text!r}")
+        return sign * float(t.text)
+
+    def _duration_s(self) -> float:
+        t = self._next()
+        if t.kind != "duration":
+            raise InfluxQLError(f"expected a duration, got {t.text!r}")
+        unit = re.sub(r"^\d+", "", t.text)
+        if unit not in _DUR_S:
+            raise InfluxQLError(f"sub-second duration {t.text!r} "
+                                "unsupported")
+        return float(t.text[:-len(unit)]) * _DUR_S[unit]
 
     def parse(self) -> InfluxSelect | InfluxShow | InfluxCQ:
         if self._kw("show"):
@@ -235,14 +285,18 @@ class _Parser:
                 measurement = src.text[1:-1]
             elif src.kind == "ident":
                 measurement = src.text
+            elif src.kind == "regex":
+                measurement = Regex(src.text[1:-1])
             else:
                 raise InfluxQLError(f"bad FROM source {src.text!r}")
 
-        where: list[Cond] = []
+        where: list = []
         if self._kw("where"):
-            where.append(self._cond())
-            while self._kw("and"):
-                where.append(self._cond())
+            where = list(self._where_and())
+            t = self._peek()
+            if t and t.kind == "ident" and t.text.lower() == "or":
+                raise InfluxQLError(
+                    "parenthesize top-level OR conditions: (a OR b)")
 
         bucket_s, group_tags, grouped = None, [], False
         if self._kw("group", "by"):
@@ -296,14 +350,23 @@ class _Parser:
             else:
                 self._kw("asc")
 
-        limit = slimit = None
+        limit = slimit = offset = soffset = None
         if self._kw("limit"):
             limit = int(self._next().text)
+        if self._kw("offset"):
+            offset = int(self._next().text)
+            if limit is None:
+                raise InfluxQLError("OFFSET requires LIMIT")
         if self._kw("slimit"):
             slimit = int(self._next().text)
+        if self._kw("soffset"):
+            soffset = int(self._next().text)
+            if slimit is None:
+                raise InfluxQLError("SOFFSET requires SLIMIT")
         return InfluxSelect(tuple(projs), measurement, tuple(where),
                             bucket_s, tuple(group_tags), grouped, fill,
-                            order_desc, limit, slimit, into)
+                            order_desc, limit, slimit, into,
+                            offset, soffset)
 
     def _cq(self) -> InfluxCQ:
         def _name() -> str:
@@ -383,10 +446,23 @@ class _Parser:
         if t.kind == "ident" and name == "value":
             return Proj(None)
         if t.kind != "ident" or name not in (_AGGS | _SELECTORS
-                                             | _TRANSFORMS):
+                                             | _TRANSFORMS | _SINGLETONS
+                                             | {"count"}):
             raise InfluxQLError(f"unsupported projection {t.text!r}")
         self._expect("(")
         a = self._next()
+        if a.kind == "ident" and a.text.lower() == "distinct" \
+                and self._peek() and self._peek().text == "(":
+            # COUNT(DISTINCT(value)) — InfluxQL's nested-distinct form
+            if name != "count":
+                raise InfluxQLError("DISTINCT() nests under COUNT only")
+            self._next()
+            fld_t = self._next()
+            fld = (fld_t.text[1:-1] if fld_t.kind == "dquote"
+                   else fld_t.text).lower()
+            self._expect(")")
+            self._expect(")")
+            return Proj("count_distinct", None, fld)
         if a.kind == "dquote":
             fld = a.text[1:-1].lower()
         elif a.kind == "ident":
@@ -396,40 +472,94 @@ class _Parser:
         arg = None
         if self._peek() and self._peek().text == ",":
             self._next()
-            n = self._next()
-            if n.kind != "number":
-                raise InfluxQLError(f"bad function argument {n.text!r}")
-            arg = float(n.text)
+            arg = self._number()
         self._expect(")")
-        if name in ("top", "bottom", "percentile", "moving_average") \
-                and arg is None:
+        if name in ("top", "bottom", "percentile", "moving_average",
+                    "sample") and arg is None:
             raise InfluxQLError(f"{name.upper()} needs a second argument")
         return Proj(name, arg, fld)
+
+    # WHERE boolean grammar: expr := term (OR term)*;
+    # term := factor (AND factor)*; factor := '(' expr ')' | cond.
+    # The AND-chain is kept flat (the InfluxSelect.where tuple) so the
+    # common no-OR query keeps its original shape; OR groups become
+    # CondOr nodes inside that chain.
+    def _where_and(self) -> tuple:
+        out = [self._where_factor()]
+        while self._kw("and"):
+            out.append(self._where_factor())
+        return tuple(out)
+
+    def _where_factor(self):
+        if self._peek() and self._peek().text == "(":
+            self._next()
+            alts = [self._where_and()]
+            while self._kw("or"):
+                alts.append(self._where_and())
+            self._expect(")")
+            if len(alts) == 1:
+                # parenthesized AND-chain: collapse if single cond
+                return (alts[0][0] if len(alts[0]) == 1
+                        else CondOr((alts[0],)))
+            return CondOr(tuple(alts))
+        return self._cond()
+
+    def _time_literal(self) -> float:
+        """Epoch seconds: ``1704067200s`` / bare number / ``now()`` with
+        optional ``± duration`` (resolved against the PINNED now_s —
+        queries with now() refuse to compile without one, keeping every
+        plan deterministic and oracle-reproducible)."""
+        t = self._next()
+        if t.kind == "ident" and t.text.lower() == "now":
+            self._expect("(")
+            self._expect(")")
+            if self.now_s is None:
+                raise InfluxQLError(
+                    "now() needs a pinned now_s "
+                    "(parse_influxql(text, now_s=...))")
+            val = float(self.now_s)
+            nxt = self._peek()
+            if nxt and nxt.text in ("+", "-"):
+                sign = 1.0 if self._next().text == "+" else -1.0
+                val += sign * self._duration_s()
+            return val
+        if t.kind == "duration":                # 1704067200s epoch literal
+            if not t.text.endswith("s") or t.text.endswith("ms"):
+                raise InfluxQLError(f"bad time literal {t.text!r}")
+            return float(t.text[:-1])
+        if t.kind == "number":
+            return float(t.text)
+        raise InfluxQLError(f"bad time literal {t.text!r}")
 
     def _cond(self) -> Cond:
         lhs = self._next()
         op = self._next()
         if op.kind != "op":
             raise InfluxQLError(f"expected comparison, got {op.text!r}")
-        rhs = self._next()
         name = lhs.text.lower()
         if name == "time":
-            if rhs.kind == "duration":          # 1704067200s epoch literal
-                if not rhs.text.endswith("s") or rhs.text.endswith("ms"):
-                    raise InfluxQLError(f"bad time literal {rhs.text!r}")
-                val = float(rhs.text[:-1])
-            elif rhs.kind == "number":
-                val = float(rhs.text)
-            else:
-                raise InfluxQLError(f"bad time literal {rhs.text!r}")
-            return Cond("time", op.text, val)
+            if op.text in ("=~", "!~"):
+                raise InfluxQLError("time does not regex-match")
+            return Cond("time", op.text, self._time_literal())
+        rhs = self._next()
         if name in _TAGS:
+            if op.text in ("=~", "!~"):
+                if rhs.kind != "regex":
+                    raise InfluxQLError(f"{op.text} needs a /regex/")
+                return Cond(name, op.text, rhs.text[1:-1])
             if rhs.kind != "squote" or op.text not in ("=", "!=", "<>"):
                 raise InfluxQLError(f"tag {name} compares = or != to a "
-                                    "'string'")
+                                    "'string' (or =~ to a /regex/)")
             return Cond(name, "!=" if op.text == "<>" else op.text,
                         rhs.text[1:-1])
         if name == "value":
+            if rhs.text in ("+", "-"):
+                sign = -1.0 if rhs.text == "-" else 1.0
+                rhs = self._next()
+                if rhs.kind != "number":
+                    raise InfluxQLError(f"bad field literal {rhs.text!r}")
+                return Cond("value", "!=" if op.text == "<>" else op.text,
+                            sign * float(rhs.text))
             if rhs.kind != "number":
                 raise InfluxQLError(f"bad field literal {rhs.text!r}")
             return Cond("value", "!=" if op.text == "<>" else op.text,
@@ -437,8 +567,9 @@ class _Parser:
         raise InfluxQLError(f"cannot filter on {lhs.text!r}")
 
 
-def parse_influxql(text: str) -> InfluxSelect:
-    return _Parser(text).parse()
+def parse_influxql(text: str,
+                   now_s: float | None = None) -> InfluxSelect:
+    return _Parser(text, now_s=now_s).parse()
 
 
 # ---------------------------------------------------------------- compiler
@@ -446,16 +577,38 @@ def parse_influxql(text: str) -> InfluxSelect:
 _OPS = {"=": "==", "!=": "!=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
 
 
+def _cond_expr(c):
+    if isinstance(c, CondOr):
+        alt_exprs = []
+        for alt in c.alts:
+            e = _cond_expr(alt[0])
+            for sub in alt[1:]:
+                e = e & _cond_expr(sub)
+            alt_exprs.append(e)
+        out = alt_exprs[0]
+        for e in alt_exprs[1:]:
+            out = out | e
+        return out
+    col = F.col("ts_epoch") if c.lhs == "time" else F.col(c.lhs)
+    if c.op == "=~":
+        return col.rlike(c.rhs)
+    if c.op == "!~":
+        return ~col.rlike(c.rhs)
+    return {
+        "=": col == F.lit(c.rhs), "!=": col != F.lit(c.rhs),
+        "<": col < F.lit(c.rhs), "<=": col <= F.lit(c.rhs),
+        ">": col > F.lit(c.rhs), ">=": col >= F.lit(c.rhs),
+    }[c.op]
+
+
 def _apply_where(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
-    out = pts.filter(F.col("measurement") == ast.measurement)
+    if isinstance(ast.measurement, Regex):
+        out = pts.filter(
+            F.col("measurement").rlike(ast.measurement.pattern))
+    else:
+        out = pts.filter(F.col("measurement") == ast.measurement)
     for c in ast.where:
-        col = F.col("ts_epoch") if c.lhs == "time" else F.col(c.lhs)
-        expr = {
-            "=": col == F.lit(c.rhs), "!=": col != F.lit(c.rhs),
-            "<": col < F.lit(c.rhs), "<=": col <= F.lit(c.rhs),
-            ">": col > F.lit(c.rhs), ">=": col >= F.lit(c.rhs),
-        }[c.op]
-        out = out.filter(expr)
+        out = out.filter(_cond_expr(c))
     return out
 
 
@@ -472,10 +625,19 @@ _MICRO = 1e6
 
 
 def _agg_expr(p: Proj):
-    """Bucket/series aggregate for one projection, cross-engine-exact
-    (mean/sum via micro-quantized BIGINT accumulation)."""
+    """Bucket/series aggregate for one projection, cross-engine-exact:
+    mean/sum via micro-quantized BIGINT accumulation; STDDEV from
+    milli-quantized integer moments under ONE shared double expression
+    (the `q_influx_stddev_median` recipe); MEDIAN per InfluxDB's rule
+    (average of the two middle values) over a sorted collect_list —
+    per-bucket state is bounded by points-per-series-per-bucket, the
+    same bound InfluxDB's own sorted-iterator median pays."""
     micro = F.sum(F.round(F.col("value") * _MICRO).cast("long"))
     order = F.struct("ts_epoch", "state_id")
+    n = F.count(F.lit(1))
+    milli = F.round(F.col("value") * 1e3).cast("long")
+    arr = F.sort_array(F.collect_list("value"))
+    asz = F.size(arr)
     return {
         "count": F.count(F.lit(1)).alias("count"),
         "sum": (micro / _MICRO).alias("sum"),
@@ -485,12 +647,26 @@ def _agg_expr(p: Proj):
         "spread": (F.max("value") - F.min("value")).alias("spread"),
         "first": F.min_by("value", order).alias("first"),
         "last": F.max_by("value", order).alias("last"),
+        "stddev": F.when(
+            n > 1,
+            F.sqrt((n * F.sum(milli * milli) - F.sum(milli)
+                    * F.sum(milli)).cast("double")
+                   / (n * (n - 1)).cast("double")) / F.lit(1e3),
+        ).alias("stddev"),
+        "median": ((F.element_at(arr, F.floor((asz + 1) / 2)
+                                 .cast("int"))
+                    + F.element_at(arr, (F.floor(asz / 2) + 1)
+                                   .cast("int"))) / F.lit(2.0)
+                   ).alias("median"),
+        "count_distinct": F.count_distinct(F.col("value"))
+                           .alias("count_distinct"),
     }[p.func]
 
 
 def _compile_raw(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
     out = pts.select("state_id", *_series_cols(ast),
                      F.col("ts_epoch").alias("time"), "value")
+    off = ast.offset or 0
     if ast.grouped:
         if ast.limit is not None:
             w = (Window.partitionBy(*_series_cols(ast))
@@ -498,12 +674,20 @@ def _compile_raw(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
                             if ast.order_desc
                             else [F.asc("time"), F.asc("state_id")])))
             out = (out.withColumn("_rn", F.row_number().over(w))
-                   .filter(F.col("_rn") <= ast.limit).drop("_rn"))
+                   .filter((F.col("_rn") > off)
+                           & (F.col("_rn") <= off + ast.limit))
+                   .drop("_rn"))
         return out
     if ast.limit is not None:
         keys = ([F.desc("time"), F.desc("state_id")] if ast.order_desc
                 else [F.asc("time"), F.asc("state_id")])
-        out = out.orderBy(*keys).limit(ast.limit)   # TakeOrderedAndProject
+        # TakeOrderedAndProject keeps limit+offset rows; the OFFSET skip
+        # ranks only that tiny bounded relation
+        out = out.orderBy(*keys).limit((ast.limit or 0) + off)
+        if off:
+            w = Window.orderBy(*keys)
+            out = (out.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") > off).drop("_rn"))
     return out
 
 
@@ -532,6 +716,12 @@ def _compile_transform(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
         run = w.rowsBetween(Window.unboundedPreceding, 0)
         out = pts.select(
             *base, (F.sum(micro).over(run) / _MICRO).alias("cumulative_sum"))
+    elif p.func == "elapsed":
+        # ELAPSED(value): seconds since the previous point of the series
+        # (Influx defaults to ns; the point relation's clock is seconds —
+        # documented unit, same lag shape as DIFFERENCE)
+        out = pts.select(*base, dt.alias("elapsed")).filter(
+            F.col("elapsed").isNotNull())
     else:                                   # moving_average(value, n)
         n = int(p.arg)
         if not 2 <= n <= 64:
@@ -566,6 +756,18 @@ def _compile_selector(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
                 .select(*_series_cols(ast),
                         F.col("value").alias("percentile")))
     n = int(p.arg)
+    if p.func == "sample":
+        # derandomized sample (operators/sampling.py precedent):
+        # md5(state_id) rank — retries and the oracle reproduce it
+        w = Window.partitionBy(*_series_cols(ast)).orderBy(
+            F.md5(F.col("state_id").cast("string")), "state_id")
+        return (
+            pts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select("state_id", *_series_cols(ast),
+                    F.col("ts_epoch").alias("time"),
+                    F.col("value").alias("sample"))
+        )
     order = ([F.desc("value"), F.asc("ts_epoch"), F.asc("state_id")]
              if p.func == "top"
              else [F.asc("value"), F.asc("ts_epoch"), F.asc("state_id")])
@@ -630,18 +832,73 @@ def _compile_agg(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
             val = F.when(is_real, F.col(name)).otherwise(interp)
         else:                               # FILL(<number>)
             val = F.when(is_real, F.col(name)).otherwise(F.lit(ast.fill))
-            if name == "count":
+            if name in ("count", "count_distinct"):
                 val = val.cast("long")
         out_cols.append(val.alias(name))
     return expanded.select(*_series_cols(ast), *out_cols)
+
+
+def _compile_singleton(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
+    """MODE / INTEGRAL / DISTINCT — each needs its own two-stage shape
+    (pre-aggregation or ordered-lag) rather than a plain groupBy agg, so
+    they compile alone (matching the function layer's dedicated plans).
+
+    - MODE: (series[, bucket], value) count → min_by over (-freq, value)
+      (InfluxDB's lowest-value-wins tie rule); the second agg rides the
+      already-collapsed distinct relation on the same keys.
+    - DISTINCT: two-phase distinct — map-side combine collapses each
+      partition's duplicates before the one exchange.
+    - INTEGRAL: per-series trapezoid (value+prev)/2·dt summed, lag and
+      sum on ONE series shuffle; micro-quantized terms keep the oracle
+      bit-exact. Unit: value·seconds (Influx's default unit=1s).
+    """
+    p = ast.projs[0]
+    keys = _series_cols(ast)
+    bucket_cols, bucket_out = [], []
+    if ast.bucket_s is not None:
+        if p.func == "integral":
+            raise InfluxQLError("INTEGRAL does not take GROUP BY time()")
+        b = (F.floor(F.col("ts_epoch") / ast.bucket_s).cast("long")
+             * ast.bucket_s)
+        pts = pts.withColumn("_t", b)
+        bucket_cols, bucket_out = ["_t"], [F.col("_t").alias("time")]
+    if p.func == "mode":
+        freq = pts.groupBy(*keys, *bucket_cols, "value").agg(
+            F.count(F.lit(1)).alias("_f"))
+        return (freq.groupBy(*keys, *bucket_cols).agg(
+            F.min_by("value", F.struct((-F.col("_f")).alias("nf"),
+                                       "value")).alias("mode"))
+            .select(*keys, *bucket_out, "mode"))
+    if p.func == "distinct":
+        return (pts.select(*keys, *bucket_cols, "value").distinct()
+                .select(*keys, *bucket_out,
+                        F.col("value").alias("distinct")))
+    # integral — the q_influx_integral association, bit-pinned:
+    # (v + prev) * dt / 2.0, micro-quantized, integer-summed
+    w = _series_window(ast)
+    trap = ((F.col("value") + F.lag("value").over(w))
+            * (F.col("ts_epoch") - F.lag("ts_epoch").over(w))
+            / F.lit(2.0))
+    term = F.round(trap * _MICRO).cast("long")
+    return (pts.select(*keys, term.alias("_a"))
+            .filter(F.col("_a").isNotNull())
+            .groupBy(*keys)
+            .agg((F.sum("_a") / _MICRO).alias("integral")))
 
 
 def _apply_slimit(out: DataFrame, ast: InfluxSelect) -> DataFrame:
     if ast.slimit is None:
         return out
     keys = _series_cols(ast)
+    soff = ast.soffset or 0
     series = (out.select(*keys).distinct()
-              .orderBy(*keys).limit(ast.slimit))
+              .orderBy(*keys).limit(ast.slimit + soff))
+    if soff:
+        # rank the already-tiny limited series relation (≤ slimit+soffset
+        # rows — driver-bounded, not a data-scale window)
+        w = Window.orderBy(*keys)
+        series = (series.withColumn("_sn", F.row_number().over(w))
+                  .filter(F.col("_sn") > soff).drop("_sn"))
     return out.join(F.broadcast(series), keys)
 
 
@@ -675,11 +932,13 @@ def _compile_show(pts: DataFrame, ast: InfluxShow) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("count")))
 
 
-def compile_influxql(spark: SparkSession, sf_dir: str,
-                     text: str) -> DataFrame:
+def compile_influxql(spark: SparkSession, sf_dir: str, text: str,
+                     now_s: float | None = None) -> DataFrame:
     """Parse InfluxQL ``text`` and build its DataFrame over the migrated
-    point relation at ``sf_dir``."""
-    ast = parse_influxql(text)
+    point relation at ``sf_dir``. Queries using ``now()`` must pass a
+    pinned ``now_s`` (epoch seconds) — the engine never reads the wall
+    clock, so retries, oracles and repeated runs see one time."""
+    ast = parse_influxql(text, now_s=now_s)
     return compile_ast(_numeric_points(spark, sf_dir), ast)
 
 
@@ -802,6 +1061,10 @@ def compile_ast(pts: DataFrame,
         out = _compile_raw(_apply_where(pts, ast), ast)
     elif funcs <= _AGGS:
         out = _compile_agg(_apply_where(pts, ast), ast)
+    elif len(funcs) == 1 and funcs <= _SINGLETONS:
+        if ast.bucket_s is not None and "integral" in funcs:
+            raise InfluxQLError("INTEGRAL does not take GROUP BY time()")
+        out = _compile_singleton(_apply_where(pts, ast), ast)
     elif len(funcs) == 1 and funcs <= _TRANSFORMS:
         if ast.bucket_s is not None:
             raise InfluxQLError("transforms do not take GROUP BY time()")
@@ -913,6 +1176,86 @@ def q_influxql_text_cq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_continuous_query(spark, sf_dir, _Q_CQ)
 
 
+# --- r7 grammar extensions: regex matchers, OR trees, now(), OFFSET,
+# and the function tier (STDDEV/MEDIAN/COUNT DISTINCT/MODE/ELAPSED/
+# SAMPLE/INTEGRAL) — each compiling to an already-pinned plan shape.
+
+_Q_REGEX_OR = ("SELECT COUNT(value), MEAN(value), STDDEV(value) "
+               "FROM /^[W%]/ WHERE entity_id =~ /_[0-3]$/ "
+               "AND (value > 50 OR value < 10) GROUP BY *")
+_NOW_PIN_S = 1706660000          # 2024-01-31T00:53:20Z, inside the fixture
+_Q_NOW = ('SELECT MAX(value), FIRST(value) FROM "W" '
+          "WHERE time >= now() - 2w GROUP BY *")
+_Q_STATS = ("SELECT STDDEV(value), MEDIAN(value), "
+            'COUNT(DISTINCT(value)) FROM "W" GROUP BY time(6h), *')
+_Q_MODE_B = ('SELECT MODE(value) FROM "%" GROUP BY time(1d), *')
+_Q_OFFSET = ('SELECT value FROM "W" GROUP BY * ORDER BY time DESC '
+             "LIMIT 5 OFFSET 5 SLIMIT 10 SOFFSET 5")
+_Q_ELAPSED = ("SELECT ELAPSED(value) FROM default_measurement "
+              "GROUP BY *")
+_Q_SAMPLE = ('SELECT SAMPLE(value, 3) FROM "W" GROUP BY *')
+_Q_INTEGRAL = ('SELECT INTEGRAL(value) FROM "W" GROUP BY *')
+
+
+def q_influxql_text_regex_or(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Regex measurement (``FROM /^[W%]/``), regex tag matcher
+    (``entity_id =~ /…/``) and a parenthesized OR value filter — the
+    Grafana templated-dashboard WHERE shape. All three predicates stay
+    JVM-side column expressions on the one scan."""
+    return compile_influxql(spark, sf_dir, _Q_REGEX_OR)
+
+
+def q_influxql_text_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WHERE time >= now() - 2w`` — the single most common dashboard
+    clause — against a PINNED now (the engine never reads the wall
+    clock: retries, oracles and repeated runs resolve the same bound,
+    and the time predicate still pushes down to the scan)."""
+    return compile_influxql(spark, sf_dir, _Q_NOW, now_s=_NOW_PIN_S)
+
+
+def q_influxql_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed STDDEV + MEDIAN + COUNT(DISTINCT(value)) in one
+    GROUP BY time(6h) aggregate — stddev from quantized integer
+    moments, median per InfluxDB's two-middle-average rule."""
+    return compile_influxql(spark, sf_dir, _Q_STATS)
+
+
+def q_influxql_text_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-bucketed MODE(value): lowest-value-wins tie rule on a
+    (series, day, value) pre-aggregation."""
+    return compile_influxql(spark, sf_dir, _Q_MODE_B)
+
+
+def q_influxql_text_offset(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Per-series LIMIT/OFFSET pagination + SLIMIT/SOFFSET series
+    pagination — the panel-paging query, rank filters on the one
+    series window plus a broadcast of the ≤15-row series page."""
+    return compile_influxql(spark, sf_dir, _Q_OFFSET)
+
+
+def q_influxql_text_elapsed(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """``ELAPSED(value)``: seconds since the previous point per series
+    (the sensor-gap audit query), one series-window lag."""
+    return compile_influxql(spark, sf_dir, _Q_ELAPSED)
+
+
+def q_influxql_text_sample(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """``SAMPLE(value, 3)`` from text — derandomized md5-rank sample,
+    reproduced bit-for-bit by the oracle."""
+    return compile_influxql(spark, sf_dir, _Q_SAMPLE)
+
+
+def q_influxql_text_integral(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """``INTEGRAL(value)`` from text — per-series trapezoid area in
+    value·seconds, micro-quantized integer accumulation."""
+    return compile_influxql(spark, sf_dir, _Q_INTEGRAL)
+
+
 QUERIES = {
     "influxql_text_downsample": q_influxql_text_downsample,
     "influxql_text_counter_rate": q_influxql_text_counter_rate,
@@ -924,6 +1267,14 @@ QUERIES = {
     "influxql_show_measurements": q_influxql_show_measurements,
     "influxql_show_tag_values": q_influxql_show_tag_values,
     "influxql_show_cardinality": q_influxql_show_cardinality,
+    "influxql_text_regex_or": q_influxql_text_regex_or,
+    "influxql_text_now": q_influxql_text_now,
+    "influxql_text_stats": q_influxql_text_stats,
+    "influxql_text_mode": q_influxql_text_mode,
+    "influxql_text_offset": q_influxql_text_offset,
+    "influxql_text_elapsed": q_influxql_text_elapsed,
+    "influxql_text_sample": q_influxql_text_sample,
+    "influxql_text_integral": q_influxql_text_integral,
 }
 
 ORACLES = {
@@ -1052,5 +1403,138 @@ WHERE measurement = 'default_measurement'
     "influxql_show_cardinality": f"""{_ORACLE_NUM}
 SELECT count(*) AS "count" FROM
   (SELECT DISTINCT measurement, domain, entity_id FROM num)
+""",
+    "influxql_text_regex_or": f"""{_ORACLE_NUM},
+flt AS (
+  SELECT * FROM num
+  WHERE regexp_matches(measurement, '^[W%]')
+    AND regexp_matches(entity_id, '_[0-3]$')
+    AND (value > 50 OR value < 10)
+),
+m AS (SELECT *, CAST(round(value * 1e3) AS BIGINT) AS q FROM flt)
+SELECT measurement, domain, entity_id,
+  count(*) AS "count",
+  (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+    / count(*) AS mean,
+  CASE WHEN count(*) > 1 THEN
+    sqrt(CAST(count(*) * CAST(sum(q * q) AS BIGINT)
+              - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT)
+              AS DOUBLE)
+         / CAST(count(*) * (count(*) - 1) AS DOUBLE)) / 1e3
+  END AS stddev
+FROM m GROUP BY 1, 2, 3
+""",
+    "influxql_text_now": f"""{_ORACLE_NUM},
+src AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY measurement, domain, entity_id
+                       ORDER BY ts_epoch, state_id) AS rn_a
+  FROM num
+  WHERE measurement = 'W' AND ts_epoch >= {_NOW_PIN_S} - 1209600
+)
+SELECT measurement, domain, entity_id,
+  max(value) AS max,
+  max(CASE WHEN rn_a = 1 THEN value END) AS "first"
+FROM src GROUP BY 1, 2, 3
+""",
+    "influxql_text_stats": f"""{_ORACLE_NUM},
+src AS (
+  SELECT measurement, domain, entity_id, value, state_id,
+    CAST(floor(ts_epoch / 21600) AS BIGINT) * 21600 AS t,
+    CAST(round(value * 1e3) AS BIGINT) AS q
+  FROM num WHERE measurement = 'W'
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY measurement, domain, entity_id, t
+                       ORDER BY value, state_id) AS rn,
+    count(*) OVER (PARTITION BY measurement, domain, entity_id, t) AS n
+  FROM src
+)
+SELECT measurement, domain, entity_id, t AS time,
+  CASE WHEN count(*) > 1 THEN
+    sqrt(CAST(count(*) * CAST(sum(q * q) AS BIGINT)
+              - CAST(sum(q) AS BIGINT) * CAST(sum(q) AS BIGINT)
+              AS DOUBLE)
+         / CAST(count(*) * (count(*) - 1) AS DOUBLE)) / 1e3
+  END AS stddev,
+  (max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+       THEN value END)
+   + max(CASE WHEN rn = CAST(floor(n / 2) + 1 AS BIGINT)
+         THEN value END)) / 2.0 AS median,
+  count(DISTINCT value) AS count_distinct
+FROM ranked GROUP BY 1, 2, 3, 4
+""",
+    "influxql_text_mode": f"""{_ORACLE_NUM},
+freq AS (
+  SELECT measurement, domain, entity_id,
+    CAST(floor(ts_epoch / 86400) AS BIGINT) * 86400 AS t,
+    value, count(*) AS f
+  FROM num WHERE measurement = '%'
+  GROUP BY 1, 2, 3, 4, 5
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY measurement, domain, entity_id, t
+    ORDER BY f DESC, value ASC) AS rn
+  FROM freq
+)
+SELECT measurement, domain, entity_id, t AS time, value AS mode
+FROM r WHERE rn = 1
+""",
+    "influxql_text_offset": f"""{_ORACLE_NUM},
+w AS (
+  SELECT state_id, measurement, domain, entity_id,
+    ts_epoch AS time, value,
+    row_number() OVER (PARTITION BY measurement, domain, entity_id
+                       ORDER BY ts_epoch DESC, state_id DESC) AS rn
+  FROM num WHERE measurement = 'W'
+),
+lim AS (SELECT * FROM w WHERE rn > 5 AND rn <= 10),
+series AS (
+  SELECT DISTINCT measurement, domain, entity_id FROM lim
+  ORDER BY measurement, domain, entity_id LIMIT 10 OFFSET 5
+)
+SELECT l.state_id, l.measurement, l.domain, l.entity_id, l.time, l.value
+FROM lim l JOIN series USING (measurement, domain, entity_id)
+""",
+    "influxql_text_elapsed": f"""{_ORACLE_NUM},
+lagged AS (
+  SELECT state_id, measurement, domain, entity_id,
+    ts_epoch AS time,
+    ts_epoch - lag(ts_epoch) OVER (
+      PARTITION BY measurement, domain, entity_id
+      ORDER BY ts_epoch, state_id) AS elapsed
+  FROM num WHERE measurement = 'default_measurement'
+)
+SELECT * FROM lagged WHERE elapsed IS NOT NULL
+""",
+    "influxql_text_sample": f"""{_ORACLE_NUM},
+r AS (
+  SELECT state_id, measurement, domain, entity_id,
+    ts_epoch AS time, value,
+    row_number() OVER (PARTITION BY measurement, domain, entity_id
+                       ORDER BY md5(CAST(state_id AS VARCHAR)),
+                                state_id) AS rk
+  FROM num WHERE measurement = 'W'
+)
+SELECT state_id, measurement, domain, entity_id, time,
+       value AS sample
+FROM r WHERE rk <= 3
+""",
+    "influxql_text_integral": f"""{_ORACLE_NUM},
+terms AS (
+  SELECT measurement, domain, entity_id,
+    CAST(round((value + lag(value) OVER w)
+               * (ts_epoch - lag(ts_epoch) OVER w) / 2.0 * 1e6)
+         AS BIGINT) AS trap_micro
+  FROM num WHERE measurement = 'W'
+  WINDOW w AS (PARTITION BY measurement, domain, entity_id
+               ORDER BY ts_epoch, state_id)
+)
+SELECT measurement, domain, entity_id,
+  CAST(sum(trap_micro) AS BIGINT) / 1e6 AS integral
+FROM terms WHERE trap_micro IS NOT NULL
+GROUP BY measurement, domain, entity_id
 """,
 }

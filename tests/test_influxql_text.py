@@ -297,3 +297,104 @@ def test_text_raw_global_limit_is_take_ordered(spark, sf_dir):
         "SELECT value FROM default_measurement "
         "ORDER BY time DESC LIMIT 100")
     assert "TakeOrderedAndProject" in explain_str(df)
+
+
+# ------------------------------------------- r7 grammar extensions
+
+def test_parse_regex_or_now_offsets():
+    ast = parse_influxql(
+        "SELECT COUNT(value) FROM /^cpu/ "
+        "WHERE entity_id =~ /core\\d+/ AND (value > 5 OR value < 1) "
+        "AND time >= now() - 1h GROUP BY * "
+        "LIMIT 10 OFFSET 20 SLIMIT 3 SOFFSET 6",
+        now_s=1000000.0)
+    from ha_sqllite_2_influxdb_spark.plans.influxql_text import (
+        CondOr, Regex)
+    assert isinstance(ast.measurement, Regex)
+    assert ast.measurement.pattern == "^cpu"
+    tagc, orc, timec = ast.where
+    assert (tagc.lhs, tagc.op, tagc.rhs) == ("entity_id", "=~",
+                                             "core\\d+")
+    assert isinstance(orc, CondOr) and len(orc.alts) == 2
+    assert (timec.lhs, timec.op, timec.rhs) == ("time", ">=", 996400.0)
+    assert (ast.limit, ast.offset, ast.slimit, ast.soffset) == (10, 20,
+                                                                3, 6)
+
+
+def test_parse_new_functions():
+    for text, func in [
+        ("SELECT STDDEV(value) FROM m GROUP BY *", "stddev"),
+        ("SELECT MEDIAN(value) FROM m GROUP BY *", "median"),
+        ("SELECT MODE(value) FROM m GROUP BY time(1d), *", "mode"),
+        ("SELECT DISTINCT(value) FROM m GROUP BY *", "distinct"),
+        ("SELECT INTEGRAL(value) FROM m GROUP BY *", "integral"),
+        ("SELECT ELAPSED(value) FROM m GROUP BY *", "elapsed"),
+        ("SELECT SAMPLE(value, 5) FROM m GROUP BY *", "sample"),
+        ("SELECT COUNT(DISTINCT(value)) FROM m GROUP BY *",
+         "count_distinct"),
+    ]:
+        assert parse_influxql(text).projs[0].func == func, text
+
+
+@pytest.mark.parametrize("bad", [
+    # now() without a pinned now_s must refuse, not read the wall clock
+    "SELECT value FROM m WHERE time > now() - 1h",
+    # top-level OR must be parenthesized
+    "SELECT value FROM m WHERE value > 5 OR value < 1",
+    # time never regex-matches
+    "SELECT value FROM m WHERE time =~ /x/",
+    # =~ needs a regex literal
+    "SELECT value FROM m WHERE domain =~ 'sensor'",
+    # OFFSET/SOFFSET need their LIMIT
+    "SELECT value FROM m GROUP BY * OFFSET 5",
+    "SELECT value FROM m GROUP BY * SLIMIT 5 LIMIT 5",  # clause order
+    # SAMPLE needs n; nested DISTINCT only under COUNT
+    "SELECT SAMPLE(value) FROM m GROUP BY *",
+    "SELECT SUM(DISTINCT(value)) FROM m GROUP BY *",
+    # INTEGRAL has no bucketed form here
+    "SELECT INTEGRAL(value) FROM m GROUP BY time(1h), *",
+])
+def test_r7_grammar_rejections(bad):
+    with pytest.raises(InfluxQLError):
+        ast = parse_influxql(bad)
+        compile_ast(None, ast)
+
+
+def test_or_and_precedence_on_frame(spark):
+    # (domain='sensor' OR domain='power') AND value >= 7
+    # -> rows 3 (a,5.0 excluded: value<7), 4, 5, 6; row 7 other meas.
+    df = compile_ast(_pts(spark), parse_influxql(
+        "SELECT value FROM m WHERE "
+        "(domain = 'sensor' OR domain = 'power') AND value >= 7"))
+    assert sorted(r.state_id for r in df.collect()) == [4, 5, 6]
+
+
+def test_regex_measurement_and_negated_tag(spark):
+    df = compile_ast(_pts(spark), parse_influxql(
+        "SELECT value FROM /^(m|other)$/ WHERE entity_id !~ /^[bc]/"))
+    # both measurements, entity a only
+    assert sorted(r.state_id for r in df.collect()) == [1, 2, 3, 7]
+
+
+def test_offset_pagination_per_series(spark):
+    # series a has 3 points; LIMIT 1 OFFSET 1 -> the middle point
+    df = compile_ast(_pts(spark), parse_influxql(
+        "SELECT value FROM m WHERE entity_id = 'a' GROUP BY * "
+        "LIMIT 1 OFFSET 1"))
+    assert [r.state_id for r in df.collect()] == [2]
+
+
+def test_median_even_odd_and_mode_tie(spark):
+    stats = compile_ast(_pts(spark), parse_influxql(
+        "SELECT MEDIAN(value) FROM m GROUP BY *")).collect()
+    med = {r.entity_id: r.median for r in stats}
+    assert med["a"] == 3.0          # odd n: middle
+    assert med["b"] == 15.0         # even n: avg of two middles
+    rows = [(1, "m", "d", "e", 0.0, 2.0), (2, "m", "d", "e", 1.0, 2.0),
+            (3, "m", "d", "e", 2.0, 1.0), (4, "m", "d", "e", 3.0, 1.0)]
+    pts = spark.createDataFrame(
+        rows, "state_id long, measurement string, domain string, "
+              "entity_id string, ts_epoch double, value double")
+    mode = compile_ast(pts, parse_influxql(
+        "SELECT MODE(value) FROM m GROUP BY *")).collect()
+    assert mode[0].mode == 1.0      # tie on freq: lowest value wins
