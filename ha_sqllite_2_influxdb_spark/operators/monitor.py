@@ -1,0 +1,176 @@
+"""Per-series statistical monitoring over the migrated point relation —
+the sensor-health analytics an operator runs AFTER the reference's
+migration lands the data (reference `sqllite2influxdb.py` ships points
+so dashboards/alerts can watch them; these are the standard watchers).
+
+Every operator here is exact-arithmetic and value-level oracle-checked:
+the established micro-quantized BIGINT accumulation (see
+`plans/influxql.py`) keeps sums order-independent and bit-identical in
+DuckDB, and every per-row double expression is written once and
+mirrored verbatim in the oracle SQL.
+
+Scale shape: ONE shuffle keyed on the series columns (measurement,
+domain, entity_id) — InfluxDB's own shard key — for every operator;
+window frames are row-bounded (trailing N points), so state per task is
+O(frame), never O(series). Series parallelism is the unit of scale:
+100 TB of points over millions of series shards evenly; no operator
+here ever takes a global window or collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SERIES = ("measurement", "domain", "entity_id")
+_MICRO = 1e6
+
+
+def _w():
+    return Window.partitionBy(*_SERIES).orderBy("ts_epoch", "state_id")
+
+
+def _series_mean() -> Column:
+    """Micro-quantized per-series mean as a window aggregate: the whole
+    partition is one frame, integer accumulation, so Spark and DuckDB
+    agree to the bit."""
+    wp = Window.partitionBy(*_SERIES)
+    micro = F.sum(F.round(F.col("value") * _MICRO).cast("long")).over(wp)
+    return (micro / _MICRO) / F.count(F.lit(1)).over(wp)
+
+
+def series_acf(pts: DataFrame, max_lag: int = 3) -> DataFrame:
+    """Per-series autocorrelation at lags 1..max_lag:
+    ``r_k = Σ_{t>k} d_t·d_{t−k} / Σ_t d_t²`` with ``d_t = x_t − x̄``.
+
+    The sample-order products ``d_t·d_{t−k}`` are computed row-locally
+    as doubles (one fixed expression both engines evaluate identically),
+    micro-quantized to BIGINT and integer-summed — the order-independent
+    accumulation that makes the ratio bit-exact cross-engine. Lags are a
+    handful of `F.lag` columns on ONE series window; the final ratio is
+    a series-keyed aggregate on the same shuffle.
+
+    The canonical diagnostic behind seasonality detection and
+    sensor-stuck alerts (ACF≈1 at every lag = flatlined sensor).
+    """
+    w = _w()
+    d = (F.col("value") - F.col("_mean")).alias("_d")
+    base = pts.select(
+        *_SERIES, "ts_epoch", "state_id", "value",
+        _series_mean().alias("_mean"),
+    ).select(*_SERIES, "ts_epoch", "state_id", d)
+    lag_cols = [
+        F.round(F.col("_d") * F.lag("_d", k).over(w) * _MICRO)
+        .cast("long").alias(f"_p{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    terms = base.select(
+        *_SERIES,
+        F.round(F.col("_d") * F.col("_d") * _MICRO)
+        .cast("long").alias("_p0"),
+        *lag_cols,
+    )
+    sums = terms.groupBy(*_SERIES).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("_p0").alias("_s0"),
+        *[F.sum(f"_p{k}").alias(f"_s{k}")
+          for k in range(1, max_lag + 1)],
+    )
+    # constant (or single-point) series have zero variance: ACF is
+    # undefined there — excluded, not NaN'd (mirrored in the oracle)
+    return sums.filter(F.col("_s0") > 0).select(
+        *_SERIES, "n_points",
+        *[(F.col(f"_s{k}") / F.col("_s0")).alias(f"acf{k}")
+          for k in range(1, max_lag + 1)],
+    )
+
+
+def mean_shift_scores(pts: DataFrame, w_pts: int = 12,
+                      threshold: float = 10.0) -> DataFrame:
+    """Sliding two-window mean-shift detection (the exact-SQL half of
+    E-Divisive / CUSUM alerting): at each point, compare the mean of
+    the previous ``w_pts`` points against the mean of the next
+    ``w_pts`` (current row included); emit points where
+    ``|after − before| > threshold`` — a level change in the series.
+
+    Both window means use micro-quantized integer sums over row-bounded
+    frames on the ONE series shuffle; only full windows score (InfluxDB
+    MOVING_AVERAGE's emit-when-full convention).
+    """
+    w = _w()
+    before_f = w.rowsBetween(-w_pts, -1)
+    after_f = w.rowsBetween(0, w_pts - 1)
+    micro = F.round(F.col("value") * _MICRO).cast("long")
+    scored = pts.select(
+        "state_id", *_SERIES, "ts_epoch", "value",
+        ((F.sum(micro).over(before_f) / _MICRO)
+         / F.count(F.lit(1)).over(before_f)).alias("before_mean"),
+        ((F.sum(micro).over(after_f) / _MICRO)
+         / F.count(F.lit(1)).over(after_f)).alias("after_mean"),
+        F.count(F.lit(1)).over(before_f).alias("_nb"),
+        F.count(F.lit(1)).over(after_f).alias("_na"),
+    )
+    shift = F.col("after_mean") - F.col("before_mean")
+    return (
+        scored.filter((F.col("_nb") == w_pts) & (F.col("_na") == w_pts))
+        .select("state_id", *_SERIES, "ts_epoch",
+                "before_mean", "after_mean", shift.alias("shift"))
+        .filter(F.abs(F.col("shift")) > threshold)
+    )
+
+
+def rolling_quantile(pts: DataFrame, n: int = 16,
+                     p: float = 0.9) -> DataFrame:
+    """Trailing p-quantile per series over the last ``n`` points
+    (rank pick ``ceil(p·cnt)`` on the sorted frame — the actual-sample
+    convention InfluxQL PERCENTILE uses, no interpolation). The rolling
+    p90 band is the standard dashboard envelope; emitted once the frame
+    is full.
+
+    Per-row state is the sorted n-element frame (sort_array over a
+    collect_list frame) — O(n) per row with n fixed and small, riding
+    the one series shuffle. The identical list/sort/index expression
+    runs in DuckDB (list() OVER + list_sort), so values hash-match.
+    """
+    w = _w().rowsBetween(-(n - 1), 0)
+    arr = F.sort_array(F.collect_list("value").over(w))
+    cnt = F.size(arr)
+    q = F.element_at(arr, F.ceil(cnt * F.lit(p)).cast("int"))
+    return (
+        pts.select("state_id", *_SERIES, "ts_epoch", "value",
+                   cnt.alias("_cnt"), q.alias("rolling_q"))
+        .filter(F.col("_cnt") == n)
+        .drop("_cnt")
+    )
+
+
+def flatline_runs(pts: DataFrame, min_run: int = 5) -> DataFrame:
+    """Stuck-sensor detection: maximal runs of ≥ ``min_run`` consecutive
+    IDENTICAL values per series, with the run's span and length — the
+    gaps-and-islands pattern (change-marker → running-sum group id →
+    group aggregate), all three steps on the ONE series shuffle.
+
+    A real HA failure mode: a sensor that keeps reporting the same
+    reading is dead even though points keep arriving; no threshold on
+    values can catch it, run-length can.
+    """
+    w = _w()
+    chg = F.when(
+        F.lag("value").over(w).isNull()
+        | (F.col("value") != F.lag("value").over(w)), 1).otherwise(0)
+    grouped = pts.select(
+        *_SERIES, "ts_epoch", "state_id", "value", chg.alias("_chg"),
+    ).select(
+        *_SERIES, "ts_epoch", "state_id", "value",
+        F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).alias("_grp"),
+    )
+    return (
+        grouped.groupBy(*_SERIES, "_grp")
+        .agg(F.min("ts_epoch").alias("run_start"),
+             F.max("ts_epoch").alias("run_end"),
+             F.count(F.lit(1)).alias("run_len"),
+             F.min("value").alias("value"))
+        .filter(F.col("run_len") >= min_run)
+        .drop("_grp")
+    )

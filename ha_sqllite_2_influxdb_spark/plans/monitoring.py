@@ -1,0 +1,148 @@
+"""Registry surface for the per-series monitoring operators
+(`operators/monitor.py`) — sensor-health analytics over the migrated
+point relation, every entry value-level oracle-checked.
+
+Window parameters here are sized for the sf0.01 fixture's series
+lengths (median ≈ 5 points/series; at sf0.1 ≈ 10×): small enough that
+every operator emits rows at correctness scale, with the operator
+defaults staying production-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import monitor
+from .influxql import _ORACLE_NUM, _numeric_points
+
+_ACF_LAGS = 2
+_SHIFT_W = 3
+_SHIFT_T = 10.0
+_RQ_N = 4
+_RQ_P = 0.9
+_FLAT_RUN = 5
+
+
+def q_series_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series autocorrelation at lags 1..2 — the seasonality /
+    stuck-sensor diagnostic."""
+    return monitor.series_acf(_numeric_points(spark, sf_dir),
+                              max_lag=_ACF_LAGS)
+
+
+def q_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding two-window level-change detection, |Δmean| > 10 over
+    3-point windows."""
+    return monitor.mean_shift_scores(_numeric_points(spark, sf_dir),
+                                     w_pts=_SHIFT_W, threshold=_SHIFT_T)
+
+
+def q_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing p90 envelope over the last 4 points per series."""
+    return monitor.rolling_quantile(_numeric_points(spark, sf_dir),
+                                    n=_RQ_N, p=_RQ_P)
+
+
+def q_flatline_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-sensor detection: runs of ≥5 identical consecutive
+    values per series."""
+    return monitor.flatline_runs(_numeric_points(spark, sf_dir),
+                                 min_run=_FLAT_RUN)
+
+
+QUERIES = {
+    "series_acf": q_series_acf,
+    "series_mean_shift": q_mean_shift,
+    "series_rolling_quantile": q_rolling_quantile,
+    "series_flatline_runs": q_flatline_runs,
+}
+
+_W_SERIES = """WINDOW w AS (PARTITION BY measurement, domain, entity_id
+               ORDER BY ts_epoch, state_id)"""
+
+ORACLES = {
+    "series_acf": f"""{_ORACLE_NUM},
+mn AS (
+  SELECT *,
+    (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) OVER wp AS BIGINT)
+     / 1e6) / count(*) OVER wp AS m
+  FROM num
+  WINDOW wp AS (PARTITION BY measurement, domain, entity_id)
+),
+d AS (
+  SELECT measurement, domain, entity_id, ts_epoch, state_id,
+         value - m AS dd
+  FROM mn
+),
+terms AS (
+  SELECT measurement, domain, entity_id,
+    CAST(round(dd * dd * 1e6) AS BIGINT) AS p0,
+    CAST(round(dd * lag(dd, 1) OVER w * 1e6) AS BIGINT) AS p1,
+    CAST(round(dd * lag(dd, 2) OVER w * 1e6) AS BIGINT) AS p2
+  FROM d
+  {_W_SERIES}
+)
+SELECT measurement, domain, entity_id,
+  CAST(count(*) AS BIGINT) AS n_points,
+  CAST(sum(p1) AS BIGINT) / CAST(sum(p0) AS BIGINT) AS acf1,
+  CAST(sum(p2) AS BIGINT) / CAST(sum(p0) AS BIGINT) AS acf2
+FROM terms GROUP BY 1, 2, 3
+HAVING CAST(sum(p0) AS BIGINT) > 0
+""",
+    "series_mean_shift": f"""{_ORACLE_NUM},
+scored AS (
+  SELECT state_id, measurement, domain, entity_id, ts_epoch,
+    (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) OVER wb AS BIGINT)
+     / 1e6) / count(*) OVER wb AS before_mean,
+    (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) OVER wa AS BIGINT)
+     / 1e6) / count(*) OVER wa AS after_mean,
+    count(*) OVER wb AS nb, count(*) OVER wa AS na
+  FROM num
+  WINDOW wb AS (PARTITION BY measurement, domain, entity_id
+                ORDER BY ts_epoch, state_id
+                ROWS BETWEEN {_SHIFT_W} PRECEDING AND 1 PRECEDING),
+         wa AS (PARTITION BY measurement, domain, entity_id
+                ORDER BY ts_epoch, state_id
+                ROWS BETWEEN CURRENT ROW AND {_SHIFT_W - 1} FOLLOWING)
+)
+SELECT state_id, measurement, domain, entity_id, ts_epoch,
+  before_mean, after_mean, after_mean - before_mean AS shift
+FROM scored
+WHERE nb = {_SHIFT_W} AND na = {_SHIFT_W}
+  AND abs(after_mean - before_mean) > {_SHIFT_T}
+""",
+    "series_rolling_quantile": f"""{_ORACLE_NUM},
+r AS (
+  SELECT state_id, measurement, domain, entity_id, ts_epoch, value,
+    list_sort(list(value) OVER wq) AS arr
+  FROM num
+  WINDOW wq AS (PARTITION BY measurement, domain, entity_id
+                ORDER BY ts_epoch, state_id
+                ROWS BETWEEN {_RQ_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT state_id, measurement, domain, entity_id, ts_epoch, value,
+  arr[CAST(ceil(len(arr) * {_RQ_P}) AS BIGINT)] AS rolling_q
+FROM r WHERE len(arr) = {_RQ_N}
+""",
+    "series_flatline_runs": f"""{_ORACLE_NUM},
+marked AS (
+  SELECT *, CASE WHEN lag(value) OVER w IS NULL
+                   OR value != lag(value) OVER w
+            THEN 1 ELSE 0 END AS chg
+  FROM num
+  {_W_SERIES}
+),
+grp AS (
+  SELECT *, sum(chg) OVER (
+    PARTITION BY measurement, domain, entity_id
+    ORDER BY ts_epoch, state_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM marked
+)
+SELECT measurement, domain, entity_id,
+  min(ts_epoch) AS run_start, max(ts_epoch) AS run_end,
+  CAST(count(*) AS BIGINT) AS run_len, min(value) AS value
+FROM grp GROUP BY measurement, domain, entity_id, g
+HAVING count(*) >= {_FLAT_RUN}
+""",
+}
