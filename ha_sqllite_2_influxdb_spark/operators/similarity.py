@@ -93,6 +93,50 @@ def knn_brute_force(embeddings: DataFrame, n_queries: int = 5,
     )
 
 
+def hard_negatives(embeddings: DataFrame, n_queries: int = 20,
+                   k: int = 3) -> DataFrame:
+    """DPR/SimCSE-style hard-negative mining: for each query vector the
+    top-k highest-cosine candidates whose LABEL differs from the
+    query's — the "hardest" negatives a contrastive trainer wants
+    (near the anchor in embedding space, yet from another class).
+    Completes the triplet pipeline: `curation.contrastive_triplets`
+    mines ring positives/easy negatives; this upgrades the negatives.
+
+    Shape = `knn_brute_force` (bounded query side broadcast into the
+    candidate scan, exact-double cosine, deterministic tiebreak) with
+    the label-exclusion predicate applied BEFORE ranking, so the rank
+    is over eligible candidates only. The exact oracle tier — the 100×
+    path swaps the candidate scan for the PQ/IVF shortlist exactly as
+    `pq_rerank_topk` does for kNN.
+    """
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("_ql"),
+    ).withColumn("qn2", norm2_chain("qv"))
+    c = embeddings.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("_cl"),
+    ).withColumn("cn2", norm2_chain("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("_ql") != F.col("_cl"))
+        .select(
+            "query_id", "cand_id",
+            cosine(dot_chain("qv", "cv"), F.col("qn2"), F.col("cn2"))
+            .alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                          F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rk")
+    )
+
+
 def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
              n_cells: int = 16, n_probe: int = 8) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path next

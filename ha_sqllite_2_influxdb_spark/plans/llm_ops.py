@@ -376,6 +376,15 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_brute_force(_emb(spark, sf_dir))
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query vector, top-3 highest-cosine
+    candidates from a DIFFERENT label — the contrastive-training
+    negative upgrade; exact oracle tier of the PQ-shortlist scale
+    path."""
+    return similarity.hard_negatives(_emb(spark, sf_dir),
+                                     n_queries=20, k=3)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs above cosine 0.35, quantized-exact."""
     return similarity.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=COS_T)
@@ -857,6 +866,7 @@ QUERIES = {
     "simhash_neighbors_rotated": q_simhash_neighbors_rotated,
     "neardup_xxhash_lsh": q_neardup_xxhash_lsh,
     "embedding_knn": q_embedding_knn,
+    "hard_negatives": q_hard_negatives,
     "embedding_neardup": q_embedding_neardup,
     "semdedup": q_semdedup,
     "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -1577,6 +1587,26 @@ SELECT query_id, cand_id, cos_sim, rk FROM (
     PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rk
   FROM scored
 ) t WHERE rk <= 10
+""",
+    "hard_negatives": f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 20
+),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS cv, label AS cl
+  FROM embeddings WHERE vec_id >= 20
+),
+scored AS (
+  SELECT query_id, cand_id,
+    (({_dot("qv", "cv")}) / sqrt({_dot("qv", "qv")}))
+      / sqrt({_dot("cv", "cv")}) AS cos_sim
+  FROM q CROSS JOIN c WHERE ql != cl
+)
+SELECT query_id, cand_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rk
+  FROM scored
+) t WHERE rk <= 3
 """,
     "embedding_neardup": f"""WITH e AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000

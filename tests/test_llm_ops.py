@@ -1022,3 +1022,31 @@ def test_allpairs_prefix_filter_equals_brute_force(spark, sf_dir):
     )
     want = {(r.doc_a, r.doc_b): r.ni for r in brute.collect()}
     assert got == want and len(got) > 0
+
+
+def test_hard_negatives_are_hardest_cross_label(spark, sf_dir):
+    """Every mined negative has a different label than its query, and
+    rank-1 really is the maximum-cosine different-label candidate
+    (checked against an independent full scoring)."""
+    from ha_sqllite_2_influxdb_spark.operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    mined = similarity.hard_negatives(e, n_queries=5, k=2).collect()
+    assert mined, "no negatives mined"
+
+    labels = {r.vec_id: r.label for r in e.select("vec_id",
+                                                  "label").collect()}
+    for r in mined:
+        assert labels[r.query_id] != labels[r.cand_id]
+
+    # independent check: rank-1 matches brute-force kNN restricted to
+    # different-label candidates
+    full = similarity.knn_brute_force(e, n_queries=5, k=50).collect()
+    best = {}
+    for r in sorted(full, key=lambda r: r.rk):
+        if labels[r.query_id] != labels[r.cand_id] \
+                and r.query_id not in best:
+            best[r.query_id] = r.cand_id
+    got1 = {r.query_id: r.cand_id for r in mined if r.rk == 1}
+    for qid, cid in best.items():
+        assert got1[qid] == cid
