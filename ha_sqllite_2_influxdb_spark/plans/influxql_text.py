@@ -69,6 +69,7 @@ __all__ = ["InfluxQLError", "parse_influxql", "compile_influxql",
            "QUERIES", "ORACLES"]
 
 _TAGS = ("domain", "entity_id")
+_DB_NAME = "home_assistant"   # the migrated bucket's logical database
 
 
 class InfluxQLError(ValueError):
@@ -160,6 +161,7 @@ class InfluxSelect:
     into: str | None = None   # SELECT ... INTO target (CQ bodies)
     offset: int | None = None
     soffset: int | None = None
+    bucket_off_s: int = 0     # GROUP BY time(d, off) alignment shift
 
 
 _AGGS = {"count", "sum", "mean", "min", "max", "spread", "first", "last",
@@ -298,7 +300,7 @@ class _Parser:
                 raise InfluxQLError(
                     "parenthesize top-level OR conditions: (a OR b)")
 
-        bucket_s, group_tags, grouped = None, [], False
+        bucket_s, bucket_off_s, group_tags, grouped = None, 0, [], False
         if self._kw("group", "by"):
             while True:
                 t = self._next()
@@ -313,6 +315,14 @@ class _Parser:
                         raise InfluxQLError(
                             f"sub-second GROUP BY time({d.text}) unsupported")
                     bucket_s = int(d.text[:-len(unit)]) * _DUR_S[unit]
+                    if self._peek() and self._peek().text == ",":
+                        # time(d, offset): Influx's bucket-alignment
+                        # shift (Grafana week/day alignment)
+                        self._next()
+                        bucket_off_s = int(self._duration_s())
+                        if not 0 <= bucket_off_s < bucket_s:
+                            raise InfluxQLError(
+                                "time() offset must lie in [0, interval)")
                     self._expect(")")
                 elif t.text == "*":
                     grouped = True
@@ -366,7 +376,7 @@ class _Parser:
         return InfluxSelect(tuple(projs), measurement, tuple(where),
                             bucket_s, tuple(group_tags), grouped, fill,
                             order_desc, limit, slimit, into,
-                            offset, soffset)
+                            offset, soffset, bucket_off_s)
 
     def _cq(self) -> InfluxCQ:
         def _name() -> str:
@@ -393,6 +403,8 @@ class _Parser:
             raise InfluxQLError(
                 "CQ FILL is unsupported (a standing stream materializes "
                 "observed buckets; fill on read)")
+        if body.bucket_off_s:
+            raise InfluxQLError("CQ time() offset is unsupported")
         # first/last need the state_id tie-break the wire stream does not
         # carry — honest subset: the order-free aggregates only
         bad = {p.func for p in body.projs} - (_AGGS - {"first", "last"})
@@ -404,7 +416,11 @@ class _Parser:
         return InfluxCQ(name, db, body)
 
     def _show(self) -> InfluxShow:
-        if self._kw("measurements"):
+        if self._kw("databases"):
+            kind = "databases"
+        elif self._kw("retention", "policies"):
+            kind = "retention_policies"
+        elif self._kw("measurements"):
             kind = "measurements"
         elif self._kw("tag", "keys"):
             kind = "tag_keys"
@@ -787,14 +803,16 @@ def _compile_agg(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
     if ast.bucket_s is None:
         return pts.groupBy(*keys).agg(*aggs)
 
-    bucket = F.floor(F.col("ts_epoch") / ast.bucket_s).cast("long")
+    off = ast.bucket_off_s
+    bucket = F.floor((F.col("ts_epoch") - off) / ast.bucket_s).cast("long")
     buckets = (pts.select(*keys, bucket.alias("_b"), "value",
                           "ts_epoch", "state_id")
                .groupBy(*keys, "_b").agg(*aggs))
     names = [p.func for p in ast.projs]
     if ast.fill == "none":
         return buckets.select(
-            *keys, (F.col("_b") * ast.bucket_s).alias("time"), *names)
+            *keys, (F.col("_b") * ast.bucket_s + off).alias("time"),
+            *names)
 
     # gap expansion on the DOWNSAMPLED relation (lag + sequence — the
     # q_influx_downsample shape; no calendar crossJoin, two exchanges)
@@ -814,7 +832,7 @@ def _compile_agg(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
         )).alias("_g"),
     )
     is_real = F.col("_g") == F.col("_b")
-    out_cols = [(F.col("_g") * ast.bucket_s).alias("time")]
+    out_cols = [(F.col("_g") * ast.bucket_s + off).alias("time")]
     for name in names:
         if ast.fill == "previous":
             wfill = (Window.partitionBy(*keys).orderBy("_g")
@@ -858,8 +876,9 @@ def _compile_singleton(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
     if ast.bucket_s is not None:
         if p.func == "integral":
             raise InfluxQLError("INTEGRAL does not take GROUP BY time()")
-        b = (F.floor(F.col("ts_epoch") / ast.bucket_s).cast("long")
-             * ast.bucket_s)
+        b = (F.floor((F.col("ts_epoch") - ast.bucket_off_s)
+                     / ast.bucket_s).cast("long")
+             * ast.bucket_s + ast.bucket_off_s)
         pts = pts.withColumn("_t", b)
         bucket_cols, bucket_out = ["_t"], [F.col("_t").alias("time")]
     if p.func == "mode":
@@ -907,6 +926,19 @@ def _compile_show(pts: DataFrame, ast: InfluxShow) -> DataFrame:
     the series-key columns, so the plan is a partial aggregation (map-side
     combine collapses each partition to its distinct series first) plus
     one exchange on the already-tiny distinct relation."""
+    if ast.kind == "databases":
+        # one logical database: the migrated HA bucket (reference
+        # sqllite2influxdb.py writes a single INFLUXDB_BUCKET)
+        return pts.sparkSession.createDataFrame(
+            [(_DB_NAME,)], "name string")
+    if ast.kind == "retention_policies":
+        # the stock autogen policy InfluxDB creates per database —
+        # infinite retention, replication 1 (a lakehouse table keeps
+        # history; retention is a lifecycle policy, not a row filter)
+        return pts.sparkSession.createDataFrame(
+            [("autogen", "0s", "168h0m0s", 1, True)],
+            "name string, duration string, shardGroupDuration string, "
+            "replicaN int, `default` boolean")
     if ast.measurement is not None:
         pts = pts.filter(F.col("measurement") == ast.measurement)
     if ast.kind == "measurements":
@@ -1256,6 +1288,31 @@ def q_influxql_text_integral(spark: SparkSession,
     return compile_influxql(spark, sf_dir, _Q_INTEGRAL)
 
 
+_Q_BUCKET_OFF = ('SELECT MEAN(value), COUNT(value) FROM "W" '
+                 "GROUP BY time(1h, 30m), *")
+
+
+def q_influxql_text_bucket_offset(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """``GROUP BY time(1h, 30m)`` — Influx's bucket-alignment offset
+    (the Grafana day/week-boundary alignment): buckets shift to
+    :30-aligned edges, same two-exchange downsample plan."""
+    return compile_influxql(spark, sf_dir, _Q_BUCKET_OFF)
+
+
+def q_influxql_show_databases(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """``SHOW DATABASES`` — the connect-time handshake query."""
+    return compile_influxql(spark, sf_dir, "SHOW DATABASES")
+
+
+def q_influxql_show_retention(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """``SHOW RETENTION POLICIES`` — the stock autogen policy row."""
+    return compile_influxql(spark, sf_dir,
+                            "SHOW RETENTION POLICIES")
+
+
 QUERIES = {
     "influxql_text_downsample": q_influxql_text_downsample,
     "influxql_text_counter_rate": q_influxql_text_counter_rate,
@@ -1275,6 +1332,9 @@ QUERIES = {
     "influxql_text_elapsed": q_influxql_text_elapsed,
     "influxql_text_sample": q_influxql_text_sample,
     "influxql_text_integral": q_influxql_text_integral,
+    "influxql_text_bucket_offset": q_influxql_text_bucket_offset,
+    "influxql_show_databases": q_influxql_show_databases,
+    "influxql_show_retention": q_influxql_show_retention,
 }
 
 ORACLES = {
@@ -1521,6 +1581,21 @@ r AS (
 SELECT state_id, measurement, domain, entity_id, time,
        value AS sample
 FROM r WHERE rk <= 3
+""",
+    "influxql_text_bucket_offset": f"""{_ORACLE_NUM}
+SELECT measurement, domain, entity_id,
+  CAST(floor((ts_epoch - 1800) / 3600) AS BIGINT) * 3600 + 1800 AS time,
+  (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+    / count(*) AS mean,
+  count(*) AS "count"
+FROM num WHERE measurement = 'W'
+GROUP BY 1, 2, 3, 4
+""",
+    "influxql_show_databases": "SELECT 'home_assistant' AS name",
+    "influxql_show_retention": """
+SELECT 'autogen' AS name, '0s' AS duration,
+       '168h0m0s' AS shardGroupDuration,
+       CAST(1 AS INT) AS replicaN, TRUE AS "default"
 """,
     "influxql_text_integral": f"""{_ORACLE_NUM},
 terms AS (

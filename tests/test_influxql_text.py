@@ -193,7 +193,7 @@ def test_show_statements(spark):
     with pytest.raises(InfluxQLError):
         parse_influxql("SHOW TAG VALUES FROM m")     # missing WITH KEY
     with pytest.raises(InfluxQLError):
-        parse_influxql("SHOW RETENTION POLICIES")    # unsupported
+        parse_influxql("SHOW USERS")                 # unsupported
 
 
 def test_subquery_daily_mean_of_hourly_max(spark):
@@ -398,3 +398,32 @@ def test_median_even_odd_and_mode_tie(spark):
     mode = compile_ast(pts, parse_influxql(
         "SELECT MODE(value) FROM m GROUP BY *")).collect()
     assert mode[0].mode == 1.0      # tie on freq: lowest value wins
+
+
+def test_bucket_offset_alignment(spark):
+    # time(1h, 30m): bucket edges at :30 — a point at t=3599 lands in
+    # the [-1800, 1800) bucket labeled -1800; t=5400 starts a new one
+    rows = [(1, "m", "d", "e", 3599.0, 2.0),
+            (2, "m", "d", "e", 5400.0, 4.0),
+            (3, "m", "d", "e", 5401.0, 6.0)]
+    pts = spark.createDataFrame(
+        rows, "state_id long, measurement string, domain string, "
+              "entity_id string, ts_epoch double, value double")
+    out = {r.time: (r.mean, r["count"]) for r in compile_ast(
+        pts, parse_influxql(
+            "SELECT MEAN(value), COUNT(value) FROM m "
+            "GROUP BY time(1h, 30m), *")).collect()}
+    assert out == {1800: (2.0, 1), 5400: (5.0, 2)}
+    ast = parse_influxql("SELECT MEAN(value) FROM m GROUP BY time(1h)")
+    assert ast.bucket_off_s == 0
+    with pytest.raises(InfluxQLError):
+        parse_influxql("SELECT MEAN(value) FROM m GROUP BY time(1h, 2h)")
+
+
+def test_show_databases_and_retention(spark):
+    db = compile_ast(_pts(spark),
+                     parse_influxql("SHOW DATABASES")).collect()
+    assert [r.name for r in db] == ["home_assistant"]
+    rp = compile_ast(_pts(spark),
+                     parse_influxql("SHOW RETENTION POLICIES")).collect()
+    assert rp[0].name == "autogen" and rp[0]["default"] is True
