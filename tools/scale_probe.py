@@ -126,7 +126,7 @@ def build_corpora(spark):
 def tiers(spark, docs_path, emb_path, books, viral_path=None,
           pts_path=None):
     from ha_sqllite_2_influxdb_spark.operators import (
-        dedup, graph, scoring, similarity, sketches, text,
+        dedup, graph, monitor, scoring, similarity, sketches, text,
     )
     from ha_sqllite_2_influxdb_spark.plans import influxql
 
@@ -190,6 +190,13 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
         # on the series columns — InfluxDB's own shard key.
         "influx_downsample": lambda: influxql.downsample_fill_previous(
             pts),
+        # r7: the monitoring family's most stateful shape — a trailing
+        # collect_list frame (O(n) per row) on the one series window.
+        # Same replica layout as influx_downsample: 10× = 10× series,
+        # frame size fixed, so wall must stay ~linear and executor state
+        # flat.
+        "series_rolling_quantile": lambda: monitor.rolling_quantile(
+            pts, n=4, p=0.9),
     }
 
 
