@@ -122,6 +122,8 @@ class Proj:
     func: str | None          # None = raw field
     arg: float | None = None  # TOP/BOTTOM n, PERCENTILE p, MOVING_AVERAGE n
     field: str = "value"      # outer queries aggregate an inner column
+    scale_op: str | None = None   # trailing '* k' / '/ k' / '+ k' / '- k'
+    scale_k: float | None = None
 
 
 @dataclass(frozen=True)
@@ -405,6 +407,8 @@ class _Parser:
                 "observed buckets; fill on read)")
         if body.bucket_off_s:
             raise InfluxQLError("CQ time() offset is unsupported")
+        if any(p.scale_op for p in body.projs):
+            raise InfluxQLError("CQ projections take no arithmetic")
         # first/last need the state_id tie-break the wire stream does not
         # carry — honest subset: the order-free aggregates only
         bad = {p.func for p in body.projs} - (_AGGS - {"first", "last"})
@@ -460,7 +464,7 @@ class _Parser:
         t = self._next()
         name = t.text.lower()
         if t.kind == "ident" and name == "value":
-            return Proj(None)
+            return self._proj_scale(Proj(None))
         if t.kind != "ident" or name not in (_AGGS | _SELECTORS
                                              | _TRANSFORMS | _SINGLETONS
                                              | {"count"}):
@@ -493,7 +497,25 @@ class _Parser:
         if name in ("top", "bottom", "percentile", "moving_average",
                     "sample") and arg is None:
             raise InfluxQLError(f"{name.upper()} needs a second argument")
-        return Proj(name, arg, fld)
+        return self._proj_scale(Proj(name, arg, fld))
+
+    def _proj_scale(self, p: Proj) -> Proj:
+        """Optional trailing unit-conversion arithmetic on a projection:
+        ``MEAN(value) * 100``, ``value / 1000`` — one operator, numeric
+        literal RHS (the Grafana unit-scaling idiom)."""
+        t = self._peek()
+        if t is None or t.text not in ("*", "+", "-"):
+            return p
+        # '-'/'+' could open a signed literal elsewhere, but in
+        # projection position only scaling follows; '/' would lex as a
+        # regex, so division is written '* 0.001'
+        op = self._next().text
+        k = self._number()
+        if p.func in _SELECTORS or p.func in _TRANSFORMS \
+                or p.func in _SINGLETONS:
+            raise InfluxQLError(
+                "arithmetic applies to aggregates and raw fields only")
+        return Proj(p.func, p.arg, p.field, op, k)
 
     # WHERE boolean grammar: expr := term (OR term)*;
     # term := factor (AND factor)*; factor := '(' expr ')' | cond.
@@ -545,6 +567,21 @@ class _Parser:
             return float(t.text[:-1])
         if t.kind == "number":
             return float(t.text)
+        if t.kind == "squote":
+            # RFC3339: '2024-01-15T06:00:00Z' or a bare '2024-01-15'
+            # date — resolved driver-side to UTC epoch seconds (a pure
+            # literal rewrite; the plan still sees one float bound)
+            from datetime import datetime, timezone
+            raw = t.text[1:-1]
+            try:
+                iso = raw.replace("Z", "+00:00")
+                dt = datetime.fromisoformat(iso)
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=timezone.utc)
+                return dt.timestamp()
+            except ValueError as exc:
+                raise InfluxQLError(
+                    f"bad RFC3339 time literal {raw!r}") from exc
         raise InfluxQLError(f"bad time literal {t.text!r}")
 
     def _cond(self) -> Cond:
@@ -680,8 +717,14 @@ def _agg_expr(p: Proj):
 
 
 def _compile_raw(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
+    p = ast.projs[0]
+    val = F.col("value")
+    if p.scale_op:
+        val = {"*": val * p.scale_k, "+": val + p.scale_k,
+               "-": val - p.scale_k}[p.scale_op]
     out = pts.select("state_id", *_series_cols(ast),
-                     F.col("ts_epoch").alias("time"), "value")
+                     F.col("ts_epoch").alias("time"),
+                     val.alias("value"))
     off = ast.offset or 0
     if ast.grouped:
         if ast.limit is not None:
@@ -797,9 +840,21 @@ def _compile_selector(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
     )
 
 
+def _scaled_agg(p: Proj):
+    """One projection's aggregate with its optional trailing arithmetic
+    (``MEAN(value) * 100``) folded in — the scale applies to computed
+    aggregates; FILL constants are emitted as-is (fill runs after
+    projection arithmetic, Influx's own order)."""
+    e = _agg_expr(p)
+    if p.scale_op:
+        e = {"*": e * p.scale_k, "+": e + p.scale_k,
+             "-": e - p.scale_k}[p.scale_op].alias(p.func)
+    return e
+
+
 def _compile_agg(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
     keys = _series_cols(ast)
-    aggs = [_agg_expr(p) for p in ast.projs]
+    aggs = [_scaled_agg(p) for p in ast.projs]
     if ast.bucket_s is None:
         return pts.groupBy(*keys).agg(*aggs)
 
@@ -988,6 +1043,9 @@ def _compile_outer_agg(inner_df: DataFrame,
         if p.func not in _AGGS:
             raise InfluxQLError(
                 "subquery outer SELECT supports aggregates only")
+        if p.scale_op:
+            raise InfluxQLError(
+                "subquery outer projections take no arithmetic")
         if p.field not in inner_names:
             raise InfluxQLError(
                 f"outer field {p.field!r} is not produced by the "
@@ -1313,6 +1371,19 @@ def q_influxql_show_retention(spark: SparkSession,
                             "SHOW RETENTION POLICIES")
 
 
+_Q_SCALED = ('SELECT MEAN(value) * 100, SUM(value) - 50 FROM "%" '
+             "WHERE time >= '2024-01-10T00:00:00Z' "
+             "AND time < '2024-01-20' GROUP BY time(1d), *")
+
+
+def q_influxql_text_scaled(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Projection arithmetic (``MEAN(value) * 100`` unit scaling) +
+    RFC3339 time literals — the Grafana percent-panel query, typed the
+    way users actually type it."""
+    return compile_influxql(spark, sf_dir, _Q_SCALED)
+
+
 QUERIES = {
     "influxql_text_downsample": q_influxql_text_downsample,
     "influxql_text_counter_rate": q_influxql_text_counter_rate,
@@ -1335,6 +1406,7 @@ QUERIES = {
     "influxql_text_bucket_offset": q_influxql_text_bucket_offset,
     "influxql_show_databases": q_influxql_show_databases,
     "influxql_show_retention": q_influxql_show_retention,
+    "influxql_text_scaled": q_influxql_text_scaled,
 }
 
 ORACLES = {
@@ -1589,6 +1661,18 @@ SELECT measurement, domain, entity_id,
     / count(*) AS mean,
   count(*) AS "count"
 FROM num WHERE measurement = 'W'
+GROUP BY 1, 2, 3, 4
+""",
+    "influxql_text_scaled": f"""{_ORACLE_NUM}
+SELECT measurement, domain, entity_id,
+  CAST(floor(ts_epoch / 86400) AS BIGINT) * 86400 AS time,
+  ((CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+    / count(*)) * 100 AS mean,
+  (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+    - 50 AS sum
+FROM num
+WHERE measurement = '%' AND ts_epoch >= 1704844800
+  AND ts_epoch < 1705708800
 GROUP BY 1, 2, 3, 4
 """,
     "influxql_show_databases": "SELECT 'home_assistant' AS name",

@@ -427,3 +427,33 @@ def test_show_databases_and_retention(spark):
     rp = compile_ast(_pts(spark),
                      parse_influxql("SHOW RETENTION POLICIES")).collect()
     assert rp[0].name == "autogen" and rp[0]["default"] is True
+
+
+def test_projection_arithmetic_and_iso_time():
+    ast = parse_influxql(
+        "SELECT MEAN(value) * 100 FROM m "
+        "WHERE time >= '2024-01-10T06:30:00Z' AND time < '2024-01-20' "
+        "GROUP BY time(1d), *")
+    p = ast.projs[0]
+    assert (p.func, p.scale_op, p.scale_k) == ("mean", "*", 100.0)
+    assert [c.rhs for c in ast.where] == [1704868200.0, 1705708800.0]
+    # raw-field scaling parses too
+    assert parse_influxql("SELECT value * 0.001 FROM m").projs[0] \
+        .scale_k == 0.001
+    for bad in [
+        "SELECT TOP(value, 3) * 2 FROM m GROUP BY *",   # selector
+        "SELECT DERIVATIVE(value) + 1 FROM m GROUP BY *",  # transform
+        "SELECT value FROM m WHERE time > 'not-a-date'",
+    ]:
+        with pytest.raises(InfluxQLError):
+            parse_influxql(bad)
+
+
+def test_scaled_aggregate_values(spark):
+    out = compile_ast(_pts(spark), parse_influxql(
+        "SELECT SUM(value) - 1, COUNT(value) * 2 FROM m "
+        "WHERE entity_id = 'b' GROUP BY *")).collect()[0]
+    assert out["sum"] == 29.0 and out["count"] == 4
+    raw = compile_ast(_pts(spark), parse_influxql(
+        "SELECT value * 10 FROM m WHERE entity_id = 'b'")).collect()
+    assert sorted(r.value for r in raw) == [100.0, 200.0]
