@@ -15,7 +15,8 @@ raises ``InfluxQLError`` rather than mis-executing):
             [GROUP BY item (',' item)*] [FILL '(' fillarg ')']
             [ORDER BY time [ASC|DESC]]
             [LIMIT n [OFFSET n]] [SLIMIT n [SOFFSET n]]
-  proj   := FUNC '(' value [',' number] ')' | value
+  proj   := pbase [('*'|'+'|'-') number]        (unit scaling; aggs/raw)
+  pbase  := FUNC '(' value [',' number] ')' | value
           | COUNT '(' DISTINCT '(' value ')' ')'
   FUNC   := COUNT|SUM|MEAN|MIN|MAX|SPREAD|FIRST|LAST
           | STDDEV|MEDIAN | MODE|DISTINCT|INTEGRAL
@@ -29,7 +30,8 @@ raises ``InfluxQLError`` rather than mis-executing):
           | tag (=~ !~) '/' regex '/'
           | value (< <= > >= = !=) number
   timelit:= epoch 's' | number | now() [± duration]   (now_s pinned)
-  item   := time '(' duration ')' | tag | '*'
+          | 'RFC3339'                       ('2024-01-15T06:00:00Z')
+  item   := time '(' duration [',' duration] ')' | tag | '*'
 
 Semantics follow InfluxDB's documented behavior on the migrated point
 relation (series key = measurement/domain/entity_id, field = value):

@@ -110,6 +110,27 @@ def q_stream_lineprotocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_to_memory(agg, "lp_ingest")
 
 
+def q_stream_flatline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stuck-sensor alerts: per-series flatline-RUN tracking
+    over the line-protocol ingest stream (`streaming.runs`) — an
+    append-mode arbitrary-stateful op (a run spans micro-batches; it
+    emits exactly once, when a differing value closes it at length
+    ≥ 2 — the fixture's long stuck-tails are all still OPEN at end of
+    stream, so the alerting threshold here is the repeat threshold
+    that has closed instances). Real AvailableNow drain. Oracle = the
+    batch gaps-and-islands
+    run detection minus each series' FINAL run (the stream cannot know
+    an open run is over) — exact because ts_epoch round-trips the wire
+    losslessly (integer-µs/1e6) and series have no ts ties."""
+    from ..streaming.runs import flatline_per_series
+
+    pts = _lp_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    return drain_to_memory(
+        flatline_per_series(pts, min_run=2), "stream_flatline_t",
+        output_mode="append",
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: tumbling 1-hour event-time window (+watermark, no-op in batch)."""
     return windowed_agg(load_table(spark, sf_dir, "events"))
@@ -530,6 +551,7 @@ QUERIES = {
     "stream_ohlc": q_stream_ohlc,
     "stream_lineprotocol": q_stream_lineprotocol,
     "stream_cq_downsample": q_stream_cq_downsample,
+    "stream_flatline": q_stream_flatline,
 }
 
 _GAP_US = GAP_MIN * 60 * 1_000_000
@@ -597,9 +619,49 @@ GROUP BY measurement, domain, entity_id,
 """
 
 
+def _stream_flatline_oracle() -> str:
+    """Batch gaps-and-islands truth minus each series' final (open) run.
+    Windows order by ts_epoch alone — the wire stream carries no
+    state_id, and the fixture has no per-series ts ties (verified), so
+    the grouping is identical to the batch operator's."""
+    from .influxql import _ORACLE_NUM
+
+    return f"""{_ORACLE_NUM},
+marked AS (
+  SELECT *, CASE WHEN lag(value) OVER w IS NULL
+                   OR value != lag(value) OVER w
+            THEN 1 ELSE 0 END AS chg
+  FROM num
+  WINDOW w AS (PARTITION BY measurement, domain, entity_id
+               ORDER BY ts_epoch)
+),
+grp AS (
+  SELECT *, sum(chg) OVER (
+    PARTITION BY measurement, domain, entity_id ORDER BY ts_epoch
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM marked
+),
+runs AS (
+  SELECT measurement, domain, entity_id, g,
+    min(ts_epoch) AS run_start, max(ts_epoch) AS run_end,
+    CAST(count(*) AS BIGINT) AS run_len, min(value) AS value
+  FROM grp GROUP BY 1, 2, 3, 4
+),
+mx AS (
+  SELECT measurement, domain, entity_id, max(g) AS last_g
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT r.measurement, r.domain, r.entity_id, r.run_start, r.run_end,
+       r.run_len, r.value
+FROM runs r JOIN mx USING (measurement, domain, entity_id)
+WHERE r.g < mx.last_g AND r.run_len >= 2
+"""
+
+
 ORACLES = {
     "stream_lineprotocol": _lp_ingest_oracle(),
     "stream_cq_downsample": _cq_downsample_oracle(),
+    "stream_flatline": _stream_flatline_oracle(),
     "events_hourly": """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,

@@ -1,0 +1,150 @@
+"""Streaming stuck-sensor detection: per-series flatline RUN tracking —
+the streaming twin of `operators.monitor.flatline_runs`, dual-wired like
+`tws.ema_per_user` (transformWithStateInPandas where its protobuf
+dependency exists, else applyInPandasWithState; same fold, same state
+tuple, same output).
+
+Operator semantics: a run-length fold over each series' points in
+ts order — genuinely stateful (a run can span micro-batches) and
+APPEND-emitting: a run is emitted exactly once, when a differing value
+CLOSES it with length ≥ min_run. The still-open run at end of stream is
+never emitted (an alerting stream cannot know the sensor won't change
+next batch); the batch operator is the read-side truth for open runs,
+and the oracle mirrors this by excluding each series' final run.
+
+State per key is one (value, start, end, len) tuple — O(active series),
+stream-length independent. Keys hash-partition on the series columns,
+InfluxDB's own shard key.
+
+Ordering contract: within a micro-batch each key's Arrow chunks are
+concatenated and sorted once on ts_epoch (the LP point stream has no
+ts ties per series — verified at fixture build); across batches the
+fold continues in arrival order (same contract as tws.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .tws import tws_available
+
+OUT_SCHEMA = ("measurement string, domain string, entity_id string, "
+              "run_start double, run_end double, run_len long, "
+              "value double")
+_STATE_SCHEMA = ("cur_value double, run_start double, run_end double, "
+                 "run_len long")
+MIN_RUN = 5
+
+
+def _fold_runs(ordered: pd.DataFrame, st: tuple | None,
+               min_run: int) -> tuple[tuple | None, list[tuple]]:
+    """The shared fold both state APIs drive. ``ordered`` must already
+    be ts-sorted; returns (open-run state, completed runs ≥ min_run)."""
+    completed: list[tuple] = []
+    for ts, v in zip(ordered["ts_epoch"], ordered["value"]):
+        ts, v = float(ts), float(v)
+        if st is None:
+            st = (v, ts, ts, 1)
+        elif v == st[0]:
+            st = (st[0], st[1], ts, st[3] + 1)
+        else:
+            if st[3] >= min_run:
+                completed.append(st)
+            st = (v, ts, ts, 1)
+    return st, completed
+
+
+def _emit(key: Any, completed: list[tuple]) -> pd.DataFrame:
+    m, d, e = key
+    return pd.DataFrame({
+        "measurement": [m] * len(completed),
+        "domain": [d] * len(completed),
+        "entity_id": [e] * len(completed),
+        "run_start": [c[1] for c in completed],
+        "run_end": [c[2] for c in completed],
+        "run_len": [c[3] for c in completed],
+        "value": [c[0] for c in completed],
+    })
+
+
+def _make_tws_processor(min_run: int):
+    from pyspark.sql.streaming import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    class RunProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("run", _STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key: Any, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            st = self._state.get() if self._state.exists() else None
+            ordered = _order_chunks_ts(
+                [pdf for pdf in rows if len(pdf)])
+            completed: list[tuple] = []
+            if ordered is not None:
+                st, completed = _fold_runs(ordered, st, min_run)
+            if st is not None:
+                self._state.update(st)
+            if completed:
+                yield _emit(key, completed)
+
+        def close(self) -> None:
+            pass
+
+    return RunProcessor()
+
+
+def _order_chunks_ts(chunks: list[pd.DataFrame]) -> pd.DataFrame | None:
+    if not chunks:
+        return None
+    whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 \
+        else chunks[0]
+    return whole.sort_values(["ts_epoch"], kind="mergesort")
+
+
+def _legacy_fn_factory(min_run: int):
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> \
+            Iterator[pd.DataFrame]:
+        st = tuple(state.get) if state.exists else None
+        ordered = _order_chunks_ts([pdf for pdf in pdfs if len(pdf)])
+        completed: list[tuple] = []
+        if ordered is not None:
+            st, completed = _fold_runs(ordered, st, min_run)
+        if st is not None:
+            state.update(st)
+        if completed:
+            yield _emit(key, completed)
+
+    return fn
+
+
+def flatline_per_series(pts: DataFrame, min_run: int = MIN_RUN,
+                        force_legacy: bool = False) -> DataFrame:
+    """Wire the run fold over (series, ts_epoch, value) through
+    whichever stateful API the runtime supports (module docstring)."""
+    prepared = pts.select("measurement", "domain", "entity_id",
+                          "ts_epoch", "value")
+    keys = ["measurement", "domain", "entity_id"]
+    if not force_legacy and tws_available():
+        return prepared.groupBy(*keys).transformWithStateInPandas(
+            statefulProcessor=_make_tws_processor(min_run),
+            outputStructType=OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return prepared.groupBy(*keys).applyInPandasWithState(
+        _legacy_fn_factory(min_run),
+        OUT_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -528,3 +528,45 @@ def test_stream_ohlc_drain_equals_batch(spark, sf_dir):
     ).collect()))
     want = sorted(map(tuple, q_stream_ohlc(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_flatline_stream_run_spans_batches_emits_once(spark, tmp_path):
+    """A flatline run that SPANS two micro-batches closes in batch 2 and
+    is emitted exactly once with the full cross-batch length; the
+    still-open trailing run is never emitted."""
+    import os
+
+    from ha_sqllite_2_influxdb_spark.streaming.runs import (
+        flatline_per_series,
+    )
+    from ha_sqllite_2_influxdb_spark.streaming.stream import drain_to_memory
+
+    src = str(tmp_path / "pts")
+    os.makedirs(src)
+    sch = ("measurement string, domain string, entity_id string, "
+           "ts_epoch double, value double")
+    # series e: 7.0 at t=0..2 (batch 1) then 7.0 at t=3,4 (batch 2),
+    # change to 9.0 at t=5 closes a 5-long run; 9.0 stays open forever.
+    # series f: all distinct values — silent.
+    b1 = [("m", "d", "e", float(t), 7.0) for t in range(3)] + \
+         [("m", "d", "f", float(t), float(t)) for t in range(3)]
+    b2 = [("m", "d", "e", 3.0, 7.0), ("m", "d", "e", 4.0, 7.0),
+          ("m", "d", "e", 5.0, 9.0), ("m", "d", "e", 6.0, 9.0),
+          ("m", "d", "f", 3.0, 30.0)]
+    spark.createDataFrame(b1, sch).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame(b2, sch).coalesce(1).write.parquet(f"{src}/f2")
+
+    sdf = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = drain_to_memory(
+        flatline_per_series(sdf, min_run=4), "flat_t",
+        output_mode="append",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.entity_id, r.run_start, r.run_end, r.run_len, r.value) \
+        == ("e", 0.0, 4.0, 5, 7.0)
