@@ -16,7 +16,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ha_sqllite_2_influxdb_spark.plans import (
-    analytics, ha_pipeline, influxql, llm_ops,
+    analytics, ha_pipeline, influxql, llm_ops, monitoring,
 )
 from ha_sqllite_2_influxdb_spark.session import get_spark
 
@@ -49,6 +49,9 @@ HEADLINE = {
     # variable panel issues — tracks the per-series window shuffle in a
     # second shape beside the downsample
     "influx_series_stats": influxql.q_influx_series_stats,
+    # r7: the monitoring family's representative — two window frames +
+    # full-window counts on the one series shuffle (operators/monitor.py)
+    "series_mean_shift": monitoring.q_mean_shift,
 }
 
 
