@@ -561,6 +561,41 @@ def q_influx_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_winters_forecast(hourly, season_len=24, horizon=12)
 
 
+def q_influx_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RE-AGGREGATABLE rollup cascade — the way rollups must be
+    built at 100 TB: raw → hourly → daily, where the DAILY tier
+    aggregates the HOURLY tier, never rescanning raw. Exact because
+    each tier carries MONOID state (micro-quantized BIGINT sum +
+    count), not finalized means: integer addition is associative, so
+    cascading equals direct aggregation bit-for-bit — which is
+    precisely what the oracle asserts (it computes the daily tier
+    DIRECTLY from raw; a means-of-means cascade would diverge and
+    fail the hash compare). Derived mean materializes once, at read.
+
+    Scale shape: tier N+1's input is tier N's output (monotonically
+    smaller, already partitioned by the same leading series columns);
+    the raw relation is scanned exactly once for the whole pyramid.
+    """
+    pts = _numeric_points(spark, sf_dir)
+    micro = F.round(F.col("value") * 1e6).cast("long")
+    hourly = (
+        pts.groupBy(*_SERIES,
+                    F.floor(F.col("ts_epoch") / 3600).cast("long")
+                    .alias("_h"))
+        .agg(F.sum(micro).alias("_s"), F.count(F.lit(1)).alias("_n"))
+    )
+    daily = (
+        hourly.groupBy(*_SERIES,
+                       F.floor(F.col("_h") / 24).cast("long").alias("_d"))
+        .agg(F.sum("_s").alias("_s"), F.sum("_n").alias("_n"))
+    )
+    return daily.select(
+        *_SERIES, (F.col("_d") * 86400).alias("time"),
+        ((F.col("_s") / 1e6) / F.col("_n")).alias("mean"),
+        F.col("_n").alias("n_points"),
+    )
+
+
 QUERIES = {
     "influx_derivative": q_influx_derivative,
     "influx_integral": q_influx_integral,
@@ -583,6 +618,7 @@ QUERIES = {
     "influx_ema": q_influx_ema,
     "influx_state_mode": q_influx_state_mode,
     "influx_state_durations": q_influx_state_durations,
+    "influx_rollup_cascade": q_influx_rollup_cascade,
 }
 
 _ORACLE_ST = f"""{_CTE},
@@ -888,3 +924,12 @@ SELECT measurement, domain, entity_id,
 FROM m GROUP BY measurement, domain, entity_id
 """,
 }
+
+ORACLES["influx_rollup_cascade"] = f"""{_ORACLE_NUM}
+SELECT measurement, domain, entity_id,
+  CAST(floor(ts_epoch / 86400) AS BIGINT) * 86400 AS time,
+  (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+    / count(*) AS mean,
+  CAST(count(*) AS BIGINT) AS n_points
+FROM num GROUP BY 1, 2, 3, 4
+"""
