@@ -144,6 +144,131 @@ def rolling_quantile(pts: DataFrame, n: int = 16,
     )
 
 
+def series_correlation(pts: DataFrame,
+                       bucket_s: int = 3600) -> DataFrame:
+    """Cross-MEASUREMENT Pearson correlation per entity — "does power
+    track temperature?", the standard multi-sensor dashboard question.
+
+    1. hourly mean per (measurement, domain, entity_id, bucket) —
+       micro-quantized integer sums, the established downsample shape;
+    2. self-join the DOWNSAMPLED relation on (domain, entity_id,
+       bucket) with measurement_a < measurement_b — aligned sample
+       pairs; the join input is already hours×series small, and the
+       exchange keys on the entity columns;
+    3. Pearson r per (entity, measurement pair) from milli-quantized
+       integer moments: Σx, Σy, Σx², Σy², Σxy as BIGINTs (order-
+       independent ⇒ bit-exact cross-engine), one fixed double
+       expression at the end. |value| ≤ 1e4 and milli quantization
+       bound Σxy at ~1e14·n — exact to ~3e4 aligned hours per pair
+       (the `q_influx_stddev_median` bound).
+
+    Constant-on-either-side pairs (zero variance) are excluded —
+    r is undefined there, mirrored in the oracle.
+    """
+    micro = F.sum(F.round(F.col("value") * _MICRO).cast("long"))
+    hourly = (
+        pts.groupBy(*_SERIES,
+                    F.floor(F.col("ts_epoch") / bucket_s).cast("long")
+                    .alias("_b"))
+        .agg(((micro / _MICRO) / F.count(F.lit(1))).alias("_m"))
+    )
+    qa = F.round(F.col("_ma") * 1e3).cast("long")
+    qb = F.round(F.col("_mb") * 1e3).cast("long")
+    a = hourly.select(F.col("measurement").alias("meas_a"),
+                      "domain", "entity_id", "_b",
+                      F.col("_m").alias("_ma"))
+    b = hourly.select(F.col("measurement").alias("meas_b"),
+                      "domain", "entity_id", "_b",
+                      F.col("_m").alias("_mb"))
+    paired = (
+        a.join(b, ["domain", "entity_id", "_b"])
+        .filter(F.col("meas_a") < F.col("meas_b"))
+        .select("domain", "entity_id", "meas_a", "meas_b",
+                qa.alias("_x"), qb.alias("_y"))
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("_x"), F.sum("_y")
+    sxx = F.sum(F.col("_x") * F.col("_x"))
+    syy = F.sum(F.col("_y") * F.col("_y"))
+    sxy = F.sum(F.col("_x") * F.col("_y"))
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    sums = paired.groupBy("domain", "entity_id", "meas_a",
+                          "meas_b").agg(
+        n.alias("n_buckets"),
+        var_x.alias("_vx"), var_y.alias("_vy"),
+        (n * sxy - sx * sy).alias("_cov"),
+    )
+    return (
+        sums.filter((F.col("_vx") > 0) & (F.col("_vy") > 0))
+        .select(
+            "domain", "entity_id", "meas_a", "meas_b", "n_buckets",
+            (F.col("_cov").cast("double")
+             / (F.sqrt(F.col("_vx").cast("double"))
+                * F.sqrt(F.col("_vy").cast("double"))))
+            .alias("pearson_r"),
+        )
+    )
+
+
+def fleet_correlation(pts: DataFrame,
+                      bucket_s: int = 3600) -> DataFrame:
+    """Per-entity Pearson correlation against the FLEET AVERAGE of its
+    measurement — "which sensors track the building?" The linear-by-
+    construction form of cross-series correlation: all-pairs entity
+    correlation is quadratic in entities (the classic trap); each
+    entity vs one reference series is one pass.
+
+    Shape: bucket means per (measurement, entity, bucket) — one
+    downsample shuffle — then the fleet reference per (measurement,
+    bucket) aggregates the ALREADY-DOWNSAMPLED relation (tiny:
+    measurements × buckets) and broadcasts back. Moments accumulate
+    milli-quantized BIGINTs (`series_correlation`'s exactness recipe).
+    Zero-variance sides are excluded (constant sensor or constant
+    fleet — r undefined).
+    """
+    micro = F.sum(F.round(F.col("value") * _MICRO).cast("long"))
+    hourly = (
+        pts.groupBy("measurement", "domain", "entity_id",
+                    F.floor(F.col("ts_epoch") / bucket_s).cast("long")
+                    .alias("_b"))
+        .agg(((micro / _MICRO) / F.count(F.lit(1))).alias("_m"))
+    )
+    # fleet reference: mean of the ENTITY MEANS per (measurement,
+    # bucket) — milli-quantize the entity means so the reference is
+    # itself exact integer arithmetic in both engines
+    qm = F.round(F.col("_m") * 1e3).cast("long")
+    fleet = (
+        hourly.groupBy("measurement", "_b")
+        .agg(((F.sum(qm) / 1e3) / F.count(F.lit(1))).alias("_fm"))
+    )
+    paired = (
+        hourly.join(F.broadcast(fleet), ["measurement", "_b"])
+        .select("measurement", "domain", "entity_id",
+                qm.alias("_x"),
+                F.round(F.col("_fm") * 1e3).cast("long").alias("_y"))
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("_x"), F.sum("_y")
+    var_x = n * F.sum(F.col("_x") * F.col("_x")) - sx * sx
+    var_y = n * F.sum(F.col("_y") * F.col("_y")) - sy * sy
+    cov = n * F.sum(F.col("_x") * F.col("_y")) - sx * sy
+    sums = paired.groupBy("measurement", "domain", "entity_id").agg(
+        n.alias("n_buckets"),
+        var_x.alias("_vx"), var_y.alias("_vy"), cov.alias("_cov"),
+    )
+    return (
+        sums.filter((F.col("_vx") > 0) & (F.col("_vy") > 0))
+        .select(
+            "measurement", "domain", "entity_id", "n_buckets",
+            (F.col("_cov").cast("double")
+             / (F.sqrt(F.col("_vx").cast("double"))
+                * F.sqrt(F.col("_vy").cast("double"))))
+            .alias("pearson_r"),
+        )
+    )
+
+
 def flatline_runs(pts: DataFrame, min_run: int = 5) -> DataFrame:
     """Stuck-sensor detection: maximal runs of ≥ ``min_run`` consecutive
     IDENTICAL values per series, with the run's span and length — the

@@ -21,6 +21,7 @@ _SHIFT_T = 10.0
 _RQ_N = 4
 _RQ_P = 0.9
 _FLAT_RUN = 5
+_CORR_BUCKET_S = 604800   # weekly — see q_series_correlation
 
 
 def q_series_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,8 +51,20 @@ def q_flatline_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  min_run=_FLAT_RUN)
 
 
+def q_fleet_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity Pearson r against the fleet average of its
+    measurement, over WEEKLY means (the fixture's series are sparse —
+    ~5 points each at sf0.01 — and its %/W sensors are constant per
+    entity, so this fleet form is the non-vacuous correlation here;
+    the cross-measurement `monitor.series_correlation` keeps its
+    known-answer pytest on synthetic co-varying frames)."""
+    return monitor.fleet_correlation(_numeric_points(spark, sf_dir),
+                                     bucket_s=_CORR_BUCKET_S)
+
+
 QUERIES = {
     "series_acf": q_series_acf,
+    "series_fleet_correlation": q_fleet_correlation,
     "series_mean_shift": q_mean_shift,
     "series_rolling_quantile": q_rolling_quantile,
     "series_flatline_runs": q_flatline_runs,
@@ -61,6 +74,44 @@ _W_SERIES = """WINDOW w AS (PARTITION BY measurement, domain, entity_id
                ORDER BY ts_epoch, state_id)"""
 
 ORACLES = {
+    "series_fleet_correlation": f"""{_ORACLE_NUM},
+hourly AS (
+  SELECT measurement, domain, entity_id,
+    CAST(floor(ts_epoch / {_CORR_BUCKET_S}) AS BIGINT) AS b,
+    (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+      / count(*) AS m
+  FROM num GROUP BY 1, 2, 3, 4
+),
+fleet AS (
+  SELECT measurement, b,
+    (CAST(sum(CAST(round(m * 1e3) AS BIGINT)) AS BIGINT) / 1e3)
+      / count(*) AS fm
+  FROM hourly GROUP BY 1, 2
+),
+paired AS (
+  SELECT h.measurement, h.domain, h.entity_id,
+    CAST(round(h.m * 1e3) AS BIGINT) AS x,
+    CAST(round(f.fm * 1e3) AS BIGINT) AS y
+  FROM hourly h
+  JOIN fleet f ON h.measurement = f.measurement AND h.b = f.b
+),
+sums AS (
+  SELECT measurement, domain, entity_id,
+    CAST(count(*) AS BIGINT) AS n_buckets,
+    count(*) * CAST(sum(x * x) AS BIGINT)
+      - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS vx,
+    count(*) * CAST(sum(y * y) AS BIGINT)
+      - CAST(sum(y) AS BIGINT) * CAST(sum(y) AS BIGINT) AS vy,
+    count(*) * CAST(sum(x * y) AS BIGINT)
+      - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT) AS cov
+  FROM paired GROUP BY 1, 2, 3
+)
+SELECT measurement, domain, entity_id, n_buckets,
+  CAST(cov AS DOUBLE)
+    / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
+    AS pearson_r
+FROM sums WHERE vx > 0 AND vy > 0
+""",
     "series_acf": f"""{_ORACLE_NUM},
 mn AS (
   SELECT *,

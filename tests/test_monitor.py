@@ -105,3 +105,50 @@ def test_monitor_ops_single_series_exchange(spark):
                monitor.flatline_runs(pts, 2)):
         physical = explain_str(df)
         assert physical.count("hashpartitioning(measurement") == 1, physical
+
+
+def test_series_correlation_known_answers(spark):
+    """Cross-measurement Pearson r on synthetic co-varying series:
+    y = 2x (r = 1), z = -x + noise-free inverse (r = -1), and a
+    constant series is excluded (undefined r)."""
+    rows = []
+    for t in range(6):
+        x = float(t + 1)
+        rows += [(t * 10 + 1, "a", "d", "e", t * 3600.0, x),
+                 (t * 10 + 2, "b", "d", "e", t * 3600.0, 2 * x),
+                 (t * 10 + 3, "c", "d", "e", t * 3600.0, 10 - x),
+                 (t * 10 + 4, "k", "d", "e", t * 3600.0, 5.0)]
+    pts = spark.createDataFrame(
+        rows, "state_id long, measurement string, domain string, "
+              "entity_id string, ts_epoch double, value double")
+    out = {(r.meas_a, r.meas_b): r.pearson_r
+           for r in monitor.series_correlation(pts,
+                                               bucket_s=3600).collect()}
+    assert out[("a", "b")] == pytest.approx(1.0)
+    assert out[("a", "c")] == pytest.approx(-1.0)
+    assert out[("b", "c")] == pytest.approx(-1.0)
+    # constant measurement k excluded from every pair
+    assert not any("k" in p for p in out)
+
+
+def test_fleet_correlation_tracks_reference(spark):
+    """Entity equal to the fleet trend gets r = 1; an anti-trending
+    entity gets r = -1; a constant entity is excluded."""
+    rows = []
+    for t in range(5):
+        x = float(t + 1)
+        rows += [(t * 10 + 1, "m", "d", "up1", t * 3600.0, x),
+                 (t * 10 + 2, "m", "d", "up2", t * 3600.0, 3 * x),
+                 (t * 10 + 3, "m", "d", "down", t * 3600.0, -x),
+                 (t * 10 + 4, "m", "d", "flat", t * 3600.0, 7.0)]
+    pts = spark.createDataFrame(
+        rows, "state_id long, measurement string, domain string, "
+              "entity_id string, ts_epoch double, value double")
+    out = {r.entity_id: r.pearson_r
+           for r in monitor.fleet_correlation(pts,
+                                              bucket_s=3600).collect()}
+    # fleet mean = (x + 3x - x + 7)/4 = (3x+7)/4: increasing in x
+    assert out["up1"] == pytest.approx(1.0)
+    assert out["up2"] == pytest.approx(1.0)
+    assert out["down"] == pytest.approx(-1.0)
+    assert "flat" not in out
