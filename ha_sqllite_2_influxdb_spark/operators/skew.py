@@ -22,7 +22,7 @@ corrupts results when a lost shuffle block is recomputed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT = "__salt"
@@ -86,3 +86,45 @@ def two_phase_distinct(df: DataFrame, group_col: str,
         .groupBy(group_col)
         .agg(F.count(F.lit(1)).alias(f"n_distinct_{distinct_col}"))
     )
+
+
+def skew_report(df: DataFrame, keys: list[str],
+                top_n: int = 5) -> DataFrame:
+    """Shuffle-key skew diagnostics — MEASURE before you salt: per-key
+    row counts reduced to the numbers that predict straggler tasks
+    (max/mean ratio ≈ the slowdown a key-hashed shuffle eats; the top
+    keys are the salting candidates).
+
+    One partial-aggregated groupBy on the key (map-side combine makes
+    the counted relation ~|distinct keys|); everything after runs on
+    that small relation — the rank window and the global moments ride
+    its exchange. Emits top_n rows (rank, key, count, share) plus the
+    aggregate row (rank 0): n_keys, max/mean ratio. All integer counts
+    → oracle-exact.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    key_str = F.concat_ws("\x1f", *[F.col(k).cast("string")
+                                    for k in keys])
+    w = Window.orderBy(F.desc("cnt"), key_str)
+    wall = Window.partitionBy()
+    ranked = counts.select(
+        key_str.alias("key"), "cnt",
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt").over(wall).alias("_total"),
+        F.count(F.lit(1)).over(wall).alias("_nkeys"),
+        F.max("cnt").over(wall).alias("_max"),
+    )
+    top = ranked.filter(F.col("rank") <= top_n).select(
+        "rank", "key", "cnt",
+        (F.col("cnt").cast("double") / F.col("_total"))
+        .alias("share"),
+    )
+    summary = ranked.filter(F.col("rank") == 1).select(
+        F.lit(0).alias("rank"),
+        F.lit("__summary__").alias("key"),
+        F.col("_nkeys").alias("cnt"),
+        (F.col("_max").cast("double")
+         * F.col("_nkeys").cast("double")
+         / F.col("_total").cast("double")).alias("share"),
+    )
+    return top.unionByName(summary)

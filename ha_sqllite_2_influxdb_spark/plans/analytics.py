@@ -604,6 +604,18 @@ def q_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics on events.event_type — measure
+    before you salt (operators.skew.skew_report): top-5 keys by row
+    count + a summary row with n_keys and the max/mean straggler
+    ratio. The global rank window runs on the already-aggregated
+    |distinct keys| relation, never the raw table."""
+    from ..operators.skew import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "events"),
+                       ["event_type"])
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resilient join (operators.skew.salted_join): lineitem×supplier
     on a salted composite key, then per-nation totals. Salting must be
@@ -2230,6 +2242,7 @@ QUERIES = {
     "tpch_q21": q_tpch_q21,
     "unpivot_part": q_unpivot_part,
     "salted_join": q_salted_join,
+    "skew_report": q_skew_report,
     "window_analytics": q_window_analytics,
     "cube_orders": q_cube_orders,
     "distinct_twophase": q_distinct_twophase,
@@ -2528,6 +2541,27 @@ FROM part
 UNION ALL
 SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
 FROM part
+""",
+    "skew_report": """
+WITH counts AS (
+  SELECT event_type, count(*) AS cnt FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT CAST(event_type AS VARCHAR) AS key, cnt,
+    row_number() OVER (ORDER BY cnt DESC,
+                       CAST(event_type AS VARCHAR)) AS rank,
+    CAST(sum(cnt) OVER () AS BIGINT) AS total,
+    CAST(count(*) OVER () AS BIGINT) AS nkeys,
+    CAST(max(cnt) OVER () AS BIGINT) AS mx
+  FROM counts
+)
+SELECT CAST(rank AS INT) AS rank, key, CAST(cnt AS BIGINT) AS cnt,
+  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM ranked WHERE rank <= 5
+UNION ALL
+SELECT 0, '__summary__', nkeys,
+  CAST(mx AS DOUBLE) * CAST(nkeys AS DOUBLE) / CAST(total AS DOUBLE)
+FROM ranked WHERE rank = 1
 """,
     "salted_join": """
 SELECT s_nationkey,

@@ -307,6 +307,21 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          n_buckets=64)
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset CARD a training run records: per-language doc
+    count, exact-unique count (md5 digests), whitespace-token total
+    and char total — one partial-aggregated groupBy over the corpus
+    (the distinct digest count is the only expanding aggregate, and
+    it collapses map-side). All-integer outputs, exact oracle."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        F.sum(F.size(F.split("text", " "))).alias("total_ws_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
 def q_curate_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END mixture curation, one oracle over the whole chain
     (the round-6 sibling of `curate_pipeline`): exact dedup (keep lowest
@@ -858,6 +873,7 @@ QUERIES = {
     "curate_pipeline": q_curate_pipeline,
     "curate_mixture_pipeline": q_curate_mixture_pipeline,
     "contrastive_triplets": q_contrastive_triplets,
+    "dataset_card": q_dataset_card,
     "embedding_centroids": q_embedding_centroids,
     "kmeans_embeddings": q_kmeans_embeddings,
     "pq_ann_topk": q_pq_ann_topk,
@@ -2083,4 +2099,14 @@ FROM ringed
 WHERE grpn >= 2
   AND neg_grp != (lang || chr(31) || source)
   AND negative_id != doc_id
+"""
+
+ORACLES["dataset_card"] = """
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+    AS total_ws_tokens,
+  CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
 """

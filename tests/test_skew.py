@@ -67,3 +67,19 @@ def test_salted_join_rejects_outer_joins(spark):
     # safe kinds still construct
     for how in ("inner", "left", "left_semi", "left_anti"):
         salted_join(big, small, "k", how=how)
+
+
+def test_skew_report_summary_and_ranks(spark):
+    from ha_sqllite_2_influxdb_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("a",)] * 5 \
+        + [("b",)] * 3 + [("c",)] * 1 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.rank: r for r in skew_report(df, ["k"], top_n=3).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert (out[1].key, out[1].cnt) == ("hot", 60)
+    assert (out[2].key, out[2].cnt) == ("warm", 30)
+    assert out[1].share == 0.6
+    s = out[0]
+    # 6 keys; max/mean = 60 / (100/6) = 3.6
+    assert s.cnt == 6 and s.share == 60.0 * 6.0 / 100.0
