@@ -962,6 +962,30 @@ def _compile_singleton(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
             .agg((F.sum("_a") / _MICRO).alias("integral")))
 
 
+def _apply_point_limit(out: DataFrame, ast: InfluxSelect) -> DataFrame:
+    """InfluxDB's LIMIT semantics for NON-RAW results: LIMIT/OFFSET cap
+    output POINTS per series (buckets for a GROUP BY time() aggregate,
+    emitted rows for a transform). One rank on the series window the
+    result already shuffled on; a whole-series single-row aggregate has
+    one point, so OFFSET ≥ 1 empties it and any LIMIT keeps it."""
+    if ast.limit is None:
+        return out
+    keys = _series_cols(ast)
+    off = ast.offset or 0
+    if "time" not in out.columns:
+        return out.limit(0) if off >= 1 else out
+    order = [F.desc("time") if ast.order_desc else F.asc("time")]
+    if "state_id" in out.columns:
+        order.append(F.desc("state_id") if ast.order_desc
+                     else F.asc("state_id"))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > off) & (F.col("_rn") <= off + ast.limit))
+        .drop("_rn")
+    )
+
+
 def _apply_slimit(out: DataFrame, ast: InfluxSelect) -> DataFrame:
     if ast.slimit is None:
         return out
@@ -1152,19 +1176,26 @@ def compile_ast(pts: DataFrame,
             raise InfluxQLError("SELECT value supports a single field")
         out = _compile_raw(_apply_where(pts, ast), ast)
     elif funcs <= _AGGS:
-        out = _compile_agg(_apply_where(pts, ast), ast)
+        out = _apply_point_limit(
+            _compile_agg(_apply_where(pts, ast), ast), ast)
     elif len(funcs) == 1 and funcs <= _SINGLETONS:
         if ast.bucket_s is not None and "integral" in funcs:
             raise InfluxQLError("INTEGRAL does not take GROUP BY time()")
-        out = _compile_singleton(_apply_where(pts, ast), ast)
+        out = _apply_point_limit(
+            _compile_singleton(_apply_where(pts, ast), ast), ast)
     elif len(funcs) == 1 and funcs <= _TRANSFORMS:
         if ast.bucket_s is not None:
             raise InfluxQLError("transforms do not take GROUP BY time()")
-        out = _compile_transform(_apply_where(pts, ast), ast)
+        out = _apply_point_limit(
+            _compile_transform(_apply_where(pts, ast), ast), ast)
     elif len(funcs) == 1 and funcs <= _SELECTORS:
         if ast.bucket_s is not None:
             raise InfluxQLError("selectors do not take GROUP BY time()")
         out = _compile_selector(_apply_where(pts, ast), ast)
+        if ast.limit is not None:
+            raise InfluxQLError(
+                "LIMIT after a selector is redundant — the selector's "
+                "N already caps points per series")
     else:
         raise InfluxQLError(
             f"cannot mix projection kinds {sorted(f or 'value' for f in funcs)}")
@@ -1386,6 +1417,18 @@ def q_influxql_text_scaled(spark: SparkSession,
     return compile_influxql(spark, sf_dir, _Q_SCALED)
 
 
+_Q_AGG_LIMIT = ('SELECT MEAN(value) FROM "W" GROUP BY time(1d), * '
+                "ORDER BY time DESC LIMIT 2")
+
+
+def q_influxql_text_agg_limit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """``LIMIT`` on a GROUP BY time() aggregate — InfluxDB caps output
+    BUCKETS per series (the "last 2 days per sensor" panel): one rank
+    on the series window the downsample already shuffled on."""
+    return compile_influxql(spark, sf_dir, _Q_AGG_LIMIT)
+
+
 QUERIES = {
     "influxql_text_downsample": q_influxql_text_downsample,
     "influxql_text_counter_rate": q_influxql_text_counter_rate,
@@ -1409,6 +1452,7 @@ QUERIES = {
     "influxql_show_databases": q_influxql_show_databases,
     "influxql_show_retention": q_influxql_show_retention,
     "influxql_text_scaled": q_influxql_text_scaled,
+    "influxql_text_agg_limit": q_influxql_text_agg_limit,
 }
 
 ORACLES = {
@@ -1699,3 +1743,22 @@ FROM terms WHERE trap_micro IS NOT NULL
 GROUP BY measurement, domain, entity_id
 """,
 }
+
+ORACLES["influxql_text_agg_limit"] = f"""{_ORACLE_NUM},
+b AS (
+  SELECT measurement, domain, entity_id,
+    CAST(floor(ts_epoch / 86400) AS BIGINT) * 86400 AS time,
+    (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+      / count(*) AS mean
+  FROM num WHERE measurement = 'W'
+  GROUP BY 1, 2, 3, 4
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY measurement, domain, entity_id
+    ORDER BY time DESC) AS rn
+  FROM b
+)
+SELECT measurement, domain, entity_id, time, mean
+FROM r WHERE rn <= 2
+"""

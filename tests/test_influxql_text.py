@@ -457,3 +457,25 @@ def test_scaled_aggregate_values(spark):
     raw = compile_ast(_pts(spark), parse_influxql(
         "SELECT value * 10 FROM m WHERE entity_id = 'b'")).collect()
     assert sorted(r.value for r in raw) == [100.0, 200.0]
+
+
+def test_limit_on_aggregates_caps_buckets_per_series(spark):
+    pts = _pts(spark)
+    out = compile_ast(pts, parse_influxql(
+        "SELECT COUNT(value) FROM m GROUP BY time(1h), * "
+        "ORDER BY time DESC LIMIT 1")).collect()
+    # latest bucket per series: a->14400, b->0, c->0
+    got = {(r.entity_id): r.time for r in out}
+    assert got == {"a": 14400, "b": 0, "c": 0}
+    # transform LIMIT: per-series cap on emitted points
+    tr = compile_ast(pts, parse_influxql(
+        "SELECT DIFFERENCE(value) FROM m WHERE entity_id = 'a' "
+        "GROUP BY * LIMIT 1")).collect()
+    assert len(tr) == 1 and tr[0].difference == 2.0
+    # whole-series aggregate: OFFSET >= 1 empties, LIMIT keeps
+    assert compile_ast(pts, parse_influxql(
+        "SELECT SUM(value) FROM m GROUP BY * LIMIT 1 OFFSET 1"
+    )).count() == 0
+    with pytest.raises(InfluxQLError):
+        compile_ast(pts, parse_influxql(
+            "SELECT TOP(value, 3) FROM m GROUP BY * LIMIT 2"))
