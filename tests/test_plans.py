@@ -611,7 +611,10 @@ def test_influxql_windows_ride_one_series_exchange(spark, sf_dir):
     # (a subset of the grouping keys clusters every group)
     budget = {"influx_downsample": 2, "influx_holt_winters": 2,
               "influx_mode": 2, "influx_fill_linear": 2,
-              "influx_distinct": 2, "influx_state_mode": 2}
+              "influx_distinct": 2, "influx_state_mode": 2,
+              # rollup cascade: one exchange per tier BY DESIGN —
+              # hourly partial agg, then daily over the hourly output
+              "influx_rollup_cascade": 2}
     for name, fn in influxql.QUERIES.items():
         physical = explain_str(fn(spark, sf_dir))
         n = physical.count("hashpartitioning(measurement")
