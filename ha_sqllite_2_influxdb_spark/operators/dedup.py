@@ -1040,3 +1040,60 @@ def allpairs_jaccard(corpus: DataFrame,
         .distinct()
     )
     return pairs
+
+
+def line_dedup_corpus(corpus: DataFrame, seg_words: int = 5) -> DataFrame:
+    """CORPUS-WIDE span dedup with document reconstruction — the C4
+    recipe (Raffel et al. 2020 kept one occurrence of every three-
+    sentence span corpus-wide and deleted the rest IN PLACE): segment
+    every document into fixed ``seg_words``-word spans (the fixture's
+    text has no sentence boundaries, so the segmenter is positional —
+    same rule both engines), keep each distinct span's FIRST occurrence
+    in (doc_id, seg_idx) order, and re-assemble every document from its
+    surviving spans.
+
+    Shape: one explode (linear in tokens), ONE shuffle partitioned on
+    the span content to rank occurrences (the span string rides as
+    payload because reconstruction needs it back — the same
+    value-ships-with-key cost C4's own pipeline paid), then a doc-keyed
+    agg to stitch survivors in order. Output: per doc, total spans,
+    surviving spans, and the cleaned text ('' when everything the doc
+    said was said earlier — exactly how C4 leaves husks).
+    """
+    w = F.split("text", " ")
+    nseg = F.ceil(F.size(w) / F.lit(seg_words)).cast("int")
+    segs = corpus.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nseg - 1),
+                lambda i: F.array_join(
+                    F.slice(w, i * seg_words + 1, seg_words), " "),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    wseg = W.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    kept = (
+        segs.withColumn("_rn", F.row_number().over(wseg))
+        .filter(F.col("_rn") == 1)
+    )
+    stitched = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"))
+    return (
+        totals.join(stitched, "doc_id", "left")
+        .select(
+            "doc_id", "n_segs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

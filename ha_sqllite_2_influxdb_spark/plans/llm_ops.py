@@ -307,6 +307,13 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          n_buckets=64)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide span dedup + reconstruction over the
+    recrawl corpus (exact recrawls lose every span, near-recrawls
+    keep only their divergent tail span)."""
+    return dedup.line_dedup_corpus(recrawl(spark, sf_dir), seg_words=5)
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset CARD a training run records: per-language doc
     count, exact-unique count (md5 digests), whitespace-token total
@@ -874,6 +881,7 @@ QUERIES = {
     "curate_mixture_pipeline": q_curate_mixture_pipeline,
     "contrastive_triplets": q_contrastive_triplets,
     "dataset_card": q_dataset_card,
+    "line_dedup": q_line_dedup,
     "embedding_centroids": q_embedding_centroids,
     "kmeans_embeddings": q_kmeans_embeddings,
     "pq_ann_topk": q_pq_ann_topk,
@@ -2109,4 +2117,32 @@ SELECT lang,
     AS total_ws_tokens,
   CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
+"""
+
+ORACLES["line_dedup"] = f"""WITH {_CORPUS.strip()},
+segs AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS seg_idx,
+    array_to_string(w[(i - 1) * 5 + 1 : (i - 1) * 5 + 5], ' ') AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus) t,
+  LATERAL unnest(range(1, CAST(ceil(len(w) / 5.0) AS BIGINT) + 1))
+    AS u(i)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY seg
+                               ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+),
+stitched AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+    string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM segs
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_segs,
+  coalesce(s.n_kept, 0) AS n_kept,
+  coalesce(s.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN stitched s ON t.doc_id = s.doc_id
 """

@@ -1050,3 +1050,30 @@ def test_hard_negatives_are_hardest_cross_label(spark, sf_dir):
     got1 = {r.query_id: r.cand_id for r in mined if r.rk == 1}
     for qid, cid in best.items():
         assert got1[qid] == cid
+
+
+def test_line_dedup_c4_semantics(spark):
+    """On the recrawl corpus: originals (first in doc_id order) keep
+    every span; exact recrawls keep none; near recrawls keep at most
+    their divergent tail span; reconstruction equals the original
+    text for originals."""
+    from ha_sqllite_2_influxdb_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),       # 2 segments of 5
+         (2, "k l m n o p q r s t")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.line_dedup_corpus(
+        dedup.recrawl_corpus(docs), seg_words=5).collect()}
+    for d in (1, 2):
+        assert out[d].n_kept == out[d].n_segs == 2
+        assert out[d].clean_text == dict(
+            ((1, "a b c d e f g h i j"), (2, "k l m n o p q r s t")))[d]
+        # exact recrawl: everything said before
+        assert out[d + 2_000_000].n_kept == 0
+        assert out[d + 2_000_000].clean_text == ""
+        # near recrawl (last word dropped): first span duplicate,
+        # 4-word tail span is new
+        assert out[d + 1_000_000].n_segs == 2
+        assert out[d + 1_000_000].n_kept == 1
+    assert out[1_000_001].clean_text == "f g h i"
