@@ -197,6 +197,12 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
         # flat.
         "series_rolling_quantile": lambda: monitor.rolling_quantile(
             pts, n=4, p=0.9),
+        # r7: the two-stage correlation shape — downsample shuffle, then
+        # the fleet reference aggregates the ALREADY-SMALL bucket
+        # relation and broadcasts back. 10× series grows both stages
+        # linearly; the broadcast side stays measurements × buckets.
+        "series_fleet_correlation": lambda: monitor.fleet_correlation(
+            pts, bucket_s=604800),
     }
 
 
