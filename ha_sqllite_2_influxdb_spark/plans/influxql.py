@@ -596,6 +596,35 @@ def q_influx_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ha_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE Home Assistant query: the energy dashboard — daily Wh per
+    power sensor, trapezoid-integrated from the migrated W series
+    (HA's own Riemann-sum integration helper does exactly this).
+    Each trapezoid belongs to the day of its LEFT endpoint (the
+    convention HA's hourly energy statistics use); terms are
+    micro-quantized BIGINTs on the one series shuffle, the day
+    grouping re-keys the already-small term relation.
+    """
+    pts = _numeric_points(spark, sf_dir).filter(
+        F.col("measurement") == "W")
+    w = _w()
+    trap = (
+        (F.col("value") + F.lag("value").over(w))
+        * (F.col("ts_epoch") - F.lag("ts_epoch").over(w))
+        / F.lit(2.0)
+    )
+    day = (F.floor(F.lag("ts_epoch").over(w) / 86400).cast("long")
+           * 86400)
+    terms = pts.select(
+        *_SERIES, day.alias("day"),
+        F.round(trap * 1e6).cast("long").alias("_t"),
+    ).filter(F.col("_t").isNotNull())
+    return terms.groupBy(*_SERIES, "day").agg(
+        ((F.sum("_t") / 1e6) / F.lit(3600.0)).alias("energy_wh"),
+        (F.count(F.lit(1)) + 1).alias("n_points"),
+    )
+
+
 QUERIES = {
     "influx_derivative": q_influx_derivative,
     "influx_integral": q_influx_integral,
@@ -619,6 +648,7 @@ QUERIES = {
     "influx_state_mode": q_influx_state_mode,
     "influx_state_durations": q_influx_state_durations,
     "influx_rollup_cascade": q_influx_rollup_cascade,
+    "ha_energy_daily": q_ha_energy_daily,
 }
 
 _ORACLE_ST = f"""{_CTE},
@@ -932,4 +962,22 @@ SELECT measurement, domain, entity_id,
     / count(*) AS mean,
   CAST(count(*) AS BIGINT) AS n_points
 FROM num GROUP BY 1, 2, 3, 4
+"""
+
+ORACLES["ha_energy_daily"] = f"""{_ORACLE_NUM},
+terms AS (
+  SELECT measurement, domain, entity_id,
+    CAST(floor(lag(ts_epoch) OVER w / 86400) AS BIGINT) * 86400 AS day,
+    CAST(round((value + lag(value) OVER w)
+               * (ts_epoch - lag(ts_epoch) OVER w) / 2.0 * 1e6)
+         AS BIGINT) AS t
+  FROM num WHERE measurement = 'W'
+  WINDOW w AS (PARTITION BY measurement, domain, entity_id
+               ORDER BY ts_epoch, state_id)
+)
+SELECT measurement, domain, entity_id, day,
+  (CAST(sum(t) AS BIGINT) / 1e6) / 3600.0 AS energy_wh,
+  count(*) + 1 AS n_points
+FROM terms WHERE t IS NOT NULL
+GROUP BY measurement, domain, entity_id, day
 """
