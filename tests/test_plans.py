@@ -765,3 +765,36 @@ def test_influx_ema_bit_pinned(spark):
     assert got[99] == 21.5                          # 1-point series
     again = {r.state_id: r.ema for r in ema_points(pts, n=9).collect()}
     assert again == got
+
+
+def test_ha_energy_daily_trapezoid_known_answer(spark, sf_dir):
+    """Constant 100 W across a day boundary: energy accrues to the day
+    of each trapezoid's LEFT endpoint, Wh = W·s/3600."""
+    from ha_sqllite_2_influxdb_spark.plans import influxql
+
+    rows = [(1, "W", "d", "e", 82800.0, 100.0),    # 23:00 day 0
+            (2, "W", "d", "e", 86400.0, 100.0),    # 00:00 day 1
+            (3, "W", "d", "e", 90000.0, 100.0)]    # 01:00 day 1
+    pts = spark.createDataFrame(
+        rows, "state_id long, measurement string, domain string, "
+              "entity_id string, ts_epoch double, value double")
+    import ha_sqllite_2_influxdb_spark.plans.influxql as iq
+
+    # drive the same expression path on a frame (the registry entry
+    # reads the fixture; here we call the internals on known points)
+    from pyspark.sql import functions as F
+    w = iq._w()
+    trap = ((F.col("value") + F.lag("value").over(w))
+            * (F.col("ts_epoch") - F.lag("ts_epoch").over(w)) / F.lit(2.0))
+    day = (F.floor(F.lag("ts_epoch").over(w) / 86400).cast("long")
+           * 86400)
+    terms = pts.select(*iq._SERIES, day.alias("day"),
+                       F.round(trap * 1e6).cast("long").alias("_t"))
+    out = {r.day: r.wh for r in
+           terms.filter(F.col("_t").isNotNull())
+           .groupBy(*iq._SERIES, "day")
+           .agg(((F.sum("_t") / 1e6) / F.lit(3600.0)).alias("wh"))
+           .collect()}
+    # 23:00->00:00 trapezoid (1h at 100W) belongs to day 0;
+    # 00:00->01:00 to day 1
+    assert out == {0: 100.0, 86400: 100.0}
