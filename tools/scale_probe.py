@@ -203,6 +203,12 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
         # linearly; the broadcast side stays measurements × buckets.
         "series_fleet_correlation": lambda: monitor.fleet_correlation(
             pts, bucket_s=604800),
+        # r7: C4-style span dedup — explode + content-keyed rank +
+        # doc re-agg. The word-prefix replication keeps every replica's
+        # segment space disjoint, so rank groups never cross replicas
+        # and the whole pipeline must scale with replica count.
+        "line_dedup": lambda: dedup.line_dedup_corpus(docs,
+                                                      seg_words=5),
     }
 
 
