@@ -1,0 +1,1277 @@
+"""Flux TEXT surface: tokenizer, parser, compiler to per-series plans.
+
+The reference itself speaks Flux — its one InfluxDB *query* is the Flux
+pipeline at ``sqllite2influxdb.py:57-63``::
+
+    from(bucket: "…")
+      |> range(start: 0)
+      |> filter(fn: (r) => r["_measurement"] == "units")
+      |> sort(columns: ["_time"], desc: false)
+      |> limit(n: 1)
+
+and the bucket it fills is queried by Grafana/HA dashboards in Flux.
+``plans/influxql_text.py`` covers the InfluxQL dashboard surface; this
+module covers the Flux one: a Flux pipeline string compiles to the SAME
+Spark plans the function layer builds (one shuffle keyed on the series
+columns — InfluxDB's own shard key — per window/aggregate; the parser is
+driver-side string work on a <1 KB query, no per-row Python anywhere).
+
+Supported pipeline stages (a documented, tested subset — anything
+outside it raises ``FluxError`` rather than mis-executing):
+
+  from(bucket: "name")
+  |> range(start: t [, stop: t])          t := epoch-seconds | RFC3339
+                                          start inclusive, stop exclusive
+  |> filter(fn: (r) => pred)              pred := and/or tree over
+                                          r._measurement/_field/_value,
+                                          r.domain, r.entity_id with
+                                          == != < <= > >= =~ !~
+  |> group(columns: ["tag", …]) | group() (mode "by"; () merges all)
+  |> aggregateWindow(every: d, fn: f [, createEmpty: b])
+        f := mean|sum|count|min|max|first|last, _time = window STOP
+        (epoch-aligned, Flux's default); createEmpty:true requires an
+        explicit range whose bounds are multiples of ``every`` (so no
+        truncated last window exists) and emits null (count: 0) rows
+  |> mean()|sum()|count()|min()|max()|first()|last()|spread()|stddev()
+  |> median()                             exact: avg of the two middle
+                                          values on the (value, state_id)
+                                          total order
+  |> quantile(q: p, method: "exact_selected")
+                                          rank max(1, ceil(p·n)) sample
+  |> derivative(unit: d [, nonNegative: b])   per-series rate; negative
+                                          results → null when nonNegative
+  |> difference() | cumulativeSum() | increase() | movingAverage(n: k)
+  |> elapsed(unit: d) | timeShift(duration: d)
+  |> sort(columns: ["_time"|"_value"] [, desc: b])
+  |> limit(n: k) | tail(n: k)             per table (per group key)
+  |> fill(value: c) | fill(usePrevious: true)
+  |> map(fn: (r) => ({ r with _value: <arith> }))   _value ⊙ const
+  |> keep(columns: […]) | drop(columns: […])
+  |> yield(name: "…")                     no-op
+
+Semantics follow Flux's documented behavior on the migrated point
+relation (series key = _measurement + tags(domain, entity_id) + _field):
+
+- After ``from |> range |> filter`` the stream is grouped by the series
+  key (Flux's default table grouping); aggregates/selectors/limits act
+  PER TABLE. ``group()`` merges everything into one table (the
+  reference's ``records[0]`` read is over the first table — the
+  ``flux_oldest_global`` entry models the global-oldest intent).
+- Aggregates (mean/sum/count/…) drop ``_time``; selectors
+  (first/last/min/max) keep the selected row's ``_time`` — exactly
+  Flux's aggregate-vs-selector split.
+- ``increase()`` uses Flux's counter-reset rule: a DECREASE contributes
+  the new value itself (counter restarted), not zero; row 1 emits 0.
+- Float exactness vs the DuckDB oracles uses the established quantized-
+  integer accumulation patterns (micro-BIGINT sums for mean/sum/
+  cumulativeSum/increase, milli-BIGINT moments for stddev) — see
+  plans/influxql.py for the numeric-determinism notes.
+
+Scale shape: identical to the InfluxQL layer — one exchange on the
+series key serves every per-series window/aggregate; aggregateWindow is
+one partial-agg exchange; createEmpty's grid explodes over the DISTINCT
+series relation (tiny) and left-joins the buckets; limits are window
+ranks on the same series shuffle, never a global sort.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .influxql import _ORACLE_NUM, _numeric_points
+
+__all__ = ["FluxError", "parse_flux", "compile_flux", "QUERIES", "ORACLES"]
+
+
+class FluxError(ValueError):
+    """Raised on any pipeline outside the documented grammar subset."""
+
+
+# ---------------------------------------------------------------- tokenizer
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<pipe>\|>)
+    | (?P<arrow>=>)
+    | (?P<string>"[^"]*")
+    | (?P<regex>/(?:\\.|[^/\\])+/)
+    | (?P<duration>\d+(?:w|d|h|ms|m|s))
+    | (?P<number>-?\d+(?:\.\d+)?)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<op>==|!=|=~|!~|<=|>=|<|>)
+    | (?P<punct>[()\[\]{}:,.])
+    | (?P<arith>[*+/-])
+    )""",
+    re.VERBOSE,
+)
+
+# a '/' opens a regex literal ONLY right after a match operator (=~ / !~);
+# anywhere else it is division (map arithmetic)
+_NO_REGEX_RE = re.compile(
+    _TOKEN_RE.pattern.replace("(?P<regex>/(?:\\\\.|[^/\\\\])+/)\n    | ", ""),
+    re.VERBOSE,
+)
+
+_DUR_S = {"w": 604800.0, "d": 86400.0, "h": 3600.0, "m": 60.0, "s": 1.0,
+          "ms": 0.001}
+
+_RFC3339 = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})Z$")
+
+
+def _rfc3339_epoch(s: str) -> float:
+    m = _RFC3339.match(s)
+    if not m:
+        raise FluxError(f"unsupported time literal: {s!r}")
+    import calendar
+    y, mo, d, h, mi, se = (int(g) for g in m.groups())
+    return float(calendar.timegm((y, mo, d, h, mi, se)))
+
+
+@dataclass(frozen=True)
+class _Tok:
+    kind: str
+    text: str
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    out, pos = [], 0
+    while pos < len(text):
+        rx = (_TOKEN_RE if out and out[-1].kind == "op"
+              and out[-1].text in ("=~", "!~") else _NO_REGEX_RE)
+        m = rx.match(text, pos)
+        if not m or m.end() == pos:
+            if text[pos:].strip():
+                raise FluxError(f"bad token at: {text[pos:pos + 24]!r}")
+            break
+        pos = m.end()
+        out.append(_Tok(m.lastgroup, m.group(m.lastgroup)))
+    return out
+
+
+# ------------------------------------------------------------------- AST
+
+@dataclass(frozen=True)
+class FluxCmp:
+    lhs: str      # column name without the r. prefix
+    op: str
+    rhs: object   # float for _value, str for tags / regex pattern
+
+
+@dataclass(frozen=True)
+class FluxBool:
+    op: str       # 'and' | 'or'
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class FluxMap:
+    op: str       # '*' '/' '+' '-'
+    const: float
+    const_left: bool = False   # const ⊙ r._value (for '-' and '/')
+
+
+@dataclass(frozen=True)
+class FluxStage:
+    name: str
+    args: dict
+
+
+@dataclass(frozen=True)
+class FluxPipeline:
+    bucket: str
+    stages: tuple[FluxStage, ...]
+
+
+_R_COLS = {"_measurement", "_field", "_value", "_time",
+           "domain", "entity_id"}
+
+
+class _Parser:
+    def __init__(self, toks: list[_Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise FluxError("unexpected end of pipeline")
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, text: str | None = None) -> _Tok:
+        t = self.next()
+        if t.kind != kind or (text is not None and t.text != text):
+            raise FluxError(f"expected {text or kind}, got {t.text!r}")
+        return t
+
+    # -- values ----------------------------------------------------------
+    def value(self):
+        t = self.next()
+        if t.kind == "string":
+            return ("str", t.text[1:-1])
+        if t.kind == "number":
+            return ("num", float(t.text))
+        if t.kind == "duration":
+            unit = re.sub(r"^\d+", "", t.text)
+            return ("dur", float(t.text[: -len(unit)]) * _DUR_S[unit])
+        if t.kind == "ident" and t.text in ("true", "false"):
+            return ("bool", t.text == "true")
+        if t.kind == "ident":
+            return ("ident", t.text)
+        if t.kind == "punct" and t.text == "[":
+            items, kinds = [], set()
+            while True:
+                v = self.value()
+                if v[0] not in ("str", "num"):
+                    raise FluxError(
+                        "arrays must hold string or number literals")
+                kinds.add(v[0])
+                items.append(v[1])
+                t2 = self.next()
+                if t2.text == "]":
+                    break
+                if t2.text != ",":
+                    raise FluxError(f"bad array separator {t2.text!r}")
+            if len(kinds) > 1:
+                raise FluxError("arrays must be homogeneous")
+            return ("numarray" if kinds == {"num"} else "array", items)
+        if t.kind == "punct" and t.text == "(":
+            # lambda: (r) => …
+            self.expect("ident", "r")
+            self.expect("punct", ")")
+            self.expect("arrow")
+            return ("lambda", self.lambda_body())
+        raise FluxError(f"unsupported value: {t.text!r}")
+
+    # -- lambda bodies -----------------------------------------------------
+    def lambda_body(self):
+        t = self.peek()
+        if t and t.text == "(" and self._is_record_rewrite():
+            return self.map_body()
+        return self.or_expr()
+
+    def _is_record_rewrite(self) -> bool:
+        # "({ r with" lookahead distinguishes map bodies from parenthesized
+        # predicates
+        j = self.i
+        return (
+            j + 2 < len(self.toks)
+            and self.toks[j].text == "("
+            and self.toks[j + 1].text == "{"
+            and self.toks[j + 2].text == "r"
+        )
+
+    def map_body(self) -> FluxMap:
+        self.expect("punct", "(")
+        self.expect("punct", "{")
+        self.expect("ident", "r")
+        self.expect("ident", "with")
+        self.expect("ident", "_value")
+        self.expect("punct", ":")
+        # <operand> op <operand>, exactly one side r._value
+        left = self._map_operand()
+        op = self.next().text
+        if op not in ("*", "/", "+", "-"):
+            raise FluxError(f"unsupported map operator {op!r}")
+        right = self._map_operand()
+        self.expect("punct", "}")
+        self.expect("punct", ")")
+        if left == "_value" and isinstance(right, float):
+            return FluxMap(op, right, const_left=False)
+        if right == "_value" and isinstance(left, float):
+            return FluxMap(op, left, const_left=True)
+        raise FluxError("map must combine r._value with one constant")
+
+    def _map_operand(self):
+        t = self.next()
+        if t.kind == "number":
+            return float(t.text)
+        if t.kind == "ident" and t.text == "r":
+            self.expect("punct", ".")
+            col = self.expect("ident").text
+            if col != "_value":
+                raise FluxError("map may only rewrite from r._value")
+            return "_value"
+        raise FluxError(f"bad map operand {t.text!r}")
+
+    def or_expr(self):
+        parts = [self.and_expr()]
+        while self.peek() and self.peek().text == "or":
+            self.next()
+            parts.append(self.and_expr())
+        return parts[0] if len(parts) == 1 else FluxBool("or", tuple(parts))
+
+    def and_expr(self):
+        parts = [self.cmp()]
+        while self.peek() and self.peek().text == "and":
+            self.next()
+            parts.append(self.cmp())
+        return parts[0] if len(parts) == 1 else FluxBool("and", tuple(parts))
+
+    def cmp(self):
+        t = self.peek()
+        if t and t.text == "(":
+            self.next()
+            inner = self.or_expr()
+            self.expect("punct", ")")
+            return inner
+        col = self._r_column()
+        op = self.next()
+        if op.kind != "op":
+            raise FluxError(f"expected comparison, got {op.text!r}")
+        rhs = self.next()
+        if op.text in ("=~", "!~"):
+            if rhs.kind != "regex":
+                raise FluxError("=~/!~ need a /regex/ literal")
+            return FluxCmp(col, op.text, rhs.text[1:-1])
+        if rhs.kind == "string":
+            return FluxCmp(col, op.text, rhs.text[1:-1])
+        if rhs.kind == "number":
+            if col != "_value":
+                raise FluxError(f"numeric comparison on tag {col!r}")
+            return FluxCmp(col, op.text, float(rhs.text))
+        raise FluxError(f"unsupported comparison operand {rhs.text!r}")
+
+    def _r_column(self) -> str:
+        self.expect("ident", "r")
+        t = self.next()
+        if t.text == ".":
+            col = self.expect("ident").text
+        elif t.text == "[":
+            col = self.expect("string").text[1:-1]
+            self.expect("punct", "]")
+        else:
+            raise FluxError(f"expected r.col or r[\"col\"], got {t.text!r}")
+        if col not in _R_COLS:
+            raise FluxError(f"unknown column r.{col}")
+        return col
+
+    # -- stages ------------------------------------------------------------
+    def call(self) -> FluxStage:
+        name = self.expect("ident").text
+        self.expect("punct", "(")
+        args: dict = {}
+        while self.peek() and self.peek().text != ")":
+            key = self.expect("ident").text
+            self.expect("punct", ":")
+            args[key] = self.value()
+            if self.peek() and self.peek().text == ",":
+                self.next()
+        self.expect("punct", ")")
+        return FluxStage(name, args)
+
+    def pipeline(self) -> FluxPipeline:
+        head = self.call()
+        if head.name != "from" or "bucket" not in head.args:
+            raise FluxError("pipeline must start with from(bucket: …)")
+        if head.args["bucket"][0] != "str":
+            raise FluxError("bucket must be a string literal")
+        stages = []
+        while self.peek() is not None:
+            self.expect("pipe")
+            stages.append(self.call())
+        return FluxPipeline(head.args["bucket"][1], tuple(stages))
+
+
+def parse_flux(text: str) -> FluxPipeline:
+    return _Parser(_tokenize(text)).pipeline()
+
+
+# ---------------------------------------------------------------- compiler
+
+_SERIES_KEY = ("_measurement", "domain", "entity_id", "_field")
+
+_AGG_FNS = {"mean", "sum", "count", "min", "max", "first", "last"}
+
+
+def _flux_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The migrated bucket in Flux's column convention."""
+    return _numeric_points(spark, sf_dir).select(
+        "state_id",
+        F.col("measurement").alias("_measurement"),
+        "domain", "entity_id",
+        F.lit("value").alias("_field"),
+        F.col("ts_epoch").alias("_time"),
+        F.col("value").alias("_value"),
+    )
+
+
+def _arg(args: dict, key: str, kinds: tuple[str, ...], default=None,
+         required: bool = False):
+    if key not in args:
+        if required:
+            raise FluxError(f"missing argument {key}:")
+        return default
+    kind, val = args[key]
+    if kind not in kinds:
+        raise FluxError(f"argument {key}: expects {kinds}, got {kind}")
+    return val
+
+
+class _State:
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self.gkey: tuple[str, ...] = _SERIES_KEY
+        self.sort_cols: tuple[str, ...] = ("_time",)
+        self.sort_desc = False
+        self.range: tuple[float | None, float | None] | None = None
+
+    # ordering inside one table: the declared sort, tie-broken by
+    # state_id when the raw rows are still flowing
+    def order(self):
+        cols = [F.col(c).desc() if self.sort_desc else F.col(c).asc()
+                for c in self.sort_cols]
+        if "state_id" in self.df.columns:
+            cols.append(
+                F.col("state_id").desc() if self.sort_desc
+                else F.col("state_id").asc())
+        return cols
+
+    def win(self) -> Window:
+        part = [c for c in self.gkey if c in self.df.columns]
+        w = Window.partitionBy(*part) if part else Window.partitionBy(
+            F.lit(1))
+        return w.orderBy(*self.order())
+
+    def series_window(self) -> Window:
+        """Ascending (time, state_id) window — for stages whose semantics
+        are pinned to event order regardless of a user sort."""
+        part = [c for c in self.gkey if c in self.df.columns]
+        w = Window.partitionBy(*part) if part else Window.partitionBy(
+            F.lit(1))
+        order = [F.col("_time").asc()]
+        if "state_id" in self.df.columns:
+            order.append(F.col("state_id").asc())
+        return w.orderBy(*order)
+
+    def gcols(self) -> list[str]:
+        return [c for c in self.gkey if c in self.df.columns]
+
+
+def _stage_range(st: _State, args: dict):
+    start = args.get("start")
+    stop = args.get("stop")
+
+    def _as_epoch(v, what):
+        if v is None:
+            return None
+        kind, val = v
+        if kind == "num":
+            return float(val)
+        if kind == "str":
+            return _rfc3339_epoch(val)
+        raise FluxError(f"range {what}: must be epoch seconds or RFC3339")
+
+    lo = _as_epoch(start, "start")
+    hi = _as_epoch(stop, "stop")
+    if lo is None:
+        raise FluxError("range() requires start:")
+    cond = F.col("_time") >= F.lit(lo)
+    if hi is not None:
+        cond = cond & (F.col("_time") < F.lit(hi))
+    st.df = st.df.filter(cond)
+    st.range = (lo, hi)
+
+
+def _pred_col(node) -> F.Column:
+    if isinstance(node, FluxBool):
+        cols = [_pred_col(p) for p in node.parts]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out & c) if node.op == "and" else (out | c)
+        return out
+    assert isinstance(node, FluxCmp)
+    c = F.col(node.lhs)
+    if node.op == "==":
+        return c == F.lit(node.rhs)
+    if node.op == "!=":
+        return c != F.lit(node.rhs)
+    if node.op == "=~":
+        return c.rlike(node.rhs)
+    if node.op == "!~":
+        return ~c.rlike(node.rhs)
+    if node.op == "<":
+        return c < F.lit(node.rhs)
+    if node.op == "<=":
+        return c <= F.lit(node.rhs)
+    if node.op == ">":
+        return c > F.lit(node.rhs)
+    if node.op == ">=":
+        return c >= F.lit(node.rhs)
+    raise FluxError(f"unsupported operator {node.op!r}")
+
+
+def _stage_filter(st: _State, args: dict):
+    body = _arg(args, "fn", ("lambda",), required=True)
+    if isinstance(body, FluxMap):
+        raise FluxError("filter fn must be a predicate")
+    st.df = st.df.filter(_pred_col(body))
+
+
+def _stage_group(st: _State, args: dict):
+    mode = _arg(args, "mode", ("str",), default="by")
+    if mode != "by":
+        raise FluxError("group() supports mode: \"by\" only")
+    cols = _arg(args, "columns", ("array",), default=[])
+    for c in cols:
+        if c not in st.df.columns:
+            raise FluxError(f"group column {c!r} not in stream")
+    st.gkey = tuple(cols)
+
+
+_MICRO = 1_000_000
+
+
+def _agg_exprs(fn: str, order_rank: str, order_rank_desc: str):
+    """Aggregate expression for one bucket/table. ``order_rank`` columns
+    are precomputed row_numbers on the (time, state_id) order."""
+    micro = F.round(F.col("_value") * _MICRO).cast("long")
+    if fn == "mean":
+        return (F.sum(micro) / F.lit(float(_MICRO))) / F.count(F.lit(1))
+    if fn == "sum":
+        return F.sum(micro) / F.lit(float(_MICRO))
+    if fn == "count":
+        return F.count(F.lit(1))
+    if fn == "min":
+        return F.min("_value")
+    if fn == "max":
+        return F.max("_value")
+    if fn == "first":
+        return F.max(F.when(F.col(order_rank) == 1, F.col("_value")))
+    if fn == "last":
+        return F.max(F.when(F.col(order_rank_desc) == 1, F.col("_value")))
+    raise FluxError(f"unsupported aggregate fn: {fn}")
+
+
+def _stage_aggregate_window(st: _State, args: dict):
+    every = _arg(args, "every", ("dur",), required=True)
+    fn = _arg(args, "fn", ("ident",), required=True)
+    create_empty = _arg(args, "createEmpty", ("bool",), default=False)
+    if fn not in _AGG_FNS:
+        raise FluxError(f"aggregateWindow fn must be one of {_AGG_FNS}")
+    every = int(every)
+    if every <= 0:
+        raise FluxError("every: must be a positive duration")
+
+    df = st.df
+    gcols = st.gcols()
+    stop = (F.floor(F.col("_time") / every).cast("long") + 1) * every
+    wb_part = [*gcols, "_wstop"]
+    asc = [F.col("_time").asc()]
+    desc = [F.col("_time").desc()]
+    if "state_id" in df.columns:
+        asc.append(F.col("state_id").asc())
+        desc.append(F.col("state_id").desc())
+    wb = Window.partitionBy(*wb_part).orderBy(*asc)
+    wbd = Window.partitionBy(*wb_part).orderBy(*desc)
+    marked = df.withColumn("_wstop", stop).select(
+        *gcols, "_value", "_wstop",
+        F.row_number().over(wb).alias("_rn_a"),
+        F.row_number().over(wbd).alias("_rn_d"),
+    )
+    buckets = marked.groupBy(*gcols, "_wstop").agg(
+        _agg_exprs(fn, "_rn_a", "_rn_d").alias("_value"))
+
+    if create_empty:
+        if st.range is None or st.range[1] is None:
+            raise FluxError(
+                "createEmpty: true needs an explicit range(start:, stop:)")
+        lo, hi = st.range
+        if lo % every or hi % every:
+            raise FluxError(
+                "createEmpty: true needs range bounds aligned to every: "
+                "(no truncated window subset)")
+        series = df.select(*gcols).distinct() if gcols else \
+            df.select(F.lit(1).alias("_one")).distinct().drop("_one")
+        grid = series.select(
+            *gcols,
+            F.explode(
+                F.sequence(
+                    F.lit(int(lo) + every), F.lit(int(hi)), F.lit(every))
+            ).alias("_wstop_i"),
+        ).select(*gcols, F.col("_wstop_i").cast("long").alias("_wstop"))
+        buckets = grid.join(buckets, [*gcols, "_wstop"], "left")
+        if fn == "count":
+            buckets = buckets.withColumn(
+                "_value", F.coalesce(F.col("_value"), F.lit(0)))
+
+    st.df = buckets.select(
+        *gcols, F.col("_wstop").cast("double").alias("_time"), "_value")
+    st.sort_cols, st.sort_desc = ("_time",), False
+
+
+def _stage_plain_agg(st: _State, fn: str, args: dict):
+    df = st.df
+    gcols = st.gcols()
+    gb = df.groupBy(*gcols) if gcols else df.groupBy()
+
+    if fn in ("first", "last", "min", "max"):
+        # selectors: keep the selected row's _time (Flux keeps the row)
+        tie = ([F.col("state_id").asc()] if "state_id" in df.columns
+               else [])
+        tie_d = ([F.col("state_id").desc()] if "state_id" in df.columns
+                 else [])
+        if fn == "first":
+            order = [F.col("_time").asc(), *tie]
+        elif fn == "last":
+            order = [F.col("_time").desc(), *tie_d]
+        elif fn == "min":
+            order = [F.col("_value").asc(), F.col("_time").asc(), *tie]
+        else:
+            order = [F.col("_value").desc(), F.col("_time").asc(), *tie]
+        part = gcols if gcols else [F.lit(1)]
+        w = Window.partitionBy(*part).orderBy(*order)
+        st.df = (df.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1)
+                 .select(*gcols, "_time", "_value"))
+        return
+
+    micro = F.round(F.col("_value") * _MICRO).cast("long")
+    milli = F.round(F.col("_value") * 1e3).cast("long")
+    if fn == "mean":
+        expr = (F.sum(micro) / F.lit(float(_MICRO))) / F.count(F.lit(1))
+    elif fn == "sum":
+        expr = F.sum(micro) / F.lit(float(_MICRO))
+    elif fn == "count":
+        expr = F.count(F.lit(1))
+    elif fn == "spread":
+        expr = F.max("_value") - F.min("_value")
+    elif fn == "stddev":
+        n = F.count(F.lit(1))
+        expr = F.when(
+            n > 1,
+            F.sqrt(
+                (n * F.sum(F.col("_m") * F.col("_m"))
+                 - F.sum("_m") * F.sum("_m")).cast("double")
+                / (n * (n - 1)).cast("double")
+            ) / F.lit(1e3),
+        )
+        df = df.withColumn("_m", milli)
+        gb = df.groupBy(*gcols) if gcols else df.groupBy()
+    elif fn == "median":
+        part = gcols if gcols else [F.lit(1)]
+        vorder = ["_value"] + (["state_id"] if "state_id" in df.columns
+                               else [])
+        wv = Window.partitionBy(*part).orderBy(*vorder)
+        nw = F.count(F.lit(1)).over(Window.partitionBy(*part))
+        ranked = df.select(
+            *gcols, "_value",
+            F.row_number().over(wv).alias("_rn"),
+            F.floor((nw + 1) / 2).cast("long").alias("_lo"),
+            (F.floor(nw / 2) + 1).cast("long").alias("_hi"),
+        )
+        gb2 = ranked.groupBy(*gcols) if gcols else ranked.groupBy()
+        st.df = gb2.agg(
+            ((F.max(F.when(F.col("_rn") == F.col("_lo"), F.col("_value")))
+              + F.max(F.when(F.col("_rn") == F.col("_hi"),
+                             F.col("_value"))))
+             / F.lit(2.0)).alias("_value"))
+        return
+    else:
+        raise FluxError(f"unsupported aggregate: {fn}")
+    st.df = gb.agg(expr.alias("_value"))
+
+
+def _stage_quantile(st: _State, args: dict):
+    q = _arg(args, "q", ("num",), required=True)
+    method = _arg(args, "method", ("str",), default="exact_selected")
+    if method != "exact_selected":
+        raise FluxError("quantile supports method: \"exact_selected\" only")
+    if not 0 < q <= 1:
+        raise FluxError("q: must be in (0, 1]")
+    gcols = st.gcols()
+    part = gcols if gcols else [F.lit(1)]
+    vorder = ["_value"] + (["state_id"] if "state_id" in st.df.columns
+                           else [])
+    wv = Window.partitionBy(*part).orderBy(*vorder)
+    n = F.count(F.lit(1)).over(Window.partitionBy(*part))
+    ranked = st.df.select(
+        *gcols, "_value",
+        F.row_number().over(wv).alias("_rn"),
+        F.greatest(F.lit(1), F.ceil(n * F.lit(q))).alias("_target"),
+    )
+    st.df = (ranked.filter(F.col("_rn") == F.col("_target"))
+             .select(*gcols, "_value"))
+
+
+def _stage_derivative(st: _State, args: dict):
+    unit = _arg(args, "unit", ("dur",), default=1.0)
+    nonneg = _arg(args, "nonNegative", ("bool",), default=False)
+    w = st.series_window()
+    dv = F.col("_value") - F.lag("_value").over(w)
+    dt = F.col("_time") - F.lag("_time").over(w)
+    rate = F.when(dt != 0, dv / dt * F.lit(float(unit)))
+    if nonneg:
+        rate = F.when(rate >= 0, rate)
+    st.df = (st.df.withColumn("_d", rate)
+             .withColumn("_dt", dt)
+             .filter(F.col("_dt").isNotNull())
+             .drop("_value", "_dt")
+             .withColumnRenamed("_d", "_value"))
+
+
+def _stage_difference(st: _State, args: dict):
+    w = st.series_window()
+    d = F.col("_value") - F.lag("_value").over(w)
+    st.df = (st.df.withColumn("_d", d)
+             .filter(F.col("_d").isNotNull())
+             .drop("_value")
+             .withColumnRenamed("_d", "_value"))
+
+
+def _stage_cumulative_sum(st: _State, args: dict):
+    w = st.series_window().rowsBetween(Window.unboundedPreceding, 0)
+    micro = F.round(F.col("_value") * _MICRO).cast("long")
+    st.df = st.df.withColumn(
+        "_value", F.sum(micro).over(w) / F.lit(float(_MICRO)))
+
+
+def _stage_increase(st: _State, args: dict):
+    """Flux ``increase()``: running total of per-point increases with the
+    counter-reset rule — a decrease contributes the NEW value (counter
+    restarted from zero), not 0. Row 1 of each table emits 0. Micro-
+    quantized BIGINT running sum for cross-engine exactness."""
+    w = st.series_window()
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    micro = F.round(F.col("_value") * _MICRO).cast("long")
+    prev = F.lag(micro).over(w)
+    inc = F.when(prev.isNull(), F.lit(0)).otherwise(
+        F.when(micro - prev >= 0, micro - prev).otherwise(micro))
+    st.df = st.df.withColumn(
+        "_value", F.sum(inc).over(wrun) / F.lit(float(_MICRO)))
+
+
+def _stage_moving_average(st: _State, args: dict):
+    n = _arg(args, "n", ("num",), required=True)
+    n = int(n)
+    if not 2 <= n <= 8:
+        raise FluxError("movingAverage supports n in [2, 8]")
+    w = st.series_window()
+    # fixed left-to-right association so both engines produce
+    # bit-identical doubles (see q_influx_moving_average)
+    acc = F.lag("_value", n - 1).over(w)
+    for k in range(n - 2, 0, -1):
+        acc = acc + F.lag("_value", k).over(w)
+    acc = (acc + F.col("_value")) / F.lit(float(n))
+    st.df = (st.df.withColumn("_ma", acc)
+             .filter(F.col("_ma").isNotNull())
+             .drop("_value")
+             .withColumnRenamed("_ma", "_value"))
+
+
+def _stage_elapsed(st: _State, args: dict):
+    unit = _arg(args, "unit", ("dur",), default=1.0)
+    w = st.series_window()
+    dt = (F.col("_time") - F.lag("_time").over(w)) / F.lit(float(unit))
+    st.df = (st.df.withColumn("elapsed", dt)
+             .filter(F.col("elapsed").isNotNull()))
+
+
+def _stage_time_shift(st: _State, args: dict):
+    d = _arg(args, "duration", ("dur", "num"), required=True)
+    st.df = st.df.withColumn("_time", F.col("_time") + F.lit(float(d)))
+
+
+def _stage_sort(st: _State, args: dict):
+    cols = _arg(args, "columns", ("array",), default=["_time"])
+    for c in cols:
+        if c not in st.df.columns:
+            raise FluxError(f"sort column {c!r} not in stream")
+    st.sort_cols = tuple(cols)
+    st.sort_desc = bool(_arg(args, "desc", ("bool",), default=False))
+
+
+def _stage_limit(st: _State, args: dict, tail: bool = False):
+    n = _arg(args, "n", ("num",), required=True)
+    n = int(n)
+    if n <= 0:
+        raise FluxError("limit/tail n: must be positive")
+    part = [c for c in st.gkey if c in st.df.columns]
+    wp = Window.partitionBy(*part) if part else Window.partitionBy(F.lit(1))
+    # tail = last n under the current sort = first n under its reverse
+    desc = st.sort_desc != tail
+    order = [F.col(c).desc() if desc else F.col(c).asc()
+             for c in st.sort_cols]
+    if "state_id" in st.df.columns:
+        order.append(F.col("state_id").desc() if desc
+                     else F.col("state_id").asc())
+    st.df = (st.df.withColumn(
+                 "_rn_lim", F.row_number().over(wp.orderBy(*order)))
+             .filter(F.col("_rn_lim") <= n)
+             .drop("_rn_lim"))
+
+
+def _stage_fill(st: _State, args: dict):
+    if "value" in args:
+        v = _arg(args, "value", ("num",))
+        st.df = st.df.withColumn(
+            "_value", F.coalesce(F.col("_value"), F.lit(float(v))))
+        return
+    if _arg(args, "usePrevious", ("bool",), default=False):
+        w = st.series_window().rowsBetween(Window.unboundedPreceding, 0)
+        st.df = st.df.withColumn(
+            "_value", F.last("_value", ignorenulls=True).over(w))
+        return
+    raise FluxError("fill() needs value: or usePrevious: true")
+
+
+def _stage_histogram(st: _State, args: dict):
+    """Flux ``histogram(bins: […])``: per table, CUMULATIVE counts of
+    ``_value ≤ le`` for each bin upper bound — the Prometheus-style
+    le-bin shape Grafana heatmaps/SLO panels consume. Values above the
+    top bin are counted in no bin (Flux's behavior with finite bins);
+    counts emit as doubles (Flux's float counts). Plan: one when-chain
+    bin assignment (codegen, no explode of rows×bins), a (series, bin)
+    partial agg, the tiny bins×series grid left-joins back, and the
+    cumulative sum rides the per-table window — the createEmpty grid
+    pattern re-used."""
+    bins = _arg(args, "bins", ("numarray",), required=True)
+    if len(bins) < 2 or len(bins) > 64:
+        raise FluxError("histogram needs 2..64 bins")
+    if sorted(bins) != list(bins):
+        raise FluxError("histogram bins must be ascending")
+    gcols = st.gcols()
+    df = st.df
+    # first bin whose upper bound covers the value
+    expr = None
+    for i, b in enumerate(bins):
+        cond = F.col("_value") <= F.lit(float(b))
+        expr = F.when(cond, F.lit(i)) if expr is None else \
+            expr.when(cond, F.lit(i))
+    counts = (df.withColumn("_bin", expr)
+              .filter(F.col("_bin").isNotNull())
+              .groupBy(*gcols, "_bin")
+              .agg(F.count(F.lit(1)).alias("_c")))
+    series = df.select(*gcols).distinct() if gcols else \
+        counts.select(F.lit(1).alias("_one")).distinct().drop("_one")
+    grid = series.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(len(bins))]))
+        .alias("_bin"))
+    joined = grid.join(counts, [*gcols, "_bin"], "left")
+    part = gcols if gcols else [F.lit(1)]
+    wcum = (Window.partitionBy(*part).orderBy("_bin")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    le_expr = None
+    for i, b in enumerate(bins):
+        le_expr = F.when(F.col("_bin") == i, F.lit(float(b))) \
+            if le_expr is None else \
+            le_expr.when(F.col("_bin") == i, F.lit(float(b)))
+    st.df = joined.select(
+        *gcols,
+        le_expr.alias("le"),
+        F.sum(F.coalesce(F.col("_c"), F.lit(0))).over(wcum)
+         .cast("double").alias("_value"),
+    )
+    st.sort_cols, st.sort_desc = ("le",), False
+
+
+def _stage_histogram_quantile(st: _State, args: dict):
+    """Flux ``histogramQuantile(quantile: q)``: linear interpolation
+    inside the bracket bin of a cumulative le-histogram (Prometheus's
+    formula, minValue = 0 for the first bin). The bracket row is the
+    unique bin with prev_cum < q·total ≤ cum; the interpolation is one
+    row-local double expression with pinned association."""
+    q = _arg(args, "quantile", ("num",), required=True)
+    if not 0 < q <= 1:
+        raise FluxError("quantile: must be in (0, 1]")
+    df = st.df
+    if "le" not in df.columns:
+        raise FluxError("histogramQuantile needs histogram() output (le)")
+    gcols = [c for c in st.gcols() if c != "le"]
+    part = gcols if gcols else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy("le")
+    wall = Window.partitionBy(*part)
+    marked = df.select(
+        *gcols, "le", "_value",
+        F.coalesce(F.lag("_value").over(w), F.lit(0.0)).alias("_pcum"),
+        F.coalesce(F.lag("le").over(w), F.lit(0.0)).alias("_ple"),
+        (F.max("_value").over(wall) * F.lit(float(q))).alias("_rank"),
+    )
+    interp = (
+        F.col("_ple")
+        + (F.col("le") - F.col("_ple"))
+        * ((F.col("_rank") - F.col("_pcum"))
+           / (F.col("_value") - F.col("_pcum")))
+    )
+    st.df = (marked.filter((F.col("_pcum") < F.col("_rank"))
+                           & (F.col("_rank") <= F.col("_value")))
+             .select(*gcols, interp.alias("_value")))
+
+
+def _stage_map(st: _State, args: dict):
+    body = _arg(args, "fn", ("lambda",), required=True)
+    if not isinstance(body, FluxMap):
+        raise FluxError("map fn must be ({ r with _value: … })")
+    v, k = F.col("_value"), F.lit(body.const)
+    a, b = (k, v) if body.const_left else (v, k)
+    expr = {"*": a * b, "/": a / b, "+": a + b, "-": a - b}[body.op]
+    st.df = st.df.withColumn("_value", expr)
+
+
+def _stage_keep(st: _State, args: dict, drop: bool = False):
+    cols = _arg(args, "columns", ("array",), required=True)
+    if drop:
+        keep = [c for c in st.df.columns if c not in cols]
+    else:
+        missing = [c for c in cols if c not in st.df.columns]
+        if missing:
+            raise FluxError(f"keep columns not in stream: {missing}")
+        keep = [c for c in st.df.columns if c in cols]
+    st.df = st.df.select(*keep)
+    st.gkey = tuple(c for c in st.gkey if c in keep)
+    st.sort_cols = tuple(c for c in st.sort_cols if c in keep) or ()
+
+
+def compile_flux(text: str):
+    """Compile a Flux pipeline string to a (spark, sf_dir) -> DataFrame
+    callable running on the migrated point relation."""
+    pipe = parse_flux(text)
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        st = _State(_flux_points(spark, sf_dir))
+        for stage in pipe.stages:
+            nm, a = stage.name, stage.args
+            if nm == "range":
+                _stage_range(st, a)
+            elif nm == "filter":
+                _stage_filter(st, a)
+            elif nm == "group":
+                _stage_group(st, a)
+            elif nm == "aggregateWindow":
+                _stage_aggregate_window(st, a)
+            elif nm in ("mean", "sum", "count", "min", "max", "first",
+                        "last", "spread", "stddev", "median"):
+                if a:
+                    raise FluxError(f"{nm}() takes no arguments here")
+                _stage_plain_agg(st, nm, a)
+            elif nm == "quantile":
+                _stage_quantile(st, a)
+            elif nm == "histogram":
+                _stage_histogram(st, a)
+            elif nm == "histogramQuantile":
+                _stage_histogram_quantile(st, a)
+            elif nm == "derivative":
+                _stage_derivative(st, a)
+            elif nm == "difference":
+                _stage_difference(st, a)
+            elif nm == "cumulativeSum":
+                _stage_cumulative_sum(st, a)
+            elif nm == "increase":
+                _stage_increase(st, a)
+            elif nm == "movingAverage":
+                _stage_moving_average(st, a)
+            elif nm == "elapsed":
+                _stage_elapsed(st, a)
+            elif nm == "timeShift":
+                _stage_time_shift(st, a)
+            elif nm == "sort":
+                _stage_sort(st, a)
+            elif nm == "limit":
+                _stage_limit(st, a)
+            elif nm == "tail":
+                _stage_limit(st, a, tail=True)
+            elif nm == "fill":
+                _stage_fill(st, a)
+            elif nm == "map":
+                _stage_map(st, a)
+            elif nm == "keep":
+                _stage_keep(st, a)
+            elif nm == "drop":
+                _stage_keep(st, a, drop=True)
+            elif nm == "yield":
+                pass
+            else:
+                raise FluxError(f"unsupported stage: {nm}()")
+        # state_id is an engine-internal tie-break column, not part of
+        # Flux's row schema — never emit it
+        return st.df.drop("state_id")
+
+    return run
+
+
+# ------------------------------------------------------------- registry
+
+_BUCKET = "home_assistant"
+
+# 2024-01-01T00:00:00Z .. 2024-01-31T00:00:00Z — covers the fixture span,
+# multiples of every createEmpty window used below
+_T0, _T1 = 1704067200, 1706659200
+
+FLUX_TEXTS = {
+    # the reference's own probe (sqllite2influxdb.py:57-63) with a
+    # measurement present in the fixture: per Flux table semantics the
+    # un-grouped stream is one table PER SERIES, so limit(n:1) returns
+    # each series' oldest point
+    "flux_oldest_point": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r["_measurement"] == "W")
+  |> sort(columns: ["_time"], desc: false)
+  |> limit(n: 1)
+''',
+    # the reference then reads result[0].records[0] — the global-oldest
+    # intent, modeled faithfully with an explicit group() merge
+    "flux_oldest_global": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r["_measurement"] == "W")
+  |> group()
+  |> sort(columns: ["_time"], desc: false)
+  |> limit(n: 1)
+''',
+    "flux_downsample_mean": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: {_T0}, stop: {_T1})
+  |> filter(fn: (r) => r._measurement == "%")
+  |> aggregateWindow(every: 1h, fn: mean, createEmpty: false)
+''',
+    "flux_window_fill_prev": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: "2024-01-01T00:00:00Z", stop: "2024-01-31T00:00:00Z")
+  |> filter(fn: (r) => r._measurement == "W" and r.domain == "sensor")
+  |> aggregateWindow(every: 6h, fn: mean, createEmpty: true)
+  |> fill(usePrevious: true)
+''',
+    "flux_increase": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement == "W" and r.domain == "sensor")
+  |> increase()
+''',
+    "flux_derivative_nn": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement == "%")
+  |> derivative(unit: 1s, nonNegative: true)
+''',
+    "flux_group_domain_mean": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._value >= 0)
+  |> group(columns: ["_measurement", "domain"])
+  |> mean()
+''',
+    "flux_map_scale_mean": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement == "W")
+  |> map(fn: (r) => ({{ r with _value: r._value * 0.001 }}))
+  |> mean()
+''',
+    "flux_quantile": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement == "%")
+  |> quantile(q: 0.9, method: "exact_selected")
+''',
+    "flux_last_per_series": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement =~ /^(W|%)$/)
+  |> last()
+''',
+    "flux_histogram": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement == "%")
+  |> histogram(bins: [0, 20, 40, 60, 80, 100])
+''',
+    "flux_histogram_quantile": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement == "%")
+  |> histogram(bins: [0, 20, 40, 60, 80, 100])
+  |> histogramQuantile(quantile: 0.95)
+''',
+}
+
+
+def _q(name: str):
+    def run(spark: SparkSession, sf_dir: str, _n=name) -> DataFrame:
+        return compile_flux(FLUX_TEXTS[_n])(spark, sf_dir)
+    run.__name__ = f"q_{name}"
+    run.__doc__ = (
+        f"Flux text surface: compiles and runs::\n{FLUX_TEXTS[name]}\n"
+        "See module docstring for grammar/semantics; reference probe "
+        "query at sqllite2influxdb.py:57-63."
+    )
+    return run
+
+
+QUERIES = {name: _q(name) for name in FLUX_TEXTS}
+
+_SKEY = "measurement AS _measurement, domain, entity_id, 'value' AS _field"
+_SPART = "measurement, domain, entity_id"
+
+ORACLES = {
+    "flux_oldest_point": f"""{_ORACLE_NUM},
+r AS (
+  SELECT {_SKEY}, ts_epoch AS _time, value AS _value,
+    row_number() OVER (PARTITION BY {_SPART}
+                       ORDER BY ts_epoch, state_id) AS rn
+  FROM num WHERE measurement = 'W'
+)
+SELECT _measurement, domain, entity_id, _field, _time, _value
+FROM r WHERE rn = 1
+""",
+    "flux_oldest_global": f"""{_ORACLE_NUM}
+SELECT {_SKEY}, ts_epoch AS _time, value AS _value
+FROM num WHERE measurement = 'W'
+ORDER BY ts_epoch, state_id LIMIT 1
+""",
+    "flux_downsample_mean": f"""{_ORACLE_NUM}
+SELECT {_SKEY},
+  CAST((floor(ts_epoch / 3600) + 1) * 3600 AS DOUBLE) AS _time,
+  (sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6) / count(*) AS _value
+FROM num
+WHERE measurement = '%' AND ts_epoch >= {_T0} AND ts_epoch < {_T1}
+GROUP BY measurement, domain, entity_id, floor(ts_epoch / 3600)
+""",
+    "flux_window_fill_prev": f"""{_ORACLE_NUM},
+pts2 AS (
+  SELECT * FROM num
+  WHERE measurement = 'W' AND domain = 'sensor'
+    AND ts_epoch >= {_T0} AND ts_epoch < {_T1}
+),
+buckets AS (
+  SELECT measurement, domain, entity_id,
+    CAST((floor(ts_epoch / 21600) + 1) * 21600 AS BIGINT) AS wstop,
+    (sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6) / count(*) AS mv
+  FROM pts2 GROUP BY 1, 2, 3, 4
+),
+grid AS (
+  SELECT s.measurement, s.domain, s.entity_id, g.wstop
+  FROM (SELECT DISTINCT measurement, domain, entity_id FROM pts2) s
+  CROSS JOIN (SELECT unnest(generate_series({_T0} + 21600, {_T1}, 21600))
+              AS wstop) g
+),
+joined2 AS (
+  SELECT g.measurement, g.domain, g.entity_id, g.wstop, b.mv
+  FROM grid g LEFT JOIN buckets b USING (measurement, domain, entity_id,
+                                         wstop)
+)
+SELECT measurement AS _measurement, domain, entity_id,
+  'value' AS _field, CAST(wstop AS DOUBLE) AS _time,
+  last_value(mv IGNORE NULLS) OVER (
+    PARTITION BY measurement, domain, entity_id ORDER BY wstop
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _value
+FROM joined2
+""",
+    "flux_increase": f"""{_ORACLE_NUM},
+m AS (
+  SELECT state_id, {_SKEY}, ts_epoch AS _time,
+    CAST(round(value * 1e6) AS BIGINT) AS micro
+  FROM num WHERE measurement = 'W' AND domain = 'sensor'
+),
+inc AS (
+  SELECT state_id, _measurement, domain, entity_id, _field, _time,
+    CASE WHEN lag(micro) OVER w IS NULL THEN 0
+         WHEN micro - lag(micro) OVER w >= 0 THEN micro - lag(micro) OVER w
+         ELSE micro END AS step
+  FROM m WINDOW w AS (PARTITION BY _measurement, domain, entity_id
+                      ORDER BY _time, state_id)
+)
+SELECT _measurement, domain, entity_id, _field, _time,
+  CAST(sum(step) OVER (PARTITION BY _measurement, domain, entity_id
+                       ORDER BY _time, state_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) / 1e6 AS _value
+FROM inc
+""",
+    "flux_derivative_nn": f"""{_ORACLE_NUM},
+lagged AS (
+  SELECT state_id, {_SKEY}, ts_epoch AS _time,
+    value - lag(value) OVER w AS dv,
+    ts_epoch - lag(ts_epoch) OVER w AS dt
+  FROM num WHERE measurement = '%'
+  WINDOW w AS (PARTITION BY {_SPART} ORDER BY ts_epoch, state_id)
+)
+SELECT _measurement, domain, entity_id, _field, _time,
+  CASE WHEN dt <> 0 AND dv / dt * 1.0 >= 0 THEN dv / dt * 1.0 END AS _value
+FROM lagged WHERE dt IS NOT NULL
+""",
+    "flux_group_domain_mean": f"""{_ORACLE_NUM}
+SELECT measurement AS _measurement, domain,
+  (sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6) / count(*) AS _value
+FROM num WHERE value >= 0
+GROUP BY measurement, domain
+""",
+    "flux_map_scale_mean": f"""{_ORACLE_NUM}
+SELECT {_SKEY},
+  (sum(CAST(round(value * 0.001 * 1e6) AS BIGINT)) / 1e6) / count(*)
+    AS _value
+FROM num WHERE measurement = 'W'
+GROUP BY measurement, domain, entity_id
+""",
+    "flux_quantile": f"""{_ORACLE_NUM},
+r AS (
+  SELECT {_SKEY}, value AS _value,
+    row_number() OVER (PARTITION BY {_SPART}
+                       ORDER BY value, state_id) AS rn,
+    greatest(1, CAST(ceil(count(*) OVER (PARTITION BY {_SPART}) * 0.9)
+                     AS BIGINT)) AS target
+  FROM num WHERE measurement = '%'
+)
+SELECT _measurement, domain, entity_id, _field, _value
+FROM r WHERE rn = target
+""",
+    "flux_last_per_series": f"""{_ORACLE_NUM},
+r AS (
+  SELECT {_SKEY}, ts_epoch AS _time, value AS _value,
+    row_number() OVER (PARTITION BY {_SPART}
+                       ORDER BY ts_epoch DESC, state_id DESC) AS rn
+  FROM num WHERE regexp_matches(measurement, '^(W|%)$')
+)
+SELECT _measurement, domain, entity_id, _field, _time, _value
+FROM r WHERE rn = 1
+""",
+    # cumulative count per le bin: the quadratic pts×bins formulation is
+    # fine as an ORACLE (sf0.01); the Spark plan is the linear
+    # when-chain + grid join
+    "flux_histogram": f"""{_ORACLE_NUM},
+bins AS (SELECT unnest([0.0, 20.0, 40.0, 60.0, 80.0, 100.0]) AS le),
+series AS (
+  SELECT DISTINCT {_SKEY} FROM num WHERE measurement = '%'
+)
+SELECT s._measurement, s.domain, s.entity_id, s._field,
+  CAST(b.le AS DOUBLE) AS le,
+  CAST((SELECT count(*) FROM num n
+        WHERE n.measurement = s._measurement AND n.domain = s.domain
+          AND n.entity_id = s.entity_id AND n.value <= b.le)
+       AS DOUBLE) AS _value
+FROM series s CROSS JOIN bins b
+""",
+    "flux_histogram_quantile": f"""{_ORACLE_NUM},
+bins AS (SELECT unnest([0.0, 20.0, 40.0, 60.0, 80.0, 100.0]) AS le),
+series AS (
+  SELECT DISTINCT {_SKEY} FROM num WHERE measurement = '%'
+),
+hist AS (
+  SELECT s._measurement, s.domain, s.entity_id, s._field, b.le,
+    CAST((SELECT count(*) FROM num n
+          WHERE n.measurement = s._measurement AND n.domain = s.domain
+            AND n.entity_id = s.entity_id AND n.value <= b.le)
+         AS DOUBLE) AS cum
+  FROM series s CROSS JOIN bins b
+),
+marked AS (
+  SELECT *, coalesce(lag(cum) OVER w, 0.0) AS pcum,
+         coalesce(lag(le) OVER w, 0.0) AS ple,
+         max(cum) OVER (PARTITION BY _measurement, domain, entity_id)
+           * 0.95 AS rnk
+  FROM hist
+  WINDOW w AS (PARTITION BY _measurement, domain, entity_id ORDER BY le)
+)
+SELECT _measurement, domain, entity_id, _field,
+  ple + (le - ple) * ((rnk - pcum) / (cum - pcum)) AS _value
+FROM marked WHERE pcum < rnk AND rnk <= cum
+""",
+}

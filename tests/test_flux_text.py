@@ -1,0 +1,254 @@
+"""Flux text surface: parser unit tests, grammar rejection tests, and
+compile-semantics pins on the fixture relation. (Registry-level DuckDB
+oracle parity for the ten flux_* entries runs in test_oracle_parity.py
+like every other entry.) The reference's own probe query shape
+(sqllite2influxdb.py:57-63) is the acceptance flagship here.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ha_sqllite_2_influxdb_spark.plans.flux_text import (
+    FluxBool,
+    FluxCmp,
+    FluxError,
+    FluxMap,
+    compile_flux,
+    parse_flux,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ parser
+
+def test_parse_reference_probe_query_verbatim_shape():
+    """The reference's one Flux query (sqllite2influxdb.py:57-63), with
+    only the bucket/measurement names swapped for fixture values."""
+    pipe = parse_flux('''
+        from(bucket: "home_assistant")
+          |> range(start: 0)
+          |> filter(fn: (r) => r["_measurement"] == "units")
+          |> sort(columns: ["_time"], desc: false)
+          |> limit(n: 1)
+    ''')
+    assert pipe.bucket == "home_assistant"
+    assert [s.name for s in pipe.stages] == [
+        "range", "filter", "sort", "limit"]
+    body = pipe.stages[1].args["fn"][1]
+    assert body == FluxCmp("_measurement", "==", "units")
+    assert pipe.stages[3].args["n"] == ("num", 1.0)
+
+
+def test_parse_predicates_and_durations():
+    pipe = parse_flux('''
+        from(bucket: "b")
+          |> range(start: "2024-01-01T00:00:00Z", stop: 1706659200)
+          |> filter(fn: (r) => (r.domain == "sensor" or r.domain == "light")
+                               and r._value >= 1.5)
+          |> aggregateWindow(every: 6h, fn: mean, createEmpty: true)
+    ''')
+    rng = pipe.stages[0].args
+    assert rng["start"] == ("str", "2024-01-01T00:00:00Z")
+    body = pipe.stages[1].args["fn"][1]
+    assert isinstance(body, FluxBool) and body.op == "and"
+    assert isinstance(body.parts[0], FluxBool) and body.parts[0].op == "or"
+    assert body.parts[1] == FluxCmp("_value", ">=", 1.5)
+    assert pipe.stages[2].args["every"] == ("dur", 21600.0)
+
+
+def test_parse_map_and_regex():
+    pipe = parse_flux('''
+        from(bucket: "b")
+          |> filter(fn: (r) => r.entity_id =~ /temp_[0-9]+/)
+          |> map(fn: (r) => ({ r with _value: r._value / 1000 }))
+    ''')
+    assert pipe.stages[0].args["fn"][1] == FluxCmp(
+        "entity_id", "=~", "temp_[0-9]+")
+    assert pipe.stages[1].args["fn"][1] == FluxMap("/", 1000.0, False)
+    # constant on the left keeps orientation
+    pipe2 = parse_flux('''
+        from(bucket: "b")
+          |> map(fn: (r) => ({ r with _value: 100 - r._value }))
+    ''')
+    assert pipe2.stages[0].args["fn"][1] == FluxMap("-", 100.0, True)
+
+
+@pytest.mark.parametrize("bad", [
+    'range(start: 0)',                                   # no from()
+    'from(bucket: "b") |> explode()',                    # unknown stage
+    'from(bucket: "b") |> range(stop: 5)',               # missing start
+    'from(bucket: "b") |> filter(fn: (r) => r.unknown == "x")',
+    'from(bucket: "b") |> filter(fn: (r) => r.domain > 3)',  # num on tag
+    'from(bucket: "b") |> quantile(q: 0.5, method: "estimate_tdigest")',
+    'from(bucket: "b") |> aggregateWindow(every: 1h, fn: spread)',
+    'from(bucket: "b") |> group(columns: ["nope"])',
+    'from(bucket: "b") |> movingAverage(n: 100)',
+    'from(bucket: "b") |> mean(column: "_value")',       # args on agg
+    'from(bucket: "b") |> map(fn: (r) => ({ r with _time: 0 }))',
+    'from(bucket: "b") |> fill()',
+    'from(bucket: "b") |> range(start: "Jan 1 2024")',
+])
+def test_grammar_rejection(bad, spark):
+    # parse errors surface at compile time, stage/argument errors when
+    # the pipeline is bound to a relation — both must be FluxError, never
+    # a silent mis-execution
+    with pytest.raises(FluxError):
+        compile_flux(bad)(spark, SF)
+
+
+def test_create_empty_requires_aligned_range(spark):
+    # no stop:
+    with pytest.raises(FluxError, match="explicit range"):
+        compile_flux('''
+            from(bucket: "b") |> range(start: 0)
+              |> aggregateWindow(every: 1h, fn: mean, createEmpty: true)
+        ''')(spark, SF)
+    # misaligned stop:
+    with pytest.raises(FluxError, match="aligned"):
+        compile_flux('''
+            from(bucket: "b") |> range(start: 0, stop: 5401)
+              |> aggregateWindow(every: 1h, fn: mean, createEmpty: true)
+        ''')(spark, SF)
+
+
+# --------------------------------------------------------------- semantics
+
+def test_range_start_inclusive_stop_exclusive(spark):
+    lo, hi = compile_flux('''
+        from(bucket: "b") |> range(start: 0) |> group()
+          |> sort(columns: ["_time"]) |> limit(n: 1)
+    ''')(spark, SF).select("_time").collect(), None
+    t0 = lo[0]["_time"]
+    # a range starting exactly at t0 keeps the point; stopping at t0
+    # excludes it
+    keep = compile_flux(f'''
+        from(bucket: "b") |> range(start: {t0}) |> group() |> count()
+    ''')(spark, SF).collect()[0]["_value"]
+    cut = compile_flux(f'''
+        from(bucket: "b") |> range(start: 0, stop: {t0}) |> group()
+          |> count()
+    ''')(spark, SF).collect()
+    assert keep > 0
+    assert cut[0]["_value"] == 0
+
+
+def test_increase_counter_reset_rule(spark):
+    """Flux increase(): a decrease contributes the NEW value (counter
+    restart), not zero — pinned on a hand-built frame."""
+    from ha_sqllite_2_influxdb_spark.plans import flux_text as fx
+
+    df = spark.createDataFrame(
+        [(i, "m", "d", "e", "value", float(i), v)
+         for i, v in enumerate([10.0, 12.0, 3.0, 5.0])],
+        "state_id long, _measurement string, domain string, "
+        "entity_id string, _field string, _time double, _value double")
+    st = fx._State(df)
+    fx._stage_increase(st, {})
+    vals = [r["_value"] for r in
+            st.df.orderBy("_time").select("_value").collect()]
+    # 0, +2, reset→+3 (new value), +2
+    assert vals == [0.0, 2.0, 5.0, 7.0]
+
+
+def test_limit_is_per_table_and_group_merges(spark):
+    """Default grouping = one table per series, so limit(n:1) returns one
+    row per series; group() merges into a single table first."""
+    per_series = compile_flux('''
+        from(bucket: "b") |> range(start: 0)
+          |> filter(fn: (r) => r._measurement == "W")
+          |> sort(columns: ["_time"], desc: false) |> limit(n: 1)
+    ''')(spark, SF)
+    n_series = (per_series.select("domain", "entity_id").distinct().count())
+    assert per_series.count() == n_series > 1
+    merged = compile_flux('''
+        from(bucket: "b") |> range(start: 0)
+          |> filter(fn: (r) => r._measurement == "W")
+          |> group() |> sort(columns: ["_time"], desc: false)
+          |> limit(n: 1)
+    ''')(spark, SF)
+    assert merged.count() == 1
+
+
+def test_aggregate_window_time_is_window_stop(spark):
+    rows = compile_flux('''
+        from(bucket: "b") |> range(start: 0)
+          |> aggregateWindow(every: 1h, fn: count)
+    ''')(spark, SF).select("_time").collect()
+    assert rows and all(r["_time"] % 3600 == 0 for r in rows)
+
+
+def test_selector_keeps_time_aggregate_drops_it(spark):
+    last = compile_flux('''
+        from(bucket: "b") |> range(start: 0) |> last()
+    ''')(spark, SF)
+    assert "_time" in last.columns
+    mean = compile_flux('''
+        from(bucket: "b") |> range(start: 0) |> mean()
+    ''')(spark, SF)
+    assert "_time" not in mean.columns and "_value" in mean.columns
+
+
+def test_tail_returns_last_n_of_sort(spark):
+    df = compile_flux('''
+        from(bucket: "b") |> range(start: 0)
+          |> filter(fn: (r) => r._measurement == "W")
+          |> group() |> sort(columns: ["_time"]) |> tail(n: 3)
+    ''')(spark, SF)
+    got = sorted(r["_time"] for r in df.select("_time").collect())
+    all_ts = compile_flux('''
+        from(bucket: "b") |> range(start: 0)
+          |> filter(fn: (r) => r._measurement == "W") |> group()
+    ''')(spark, SF).select("_time").collect()
+    assert got == sorted(r["_time"] for r in all_ts)[-3:]
+
+
+def test_internal_state_id_never_leaks(spark):
+    for text in ('from(bucket: "b") |> range(start: 0)',
+                 'from(bucket: "b") |> range(start: 0) |> difference()',
+                 'from(bucket: "b") |> range(start: 0) |> limit(n: 2)'):
+        assert "state_id" not in compile_flux(text)(spark, SF).columns
+
+
+def test_histogram_cumulative_counts(spark):
+    """Known-answer: cumulative le counts and the Prometheus-style
+    interpolated quantile on a hand-built table."""
+    from ha_sqllite_2_influxdb_spark.plans import flux_text as fx
+
+    df = spark.createDataFrame(
+        [(i, "m", "d", "e", "value", float(i), v)
+         for i, v in enumerate([1.0, 3.0, 7.0, 9.0, 15.0])],
+        "state_id long, _measurement string, domain string, "
+        "entity_id string, _field string, _time double, _value double")
+    st = fx._State(df)
+    fx._stage_histogram(st, {"bins": ("numarray", [0.0, 5.0, 10.0])})
+    rows = {r["le"]: r["_value"]
+            for r in st.df.select("le", "_value").collect()}
+    # 15.0 exceeds the top bin: counted nowhere (Flux finite-bin rule)
+    assert rows == {0.0: 0.0, 5.0: 2.0, 10.0: 4.0}
+    fx._stage_histogram_quantile(st, {"quantile": ("num", 0.5)})
+    got = st.df.collect()[0]["_value"]
+    # rank = 0.5·4 = 2 lands exactly on cum(le=5): interpolate to 5.0
+    assert got == 5.0
+
+
+def test_histogram_bins_validation(spark):
+    for bad in ('histogram(bins: [5, 1])', 'histogram(bins: [1])',
+                'histogram(bins: ["a", "b"])'):
+        with pytest.raises(FluxError):
+            compile_flux(f'from(bucket: "b") |> {bad}')(spark, SF)
+
+
+def test_no_python_udfs_in_compiled_plan(spark):
+    """The whole text layer stays JVM-side: no BatchEvalPython /
+    ArrowEvalPython in any compiled plan."""
+    from tests.test_plans import explain_str
+
+    plan = explain_str(compile_flux('''
+        from(bucket: "b") |> range(start: 0)
+          |> filter(fn: (r) => r._measurement == "W")
+          |> aggregateWindow(every: 1h, fn: mean)
+          |> fill(usePrevious: true)
+    ''')(spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

@@ -209,7 +209,38 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
         # and the whole pipeline must scale with replica count.
         "line_dedup": lambda: dedup.line_dedup_corpus(docs,
                                                       seg_words=5),
+        # r7: the Flux text layer's one NEW physical shape vs the
+        # InfluxQL family — aggregateWindow(createEmpty: true): bucket
+        # partial-agg, a calendar grid exploded over the DISTINCT series
+        # relation (tiny), one left join back keyed on the series
+        # columns, LOCF on the series window. 10× series = 10× buckets
+        # and 10× grid rows; nothing widens.
+        "flux_window_grid": lambda: _flux_grid_tier(pts),
     }
+
+
+def _flux_grid_tier(pts):
+    """flux: range(aligned) |> aggregateWindow(every:6h, fn:mean,
+    createEmpty:true) |> fill(usePrevious:true) on an arbitrary point
+    relation, via the compiled stage functions."""
+    from ha_sqllite_2_influxdb_spark.plans import flux_text as fx
+
+    df = pts.select(
+        "state_id",
+        F.col("measurement").alias("_measurement"),
+        "domain", "entity_id",
+        F.lit("value").alias("_field"),
+        F.col("ts_epoch").alias("_time"),
+        F.col("value").alias("_value"),
+    )
+    st = fx._State(df)
+    fx._stage_range(st, {"start": ("num", 1704067200.0),
+                         "stop": ("num", 1706659200.0)})
+    fx._stage_aggregate_window(
+        st, {"every": ("dur", 21600.0), "fn": ("ident", "mean"),
+             "createEmpty": ("bool", True)})
+    fx._stage_fill(st, {"usePrevious": ("bool", True)})
+    return st.df
 
 
 MAX_TIERS_PER_JVM = 10
