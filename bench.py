@@ -16,7 +16,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ha_sqllite_2_influxdb_spark.plans import (
-    analytics, ha_pipeline, influxql, llm_ops, monitoring,
+    analytics, flux_text, ha_pipeline, influxql, llm_ops, monitoring,
 )
 from ha_sqllite_2_influxdb_spark.session import get_spark
 
@@ -52,6 +52,10 @@ HEADLINE = {
     # r7: the monitoring family's representative — two window frames +
     # full-window counts on the one series shuffle (operators/monitor.py)
     "series_mean_shift": monitoring.q_mean_shift,
+    # r7: the Flux text layer's heaviest compiled shape — text parse →
+    # aggregateWindow(createEmpty) grid + LOCF fill (the Grafana Flux
+    # dashboard staple); tracks parser overhead + the grid join
+    "flux_window_fill_prev": flux_text.QUERIES["flux_window_fill_prev"],
 }
 
 
