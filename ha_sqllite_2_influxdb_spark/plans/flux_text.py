@@ -564,23 +564,38 @@ def _stage_aggregate_window(st: _State, args: dict):
     df = st.df
     gcols = st.gcols()
     stop = (F.floor(F.col("_time") / every).cast("long") + 1) * every
-    wb_part = [*gcols, "_wstop"]
-    asc = [F.col("_time").asc()]
-    desc = [F.col("_time").desc()]
-    if "state_id" in df.columns:
-        asc.append(F.col("state_id").asc())
-        desc.append(F.col("state_id").desc())
-    wb = Window.partitionBy(*wb_part).orderBy(*asc)
-    wbd = Window.partitionBy(*wb_part).orderBy(*desc)
-    marked = df.withColumn("_wstop", stop).select(
-        *gcols, "_value", "_wstop",
-        F.row_number().over(wb).alias("_rn_a"),
-        F.row_number().over(wbd).alias("_rn_d"),
-    )
+    if fn in ("first", "last"):
+        # selector aggregates need the in-bucket event order; the rank
+        # windows share the (series, bucket) exchange the agg uses.
+        # Plain aggregates skip this block — an unused Window operator
+        # is NOT pruned by Catalyst and would cost a real exchange.
+        wb_part = [*gcols, "_wstop"]
+        asc = [F.col("_time").asc()]
+        desc = [F.col("_time").desc()]
+        if "state_id" in df.columns:
+            asc.append(F.col("state_id").asc())
+            desc.append(F.col("state_id").desc())
+        wb = Window.partitionBy(*wb_part).orderBy(*asc)
+        wbd = Window.partitionBy(*wb_part).orderBy(*desc)
+        marked = df.withColumn("_wstop", stop).select(
+            *gcols, "_value", "_wstop",
+            F.row_number().over(wb).alias("_rn_a"),
+            F.row_number().over(wbd).alias("_rn_d"),
+        )
+    else:
+        marked = df.withColumn("_wstop", stop).select(
+            *gcols, "_value", "_wstop")
     buckets = marked.groupBy(*gcols, "_wstop").agg(
         _agg_exprs(fn, "_rn_a", "_rn_d").alias("_value"))
 
     if create_empty:
+        # Empty-window expansion WITHOUT a grid join or a second input
+        # scan (the q_influx_downsample lag+sequence pattern): each
+        # bucket row emits the grid slots from its predecessor (or the
+        # range start) up to itself, and the last bucket of each series
+        # also emits the tail out to the range stop — one explode on the
+        # DOWNSAMPLED relation, riding the same series window. Two
+        # exchanges total; no distinct, no SMJ.
         if st.range is None or st.range[1] is None:
             raise FluxError(
                 "createEmpty: true needs an explicit range(start:, stop:)")
@@ -589,19 +604,32 @@ def _stage_aggregate_window(st: _State, args: dict):
             raise FluxError(
                 "createEmpty: true needs range bounds aligned to every: "
                 "(no truncated window subset)")
-        series = df.select(*gcols).distinct() if gcols else \
-            df.select(F.lit(1).alias("_one")).distinct().drop("_one")
-        grid = series.select(
-            *gcols,
-            F.explode(
-                F.sequence(
-                    F.lit(int(lo) + every), F.lit(int(hi)), F.lit(every))
-            ).alias("_wstop_i"),
-        ).select(*gcols, F.col("_wstop_i").cast("long").alias("_wstop"))
-        buckets = grid.join(buckets, [*gcols, "_wstop"], "left")
-        if fn == "count":
-            buckets = buckets.withColumn(
-                "_value", F.coalesce(F.col("_value"), F.lit(0)))
+        part = gcols if gcols else [F.lit(1)]
+        ws = Window.partitionBy(*part).orderBy("_wstop")
+        lagged = buckets.select(
+            *gcols, "_wstop", "_value",
+            F.lag("_wstop").over(ws).alias("_prev"),
+            F.lead("_wstop").over(ws).alias("_next"),
+        )
+        lit_l = lambda v: F.lit(int(v)).cast("long")  # noqa: E731
+        head = F.sequence(
+            F.coalesce(F.col("_prev") + every, lit_l(lo + every)),
+            F.col("_wstop"), lit_l(every))
+        tail = F.when(
+            F.col("_next").isNull() & (F.col("_wstop") < lit_l(hi)),
+            F.sequence(F.col("_wstop") + every, lit_l(hi), lit_l(every)),
+        ).otherwise(F.array().cast("array<long>"))
+        expanded = lagged.select(
+            *gcols, "_wstop", "_value",
+            F.explode(F.concat(head, tail)).alias("_grid"),
+        )
+        is_real = F.col("_grid") == F.col("_wstop")
+        empty_val = F.lit(0) if fn == "count" else F.lit(None)
+        buckets = expanded.select(
+            *gcols, F.col("_grid").alias("_wstop"),
+            F.when(is_real, F.col("_value")).otherwise(empty_val)
+             .alias("_value"),
+        )
 
     st.df = buckets.select(
         *gcols, F.col("_wstop").cast("double").alias("_time"), "_value")
@@ -827,12 +855,14 @@ def _stage_histogram(st: _State, args: dict):
     """Flux ``histogram(bins: […])``: per table, CUMULATIVE counts of
     ``_value ≤ le`` for each bin upper bound — the Prometheus-style
     le-bin shape Grafana heatmaps/SLO panels consume. Values above the
-    top bin are counted in no bin (Flux's behavior with finite bins);
-    counts emit as doubles (Flux's float counts). Plan: one when-chain
-    bin assignment (codegen, no explode of rows×bins), a (series, bin)
-    partial agg, the tiny bins×series grid left-joins back, and the
-    cumulative sum rides the per-table window — the createEmpty grid
-    pattern re-used."""
+    top bin are counted in no bin, but their table still emits its
+    zero/partial bins (Flux's behavior with finite bins); counts emit
+    as doubles (Flux's float counts). Plan: one when-chain bin
+    assignment (codegen, no explode of rows×bins; overflow rows go to a
+    virtual bin so all-overflow tables still surface), a (series, bin)
+    partial agg, then the lag+sequence gap expansion and the cumulative
+    sum ride ONE series window — the q_influx_downsample shape, no
+    grid join, no second input scan."""
     bins = _arg(args, "bins", ("numarray",), required=True)
     if len(bins) < 2 or len(bins) > 64:
         raise FluxError("histogram needs 2..64 bins")
@@ -840,35 +870,47 @@ def _stage_histogram(st: _State, args: dict):
         raise FluxError("histogram bins must be ascending")
     gcols = st.gcols()
     df = st.df
-    # first bin whose upper bound covers the value
-    expr = None
-    for i, b in enumerate(bins):
-        cond = F.col("_value") <= F.lit(float(b))
-        expr = F.when(cond, F.lit(i)) if expr is None else \
-            expr.when(cond, F.lit(i))
+    nb = len(bins)
+    # first bin whose upper bound covers the value; nb = overflow
+    expr = F.lit(nb)
+    for i, b in reversed(list(enumerate(bins))):
+        expr = F.when(F.col("_value") <= F.lit(float(b)), F.lit(i)) \
+            .otherwise(expr)
     counts = (df.withColumn("_bin", expr)
-              .filter(F.col("_bin").isNotNull())
               .groupBy(*gcols, "_bin")
               .agg(F.count(F.lit(1)).alias("_c")))
-    series = df.select(*gcols).distinct() if gcols else \
-        counts.select(F.lit(1).alias("_one")).distinct().drop("_one")
-    grid = series.select(
-        "*", F.explode(F.array(*[F.lit(i) for i in range(len(bins))]))
-        .alias("_bin"))
-    joined = grid.join(counts, [*gcols, "_bin"], "left")
     part = gcols if gcols else [F.lit(1)]
-    wcum = (Window.partitionBy(*part).orderBy("_bin")
+    ws = Window.partitionBy(*part).orderBy("_bin")
+    lagged = counts.select(
+        *gcols, "_bin", "_c",
+        F.lag("_bin").over(ws).alias("_prev"),
+        F.lead("_bin").over(ws).alias("_next"),
+    )
+    head_lo = F.coalesce(F.col("_prev") + 1, F.lit(0))
+    head_hi = F.least(F.col("_bin"), F.lit(nb - 1))
+    head = F.when(head_lo <= head_hi, F.sequence(head_lo, head_hi)) \
+        .otherwise(F.array().cast("array<int>"))
+    tail = F.when(
+        F.col("_next").isNull() & (F.col("_bin") < nb - 1),
+        F.sequence(F.col("_bin") + 1, F.lit(nb - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    expanded = lagged.select(
+        *gcols, "_bin", "_c",
+        F.explode(F.concat(head, tail)).alias("_grid"),
+    )
+    wcum = (Window.partitionBy(*part).orderBy("_grid")
             .rowsBetween(Window.unboundedPreceding, 0))
     le_expr = None
     for i, b in enumerate(bins):
-        le_expr = F.when(F.col("_bin") == i, F.lit(float(b))) \
+        le_expr = F.when(F.col("_grid") == i, F.lit(float(b))) \
             if le_expr is None else \
-            le_expr.when(F.col("_bin") == i, F.lit(float(b)))
-    st.df = joined.select(
+            le_expr.when(F.col("_grid") == i, F.lit(float(b)))
+    real_c = F.when(F.col("_grid") == F.col("_bin"), F.col("_c")) \
+        .otherwise(F.lit(0))
+    st.df = expanded.select(
         *gcols,
         le_expr.alias("le"),
-        F.sum(F.coalesce(F.col("_c"), F.lit(0))).over(wcum)
-         .cast("double").alias("_value"),
+        F.sum(real_c).over(wcum).cast("double").alias("_value"),
     )
     st.sort_cols, st.sort_desc = ("le",), False
 

@@ -239,6 +239,31 @@ def test_histogram_bins_validation(spark):
             compile_flux(f'from(bucket: "b") |> {bad}')(spark, SF)
 
 
+def test_flux_series_exchange_budget(spark, sf_dir):
+    """Every compiled Flux pipeline pays a budgeted number of series-key
+    shuffles (the same contract as the InfluxQL layer). Per-series
+    windows/aggregates: ONE. The createEmpty grid and histogram tiers:
+    TWO by design — the (series, bucket/bin) partial agg plus the series
+    window the lag+sequence gap expansion (and any LOCF/cumsum) share;
+    a grid JOIN or a second input scan would show up as a third
+    exchange or a SortMergeJoin, both asserted away."""
+    import re
+
+    from ha_sqllite_2_influxdb_spark.plans import flux_text as fx
+    from tests.test_plans import explain_str
+
+    budget = {"flux_oldest_global": 0,      # merged table: no series key
+              "flux_window_fill_prev": 2, "flux_histogram": 2,
+              "flux_histogram_quantile": 2}
+    for name, fn in fx.QUERIES.items():
+        plan = explain_str(fn(spark, sf_dir))
+        n = sum(1 for ln in plan.splitlines()
+                if ln.strip().startswith("Arguments: hashpartitioning(")
+                and "_measurement" in ln)
+        assert n == budget.get(name, 1), f"{name}: {n} series exchanges"
+        assert "SortMergeJoin" not in plan, name
+
+
 def test_no_python_udfs_in_compiled_plan(spark):
     """The whole text layer stays JVM-side: no BatchEvalPython /
     ArrowEvalPython in any compiled plan."""
