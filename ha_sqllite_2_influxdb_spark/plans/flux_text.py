@@ -99,10 +99,10 @@ _TOKEN_RE = re.compile(
     | (?P<arrow>=>)
     | (?P<string>"[^"]*")
     | (?P<regex>/(?:\\.|[^/\\])+/)
-    | (?P<duration>\d+(?:w|d|h|ms|m|s))
+    | (?P<duration>-?\d+(?:w|d|h|ms|m|s))
     | (?P<number>-?\d+(?:\.\d+)?)
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<op>==|!=|=~|!~|<=|>=|<|>)
+    | (?P<op>==|!=|=~|!~|<=|>=|=|<|>)
     | (?P<punct>[()\[\]{}:,.])
     | (?P<arith>[*+/-])
     )""",
@@ -192,9 +192,10 @@ _R_COLS = {"_measurement", "_field", "_value", "_time",
 
 
 class _Parser:
-    def __init__(self, toks: list[_Tok]):
+    def __init__(self, toks: list[_Tok], now_s: float | None = None):
         self.toks = toks
         self.i = 0
+        self.now_s = now_s
 
     def peek(self) -> _Tok | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -220,7 +221,7 @@ class _Parser:
         if t.kind == "number":
             return ("num", float(t.text))
         if t.kind == "duration":
-            unit = re.sub(r"^\d+", "", t.text)
+            unit = re.sub(r"^-?\d+", "", t.text)
             return ("dur", float(t.text[: -len(unit)]) * _DUR_S[unit])
         if t.kind == "ident" and t.text in ("true", "false"):
             return ("bool", t.text == "true")
@@ -380,9 +381,37 @@ class _Parser:
             stages.append(self.call())
         return FluxPipeline(head.args["bucket"][1], tuple(stages))
 
+    def task(self) -> tuple[dict, FluxPipeline]:
+        """``option task = { name: "…", every: 1h [, offset: d] }``
+        followed by the task's pipeline — the InfluxDB v2 standing-query
+        form (the v2 counterpart of CREATE CONTINUOUS QUERY)."""
+        self.expect("ident", "option")
+        self.expect("ident", "task")
+        self.expect("op", "=")
+        self.expect("punct", "{")
+        opts: dict = {}
+        while self.peek() and self.peek().text != "}":
+            key = self.expect("ident").text
+            self.expect("punct", ":")
+            opts[key] = self.value()
+            if self.peek() and self.peek().text == ",":
+                self.next()
+        self.expect("punct", "}")
+        if opts.get("name", (None,))[0] != "str":
+            raise FluxError("task option needs name: \"…\"")
+        if opts.get("every", (None,))[0] != "dur":
+            raise FluxError("task option needs every: <duration>")
+        return opts, self.pipeline()
 
-def parse_flux(text: str) -> FluxPipeline:
-    return _Parser(_tokenize(text)).pipeline()
+
+def parse_flux(text: str, now_s: float | None = None) -> FluxPipeline:
+    return _Parser(_tokenize(text), now_s=now_s).pipeline()
+
+
+def parse_flux_task(text: str,
+                    now_s: float | None = None) -> tuple[dict,
+                                                         FluxPipeline]:
+    return _Parser(_tokenize(text), now_s=now_s).task()
 
 
 # ---------------------------------------------------------------- compiler
@@ -417,12 +446,13 @@ def _arg(args: dict, key: str, kinds: tuple[str, ...], default=None,
 
 
 class _State:
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, now_s: float | None = None):
         self.df = df
         self.gkey: tuple[str, ...] = _SERIES_KEY
         self.sort_cols: tuple[str, ...] = ("_time",)
         self.sort_desc = False
         self.range: tuple[float | None, float | None] | None = None
+        self.now_s = now_s
 
     # ordering inside one table: the declared sort, tie-broken by
     # state_id when the raw rows are still flowing
@@ -468,10 +498,25 @@ def _stage_range(st: _State, args: dict):
             return float(val)
         if kind == "str":
             return _rfc3339_epoch(val)
-        raise FluxError(f"range {what}: must be epoch seconds or RFC3339")
+        if kind == "dur":
+            # Flux relative bound (-30d): resolved against the PINNED
+            # now — queries with relative ranges refuse to compile
+            # without one, keeping every plan deterministic
+            if st.now_s is None:
+                raise FluxError(
+                    f"range {what}: relative duration needs a pinned "
+                    "now (compile_flux(text, now_s=…))")
+            return float(st.now_s) + float(val)
+        raise FluxError(
+            f"range {what}: must be epoch seconds, RFC3339 or a "
+            "relative duration")
 
     lo = _as_epoch(start, "start")
+    # Flux defaults stop to now(); honor that when a now is pinned,
+    # stay unbounded otherwise (the batch-registry convention)
     hi = _as_epoch(stop, "stop")
+    if hi is None and st.now_s is not None:
+        hi = float(st.now_s)
     if lo is None:
         raise FluxError("range() requires start:")
     cond = F.col("_time") >= F.lit(lo)
@@ -972,13 +1017,13 @@ def _stage_keep(st: _State, args: dict, drop: bool = False):
     st.sort_cols = tuple(c for c in st.sort_cols if c in keep) or ()
 
 
-def compile_flux(text: str):
+def compile_flux(text: str, now_s: float | None = None):
     """Compile a Flux pipeline string to a (spark, sf_dir) -> DataFrame
     callable running on the migrated point relation."""
     pipe = parse_flux(text)
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        st = _State(_flux_points(spark, sf_dir))
+        st = _State(_flux_points(spark, sf_dir), now_s=now_s)
         for stage in pipe.stages:
             nm, a = stage.name, stage.args
             if nm == "range":
@@ -1030,6 +1075,8 @@ def compile_flux(text: str):
                 _stage_keep(st, a, drop=True)
             elif nm == "yield":
                 pass
+            elif nm == "to":
+                raise FluxError("to(bucket:) runs via run_flux_task()")
             else:
                 raise FluxError(f"unsupported stage: {nm}()")
         # state_id is an engine-internal tie-break column, not part of
@@ -1037,6 +1084,85 @@ def compile_flux(text: str):
         return st.df.drop("state_id")
 
     return run
+
+
+# ---------------------------------------------------------------- tasks
+
+def run_flux_task(spark: SparkSession, sf_dir: str, text: str,
+                  now_s: float | None = None) -> DataFrame:
+    """Execute an InfluxDB v2 TASK — ``option task = {name, every}`` + a
+    Flux pipeline ending in ``to(bucket:)`` — the way InfluxDB does: as
+    a STANDING query over arriving data. The v2 counterpart of
+    ``run_continuous_query`` (InfluxQL CREATE CONTINUOUS QUERY): the
+    pipeline's aggregateWindow runs per (series, event-time window) on
+    the line-protocol ingest stream and drains AvailableNow in complete
+    mode; the ``to`` bucket names the memory-sink relation standing in
+    for the target bucket. Supported task bodies (documented subset):
+    ``range? filter* aggregateWindow(every, fn) to`` with fn in
+    mean/sum/count/min/max — exactly the downsample shape real tasks
+    run. State is bounded by open windows × active series (InfluxDB's
+    own task shard model); bucket means accumulate micro-quantized
+    BIGINTs so the batch oracle matches bit-exactly."""
+    from .streaming_ops import _lp_stream, drain_to_memory
+
+    opts, pipe = parse_flux_task(text, now_s=now_s)
+    name = opts["name"][1]
+    stages = list(pipe.stages)
+    if not stages or stages[-1].name != "to":
+        raise FluxError("a task pipeline must end in to(bucket:)")
+    to_args = stages[-1].args
+    if _arg(to_args, "bucket", ("str",), required=True) is None:
+        raise FluxError("to() needs bucket:")
+    body, agg_stage = stages[:-1], None
+    pts = _lp_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    # the wire relation in Flux column names (no state_id on the wire)
+    pts = pts.select(
+        F.col("measurement").alias("_measurement"), "domain", "entity_id",
+        F.lit("value").alias("_field"),
+        F.col("ts_epoch").alias("_time"), F.col("value").alias("_value"),
+    )
+    st = _State(pts, now_s=now_s)
+    for stage in body:
+        if stage.name == "range":
+            _stage_range(st, stage.args)
+        elif stage.name == "filter":
+            _stage_filter(st, stage.args)
+        elif stage.name == "aggregateWindow":
+            agg_stage = stage
+            break
+        else:
+            raise FluxError(
+                f"task bodies support range/filter/aggregateWindow/to, "
+                f"got {stage.name}()")
+    if agg_stage is None:
+        raise FluxError("a task body needs an aggregateWindow stage")
+    every = int(_arg(agg_stage.args, "every", ("dur",), required=True))
+    fn = _arg(agg_stage.args, "fn", ("ident",), required=True)
+    if fn not in ("mean", "sum", "count", "min", "max"):
+        raise FluxError(f"task aggregateWindow fn {fn!r} unsupported")
+    win = F.window(F.timestamp_seconds(F.col("_time")), f"{every} seconds")
+    gcols = [c for c in _SERIES_KEY]
+    micro = F.round(F.col("_value") * _MICRO).cast("long")
+    if fn == "mean":
+        agg = [(F.sum(micro) / F.lit(float(_MICRO)) / F.count(F.lit(1)))
+               .alias("_value"), F.count(F.lit(1)).alias("n_points")]
+    elif fn == "sum":
+        agg = [(F.sum(micro) / F.lit(float(_MICRO))).alias("_value"),
+               F.count(F.lit(1)).alias("n_points")]
+    elif fn == "count":
+        agg = [F.count(F.lit(1)).alias("_value"),
+               F.count(F.lit(1)).alias("n_points")]
+    else:
+        agg = [(F.min("_value") if fn == "min" else F.max("_value"))
+               .alias("_value"), F.count(F.lit(1)).alias("n_points")]
+    out = (
+        st.df.groupBy(*gcols, win.alias("_w"))
+        .agg(*agg)
+        .select(*gcols,
+                F.unix_seconds(F.col("_w.end")).alias("_time"),
+                "_value", "n_points")
+    )
+    return drain_to_memory(out, f"task_{name}")
 
 
 # ------------------------------------------------------------- registry
@@ -1149,6 +1275,42 @@ def _q(name: str):
 
 
 QUERIES = {name: _q(name) for name in FLUX_TEXTS}
+
+_TASK_TEXT = f'''
+option task = {{name: "w_hourly", every: 1h}}
+
+from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement == "W")
+  |> aggregateWindow(every: 1h, fn: mean)
+  |> to(bucket: "{_BUCKET}_hourly")
+'''
+
+_NOW_REL_TEXT = f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: -30d)
+  |> filter(fn: (r) => r._measurement == "%")
+  |> mean()
+'''
+
+
+def q_flux_task_hourly_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InfluxDB v2 TASK (``option task`` + ``to(bucket:)``) executed as
+    Structured Streaming over the line-protocol ingest — the v2
+    counterpart of the InfluxQL CONTINUOUS QUERY entry
+    (`stream_cq_downsample`). See `run_flux_task`."""
+    return run_flux_task(spark, sf_dir, _TASK_TEXT)
+
+
+def q_flux_now_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux relative range (``range(start: -30d)``, stop defaulting to
+    now()) against a PINNED now — the bound form every auto-refreshing
+    Grafana Flux panel issues."""
+    return compile_flux(_NOW_REL_TEXT, now_s=float(_T1))(spark, sf_dir)
+
+
+QUERIES["flux_task_hourly_mean"] = q_flux_task_hourly_mean
+QUERIES["flux_now_relative"] = q_flux_now_relative
 
 _SKEY = "measurement AS _measurement, domain, entity_id, 'value' AS _field"
 _SPART = "measurement, domain, entity_id"
@@ -1315,5 +1477,26 @@ marked AS (
 SELECT _measurement, domain, entity_id, _field,
   ple + (le - ple) * ((rnk - pcum) / (cum - pcum)) AS _value
 FROM marked WHERE pcum < rnk AND rnk <= cum
+""",
+    # the task's batch truth: stop-labeled hourly buckets straight off
+    # the point relation (the wire round-trip is exact — established by
+    # stream_cq_downsample's oracle)
+    "flux_task_hourly_mean": f"""{_ORACLE_NUM}
+SELECT {_SKEY},
+  (CAST(floor(ts_epoch / 3600) AS BIGINT) + 1) * 3600 AS _time,
+  (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+    / count(*) AS _value,
+  count(*)::BIGINT AS n_points
+FROM num WHERE measurement = 'W'
+GROUP BY measurement, domain, entity_id,
+         CAST(floor(ts_epoch / 3600) AS BIGINT)
+""",
+    "flux_now_relative": f"""{_ORACLE_NUM}
+SELECT {_SKEY},
+  (sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6) / count(*) AS _value
+FROM num
+WHERE measurement = '%' AND ts_epoch >= {_T1} - 2592000
+  AND ts_epoch < {_T1}
+GROUP BY measurement, domain, entity_id
 """,
 }

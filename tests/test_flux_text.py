@@ -210,6 +210,56 @@ def test_internal_state_id_never_leaks(spark):
         assert "state_id" not in compile_flux(text)(spark, SF).columns
 
 
+def test_flux_task_parse_and_rejections(spark):
+    from ha_sqllite_2_influxdb_spark.plans.flux_text import (
+        parse_flux_task,
+        run_flux_task,
+    )
+
+    opts, pipe = parse_flux_task('''
+        option task = {name: "t", every: 30m, offset: 5m}
+
+        from(bucket: "b") |> range(start: 0)
+          |> aggregateWindow(every: 30m, fn: sum)
+          |> to(bucket: "b2")
+    ''')
+    assert opts["name"] == ("str", "t")
+    assert opts["every"] == ("dur", 1800.0)
+    assert pipe.stages[-1].name == "to"
+    for bad in (
+        # no to()
+        'option task = {name: "t", every: 1h}\n'
+        'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean)',
+        # no aggregateWindow
+        'option task = {name: "t", every: 1h}\n'
+        'from(bucket: "b") |> range(start: 0) |> to(bucket: "b2")',
+        # unsupported body stage
+        'option task = {name: "t", every: 1h}\n'
+        'from(bucket: "b") |> derivative(unit: 1s) |> to(bucket: "b2")',
+        # missing every option
+        'option task = {name: "t"}\n'
+        'from(bucket: "b") |> aggregateWindow(every: 1h, fn: mean) '
+        '|> to(bucket: "b2")',
+    ):
+        with pytest.raises(FluxError):
+            run_flux_task(spark, SF, bad)
+
+
+def test_relative_range_needs_pinned_now(spark):
+    with pytest.raises(FluxError, match="pinned"):
+        compile_flux(
+            'from(bucket: "b") |> range(start: -1h)')(spark, SF)
+    # pinned: start resolves to now-1h, stop defaults to now
+    df = compile_flux('from(bucket: "b") |> range(start: -1h) '
+                      '|> group() |> count()', now_s=1704070800.0)(
+        spark, SF)
+    n = df.collect()[0]["_value"]
+    exact = compile_flux('from(bucket: "b") '
+                         '|> range(start: 1704067200, stop: 1704070800) '
+                         '|> group() |> count()')(spark, SF)
+    assert n == exact.collect()[0]["_value"]
+
+
 def test_histogram_cumulative_counts(spark):
     """Known-answer: cumulative le counts and the Prometheus-style
     interpolated quantile on a hand-built table."""
@@ -254,7 +304,11 @@ def test_flux_series_exchange_budget(spark, sf_dir):
 
     budget = {"flux_oldest_global": 0,      # merged table: no series key
               "flux_window_fill_prev": 2, "flux_histogram": 2,
-              "flux_histogram_quantile": 2}
+              "flux_histogram_quantile": 2,
+              # streaming task: the drained memory-sink relation has no
+              # exchanges of its own (the per-micro-batch shuffle is
+              # pinned in test_flux_task_* instead)
+              "flux_task_hourly_mean": 0}
     for name, fn in fx.QUERIES.items():
         plan = explain_str(fn(spark, sf_dir))
         n = sum(1 for ln in plan.splitlines()
