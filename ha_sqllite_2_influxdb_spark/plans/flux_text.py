@@ -381,6 +381,23 @@ class _Parser:
             stages.append(self.call())
         return FluxPipeline(head.args["bucket"][1], tuple(stages))
 
+    def meta(self) -> FluxStage:
+        """``import "influxdata/influxdb/schema"`` + one ``schema.X(…)``
+        call — the Flux meta queries Grafana's datasource browser issues
+        to populate its dropdowns (the v2 counterpart of the InfluxQL
+        SHOW statements)."""
+        self.expect("ident", "import")
+        imp = self.next()
+        if imp.kind != "string" or \
+                imp.text[1:-1] != "influxdata/influxdb/schema":
+            raise FluxError("only the schema package is importable")
+        self.expect("ident", "schema")
+        self.expect("punct", ".")
+        call = self.call()
+        if self.peek() is not None:
+            raise FluxError("schema queries take no pipeline stages")
+        return call
+
     def task(self) -> tuple[dict, FluxPipeline]:
         """``option task = { name: "…", every: 1h [, offset: d] }``
         followed by the task's pipeline — the InfluxDB v2 standing-query
@@ -412,6 +429,60 @@ def parse_flux_task(text: str,
                     now_s: float | None = None) -> tuple[dict,
                                                          FluxPipeline]:
     return _Parser(_tokenize(text), now_s=now_s).task()
+
+
+_META_TAGS = ("_measurement", "domain", "entity_id")
+
+
+def compile_flux_meta(text: str):
+    """Compile a ``schema.X(…)`` meta query to a (spark, sf_dir) ->
+    DataFrame callable. Supported: ``measurements(bucket:)``,
+    ``tagKeys(bucket:)``, ``fieldKeys(bucket:)``,
+    ``tagValues(bucket:, tag:)``,
+    ``measurementTagValues(bucket:, measurement:, tag:)`` — each returns
+    one ``_value`` string column like Flux does. All are DISTINCT over
+    the (tiny after partial-agg) series columns — one exchange whose map
+    side collapses to the series cardinality, exactly how InfluxDB
+    serves its tag-key index."""
+    call = _Parser(_tokenize(text)).meta()
+    name = call.name
+    _arg(call.args, "bucket", ("str",), required=True)
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pts = _flux_points(spark, sf_dir)
+        if name == "measurements":
+            return (pts.select(F.col("_measurement").alias("_value"))
+                    .distinct())
+        if name == "tagKeys":
+            # the point relation's tag keys (Flux includes the hidden
+            # _measurement/_field columns here too)
+            return spark.createDataFrame(
+                [(k,) for k in ("_field", "_measurement", "domain",
+                                "entity_id")], "_value string")
+        if name == "fieldKeys":
+            return pts.select(F.col("_field").alias("_value")).distinct()
+        if name == "tagValues":
+            tag = _arg(call.args, "tag", ("str",), required=True)
+            if tag not in _META_TAGS:
+                raise FluxError(f"unknown tag {tag!r}")
+            return pts.select(F.col(tag).alias("_value")).distinct()
+        if name == "measurementTagValues":
+            m = _arg(call.args, "measurement", ("str",), required=True)
+            tag = _arg(call.args, "tag", ("str",), required=True)
+            if tag not in _META_TAGS:
+                raise FluxError(f"unknown tag {tag!r}")
+            return (pts.filter(F.col("_measurement") == m)
+                    .select(F.col(tag).alias("_value")).distinct())
+        raise FluxError(f"unsupported schema function: {name}")
+
+    # argument validation happens at compile time for fail-fast parity
+    if name in ("tagValues", "measurementTagValues"):
+        tag = _arg(call.args, "tag", ("str",), required=True)
+        if tag not in _META_TAGS:
+            raise FluxError(f"unknown tag {tag!r}")
+    elif name not in ("measurements", "tagKeys", "fieldKeys"):
+        raise FluxError(f"unsupported schema function: {name}")
+    return run
 
 
 # ---------------------------------------------------------------- compiler
@@ -1312,6 +1383,36 @@ def q_flux_now_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["flux_task_hourly_mean"] = q_flux_task_hourly_mean
 QUERIES["flux_now_relative"] = q_flux_now_relative
 
+_META_TEXTS = {
+    "flux_schema_measurements":
+        f'import "influxdata/influxdb/schema"\n\n'
+        f'schema.measurements(bucket: "{_BUCKET}")',
+    "flux_schema_tag_values":
+        f'import "influxdata/influxdb/schema"\n\n'
+        f'schema.tagValues(bucket: "{_BUCKET}", tag: "entity_id")',
+    "flux_schema_m_tag_values":
+        f'import "influxdata/influxdb/schema"\n\n'
+        f'schema.measurementTagValues(bucket: "{_BUCKET}", '
+        f'measurement: "W", tag: "entity_id")',
+    "flux_schema_field_keys":
+        f'import "influxdata/influxdb/schema"\n\n'
+        f'schema.fieldKeys(bucket: "{_BUCKET}")',
+}
+
+
+def _q_meta(name: str):
+    def run(spark: SparkSession, sf_dir: str, _n=name) -> DataFrame:
+        return compile_flux_meta(_META_TEXTS[_n])(spark, sf_dir)
+    run.__name__ = f"q_{name}"
+    run.__doc__ = (
+        f"Flux schema meta query (Grafana dropdowns)::\n"
+        f"{_META_TEXTS[name]}\nSee compile_flux_meta."
+    )
+    return run
+
+
+QUERIES.update({n: _q_meta(n) for n in _META_TEXTS})
+
 _SKEY = "measurement AS _measurement, domain, entity_id, 'value' AS _field"
 _SPART = "measurement, domain, entity_id"
 
@@ -1498,5 +1599,17 @@ FROM num
 WHERE measurement = '%' AND ts_epoch >= {_T1} - 2592000
   AND ts_epoch < {_T1}
 GROUP BY measurement, domain, entity_id
+""",
+    "flux_schema_measurements": f"""{_ORACLE_NUM}
+SELECT DISTINCT measurement AS _value FROM num
+""",
+    "flux_schema_tag_values": f"""{_ORACLE_NUM}
+SELECT DISTINCT entity_id AS _value FROM num
+""",
+    "flux_schema_m_tag_values": f"""{_ORACLE_NUM}
+SELECT DISTINCT entity_id AS _value FROM num WHERE measurement = 'W'
+""",
+    "flux_schema_field_keys": """
+SELECT 'value' AS _value
 """,
 }

@@ -245,6 +245,33 @@ def test_flux_task_parse_and_rejections(spark):
             run_flux_task(spark, SF, bad)
 
 
+def test_schema_meta_queries(spark):
+    from ha_sqllite_2_influxdb_spark.plans.flux_text import (
+        compile_flux_meta,
+    )
+
+    vals = {r["_value"] for r in compile_flux_meta(
+        'import "influxdata/influxdb/schema"\n'
+        'schema.measurements(bucket: "b")')(spark, SF).collect()}
+    assert "W" in vals and "%" in vals
+    keys = [r["_value"] for r in compile_flux_meta(
+        'import "influxdata/influxdb/schema"\n'
+        'schema.tagKeys(bucket: "b")')(spark, SF).collect()]
+    assert keys == ["_field", "_measurement", "domain", "entity_id"]
+    for bad in (
+        'schema.measurements(bucket: "b")',              # missing import
+        'import "contrib/foo"\nschema.measurements(bucket: "b")',
+        'import "influxdata/influxdb/schema"\n'
+        'schema.tagValues(bucket: "b", tag: "nope")',
+        'import "influxdata/influxdb/schema"\n'
+        'schema.dropAll(bucket: "b")',
+        'import "influxdata/influxdb/schema"\n'
+        'schema.measurements(bucket: "b") |> limit(n: 1)',
+    ):
+        with pytest.raises(FluxError):
+            compile_flux_meta(bad)(spark, SF)
+
+
 def test_relative_range_needs_pinned_now(spark):
     with pytest.raises(FluxError, match="pinned"):
         compile_flux(
@@ -308,7 +335,13 @@ def test_flux_series_exchange_budget(spark, sf_dir):
               # streaming task: the drained memory-sink relation has no
               # exchanges of its own (the per-micro-batch shuffle is
               # pinned in test_flux_task_* instead)
-              "flux_task_hourly_mean": 0}
+              "flux_task_hourly_mean": 0,
+              # schema meta: distincts keyed on the aliased _value
+              # column (not the raw series key) or literal relations
+              "flux_schema_measurements": 0,
+              "flux_schema_tag_values": 0,
+              "flux_schema_m_tag_values": 0,
+              "flux_schema_field_keys": 0}
     for name, fn in fx.QUERIES.items():
         plan = explain_str(fn(spark, sf_dir))
         n = sum(1 for ln in plan.splitlines()
