@@ -437,6 +437,8 @@ class _Parser:
         elif self._kw("series", "exact", "cardinality") \
                 or self._kw("series", "cardinality"):
             kind = "cardinality"
+        elif self._kw("series"):
+            kind = "series"
         else:
             raise InfluxQLError(
                 f"unsupported SHOW statement at {self._peek()!r}")
@@ -1040,6 +1042,16 @@ def _compile_show(pts: DataFrame, ast: InfluxShow) -> DataFrame:
                 .select("measurement", F.lit("value").alias("fieldKey"),
                         F.lit("float").alias("fieldType"))
                 .orderBy("measurement"))
+    if ast.kind == "series":
+        # SHOW SERIES: one line-protocol-style key per distinct series —
+        # the exact text InfluxDB prints (fixture tag values carry no
+        # commas/spaces, so no escaping subset needed)
+        return (pts.select("measurement", *_TAGS).distinct()
+                .select(F.concat_ws(
+                    ",", F.col("measurement"),
+                    *[F.concat(F.lit(f"{t}="), F.col(t)) for t in _TAGS])
+                    .alias("key"))
+                .orderBy("key"))
     # series cardinality: exact distinct count of (measurement, tags)
     return (pts.select("measurement", *_TAGS).distinct()
             .agg(F.count(F.lit(1)).alias("count")))
@@ -1429,6 +1441,15 @@ def q_influxql_text_agg_limit(spark: SparkSession,
     return compile_influxql(spark, sf_dir, _Q_AGG_LIMIT)
 
 
+def q_influxql_show_series(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """``SHOW SERIES`` — the full series-key listing (one line-protocol
+    key per distinct series), the browse query behind InfluxDB's series
+    explorer. Distinct over the series columns: partial agg collapses
+    each partition first, one exchange on the tiny distinct relation."""
+    return compile_influxql(spark, sf_dir, "SHOW SERIES")
+
+
 QUERIES = {
     "influxql_text_downsample": q_influxql_text_downsample,
     "influxql_text_counter_rate": q_influxql_text_counter_rate,
@@ -1453,6 +1474,7 @@ QUERIES = {
     "influxql_show_retention": q_influxql_show_retention,
     "influxql_text_scaled": q_influxql_text_scaled,
     "influxql_text_agg_limit": q_influxql_text_agg_limit,
+    "influxql_show_series": q_influxql_show_series,
 }
 
 ORACLES = {
@@ -1581,6 +1603,11 @@ WHERE measurement = 'default_measurement'
     "influxql_show_cardinality": f"""{_ORACLE_NUM}
 SELECT count(*) AS "count" FROM
   (SELECT DISTINCT measurement, domain, entity_id FROM num)
+""",
+    "influxql_show_series": f"""{_ORACLE_NUM}
+SELECT measurement || ',domain=' || domain
+       || ',entity_id=' || entity_id AS key
+FROM (SELECT DISTINCT measurement, domain, entity_id FROM num)
 """,
     "influxql_text_regex_or": f"""{_ORACLE_NUM},
 flt AS (
