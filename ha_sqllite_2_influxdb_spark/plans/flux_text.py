@@ -176,6 +176,29 @@ class FluxMap:
 
 
 @dataclass(frozen=True)
+class FluxMap2:
+    """map body combining two record columns (the cross-measurement math
+    idiom after join()): ``r._value_p / r._value_h``."""
+    op: str
+    lhs: tuple    # ("col", name) | ("num", value)
+    rhs: tuple
+
+
+@dataclass(frozen=True)
+class FluxJoin:
+    """``join(tables: {a: x, b: y}, on: […])`` + trailing stages."""
+    tables: tuple[tuple[str, str], ...]   # (label, variable) pairs
+    on: tuple[str, ...]
+    stages: tuple
+
+
+@dataclass(frozen=True)
+class FluxProgram:
+    assigns: tuple[tuple[str, "FluxPipeline"], ...]
+    final: object                          # FluxPipeline | FluxJoin
+
+
+@dataclass(frozen=True)
 class FluxStage:
     name: str
     args: dict
@@ -244,6 +267,19 @@ class _Parser:
             if len(kinds) > 1:
                 raise FluxError("arrays must be homogeneous")
             return ("numarray" if kinds == {"num"} else "array", items)
+        if t.kind == "punct" and t.text == "{":
+            # record of identifiers: {p: a, h: b} (join tables:)
+            pairs = []
+            while True:
+                k = self.expect("ident").text
+                self.expect("punct", ":")
+                pairs.append((k, self.expect("ident").text))
+                t2 = self.next()
+                if t2.text == "}":
+                    break
+                if t2.text != ",":
+                    raise FluxError(f"bad record separator {t2.text!r}")
+            return ("record", tuple(pairs))
         if t.kind == "punct" and t.text == "(":
             # lambda: (r) => …
             self.expect("ident", "r")
@@ -270,14 +306,14 @@ class _Parser:
             and self.toks[j + 2].text == "r"
         )
 
-    def map_body(self) -> FluxMap:
+    def map_body(self):
         self.expect("punct", "(")
         self.expect("punct", "{")
         self.expect("ident", "r")
         self.expect("ident", "with")
         self.expect("ident", "_value")
         self.expect("punct", ":")
-        # <operand> op <operand>, exactly one side r._value
+        # <operand> op <operand>; operands are record columns or numbers
         left = self._map_operand()
         op = self.next().text
         if op not in ("*", "/", "+", "-"):
@@ -285,22 +321,23 @@ class _Parser:
         right = self._map_operand()
         self.expect("punct", "}")
         self.expect("punct", ")")
-        if left == "_value" and isinstance(right, float):
-            return FluxMap(op, right, const_left=False)
-        if right == "_value" and isinstance(left, float):
-            return FluxMap(op, left, const_left=True)
-        raise FluxError("map must combine r._value with one constant")
+        if left == ("col", "_value") and right[0] == "num":
+            return FluxMap(op, right[1], const_left=False)
+        if right == ("col", "_value") and left[0] == "num":
+            return FluxMap(op, left[1], const_left=True)
+        if left[0] == "col" and right[0] == "col":
+            return FluxMap2(op, left, right)
+        raise FluxError(
+            "map must combine r._value with a constant, or two record "
+            "columns")
 
-    def _map_operand(self):
+    def _map_operand(self) -> tuple:
         t = self.next()
         if t.kind == "number":
-            return float(t.text)
+            return ("num", float(t.text))
         if t.kind == "ident" and t.text == "r":
             self.expect("punct", ".")
-            col = self.expect("ident").text
-            if col != "_value":
-                raise FluxError("map may only rewrite from r._value")
-            return "_value"
+            return ("col", self.expect("ident").text)
         raise FluxError(f"bad map operand {t.text!r}")
 
     def or_expr(self):
@@ -369,17 +406,60 @@ class _Parser:
         self.expect("punct", ")")
         return FluxStage(name, args)
 
+    def _stage_chain(self) -> tuple:
+        stages = []
+        while self.peek() is not None and self.peek().kind == "pipe":
+            self.next()
+            stages.append(self.call())
+        return tuple(stages)
+
     def pipeline(self) -> FluxPipeline:
         head = self.call()
         if head.name != "from" or "bucket" not in head.args:
             raise FluxError("pipeline must start with from(bucket: …)")
         if head.args["bucket"][0] != "str":
             raise FluxError("bucket must be a string literal")
-        stages = []
-        while self.peek() is not None:
-            self.expect("pipe")
-            stages.append(self.call())
-        return FluxPipeline(head.args["bucket"][1], tuple(stages))
+        return FluxPipeline(head.args["bucket"][1], self._stage_chain())
+
+    def _at_assignment(self) -> bool:
+        t, n = self.peek(), (self.toks[self.i + 1]
+                             if self.i + 1 < len(self.toks) else None)
+        return (t is not None and t.kind == "ident"
+                and t.text not in ("from", "join", "option", "import")
+                and n is not None and n.kind == "op" and n.text == "=")
+
+    def program(self) -> FluxProgram:
+        """Multi-statement Flux: ``name = from(…) |> …`` assignments
+        followed by a final pipeline or a ``join(tables: {…}, on: […])``
+        — the cross-measurement-math form Grafana panels use."""
+        assigns = []
+        while self._at_assignment():
+            name = self.next().text
+            self.next()                      # '='
+            assigns.append((name, self.pipeline()))
+        t = self.peek()
+        if t is None:
+            raise FluxError("program needs a final pipeline or join()")
+        if t.kind == "ident" and t.text == "join":
+            head = self.call()
+            tables = _arg(head.args, "tables", ("record",), required=True)
+            on = _arg(head.args, "on", ("array",), required=True)
+            if len(tables) != 2:
+                raise FluxError("join() supports exactly two tables")
+            final: object = FluxJoin(tuple(tables), tuple(on),
+                                     self._stage_chain())
+        else:
+            final = self.pipeline()
+        if self.peek() is not None:
+            raise FluxError(f"trailing tokens after program: "
+                            f"{self.peek().text!r}")
+        names = {n for n, _ in assigns}
+        if isinstance(final, FluxJoin):
+            for _, var in final.tables:
+                if var not in names:
+                    raise FluxError(f"join references unknown table "
+                                    f"{var!r}")
+        return FluxProgram(tuple(assigns), final)
 
     def meta(self) -> FluxStage:
         """``import "influxdata/influxdb/schema"`` + one ``schema.X(…)``
@@ -421,14 +501,30 @@ class _Parser:
         return opts, self.pipeline()
 
 
+def _exhausted(p: "_Parser"):
+    if p.peek() is not None:
+        raise FluxError(f"trailing tokens: {p.peek().text!r}")
+
+
 def parse_flux(text: str, now_s: float | None = None) -> FluxPipeline:
-    return _Parser(_tokenize(text), now_s=now_s).pipeline()
+    p = _Parser(_tokenize(text), now_s=now_s)
+    pipe = p.pipeline()
+    _exhausted(p)
+    return pipe
 
 
 def parse_flux_task(text: str,
                     now_s: float | None = None) -> tuple[dict,
                                                          FluxPipeline]:
-    return _Parser(_tokenize(text), now_s=now_s).task()
+    p = _Parser(_tokenize(text), now_s=now_s)
+    out = p.task()
+    _exhausted(p)
+    return out
+
+
+def parse_flux_program(text: str,
+                       now_s: float | None = None) -> FluxProgram:
+    return _Parser(_tokenize(text), now_s=now_s).program()
 
 
 _META_TAGS = ("_measurement", "domain", "entity_id")
@@ -1066,10 +1162,19 @@ def _stage_histogram_quantile(st: _State, args: dict):
 
 def _stage_map(st: _State, args: dict):
     body = _arg(args, "fn", ("lambda",), required=True)
-    if not isinstance(body, FluxMap):
+    if isinstance(body, FluxMap):
+        v, k = F.col("_value"), F.lit(body.const)
+        a, b = (k, v) if body.const_left else (v, k)
+    elif isinstance(body, FluxMap2):
+        for kind, name in (body.lhs, body.rhs):
+            if kind == "col" and name not in st.df.columns:
+                raise FluxError(f"map references unknown column "
+                                f"r.{name}")
+        mk = (lambda o: F.col(o[1]) if o[0] == "col"
+              else F.lit(float(o[1])))
+        a, b = mk(body.lhs), mk(body.rhs)
+    else:
         raise FluxError("map fn must be ({ r with _value: … })")
-    v, k = F.col("_value"), F.lit(body.const)
-    a, b = (k, v) if body.const_left else (v, k)
     expr = {"*": a * b, "/": a / b, "+": a + b, "-": a - b}[body.op]
     st.df = st.df.withColumn("_value", expr)
 
@@ -1088,6 +1193,64 @@ def _stage_keep(st: _State, args: dict, drop: bool = False):
     st.sort_cols = tuple(c for c in st.sort_cols if c in keep) or ()
 
 
+def _apply_stages(st: _State, stages) -> None:
+    for stage in stages:
+        nm, a = stage.name, stage.args
+        if nm == "range":
+            _stage_range(st, a)
+        elif nm == "filter":
+            _stage_filter(st, a)
+        elif nm == "group":
+            _stage_group(st, a)
+        elif nm == "aggregateWindow":
+            _stage_aggregate_window(st, a)
+        elif nm in ("mean", "sum", "count", "min", "max", "first",
+                    "last", "spread", "stddev", "median"):
+            if a:
+                raise FluxError(f"{nm}() takes no arguments here")
+            _stage_plain_agg(st, nm, a)
+        elif nm == "quantile":
+            _stage_quantile(st, a)
+        elif nm == "histogram":
+            _stage_histogram(st, a)
+        elif nm == "histogramQuantile":
+            _stage_histogram_quantile(st, a)
+        elif nm == "derivative":
+            _stage_derivative(st, a)
+        elif nm == "difference":
+            _stage_difference(st, a)
+        elif nm == "cumulativeSum":
+            _stage_cumulative_sum(st, a)
+        elif nm == "increase":
+            _stage_increase(st, a)
+        elif nm == "movingAverage":
+            _stage_moving_average(st, a)
+        elif nm == "elapsed":
+            _stage_elapsed(st, a)
+        elif nm == "timeShift":
+            _stage_time_shift(st, a)
+        elif nm == "sort":
+            _stage_sort(st, a)
+        elif nm == "limit":
+            _stage_limit(st, a)
+        elif nm == "tail":
+            _stage_limit(st, a, tail=True)
+        elif nm == "fill":
+            _stage_fill(st, a)
+        elif nm == "map":
+            _stage_map(st, a)
+        elif nm == "keep":
+            _stage_keep(st, a)
+        elif nm == "drop":
+            _stage_keep(st, a, drop=True)
+        elif nm == "yield":
+            pass
+        elif nm == "to":
+            raise FluxError("to(bucket:) runs via run_flux_task()")
+        else:
+            raise FluxError(f"unsupported stage: {nm}()")
+
+
 def compile_flux(text: str, now_s: float | None = None):
     """Compile a Flux pipeline string to a (spark, sf_dir) -> DataFrame
     callable running on the migrated point relation."""
@@ -1095,64 +1258,57 @@ def compile_flux(text: str, now_s: float | None = None):
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         st = _State(_flux_points(spark, sf_dir), now_s=now_s)
-        for stage in pipe.stages:
-            nm, a = stage.name, stage.args
-            if nm == "range":
-                _stage_range(st, a)
-            elif nm == "filter":
-                _stage_filter(st, a)
-            elif nm == "group":
-                _stage_group(st, a)
-            elif nm == "aggregateWindow":
-                _stage_aggregate_window(st, a)
-            elif nm in ("mean", "sum", "count", "min", "max", "first",
-                        "last", "spread", "stddev", "median"):
-                if a:
-                    raise FluxError(f"{nm}() takes no arguments here")
-                _stage_plain_agg(st, nm, a)
-            elif nm == "quantile":
-                _stage_quantile(st, a)
-            elif nm == "histogram":
-                _stage_histogram(st, a)
-            elif nm == "histogramQuantile":
-                _stage_histogram_quantile(st, a)
-            elif nm == "derivative":
-                _stage_derivative(st, a)
-            elif nm == "difference":
-                _stage_difference(st, a)
-            elif nm == "cumulativeSum":
-                _stage_cumulative_sum(st, a)
-            elif nm == "increase":
-                _stage_increase(st, a)
-            elif nm == "movingAverage":
-                _stage_moving_average(st, a)
-            elif nm == "elapsed":
-                _stage_elapsed(st, a)
-            elif nm == "timeShift":
-                _stage_time_shift(st, a)
-            elif nm == "sort":
-                _stage_sort(st, a)
-            elif nm == "limit":
-                _stage_limit(st, a)
-            elif nm == "tail":
-                _stage_limit(st, a, tail=True)
-            elif nm == "fill":
-                _stage_fill(st, a)
-            elif nm == "map":
-                _stage_map(st, a)
-            elif nm == "keep":
-                _stage_keep(st, a)
-            elif nm == "drop":
-                _stage_keep(st, a, drop=True)
-            elif nm == "yield":
-                pass
-            elif nm == "to":
-                raise FluxError("to(bucket:) runs via run_flux_task()")
-            else:
-                raise FluxError(f"unsupported stage: {nm}()")
+        _apply_stages(st, pipe.stages)
         # state_id is an engine-internal tie-break column, not part of
         # Flux's row schema — never emit it
         return st.df.drop("state_id")
+
+    return run
+
+
+def compile_flux_program(text: str, now_s: float | None = None):
+    """Compile a multi-statement Flux program — assignments plus a final
+    pipeline or ``join(tables: {a: x, b: y}, on: […])`` — the
+    cross-measurement-math idiom (e.g. a power/percentage ratio panel).
+
+    Join semantics follow Flux: INNER join on the ``on`` columns;
+    conflicting non-key columns from each side are suffixed ``_<label>``
+    (so ``r._value_p / r._value_h`` in a trailing map). Scale shape:
+    each side is typically an aggregateWindow downsample, so the join
+    keys on (time, tags) over two ALREADY-DOWNSAMPLED relations — a
+    genuine two-sided shuffle join on small inputs; the big scans never
+    join each other directly."""
+    prog = parse_flux_program(text, now_s=now_s)
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pts = _flux_points(spark, sf_dir)
+        env: dict[str, DataFrame] = {}
+        for name, pipe in prog.assigns:
+            st = _State(pts, now_s=now_s)
+            _apply_stages(st, pipe.stages)
+            env[name] = st.df.drop("state_id")
+        final = prog.final
+        if isinstance(final, FluxPipeline):
+            st = _State(pts, now_s=now_s)
+            _apply_stages(st, final.stages)
+            return st.df.drop("state_id")
+        (la, va), (lb, vb) = final.tables
+        da, db = env[va], env[vb]
+        on = list(final.on)
+        for c in on:
+            if c not in da.columns or c not in db.columns:
+                raise FluxError(f"join key {c!r} missing from a side")
+        conflicts = (set(da.columns) & set(db.columns)) - set(on)
+        for c in sorted(conflicts):
+            da = da.withColumnRenamed(c, f"{c}_{la}")
+            db = db.withColumnRenamed(c, f"{c}_{lb}")
+        joined = da.join(db, on, "inner")
+        st = _State(joined, now_s=now_s)
+        st.gkey = tuple(c for c in on if c != "_time")
+        st.sort_cols = (("_time",) if "_time" in joined.columns
+                        else tuple(on[:1]))
+        _apply_stages(st, final.stages)
+        return st.df
 
     return run
 
@@ -1413,6 +1569,31 @@ def _q_meta(name: str):
 
 QUERIES.update({n: _q_meta(n) for n in _META_TEXTS})
 
+_JOIN_TEXT = f'''
+p = from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement == "W")
+  |> aggregateWindow(every: 6h, fn: mean)
+h = from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement == "%")
+  |> aggregateWindow(every: 6h, fn: mean)
+join(tables: {{p: p, h: h}}, on: ["_time", "domain", "entity_id"])
+  |> map(fn: (r) => ({{ r with _value: r._value_p / r._value_h }}))
+  |> keep(columns: ["_time", "domain", "entity_id", "_value"])
+'''
+
+
+def q_flux_join_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux variables + join() + cross-column map — the Grafana
+    cross-measurement-math panel (hourly W mean over hourly % mean per
+    entity). See compile_flux_program for join semantics and the
+    downsample-before-join scale shape."""
+    return compile_flux_program(_JOIN_TEXT)(spark, sf_dir)
+
+
+QUERIES["flux_join_math"] = q_flux_join_math
+
 _SKEY = "measurement AS _measurement, domain, entity_id, 'value' AS _field"
 _SPART = "measurement, domain, entity_id"
 
@@ -1611,5 +1792,23 @@ SELECT DISTINCT entity_id AS _value FROM num WHERE measurement = 'W'
 """,
     "flux_schema_field_keys": """
 SELECT 'value' AS _value
+""",
+    "flux_join_math": f"""{_ORACLE_NUM},
+pw AS (
+  SELECT domain, entity_id,
+    CAST((floor(ts_epoch / 21600) + 1) * 21600 AS DOUBLE) AS _time,
+    (sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6) / count(*) AS mv
+  FROM num WHERE measurement = 'W'
+  GROUP BY domain, entity_id, floor(ts_epoch / 21600)
+),
+ph AS (
+  SELECT domain, entity_id,
+    CAST((floor(ts_epoch / 21600) + 1) * 21600 AS DOUBLE) AS _time,
+    (sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6) / count(*) AS mv
+  FROM num WHERE measurement = '%'
+  GROUP BY domain, entity_id, floor(ts_epoch / 21600)
+)
+SELECT p._time, p.domain, p.entity_id, p.mv / h.mv AS _value
+FROM pw p JOIN ph h USING (_time, domain, entity_id)
 """,
 }

@@ -245,6 +245,57 @@ def test_flux_task_parse_and_rejections(spark):
             run_flux_task(spark, SF, bad)
 
 
+def test_flux_program_join_semantics(spark):
+    """join(): inner on the key columns, conflicting columns suffixed
+    with the table labels, cross-column map — pinned on hand-built
+    frames via the real parser+compiler."""
+    from ha_sqllite_2_influxdb_spark.plans.flux_text import (
+        compile_flux_program,
+        parse_flux_program,
+    )
+
+    prog = parse_flux_program('''
+        a = from(bucket: "b") |> range(start: 0)
+        b = from(bucket: "b") |> range(start: 0) |> difference()
+        join(tables: {x: a, y: b}, on: ["_time", "entity_id"])
+          |> map(fn: (r) => ({ r with _value: r._value_x - r._value_y }))
+    ''')
+    assert [n for n, _ in prog.assigns] == ["a", "b"]
+    assert prog.final.tables == (("x", "a"), ("y", "b"))
+    assert prog.final.on == ("_time", "entity_id")
+
+    # ratio of hourly means W vs %: every joined row's value must equal
+    # the two sides' division recomputed directly
+    out = compile_flux_program('''
+        p = from(bucket: "b") |> range(start: 0)
+          |> filter(fn: (r) => r._measurement == "W")
+          |> aggregateWindow(every: 1h, fn: mean)
+        h = from(bucket: "b") |> range(start: 0)
+          |> filter(fn: (r) => r._measurement == "%")
+          |> aggregateWindow(every: 1h, fn: mean)
+        join(tables: {p: p, h: h}, on: ["_time", "domain", "entity_id"])
+          |> map(fn: (r) => ({ r with _value: r._value_p / r._value_h }))
+    ''')(spark, SF)
+    rows = out.limit(50).collect()
+    assert rows, "join produced no rows"
+    for r in rows:
+        assert r["_value"] == r["_value_p"] / r["_value_h"]
+
+    for bad in (
+        # unknown variable in join
+        'a = from(bucket: "b") |> range(start: 0)\n'
+        'join(tables: {x: a, y: zz}, on: ["_time"])',
+        # three tables
+        'a = from(bucket: "b")\nb = from(bucket: "b")\n'
+        'c = from(bucket: "b")\n'
+        'join(tables: {x: a, y: b, z: c}, on: ["_time"])',
+        # trailing garbage after program
+        'a = from(bucket: "b")\nfrom(bucket: "b") |> mean() extra',
+    ):
+        with pytest.raises(FluxError):
+            compile_flux_program(bad)(spark, SF)
+
+
 def test_schema_meta_queries(spark):
     from ha_sqllite_2_influxdb_spark.plans.flux_text import (
         compile_flux_meta,
@@ -341,14 +392,21 @@ def test_flux_series_exchange_budget(spark, sf_dir):
               "flux_schema_measurements": 0,
               "flux_schema_tag_values": 0,
               "flux_schema_m_tag_values": 0,
-              "flux_schema_field_keys": 0}
+              "flux_schema_field_keys": 0,
+              # join math: one series-keyed downsample agg PER SIDE;
+              # the join itself keys on (_time, tags) over the two
+              # already-downsampled relations
+              "flux_join_math": 2}
     for name, fn in fx.QUERIES.items():
         plan = explain_str(fn(spark, sf_dir))
         n = sum(1 for ln in plan.splitlines()
                 if ln.strip().startswith("Arguments: hashpartitioning(")
                 and "_measurement" in ln)
         assert n == budget.get(name, 1), f"{name}: {n} series exchanges"
-        assert "SortMergeJoin" not in plan, name
+        if name != "flux_join_math":
+            # join_math's SMJ is the genuine two-sided join of the two
+            # DOWNSAMPLED relations — by design, not a grid-join smell
+            assert "SortMergeJoin" not in plan, name
 
 
 def test_no_python_udfs_in_compiled_plan(spark):
