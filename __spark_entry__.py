@@ -70,7 +70,7 @@ def _registry():
 
     modules = [ha_pipeline]
     for name in ("analytics", "llm_ops", "streaming_ops", "influxql",
-                 "influxql_text", "flux_text", "monitoring"):
+                 "influxql_text", "flux_text", "ha_stats", "monitoring"):
         try:
             mod = __import__(
                 f"ha_sqllite_2_influxdb_spark.plans.{name}", fromlist=[name]

@@ -1,0 +1,54 @@
+"""HA statistics compilation: known-answer tests for the hour-clipped
+duration-weighted mean (the recorder's compile_statistics semantics).
+Registry-level oracle parity runs in test_oracle_parity.py."""
+
+from ha_sqllite_2_influxdb_spark.plans.ha_stats import hourly_statistics
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(
+        [(i, "W", "sensor", "power", float(t), float(v))
+         for i, (t, v) in enumerate(rows)],
+        "state_id long, measurement string, domain string, "
+        "entity_id string, ts_epoch double, value double")
+
+
+def test_hour_clipped_duration_weighted_mean(spark):
+    """10 W at 0:30, 20 W at 1:30, 30 W at 2:30 — hour 1 is half 10 W
+    (carry-in) and half 20 W: the duration-weighted mean is 15 even
+    though the only point RECORDED in hour 1 says 20 (the arithmetic
+    mean would be wrong by 5)."""
+    out = {r["hour_epoch"]: r for r in hourly_statistics(
+        _pts(spark, [(1800, 10), (5400, 20), (9000, 30)])).collect()}
+    assert set(out) == {0, 3600, 7200}
+    h0, h1, h2 = out[0], out[3600], out[7200]
+    assert (h0["dw_mean"], h0["min_val"], h0["max_val"],
+            h0["n_segments"]) == (10.0, 10.0, 10.0, 1)
+    assert (h1["dw_mean"], h1["min_val"], h1["max_val"],
+            h1["n_segments"]) == (15.0, 10.0, 20.0, 2)
+    assert (h2["dw_mean"], h2["min_val"], h2["max_val"],
+            h2["n_segments"]) == (20.0, 20.0, 20.0, 1)
+    # the 2:30 state has no closing edge: dropped (HA clips at "now")
+    assert 30.0 not in {h2["min_val"], h2["max_val"]}
+
+
+def test_boundary_aligned_segment_stays_out_of_next_hour(spark):
+    """A segment ending exactly ON an hour boundary must not leak a
+    zero-duration sliver into the next hour (right-open intervals)."""
+    out = {r["hour_epoch"]: r for r in hourly_statistics(
+        _pts(spark, [(0, 5), (3600, 7), (5400, 9)])).collect()}
+    assert set(out) == {0, 3600}
+    assert out[0]["dw_mean"] == 5.0 and out[0]["n_segments"] == 1
+    # hour 1: [3600, 5400) at 7 only — the aligned first segment
+    # contributes nothing here
+    assert out[3600]["dw_mean"] == 7.0 and out[3600]["min_val"] == 7.0
+
+
+def test_tied_timestamps_drop_superseded_state(spark):
+    """Two states at the SAME instant: the superseded one carries zero
+    time weight and must not contribute to mean or min/max."""
+    out = {r["hour_epoch"]: r for r in hourly_statistics(
+        _pts(spark, [(0, 100), (0, 4), (3600, 4)])).collect()}
+    # state_id order: 100 then 4 at t=0 — 100's segment is zero-length
+    assert out[0]["dw_mean"] == 4.0
+    assert out[0]["max_val"] == 4.0      # the 100 never had any duration

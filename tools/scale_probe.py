@@ -216,7 +216,19 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
         # columns, LOCF on the series window. 10× series = 10× buckets
         # and 10× grid rows; nothing widens.
         "flux_window_grid": lambda: _flux_grid_tier(pts),
+        # r7: the HA statistics compiler — lead() segments on the series
+        # window, hour-clipped explode (rows ≈ points + gap-hours),
+        # (series, hour) agg. Same fleet layout: 10× = 10× series.
+        "ha_statistics_hourly": lambda: _ha_stats_tier(pts),
     }
+
+
+def _ha_stats_tier(pts):
+    from ha_sqllite_2_influxdb_spark.plans.ha_stats import (
+        hourly_statistics,
+    )
+
+    return hourly_statistics(pts)
 
 
 def _flux_grid_tier(pts):
