@@ -41,9 +41,10 @@ from .influxql import _ORACLE_NUM, _SERIES, _numeric_points
 __all__ = ["hourly_statistics", "QUERIES", "ORACLES"]
 
 
-def hourly_statistics(pts: DataFrame) -> DataFrame:
-    """The statistics compiler over any (series, ts_epoch, value) point
-    relation — factored out for the scale probe."""
+def _clipped_terms(pts: DataFrame, bucket_s: int) -> DataFrame:
+    """LOCF step segments (lead on the one series window) exploded over
+    the ``bucket_s`` buckets they span, each overlap micro-quantized —
+    the shared core of the hourly compiler and the short-term cascade."""
     w = (Window.partitionBy(*_SERIES).orderBy("ts_epoch", "state_id"))
     seg = (
         pts.select(
@@ -53,25 +54,32 @@ def hourly_statistics(pts: DataFrame) -> DataFrame:
         )
         .filter(F.col("t1").isNotNull() & (F.col("t1") > F.col("t0")))
     )
-    h_first = F.floor(F.col("t0") / 3600).cast("long")
-    # a segment ending exactly ON an hour boundary does not reach into
-    # that hour (right-open interval)
+    b = float(bucket_s)
+    h_first = F.floor(F.col("t0") / b).cast("long")
+    # a segment ending exactly ON a bucket boundary does not reach into
+    # that bucket (right-open interval)
     h_last = (
-        F.floor(F.col("t1") / 3600).cast("long")
-        - F.when(F.col("t1") == F.floor(F.col("t1") / 3600) * 3600, 1)
+        F.floor(F.col("t1") / b).cast("long")
+        - F.when(F.col("t1") == F.floor(F.col("t1") / b) * b, 1)
            .otherwise(0)
     )
     ex = seg.select(
         *_SERIES, "t0", "t1", "value",
         F.explode(F.sequence(h_first, h_last)).alias("h"),
     )
-    d = (F.least(F.col("t1"), (F.col("h") + 1) * F.lit(3600.0))
-         - F.greatest(F.col("t0"), F.col("h") * F.lit(3600.0)))
-    terms = ex.select(
+    d = (F.least(F.col("t1"), (F.col("h") + 1) * F.lit(b))
+         - F.greatest(F.col("t0"), F.col("h") * F.lit(b)))
+    return ex.select(
         *_SERIES, "h", "value",
         F.round(d * 1e6).cast("long").alias("_d_micro"),
         F.round(F.col("value") * d * 1e6).cast("long").alias("_vd_micro"),
     )
+
+
+def hourly_statistics(pts: DataFrame) -> DataFrame:
+    """The statistics compiler over any (series, ts_epoch, value) point
+    relation — factored out for the scale probe."""
+    terms = _clipped_terms(pts, 3600)
     return terms.groupBy(*_SERIES, "h").agg(
         ((F.sum("_vd_micro") / 1e6) / (F.sum("_d_micro") / 1e6))
         .alias("dw_mean"),
@@ -84,6 +92,38 @@ def hourly_statistics(pts: DataFrame) -> DataFrame:
     )
 
 
+def short_term_cascade(pts: DataFrame) -> DataFrame:
+    """HA's two-tier statistics pipeline: the 5-minute
+    ``statistics_short_term`` rows first, then the hourly reduction —
+    exactly how the recorder compiles hourly rows out of short-term
+    ones. The 5-minute tier keeps its state as the MERGEABLE integer
+    monoid (Σv·d, Σd, min, max, n) rather than a finished mean, so the
+    hourly reduction is pure BIGINT addition — associative at any
+    partitioning, and bit-identical to compiling the hour directly from
+    the same 5-minute-clipped terms (the oracle proves exactly that).
+    Two (series, bucket)-keyed exchanges by design — one per tier, the
+    rollup-cascade budget."""
+    terms = _clipped_terms(pts, 300)
+    short = terms.groupBy(*_SERIES, "h").agg(
+        F.sum("_vd_micro").alias("_svd"),
+        F.sum("_d_micro").alias("_sd"),
+        F.min("value").alias("_mn"),
+        F.max("value").alias("_mx"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    hour = (F.floor(F.col("h") / 12)).cast("long")
+    return short.groupBy(*_SERIES, hour.alias("hh")).agg(
+        ((F.sum("_svd") / 1e6) / (F.sum("_sd") / 1e6)).alias("dw_mean"),
+        F.min("_mn").alias("min_val"),
+        F.max("_mx").alias("max_val"),
+        F.sum("_n").alias("n_terms"),
+    ).select(
+        *_SERIES, (F.col("hh") * 3600).alias("hour_epoch"),
+        "dw_mean", "min_val", "max_val",
+        F.col("n_terms").cast("long").alias("n_terms"),
+    )
+
+
 def q_ha_statistics_hourly(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """HA recorder `statistics`: hourly duration-weighted mean + min/max
@@ -93,7 +133,17 @@ def q_ha_statistics_hourly(spark: SparkSession,
     return hourly_statistics(_numeric_points(spark, sf_dir))
 
 
-QUERIES = {"ha_statistics_hourly": q_ha_statistics_hourly}
+def q_ha_statistics_cascade(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """statistics_short_term (5 min) → hourly reduction on the integer
+    monoid (see short_term_cascade). The oracle compiles the hour
+    DIRECTLY from the same 5-minute-clipped terms — a hash match IS the
+    proof that the two-tier reduction loses nothing."""
+    return short_term_cascade(_numeric_points(spark, sf_dir))
+
+
+QUERIES = {"ha_statistics_hourly": q_ha_statistics_hourly,
+           "ha_statistics_cascade": q_ha_statistics_cascade}
 
 ORACLES = {
     "ha_statistics_hourly": f"""{_ORACLE_NUM},
@@ -128,5 +178,42 @@ SELECT measurement, domain, entity_id, h * 3600 AS hour_epoch,
   min(value) AS min_val, max(value) AS max_val,
   count(*)::BIGINT AS n_segments
 FROM terms GROUP BY measurement, domain, entity_id, h
+""",
+    # direct hourly compile from the 5-MINUTE-clipped terms: equality
+    # with the Spark two-tier reduction proves the monoid cascade exact
+    "ha_statistics_cascade": f"""{_ORACLE_NUM},
+seg AS (
+  SELECT measurement, domain, entity_id, ts_epoch AS t0, value,
+    lead(ts_epoch) OVER (PARTITION BY measurement, domain, entity_id
+                         ORDER BY ts_epoch, state_id) AS t1
+  FROM num
+),
+ex AS (
+  SELECT measurement, domain, entity_id, t0, t1, value,
+    unnest(generate_series(
+      CAST(floor(t0 / 300) AS BIGINT),
+      CAST(floor(t1 / 300) AS BIGINT)
+        - CASE WHEN t1 = floor(t1 / 300) * 300 THEN 1 ELSE 0 END
+    )) AS h
+  FROM seg WHERE t1 IS NOT NULL AND t1 > t0
+),
+terms AS (
+  SELECT measurement, domain, entity_id, h, value,
+    CAST(round((least(t1, (h + 1) * 300.0)
+                - greatest(t0, h * 300.0)) * 1e6) AS BIGINT)
+      AS d_micro,
+    CAST(round(value * (least(t1, (h + 1) * 300.0)
+                        - greatest(t0, h * 300.0)) * 1e6) AS BIGINT)
+      AS vd_micro
+  FROM ex
+)
+SELECT measurement, domain, entity_id,
+  CAST(floor(h / 12) AS BIGINT) * 3600 AS hour_epoch,
+  (CAST(sum(vd_micro) AS BIGINT) / 1e6)
+    / (CAST(sum(d_micro) AS BIGINT) / 1e6) AS dw_mean,
+  min(value) AS min_val, max(value) AS max_val,
+  count(*)::BIGINT AS n_terms
+FROM terms
+GROUP BY measurement, domain, entity_id, CAST(floor(h / 12) AS BIGINT)
 """,
 }

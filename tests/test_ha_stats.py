@@ -44,6 +44,23 @@ def test_boundary_aligned_segment_stays_out_of_next_hour(spark):
     assert out[3600]["dw_mean"] == 7.0 and out[3600]["min_val"] == 7.0
 
 
+def test_cascade_mean_matches_direct_hourly(spark):
+    """The 5-min→hour monoid reduction must produce the same
+    duration-weighted means as the direct hourly compiler wherever
+    values are representable exactly (integer-valued test frame: the
+    micro-quantized fine terms sum to the hour terms exactly)."""
+    from ha_sqllite_2_influxdb_spark.plans.ha_stats import (
+        short_term_cascade,
+    )
+
+    rows = [(1800, 10), (5400, 20), (9000, 30)]
+    direct = {r["hour_epoch"]: r["dw_mean"] for r in
+              hourly_statistics(_pts(spark, rows)).collect()}
+    cascade = {r["hour_epoch"]: r["dw_mean"] for r in
+               short_term_cascade(_pts(spark, rows)).collect()}
+    assert cascade == direct == {0: 10.0, 3600: 15.0, 7200: 20.0}
+
+
 def test_tied_timestamps_drop_superseded_state(spark):
     """Two states at the SAME instant: the superseded one carries zero
     time weight and must not contribute to mean or min/max."""
