@@ -16,7 +16,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ha_sqllite_2_influxdb_spark.plans import (
-    analytics, flux_text, ha_pipeline, influxql, llm_ops, monitoring,
+    analytics, flux_text, ha_pipeline, ha_stats, influxql, llm_ops,
+    monitoring,
 )
 from ha_sqllite_2_influxdb_spark.session import get_spark
 
@@ -56,6 +57,12 @@ HEADLINE = {
     # aggregateWindow(createEmpty) grid + LOCF fill (the Grafana Flux
     # dashboard staple); tracks parser overhead + the grid join
     "flux_window_fill_prev": flux_text.QUERIES["flux_window_fill_prev"],
+    # r7: the HA recorder statistics compiler — the heaviest headline
+    # BY DESIGN: LOCF segments explode over every hour they span
+    # (~series × month-hours rows at sf0.1), then the (series, hour)
+    # agg. The volume is the statistics table's own size, not plan
+    # waste (probe: 1.34× wall at 10× series).
+    "ha_statistics_hourly": ha_stats.q_ha_statistics_hourly,
 }
 
 
