@@ -1179,6 +1179,32 @@ def _stage_map(st: _State, args: dict):
     st.df = st.df.withColumn("_value", expr)
 
 
+def _stage_pivot(st: _State, args: dict):
+    """``pivot(rowKey:["_time"], columnKey:["_field"],
+    valueColumn:"_value")`` — the fieldsAsCols idiom every Flux
+    dashboard uses to get value-named columns. Supported subset:
+    columnKey must be ["_field"] (the point relation's one STATIC field
+    dimension — a data-dependent column set would need a driver-side
+    distinct scan, the anti-pattern this layer avoids); the stage
+    renames _value to the field name and drops _field. Zero exchanges."""
+    row_key = _arg(args, "rowKey", ("array",), required=True)
+    col_key = _arg(args, "columnKey", ("array",), required=True)
+    val_col = _arg(args, "valueColumn", ("str",), required=True)
+    if col_key != ["_field"]:
+        raise FluxError("pivot supports columnKey: [\"_field\"] only")
+    if val_col != "_value":
+        raise FluxError("pivot supports valueColumn: \"_value\" only")
+    for c in row_key:
+        if c not in st.df.columns:
+            raise FluxError(f"pivot rowKey column {c!r} not in stream")
+    if "_field" not in st.df.columns:
+        raise FluxError("pivot needs the _field column")
+    # one field ('value') per series: the pivot is a rename + drop
+    st.df = (st.df.withColumnRenamed("_value", "value").drop("_field"))
+    st.gkey = tuple(c for c in st.gkey if c != "_field")
+    st.sort_cols = tuple(c for c in st.sort_cols if c != "_field")
+
+
 def _stage_keep(st: _State, args: dict, drop: bool = False):
     cols = _arg(args, "columns", ("array",), required=True)
     if drop:
@@ -1239,6 +1265,8 @@ def _apply_stages(st: _State, stages) -> None:
             _stage_fill(st, a)
         elif nm == "map":
             _stage_map(st, a)
+        elif nm == "pivot":
+            _stage_pivot(st, a)
         elif nm == "keep":
             _stage_keep(st, a)
         elif nm == "drop":
@@ -1472,6 +1500,13 @@ from(bucket: "{_BUCKET}")
   |> range(start: 0)
   |> filter(fn: (r) => r._measurement =~ /^(W|%)$/)
   |> last()
+''',
+    "flux_pivot_fields": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement == "W" and r.domain == "sensor")
+  |> pivot(rowKey: ["_time"], columnKey: ["_field"],
+           valueColumn: "_value")
 ''',
     "flux_histogram": f'''
 from(bucket: "{_BUCKET}")
@@ -1718,6 +1753,11 @@ r AS (
 )
 SELECT _measurement, domain, entity_id, _field, _time, _value
 FROM r WHERE rn = 1
+""",
+    "flux_pivot_fields": f"""{_ORACLE_NUM}
+SELECT measurement AS _measurement, domain, entity_id,
+  ts_epoch AS _time, value
+FROM num WHERE measurement = 'W' AND domain = 'sensor'
 """,
     # cumulative count per le bin: the quadratic pts×bins formulation is
     # fine as an ORACLE (sf0.01); the Spark plan is the linear

@@ -88,6 +88,10 @@ def test_parse_map_and_regex():
     'from(bucket: "b") |> map(fn: (r) => ({ r with _time: 0 }))',
     'from(bucket: "b") |> fill()',
     'from(bucket: "b") |> range(start: "Jan 1 2024")',
+    'from(bucket: "b") |> pivot(rowKey: ["_time"], '
+    'columnKey: ["entity_id"], valueColumn: "_value")',
+    'from(bucket: "b") |> pivot(rowKey: ["nope"], '
+    'columnKey: ["_field"], valueColumn: "_value")',
 ])
 def test_grammar_rejection(bad, spark):
     # parse errors surface at compile time, stage/argument errors when
@@ -396,7 +400,9 @@ def test_flux_series_exchange_budget(spark, sf_dir):
               # join math: one series-keyed downsample agg PER SIDE;
               # the join itself keys on (_time, tags) over the two
               # already-downsampled relations
-              "flux_join_math": 2}
+              "flux_join_math": 2,
+              # pivot on the static _field is a rename: no shuffle at all
+              "flux_pivot_fields": 0}
     for name, fn in fx.QUERIES.items():
         plan = explain_str(fn(spark, sf_dir))
         n = sum(1 for ln in plan.splitlines()
