@@ -166,6 +166,7 @@ class InfluxSelect:
     offset: int | None = None
     soffset: int | None = None
     bucket_off_s: int = 0     # GROUP BY time(d, off) alignment shift
+    tz: str | None = None     # tz('Europe/Berlin') bucket alignment
 
 
 _AGGS = {"count", "sum", "mean", "min", "max", "spread", "first", "last",
@@ -377,10 +378,26 @@ class _Parser:
             soffset = int(self._next().text)
             if slimit is None:
                 raise InfluxQLError("SOFFSET requires SLIMIT")
+        tzname = None
+        if self._kw("tz"):
+            self._expect("(")
+            t = self._next()
+            if t.kind != "squote":
+                raise InfluxQLError("tz() takes a quoted IANA zone name")
+            tzname = t.text[1:-1]
+            self._expect(")")
+            if bucket_s is None:
+                raise InfluxQLError("tz() requires GROUP BY time()")
+            if bucket_off_s:
+                raise InfluxQLError("tz() with a time() offset is "
+                                    "unsupported")
+            if fill != "none":
+                raise InfluxQLError("tz() with FILL is unsupported "
+                                    "(fill on read after alignment)")
         return InfluxSelect(tuple(projs), measurement, tuple(where),
                             bucket_s, tuple(group_tags), grouped, fill,
                             order_desc, limit, slimit, into,
-                            offset, soffset, bucket_off_s)
+                            offset, soffset, bucket_off_s, tzname)
 
     def _cq(self) -> InfluxCQ:
         def _name() -> str:
@@ -863,11 +880,32 @@ def _compile_agg(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
         return pts.groupBy(*keys).agg(*aggs)
 
     off = ast.bucket_off_s
-    bucket = F.floor((F.col("ts_epoch") - off) / ast.bucket_s).cast("long")
+    if ast.tz is not None:
+        # tz('Zone'): buckets align to LOCAL boundaries. Per-row zone
+        # offset from the engine's tzdata (whole seconds — offsets are
+        # minute-granular, so the floor-second probe is exact), bucket
+        # on the shifted epoch, and each bucket label converts its
+        # local boundary back to the UTC instant (DST-correct at bucket
+        # granularity — exactly InfluxDB's tz() semantics). Both
+        # engines read the same IANA database, so the DuckDB oracle is
+        # value-exact.
+        secs = F.floor(F.col("ts_epoch")).cast("long")
+        row_off = (F.unix_timestamp(
+            F.from_utc_timestamp(F.timestamp_seconds(secs), ast.tz))
+            - secs)
+        bucket = F.floor((F.col("ts_epoch") + row_off.cast("double"))
+                         / ast.bucket_s).cast("long")
+    else:
+        bucket = F.floor((F.col("ts_epoch") - off)
+                         / ast.bucket_s).cast("long")
     buckets = (pts.select(*keys, bucket.alias("_b"), "value",
                           "ts_epoch", "state_id")
                .groupBy(*keys, "_b").agg(*aggs))
     names = [p.func for p in ast.projs]
+    if ast.tz is not None:
+        label = F.unix_timestamp(F.to_utc_timestamp(
+            F.timestamp_seconds(F.col("_b") * ast.bucket_s), ast.tz))
+        return buckets.select(*keys, label.alias("time"), *names)
     if ast.fill == "none":
         return buckets.select(
             *keys, (F.col("_b") * ast.bucket_s + off).alias("time"),
@@ -1076,6 +1114,8 @@ def _compile_outer_agg(inner_df: DataFrame,
     with the same series columns as the inner's, and an outer
     ``GROUP BY time(d)`` re-buckets the inner's epoch-aligned ``time``."""
     inner = ast.measurement
+    if ast.tz is not None or inner.tz is not None:
+        raise InfluxQLError("tz() inside subqueries is unsupported")
     inner_names = {p.func for p in inner.projs}
     for p in ast.projs:
         if p.func not in _AGGS:
@@ -1441,6 +1481,19 @@ def q_influxql_text_agg_limit(spark: SparkSession,
     return compile_influxql(spark, sf_dir, _Q_AGG_LIMIT)
 
 
+_Q_TZ = ('SELECT MEAN(value) FROM "W" GROUP BY time(1d), * '
+         "tz('Europe/Berlin')")
+
+
+def q_influxql_text_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY time(1d) tz('Europe/Berlin')`` — local-midnight daily
+    buckets, the clause every non-UTC Grafana dashboard adds. Bucket
+    alignment and labels resolve through the engine's IANA tzdata (see
+    _compile_agg); the oracle resolves through DuckDB's — a hash match
+    means both engines agree on the zone math."""
+    return compile_influxql(spark, sf_dir, _Q_TZ)
+
+
 def q_influxql_show_series(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """``SHOW SERIES`` — the full series-key listing (one line-protocol
@@ -1475,6 +1528,7 @@ QUERIES = {
     "influxql_text_scaled": q_influxql_text_scaled,
     "influxql_text_agg_limit": q_influxql_text_agg_limit,
     "influxql_show_series": q_influxql_show_series,
+    "influxql_text_tz": q_influxql_text_tz,
 }
 
 ORACLES = {
@@ -1608,6 +1662,26 @@ SELECT count(*) AS "count" FROM
 SELECT measurement || ',domain=' || domain
        || ',entity_id=' || entity_id AS key
 FROM (SELECT DISTINCT measurement, domain, entity_id FROM num)
+""",
+    # tz('Europe/Berlin'): per-row zone offset from DuckDB's tzdata
+    # (instant → local via timezone(zone, TIMESTAMPTZ), session-tz-free),
+    # local-day bucket, label = local boundary back to the UTC instant
+    "influxql_text_tz": f"""{_ORACLE_NUM},
+shifted AS (
+  SELECT measurement, domain, entity_id, value,
+    CAST(floor((ts_epoch
+      + (epoch(timezone('Europe/Berlin',
+                        to_timestamp(CAST(floor(ts_epoch) AS BIGINT))))
+         - CAST(floor(ts_epoch) AS BIGINT))) / 86400) AS BIGINT) AS b
+  FROM num WHERE measurement = 'W'
+)
+SELECT measurement, domain, entity_id,
+  CAST(epoch(timezone('Europe/Berlin',
+                      make_timestamp(b * 86400 * 1000000))) AS BIGINT)
+    AS time,
+  (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+    / count(*) AS mean
+FROM shifted GROUP BY measurement, domain, entity_id, b
 """,
     "influxql_text_regex_or": f"""{_ORACLE_NUM},
 flt AS (

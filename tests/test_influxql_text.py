@@ -479,3 +479,25 @@ def test_limit_on_aggregates_caps_buckets_per_series(spark):
     with pytest.raises(InfluxQLError):
         compile_ast(pts, parse_influxql(
             "SELECT TOP(value, 3) FROM m GROUP BY * LIMIT 2"))
+
+
+def test_tz_local_midnight_buckets(spark):
+    """tz('Europe/Berlin'), January (+01:00, no DST): epoch 0 is 01:00
+    Berlin, so the local-day bucket runs [-3600, 82800) UTC and its
+    label is the UTC instant of Berlin midnight (-3600)."""
+    out = compile_ast(_pts(spark), parse_influxql(
+        "SELECT MEAN(value) FROM m WHERE entity_id = 'a' "
+        "GROUP BY time(1d), * tz('Europe/Berlin')")).collect()
+    assert len(out) == 1
+    assert out[0].time == -3600
+    assert out[0].mean == 3.0          # (1 + 3 + 5) / 3, all one local day
+
+    for bad in (
+        "SELECT MEAN(value) FROM m tz('Europe/Berlin')",        # no time()
+        "SELECT MEAN(value) FROM m GROUP BY time(1d), * "
+        "FILL(previous) tz('Europe/Berlin')",                   # with FILL
+        "SELECT MEAN(value) FROM m GROUP BY time(1d, 1h), * "
+        "tz('Europe/Berlin')",                                  # with offset
+    ):
+        with pytest.raises(InfluxQLError):
+            parse_influxql(bad)
