@@ -1179,6 +1179,44 @@ def _stage_map(st: _State, args: dict):
     st.df = st.df.withColumn("_value", expr)
 
 
+def _stage_state_track(st: _State, args: dict, count: bool):
+    """Flux ``stateDuration(fn:, unit:)`` / ``stateCount(fn:)`` — run
+    tracking over consecutive predicate-true rows (the binary-sensor
+    "how long has it been on" dashboard stage). Gaps-and-islands on the
+    ONE series window: a running count of predicate-false rows labels
+    each run; duration = _time − the run's first true _time, count =
+    the 1-based ordinal; false rows emit −1 (Flux's sentinel)."""
+    body = _arg(args, "fn", ("lambda",), required=True)
+    if isinstance(body, (FluxMap, FluxMap2)):
+        raise FluxError("stateDuration/stateCount fn must be a predicate")
+    unit = float(_arg(args, "unit", ("dur",), default=1.0))
+    pred = _pred_col(body)
+    w = st.series_window()
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    df = st.df.withColumn("_ok", pred).withColumn(
+        "_grp", F.sum(F.when(F.col("_ok"), 0).otherwise(1)).over(wrun))
+    part = [c for c in st.gkey if c in df.columns] or [F.lit(1)]
+    wg = Window.partitionBy(*part, "_grp")
+    if count:
+        wgo = wg.orderBy(*([F.col("_time").asc()]
+                           + ([F.col("state_id").asc()]
+                              if "state_id" in df.columns else [])))
+        run_frame = wgo.rowsBetween(Window.unboundedPreceding, 0)
+        val = F.when(
+            F.col("_ok"),
+            F.sum(F.when(F.col("_ok"), 1).otherwise(0)).over(run_frame),
+        ).otherwise(F.lit(-1)).cast("long")
+        name = "stateCount"
+    else:
+        first_true = F.min(F.when(F.col("_ok"), F.col("_time"))).over(wg)
+        val = F.when(
+            F.col("_ok"),
+            (F.col("_time") - first_true) / F.lit(unit),
+        ).otherwise(F.lit(-1.0))
+        name = "stateDuration"
+    st.df = df.withColumn(name, val).drop("_ok", "_grp")
+
+
 def _stage_pivot(st: _State, args: dict):
     """``pivot(rowKey:["_time"], columnKey:["_field"],
     valueColumn:"_value")`` — the fieldsAsCols idiom every Flux
@@ -1267,6 +1305,10 @@ def _apply_stages(st: _State, stages) -> None:
             _stage_map(st, a)
         elif nm == "pivot":
             _stage_pivot(st, a)
+        elif nm == "stateDuration":
+            _stage_state_track(st, a, count=False)
+        elif nm == "stateCount":
+            _stage_state_track(st, a, count=True)
         elif nm == "keep":
             _stage_keep(st, a)
         elif nm == "drop":
@@ -1500,6 +1542,12 @@ from(bucket: "{_BUCKET}")
   |> range(start: 0)
   |> filter(fn: (r) => r._measurement =~ /^(W|%)$/)
   |> last()
+''',
+    "flux_state_duration": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement == "%")
+  |> stateDuration(fn: (r) => r._value > 50, unit: 1s)
 ''',
     "flux_pivot_fields": f'''
 from(bucket: "{_BUCKET}")
@@ -1753,6 +1801,22 @@ r AS (
 )
 SELECT _measurement, domain, entity_id, _field, _time, _value
 FROM r WHERE rn = 1
+""",
+    "flux_state_duration": f"""{_ORACLE_NUM},
+marked AS (
+  SELECT state_id, {_SKEY}, ts_epoch AS _time, value AS _value,
+    (value > 50) AS ok,
+    sum(CASE WHEN value > 50 THEN 0 ELSE 1 END) OVER (
+      PARTITION BY {_SPART} ORDER BY ts_epoch, state_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM num WHERE measurement = '%'
+)
+SELECT _measurement, domain, entity_id, _field, _time, _value,
+  CASE WHEN ok THEN
+    (_time - min(CASE WHEN ok THEN _time END) OVER (
+       PARTITION BY _measurement, domain, entity_id, grp)) / 1.0
+  ELSE -1.0 END AS stateDuration
+FROM marked
 """,
     "flux_pivot_fields": f"""{_ORACLE_NUM}
 SELECT measurement AS _measurement, domain, entity_id,

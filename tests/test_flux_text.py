@@ -342,6 +342,35 @@ def test_relative_range_needs_pinned_now(spark):
     assert n == exact.collect()[0]["_value"]
 
 
+def test_state_duration_and_count_runs(spark):
+    """stateDuration/stateCount on a hand-built on/off sequence: runs
+    reset on a false row, false rows emit -1, a second run restarts."""
+    from ha_sqllite_2_influxdb_spark.plans import flux_text as fx
+
+    # on at 0,10,30 — off at 40 — on again at 50,60
+    vals = [(0, 1), (10, 1), (30, 1), (40, 0), (50, 1), (60, 1)]
+    df = spark.createDataFrame(
+        [(i, "m", "d", "e", "value", float(t), float(v))
+         for i, (t, v) in enumerate(vals)],
+        "state_id long, _measurement string, domain string, "
+        "entity_id string, _field string, _time double, _value double")
+    st = fx._State(df)
+    fx._stage_state_track(
+        st, {"fn": ("lambda", fx.FluxCmp("_value", ">", 0.5)),
+             "unit": ("dur", 1.0)}, count=False)
+    dur = {r["_time"]: r["stateDuration"]
+           for r in st.df.select("_time", "stateDuration").collect()}
+    assert dur == {0: 0.0, 10: 10.0, 30: 30.0, 40: -1.0,
+                   50: 0.0, 60: 10.0}
+    st2 = fx._State(df)
+    fx._stage_state_track(
+        st2, {"fn": ("lambda", fx.FluxCmp("_value", ">", 0.5))},
+        count=True)
+    cnt = {r["_time"]: r["stateCount"]
+           for r in st2.df.select("_time", "stateCount").collect()}
+    assert cnt == {0: 1, 10: 2, 30: 3, 40: -1, 50: 1, 60: 2}
+
+
 def test_histogram_cumulative_counts(spark):
     """Known-answer: cumulative le counts and the Prometheus-style
     interpolated quantile on a hand-built table."""
