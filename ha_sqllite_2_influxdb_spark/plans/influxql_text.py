@@ -175,6 +175,7 @@ _SELECTORS = {"top", "bottom", "percentile", "sample"}
 _TRANSFORMS = {"derivative", "non_negative_derivative", "difference",
                "cumulative_sum", "moving_average", "elapsed"}
 _SINGLETONS = {"mode", "integral", "distinct"}  # dedicated compile paths
+_MATH = {"abs", "ceil", "floor", "round"}       # per-point math (1.6+)
 
 
 @dataclass(frozen=True)
@@ -488,7 +489,7 @@ class _Parser:
             return self._proj_scale(Proj(None))
         if t.kind != "ident" or name not in (_AGGS | _SELECTORS
                                              | _TRANSFORMS | _SINGLETONS
-                                             | {"count"}):
+                                             | _MATH | {"count"}):
             raise InfluxQLError(f"unsupported projection {t.text!r}")
         self._expect("(")
         a = self._next()
@@ -735,6 +736,23 @@ def _agg_expr(p: Proj):
         "count_distinct": F.count_distinct(F.col("value"))
                            .alias("count_distinct"),
     }[p.func]
+
+
+def _compile_math(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
+    """Per-point math projections (``SELECT ABS(value) …``, InfluxQL
+    1.6+): a pure row-local column expression — no window, no shuffle.
+    ceil/floor return DOUBLE (InfluxDB's float fields; Spark's LONG is
+    cast) and round half-away-from-zero matches DuckDB's."""
+    p = ast.projs[0]
+    fn = {"abs": F.abs, "ceil": F.ceil, "floor": F.floor,
+          "round": F.round}[p.func]
+    val = fn(F.col("value")).cast("double")
+    if p.scale_op:
+        val = {"*": val * p.scale_k, "+": val + p.scale_k,
+               "-": val - p.scale_k}[p.scale_op]
+    return pts.select("state_id", *_series_cols(ast),
+                      F.col("ts_epoch").alias("time"),
+                      val.alias(p.func))
 
 
 def _compile_raw(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
@@ -1235,6 +1253,12 @@ def compile_ast(pts: DataFrame,
             raise InfluxQLError("INTEGRAL does not take GROUP BY time()")
         out = _apply_point_limit(
             _compile_singleton(_apply_where(pts, ast), ast), ast)
+    elif len(funcs) == 1 and funcs <= _MATH:
+        if ast.bucket_s is not None:
+            raise InfluxQLError("math functions do not take "
+                                "GROUP BY time()")
+        out = _apply_point_limit(
+            _compile_math(_apply_where(pts, ast), ast), ast)
     elif len(funcs) == 1 and funcs <= _TRANSFORMS:
         if ast.bucket_s is not None:
             raise InfluxQLError("transforms do not take GROUP BY time()")
@@ -1483,6 +1507,13 @@ def q_influxql_text_agg_limit(spark: SparkSession,
 
 _Q_TZ = ('SELECT MEAN(value) FROM "W" GROUP BY time(1d), * '
          "tz('Europe/Berlin')")
+_Q_MATH = 'SELECT ROUND(value) FROM "%" WHERE value > 40'
+
+
+def q_influxql_text_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point math projection (``ROUND(value)``, InfluxQL 1.6+ math
+    functions) — a pure row-local expression, zero shuffles."""
+    return compile_influxql(spark, sf_dir, _Q_MATH)
 
 
 def q_influxql_text_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1529,6 +1560,7 @@ QUERIES = {
     "influxql_text_agg_limit": q_influxql_text_agg_limit,
     "influxql_show_series": q_influxql_show_series,
     "influxql_text_tz": q_influxql_text_tz,
+    "influxql_text_math": q_influxql_text_math,
 }
 
 ORACLES = {
@@ -1662,6 +1694,11 @@ SELECT count(*) AS "count" FROM
 SELECT measurement || ',domain=' || domain
        || ',entity_id=' || entity_id AS key
 FROM (SELECT DISTINCT measurement, domain, entity_id FROM num)
+""",
+    "influxql_text_math": f"""{_ORACLE_NUM}
+SELECT state_id, measurement, ts_epoch AS time,
+  CAST(round(value) AS DOUBLE) AS round
+FROM num WHERE measurement = '%' AND value > 40
 """,
     # tz('Europe/Berlin'): per-row zone offset from DuckDB's tzdata
     # (instant → local via timezone(zone, TIMESTAMPTZ), session-tz-free),

@@ -501,3 +501,20 @@ def test_tz_local_midnight_buckets(spark):
     ):
         with pytest.raises(InfluxQLError):
             parse_influxql(bad)
+
+
+def test_math_projection_per_point(spark):
+    """ABS/CEIL/FLOOR/ROUND: row-local, float-typed (InfluxDB returns
+    float fields), scale arithmetic composes after the function."""
+    pts = _pts(spark)
+    out = {r.state_id: r.abs for r in compile_ast(pts, parse_influxql(
+        "SELECT ABS(value) * 2 FROM m WHERE entity_id = 'a'")).collect()}
+    assert out == {1: 2.0, 2: 6.0, 3: 10.0}
+    ceil = compile_ast(pts, parse_influxql(
+        "SELECT CEIL(value) FROM m")).schema["ceil"].dataType.typeName()
+    assert ceil == "double"
+    with pytest.raises(InfluxQLError):
+        parse_influxql("SELECT SIN(value) FROM m")
+    with pytest.raises(InfluxQLError):
+        compile_ast(pts, parse_influxql(
+            "SELECT ABS(value) FROM m GROUP BY time(1h)"))
