@@ -190,6 +190,17 @@ class InfluxCQ:
 
 
 @dataclass(frozen=True)
+class InfluxDelete:
+    """``DELETE FROM m [WHERE …]`` / ``DROP MEASUREMENT m`` — the data
+    lifecycle statements. On a lakehouse the physical action is a
+    partition-pruned retain-rewrite (delete = rewrite the touched
+    partitions keeping the complement); the compiled relation IS the
+    retained data, which a sink then materializes."""
+    measurement: str
+    where: tuple = ()
+
+
+@dataclass(frozen=True)
 class InfluxShow:
     """AST for the SHOW meta statements (the InfluxQL surface every
     Grafana datasource browser issues to populate its dropdowns)."""
@@ -255,19 +266,34 @@ class _Parser:
                                 "unsupported")
         return float(t.text[:-len(unit)]) * _DUR_S[unit]
 
-    def parse(self) -> InfluxSelect | InfluxShow | InfluxCQ:
+    def parse(self):
         if self._kw("show"):
-            ast: InfluxSelect | InfluxShow | InfluxCQ = self._show()
+            ast: object = self._show()
         elif self._kw("create", "continuous", "query"):
             ast = self._cq()
         elif self._kw("select"):
             ast = self._select_body()
+        elif self._kw("delete", "from"):
+            ast = self._delete()
+        elif self._kw("drop", "measurement"):
+            t = self._next()
+            name = t.text[1:-1] if t.kind == "dquote" else t.text
+            ast = InfluxDelete(name, ())
         else:
             raise InfluxQLError(
-                "query must start with SELECT, SHOW or CREATE")
+                "query must start with SELECT, SHOW, CREATE, DELETE "
+                "or DROP")
         if self._peek() is not None:
             raise InfluxQLError(f"trailing input at {self._peek().text!r}")
         return ast
+
+    def _delete(self) -> "InfluxDelete":
+        t = self._next()
+        name = t.text[1:-1] if t.kind == "dquote" else t.text
+        where: tuple = ()
+        if self._kw("where"):
+            where = tuple(self._where_and())
+        return InfluxDelete(name, where)
 
     def _select_body(self) -> InfluxSelect:
         projs = [self._proj()]
@@ -1060,6 +1086,24 @@ def _apply_slimit(out: DataFrame, ast: InfluxSelect) -> DataFrame:
     return out.join(F.broadcast(series), keys)
 
 
+def _compile_delete(pts: DataFrame, ast: InfluxDelete) -> DataFrame:
+    """DELETE/DROP compile to the RETAINED relation (the complement of
+    the deletion predicate) — on a lakehouse the delete is a
+    partition-pruned rewrite and this is exactly what gets rewritten.
+    InfluxDB's documented constraint holds: DELETE predicates are time
+    and tags only, never fields."""
+    for c in ast.where:
+        lhs = c.lhs if isinstance(c, Cond) else None
+        if isinstance(c, CondOr) or lhs == "value":
+            raise InfluxQLError(
+                "DELETE supports AND-chains over time/tags only "
+                "(InfluxDB's own constraint)")
+    doomed = F.col("measurement") == ast.measurement
+    for c in ast.where:
+        doomed = doomed & _cond_expr(c)
+    return pts.filter(~doomed)
+
+
 def _compile_show(pts: DataFrame, ast: InfluxShow) -> DataFrame:
     """SHOW meta statements — every one is a distinct/count-distinct over
     the series-key columns, so the plan is a partial aggregation (map-side
@@ -1226,6 +1270,8 @@ def run_continuous_query(spark: SparkSession, sf_dir: str,
 
 def compile_ast(pts: DataFrame,
                 ast: InfluxSelect | InfluxShow) -> DataFrame:
+    if isinstance(ast, InfluxDelete):
+        return _compile_delete(pts, ast)
     if isinstance(ast, InfluxShow):
         return _compile_show(pts, ast)
     if isinstance(ast, InfluxCQ):
@@ -1508,6 +1554,15 @@ def q_influxql_text_agg_limit(spark: SparkSession,
 _Q_TZ = ('SELECT MEAN(value) FROM "W" GROUP BY time(1d), * '
          "tz('Europe/Berlin')")
 _Q_MATH = 'SELECT ROUND(value) FROM "%" WHERE value > 40'
+_Q_DELETE = ("DELETE FROM \"default_measurement\" "
+             "WHERE time < 1705276800 AND domain = 'sensor'")
+
+
+def q_influxql_text_delete(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """``DELETE FROM m WHERE time/tags`` — compiled to the retained
+    complement (the lakehouse retain-rewrite; see _compile_delete)."""
+    return compile_influxql(spark, sf_dir, _Q_DELETE)
 
 
 def q_influxql_text_math(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1561,6 +1616,7 @@ QUERIES = {
     "influxql_show_series": q_influxql_show_series,
     "influxql_text_tz": q_influxql_text_tz,
     "influxql_text_math": q_influxql_text_math,
+    "influxql_text_delete": q_influxql_text_delete,
 }
 
 ORACLES = {
@@ -1699,6 +1755,11 @@ FROM (SELECT DISTINCT measurement, domain, entity_id FROM num)
 SELECT state_id, measurement, ts_epoch AS time,
   CAST(round(value) AS DOUBLE) AS round
 FROM num WHERE measurement = '%' AND value > 40
+""",
+    "influxql_text_delete": f"""{_ORACLE_NUM}
+SELECT * FROM num
+WHERE NOT (measurement = 'default_measurement'
+           AND ts_epoch < 1705276800 AND domain = 'sensor')
 """,
     # tz('Europe/Berlin'): per-row zone offset from DuckDB's tzdata
     # (instant → local via timezone(zone, TIMESTAMPTZ), session-tz-free),

@@ -518,3 +518,17 @@ def test_math_projection_per_point(spark):
     with pytest.raises(InfluxQLError):
         compile_ast(pts, parse_influxql(
             "SELECT ABS(value) FROM m GROUP BY time(1h)"))
+
+
+def test_delete_and_drop_compile_to_retained_complement(spark):
+    pts = _pts(spark)
+    kept = compile_ast(pts, parse_influxql(
+        "DELETE FROM m WHERE time < 3600 AND domain = 'sensor'"))
+    ids = {r.state_id for r in kept.collect()}
+    # rows 1 (m/sensor t=0), 4, 5? no: 4,5 are t=0,60 sensor -> deleted;
+    # kept: 2,3 (t>=3600), 6 (power domain), 7 (other measurement)
+    assert ids == {2, 3, 6, 7}
+    dropped = compile_ast(pts, parse_influxql('DROP MEASUREMENT "m"'))
+    assert {r.measurement for r in dropped.collect()} == {"other"}
+    with pytest.raises(InfluxQLError):
+        compile_ast(pts, parse_influxql("DELETE FROM m WHERE value > 1"))
