@@ -190,6 +190,14 @@ class InfluxCQ:
 
 
 @dataclass(frozen=True)
+class MeasurementList:
+    """``FROM "a", "b"`` — InfluxQL's multi-measurement source list;
+    each measurement stays its own series (measurement is already the
+    leading series-key column)."""
+    names: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class InfluxDelete:
     """``DELETE FROM m [WHERE …]`` / ``DROP MEASUREMENT m`` — the data
     lifecycle statements. On a lakehouse the physical action is a
@@ -323,6 +331,22 @@ class _Parser:
                 measurement = Regex(src.text[1:-1])
             else:
                 raise InfluxQLError(f"bad FROM source {src.text!r}")
+            if self._peek() and self._peek().text == ",":
+                names = [measurement]
+                if not isinstance(measurement, str):
+                    raise InfluxQLError(
+                        "measurement lists hold plain names only")
+                while self._peek() and self._peek().text == ",":
+                    self._next()
+                    t2 = self._next()
+                    if t2.kind == "dquote":
+                        names.append(t2.text[1:-1])
+                    elif t2.kind == "ident":
+                        names.append(t2.text)
+                    else:
+                        raise InfluxQLError(
+                            f"bad FROM source {t2.text!r}")
+                measurement = MeasurementList(tuple(names))
 
         where: list = []
         if self._kw("where"):
@@ -706,6 +730,9 @@ def _apply_where(pts: DataFrame, ast: InfluxSelect) -> DataFrame:
     if isinstance(ast.measurement, Regex):
         out = pts.filter(
             F.col("measurement").rlike(ast.measurement.pattern))
+    elif isinstance(ast.measurement, MeasurementList):
+        out = pts.filter(
+            F.col("measurement").isin(*ast.measurement.names))
     else:
         out = pts.filter(F.col("measurement") == ast.measurement)
     for c in ast.where:
@@ -1556,6 +1583,14 @@ _Q_TZ = ('SELECT MEAN(value) FROM "W" GROUP BY time(1d), * '
 _Q_MATH = 'SELECT ROUND(value) FROM "%" WHERE value > 40'
 _Q_DELETE = ("DELETE FROM \"default_measurement\" "
              "WHERE time < 1705276800 AND domain = 'sensor'")
+_Q_MULTI = 'SELECT SPREAD(value) FROM "W", "%" GROUP BY *'
+
+
+def q_influxql_text_multi(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """``FROM "W", "%"`` multi-measurement list — one isin() filter,
+    measurements stay separate series (the leading series-key col)."""
+    return compile_influxql(spark, sf_dir, _Q_MULTI)
 
 
 def q_influxql_text_delete(spark: SparkSession,
@@ -1617,6 +1652,7 @@ QUERIES = {
     "influxql_text_tz": q_influxql_text_tz,
     "influxql_text_math": q_influxql_text_math,
     "influxql_text_delete": q_influxql_text_delete,
+    "influxql_text_multi": q_influxql_text_multi,
 }
 
 ORACLES = {
@@ -1760,6 +1796,12 @@ FROM num WHERE measurement = '%' AND value > 40
 SELECT * FROM num
 WHERE NOT (measurement = 'default_measurement'
            AND ts_epoch < 1705276800 AND domain = 'sensor')
+""",
+    "influxql_text_multi": f"""{_ORACLE_NUM}
+SELECT measurement, domain, entity_id,
+  max(value) - min(value) AS spread
+FROM num WHERE measurement IN ('W', '%')
+GROUP BY measurement, domain, entity_id
 """,
     # tz('Europe/Berlin'): per-row zone offset from DuckDB's tzdata
     # (instant → local via timezone(zone, TIMESTAMPTZ), session-tz-free),

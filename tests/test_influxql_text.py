@@ -532,3 +532,12 @@ def test_delete_and_drop_compile_to_retained_complement(spark):
     assert {r.measurement for r in dropped.collect()} == {"other"}
     with pytest.raises(InfluxQLError):
         compile_ast(pts, parse_influxql("DELETE FROM m WHERE value > 1"))
+
+
+def test_multi_measurement_from_list(spark):
+    pts = _pts(spark)
+    out = compile_ast(pts, parse_influxql(
+        'SELECT COUNT(value) FROM "m", "other" GROUP BY *')).collect()
+    assert {r.measurement for r in out} == {"m", "other"}
+    with pytest.raises(InfluxQLError):
+        parse_influxql('SELECT COUNT(value) FROM /m/, "other" GROUP BY *')
