@@ -621,23 +621,6 @@ class _State:
         self.range: tuple[float | None, float | None] | None = None
         self.now_s = now_s
 
-    # ordering inside one table: the declared sort, tie-broken by
-    # state_id when the raw rows are still flowing
-    def order(self):
-        cols = [F.col(c).desc() if self.sort_desc else F.col(c).asc()
-                for c in self.sort_cols]
-        if "state_id" in self.df.columns:
-            cols.append(
-                F.col("state_id").desc() if self.sort_desc
-                else F.col("state_id").asc())
-        return cols
-
-    def win(self) -> Window:
-        part = [c for c in self.gkey if c in self.df.columns]
-        w = Window.partitionBy(*part) if part else Window.partitionBy(
-            F.lit(1))
-        return w.orderBy(*self.order())
-
     def series_window(self) -> Window:
         """Ascending (time, state_id) window — for stages whose semantics
         are pinned to event order regardless of a user sort."""
@@ -1039,10 +1022,14 @@ def _stage_limit(st: _State, args: dict, tail: bool = False):
     # tail = last n under the current sort = first n under its reverse
     desc = st.sort_desc != tail
     order = [F.col(c).desc() if desc else F.col(c).asc()
-             for c in st.sort_cols]
+             for c in st.sort_cols if c in st.df.columns]
     if "state_id" in st.df.columns:
         order.append(F.col("state_id").desc() if desc
                      else F.col("state_id").asc())
+    if not order:
+        raise FluxError(
+            "limit/tail needs an ordered column in the stream — keep "
+            "_time or add sort(columns: […]) first")
     st.df = (st.df.withColumn(
                  "_rn_lim", F.row_number().over(wp.orderBy(*order)))
              .filter(F.col("_rn_lim") <= n)

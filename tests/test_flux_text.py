@@ -207,6 +207,15 @@ def test_tail_returns_last_n_of_sort(spark):
     assert got == sorted(r["_time"] for r in all_ts)[-3:]
 
 
+def test_limit_after_keep_raises_fluxerror_not_analysis_error(spark):
+    """Dropping every order column then limiting must fail as a
+    FluxError with guidance, never an opaque AnalysisException."""
+    with pytest.raises(FluxError, match="ordered column"):
+        compile_flux(
+            'from(bucket: "b") |> range(start: 0) |> mean() '
+            '|> keep(columns: ["_value"]) |> limit(n: 1)')(spark, SF)
+
+
 def test_internal_state_id_never_leaks(spark):
     for text in ('from(bucket: "b") |> range(start: 0)',
                  'from(bucket: "b") |> range(start: 0) |> difference()',
