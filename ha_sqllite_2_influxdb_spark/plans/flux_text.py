@@ -45,9 +45,28 @@ outside it raises ``FluxError`` rather than mis-executing):
   |> sort(columns: ["_time"|"_value"] [, desc: b])
   |> limit(n: k) | tail(n: k)             per table (per group key)
   |> fill(value: c) | fill(usePrevious: true)
-  |> map(fn: (r) => ({ r with _value: <arith> }))   _value ⊙ const
+  |> map(fn: (r) => ({ r with _value: <arith> }))   _value ⊙ const, or
+                                          two record columns (post-join)
+  |> histogram(bins: […]) | histogramQuantile(quantile: p)
+                                          Prometheus-style le bins
+  |> stateDuration(fn:, unit:) | stateCount(fn:)
+                                          binary-sensor run tracking
+  |> pivot(rowKey:, columnKey: ["_field"], valueColumn:)
+                                          fieldsAsCols idiom
   |> keep(columns: […]) | drop(columns: […])
   |> yield(name: "…")                     no-op
+
+Also parsed and executed (dedicated entry points):
+
+- multi-statement programs — ``name = from(…) |> …`` assignments plus
+  a two-table ``join(tables: {a: x, b: y}, on: […])`` with
+  label-suffixed conflict columns (`compile_flux_program`)
+- InfluxDB v2 TASKS — ``option task = {name, every}`` + ``to(bucket:)``
+  run as Structured Streaming (`run_flux_task`)
+- the ``schema.*`` meta functions Grafana's v2 datasource issues
+  (`compile_flux_meta`)
+- relative ranges (``range(start: -30d)``, stop defaulting to now())
+  against a pinned now (`compile_flux(text, now_s=…)`)
 
 Semantics follow Flux's documented behavior on the migrated point
 relation (series key = _measurement + tags(domain, entity_id) + _field):
