@@ -535,6 +535,78 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_windowed(load_table(spark, sf_dir, "events"))
 
 
+def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector-search SERVING: a file stream of query
+    embeddings (two parquet files, maxFilesPerTrigger=1 → two real
+    micro-batches) scored per batch against the STATIC candidate
+    corpus — exact dot/cosine and the deterministic (score desc,
+    cand_id) rank, identical to the batch `embedding_knn` tier, run
+    inside foreachBatch (ranking windows are a batch construct; the
+    per-batch result is a bounded top-k relation). The serving twin of
+    `embedding_knn`; at 100 TB the candidate scan swaps for the
+    PQ/ADC shortlist exactly as `pq_rerank_topk` does, per batch.
+    State: per-batch top-k DataFrames (k × queries rows each),
+    localCheckpoint-bounded; nothing driver-side. Oracle-exact vs the
+    same crossJoin+rank in DuckDB (queries vec_id < 5 arrive across
+    the two batches)."""
+    import os
+    import tempfile
+
+    from ..operators.similarity import cosine, dot_chain, norm2_chain
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    app = spark.sparkContext.applicationId
+    tag = sf_dir.strip("/").replace("/", "_")
+    qdir = f"/tmp/spark_graft_knnq/{app}/{tag}"
+    if not os.path.isdir(qdir):
+        # two single-file writes → two micro-batches at 1 file/trigger
+        (emb.filter(F.col("vec_id") < 3).coalesce(1)
+         .write.mode("append").parquet(qdir))
+        (emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 5))
+         .coalesce(1).write.mode("append").parquet(qdir))
+    queries_stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(qdir)
+    )
+    cand = (emb.filter(F.col("vec_id") >= 5)
+            .select(F.col("vec_id").alias("cand_id"),
+                    F.col("embedding").alias("cv"))
+            .withColumn("cn2", norm2_chain("cv")))
+
+    from pyspark.sql import Window as W
+    results: list[DataFrame] = []
+
+    def score_batch(batch: DataFrame, _epoch: int) -> None:
+        q = (batch.select(F.col("vec_id").alias("query_id"),
+                          F.col("embedding").alias("qv"))
+             .withColumn("qn2", norm2_chain("qv")))
+        scored = q.crossJoin(cand).select(
+            "query_id", "cand_id",
+            cosine(dot_chain("qv", "cv"), F.col("qn2"), F.col("cn2"))
+            .alias("cos_sim"))
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("cand_id"))
+        topk = (scored.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 10)
+                .select("query_id", "cand_id", "cos_sim", "rk"))
+        results.append(topk.localCheckpoint(eager=True))
+
+    import tempfile as _tf
+
+    from ..streaming.stream import drain_foreach_batch
+
+    ckpt = _tf.mkdtemp(prefix="stream_knn_ckpt_")
+    drain_foreach_batch(queries_stream, ckpt, score_batch)
+    if not results:
+        return spark.createDataFrame(
+            [], "query_id long, cand_id long, cos_sim double, rk int")
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "stream_dedup": q_stream_dedup,
@@ -552,6 +624,7 @@ QUERIES = {
     "stream_lineprotocol": q_stream_lineprotocol,
     "stream_cq_downsample": q_stream_cq_downsample,
     "stream_flatline": q_stream_flatline,
+    "stream_knn": q_stream_knn,
 }
 
 _GAP_US = GAP_MIN * 60 * 1_000_000
@@ -813,3 +886,10 @@ WHERE session_id < mx
 from .analytics import ORACLES as _ANALYTICS_ORACLES  # noqa: E402
 
 ORACLES["stream_incremental_agg"] = _ANALYTICS_ORACLES["incremental_agg"]
+
+from .llm_ops import ORACLES as _LLM_ORACLES  # noqa: E402
+
+# the serving stream computes the identical exact cosine + rank as the
+# batch tier, so the batch oracle IS the streaming truth (queries arrive
+# across two micro-batches; the union is order-insensitive)
+ORACLES["stream_knn"] = _LLM_ORACLES["embedding_knn"]
