@@ -212,6 +212,13 @@ class FluxJoin:
 
 
 @dataclass(frozen=True)
+class FluxUnion:
+    """``union(tables: [a, b, …])`` + trailing stages."""
+    tables: tuple[str, ...]
+    stages: tuple
+
+
+@dataclass(frozen=True)
 class FluxProgram:
     assigns: tuple[tuple[str, "FluxPipeline"], ...]
     final: object                          # FluxPipeline | FluxJoin
@@ -273,9 +280,10 @@ class _Parser:
             items, kinds = [], set()
             while True:
                 v = self.value()
-                if v[0] not in ("str", "num"):
+                if v[0] not in ("str", "num", "ident"):
                     raise FluxError(
-                        "arrays must hold string or number literals")
+                        "arrays must hold string/number literals or "
+                        "identifiers")
                 kinds.add(v[0])
                 items.append(v[1])
                 t2 = self.next()
@@ -285,7 +293,9 @@ class _Parser:
                     raise FluxError(f"bad array separator {t2.text!r}")
             if len(kinds) > 1:
                 raise FluxError("arrays must be homogeneous")
-            return ("numarray" if kinds == {"num"} else "array", items)
+            kind = {"num": "numarray", "str": "array",
+                    "ident": "identarray"}[kinds.pop()]
+            return (kind, items)
         if t.kind == "punct" and t.text == "{":
             # record of identifiers: {p: a, h: b} (join tables:)
             pairs = []
@@ -467,6 +477,13 @@ class _Parser:
                 raise FluxError("join() supports exactly two tables")
             final: object = FluxJoin(tuple(tables), tuple(on),
                                      self._stage_chain())
+        elif t.kind == "ident" and t.text == "union":
+            head = self.call()
+            tables = _arg(head.args, "tables", ("identarray",),
+                          required=True)
+            if len(tables) < 2:
+                raise FluxError("union() needs at least two tables")
+            final = FluxUnion(tuple(tables), self._stage_chain())
         else:
             final = self.pipeline()
         if self.peek() is not None:
@@ -477,6 +494,11 @@ class _Parser:
             for _, var in final.tables:
                 if var not in names:
                     raise FluxError(f"join references unknown table "
+                                    f"{var!r}")
+        if isinstance(final, FluxUnion):
+            for var in final.tables:
+                if var not in names:
+                    raise FluxError(f"union references unknown table "
                                     f"{var!r}")
         return FluxProgram(tuple(assigns), final)
 
@@ -1368,6 +1390,22 @@ def compile_flux_program(text: str, now_s: float | None = None):
             st = _State(pts, now_s=now_s)
             _apply_stages(st, final.stages)
             return st.df.drop("state_id")
+        if isinstance(final, FluxUnion):
+            dfs = [env[v] for v in final.tables]
+            cols = dfs[0].columns
+            for v, d in zip(final.tables[1:], dfs[1:], strict=False):
+                if set(d.columns) != set(cols):
+                    raise FluxError(
+                        f"union table {v!r} has a different schema")
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            st = _State(out, now_s=now_s)
+            st.gkey = tuple(c for c in _SERIES_KEY if c in out.columns)
+            st.sort_cols = (("_time",) if "_time" in out.columns
+                            else tuple(cols[:1]))
+            _apply_stages(st, final.stages)
+            return st.df
         (la, va), (lb, vb) = final.tables
         da, db = env[va], env[vb]
         on = list(final.on)
@@ -1673,6 +1711,29 @@ join(tables: {{p: p, h: h}}, on: ["_time", "domain", "entity_id"])
 '''
 
 
+_UNION_TEXT = f'''
+w = from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement == "W")
+  |> aggregateWindow(every: 6h, fn: mean)
+p = from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement == "%")
+  |> aggregateWindow(every: 6h, fn: mean)
+union(tables: [w, p])
+  |> group(columns: ["_measurement"])
+  |> mean()
+'''
+
+
+def q_flux_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flux union(): two independently-downsampled streams merged, then
+    re-grouped — the multi-panel overlay idiom. unionByName of the two
+    small bucket relations; the trailing mean re-quantizes the (already
+    cross-engine-exact) bucket means, so the oracle stays bit-exact."""
+    return compile_flux_program(_UNION_TEXT)(spark, sf_dir)
+
+
 def q_flux_join_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flux variables + join() + cross-column map — the Grafana
     cross-measurement-math panel (hourly W mean over hourly % mean per
@@ -1682,6 +1743,7 @@ def q_flux_join_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["flux_join_math"] = q_flux_join_math
+QUERIES["flux_union_streams"] = q_flux_union_streams
 
 _SKEY = "measurement AS _measurement, domain, entity_id, 'value' AS _field"
 _SPART = "measurement, domain, entity_id"
@@ -1902,6 +1964,24 @@ SELECT DISTINCT entity_id AS _value FROM num WHERE measurement = 'W'
 """,
     "flux_schema_field_keys": """
 SELECT 'value' AS _value
+""",
+    "flux_union_streams": f"""{_ORACLE_NUM},
+bw AS (
+  SELECT measurement,
+    (sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6) / count(*) AS mv
+  FROM num WHERE measurement = 'W'
+  GROUP BY measurement, domain, entity_id, floor(ts_epoch / 21600)
+),
+bp AS (
+  SELECT measurement,
+    (sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6) / count(*) AS mv
+  FROM num WHERE measurement = '%'
+  GROUP BY measurement, domain, entity_id, floor(ts_epoch / 21600)
+),
+u AS (SELECT * FROM bw UNION ALL SELECT * FROM bp)
+SELECT measurement AS _measurement,
+  (sum(CAST(round(mv * 1e6) AS BIGINT)) / 1e6) / count(*) AS _value
+FROM u GROUP BY measurement
 """,
     "flux_join_math": f"""{_ORACLE_NUM},
 pw AS (

@@ -440,7 +440,10 @@ def test_flux_series_exchange_budget(spark, sf_dir):
               # already-downsampled relations
               "flux_join_math": 2,
               # pivot on the static _field is a rename: no shuffle at all
-              "flux_pivot_fields": 0}
+              "flux_pivot_fields": 0,
+              # union: one downsample agg per side + the re-grouped
+              # mean keyed on _measurement
+              "flux_union_streams": 3}
     for name, fn in fx.QUERIES.items():
         plan = explain_str(fn(spark, sf_dir))
         n = sum(1 for ln in plan.splitlines()
