@@ -133,6 +133,85 @@ def q_ha_statistics_hourly(spark: SparkSession,
     return hourly_statistics(_numeric_points(spark, sf_dir))
 
 
+def q_stream_ha_statistics(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """INCREMENTAL statistics compilation over an ordered ingest stream
+    — exactly how the HA recorder maintains `statistics` (it compiles
+    incrementally as states arrive, never re-scanning history).
+
+    The point relation is written as three time-range parquet files and
+    re-read as a file stream (maxFilesPerTrigger=1 → three real
+    micro-batches arriving in time order — the recorder's arrival
+    order). Per batch: each series' CARRY point (its last state, the
+    one still-open segment) unions with the new points, the shared
+    `_clipped_terms` core forms exactly the segments this batch closes,
+    and their (series, hour) monoid states (Σv·d, Σd, min, max, n —
+    all BIGINT/exact) merge into the store: one shuffle sized by
+    |touched hours|, state as distributed DataFrames
+    (localCheckpoint-bounded), nothing driver-side. Because the monoid
+    is associative and each consecutive pair is closed exactly once
+    (the carry is the left endpoint of only its successor segment), the
+    final store is BIT-IDENTICAL to the batch compiler — the oracle is
+    literally `ha_statistics_hourly`'s."""
+    import os
+    import tempfile
+
+    from ..streaming.stream import drain_foreach_batch
+
+    pts = _numeric_points(spark, sf_dir)
+    app = spark.sparkContext.applicationId
+    tag = sf_dir.strip("/").replace("/", "_")
+    sdir = f"/tmp/spark_graft_stats_stream/{app}/{tag}"
+    if not os.path.isdir(sdir):
+        cuts = [(0.0, 1704931200.0), (1704931200.0, 1705795200.0),
+                (1705795200.0, float("inf"))]
+        for lo, hi in cuts:
+            (pts.filter((F.col("ts_epoch") >= lo)
+                        & (F.col("ts_epoch") < hi))
+             .coalesce(1).write.mode("append").parquet(sdir))
+    stream = (spark.readStream.schema(pts.schema)
+              .option("maxFilesPerTrigger", 1).parquet(sdir))
+    state: dict[str, DataFrame] = {}
+
+    def fold(batch: DataFrame, _epoch: int) -> None:
+        allp = (batch.unionByName(state["carry"])
+                if "carry" in state else batch)
+        terms = _clipped_terms(allp, 3600)
+        inc = terms.groupBy(*_SERIES, "h").agg(
+            F.sum("_vd_micro").alias("_svd"),
+            F.sum("_d_micro").alias("_sd"),
+            F.min("value").alias("_mn"),
+            F.max("value").alias("_mx"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        if "store" in state:
+            inc = (state["store"].unionByName(inc)
+                   .groupBy(*_SERIES, "h").agg(
+                       F.sum("_svd").alias("_svd"),
+                       F.sum("_sd").alias("_sd"),
+                       F.min("_mn").alias("_mn"),
+                       F.max("_mx").alias("_mx"),
+                       F.sum("_n").alias("_n")))
+        state["store"] = inc.localCheckpoint(eager=True)
+        wlast = Window.partitionBy(*_SERIES).orderBy(
+            F.desc("ts_epoch"), F.desc("state_id"))
+        state["carry"] = (
+            allp.withColumn("_rn", F.row_number().over(wlast))
+            .filter(F.col("_rn") == 1).drop("_rn")
+            .localCheckpoint(eager=True))
+
+    ckpt = tempfile.mkdtemp(prefix="stream_ha_stats_ckpt_")
+    drain_foreach_batch(stream, ckpt, fold)
+    store = state["store"]
+    return store.select(
+        *_SERIES, (F.col("h") * 3600).alias("hour_epoch"),
+        ((F.col("_svd") / 1e6) / (F.col("_sd") / 1e6)).alias("dw_mean"),
+        F.col("_mn").alias("min_val"),
+        F.col("_mx").alias("max_val"),
+        F.col("_n").cast("long").alias("n_segments"),
+    )
+
+
 def q_ha_statistics_cascade(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """statistics_short_term (5 min) → hourly reduction on the integer
@@ -143,7 +222,8 @@ def q_ha_statistics_cascade(spark: SparkSession,
 
 
 QUERIES = {"ha_statistics_hourly": q_ha_statistics_hourly,
-           "ha_statistics_cascade": q_ha_statistics_cascade}
+           "ha_statistics_cascade": q_ha_statistics_cascade,
+           "stream_ha_statistics": q_stream_ha_statistics}
 
 ORACLES = {
     "ha_statistics_hourly": f"""{_ORACLE_NUM},
@@ -217,3 +297,7 @@ FROM terms
 GROUP BY measurement, domain, entity_id, CAST(floor(h / 12) AS BIGINT)
 """,
 }
+
+# the incremental fold is bit-identical to the batch compiler by monoid
+# associativity — same oracle, literally
+ORACLES["stream_ha_statistics"] = ORACLES["ha_statistics_hourly"]
