@@ -487,6 +487,194 @@ def decode_png(payload_df: DataFrame) -> DataFrame:
     return payload_df.mapInPandas(_decode, schema=PNG_DECODE_SCHEMA)
 
 
+PNG_RGB_DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("n_pixels", T.LongType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+])
+
+
+def png_rgb_payloads(documents: DataFrame) -> DataFrame:
+    """Truecolor (color type 2) sibling of `png_payloads`: 3 bytes per
+    pixel cycling the UTF-8 text, filters cycling 0..4 per row with the
+    spec's bpp=3 left-neighbor offset (Sub/Average/Paeth predict from
+    the byte THREE back, not one — the exact place a grayscale-only
+    inverse filter silently corrupts RGB data)."""
+
+    def _make(batches: Iterator):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data)))
+
+        def one(doc_id: int, text: str) -> bytes:
+            w = (doc_id % 12) + 3
+            h = (doc_id % 6) + 2
+            n = 3 * w
+            src = text.encode("utf-8") or b"\x00"
+            raw = [
+                bytes(src[(r * n + i) % len(src)] for i in range(n))
+                for r in range(h)
+            ]
+            stream = bytearray()
+            prior = bytes(n)
+            for r, row in enumerate(raw):
+                ft = r % 5
+                stream.append(ft)
+                if ft == 0:
+                    stream += row
+                elif ft == 1:    # Sub, bpp=3
+                    stream += bytes(
+                        (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                        for i in range(n))
+                elif ft == 2:    # Up
+                    stream += bytes((row[i] - prior[i]) & 0xFF
+                                    for i in range(n))
+                elif ft == 3:    # Average, bpp=3
+                    stream += bytes(
+                        (row[i] - ((row[i - 3] if i >= 3 else 0)
+                                   + prior[i]) // 2) & 0xFF
+                        for i in range(n))
+                else:            # Paeth, bpp=3
+                    out = bytearray()
+                    for i in range(n):
+                        a = row[i - 3] if i >= 3 else 0
+                        b = prior[i]
+                        c = prior[i - 3] if i >= 3 else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (
+                            b if pb <= pc else c)
+                        out.append((row[i] - pred) & 0xFF)
+                    stream += out
+                prior = row
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(stream)))
+                    + chunk(b"IEND", b""))
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [
+                    one(int(d), t)
+                    for d, t in zip(pdf["doc_id"], pdf["text"])
+                ],
+            })
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def decode_png_rgb(payload_df: DataFrame) -> DataFrame:
+    """REAL truecolor PNG decode (color type 2, 8-bit): the full
+    inverse-filter set with the spec's bpp=3 left-neighbor offset —
+    Sub is a per-channel mod-256 prefix sum ((w, 3) reshape + cumsum
+    along rows), Up one vector add, Average/Paeth sequential as the
+    spec requires. The grayscale path (`decode_png`) stays
+    bit-unchanged; per-channel means make a wrong offset observable,
+    not cosmetic. Malformed/out-of-subset payloads yield null rows
+    (P7)."""
+
+    def _decode(batches: Iterator):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes):
+            try:
+                if b[:8] != b"\x89PNG\r\n\x1a\n":
+                    return None
+                pos, idat, meta = 8, b"", None
+                while pos + 8 <= len(b):
+                    (ln,) = struct.unpack_from(">I", b, pos)
+                    tag = b[pos + 4:pos + 8]
+                    data = b[pos + 8:pos + 8 + ln]
+                    if tag == b"IHDR":
+                        meta = struct.unpack(">IIBBBBB", data)
+                    elif tag == b"IDAT":
+                        idat += data
+                    elif tag == b"IEND":
+                        break
+                    pos += 12 + ln
+                if meta is None:
+                    return None
+                w, h, depth, ctype, comp, filt, il = meta
+                if (depth, ctype, comp, filt, il) != (8, 2, 0, 0, 0):
+                    return None      # outside the truecolor subset
+                if w <= 0 or h <= 0:
+                    return None
+                n = 3 * w
+                raw = zlib.decompress(idat)
+                if len(raw) != h * (n + 1):
+                    return None
+                img = np.zeros((h, n), dtype=np.uint8)
+                prior = np.zeros(n, dtype=np.uint8)
+                for r in range(h):
+                    ft = raw[r * (n + 1)]
+                    line = np.frombuffer(
+                        raw, np.uint8, count=n, offset=r * (n + 1) + 1)
+                    if ft == 0:
+                        cur = line.copy()
+                    elif ft == 1:    # Sub — per-channel prefix sum
+                        cur = np.cumsum(
+                            line.reshape(w, 3), axis=0, dtype=np.uint8
+                        ).reshape(n)
+                    elif ft == 2:    # Up
+                        cur = line + prior
+                    elif ft in (3, 4):
+                        cur = np.zeros(n, dtype=np.uint8)
+                        for i in range(n):
+                            a = int(cur[i - 3]) if i >= 3 else 0
+                            if ft == 3:
+                                pred = (a + int(prior[i])) // 2
+                            else:
+                                bb = int(prior[i])
+                                c = int(prior[i - 3]) if i >= 3 else 0
+                                p = a + bb - c
+                                pa, pb, pc = (abs(p - a), abs(p - bb),
+                                              abs(p - c))
+                                pred = a if (pa <= pb and pa <= pc) else (
+                                    bb if pb <= pc else c)
+                            cur[i] = (int(line[i]) + pred) & 0xFF
+                    else:
+                        return None
+                    img[r] = cur
+                    prior = cur
+                px = img.reshape(h, w, 3).astype(np.float64)
+                return (w, h, w * h,
+                        float(px[:, :, 0].mean()),
+                        float(px[:, :, 1].mean()),
+                        float(px[:, :, 2].mean()))
+            except (struct.error, ValueError, zlib.error):
+                return None
+
+        for pdf in batches:
+            rows = [one(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [r[0] if r else None for r in rows],
+                "height": [r[1] if r else None for r in rows],
+                "n_pixels": [r[2] if r else None for r in rows],
+                "mean_r": [r[3] if r else None for r in rows],
+                "mean_g": [r[4] if r else None for r in rows],
+                "mean_b": [r[5] if r else None for r in rows],
+            })
+
+    return payload_df.mapInPandas(_decode, schema=PNG_RGB_DECODE_SCHEMA)
+
+
 def multimodal_meta(documents: DataFrame) -> DataFrame:
     """Pure-SQL metadata over the payloads (the oracle for the pandas path).
 

@@ -750,6 +750,17 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "color_type", "n_pixels")
 
 
+def q_multimodal_png_rgb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truecolor PNG codec tier (color type 2): inverse filters with
+    the spec's bpp=3 left-neighbor offset — dimensions/pixel count
+    oracle-checked; per-channel means (which a wrong offset corrupts)
+    asserted vs numpy in pytest. Grayscale path bit-unchanged."""
+    decoded = multimodal.decode_png_rgb(
+        multimodal.png_rgb_payloads(_docs(spark, sf_dir))
+    )
+    return decoded.select("doc_id", "width", "height", "n_pixels")
+
+
 def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec path: synthesize valid RIFF/PCM-int16 WAVs, then
     chunk-walk + decode samples with the dependency-free parser. The
@@ -927,6 +938,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_bmp": q_multimodal_bmp,
     "multimodal_png": q_multimodal_png,
+    "multimodal_png_rgb": q_multimodal_png_rgb,
     "multimodal_wav": q_multimodal_wav,
     "multimodal_wav_stereo": q_multimodal_wav_stereo,
     "multimodal_jpeg": q_multimodal_jpeg,
@@ -1876,6 +1888,13 @@ SELECT doc_id,
   CAST(24 AS BIGINT) AS bpp,
   CAST(((3 * ((doc_id % 16) + 4) + 3) // 4) * 4 * ((doc_id % 8) + 2)
        AS BIGINT) AS n_pixel_bytes
+FROM documents
+""",
+    "multimodal_png_rgb": """
+SELECT doc_id,
+  CAST((doc_id % 12) + 3 AS BIGINT) AS width,
+  CAST((doc_id % 6) + 2 AS BIGINT) AS height,
+  CAST(((doc_id % 12) + 3) * ((doc_id % 6) + 2) AS BIGINT) AS n_pixels
 FROM documents
 """,
     "multimodal_png": """

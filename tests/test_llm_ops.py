@@ -1077,3 +1077,39 @@ def test_line_dedup_c4_semantics(spark):
         assert out[d + 1_000_000].n_segs == 2
         assert out[d + 1_000_000].n_kept == 1
     assert out[1_000_001].clean_text == "f g h i"
+
+
+def test_png_rgb_decode_golden(spark):
+    """Truecolor decode must invert the bpp=3 filter set back to exactly
+    the encoded bytes: per-channel means equal an independent numpy
+    recomputation from the text-cycling rule. A height ≥ 5 doc cycles
+    all five filters; a grayscale-decoder-style bpp=1 inverse would
+    corrupt Sub/Average/Paeth rows and fail the channel means."""
+    import numpy as np
+
+    text = "The quick brown fox jumps over the lazy dog"
+    # doc_id 9: w=(9%12)+3=12, h=(9%6)+2=5 -> filters 0,1,2,3,4
+    df = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    r = multimodal.decode_png_rgb(
+        multimodal.png_rgb_payloads(df)).collect()[0]
+    w, h = 12, 5
+    assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+    src = text.encode()
+    n = 3 * w
+    img = np.array([[src[(row * n + i) % len(src)] for i in range(n)]
+                    for row in range(h)], np.float64).reshape(h, w, 3)
+    assert r.mean_r == float(img[:, :, 0].mean())
+    assert r.mean_g == float(img[:, :, 1].mean())
+    assert r.mean_b == float(img[:, :, 2].mean())
+
+
+def test_png_subset_boundaries_are_honest(spark):
+    """The grayscale decoder nulls on truecolor payloads and vice versa
+    — each subset refuses rather than mis-decodes."""
+    df = spark.createDataFrame([(3, "abcdef")], "doc_id long, text string")
+    gray_on_rgb = multimodal.decode_png(
+        multimodal.png_rgb_payloads(df)).collect()[0]
+    assert gray_on_rgb.width is None
+    rgb_on_gray = multimodal.decode_png_rgb(
+        multimodal.png_payloads(df)).collect()[0]
+    assert rgb_on_gray.width is None
