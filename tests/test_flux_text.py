@@ -456,6 +456,30 @@ def test_flux_series_exchange_budget(spark, sf_dir):
             assert "SortMergeJoin" not in plan, name
 
 
+def test_fuzz_valid_pipelines_compile_clean(spark):
+    """Every pipeline the grammar generator emits must BIND against the
+    relation without leaking a Spark AnalysisException — the class of
+    bug the limit-after-keep guard fixed, hunted broadly. (Analysis is
+    driver-side; no jobs run.)"""
+    from hypothesis import given, settings
+    from tests.test_text_surface_fuzz import flux_pipeline
+
+    from ha_sqllite_2_influxdb_spark.plans.flux_text import (
+        FluxError as FE,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(flux_pipeline())
+    def run(tp):
+        text, _ = tp
+        try:
+            compile_flux(text)(spark, SF)
+        except FE:
+            pass                      # in-contract rejection
+
+    run()
+
+
 def test_no_python_udfs_in_compiled_plan(spark):
     """The whole text layer stays JVM-side: no BatchEvalPython /
     ArrowEvalPython in any compiled plan."""
