@@ -665,6 +665,10 @@ class _State:
     def series_window(self) -> Window:
         """Ascending (time, state_id) window — for stages whose semantics
         are pinned to event order regardless of a user sort."""
+        if "_time" not in self.df.columns:
+            raise FluxError(
+                "this stage needs the _time column (apply it before "
+                "aggregates that drop _time)")
         part = [c for c in self.gkey if c in self.df.columns]
         w = Window.partitionBy(*part) if part else Window.partitionBy(
             F.lit(1))
@@ -745,10 +749,24 @@ def _pred_col(node) -> F.Column:
     raise FluxError(f"unsupported operator {node.op!r}")
 
 
+def _pred_columns(node) -> set:
+    if isinstance(node, FluxBool):
+        out: set = set()
+        for p in node.parts:
+            out |= _pred_columns(p)
+        return out
+    return {node.lhs}
+
+
 def _stage_filter(st: _State, args: dict):
     body = _arg(args, "fn", ("lambda",), required=True)
-    if isinstance(body, FluxMap):
+    if isinstance(body, (FluxMap, FluxMap2)):
         raise FluxError("filter fn must be a predicate")
+    missing = _pred_columns(body) - set(st.df.columns)
+    if missing:
+        raise FluxError(
+            f"filter references columns not in the stream: "
+            f"{sorted(missing)}")
     st.df = st.df.filter(_pred_col(body))
 
 
@@ -798,6 +816,8 @@ def _stage_aggregate_window(st: _State, args: dict):
         raise FluxError("every: must be a positive duration")
 
     df = st.df
+    if "_time" not in df.columns:
+        raise FluxError("aggregateWindow needs the _time column")
     gcols = st.gcols()
     stop = (F.floor(F.col("_time") / every).cast("long") + 1) * every
     if fn in ("first", "last"):
@@ -879,6 +899,8 @@ def _stage_plain_agg(st: _State, fn: str, args: dict):
 
     if fn in ("first", "last", "min", "max"):
         # selectors: keep the selected row's _time (Flux keeps the row)
+        if "_time" not in df.columns:
+            raise FluxError(f"{fn}() selects a row and needs _time")
         tie = ([F.col("state_id").asc()] if "state_id" in df.columns
                else [])
         tie_d = ([F.col("state_id").desc()] if "state_id" in df.columns
@@ -1041,6 +1063,8 @@ def _stage_elapsed(st: _State, args: dict):
 
 def _stage_time_shift(st: _State, args: dict):
     d = _arg(args, "duration", ("dur", "num"), required=True)
+    if "_time" not in st.df.columns:
+        raise FluxError("timeShift needs the _time column")
     st.df = st.df.withColumn("_time", F.col("_time") + F.lit(float(d)))
 
 

@@ -456,6 +456,22 @@ def test_flux_series_exchange_budget(spark, sf_dir):
             assert "SortMergeJoin" not in plan, name
 
 
+@pytest.mark.parametrize("text", [
+    # post-aggregate stages referencing dropped columns must be
+    # FluxError, never a leaked AnalysisException
+    'from(bucket: "b") |> group(columns: ["domain"]) |> mean() '
+    '|> filter(fn: (r) => r.entity_id == "x")',
+    'from(bucket: "b") |> mean() |> timeShift(duration: 1h)',
+    'from(bucket: "b") |> mean() |> derivative(unit: 1s)',
+    'from(bucket: "b") |> mean() |> last()',
+    'from(bucket: "b") |> mean() '
+    '|> aggregateWindow(every: 1h, fn: mean)',
+])
+def test_dropped_column_stages_raise_fluxerror(text, spark):
+    with pytest.raises(FluxError):
+        compile_flux(text)(spark, SF)
+
+
 def test_fuzz_valid_pipelines_compile_clean(spark):
     """Every pipeline the grammar generator emits must BIND against the
     relation without leaking a Spark AnalysisException — the class of
