@@ -212,6 +212,40 @@ def q_stream_ha_statistics(spark: SparkSession,
     )
 
 
+def q_ha_statistics_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HA's COUNTER statistic — the `sum` column the recorder compiles
+    for total/total_increasing sensors (energy meters): per hour, the
+    END-OF-HOUR cumulative increase since the series began, with HA's
+    counter-reset rule (a decrease restarts the counter: the new value
+    itself is the increment — the same rule Flux increase() documents).
+    Applied to the W series as the counter-semantics exercise (the
+    fixture has no true monotone meter; the RULE is the deliverable and
+    the oracle pins it value-exactly). Micro-quantized BIGINT running
+    sum on ONE series window; the per-hour pick is a rank on the same
+    shuffle. Hours without points emit nothing (HA carries the last sum
+    forward on read)."""
+    pts = _numeric_points(spark, sf_dir).filter(
+        F.col("measurement") == "W")
+    w = Window.partitionBy(*_SERIES).orderBy("ts_epoch", "state_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    micro = F.round(F.col("value") * 1e6).cast("long")
+    prev = F.lag(micro).over(w)
+    inc = F.when(prev.isNull(), F.lit(0)).otherwise(
+        F.when(micro - prev >= 0, micro - prev).otherwise(micro))
+    hour = F.floor(F.col("ts_epoch") / 3600).cast("long")
+    marked = pts.select(
+        *_SERIES, "ts_epoch", "state_id",
+        F.sum(inc).over(wrun).alias("_run"),
+        hour.alias("_h"),
+    ).withColumn(
+        "_rn", F.row_number().over(
+            Window.partitionBy(*_SERIES, "_h")
+            .orderBy(F.desc("ts_epoch"), F.desc("state_id"))))
+    return (marked.filter(F.col("_rn") == 1)
+            .select(*_SERIES, (F.col("_h") * 3600).alias("hour_epoch"),
+                    (F.col("_run") / 1e6).alias("sum_val")))
+
+
 def q_ha_statistics_cascade(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """statistics_short_term (5 min) → hourly reduction on the integer
@@ -223,7 +257,8 @@ def q_ha_statistics_cascade(spark: SparkSession,
 
 QUERIES = {"ha_statistics_hourly": q_ha_statistics_hourly,
            "ha_statistics_cascade": q_ha_statistics_cascade,
-           "stream_ha_statistics": q_stream_ha_statistics}
+           "stream_ha_statistics": q_stream_ha_statistics,
+           "ha_statistics_sum": q_ha_statistics_sum}
 
 ORACLES = {
     "ha_statistics_hourly": f"""{_ORACLE_NUM},
@@ -301,3 +336,34 @@ GROUP BY measurement, domain, entity_id, CAST(floor(h / 12) AS BIGINT)
 # the incremental fold is bit-identical to the batch compiler by monoid
 # associativity — same oracle, literally
 ORACLES["stream_ha_statistics"] = ORACLES["ha_statistics_hourly"]
+
+ORACLES["ha_statistics_sum"] = f"""{_ORACLE_NUM},
+m AS (
+  SELECT measurement, domain, entity_id, ts_epoch, state_id,
+    CAST(round(value * 1e6) AS BIGINT) AS micro
+  FROM num WHERE measurement = 'W'
+),
+steps AS (
+  SELECT measurement, domain, entity_id, ts_epoch, state_id,
+    CASE
+      WHEN lag(micro) OVER w IS NULL THEN 0
+      WHEN micro - lag(micro) OVER w >= 0 THEN micro - lag(micro) OVER w
+      ELSE micro END AS step
+  FROM m WINDOW w AS (PARTITION BY measurement, domain, entity_id
+                      ORDER BY ts_epoch, state_id)
+),
+run AS (
+  SELECT *, CAST(sum(step) OVER (
+      PARTITION BY measurement, domain, entity_id
+      ORDER BY ts_epoch, state_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r,
+    CAST(floor(ts_epoch / 3600) AS BIGINT) AS h,
+    row_number() OVER (PARTITION BY measurement, domain, entity_id,
+                       CAST(floor(ts_epoch / 3600) AS BIGINT)
+                       ORDER BY ts_epoch DESC, state_id DESC) AS rn
+  FROM steps
+)
+SELECT measurement, domain, entity_id, h * 3600 AS hour_epoch,
+  r / 1e6 AS sum_val
+FROM run WHERE rn = 1
+"""

