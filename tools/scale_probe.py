@@ -220,7 +220,27 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
         # window, hour-clipped explode (rows ≈ points + gap-hours),
         # (series, hour) agg. Same fleet layout: 10× = 10× series.
         "ha_statistics_hourly": lambda: _ha_stats_tier(pts),
+        # r7: the Flux join() shape — two independently-downsampled
+        # sides joined on (bucket, tags). Both inputs AND the join key
+        # scale with series count; the big scans never join each other.
+        "flux_join_math": lambda: _flux_join_tier(pts),
     }
+
+
+def _flux_join_tier(pts):
+    from pyspark.sql import Window as _W  # noqa: F401
+
+    def side(meas):
+        hr = (F.floor(F.col("ts_epoch") / 21600).cast("long") * 21600)
+        return (pts.filter(F.col("measurement") == meas)
+                .groupBy("domain", "entity_id", hr.alias("bucket"))
+                .agg(((F.sum(F.round(F.col("value") * 1e6).cast("long"))
+                       / 1e6) / F.count(F.lit(1))).alias("mv")))
+
+    a, b = side("W"), side("%")
+    return (a.join(b, ["domain", "entity_id", "bucket"])
+            .select("domain", "entity_id", "bucket",
+                    (a["mv"] / b["mv"]).alias("ratio")))
 
 
 def _ha_stats_tier(pts):
