@@ -190,6 +190,15 @@ class InfluxCQ:
 
 
 @dataclass(frozen=True)
+class InfluxExplain:
+    """``EXPLAIN [ANALYZE] SELECT …`` — compiles the inner statement and
+    returns the ENGINE'S formatted physical plan, one row per line (the
+    honest answer: the plan InfluxDB would print describes ITS iterator
+    tree; this engine's is Catalyst's)."""
+    select: "InfluxSelect"
+
+
+@dataclass(frozen=True)
 class MeasurementList:
     """``FROM "a", "b"`` — InfluxQL's multi-measurement source list;
     each measurement stays its own series (measurement is already the
@@ -275,6 +284,19 @@ class _Parser:
         return float(t.text[:-len(unit)]) * _DUR_S[unit]
 
     def parse(self):
+        if self._kw("explain"):
+            # EXPLAIN [ANALYZE] SELECT … — InfluxDB's plan inspector.
+            # ANALYZE (executed plan with runtime stats) maps to the
+            # same formatted plan here; the statement returns THIS
+            # engine's physical plan, which is the honest answer.
+            self._kw("analyze")
+            if not self._kw("select"):
+                raise InfluxQLError("EXPLAIN takes a SELECT statement")
+            inner = self._select_body()
+            if self._peek() is not None:
+                raise InfluxQLError(
+                    f"trailing input at {self._peek().text!r}")
+            return InfluxExplain(inner)
         if self._kw("show"):
             ast: object = self._show()
         elif self._kw("create", "continuous", "query"):
@@ -1297,6 +1319,18 @@ def run_continuous_query(spark: SparkSession, sf_dir: str,
 
 def compile_ast(pts: DataFrame,
                 ast: InfluxSelect | InfluxShow) -> DataFrame:
+    if isinstance(ast, InfluxExplain):
+        import io
+        from contextlib import redirect_stdout
+
+        inner = compile_ast(pts, ast.select)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            inner.explain(mode="formatted")
+        lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+        return pts.sparkSession.createDataFrame(
+            [(i + 1, ln) for i, ln in enumerate(lines)],
+            "line_no int, plan_step string")
     if isinstance(ast, InfluxDelete):
         return _compile_delete(pts, ast)
     if isinstance(ast, InfluxShow):
@@ -1615,6 +1649,16 @@ def q_influxql_text_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_influxql(spark, sf_dir, _Q_TZ)
 
 
+def q_influxql_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXPLAIN SELECT …`` — rows-only registry tier (the plan text is
+    engine-specific BY DESIGN, so no cross-engine oracle exists);
+    pytest pins that the downsample's plan contains its aggregate and
+    no Python evaluation."""
+    return compile_influxql(
+        spark, sf_dir,
+        'EXPLAIN SELECT MEAN(value) FROM "W" GROUP BY time(1h), *')
+
+
 def q_influxql_show_series(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """``SHOW SERIES`` — the full series-key listing (one line-protocol
@@ -1653,6 +1697,7 @@ QUERIES = {
     "influxql_text_math": q_influxql_text_math,
     "influxql_text_delete": q_influxql_text_delete,
     "influxql_text_multi": q_influxql_text_multi,
+    "influxql_explain": q_influxql_explain,
 }
 
 ORACLES = {

@@ -541,3 +541,20 @@ def test_multi_measurement_from_list(spark):
     assert {r.measurement for r in out} == {"m", "other"}
     with pytest.raises(InfluxQLError):
         parse_influxql('SELECT COUNT(value) FROM /m/, "other" GROUP BY *')
+
+
+def test_explain_returns_engine_plan(spark, sf_dir):
+    from ha_sqllite_2_influxdb_spark.plans.influxql_text import (
+        compile_influxql,
+    )
+
+    rows = compile_influxql(
+        spark, sf_dir,
+        'EXPLAIN ANALYZE SELECT MEAN(value) FROM "W" GROUP BY time(1h), *'
+    ).collect()
+    plan = "\n".join(r.plan_step for r in rows)
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    assert rows[0].line_no == 1
+    with pytest.raises(InfluxQLError):
+        parse_influxql("EXPLAIN SHOW MEASUREMENTS")
