@@ -212,6 +212,28 @@ def q_stream_ha_statistics(spark: SparkSession,
     )
 
 
+def q_ha_statistics_daily(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """HA's ``statistics_during_period(period="day")`` read path — the
+    call behind every frontend history graph at day granularity. The
+    DAY rows reduce the same hour-clipped terms by ``floor(h/24)``:
+    clipping finer than the target period keeps the duration-weighted
+    mean exact (the monoid property the cascade entry proves), so no
+    re-clipping pass is needed — one agg on the terms relation."""
+    terms = _clipped_terms(_numeric_points(spark, sf_dir), 3600)
+    day = F.floor(F.col("h") / 24).cast("long")
+    return terms.groupBy(*_SERIES, day.alias("d")).agg(
+        ((F.sum("_vd_micro") / 1e6) / (F.sum("_d_micro") / 1e6))
+        .alias("dw_mean"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+        F.count(F.lit(1)).alias("n_segments"),
+    ).select(
+        *_SERIES, (F.col("d") * 86400).alias("day_epoch"),
+        "dw_mean", "min_val", "max_val", "n_segments",
+    )
+
+
 def q_ha_statistics_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HA's COUNTER statistic — the `sum` column the recorder compiles
     for total/total_increasing sensors (energy meters): per hour, the
@@ -258,7 +280,8 @@ def q_ha_statistics_cascade(spark: SparkSession,
 QUERIES = {"ha_statistics_hourly": q_ha_statistics_hourly,
            "ha_statistics_cascade": q_ha_statistics_cascade,
            "stream_ha_statistics": q_stream_ha_statistics,
-           "ha_statistics_sum": q_ha_statistics_sum}
+           "ha_statistics_sum": q_ha_statistics_sum,
+           "ha_statistics_daily": q_ha_statistics_daily}
 
 ORACLES = {
     "ha_statistics_hourly": f"""{_ORACLE_NUM},
@@ -366,4 +389,39 @@ run AS (
 SELECT measurement, domain, entity_id, h * 3600 AS hour_epoch,
   r / 1e6 AS sum_val
 FROM run WHERE rn = 1
+"""
+
+ORACLES["ha_statistics_daily"] = f"""{_ORACLE_NUM},
+seg AS (
+  SELECT measurement, domain, entity_id, ts_epoch AS t0, value,
+    lead(ts_epoch) OVER (PARTITION BY measurement, domain, entity_id
+                         ORDER BY ts_epoch, state_id) AS t1
+  FROM num
+),
+ex AS (
+  SELECT measurement, domain, entity_id, t0, t1, value,
+    unnest(generate_series(
+      CAST(floor(t0 / 3600) AS BIGINT),
+      CAST(floor(t1 / 3600) AS BIGINT)
+        - CASE WHEN t1 = floor(t1 / 3600) * 3600 THEN 1 ELSE 0 END
+    )) AS h
+  FROM seg WHERE t1 IS NOT NULL AND t1 > t0
+),
+terms AS (
+  SELECT measurement, domain, entity_id, CAST(floor(h / 24) AS BIGINT) AS d,
+    value,
+    CAST(round((least(t1, (h + 1) * 3600.0)
+                - greatest(t0, h * 3600.0)) * 1e6) AS BIGINT)
+      AS d_micro,
+    CAST(round(value * (least(t1, (h + 1) * 3600.0)
+                        - greatest(t0, h * 3600.0)) * 1e6) AS BIGINT)
+      AS vd_micro
+  FROM ex
+)
+SELECT measurement, domain, entity_id, d * 86400 AS day_epoch,
+  (CAST(sum(vd_micro) AS BIGINT) / 1e6)
+    / (CAST(sum(d_micro) AS BIGINT) / 1e6) AS dw_mean,
+  min(value) AS min_val, max(value) AS max_val,
+  count(*)::BIGINT AS n_segments
+FROM terms GROUP BY measurement, domain, entity_id, d
 """
