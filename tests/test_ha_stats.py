@@ -99,3 +99,51 @@ def test_sum_statistic_counter_reset(spark):
     got = {r["ts_epoch"]: r["r"] for r in run.collect()}
     # +0, +2, reset→+3 (new value), +2 ⇒ running 0, 2, 5, 7
     assert got == {0.0: 0.0, 1800.0: 2.0, 3700.0: 5.0, 5400.0: 7.0}
+
+
+def test_hourly_statistics_property_vs_python_reference(spark):
+    """Property: on random series, the distributed compiler equals an
+    INDEPENDENT pure-Python reference (explicit per-hour segment
+    clipping with the same micro-quantization) — not just the crafted
+    known answers. Bounded examples: each draws a fresh Spark job."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def series(draw):
+        n = draw(st.integers(2, 8))
+        ts = sorted(draw(st.lists(
+            st.integers(0, 4 * 3600 * 10), min_size=n, max_size=n,
+            unique=True)))
+        vals = draw(st.lists(
+            st.integers(-1000, 1000), min_size=n, max_size=n))
+        # tenth-of-second / tenth-of-unit grids keep doubles exact
+        return [(t / 10.0, v / 10.0) for t, v in zip(ts, vals)]
+
+    def reference(rows):
+        out = {}
+        for (t0, v), (t1, _) in zip(rows, rows[1:]):
+            if t1 <= t0:
+                continue
+            h = int(t0 // 3600)
+            while h * 3600 < t1:
+                lo, hi = max(t0, h * 3600.0), min(t1, (h + 1) * 3600.0)
+                if hi > lo:
+                    svd, sd, mn, mx, n = out.get(
+                        h, (0, 0, float("inf"), float("-inf"), 0))
+                    out[h] = (svd + round(v * (hi - lo) * 1e6),
+                              sd + round((hi - lo) * 1e6),
+                              min(mn, v), max(mx, v), n + 1)
+                h += 1
+        return {h * 3600: ((svd / 1e6) / (sd / 1e6), mn, mx, n)
+                for h, (svd, sd, mn, mx, n) in out.items()}
+
+    @settings(max_examples=12, deadline=None)
+    @given(series())
+    def run(rows):
+        got = {r["hour_epoch"]: (r["dw_mean"], r["min_val"],
+                                 r["max_val"], r["n_segments"])
+               for r in hourly_statistics(_pts(spark, rows)).collect()}
+        assert got == reference(rows)
+
+    run()
