@@ -443,6 +443,36 @@ def jaccard_pairs_inverted_index(corpus: DataFrame,
     ).filter(F.col("jaccard") >= threshold)
 
 
+def ngram_novelty(corpus: DataFrame) -> DataFrame:
+    """Per-doc NOVELTY: the fraction of a document's DISTINCT 3-gram
+    shingles that appear in NO other document — the memorization /
+    boilerplate-risk curation signal (1 − novelty ≈ how much of the doc
+    is corpus-shared text; C4/Gopher-style pipelines gate on it next to
+    the dedup tiers).
+
+    Plan: the narrow `shingle_sets` explode, ONE document-frequency agg
+    keyed on the shingle (the inverted-index exchange every dedup tier
+    pays), a co-partitioned join of the exploded relation with its own
+    df (both sides keyed on shingle — no extra exchange), then the
+    per-doc ratio re-keyed on doc_id. Integer ratio of counts — exact
+    doubles in both engines. Portable tier ships shingle strings; the
+    100 TB config would ride `hashed_shingles` longs like the LSH
+    family."""
+    ex = shingle_sets(corpus).select(
+        "doc_id", F.explode("sh").alias("shingle"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long")
+    return (
+        ex.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            uniq.alias("n_unique"),
+            (uniq.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )
+
+
 def containment_pairs_inverted_index(corpus: DataFrame,
                                      threshold: float = 0.9) -> DataFrame:
     """ASYMMETRIC near-dup: shingle containment C(A→B) = |S_A ∩ S_B| / |S_A|.

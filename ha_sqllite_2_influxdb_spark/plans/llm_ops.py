@@ -157,6 +157,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAIN_T = 0.9
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc shingle novelty over the recrawl corpus (see
+    dedup.ngram_novelty) — the memorization/boilerplate-risk gate."""
+    return dedup.ngram_novelty(recrawl(spark, sf_dir))
+
+
 def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup over the recrawl corpus: catches
     subset/partial-copy pairs symmetric Jaccard misses."""
@@ -879,6 +885,7 @@ QUERIES = {
     "neardup_minhash_lsh": q_neardup_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_containment": q_ngram_containment,
+    "ngram_novelty": q_ngram_novelty,
     "ngram_containment_capped": q_ngram_containment_capped,
     "ngram_span_dedup": q_ngram_span_dedup,
     "neardup_clusters": q_neardup_clusters,
@@ -1503,6 +1510,17 @@ cand AS (
 ),
 {_JACCARD_FROM_CAND}
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_T}
+""",
+    "ngram_novelty": f"""WITH {_CORPUS},
+{_SHINGLED},
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+  count(*)::BIGINT AS n_shingles,
+  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+  CAST(CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       AS DOUBLE) / count(*) AS novelty
+FROM sh s JOIN dfreq d USING (shingle)
+GROUP BY s.doc_id
 """,
     "ngram_containment": f"""WITH {_CORPUS},
 {_SHINGLED},
