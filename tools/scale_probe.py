@@ -163,6 +163,10 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
         "ngram_containment_capped_viral":
             lambda: dedup.containment_pairs_df_capped(
                 viral, threshold=0.9, native_hash=True),
+        # r7: novelty rides the same inverted-index exchange; replica
+        # shingle spaces are disjoint so dfs stay replica-local — work
+        # and output scale with replica count
+        "ngram_novelty": lambda: dedup.ngram_novelty(docs),
         "lm_rare_bigrams": lambda: text.lm_rare_bigrams(docs),
         "textrank_keywords": lambda: graph.textrank_keywords(docs),
         # PMI collocations: one bigram-count shuffle + broadcast marginals;
