@@ -1113,3 +1113,21 @@ def test_png_subset_boundaries_are_honest(spark):
     rgb_on_gray = multimodal.decode_png_rgb(
         multimodal.png_payloads(df)).collect()[0]
     assert rgb_on_gray.width is None
+
+
+def test_ngram_novelty_known_answer(spark):
+    """Two docs sharing exactly one 3-gram: that shingle has df=2 for
+    both; everything else df=1 — novelty = (n-1)/n per doc; a third
+    fully-unique doc scores 1.0."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),          # shingles: abc bcd cde
+         (2, "x y a b c z"),        # shingles: xya yab abc bcz
+         (3, "p q r s")],           # shingles: pqr qrs
+        "doc_id long, text string")
+    from ha_sqllite_2_influxdb_spark.operators.dedup import ngram_novelty
+
+    got = {r.doc_id: (r.n_shingles, r.n_unique, r.novelty)
+           for r in ngram_novelty(docs).collect()}
+    assert got[1] == (3, 2, 2 / 3)       # 'a b c' shared with doc 2
+    assert got[2] == (4, 3, 0.75)
+    assert got[3] == (2, 2, 1.0)
