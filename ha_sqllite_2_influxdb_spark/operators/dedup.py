@@ -443,7 +443,8 @@ def jaccard_pairs_inverted_index(corpus: DataFrame,
     ).filter(F.col("jaccard") >= threshold)
 
 
-def ngram_novelty(corpus: DataFrame) -> DataFrame:
+def ngram_novelty(corpus: DataFrame,
+                  native_hash: bool = False) -> DataFrame:
     """Per-doc NOVELTY: the fraction of a document's DISTINCT 3-gram
     shingles that appear in NO other document — the memorization /
     boilerplate-risk curation signal (1 − novelty ≈ how much of the doc
@@ -464,7 +465,7 @@ def ngram_novelty(corpus: DataFrame) -> DataFrame:
     family."""
     from pyspark.sql import Window as _W
 
-    ex = shingle_sets(corpus).select(
+    ex = shingle_sets(corpus, native_hash=native_hash).select(
         "doc_id", F.explode("sh").alias("shingle"))
     dfc = F.count(F.lit(1)).over(_W.partitionBy("shingle"))
     uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("long")

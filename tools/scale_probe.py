@@ -165,8 +165,12 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
                 viral, threshold=0.9, native_hash=True),
         # r7: novelty rides the same inverted-index exchange; replica
         # shingle spaces are disjoint so dfs stay replica-local — work
-        # and output scale with replica count
-        "ngram_novelty": lambda: dedup.ngram_novelty(docs),
+        # and output scale with replica count. native_hash: 8-byte
+        # shingle ids on the wire (the 100 TB config, like the LSH
+        # family; the registry entry keeps the portable string tier for
+        # its oracle)
+        "ngram_novelty": lambda: dedup.ngram_novelty(docs,
+                                                     native_hash=True),
         "lm_rare_bigrams": lambda: text.lm_rare_bigrams(docs),
         "textrank_keywords": lambda: graph.textrank_keywords(docs),
         # PMI collocations: one bigram-count shuffle + broadcast marginals;
