@@ -1,0 +1,25 @@
+"""Plan pins for the statistics family: every batch compiler pays
+exactly ONE series-key exchange — the lead()/lag() window's shuffle,
+which the (series, bucket) aggregation then consumes directly (its
+grouping keys are a superset of the partitioning, so rows of each group
+are already co-located; no re-exchange). A join or a second series
+shuffle regressing in would double the 100 TB volume and fails here."""
+
+from tests.test_plans import explain_str
+
+
+def _series_exchanges(plan: str) -> int:
+    return sum(1 for ln in plan.splitlines()
+               if ln.strip().startswith("Arguments: hashpartitioning(")
+               and "measurement" in ln)
+
+
+def test_statistics_compilers_one_series_exchange(spark, sf_dir):
+    from ha_sqllite_2_influxdb_spark.plans import ha_stats
+
+    for name in ("ha_statistics_hourly", "ha_statistics_cascade",
+                 "ha_statistics_sum", "ha_statistics_daily"):
+        plan = explain_str(ha_stats.QUERIES[name](spark, sf_dir))
+        assert _series_exchanges(plan) == 1, f"{name}\n{plan}"
+        assert "SortMergeJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
