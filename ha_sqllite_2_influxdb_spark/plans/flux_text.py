@@ -1231,6 +1231,32 @@ def _stage_map(st: _State, args: dict):
     st.df = st.df.withColumn("_value", expr)
 
 
+def _stage_highest(st: _State, args: dict, fn: str):
+    """Flux ``highestAverage(n:)`` / ``highestMax(n:)`` — the Grafana
+    "Top N series" panel: reduce each table to its average/max, then
+    keep the N highest tables. One series-keyed partial agg (tiny
+    output: one row per series) + a top-N rank over that SMALL relation
+    (a single-partition window over |series| rows, not the input —
+    bounded exactly like InfluxQL SLIMIT). Ties break on the series key
+    for cross-engine determinism."""
+    n = int(_arg(args, "n", ("num",), required=True))
+    if n <= 0:
+        raise FluxError("n: must be positive")
+    gcols = st.gcols()
+    if not gcols:
+        raise FluxError(f"{fn} needs grouped tables (don't group() "
+                        "to a single table first)")
+    micro = F.round(F.col("_value") * _MICRO).cast("long")
+    expr = ((F.sum(micro) / F.lit(float(_MICRO))) / F.count(F.lit(1))
+            if fn == "highestAverage" else F.max("_value"))
+    per = st.df.groupBy(*gcols).agg(expr.alias("_value"))
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("_value"), *[F.col(c).asc() for c in gcols])
+    st.df = (per.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") <= n).drop("_rn"))
+    st.sort_cols, st.sort_desc = ("_value",), True
+
+
 def _stage_state_track(st: _State, args: dict, count: bool):
     """Flux ``stateDuration(fn:, unit:)`` / ``stateCount(fn:)`` — run
     tracking over consecutive predicate-true rows (the binary-sensor
@@ -1357,6 +1383,8 @@ def _apply_stages(st: _State, stages) -> None:
             _stage_map(st, a)
         elif nm == "pivot":
             _stage_pivot(st, a)
+        elif nm in ("highestAverage", "highestMax"):
+            _stage_highest(st, a, nm)
         elif nm == "stateDuration":
             _stage_state_track(st, a, count=False)
         elif nm == "stateCount":
@@ -1610,6 +1638,12 @@ from(bucket: "{_BUCKET}")
   |> range(start: 0)
   |> filter(fn: (r) => r._measurement =~ /^(W|%)$/)
   |> last()
+''',
+    "flux_top_sensors": f'''
+from(bucket: "{_BUCKET}")
+  |> range(start: 0)
+  |> filter(fn: (r) => r._measurement == "W")
+  |> highestAverage(n: 5)
 ''',
     "flux_state_duration": f'''
 from(bucket: "{_BUCKET}")
@@ -1893,6 +1927,16 @@ r AS (
 )
 SELECT _measurement, domain, entity_id, _field, _time, _value
 FROM r WHERE rn = 1
+""",
+    "flux_top_sensors": f"""{_ORACLE_NUM},
+per AS (
+  SELECT {_SKEY},
+    (sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6) / count(*) AS _value
+  FROM num WHERE measurement = 'W'
+  GROUP BY measurement, domain, entity_id
+)
+SELECT _measurement, domain, entity_id, _field, _value FROM per
+ORDER BY _value DESC, _measurement, domain, entity_id LIMIT 5
 """,
     "flux_state_duration": f"""{_ORACLE_NUM},
 marked AS (

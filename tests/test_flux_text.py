@@ -351,6 +351,27 @@ def test_relative_range_needs_pinned_now(spark):
     assert n == exact.collect()[0]["_value"]
 
 
+def test_highest_average_and_max(spark):
+    """highestAverage/highestMax keep the N highest series by their
+    per-table reduce; group() first (single table) is rejected."""
+    n_all = compile_flux('''
+        from(bucket: "b") |> range(start: 0)
+          |> filter(fn: (r) => r._measurement == "W")
+          |> highestAverage(n: 1000000)
+    ''')(spark, SF).count()
+    top3 = compile_flux('''
+        from(bucket: "b") |> range(start: 0)
+          |> filter(fn: (r) => r._measurement == "W")
+          |> highestMax(n: 3)
+    ''')(spark, SF)
+    assert n_all > 3 and top3.count() == 3
+    vals = [r["_value"] for r in top3.collect()]
+    assert vals == sorted(vals, reverse=True)
+    with pytest.raises(FluxError, match="grouped tables"):
+        compile_flux('from(bucket: "b") |> group() '
+                     '|> highestAverage(n: 2)')(spark, SF)
+
+
 def test_state_duration_and_count_runs(spark):
     """stateDuration/stateCount on a hand-built on/off sequence: runs
     reset on a false row, false rows emit -1, a second run restarts."""
