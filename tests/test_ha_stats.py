@@ -147,3 +147,47 @@ def test_hourly_statistics_property_vs_python_reference(spark):
         assert got == reference(rows)
 
     run()
+
+
+def test_stream_statistics_runs_three_real_micro_batches(spark):
+    """The incremental entry's claim is multi-batch segment closure —
+    pin that the file stream actually delivers THREE micro-batches
+    (maxFilesPerTrigger=1 over the three time-range files) and that
+    cross-batch segments (a batch-1 point closed by a batch-2 point)
+    are present, i.e. the carry state did real work."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.plans.ha_stats import (
+        _numeric_points,
+    )
+    from ha_sqllite_2_influxdb_spark.streaming.stream import (
+        drain_foreach_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pts = _numeric_points(spark, sf)
+    d = tempfile.mkdtemp(prefix="stream_stats_batches_")
+    cuts = [(0.0, 1704931200.0), (1704931200.0, 1705795200.0),
+            (1705795200.0, float("inf"))]
+    for lo, hi in cuts:
+        (pts.filter((F.col("ts_epoch") >= lo) & (F.col("ts_epoch") < hi))
+         .coalesce(1).write.mode("append").parquet(d))
+    stream = (spark.readStream.schema(pts.schema)
+              .option("maxFilesPerTrigger", 1).parquet(d))
+    seen = []
+
+    def probe(batch, _e):
+        seen.append(batch.count())
+
+    n = drain_foreach_batch(
+        stream, tempfile.mkdtemp(prefix="ck_"), probe)
+    assert n == 3 and len(seen) == 3 and all(c > 0 for c in seen)
+    # cross-batch closure exists: some series has points in more than
+    # one time slice, so its slice-boundary segment spans batches
+    per_slice = [
+        pts.filter((F.col("ts_epoch") >= lo)
+                   & (F.col("ts_epoch") < hi))
+        .select("entity_id").distinct() for lo, hi in cuts[:2]]
+    assert per_slice[0].join(per_slice[1], "entity_id").count() > 0
