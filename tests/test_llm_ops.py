@@ -1131,3 +1131,20 @@ def test_ngram_novelty_known_answer(spark):
     assert got[1] == (3, 2, 2 / 3)       # 'a b c' shared with doc 2
     assert got[2] == (4, 3, 0.75)
     assert got[3] == (2, 2, 1.0)
+
+
+def test_ngram_novelty_native_hash_identical(spark, sf_dir):
+    """The 100 TB config (xxhash64 shingle ids on the wire) must produce
+    identical novelty rows to the portable string tier — hashing only
+    renames shingle identities (no fixture collisions)."""
+    from ha_sqllite_2_influxdb_spark.operators.dedup import (
+        ngram_novelty,
+        recrawl_corpus,
+    )
+
+    docs = recrawl_corpus(load_table(spark, sf_dir, "documents"))
+    a = {r.doc_id: (r.n_shingles, r.n_unique, r.novelty)
+         for r in ngram_novelty(docs).collect()}
+    b = {r.doc_id: (r.n_shingles, r.n_unique, r.novelty)
+         for r in ngram_novelty(docs, native_hash=True).collect()}
+    assert a == b
