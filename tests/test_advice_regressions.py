@@ -168,3 +168,21 @@ def test_driver_window_freshness():
         f"{len(new_stale)} registry entries (beyond the pinned r7 debt) "
         f"have no driver verdict in {FRESH_ROUNDS} rounds and are not in "
         f"the current window — rotate them in: {new_stale[:10]}")
+
+
+def test_operators_md_in_sync_with_registry():
+    """Stale-docs gate: OPERATORS.md must be the generator's output for
+    the CURRENT registry — adding a query without regenerating fails
+    here, not in the judge's read."""
+    import subprocess
+    import sys
+
+    current = open(os.path.join(REPO, "OPERATORS.md")).read()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools",
+                                      "gen_operators_md.py")],
+        capture_output=True, text=True, check=True)
+    regenerated = open(os.path.join(REPO, "OPERATORS.md")).read()
+    assert proc.returncode == 0
+    assert current == regenerated, (
+        "OPERATORS.md is stale — run python tools/gen_operators_md.py")
