@@ -1216,6 +1216,72 @@ def compile_influxql(spark: SparkSession, sf_dir: str, text: str,
     return compile_ast(_numeric_points(spark, sf_dir), ast)
 
 
+def _compile_outer_transform(inner_df: DataFrame,
+                             ast: InfluxSelect) -> DataFrame:
+    """Outer TRANSFORM over a time-bucketed subquery — the Grafana
+    "rate of the hourly mean" idiom (``SELECT DERIVATIVE(mean) FROM
+    (SELECT MEAN(value) … GROUP BY time(1h), *)``). The transform rides
+    a window keyed on the inner's series columns ordered by the bucket
+    ``time`` (unique per series — no tie-break needed), over the
+    ALREADY-DOWNSAMPLED small relation: the big scan pays only the
+    inner's one exchange. Supported: DERIVATIVE /
+    NON_NEGATIVE_DERIVATIVE (per second), DIFFERENCE, CUMULATIVE_SUM —
+    each with the established cross-engine exactness discipline
+    (row-local doubles; micro-quantized BIGINT running sum)."""
+    inner = ast.measurement
+    if ast.tz is not None or inner.tz is not None:
+        raise InfluxQLError("tz() inside subqueries is unsupported")
+    if len(ast.projs) != 1 or len(inner.projs) != 1:
+        raise InfluxQLError(
+            "outer transforms take exactly one projection over a "
+            "single-aggregate subquery")
+    p = ast.projs[0]
+    if p.scale_op:
+        raise InfluxQLError("subquery outer projections take no "
+                            "arithmetic")
+    if p.func not in ("derivative", "non_negative_derivative",
+                      "difference", "cumulative_sum"):
+        raise InfluxQLError(f"outer {p.func.upper()} over a subquery "
+                            "is unsupported")
+    fname = inner.projs[0].func
+    if p.field != fname:
+        raise InfluxQLError(
+            f"outer field {p.field!r} is not produced by the subquery "
+            f"(has: {fname!r})")
+    if inner.bucket_s is None:
+        raise InfluxQLError("outer transforms need a time-bucketed "
+                            "subquery (add GROUP BY time())")
+    if inner.fill not in ("none", "previous", "linear") or ast.where \
+            or ast.bucket_s is not None or ast.fill != "none":
+        raise InfluxQLError("outer transforms take no WHERE/GROUP BY "
+                            "time()/FILL of their own")
+    keys = ["measurement", *inner.group_tags]
+    w = Window.partitionBy(*keys).orderBy("time")
+    v = F.col(fname)
+    if p.func == "cumulative_sum":
+        wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+        micro = F.round(v * _MICRO).cast("long")
+        return inner_df.select(
+            *keys, "time",
+            (F.sum(micro).over(wrun) / _MICRO).alias("cumulative_sum"))
+    dv = v - F.lag(v).over(w)
+    dt = (F.col("time") - F.lag("time").over(w)).cast("double")
+    if p.func == "difference":
+        return (inner_df.select(*keys, "time", dv.alias("difference"))
+                .filter(F.col("difference").isNotNull()))
+    rate = F.when(dt != 0, dv / dt)
+    if p.func == "non_negative_derivative":
+        return (inner_df.select(
+                    *keys, "time", rate.alias("non_negative_derivative"),
+                    dt.alias("_dt"))
+                .filter(F.col("_dt").isNotNull()
+                        & (F.col("non_negative_derivative") >= 0))
+                .drop("_dt"))
+    return (inner_df.select(*keys, "time", rate.alias("derivative"),
+                            dt.alias("_dt"))
+            .filter(F.col("_dt").isNotNull()).drop("_dt"))
+
+
 def _compile_outer_agg(inner_df: DataFrame,
                        ast: InfluxSelect) -> DataFrame:
     """The outer half of an InfluxQL subquery — aggregates over the
@@ -1339,6 +1405,11 @@ def compile_ast(pts: DataFrame,
         raise InfluxQLError(
             "CREATE CONTINUOUS QUERY runs via run_continuous_query()")
     if isinstance(ast.measurement, InfluxSelect):
+        outer_funcs = {p.func for p in ast.projs}
+        if outer_funcs <= _TRANSFORMS:
+            return _apply_slimit(
+                _compile_outer_transform(
+                    compile_ast(pts, ast.measurement), ast), ast)
         return _apply_slimit(
             _compile_outer_agg(compile_ast(pts, ast.measurement), ast),
             ast)
@@ -1659,6 +1730,17 @@ def q_influxql_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
         'EXPLAIN SELECT MEAN(value) FROM "W" GROUP BY time(1h), *')
 
 
+_Q_RATE_OF_MEAN = ('SELECT DERIVATIVE(mean) FROM '
+                   '(SELECT MEAN(value) FROM "W" GROUP BY time(1h), *)')
+
+
+def q_influxql_rate_of_mean(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Outer DERIVATIVE over an hourly-mean subquery — the Grafana
+    "rate of the hourly mean" idiom (see _compile_outer_transform)."""
+    return compile_influxql(spark, sf_dir, _Q_RATE_OF_MEAN)
+
+
 def q_influxql_show_series(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """``SHOW SERIES`` — the full series-key listing (one line-protocol
@@ -1698,6 +1780,7 @@ QUERIES = {
     "influxql_text_delete": q_influxql_text_delete,
     "influxql_text_multi": q_influxql_text_multi,
     "influxql_explain": q_influxql_explain,
+    "influxql_rate_of_mean": q_influxql_rate_of_mean,
 }
 
 ORACLES = {
@@ -1841,6 +1924,28 @@ FROM num WHERE measurement = '%' AND value > 40
 SELECT * FROM num
 WHERE NOT (measurement = 'default_measurement'
            AND ts_epoch < 1705276800 AND domain = 'sensor')
+""",
+    "influxql_rate_of_mean": f"""{_ORACLE_NUM},
+buckets AS (
+  SELECT measurement, domain, entity_id,
+         CAST(floor(ts_epoch / 3600) AS BIGINT) * 3600 AS time,
+         (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) / 1e6)
+           / count(*) AS mean
+  FROM num WHERE measurement = 'W'
+  GROUP BY measurement, domain, entity_id,
+           CAST(floor(ts_epoch / 3600) AS BIGINT)
+),
+lagged AS (
+  SELECT measurement, domain, entity_id, time,
+    mean - lag(mean) OVER w AS dv,
+    CAST(time - lag(time) OVER w AS DOUBLE) AS dt
+  FROM buckets
+  WINDOW w AS (PARTITION BY measurement, domain, entity_id
+               ORDER BY time)
+)
+SELECT measurement, domain, entity_id, time,
+  CASE WHEN dt <> 0 THEN dv / dt END AS derivative
+FROM lagged WHERE dt IS NOT NULL
 """,
     "influxql_text_multi": f"""{_ORACLE_NUM}
 SELECT measurement, domain, entity_id,

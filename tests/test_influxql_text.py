@@ -229,8 +229,13 @@ def test_subquery_validation_errors(spark):
         # outer WHERE
         "SELECT MEAN(max) FROM (SELECT MAX(value) FROM m GROUP BY *) "
         "WHERE value > 1",
-        # non-aggregate outer
-        "SELECT DERIVATIVE(max) FROM (SELECT MAX(value) FROM m "
+        # outer transform outside the supported set (DERIVATIVE /
+        # NND / DIFFERENCE / CUMULATIVE_SUM are supported since r7 —
+        # test_outer_transform_over_subquery)
+        "SELECT MOVING_AVERAGE(max, 3) FROM (SELECT MAX(value) FROM m "
+        "GROUP BY time(1h), *)",
+        # outer selector remains invalid
+        "SELECT TOP(max, 2) FROM (SELECT MAX(value) FROM m "
         "GROUP BY time(1h), *)",
         # unknown field on a plain measurement
         "SELECT MEAN(foo) FROM m",
@@ -558,3 +563,31 @@ def test_explain_returns_engine_plan(spark, sf_dir):
     assert rows[0].line_no == 1
     with pytest.raises(InfluxQLError):
         parse_influxql("EXPLAIN SHOW MEASUREMENTS")
+
+
+def test_outer_transform_over_subquery(spark):
+    """DERIVATIVE/CUMULATIVE_SUM over a time-bucketed subquery: the
+    transform rides the inner's bucket series; rejections cover
+    unbucketed inners and out-of-subset combinations."""
+    pts = _pts(spark)
+    out = compile_ast(pts, parse_influxql(
+        "SELECT DIFFERENCE(count) FROM "
+        "(SELECT COUNT(value) FROM m WHERE entity_id = 'a' "
+        "GROUP BY time(1h), *)")).collect()
+    # hourly counts for a: h0=1, h1=1, h4=1 -> diffs 0, 0
+    assert sorted(r.difference for r in out) == [0, 0]
+    cs = compile_ast(pts, parse_influxql(
+        "SELECT CUMULATIVE_SUM(count) FROM "
+        "(SELECT COUNT(value) FROM m WHERE entity_id = 'a' "
+        "GROUP BY time(1h), *)")).collect()
+    assert sorted(r.cumulative_sum for r in cs) == [1.0, 2.0, 3.0]
+    for bad in (
+        "SELECT DERIVATIVE(mean) FROM (SELECT MEAN(value) FROM m "
+        "GROUP BY *)",                               # unbucketed inner
+        "SELECT DERIVATIVE(max) FROM (SELECT MEAN(value) FROM m "
+        "GROUP BY time(1h), *)",                     # wrong field
+        "SELECT MOVING_AVERAGE(mean, 3) FROM (SELECT MEAN(value) "
+        "FROM m GROUP BY time(1h), *)",              # unsupported fn
+    ):
+        with pytest.raises(InfluxQLError):
+            compile_ast(pts, parse_influxql(bad))
