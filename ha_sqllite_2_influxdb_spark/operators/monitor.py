@@ -269,6 +269,53 @@ def fleet_correlation(pts: DataFrame,
     )
 
 
+def hysteresis_alerts(pts: DataFrame, hi: float,
+                      lo: float) -> DataFrame:
+    """Schmitt-trigger alerting — the rule HA automations and Kapacitor
+    alert nodes actually run: an alert OPENS when the value crosses
+    ABOVE ``hi`` and stays open until the value drops BELOW ``lo`` (the
+    hysteresis band kills flapping around a single threshold). Emits
+    one row per CLOSED alert episode: span, point count, peak value.
+    A series' final still-open episode has no closing crossing and is
+    not emitted (the streaming twin would hold it as state).
+
+    Plan: crossing markers (value > hi → 1, value < lo → 0, else NULL),
+    alert state = LOCF of the markers, episodes = gaps-and-islands on
+    the state — markers, LOCF, group ids and the episode aggregate all
+    ride the ONE series shuffle."""
+    if not lo < hi:
+        raise ValueError("hysteresis needs lo < hi")
+    w = _w()
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    marker = (F.when(F.col("value") > hi, 1)
+              .when(F.col("value") < lo, 0))
+    st = pts.select(
+        *_SERIES, "ts_epoch", "state_id", "value",
+        F.coalesce(F.last(marker, ignorenulls=True).over(wrun),
+                   F.lit(0)).alias("_on"),
+    )
+    chg = F.when(
+        F.lag("_on").over(w).isNull()
+        | (F.col("_on") != F.lag("_on").over(w)), 1).otherwise(0)
+    grouped = st.select("*", F.sum(chg).over(wrun).alias("_grp"))
+    # an episode is CLOSED iff a later group exists in the series
+    wall = Window.partitionBy(*_SERIES)
+    episodes = (
+        grouped.groupBy(*_SERIES, "_grp")
+        .agg(F.min("ts_epoch").alias("alert_start"),
+             F.max("ts_epoch").alias("alert_end"),
+             F.count(F.lit(1)).alias("n_points"),
+             F.max("value").alias("peak"),
+             F.max("_on").alias("_on"))
+    )
+    last_grp = F.max("_grp").over(wall)
+    return (episodes
+            .withColumn("_last", last_grp)
+            .filter((F.col("_on") == 1) & (F.col("_grp") < F.col("_last")))
+            .select(*_SERIES, "alert_start", "alert_end", "n_points",
+                    "peak"))
+
+
 def flatline_runs(pts: DataFrame, min_run: int = 5) -> DataFrame:
     """Stuck-sensor detection: maximal runs of ≥ ``min_run`` consecutive
     IDENTICAL values per series, with the run's span and length — the

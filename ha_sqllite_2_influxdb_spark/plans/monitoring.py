@@ -62,7 +62,18 @@ def q_fleet_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      bucket_s=_CORR_BUCKET_S)
 
 
+def q_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schmitt-trigger alert episodes on the % series (open > 80, close
+    < 60) — see monitor.hysteresis_alerts."""
+    from pyspark.sql import functions as F
+
+    pts = _numeric_points(spark, sf_dir).filter(
+        F.col("measurement") == "%")
+    return monitor.hysteresis_alerts(pts, hi=80.0, lo=60.0)
+
+
 QUERIES = {
+    "series_hysteresis_alerts": q_hysteresis_alerts,
     "series_acf": q_series_acf,
     "series_fleet_correlation": q_fleet_correlation,
     "series_mean_shift": q_mean_shift,
@@ -74,6 +85,49 @@ _W_SERIES = """WINDOW w AS (PARTITION BY measurement, domain, entity_id
                ORDER BY ts_epoch, state_id)"""
 
 ORACLES = {
+    "series_hysteresis_alerts": f"""{_ORACLE_NUM},
+m AS (
+  SELECT measurement, domain, entity_id, ts_epoch, state_id, value,
+    CASE WHEN value > 80.0 THEN 1 WHEN value < 60.0 THEN 0 END AS mk
+  FROM num WHERE measurement = '%'
+),
+st AS (
+  SELECT *, coalesce(last_value(mk IGNORE NULLS) OVER (
+      PARTITION BY measurement, domain, entity_id
+      ORDER BY ts_epoch, state_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS on_state
+  FROM m
+),
+chg AS (
+  SELECT *, CASE WHEN lag(on_state) OVER w IS NULL
+                   OR on_state != lag(on_state) OVER w
+            THEN 1 ELSE 0 END AS c
+  FROM st WINDOW w AS (PARTITION BY measurement, domain, entity_id
+                       ORDER BY ts_epoch, state_id)
+),
+grp AS (
+  SELECT *, sum(c) OVER (PARTITION BY measurement, domain, entity_id
+                         ORDER BY ts_epoch, state_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS g
+  FROM chg
+),
+ep AS (
+  SELECT measurement, domain, entity_id, g,
+    min(ts_epoch) AS alert_start, max(ts_epoch) AS alert_end,
+    count(*)::BIGINT AS n_points, max(value) AS peak,
+    max(on_state) AS on_state
+  FROM grp GROUP BY measurement, domain, entity_id, g
+),
+closed AS (
+  SELECT *, max(g) OVER (PARTITION BY measurement, domain, entity_id)
+    AS last_g
+  FROM ep
+)
+SELECT measurement, domain, entity_id, alert_start, alert_end,
+       n_points, peak
+FROM closed WHERE on_state = 1 AND g < last_g
+""",
     "series_fleet_correlation": f"""{_ORACLE_NUM},
 hourly AS (
   SELECT measurement, domain, entity_id,

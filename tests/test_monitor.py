@@ -152,3 +152,30 @@ def test_fleet_correlation_tracks_reference(spark):
     assert out["up2"] == pytest.approx(1.0)
     assert out["down"] == pytest.approx(-1.0)
     assert "flat" not in out
+
+
+def test_hysteresis_alert_episodes(spark):
+    """Schmitt trigger: opens only above hi, stays open through the
+    band, closes only below lo; the trailing open episode is withheld."""
+    from ha_sqllite_2_influxdb_spark.operators.monitor import (
+        hysteresis_alerts,
+    )
+
+    vals = [50, 85, 70, 90, 55,    # episode 1: opens at 85, closes at 55
+            75,                    # band value while CLOSED: no alert
+            95, 82,                # episode 2 opens... and never closes
+            ]
+    pts = spark.createDataFrame(
+        [(i, "m", "d", "e", float(i * 10), float(v))
+         for i, v in enumerate(vals)],
+        "state_id long, measurement string, domain string, "
+        "entity_id string, ts_epoch double, value double")
+    out = hysteresis_alerts(pts, hi=80.0, lo=60.0).collect()
+    assert len(out) == 1                      # open tail withheld
+    ep = out[0]
+    assert (ep.alert_start, ep.alert_end) == (10.0, 30.0)
+    assert ep.n_points == 3 and ep.peak == 90.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hysteresis_alerts(pts, hi=60.0, lo=80.0)
