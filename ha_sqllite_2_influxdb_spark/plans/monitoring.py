@@ -63,13 +63,15 @@ def q_fleet_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schmitt-trigger alert episodes on the % series (open > 80, close
-    < 60) — see monitor.hysteresis_alerts."""
+    """Schmitt-trigger alert episodes on the varying default series
+    (open > 100, close < 30 — the fixture's W/% series are constant, so
+    the band sits inside the one distribution that actually moves) —
+    see monitor.hysteresis_alerts."""
     from pyspark.sql import functions as F
 
     pts = _numeric_points(spark, sf_dir).filter(
-        F.col("measurement") == "%")
-    return monitor.hysteresis_alerts(pts, hi=80.0, lo=60.0)
+        F.col("measurement") == "default_measurement")
+    return monitor.hysteresis_alerts(pts, hi=100.0, lo=30.0)
 
 
 QUERIES = {
@@ -88,8 +90,8 @@ ORACLES = {
     "series_hysteresis_alerts": f"""{_ORACLE_NUM},
 m AS (
   SELECT measurement, domain, entity_id, ts_epoch, state_id, value,
-    CASE WHEN value > 80.0 THEN 1 WHEN value < 60.0 THEN 0 END AS mk
-  FROM num WHERE measurement = '%'
+    CASE WHEN value > 100.0 THEN 1 WHEN value < 30.0 THEN 0 END AS mk
+  FROM num WHERE measurement = 'default_measurement'
 ),
 st AS (
   SELECT *, coalesce(last_value(mk IGNORE NULLS) OVER (
