@@ -535,6 +535,24 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_windowed(load_table(spark, sf_dir, "events"))
 
 
+def q_stream_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Schmitt-trigger alerting: per-series hysteresis episode
+    tracking over the line-protocol ingest (`streaming.runs.
+    hysteresis_per_series`) — an append-mode arbitrary-stateful op (an
+    episode spans micro-batches; it emits exactly once, when a
+    below-lo point closes it). Real AvailableNow drain; the oracle is
+    the BATCH operator's (both exclude the open tail), exact because
+    ts round-trips the wire losslessly and series have no ts ties."""
+    from ..streaming.runs import hysteresis_per_series
+
+    pts = (_lp_stream(spark, sf_dir)
+           .filter(F.col("value").isNotNull()
+                   & (F.col("measurement") == "default_measurement")))
+    return drain_to_memory(
+        hysteresis_per_series(pts, hi=100.0, lo=30.0),
+        "stream_hysteresis_t", output_mode="append")
+
+
 def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming vector-search SERVING: a file stream of query
     embeddings (two parquet files, maxFilesPerTrigger=1 → two real
@@ -625,6 +643,7 @@ QUERIES = {
     "stream_cq_downsample": q_stream_cq_downsample,
     "stream_flatline": q_stream_flatline,
     "stream_knn": q_stream_knn,
+    "stream_hysteresis": q_stream_hysteresis,
 }
 
 _GAP_US = GAP_MIN * 60 * 1_000_000
@@ -893,3 +912,8 @@ from .llm_ops import ORACLES as _LLM_ORACLES  # noqa: E402
 # batch tier, so the batch oracle IS the streaming truth (queries arrive
 # across two micro-batches; the union is order-insensitive)
 ORACLES["stream_knn"] = _LLM_ORACLES["embedding_knn"]
+
+from .monitoring import ORACLES as _MON_ORACLES  # noqa: E402
+
+# stream and batch both emit only CLOSED episodes — identical truth
+ORACLES["stream_hysteresis"] = _MON_ORACLES["series_hysteresis_alerts"]

@@ -148,3 +148,123 @@ def flatline_per_series(pts: DataFrame, min_run: int = MIN_RUN,
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ----------------------------------------------------- hysteresis alerts
+
+HYST_OUT_SCHEMA = ("measurement string, domain string, entity_id string, "
+                   "alert_start double, alert_end double, n_points long, "
+                   "peak double")
+_HYST_STATE_SCHEMA = ("on_state long, ep_start double, ep_end double, "
+                      "n_points long, peak double")
+
+
+def _fold_hysteresis(ordered: pd.DataFrame, st: tuple | None,
+                     hi: float, lo: float
+                     ) -> tuple[tuple | None, list[tuple]]:
+    """Schmitt-trigger fold — the streaming twin of
+    `operators.monitor.hysteresis_alerts` (same open->above-hi /
+    close->below-lo rule, same episode tuple). State is ONE
+    (on, start, end, n, peak) tuple per series; a closed episode emits
+    exactly once, the open tail never does (the batch operator is the
+    read-side truth for open episodes, and its own output excludes
+    them — so stream output ≡ batch output exactly)."""
+    completed: list[tuple] = []
+    if st is None:
+        st = (0, None, None, 0, None)
+    on, ep_start, ep_end, n, peak = st
+    for ts, v in zip(ordered["ts_epoch"], ordered["value"]):
+        ts, v = float(ts), float(v)
+        if on == 0:
+            if v > hi:
+                on, ep_start, ep_end, n, peak = 1, ts, ts, 1, v
+        else:
+            if v < lo:
+                completed.append((ep_start, ep_end, n, peak))
+                on, ep_start, ep_end, n, peak = 0, None, None, 0, None
+            else:
+                ep_end, n = ts, n + 1
+                peak = v if v > peak else peak
+    return (on, ep_start, ep_end, n, peak), completed
+
+
+def _emit_hyst(key: Any, completed: list[tuple]) -> pd.DataFrame:
+    m, d, e = key
+    return pd.DataFrame({
+        "measurement": [m] * len(completed),
+        "domain": [d] * len(completed),
+        "entity_id": [e] * len(completed),
+        "alert_start": [c[0] for c in completed],
+        "alert_end": [c[1] for c in completed],
+        "n_points": [c[2] for c in completed],
+        "peak": [c[3] for c in completed],
+    })
+
+
+def _make_hyst_tws_processor(hi: float, lo: float):
+    from pyspark.sql.streaming import (
+        StatefulProcessor, StatefulProcessorHandle,
+    )
+
+    class HystProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("hyst", _HYST_STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key: Any, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            st = self._state.get() if self._state.exists() else None
+            ordered = _order_chunks_ts([pdf for pdf in rows if len(pdf)])
+            completed: list[tuple] = []
+            if ordered is not None:
+                st, completed = _fold_hysteresis(ordered, st, hi, lo)
+            if st is not None:
+                self._state.update(st)
+            if completed:
+                yield _emit_hyst(key, completed)
+
+        def close(self) -> None:
+            pass
+
+    return HystProcessor()
+
+
+def _hyst_legacy_fn_factory(hi: float, lo: float):
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> \
+            Iterator[pd.DataFrame]:
+        st = tuple(state.get) if state.exists else None
+        ordered = _order_chunks_ts([pdf for pdf in pdfs if len(pdf)])
+        completed: list[tuple] = []
+        if ordered is not None:
+            st, completed = _fold_hysteresis(ordered, st, hi, lo)
+        if st is not None:
+            state.update(st)
+        if completed:
+            yield _emit_hyst(key, completed)
+
+    return fn
+
+
+def hysteresis_per_series(pts: DataFrame, hi: float, lo: float,
+                          force_legacy: bool = False) -> DataFrame:
+    """Wire the Schmitt-trigger fold through whichever stateful API the
+    runtime supports (same dual-wiring as `flatline_per_series`)."""
+    prepared = pts.select("measurement", "domain", "entity_id",
+                          "ts_epoch", "value")
+    keys = ["measurement", "domain", "entity_id"]
+    if not force_legacy and tws_available():
+        return prepared.groupBy(*keys).transformWithStateInPandas(
+            statefulProcessor=_make_hyst_tws_processor(hi, lo),
+            outputStructType=HYST_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return prepared.groupBy(*keys).applyInPandasWithState(
+        _hyst_legacy_fn_factory(hi, lo),
+        HYST_OUT_SCHEMA,
+        _HYST_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

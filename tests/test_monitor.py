@@ -179,3 +179,38 @@ def test_hysteresis_alert_episodes(spark):
 
     with _pt.raises(ValueError):
         hysteresis_alerts(pts, hi=60.0, lo=80.0)
+
+
+def test_stream_hysteresis_fold_matches_batch(spark):
+    """The streaming fold and the batch windowed operator must agree on
+    the crafted episode sequence, batch-split across two chunks (an
+    episode spanning the split)."""
+    import pandas as pd
+
+    from ha_sqllite_2_influxdb_spark.operators.monitor import (
+        hysteresis_alerts,
+    )
+    from ha_sqllite_2_influxdb_spark.streaming.runs import (
+        _fold_hysteresis,
+    )
+
+    vals = [50, 85, 70, 90, 55, 75, 95, 82]
+    pts = spark.createDataFrame(
+        [(i, "m", "d", "e", float(i * 10), float(v))
+         for i, v in enumerate(vals)],
+        "state_id long, measurement string, domain string, "
+        "entity_id string, ts_epoch double, value double")
+    batch = [(r.alert_start, r.alert_end, r.n_points, r.peak)
+             for r in hysteresis_alerts(pts, 80.0, 60.0).collect()]
+    # stream: split mid-episode (after index 2) — the carry state must
+    # close the episode in chunk 2
+    rows = [(i * 10.0, float(v)) for i, v in enumerate(vals)]
+    st, done = _fold_hysteresis(
+        pd.DataFrame(rows[:3], columns=["ts_epoch", "value"]), None,
+        80.0, 60.0)
+    st, done2 = _fold_hysteresis(
+        pd.DataFrame(rows[3:], columns=["ts_epoch", "value"]), st,
+        80.0, 60.0)
+    assert sorted(done + done2) == sorted(batch) == [(10.0, 30.0, 3,
+                                                      90.0)]
+    assert st[0] == 1          # the tail episode is open state, unemitted
