@@ -364,3 +364,97 @@ def contrastive_triplets(corpus: DataFrame,
         .select(F.col("doc_id").alias("anchor_id"),
                 "positive_id", "negative_id")
     )
+
+
+# ------------------------------------------------------- bloom pre-filter
+
+BLOOM_BITS = 32768    # m: filter size in bits (1024 x 32-bit words)
+BLOOM_K = 3           # k: independent probe positions per shingle
+
+
+def _bloom_pos(shingle: Column, j: int, portable: bool) -> Column:
+    """j-th probe position in [0, BLOOM_BITS) — independent hashes via a
+    per-probe key prefix, portable tier DuckDB-reproducible."""
+    from .text import char_hash
+
+    keyed = F.concat(F.lit(f"{j}|"), shingle)
+    if portable:
+        return char_hash(keyed) % BLOOM_BITS
+    return F.pmod(F.xxhash64(keyed), F.lit(BLOOM_BITS)).cast("long")
+
+
+def bloom_filter_words(bench: DataFrame,
+                       portable: bool = True) -> list[int]:
+    """Build the benchmark's Bloom filter as 1024 32-bit words packed in
+    longs (bit b of word w set iff some bench shingle probes position
+    32·w + b). The construction is one bounded aggregation — bit_or is
+    the textbook mergeable-monoid — and the collected state is ≤1024
+    longs (8 KB): the same bounded-driver-state budget as the ANN
+    codebooks. Words use bit positions 0..31 only, so no value ever
+    touches the sign bit in either engine."""
+    sh = dedup.shingled(
+        bench.select(F.col("bench_id").alias("doc_id"), "text")
+    ).select("shingle").distinct()
+    pos = F.col("pos")
+    rows = (
+        sh.select(F.explode(F.array(
+            *[_bloom_pos(F.col("shingle"), j, portable)
+              for j in range(BLOOM_K)])).alias("pos"))
+        .select(
+            F.floor(pos / 32).cast("long").alias("w"),
+            F.pow(F.lit(2.0), F.pmod(pos, F.lit(32)).cast("double"))
+            .cast("long").alias("bit"))
+        .groupBy("w").agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = [0] * (BLOOM_BITS // 32)
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_decontaminate(train: DataFrame, bench: DataFrame,
+                        portable: bool = True) -> DataFrame:
+    """Bloom-filter decontamination pre-filter (the Dolma/BFF shape):
+    per training document, how many of its shingles MIGHT appear in the
+    benchmark set — zero false negatives by construction, false
+    positives bounded by (set_bits/m)^k (≈1e-5 per shingle at the
+    default sizing), so `decontaminate`'s exact containment join only
+    ever runs on the surviving sliver.
+
+    Spark-first shape for 100 TB: the filter itself is inlined into the
+    plan as a 1024-long array LITERAL (the broadcast-weight pattern), so
+    the probe is a PURE MAP over each document's shingle array — no
+    explode, no join, and no KEYED shuffle; the only exchange ever in
+    the plan is `shingle_sets`' round-robin balance repartition, which
+    applies only to narrow local inputs (a wide 100 TB scan skips it and
+    the probe fuses straight into the scan stage). Compare
+    `decontaminate` (operators/curation.py:110), whose exact inverted
+    index is what the candidates flow into.
+    """
+    words = bloom_filter_words(bench, portable)
+    arr = F.lit(words)
+
+    def _hits(s: Column) -> Column:
+        cond = None
+        for j in range(BLOOM_K):
+            pos = _bloom_pos(s, j, portable)
+            widx = F.floor(pos / 32).cast("int")
+            # 2^(pos%32) is exact in a double for 0..31; pyspark's
+            # shiftleft wrapper only takes a literal shift, pow doesn't
+            bit = (F.pow(F.lit(2.0), F.pmod(pos, F.lit(32)).cast("double"))
+                   .cast("long"))
+            c = F.element_at(arr, widx + 1).bitwiseAND(bit) != 0
+            cond = c if cond is None else cond & c
+        return cond
+
+    sets = dedup.shingle_sets(train)
+    return (
+        sets.select(
+            "doc_id",
+            F.size("sh").cast("long").alias("n_shingles"),
+            F.size(F.filter("sh", _hits)).cast("long")
+            .alias("n_candidates"),
+        )
+        .withColumn("candidate", F.col("n_candidates") > 0)
+    )

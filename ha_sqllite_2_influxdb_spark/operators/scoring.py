@@ -50,16 +50,10 @@ def _bucket_weight(bucket: Column) -> Column:
     return (bucket * _MIX) % _W_RANGE - 1000
 
 
-def quality_classify(docs: DataFrame, text_col: str = "text",
-                     portable: bool = True) -> DataFrame:
-    """Score every document with the hashed linear model; keep if > 0.
-
-    Features: word unigrams + adjacent word bigrams (both hashed into the
-    same bucket space, as fastText does). ``score_int`` is the integer
-    sum of feature weights (exact, associative — partial aggregation
-    order cannot flip bits); ``score`` is the mean weight per feature in
-    [-1, 1] (one double division, bit-identical across engines).
-    """
+def _feature_array(text_col: str) -> Column:
+    """Word unigrams + adjacent word bigrams as one array column (the
+    fastText / DSIR feature set) — shared by the quality classifier and
+    the DSIR importance-resampling fit/score passes."""
     ws = F.split(F.col(text_col), " ")
     # guard: F.sequence(0, -1) would produce a DESCENDING range for a
     # 1-word doc, so the bigram list is explicitly empty below 2 words
@@ -70,7 +64,20 @@ def quality_classify(docs: DataFrame, text_col: str = "text",
             lambda i: F.concat_ws(" ", F.get(ws, i), F.get(ws, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(ws, bigrams)
+    return F.concat(ws, bigrams)
+
+
+def quality_classify(docs: DataFrame, text_col: str = "text",
+                     portable: bool = True) -> DataFrame:
+    """Score every document with the hashed linear model; keep if > 0.
+
+    Features: word unigrams + adjacent word bigrams (both hashed into the
+    same bucket space, as fastText does). ``score_int`` is the integer
+    sum of feature weights (exact, associative — partial aggregation
+    order cannot flip bits); ``score`` is the mean weight per feature in
+    [-1, 1] (one double division, bit-identical across engines).
+    """
+    feats = _feature_array(text_col)
     weights = F.transform(feats, lambda e: _bucket_weight(_bucket(e, portable)))
     score_int = F.aggregate(
         weights, F.lit(0).cast("long"), lambda acc, x: acc + x
@@ -88,3 +95,83 @@ def quality_classify(docs: DataFrame, text_col: str = "text",
         )
         .withColumn("keep", F.col("score_int") > 0)
     )
+
+
+# --------------------------------------------------------------- DSIR
+
+def dsir_bucket_weights(docs: DataFrame, is_target: Column,
+                        text_col: str = "text",
+                        portable: bool = True) -> list[int]:
+    """Fit the two hashed bag-of-n-grams models of DSIR (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling") and return the per-bucket log-likelihood-ratio table.
+
+    One aggregation shuffle bounded by N_BUCKETS keys (map-side partials
+    make the exchange ≤ partitions × 4096 rows regardless of corpus
+    size), then ≤4096 rows of counts to the driver — the same bounded
+    driver state as the ANN codebooks. The ratio table itself is the
+    model: log((c_t+1)/(T+B)) - log((c_r+1)/(R+B)) per bucket (Laplace-
+    smoothed), micro-quantized to BIGINT via floor(x*1e6 + 0.5) so the
+    per-document sum downstream is integer-exact at any partitioning.
+    The logs are evaluated in the DRIVER (CPython -> glibc log, the
+    same libm the DuckDB oracle calls), never on executors, so the
+    quantized table is reproducible cross-engine.
+    """
+    import math
+
+    ex = docs.select(
+        is_target.alias("_is_t"),
+        F.explode(_feature_array(text_col)).alias("_f"),
+    )
+    counts = (
+        ex.select(_bucket(F.col("_f"), portable).alias("b"), "_is_t")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_r"),
+             F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("c_t"))
+        .collect()
+    )
+    n = N_BUCKETS
+    c_r, c_t = [0] * n, [0] * n
+    for row in counts:
+        c_r[row["b"]], c_t[row["b"]] = row["c_r"], row["c_t"]
+    tot_t, tot_r = sum(c_t), sum(c_r)
+    return [
+        int(math.floor(
+            (math.log(c_t[i] + 1) - math.log(tot_t + n)
+             - math.log(c_r[i] + 1) + math.log(tot_r + n)) * 1e6 + 0.5))
+        for i in range(n)
+    ]
+
+
+def dsir_score(docs: DataFrame, is_target: Column,
+               text_col: str = "text",
+               portable: bool = True) -> DataFrame:
+    """DSIR importance weights per document: Σ over the doc's hashed
+    n-gram features of the bucket's log-likelihood ratio (target model
+    over raw model).
+
+    Spark-first shape: after the bounded fit pass the 4096-entry ratio
+    table rides the plan as a 32 KB array LITERAL (the broadcast-weight
+    pattern quality_classify documents), so scoring is a pure map stage
+    — split → hash → element_at → integer fold — with NO shuffle, no
+    join, and no Python on the hot path; it fuses into whatever scan
+    feeds it at 100 TB. ``weight_micro`` is the exact BIGINT sum;
+    ``weight`` the double view (one division).
+
+    The paper selects via Gumbel top-k (sampling ∝ exp(weight)); the
+    deterministic variant here ranks by the weight itself — swap in
+    seeded Gumbel noise per doc_id for sampled selection. Determinism
+    is what makes the operator oracle-checkable.
+    """
+    lr = dsir_bucket_weights(docs, is_target, text_col, portable)
+    arr = F.lit(lr)
+    per = F.transform(
+        _feature_array(text_col),
+        lambda e: F.element_at(arr, (_bucket(e, portable) + 1).cast("int")),
+    )
+    w_micro = F.aggregate(per, F.lit(0).cast("long"), lambda a, x: a + x)
+    return docs.select(
+        "doc_id",
+        F.size(_feature_array(text_col)).cast("long").alias("n_features"),
+        w_micro.alias("weight_micro"),
+    ).withColumn("weight", F.col("weight_micro") / F.lit(1e6))

@@ -277,11 +277,43 @@ def q_ha_statistics_cascade(spark: SparkSession,
     return short_term_cascade(_numeric_points(spark, sf_dir))
 
 
+def q_ha_utility_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HA's ``utility_meter`` integration, daily cycle — the energy
+    dashboard's per-day consumption view. Each meter update contributes
+    ``value - prev`` to the UTC day the update ARRIVES in (that is
+    exactly when utility_meter applies the delta), with the recorder's
+    counter-reset rule: a decrease restarts the source and the new value
+    itself is the day's increment. The first update of a series opens
+    the meter and contributes 0. Deltas are micro-quantized BIGINTs, so
+    the per-day sum is associative at any partitioning; the plan is the
+    `ha_statistics_sum` series window followed by ONE (series, day)
+    aggregation with map-side partials — no second wide exchange.
+    Applied to the W series (the counter-semantics fixture; the CYCLE
+    rule is the deliverable and the oracle pins it value-exactly)."""
+    pts = _numeric_points(spark, sf_dir).filter(
+        F.col("measurement") == "W")
+    w = Window.partitionBy(*_SERIES).orderBy("ts_epoch", "state_id")
+    micro = F.round(F.col("value") * 1e6).cast("long")
+    prev = F.lag(micro).over(w)
+    inc = F.when(prev.isNull(), F.lit(0)).otherwise(
+        F.when(micro - prev >= 0, micro - prev).otherwise(micro))
+    day = F.floor(F.col("ts_epoch") / 86400).cast("long")
+    return (
+        pts.select(*_SERIES, day.alias("_d"), inc.alias("_inc"))
+        .groupBy(*_SERIES, "_d")
+        .agg((F.sum("_inc") / 1e6).alias("consumption"),
+             F.count(F.lit(1)).cast("long").alias("n_updates"))
+        .select(*_SERIES, (F.col("_d") * 86400).alias("day_epoch"),
+                "consumption", "n_updates")
+    )
+
+
 QUERIES = {"ha_statistics_hourly": q_ha_statistics_hourly,
            "ha_statistics_cascade": q_ha_statistics_cascade,
            "stream_ha_statistics": q_stream_ha_statistics,
            "ha_statistics_sum": q_ha_statistics_sum,
-           "ha_statistics_daily": q_ha_statistics_daily}
+           "ha_statistics_daily": q_ha_statistics_daily,
+           "ha_utility_meter": q_ha_utility_meter}
 
 ORACLES = {
     "ha_statistics_hourly": f"""{_ORACLE_NUM},
@@ -424,4 +456,26 @@ SELECT measurement, domain, entity_id, d * 86400 AS day_epoch,
   min(value) AS min_val, max(value) AS max_val,
   count(*)::BIGINT AS n_segments
 FROM terms GROUP BY measurement, domain, entity_id, d
+"""
+
+ORACLES["ha_utility_meter"] = f"""{_ORACLE_NUM},
+m AS (
+  SELECT measurement, domain, entity_id, ts_epoch, state_id,
+    CAST(round(value * 1e6) AS BIGINT) AS micro
+  FROM num WHERE measurement = 'W'
+),
+steps AS (
+  SELECT measurement, domain, entity_id,
+    CAST(floor(ts_epoch / 86400) AS BIGINT) AS d,
+    CASE
+      WHEN lag(micro) OVER w IS NULL THEN 0
+      WHEN micro - lag(micro) OVER w >= 0 THEN micro - lag(micro) OVER w
+      ELSE micro END AS step
+  FROM m WINDOW w AS (PARTITION BY measurement, domain, entity_id
+                      ORDER BY ts_epoch, state_id)
+)
+SELECT measurement, domain, entity_id, d * 86400 AS day_epoch,
+  CAST(sum(step) AS BIGINT) / 1e6 AS consumption,
+  count(*)::BIGINT AS n_updates
+FROM steps GROUP BY measurement, domain, entity_id, d
 """

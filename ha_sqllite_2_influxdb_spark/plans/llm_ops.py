@@ -253,6 +253,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontaminate(docs, curation.benchmark_prefixes(docs))
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-filter (Dolma/BFF shape) over
+    the same benchmark fixture as `decontaminate`: per-doc candidate
+    shingle counts from a 32 Kbit filter inlined as a plan literal —
+    the probe is a zero-shuffle pure map; zero false negatives (pytest
+    pins that against the exact inverted-index join)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return curation.bloom_decontaminate(
+        docs, curation.benchmark_prefixes(docs))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing into fixed token-budget training rows."""
     return curation.pack_sequences(_docs(spark, sf_dir))
@@ -510,6 +521,23 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scoring import quality_classify
 
     return quality_classify(_docs(spark, sf_dir))
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): importance weights from
+    hashed-n-gram bag models — target = the English subset (standing in
+    for the paper's formal-text target), raw = the whole corpus — then
+    deterministic top-100 selection by weight. Fit pass is one
+    bucket-bounded agg (≤4096 keys); scoring is a zero-shuffle map with
+    the ratio table inlined as a literal; selection is
+    TakeOrderedAndProject (no global sort). See operators/scoring.py."""
+    from ..operators.scoring import dsir_score
+
+    scored = dsir_score(
+        _docs(spark, sf_dir).select("doc_id", "text", "lang"),
+        F.col("lang") == "en",
+    )
+    return scored.orderBy(F.desc("weight_micro"), F.asc("doc_id")).limit(100)
 
 
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,6 +919,7 @@ QUERIES = {
     "neardup_clusters": q_neardup_clusters,
     "dedup_keep_best": q_dedup_keep_best,
     "decontaminate": q_decontaminate,
+    "bloom_decontaminate": q_bloom_decontaminate,
     "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
     "pack_ffd": q_pack_ffd,
@@ -923,6 +952,7 @@ QUERIES = {
     "lm_surprise": q_lm_surprise,
     "textrank_keywords": q_textrank_keywords,
     "quality_classifier": q_quality_classifier,
+    "dsir_resample": q_dsir_resample,
     "random_projection": q_random_projection,
     "sketch_topk_ngrams": q_sketch_topk_ngrams,
     "inverted_index": q_inverted_index,
@@ -1382,6 +1412,60 @@ SELECT doc_id, bench_id,
   CAST(n_i AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment
 FROM hits JOIN bsz USING (bench_id)
 WHERE CAST(n_i AS DOUBLE) / CAST(n_b AS DOUBLE) >= {curation.CONTAIN_T}
+""",
+    "bloom_decontaminate": f"""WITH bench AS (
+  SELECT doc_id AS bench_id,
+    array_to_string(list_slice(string_split(text, ' '), 1,
+                    {curation.BENCH_PREFIX_WORDS}), ' ') AS text
+  FROM documents WHERE doc_id % {curation.BENCH_EVERY} = 0
+),
+bw AS (SELECT bench_id, text, string_split(text, ' ') AS w FROM bench),
+bsh0 AS (
+  SELECT bench_id, unnest(CASE WHEN len(w) >= 3
+    THEN list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [text] END) AS shingle
+  FROM bw
+),
+bsh AS (SELECT DISTINCT shingle FROM bsh0),
+bprobe AS (
+  SELECT ({_ROLL.format(col="CAST(j AS VARCHAR) || '|' || shingle")})
+           % {curation.BLOOM_BITS} AS pos
+  FROM bsh, unnest(generate_series(0, {curation.BLOOM_K - 1})) AS t(j)
+),
+blm AS (
+  SELECT CAST(floor(pos / 32) AS BIGINT) AS w,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM bprobe GROUP BY 1
+),
+tw AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+tsh0 AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+    THEN list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [text] END) AS shingle
+  FROM tw
+),
+tsh AS (SELECT DISTINCT doc_id, shingle FROM tsh0),
+tprobe AS (
+  SELECT doc_id, shingle,
+    ({_ROLL.format(col="CAST(j AS VARCHAR) || '|' || shingle")})
+      % {curation.BLOOM_BITS} AS pos
+  FROM tsh, unnest(generate_series(0, {curation.BLOOM_K - 1})) AS t(j)
+),
+tchk AS (
+  SELECT doc_id, shingle,
+    min(CASE WHEN (coalesce(bits, 0)
+                   & (1::BIGINT << CAST(pos % 32 AS INT))) != 0
+             THEN 1 ELSE 0 END) AS allhit
+  FROM tprobe LEFT JOIN blm
+    ON CAST(floor(pos / 32) AS BIGINT) = blm.w
+  GROUP BY doc_id, shingle
+)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+  CAST(sum(allhit) AS BIGINT) AS n_candidates,
+  sum(allhit) > 0 AS candidate
+FROM tchk GROUP BY doc_id
 """,
     "chunk_documents": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1865,6 +1949,44 @@ SELECT doc_id, score_int, n_features,
   CAST(score_int AS DOUBLE) / CAST(n_features * 1000 AS DOUBLE) AS score,
   score_int > 0 AS keep
 FROM s
+""",
+    # ln() evaluated once per bucket in both engines (glibc log on this
+    # host for CPython AND DuckDB) then floor(x*1e6+0.5)-quantized, so
+    # the per-doc BIGINT sums compare exactly; expression order mirrors
+    # scoring.dsir_bucket_weights left-to-right.
+    "dsir_resample": f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+           FROM documents),
+f AS (
+  SELECT doc_id, lang, ws[i] AS feat
+  FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+  UNION ALL
+  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS feat
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+),
+h AS (SELECT doc_id, lang,
+             ({_ROLL.format(col="feat")}) % {_QC_BUCKETS} AS b FROM f),
+counts AS (
+  SELECT b, count(*)::BIGINT AS c_r,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM h GROUP BY b
+),
+tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t,
+               CAST(sum(c_r) AS BIGINT) AS r FROM counts),
+lr AS (
+  SELECT b, CAST(floor(
+    (ln(c_t + 1) - ln(t + {_QC_BUCKETS})
+     - ln(c_r + 1) + ln(r + {_QC_BUCKETS})) * 1e6 + 0.5) AS BIGINT)
+    AS lrm
+  FROM counts CROSS JOIN tot
+),
+doc AS (
+  SELECT h.doc_id, count(*)::BIGINT AS n_features,
+    CAST(sum(lrm) AS BIGINT) AS weight_micro
+  FROM h JOIN lr USING (b) GROUP BY h.doc_id
+)
+SELECT doc_id, n_features, weight_micro, weight_micro / 1e6 AS weight
+FROM doc ORDER BY weight_micro DESC, doc_id ASC LIMIT 100
 """,
     "inverted_index": """
 WITH t AS (

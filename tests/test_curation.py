@@ -306,3 +306,62 @@ def test_contrastive_triplets_invariants(spark, sf_dir):
     assert trip.exceptAll(again).count() == 0
     assert again.exceptAll(trip).count() == 0
     trip.unpersist()
+
+
+def test_bloom_decontaminate_zero_false_negatives(spark, sf_dir, docs):
+    """The Bloom pre-filter's contract: every document sharing at least
+    one shingle with the benchmark set (the EXACT inverted-index
+    overlap) must be a bloom candidate — no false negatives, ever. The
+    measured false-positive rate is also pinned to a sane bound (at the
+    default 32 Kbit / k=3 sizing it is ~0 on this corpus; a broken hash
+    would send it toward 1.0)."""
+    bench = curation.benchmark_prefixes(docs)
+    got = {r.doc_id: r.candidate
+           for r in curation.bloom_decontaminate(docs, bench).collect()}
+
+    bsh = dedup.shingled(
+        bench.select(F.col("bench_id").alias("doc_id"), "text")
+    ).select("shingle").distinct()
+    exact = {
+        r.doc_id
+        for r in dedup.shingled(docs).join(bsh, "shingle")
+        .select("doc_id").distinct().collect()
+    }
+    missed = [d for d in exact if not got[d]]
+    assert not missed, f"bloom false negatives: {missed[:5]}"
+    clean = [d for d in got if d not in exact]
+    fps = [d for d in clean if got[d]]
+    assert len(fps) <= max(1, len(clean) // 10), (
+        f"fp rate {len(fps)}/{len(clean)}")
+
+
+def test_bloom_probe_plan_no_keyed_exchange(spark, sf_dir, docs):
+    """The probe must stay a map stage: no hash-partitioned exchange,
+    no join, no Python — the only allowed Exchange is shingle_sets'
+    round-robin balance repartition on narrow local input."""
+    plan = (curation.bloom_decontaminate(
+        docs, curation.benchmark_prefixes(docs))
+        ._jdf.queryExecution().executedPlan().toString())
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_bloom_portable_and_native_tiers_same_contract(spark, sf_dir,
+                                                       docs):
+    """The xxhash64 tier (what a real cluster runs) must uphold the same
+    zero-false-negative contract — hashes differ, the guarantee
+    doesn't."""
+    bench = curation.benchmark_prefixes(docs)
+    got = {r.doc_id: r.candidate
+           for r in curation.bloom_decontaminate(
+               docs, bench, portable=False).collect()}
+    bsh = dedup.shingled(
+        bench.select(F.col("bench_id").alias("doc_id"), "text")
+    ).select("shingle").distinct()
+    exact = {
+        r.doc_id
+        for r in dedup.shingled(docs).join(bsh, "shingle")
+        .select("doc_id").distinct().collect()
+    }
+    assert all(got[d] for d in exact)

@@ -472,3 +472,49 @@ def test_pit_join_never_leaks_future_state(spark, sf_dir):
     for r in rows:
         if r.state_from_us is not None:
             assert r.state_from_us <= r.ts_us, r
+
+
+def test_dsir_scoring_plan_and_separation(spark, sf_dir):
+    """DSIR (scoring.dsir_score): after the bounded fit pass, the
+    scoring plan must be a pure map stage (no Exchange — the ratio
+    table is an inlined literal); the target (en) population must score
+    strictly higher on average than the non-target rest (the model was
+    fit to prefer exactly those n-grams); and the two hash tiers must
+    agree on feature arity."""
+    import pyspark.sql.functions as F
+
+    from ha_sqllite_2_influxdb_spark.operators.scoring import dsir_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    scored = dsir_score(docs, F.col("lang") == "en")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+    joined = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {r["t"]: r["m"] for r in joined.groupBy(
+        (F.col("lang") == "en").alias("t")).agg(
+        F.avg("weight").alias("m")).collect()}
+    assert means[True] > means[False], means
+
+    native = dsir_score(docs, F.col("lang") == "en", portable=False)
+    a = {r.doc_id: r.n_features for r in scored.collect()}
+    b = {r.doc_id: r.n_features for r in native.collect()}
+    assert a == b
+
+
+def test_dsir_weight_is_partitioning_invariant(spark, sf_dir):
+    """The micro-quantized BIGINT weights must be identical whatever the
+    input partitioning (integer fold over a literal table — nothing to
+    reorder)."""
+    import pyspark.sql.functions as F
+
+    from ha_sqllite_2_influxdb_spark.operators.scoring import dsir_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    one = dsir_score(docs.coalesce(1), F.col("lang") == "en")
+    many = dsir_score(docs.repartition(13), F.col("lang") == "en")
+    assert ({(r.doc_id, r.weight_micro) for r in one.collect()}
+            == {(r.doc_id, r.weight_micro) for r in many.collect()})

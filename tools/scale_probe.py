@@ -232,7 +232,25 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
         # sides joined on (bucket, tags). Both inputs AND the join key
         # scale with series count; the big scans never join each other.
         "flux_join_math": lambda: _flux_join_tier(pts),
+        # r7 late: DSIR — fit is a 4096-key bounded agg (the collect is
+        # 32 KB whatever the corpus), scoring a pure map with the ratio
+        # table inlined; the closest thing to a linearity control after
+        # quality_classifier, but WITH a fit pass in the measured wall.
+        "dsir_score": lambda: scoring.dsir_score(
+            docs, F.col("doc_id") % 2 == 0, portable=False),
+        # r7 late: Bloom pre-filter — build from the every-20th-doc
+        # benchmark (10× corpus ⇒ 10× bench shingles folded into the
+        # same 1024-word filter via bit_or), probe as a pure map; both
+        # passes must scale with the corpus, driver state fixed 8 KB.
+        "bloom_decontaminate": lambda: _bloom_tier(docs),
     }
+
+
+def _bloom_tier(docs):
+    from ha_sqllite_2_influxdb_spark.operators import curation
+
+    return curation.bloom_decontaminate(
+        docs, curation.benchmark_prefixes(docs), portable=False)
 
 
 def _flux_join_tier(pts):
