@@ -238,9 +238,22 @@ def shingled(corpus: DataFrame, native_hash: bool = False) -> DataFrame:
     """(doc_id, shingle) exploded rows, de-duplicated per doc.
 
     Row form of `shingle_sets` for inverted-index consumers — the
-    explode is narrow; per-doc dedup already happened in the array."""
-    return shingle_sets(corpus, native_hash=native_hash).select(
-        "doc_id", F.explode("sh").alias("shingle")
+    explode is narrow; per-doc dedup already happened in the array.
+
+    explode_OUTER + an output-column null filter, NOT plain explode:
+    plain explode triggers InferFiltersFromGenerate, whose inferred
+    ``size(sh) > 0 AND sh IS NOT NULL`` predicate is pushed below the
+    shingle projection with the alias SUBSTITUTED — re-evaluating the
+    whole regexp shingling (twice!) per input row before the Generate
+    evaluates it again. The rule skips outer generates, and a predicate
+    on the generate OUTPUT cannot sink below the Generate. Shingle
+    arrays are never empty (shingles() falls back to [text]), so the
+    outer row-parity difference is vacuous and the filter is only
+    belt-and-braces."""
+    return (
+        shingle_sets(corpus, native_hash=native_hash)
+        .select("doc_id", F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 

@@ -50,11 +50,18 @@ def _bucket_weight(bucket: Column) -> Column:
     return (bucket * _MIX) % _W_RANGE - 1000
 
 
-def _feature_array(text_col: str) -> Column:
-    """Word unigrams + adjacent word bigrams as one array column (the
-    fastText / DSIR feature set) — shared by the quality classifier and
-    the DSIR importance-resampling fit/score passes."""
-    ws = F.split(F.col(text_col), " ")
+def _feature_array(ws: Column) -> Column:
+    """Word unigrams + adjacent word bigrams from an already-projected
+    word-array column (the fastText / DSIR feature set) — shared by the
+    quality classifier and the DSIR fit/score passes.
+
+    PERF CONTRACT: ``ws`` must be a COLUMN REFERENCE to a projected
+    split, never an inline ``F.split(...)`` expression. HOF lambdas are
+    interpreted and do not subexpression-eliminate, so an inline split
+    is re-evaluated on every ``F.get(ws, i)`` access — O(words²) per
+    document (measured 6.7× slower at sf0.1). A separate projection is
+    safe from CollapseProject because the alias is referenced more than
+    once."""
     # guard: F.sequence(0, -1) would produce a DESCENDING range for a
     # 1-word doc, so the bigram list is explicitly empty below 2 words
     bigrams = F.when(
@@ -67,6 +74,14 @@ def _feature_array(text_col: str) -> Column:
     return F.concat(ws, bigrams)
 
 
+def _with_features(docs: DataFrame, text_col: str,
+                   *keep: str) -> DataFrame:
+    """Project the split + feature array in two stages (split → feats)
+    so neither is recomputed inside downstream HOF lambdas."""
+    ws = docs.select(*keep, F.split(F.col(text_col), " ").alias("_ws"))
+    return ws.select(*keep, _feature_array(F.col("_ws")).alias("_feats"))
+
+
 def quality_classify(docs: DataFrame, text_col: str = "text",
                      portable: bool = True) -> DataFrame:
     """Score every document with the hashed linear model; keep if > 0.
@@ -77,13 +92,14 @@ def quality_classify(docs: DataFrame, text_col: str = "text",
     order cannot flip bits); ``score`` is the mean weight per feature in
     [-1, 1] (one double division, bit-identical across engines).
     """
-    feats = _feature_array(text_col)
+    feats = F.col("_feats")
     weights = F.transform(feats, lambda e: _bucket_weight(_bucket(e, portable)))
     score_int = F.aggregate(
         weights, F.lit(0).cast("long"), lambda acc, x: acc + x
     )
     return (
-        docs.select(
+        _with_features(docs, text_col, "doc_id")
+        .select(
             "doc_id",
             score_int.alias("score_int"),
             F.size(feats).cast("long").alias("n_features"),
@@ -99,6 +115,46 @@ def quality_classify(docs: DataFrame, text_col: str = "text",
 
 # --------------------------------------------------------------- DSIR
 
+_PAIR_MIX = 1000003  # prime combiner for bigram buckets (wh < 2^31, so
+#                      wh * _PAIR_MIX + wh' stays far inside int64)
+
+
+def _dsir_bucket_cols(docs: DataFrame, text_col: str, portable: bool,
+                      *keep) -> DataFrame:
+    """Project each doc's DSIR feature BUCKET array, hashing every word
+    exactly once: unigram bucket = wh % N_BUCKETS, bigram bucket =
+    ((wh_i·_PAIR_MIX + wh_{i+1}) % HASH_MOD) % N_BUCKETS over the
+    word-hash array. Hashing words (not feature strings) cuts the hash
+    work ~3× — bigrams never materialize as strings — and each stage
+    (_ws → _wh → buckets) is its own projection so interpreted HOF
+    lambdas never re-evaluate an upstream expression (see
+    _feature_array's PERF CONTRACT)."""
+    from .text import HASH_MOD
+
+    if portable:
+        def wh1(w):
+            return char_hash(w)
+    else:
+        def wh1(w):
+            return F.pmod(F.xxhash64(w), F.lit(HASH_MOD)).cast("long")
+
+    wh = F.col("_wh")
+    uni = F.transform(wh, lambda h: h % N_BUCKETS)
+    big = F.when(
+        F.size(wh) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(wh) - 2),
+            lambda i: ((F.get(wh, i) * _PAIR_MIX + F.get(wh, i + 1))
+                       % HASH_MOD) % N_BUCKETS,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        docs.select(*keep, F.split(F.col(text_col), " ").alias("_ws"))
+        .select(*keep, F.transform(F.col("_ws"), wh1).alias("_wh"))
+        .select(*keep, F.concat(uni, big).alias("_b"))
+    )
+
+
 def dsir_bucket_weights(docs: DataFrame, is_target: Column,
                         text_col: str = "text",
                         portable: bool = True) -> list[int]:
@@ -106,10 +162,13 @@ def dsir_bucket_weights(docs: DataFrame, is_target: Column,
     2023, "Data Selection for Language Models via Importance
     Resampling") and return the per-bucket log-likelihood-ratio table.
 
-    One aggregation shuffle bounded by N_BUCKETS keys (map-side partials
-    make the exchange ≤ partitions × 4096 rows regardless of corpus
-    size), then ≤4096 rows of counts to the driver — the same bounded
-    driver state as the ANN codebooks. The ratio table itself is the
+    Features are word unigrams + adjacent bigrams, bucketed via
+    _dsir_bucket_cols (each word hashed once; bigram buckets are an
+    arithmetic combine of the two word hashes — no bigram string is
+    ever built). One aggregation shuffle bounded by N_BUCKETS keys
+    (map-side partials make the exchange ≤ partitions × 4096 rows
+    regardless of corpus size), then ≤4096 rows of counts to the driver
+    — the same bounded driver state as the ANN codebooks. The ratio table itself is the
     model: log((c_t+1)/(T+B)) - log((c_r+1)/(R+B)) per bucket (Laplace-
     smoothed), micro-quantized to BIGINT via floor(x*1e6 + 0.5) so the
     per-document sum downstream is integer-exact at any partitioning.
@@ -119,12 +178,19 @@ def dsir_bucket_weights(docs: DataFrame, is_target: Column,
     """
     import math
 
-    ex = docs.select(
-        is_target.alias("_is_t"),
-        F.explode(_feature_array(text_col)).alias("_f"),
-    )
+    # explode_OUTER, then drop the (never-occurring) null rows above the
+    # Generate: plain explode triggers InferFiltersFromGenerate, whose
+    # inferred size(e)>0 filter gets pushed below the projections with
+    # the ALIASES SUBSTITUTED — re-evaluating the whole word-hash
+    # pipeline once per row (measured 29 s vs 4 s at sf0.1). The rule
+    # skips outer generates, and a predicate on the generate OUTPUT
+    # cannot be pushed below the Generate.
+    ex = _dsir_bucket_cols(
+        docs.select(is_target.alias("_is_t"), text_col),
+        text_col, portable, "_is_t",
+    ).select("_is_t", F.explode_outer("_b").alias("b"))
     counts = (
-        ex.select(_bucket(F.col("_f"), portable).alias("b"), "_is_t")
+        ex.filter(F.col("b").isNotNull())
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c_r"),
              F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("c_t"))
@@ -164,14 +230,24 @@ def dsir_score(docs: DataFrame, is_target: Column,
     is what makes the operator oracle-checkable.
     """
     lr = dsir_bucket_weights(docs, is_target, text_col, portable)
+    return dsir_apply(docs, lr, text_col, portable)
+
+
+def dsir_apply(docs: DataFrame, lr: list[int],
+               text_col: str = "text",
+               portable: bool = True) -> DataFrame:
+    """Score a (possibly different) relation with an already-fit ratio
+    table — the apply half of the two-pass split, so pipelines can fit
+    on the raw corpus and score a cleaned subset without re-evaluating
+    the cleaning chain for the fit."""
     arr = F.lit(lr)
     per = F.transform(
-        _feature_array(text_col),
-        lambda e: F.element_at(arr, (_bucket(e, portable) + 1).cast("int")),
+        F.col("_b"),
+        lambda b: F.element_at(arr, (b + 1).cast("int")),
     )
     w_micro = F.aggregate(per, F.lit(0).cast("long"), lambda a, x: a + x)
-    return docs.select(
+    return _dsir_bucket_cols(docs, text_col, portable, "doc_id").select(
         "doc_id",
-        F.size(_feature_array(text_col)).cast("long").alias("n_features"),
+        F.size("_b").cast("long").alias("n_features"),
         w_micro.alias("weight_micro"),
     ).withColumn("weight", F.col("weight_micro") / F.lit(1e6))

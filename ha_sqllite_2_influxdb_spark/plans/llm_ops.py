@@ -313,6 +313,55 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curriculum_topk(clean)
 
 
+def q_curate_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODERN curation recipe end-to-end (Dolma/CCNet shape): exact
+    dedup (keep lowest doc_id per content digest) → Bloom
+    decontamination PRE-FILTER → exact containment check on the
+    candidate sliver only → DSIR importance selection (top-100 toward
+    the English target) over the cleaned corpus.
+
+    The staging is the 100 TB idiom this family exists for: the exact
+    inverted-index join — the expensive stage — runs only on documents
+    the zero-false-negative Bloom map flagged, so its input is
+    |candidates|, not |corpus|. The ORACLE deliberately omits the Bloom
+    stage (it dedups, exact-decontaminates the WHOLE corpus, then runs
+    DSIR): a value-hash match is a machine-checked proof that the
+    pre-filter dropped nothing. DSIR fits on the RAW corpus (the
+    paper's raw-model population) in its bounded 4096-key pass, so the
+    cleaning chain is evaluated exactly once — inside the single
+    Catalyst plan that scores the cleaned survivors."""
+    from ..operators.scoring import dsir_apply, dsir_bucket_weights
+
+    docs = _docs(spark, sf_dir)
+    keep = (
+        docs.groupBy(F.md5(F.encode("text", "UTF-8")).alias("_d"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = docs.join(keep, "doc_id", "left_semi")
+    bench = curation.benchmark_prefixes(docs.select("doc_id", "text"))
+    cand = (
+        curation.bloom_decontaminate(
+            deduped.select("doc_id", "text"), bench)
+        .filter(F.col("candidate")).select("doc_id")
+    )
+    cand_docs = deduped.join(cand, "doc_id", "left_semi")
+    flagged = (
+        curation.decontaminate(cand_docs.select("doc_id", "text"), bench)
+        .select("doc_id").distinct()
+    )
+    clean = (deduped.join(flagged, "doc_id", "left_anti")
+             .select("doc_id", "lang", "text"))
+    lr = dsir_bucket_weights(docs.select("doc_id", "text", "lang"),
+                             F.col("lang") == "en")
+    scored = dsir_apply(clean, lr)
+    return (
+        scored.join(clean.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_features", "weight_micro", "weight")
+        .orderBy(F.desc("weight_micro"), F.asc("doc_id")).limit(100)
+    )
+
+
 def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training triplet mining (anchor, positive, negative):
     positives = next neighbor on a deterministic md5 ring *within* the
@@ -925,6 +974,7 @@ QUERIES = {
     "pack_ffd": q_pack_ffd,
     "curriculum_topk": q_curriculum_topk,
     "curate_pipeline": q_curate_pipeline,
+    "curate_dsir_pipeline": q_curate_dsir_pipeline,
     "curate_mixture_pipeline": q_curate_mixture_pipeline,
     "contrastive_triplets": q_contrastive_triplets,
     "dataset_card": q_dataset_card,
@@ -1955,17 +2005,18 @@ FROM s
     # the per-doc BIGINT sums compare exactly; expression order mirrors
     # scoring.dsir_bucket_weights left-to-right.
     "dsir_resample": f"""
-WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
-           FROM documents),
-f AS (
-  SELECT doc_id, lang, ws[i] AS feat
-  FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+WITH w AS (SELECT doc_id, lang,
+    list_transform(string_split(text, ' '),
+                   x -> {_ROLL.format(col="x")}) AS wh
+  FROM documents),
+h AS (
+  SELECT doc_id, lang, wh[i] % {_QC_BUCKETS} AS b
+  FROM w, unnest(generate_series(1, len(wh))) AS t(i)
   UNION ALL
-  SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS feat
-  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  SELECT doc_id, lang,
+    ((wh[i] * 1000003 + wh[i+1]) % 2147483647) % {_QC_BUCKETS} AS b
+  FROM w, unnest(generate_series(1, len(wh) - 1)) AS t(i)
 ),
-h AS (SELECT doc_id, lang,
-             ({_ROLL.format(col="feat")}) % {_QC_BUCKETS} AS b FROM f),
 counts AS (
   SELECT b, count(*)::BIGINT AS c_r,
     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
@@ -2200,6 +2251,71 @@ r AS (
   FROM q
 )
 SELECT doc_id, lang, quality_score, rk FROM r WHERE rk <= 25
+"""
+
+# the composed DSIR pipeline's oracle OMITS the Bloom stage on purpose:
+# it exact-decontaminates the whole deduped corpus, so a value-hash
+# match proves the Spark side's candidate pre-filter lost nothing
+# (containment is a per-(doc, bench) property — independent of which
+# corpus slice the join runs in)
+ORACLES["curate_dsir_pipeline"] = f"""WITH keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+flagged AS (
+  SELECT DISTINCT doc_id FROM ({ORACLES["decontaminate"]}) f
+),
+clean AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d
+  JOIN keep USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+),
+rw AS (SELECT doc_id, lang,
+    list_transform(string_split(text, ' '),
+                   x -> {_ROLL.format(col="x")}) AS wh
+  FROM documents),
+rh AS (
+  SELECT doc_id, lang, wh[i] % {_QC_BUCKETS} AS b
+  FROM rw, unnest(generate_series(1, len(wh))) AS t(i)
+  UNION ALL
+  SELECT doc_id, lang,
+    ((wh[i] * 1000003 + wh[i+1]) % 2147483647) % {_QC_BUCKETS} AS b
+  FROM rw, unnest(generate_series(1, len(wh) - 1)) AS t(i)
+),
+cw AS (SELECT doc_id, lang,
+    list_transform(string_split(text, ' '),
+                   x -> {_ROLL.format(col="x")}) AS wh
+  FROM clean),
+ch AS (
+  SELECT doc_id, lang, wh[i] % {_QC_BUCKETS} AS b
+  FROM cw, unnest(generate_series(1, len(wh))) AS t(i)
+  UNION ALL
+  SELECT doc_id, lang,
+    ((wh[i] * 1000003 + wh[i+1]) % 2147483647) % {_QC_BUCKETS} AS b
+  FROM cw, unnest(generate_series(1, len(wh) - 1)) AS t(i)
+),
+counts AS (
+  SELECT b, count(*)::BIGINT AS c_r,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM rh GROUP BY b
+),
+tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t,
+               CAST(sum(c_r) AS BIGINT) AS r FROM counts),
+lr AS (
+  SELECT b, CAST(floor(
+    (ln(c_t + 1) - ln(t + {_QC_BUCKETS})
+     - ln(c_r + 1) + ln(r + {_QC_BUCKETS})) * 1e6 + 0.5) AS BIGINT)
+    AS lrm
+  FROM counts CROSS JOIN tot
+),
+doc AS (
+  SELECT ch.doc_id, count(*)::BIGINT AS n_features,
+    CAST(sum(lrm) AS BIGINT) AS weight_micro
+  FROM ch JOIN lr USING (b) GROUP BY ch.doc_id
+)
+SELECT doc.doc_id, clean.lang, n_features, weight_micro,
+  weight_micro / 1e6 AS weight
+FROM doc JOIN clean ON doc.doc_id = clean.doc_id
+ORDER BY weight_micro DESC, doc.doc_id ASC LIMIT 100
 """
 
 

@@ -36,6 +36,18 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # InferFiltersFromGenerate synthesizes `size(e) > 0 AND e IS NOT
+    # NULL` under every explode and pushes it below the projections with
+    # the alias SUBSTITUTED, so the generator's input expression — for
+    # this engine, regexp shingling / word-hash arrays / bucket
+    # sequences — is re-evaluated up to twice more per input row. Our
+    # generator inputs are never empty (shinglers fall back to [text],
+    # downsample sequences span >= 1 bucket), so the inferred filter
+    # prunes nothing and only burns CPU: measured 29 s -> 1 s on the
+    # DSIR fit pass and ~3x on shingle explodes at sf0.1. Runtime-
+    # settable, so it applies on driver-owned bare sessions too.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 

@@ -365,3 +365,22 @@ def test_bloom_portable_and_native_tiers_same_contract(spark, sf_dir,
         .select("doc_id").distinct().collect()
     }
     assert all(got[d] for d in exact)
+
+
+def test_no_inferred_generate_filters(spark, sf_dir, docs):
+    """Regression pin for the round-7 Catalyst find: with
+    InferFiltersFromGenerate excluded (session.RUNTIME_CONFS), an
+    explode's input expression must appear exactly ONCE in the
+    optimized plan. With the rule active, the inferred size()>0 filter
+    is pushed below the projection with aliases substituted and the
+    full shingling regexp is re-evaluated per row — measured 29 s vs
+    1 s on the DSIR fit and ~3-5x across the shingle family at sf0.1."""
+    import pyspark.sql.functions as F
+
+    from ha_sqllite_2_influxdb_spark.operators.scoring import (
+        dsir_bucket_weights,  # noqa: F401  (exercised via dedup below)
+    )
+
+    plan = (dedup.shingled(docs.select("doc_id", "text"))
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert plan.count("regexp_extract_all") == 1, plan
