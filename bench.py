@@ -63,6 +63,13 @@ HEADLINE = {
     # agg. The volume is the statistics table's own size, not plan
     # waste (probe: 1.34× wall at 10× series).
     "ha_statistics_hourly": ha_stats.q_ha_statistics_hourly,
+    # r7 late: the two new curation primitives — Bloom pre-filter
+    # (zero-shuffle probe over a literal filter) and DSIR importance
+    # selection (bounded fit pass + zero-shuffle scoring map). Their
+    # walls include the per-invocation fit/build collect jobs — the
+    # honest serving shape (probe: 1.56× / 1.26× at 10×).
+    "bloom_decontaminate": llm_ops.q_bloom_decontaminate,
+    "dsir_resample": llm_ops.q_dsir_resample,
 }
 
 

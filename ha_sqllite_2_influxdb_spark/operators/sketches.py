@@ -94,18 +94,19 @@ def heavy_hitters(tokens: DataFrame, token_col: str = "token",
 
 def corpus_bigram_heavy_hitters(docs: DataFrame, m: int = 1024,
                                 k: int = 20) -> DataFrame:
-    """Heavy hitters over word bigrams of the documents corpus."""
-    ws = F.split("text", " ")
+    """Heavy hitters over word bigrams of the documents corpus.
+
+    Bigrams come from the codegen'd lookahead-regex pass (the idiom
+    text.lm_rare_bigrams / graph.cooccurrence_edges use), NOT an
+    interpreted F.get(split(...)) transform — inline splits inside HOF
+    lambdas re-evaluate per element access, O(words²) per doc."""
+    ws = F.split(F.col("text"), " ")
+    pat = "(?:^| )(?=([^ ]* [^ ]*))"
     bigrams = docs.select(
         F.explode(
             F.when(
                 F.size(ws) >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(ws) - 2),
-                    lambda i: F.concat_ws(
-                        " ", F.get(ws, i), F.get(ws, i + 1)
-                    ),
-                ),
+                F.regexp_extract_all(F.col("text"), F.lit(pat), 1),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("token")
     )
