@@ -40,12 +40,14 @@ _DRIVER_WINDOW = [
     # r8 ROTATION QUEUE (for the next builder): the registry grew to 272
     # this round; after this window lands its 48 first verdicts, the
     # highest-priority never-checked oracle-backed entries are the r7
-    # additions — the flux_* family (18 oracle-backed), ha_statistics_*
-    # (6, incl. ha_utility_meter), influxql_text_{tz,math,delete,multi}
-    # + influxql_show_series, stream_knn, stream_ha_statistics,
-    # ngram_novelty, behavior_allpairs, dsir_resample,
-    # bloom_decontaminate and multimodal_png_rgb — plus the r1-r3
-    # STALE_DEBT_R7 names listed in tests/test_advice_regressions.py. Every one already has a green
+    # additions — the flux_* family (18 oracle-backed), the ha_stats
+    # module (8: statistics hourly/cascade/sum/daily/stream,
+    # ha_utility_meter, ha_history_stats, ha_energy_cost),
+    # influxql_text_{tz,math,delete,multi} + influxql_show_series,
+    # stream_knn, ngram_novelty, behavior_allpairs, dsir_resample,
+    # bloom_decontaminate, curate_dsir_pipeline and multimodal_png_rgb
+    # — plus the r1-r3 STALE_DEBT_R7 names listed in
+    # tests/test_advice_regressions.py. Every one already has a green
     # bare-session driver-sim row from the day it landed (see the round's
     # commit messages).
     "ha_points", "ha_oldest_point",  # canaries (6-for-6 green r1-r6)

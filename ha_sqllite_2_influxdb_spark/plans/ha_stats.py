@@ -308,12 +308,119 @@ def q_ha_utility_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ha_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HA's ``history_stats`` sensor (types time + ratio + count) for
+    the 'on' state, per entity and UTC day — the "how long was the
+    light on today" integration, over the FULL state timeline including
+    non-numeric states (everything before this entry compiled numeric
+    series only).
+
+    Documented subset, matching the statistics compiler's segment
+    model: each state opens a LOCF segment [t_i, t_{i+1}); the final
+    unclosed segment and zero-duration flashes carry no time and are
+    dropped; segments clip at day boundaries. ``seconds_on`` sums the
+    clipped 'on' overlap, ``ratio_on`` divides by ALL tracked seconds
+    of that day, and ``n_turn_on`` counts off→on transitions, attributed
+    to the day the 'on' segment OPENS (time-carrying segments only —
+    the same flash exclusion). Everything rides ONE (domain, entity_id)
+    exchange: the lead/lag window, the day explode, and the (entity,
+    day) agg whose keys are a superset of the partitioning."""
+    from ..operators.transform import points
+
+    pts = points(*_ha_tables(spark, sf_dir), keep_state=True).select(
+        "domain", "entity_id", "ts_epoch", "state_id", "state_raw")
+    w = Window.partitionBy("domain", "entity_id").orderBy(
+        "ts_epoch", "state_id")
+    seg = (
+        pts.select(
+            "domain", "entity_id",
+            F.col("ts_epoch").alias("t0"), "state_raw",
+            F.lead("ts_epoch").over(w).alias("t1"),
+            F.lag("state_raw").over(w).alias("_prev"),
+        )
+        .filter(F.col("t1").isNotNull() & (F.col("t1") > F.col("t0")))
+    )
+    day0 = F.floor(F.col("t0") / 86400.0).cast("long")
+    d_last = (
+        F.floor(F.col("t1") / 86400.0).cast("long")
+        - F.when(F.col("t1") == F.floor(F.col("t1") / 86400.0) * 86400.0, 1)
+           .otherwise(0)
+    )
+    ex = seg.select(
+        "domain", "entity_id", "t0", "t1", "state_raw", "_prev",
+        F.explode(F.sequence(day0, d_last)).alias("d"),
+    )
+    dur = (F.least(F.col("t1"), (F.col("d") + 1) * F.lit(86400.0))
+           - F.greatest(F.col("t0"), F.col("d") * F.lit(86400.0)))
+    is_on = F.col("state_raw") == "on"
+    turn_on = (is_on
+               & (F.col("_prev").isNull() | (F.col("_prev") != "on"))
+               & (F.col("d") == F.floor(F.col("t0") / 86400.0).cast("long")))
+    terms = ex.select(
+        "domain", "entity_id", "d",
+        F.round(dur * 1e6).cast("long").alias("_t_micro"),
+        F.when(is_on, F.round(dur * 1e6).cast("long"))
+         .otherwise(F.lit(0)).alias("_on_micro"),
+        F.when(turn_on, 1).otherwise(0).alias("_turn"),
+    )
+    return terms.groupBy("domain", "entity_id", "d").agg(
+        (F.sum("_on_micro") / 1e6).alias("seconds_on"),
+        ((F.sum("_on_micro") / 1e6) / (F.sum("_t_micro") / 1e6))
+        .alias("ratio_on"),
+        F.sum("_turn").cast("long").alias("n_turn_on"),
+    ).select(
+        "domain", "entity_id", (F.col("d") * 86400).alias("day_epoch"),
+        "seconds_on", "ratio_on", "n_turn_on",
+    )
+
+
+def q_ha_energy_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HA energy dashboard COST view: each meter increment priced at a
+    time-of-use tariff (peak 08:00-20:00 UTC = 30 ct, off-peak 12 ct —
+    a static two-band tariff as the deliverable RULE; a price-entity
+    join swaps in real tariffs with the identical plan). Increments use
+    the utility-meter counter-reset rule and are priced at the hour the
+    update ARRIVES (exactly when HA's cost sensor applies its current
+    price). cost_micro_ct accumulates as BIGINT micro-cents =
+    inc_micro × integer ct — overflow-safe (Σ|inc| ≤ 1e12 micro × 30)
+    and associative; ONE series window + one (series, day) agg."""
+    pts = _numeric_points(spark, sf_dir).filter(
+        F.col("measurement") == "W")
+    w = Window.partitionBy(*_SERIES).orderBy("ts_epoch", "state_id")
+    micro = F.round(F.col("value") * 1e6).cast("long")
+    prev = F.lag(micro).over(w)
+    inc = F.when(prev.isNull(), F.lit(0)).otherwise(
+        F.when(micro - prev >= 0, micro - prev).otherwise(micro))
+    hour_of_day = F.floor(F.col("ts_epoch") / 3600).cast("long") % 24
+    ct = F.when((hour_of_day >= 8) & (hour_of_day < 20), 30).otherwise(12)
+    day = F.floor(F.col("ts_epoch") / 86400).cast("long")
+    return (
+        pts.select(*_SERIES, day.alias("_d"),
+                   inc.alias("_inc"), (inc * ct).alias("_cost"))
+        .groupBy(*_SERIES, "_d")
+        .agg((F.sum("_inc") / 1e6).alias("consumption"),
+             (F.sum("_cost") / 1e6 / 100.0).alias("cost_eur"))
+        .select(*_SERIES, (F.col("_d") * 86400).alias("day_epoch"),
+                "consumption", "cost_eur")
+    )
+
+
+def _ha_tables(spark: SparkSession, sf_dir: str):
+    from ..sources.ha_fixture import derive_ha_tables
+
+    t = derive_ha_tables(spark, sf_dir)
+    return (t["ha_states"], t["ha_states_meta"],
+            t["ha_state_attributes"])
+
+
 QUERIES = {"ha_statistics_hourly": q_ha_statistics_hourly,
            "ha_statistics_cascade": q_ha_statistics_cascade,
            "stream_ha_statistics": q_stream_ha_statistics,
            "ha_statistics_sum": q_ha_statistics_sum,
            "ha_statistics_daily": q_ha_statistics_daily,
-           "ha_utility_meter": q_ha_utility_meter}
+           "ha_utility_meter": q_ha_utility_meter,
+           "ha_history_stats": q_ha_history_stats,
+           "ha_energy_cost": q_ha_energy_cost}
 
 ORACLES = {
     "ha_statistics_hourly": f"""{_ORACLE_NUM},
@@ -477,5 +584,78 @@ steps AS (
 SELECT measurement, domain, entity_id, d * 86400 AS day_epoch,
   CAST(sum(step) AS BIGINT) / 1e6 AS consumption,
   count(*)::BIGINT AS n_updates
+FROM steps GROUP BY measurement, domain, entity_id, d
+"""
+
+from .ha_pipeline import _CTE as _HA_CTE  # noqa: E402
+from .ha_pipeline import _JOINED as _HA_JOINED  # noqa: E402
+from .ha_pipeline import _POINTS as _HA_POINTS  # noqa: E402
+
+# the FULL point relation (numeric AND string states, state_raw kept) —
+# history_stats tracks string states the numeric compilers never see
+_CTE_FULL = f"{_HA_CTE},\n{_HA_JOINED},\n{_HA_POINTS}"
+
+ORACLES["ha_history_stats"] = f"""{_CTE_FULL},
+seg AS (
+  SELECT domain, entity_id, ts_epoch AS t0, state_raw,
+    lead(ts_epoch) OVER w AS t1,
+    lag(state_raw) OVER w AS prev
+  FROM pts
+  WINDOW w AS (PARTITION BY domain, entity_id
+               ORDER BY ts_epoch, state_id)
+),
+ex AS (
+  SELECT domain, entity_id, t0, t1, state_raw, prev,
+    unnest(generate_series(
+      CAST(floor(t0 / 86400.0) AS BIGINT),
+      CAST(floor(t1 / 86400.0) AS BIGINT)
+        - CASE WHEN t1 = floor(t1 / 86400.0) * 86400.0 THEN 1 ELSE 0 END
+    )) AS d
+  FROM seg WHERE t1 IS NOT NULL AND t1 > t0
+),
+terms AS (
+  SELECT domain, entity_id, d,
+    CAST(round((least(t1, (d + 1) * 86400.0)
+                - greatest(t0, d * 86400.0)) * 1e6) AS BIGINT) AS t_micro,
+    CASE WHEN state_raw = 'on'
+         THEN CAST(round((least(t1, (d + 1) * 86400.0)
+                          - greatest(t0, d * 86400.0)) * 1e6) AS BIGINT)
+         ELSE 0 END AS on_micro,
+    CASE WHEN state_raw = 'on'
+          AND (prev IS NULL OR prev <> 'on')
+          AND d = CAST(floor(t0 / 86400.0) AS BIGINT)
+         THEN 1 ELSE 0 END AS turn
+  FROM ex
+)
+SELECT domain, entity_id, d * 86400 AS day_epoch,
+  CAST(sum(on_micro) AS BIGINT) / 1e6 AS seconds_on,
+  (CAST(sum(on_micro) AS BIGINT) / 1e6)
+    / (CAST(sum(t_micro) AS BIGINT) / 1e6) AS ratio_on,
+  CAST(sum(turn) AS BIGINT) AS n_turn_on
+FROM terms GROUP BY domain, entity_id, d
+"""
+
+ORACLES["ha_energy_cost"] = f"""{_ORACLE_NUM},
+m AS (
+  SELECT measurement, domain, entity_id, ts_epoch, state_id,
+    CAST(round(value * 1e6) AS BIGINT) AS micro
+  FROM num WHERE measurement = 'W'
+),
+steps AS (
+  SELECT measurement, domain, entity_id,
+    CAST(floor(ts_epoch / 86400) AS BIGINT) AS d,
+    CASE
+      WHEN lag(micro) OVER w IS NULL THEN 0
+      WHEN micro - lag(micro) OVER w >= 0 THEN micro - lag(micro) OVER w
+      ELSE micro END AS step,
+    CASE WHEN (CAST(floor(ts_epoch / 3600) AS BIGINT) % 24) >= 8
+          AND (CAST(floor(ts_epoch / 3600) AS BIGINT) % 24) < 20
+         THEN 30 ELSE 12 END AS ct
+  FROM m WINDOW w AS (PARTITION BY measurement, domain, entity_id
+                      ORDER BY ts_epoch, state_id)
+)
+SELECT measurement, domain, entity_id, d * 86400 AS day_epoch,
+  CAST(sum(step) AS BIGINT) / 1e6 AS consumption,
+  CAST(sum(step * ct) AS BIGINT) / 1e6 / 100.0 AS cost_eur
 FROM steps GROUP BY measurement, domain, entity_id, d
 """

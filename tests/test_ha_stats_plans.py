@@ -19,8 +19,24 @@ def test_statistics_compilers_one_series_exchange(spark, sf_dir):
 
     for name in ("ha_statistics_hourly", "ha_statistics_cascade",
                  "ha_statistics_sum", "ha_statistics_daily",
-                 "ha_utility_meter"):
+                 "ha_utility_meter", "ha_energy_cost"):
         plan = explain_str(ha_stats.QUERIES[name](spark, sf_dir))
         assert _series_exchanges(plan) == 1, f"{name}\n{plan}"
         assert "SortMergeJoin" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_history_stats_one_entity_exchange(spark, sf_dir):
+    """history_stats folds durations, ratio denominator AND the turn-on
+    count into the one exploded relation, so the whole sensor costs a
+    single (domain, entity_id) exchange — a join between separate
+    duration/count aggs regressing in would double it."""
+    from ha_sqllite_2_influxdb_spark.plans import ha_stats
+
+    plan = explain_str(ha_stats.QUERIES["ha_history_stats"](spark, sf_dir))
+    n = sum(1 for ln in plan.splitlines()
+            if ln.strip().startswith("Arguments: hashpartitioning(")
+            and "entity_id" in ln)
+    assert n == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
