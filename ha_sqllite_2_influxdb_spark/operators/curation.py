@@ -432,7 +432,15 @@ def bloom_decontaminate(train: DataFrame, bench: DataFrame,
     `decontaminate` (operators/curation.py:110), whose exact inverted
     index is what the candidates flow into.
     """
-    words = bloom_filter_words(bench, portable)
+    return bloom_probe(train, bloom_filter_words(bench, portable),
+                       portable)
+
+
+def bloom_probe(train: DataFrame, words: list[int],
+                portable: bool = True) -> DataFrame:
+    """The probe half of `bloom_decontaminate`, given already-built
+    filter words — so streaming ingest gates build the filter ONCE and
+    apply the same stateless map to every micro-batch."""
     arr = F.lit(words)
 
     def _hits(s: Column) -> Column:

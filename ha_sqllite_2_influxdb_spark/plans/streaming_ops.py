@@ -625,6 +625,56 @@ def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming INGESTION decontamination gate: the Bloom pre-filter
+    applied to a document ingest stream (two parquet files,
+    maxFilesPerTrigger=1 → two real micro-batches). The filter words
+    build ONCE from the static benchmark before the stream starts, then
+    every micro-batch runs the identical stateless probe map
+    (curation.bloom_probe) — no state store, no watermark, nothing
+    crosses batches, which is exactly why this gate belongs at ingest
+    at 100 TB. Batch-oracle-exact: the union of per-batch outputs over
+    a corpus split in two equals `bloom_decontaminate` over the whole
+    corpus (stateless map ⇒ the oracle is literally that entry's)."""
+    import os
+    import tempfile
+
+    from ..operators import curation
+    from ..streaming.stream import drain_foreach_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = curation.bloom_filter_words(
+        curation.benchmark_prefixes(docs))
+    app = spark.sparkContext.applicationId
+    tag = sf_dir.strip("/").replace("/", "_")
+    ddir = f"/tmp/spark_graft_bloomgate/{app}/{tag}"
+    if not os.path.isdir(ddir):
+        cut = 250
+        (docs.filter(F.col("doc_id") < cut).coalesce(1)
+         .write.mode("append").parquet(ddir))
+        (docs.filter(F.col("doc_id") >= cut).coalesce(1)
+         .write.mode("append").parquet(ddir))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(ddir))
+    results: list[DataFrame] = []
+
+    def gate(batch: DataFrame, _epoch: int) -> None:
+        results.append(
+            curation.bloom_probe(batch, words)
+            .localCheckpoint(eager=True))
+
+    ckpt = tempfile.mkdtemp(prefix="stream_bloom_ckpt_")
+    drain_foreach_batch(stream, ckpt, gate)
+    if not results:
+        return spark.createDataFrame(
+            [], "doc_id long, n_shingles long, n_candidates long, "
+                "candidate boolean")
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "stream_dedup": q_stream_dedup,
@@ -643,6 +693,7 @@ QUERIES = {
     "stream_cq_downsample": q_stream_cq_downsample,
     "stream_flatline": q_stream_flatline,
     "stream_knn": q_stream_knn,
+    "stream_bloom_gate": q_stream_bloom_gate,
     "stream_hysteresis": q_stream_hysteresis,
 }
 
@@ -917,3 +968,8 @@ from .monitoring import ORACLES as _MON_ORACLES  # noqa: E402
 
 # stream and batch both emit only CLOSED episodes — identical truth
 ORACLES["stream_hysteresis"] = _MON_ORACLES["series_hysteresis_alerts"]
+
+# the gate is a stateless map, so the batch entry's oracle IS the
+# streaming oracle (union over the two micro-batch file splits == the
+# whole corpus)
+ORACLES["stream_bloom_gate"] = _LLM_ORACLES["bloom_decontaminate"]
