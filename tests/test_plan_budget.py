@@ -1,0 +1,63 @@
+"""Shuffle-count budgets for every bench headline query.
+
+The perf story of this engine is plan SHAPE: each headline query's
+keyed-shuffle count is a structural fact (fixture derivation included —
+the HA triplet costs 2, which is why ha_* floors sit at 2). A new
+Exchange appearing here means a join stopped broadcasting, an
+aggregation stopped riding its window's partitioning, or a stage
+started re-shuffling — exactly the regressions that are invisible at
+sf0.001 walls and catastrophic at 100 TB. Budgets are upper bounds
+(assert <=): plans may only get cheaper.
+
+RoundRobinPartitioning is deliberately NOT counted — it is the
+narrow-local-input balance repartition (dedup.shingle_sets), absent on
+wide production scans and dependent on session parallelism.
+"""
+
+import re
+
+import bench
+
+_SHUFFLE = re.compile(
+    r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)")
+
+# measured at sf0.001, local[8] and local[32] (counts are
+# partitioning-independent for keyed exchanges)
+BUDGET = {
+    "ha_points": 2,
+    "ha_attr_fields": 2,
+    "tpch_q1": 1,
+    "tpch_q3": 1,
+    "tpch_q5": 1,
+    "window_topk": 1,
+    "sessionize": 1,
+    "dedup_exact": 1,
+    "neardup_xxhash_lsh": 2,
+    "simhash_neighbors_rotated": 3,
+    "ngram_span_dedup": 2,
+    "embedding_knn": 1,
+    "pq_ann_topk": 2,
+    "token_stats": 0,
+    "lang_id": 0,
+    "curate_pipeline": 6,
+    "influx_downsample": 4,
+    "influx_series_stats": 3,
+    "series_mean_shift": 3,
+    "flux_window_fill_prev": 4,
+    "ha_statistics_hourly": 3,
+    "bloom_decontaminate": 0,
+    "dsir_resample": 0,
+}
+
+
+def test_headline_shuffle_budgets(spark, sf_dir):
+    assert set(BUDGET) == set(bench.HEADLINE), (
+        "bench.HEADLINE changed — re-measure and update BUDGET")
+    over = {}
+    for name, fn in bench.HEADLINE.items():
+        plan = (fn(spark, sf_dir)._jdf.queryExecution()
+                .executedPlan().toString())
+        n = len(_SHUFFLE.findall(plan))
+        if n > BUDGET[name]:
+            over[name] = (n, BUDGET[name])
+    assert not over, f"shuffle budget exceeded: {over}"
