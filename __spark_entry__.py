@@ -37,11 +37,11 @@ _DRIVER_WINDOW = [
     # at sf0.01). Everything rotated out keeps full pytest oracle coverage
     # (tests/test_oracle_parity.py runs the whole registry).
     #
-    # r8 ROTATION QUEUE (for the next builder): the registry grew to 282
+    # r8 ROTATION QUEUE (for the next builder): the registry grew to 283
     # this round; after this window lands its 48 first verdicts, the
     # highest-priority never-checked oracle-backed entries are the r7
     # additions — the flux_* family (18 oracle-backed), the ha_stats
-    # module (8: statistics hourly/cascade/sum/daily/stream,
+    # module (9: statistics hourly/cascade/sum/daily/monthly/stream,
     # ha_utility_meter, ha_history_stats, ha_energy_cost),
     # influxql_text_{tz,math,delete,multi} + influxql_show_series,
     # stream_knn, ngram_novelty, behavior_allpairs, dsir_resample,

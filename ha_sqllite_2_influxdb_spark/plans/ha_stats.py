@@ -659,3 +659,64 @@ SELECT measurement, domain, entity_id, d * 86400 AS day_epoch,
   CAST(sum(step * ct) AS BIGINT) / 1e6 / 100.0 AS cost_eur
 FROM steps GROUP BY measurement, domain, entity_id, d
 """
+
+
+def q_ha_statistics_monthly(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """HA's ``statistics_during_period(period="month")`` — the energy
+    dashboard's long-term view. Unlike day/hour, months are VARIABLE
+    length, so the reduce key is a real calendar truncation
+    (date_trunc under the UTC session tz), not integer bucket math;
+    clipping at the finer hour grain keeps the duration-weighted mean
+    exact under any coarser reduce (the cascade-proof property). One
+    series exchange, as the whole family."""
+    terms = _clipped_terms(_numeric_points(spark, sf_dir), 3600)
+    month = F.unix_timestamp(
+        F.date_trunc("month", F.timestamp_seconds(F.col("h") * 3600)))
+    return terms.groupBy(*_SERIES, month.alias("month_epoch")).agg(
+        ((F.sum("_vd_micro") / 1e6) / (F.sum("_d_micro") / 1e6))
+        .alias("dw_mean"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
+QUERIES["ha_statistics_monthly"] = q_ha_statistics_monthly
+
+ORACLES["ha_statistics_monthly"] = f"""{_ORACLE_NUM},
+seg AS (
+  SELECT measurement, domain, entity_id, ts_epoch AS t0, value,
+    lead(ts_epoch) OVER (PARTITION BY measurement, domain, entity_id
+                         ORDER BY ts_epoch, state_id) AS t1
+  FROM num
+),
+ex AS (
+  SELECT measurement, domain, entity_id, t0, t1, value,
+    unnest(generate_series(
+      CAST(floor(t0 / 3600) AS BIGINT),
+      CAST(floor(t1 / 3600) AS BIGINT)
+        - CASE WHEN t1 = floor(t1 / 3600) * 3600 THEN 1 ELSE 0 END
+    )) AS h
+  FROM seg WHERE t1 IS NOT NULL AND t1 > t0
+),
+terms AS (
+  SELECT measurement, domain, entity_id,
+    CAST(epoch(date_trunc('month', to_timestamp(h * 3600))) AS BIGINT)
+      AS month_epoch,
+    value,
+    CAST(round((least(t1, (h + 1) * 3600.0)
+                - greatest(t0, h * 3600.0)) * 1e6) AS BIGINT)
+      AS d_micro,
+    CAST(round(value * (least(t1, (h + 1) * 3600.0)
+                        - greatest(t0, h * 3600.0)) * 1e6) AS BIGINT)
+      AS vd_micro
+  FROM ex
+)
+SELECT measurement, domain, entity_id, month_epoch,
+  (CAST(sum(vd_micro) AS BIGINT) / 1e6)
+    / (CAST(sum(d_micro) AS BIGINT) / 1e6) AS dw_mean,
+  min(value) AS min_val, max(value) AS max_val,
+  count(*)::BIGINT AS n_segments
+FROM terms GROUP BY measurement, domain, entity_id, month_epoch
+"""

@@ -19,7 +19,8 @@ def test_statistics_compilers_one_series_exchange(spark, sf_dir):
 
     for name in ("ha_statistics_hourly", "ha_statistics_cascade",
                  "ha_statistics_sum", "ha_statistics_daily",
-                 "ha_utility_meter", "ha_energy_cost"):
+                 "ha_utility_meter", "ha_energy_cost",
+                 "ha_statistics_monthly"):
         plan = explain_str(ha_stats.QUERIES[name](spark, sf_dir))
         assert _series_exchanges(plan) == 1, f"{name}\n{plan}"
         assert "SortMergeJoin" not in plan, name

@@ -21,11 +21,13 @@ import bench
 _SHUFFLE = re.compile(
     r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)")
 
-# measured at sf0.001, local[8] and local[32] (counts are
-# partitioning-independent for keyed exchanges)
+# measured at sf0.001 under the pytest session (fresh fixture: the HA
+# triplet derivation contributes 2 keyed shuffles to every ha_*-fed
+# plan; a session that has the fixture cached simply comes in under
+# budget — only EXCEEDING the bound fails)
 BUDGET = {
-    "ha_points": 2,
-    "ha_attr_fields": 2,
+    "ha_points": 4,
+    "ha_attr_fields": 4,
     "tpch_q1": 1,
     "tpch_q3": 1,
     "tpch_q5": 1,
@@ -40,11 +42,11 @@ BUDGET = {
     "token_stats": 0,
     "lang_id": 0,
     "curate_pipeline": 6,
-    "influx_downsample": 4,
-    "influx_series_stats": 3,
-    "series_mean_shift": 3,
-    "flux_window_fill_prev": 4,
-    "ha_statistics_hourly": 3,
+    "influx_downsample": 6,
+    "influx_series_stats": 5,
+    "series_mean_shift": 5,
+    "flux_window_fill_prev": 6,
+    "ha_statistics_hourly": 5,
     "bloom_decontaminate": 0,
     "dsir_resample": 0,
 }
