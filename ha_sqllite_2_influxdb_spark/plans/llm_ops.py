@@ -416,6 +416,14 @@ def q_curate_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_free(balanced).select("doc_id", "lang", "split")
 
 
+def q_mrl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval: prefix-16-dims shortlist (raw
+    dot), exact full-width cosine re-rank on the shortlist only — the
+    MRL serving funnel, fully deterministic and oracle-exact (see
+    operators/similarity.py:mrl_rerank_topk)."""
+    return similarity.mrl_rerank_topk(_emb(spark, sf_dir))
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (iterative, no SQL oracle): deterministic distributed
     Lloyd's k-means — bit-reproducible across runs and partitionings via
@@ -987,6 +995,7 @@ QUERIES = {
     "simhash_neighbors_rotated": q_simhash_neighbors_rotated,
     "neardup_xxhash_lsh": q_neardup_xxhash_lsh,
     "embedding_knn": q_embedding_knn,
+    "mrl_rerank": q_mrl_rerank,
     "hard_negatives": q_hard_negatives,
     "embedding_neardup": q_embedding_neardup,
     "semdedup": q_semdedup,
@@ -1774,6 +1783,39 @@ SELECT query_id, cand_id, cos_sim, rk FROM (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rk
   FROM scored
+) t WHERE rk <= 10
+""",
+    # stage-1 prefix dot over dims 1..16 (the slice is implicit in the
+    # truncated chain), stage-2 exact cosine on the shortlist only; the
+    # fold order matches dot_chain's left fold exactly
+    "mrl_rerank": f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+c AS (
+  SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 5
+),
+pre AS (
+  SELECT query_id, cand_id, qv, cv,
+    (CAST(qv[1] AS DOUBLE)*CAST(cv[1] AS DOUBLE) + CAST(qv[2] AS DOUBLE)*CAST(cv[2] AS DOUBLE) + CAST(qv[3] AS DOUBLE)*CAST(cv[3] AS DOUBLE) + CAST(qv[4] AS DOUBLE)*CAST(cv[4] AS DOUBLE) + CAST(qv[5] AS DOUBLE)*CAST(cv[5] AS DOUBLE) + CAST(qv[6] AS DOUBLE)*CAST(cv[6] AS DOUBLE) + CAST(qv[7] AS DOUBLE)*CAST(cv[7] AS DOUBLE) + CAST(qv[8] AS DOUBLE)*CAST(cv[8] AS DOUBLE) + CAST(qv[9] AS DOUBLE)*CAST(cv[9] AS DOUBLE) + CAST(qv[10] AS DOUBLE)*CAST(cv[10] AS DOUBLE) + CAST(qv[11] AS DOUBLE)*CAST(cv[11] AS DOUBLE) + CAST(qv[12] AS DOUBLE)*CAST(cv[12] AS DOUBLE) + CAST(qv[13] AS DOUBLE)*CAST(cv[13] AS DOUBLE) + CAST(qv[14] AS DOUBLE)*CAST(cv[14] AS DOUBLE) + CAST(qv[15] AS DOUBLE)*CAST(cv[15] AS DOUBLE) + CAST(qv[16] AS DOUBLE)*CAST(cv[16] AS DOUBLE)) AS pre_score
+  FROM q CROSS JOIN c
+),
+short AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY pre_score DESC, cand_id ASC) AS r1
+    FROM pre
+  ) t WHERE r1 <= 50
+),
+rer AS (
+  SELECT query_id, cand_id,
+    (({_dot("qv", "cv")}) / sqrt({_dot("qv", "qv")}))
+      / sqrt({_dot("cv", "cv")}) AS cos_sim
+  FROM short
+)
+SELECT query_id, cand_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rk
+  FROM rer
 ) t WHERE rk <= 10
 """,
     "hard_negatives": f"""WITH q AS (

@@ -1148,3 +1148,31 @@ def test_ngram_novelty_native_hash_identical(spark, sf_dir):
     b = {r.doc_id: (r.n_shingles, r.n_unique, r.novelty)
          for r in ngram_novelty(docs, native_hash=True).collect()}
     assert a == b
+
+
+def test_mrl_rerank_funnel_contract(spark, sf_dir):
+    """MRL two-stage retrieval: (1) with the shortlist widened to the
+    whole candidate set the funnel must equal exact brute-force kNN
+    BIT-FOR-BIT (stage 2 is the same cosine+tiebreak); (2) the default
+    funnel is partitioning-invariant; (3) on this corpus the prefix
+    shortlist keeps a documented floor of the exact top-10 — random
+    synthetic vectors are the WORST case for prefix truncation (no
+    MRL front-loading), so the floor is deliberately modest."""
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cand = emb.filter(F.col("vec_id") >= 5).count()
+    wide = similarity.mrl_rerank_topk(emb, shortlist=n_cand).collect()
+    exact = similarity.knn_brute_force(emb).collect()
+    assert sorted(map(tuple, wide)) == sorted(map(tuple, exact))
+
+    one = similarity.mrl_rerank_topk(emb.coalesce(1)).collect()
+    many = similarity.mrl_rerank_topk(emb.repartition(7)).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+    got = {(r.query_id, r.cand_id) for r in one}
+    ex = {(r.query_id, r.cand_id) for r in exact}
+    recall = len(got & ex) / len(ex)
+    assert recall >= 0.4, recall
