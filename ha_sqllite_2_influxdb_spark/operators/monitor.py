@@ -346,3 +346,42 @@ def flatline_runs(pts: DataFrame, min_run: int = 5) -> DataFrame:
         .filter(F.col("run_len") >= min_run)
         .drop("_grp")
     )
+
+
+def slo_burn_rate(events: DataFrame, budget: float = 0.25,
+                  long_hours: int = 6,
+                  factor: float = 1.2) -> DataFrame:
+    """Google-SRE multiwindow SLO burn-rate alerts over an event
+    stream: per hour, the error-ratio burn (ratio / error budget) for
+    the SHORT (1 h) and LONG (trailing ``long_hours``) windows; alert
+    iff BOTH exceed ``factor`` — the standard two-window rule that
+    suppresses blips (short-only) and stale pages (long-only).
+
+    Scale shape: one hour-keyed partial aggregation collapses the event
+    stream to |hours| rows (bounded: a year is 8.8 k rows whatever the
+    event volume), so the unpartitioned range window that follows runs
+    on a relation that fits one task by construction. Ratios divide
+    BIGINT counts in one double expression per engine — oracle-exact.
+    """
+    from pyspark.sql import Window as W
+
+    h = (F.floor(F.unix_micros(F.col("ts")) / 3_600_000_000)
+         .cast("long"))
+    hourly = events.groupBy(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long").alias("n_bad"),
+    )
+    wr = W.orderBy("h").rangeBetween(-(long_hours - 1), 0)
+    lb = F.sum("n_bad").over(wr).cast("long")
+    lt = F.sum("n_total").over(wr).cast("long")
+    short_burn = (F.col("n_bad").cast("double")
+                  / F.col("n_total").cast("double")) / F.lit(budget)
+    long_burn = (lb.cast("double") / lt.cast("double")) / F.lit(budget)
+    return hourly.select(
+        (F.col("h") * 3600).alias("hour_epoch"),
+        "n_total", "n_bad",
+        short_burn.alias("short_burn"),
+        long_burn.alias("long_burn"),
+        ((short_burn > factor) & (long_burn > factor)).alias("alert"),
+    )

@@ -74,7 +74,17 @@ def q_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monitor.hysteresis_alerts(pts, hi=100.0, lo=30.0)
 
 
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO burn-rate alerts over the events stream (error
+    ratio vs a 25% budget, 1 h + trailing-6 h windows, alert iff both
+    burn > 1.2) — see monitor.slo_burn_rate."""
+    from ..sources.tables import load_table
+
+    return monitor.slo_burn_rate(load_table(spark, sf_dir, "events"))
+
+
 QUERIES = {
+    "slo_burn_rate": q_slo_burn_rate,
     "series_hysteresis_alerts": q_hysteresis_alerts,
     "series_acf": q_series_acf,
     "series_fleet_correlation": q_fleet_correlation,
@@ -253,3 +263,26 @@ FROM grp GROUP BY measurement, domain, entity_id, g
 HAVING count(*) >= {_FLAT_RUN}
 """,
 }
+
+ORACLES["slo_burn_rate"] = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h,
+    count(*)::BIGINT AS n_total,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_bad
+  FROM events GROUP BY 1
+),
+win AS (
+  SELECT h, n_total, n_bad,
+    CAST(sum(n_bad) OVER wr AS BIGINT) AS lb,
+    CAST(sum(n_total) OVER wr AS BIGINT) AS lt
+  FROM hourly
+  WINDOW wr AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT h * 3600 AS hour_epoch, n_total, n_bad,
+  (CAST(n_bad AS DOUBLE) / CAST(n_total AS DOUBLE)) / 0.25 AS short_burn,
+  (CAST(lb AS DOUBLE) / CAST(lt AS DOUBLE)) / 0.25 AS long_burn,
+  ((CAST(n_bad AS DOUBLE) / CAST(n_total AS DOUBLE)) / 0.25 > 1.2
+   AND (CAST(lb AS DOUBLE) / CAST(lt AS DOUBLE)) / 0.25 > 1.2) AS alert
+FROM win
+"""
