@@ -1776,3 +1776,215 @@ def image_thumbnails(payload_df: DataFrame, width: int = 8,
             })
 
     return payload_df.mapInPandas(_resize, schema=THUMBNAIL_SCHEMA)
+
+
+# ------------------------------------------------------------------ GIF
+
+def gif_payloads(documents: DataFrame) -> DataFrame:
+    """Synthesize a VALID GIF89a per document (single frame,
+    non-interlaced, 16-color global table, real variable-width LZW):
+    header + logical screen descriptor + GCT + image descriptor +
+    LZW-compressed index stream in ≤255-byte sub-blocks + trailer.
+    Pixel indices derive from the document text (``ascii(text[i % len])
+    % 16``), so the decoded index SUM is analytically SQL-predictable —
+    the oracle checks the whole LZW round-trip, not just headers.
+
+    Width rule (encoder side, mirrored in `_gif_pixels_fn`): after
+    assigning a new dictionary code ``e``, the code width grows when
+    ``e + 1 > 2^w`` — so every emitted code (≤ next_code − 1, plus the
+    decoder's one-behind special case) always fits the current width.
+    Frames are small enough that the dictionary never reaches 4096, so
+    the only clear code is the mandatory initial one (documented
+    subset; the decoder handles mid-stream clears anyway)."""
+
+    def _make(batches: Iterator):
+        import struct
+
+        import pandas as pd
+
+        def lzw_encode(idxs: list, min_cs: int = 4) -> bytes:
+            clear, eoi = 1 << min_cs, (1 << min_cs) + 1
+            out = bytearray()
+            acc = 0
+            nbits = 0
+            w = min_cs + 1
+
+            def emit(code: int):
+                nonlocal acc, nbits
+                acc |= code << nbits
+                nbits += w
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+
+            table = {}
+            next_code = eoi + 1
+            emit(clear)
+            cur = idxs[0]
+            for k in idxs[1:]:
+                if (cur, k) in table:
+                    cur = table[(cur, k)]
+                else:
+                    emit(cur)
+                    table[(cur, k)] = next_code
+                    next_code += 1
+                    if next_code > (1 << w) and w < 12:
+                        w += 1
+                    cur = k
+            emit(cur)
+            emit(eoi)
+            if nbits:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        def one(doc_id: int, text: str) -> bytes:
+            wpx = (doc_id % 12) + 4
+            hpx = (doc_id % 6) + 2
+            src = text.encode("utf-8") or b"\x00"
+            idxs = [src[i % len(src)] % 16 for i in range(wpx * hpx)]
+            gct = bytearray()
+            for j in range(16):
+                gct += bytes(((doc_id * 7 + j * 13) % 256,
+                              (j * 31) % 256, (doc_id + j * 5) % 256))
+            lzw = lzw_encode(idxs)
+            blocks = bytearray()
+            for i in range(0, len(lzw), 255):
+                part = lzw[i:i + 255]
+                blocks += bytes((len(part),)) + part
+            blocks += b"\x00"
+            return (b"GIF89a"
+                    + struct.pack("<HHBBB", wpx, hpx, 0xF3, 0, 0)
+                    + bytes(gct)
+                    + b"\x2C" + struct.pack("<HHHHB", 0, 0, wpx, hpx, 0)
+                    + bytes((4,)) + bytes(blocks) + b"\x3B")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [one(int(d), t)
+                            for d, t in zip(pdf["doc_id"], pdf["text"])],
+            })
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def _gif_pixels_fn():
+    """Factory → ``one(bytes) -> (w, h, n_colors, [indices]) | None``
+    for the GIF87a/89a single-frame non-interlaced subset: LSD + GCT
+    parse, extension-block skip, full variable-width LZW decode
+    (including the one-behind KwKwK case and mid-stream clears).
+    Decoder width rule mirrors the encoder's: after inserting a new
+    entry the decoder sits exactly one code behind the encoder's
+    dictionary, so it widens when ``next_code + 1 > 2^w``."""
+    import struct
+
+    def one(b: bytes):
+        try:
+            if b[:6] not in (b"GIF87a", b"GIF89a"):
+                return None
+            w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+            pos = 13
+            n_colors = 0
+            palette = b""
+            if packed & 0x80:
+                n_colors = 2 << (packed & 0x07)
+                palette = b[pos:pos + 3 * n_colors]
+                pos += 3 * n_colors
+            while pos < len(b) and b[pos] == 0x21:   # extensions
+                pos += 2
+                while b[pos]:
+                    pos += b[pos] + 1
+                pos += 1
+            if pos >= len(b) or b[pos] != 0x2C:
+                return None
+            _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", b, pos + 1)
+            if iflags & 0xC0:     # local table / interlace: out of subset
+                return None
+            pos += 10
+            min_cs = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos]:
+                ln = b[pos]
+                data += b[pos + 1:pos + 1 + ln]
+                pos += ln + 1
+            clear, eoi = 1 << min_cs, (1 << min_cs) + 1
+            acc = nbits = bitpos = 0
+            cw = min_cs + 1
+            table = {i: (i,) for i in range(clear)}
+            next_code = eoi + 1
+            prev = None
+            out: list = []
+            while True:
+                while nbits < cw:
+                    if bitpos >= len(data):
+                        return None
+                    acc |= data[bitpos] << nbits
+                    bitpos += 1
+                    nbits += 8
+                code = acc & ((1 << cw) - 1)
+                acc >>= cw
+                nbits -= cw
+                if code == clear:
+                    table = {i: (i,) for i in range(clear)}
+                    next_code = eoi + 1
+                    cw = min_cs + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    break
+                if prev is None:
+                    entry = table[code]
+                elif code in table:
+                    entry = table[code]
+                elif code == next_code:
+                    entry = table[prev] + (table[prev][0],)
+                else:
+                    return None
+                out.extend(entry)
+                if prev is not None:
+                    table[next_code] = table[prev] + (entry[0],)
+                    next_code += 1
+                    if next_code + 1 > (1 << cw) and cw < 12:
+                        cw += 1
+                prev = code
+            if len(out) != iw * ih or not palette:
+                return None
+            return (int(w), int(h), int(n_colors), out)
+        except Exception:
+            return None
+
+    return one
+
+
+def decode_gif(payloads: DataFrame) -> DataFrame:
+    """REAL LZW codec path: per-doc (width, height, n_colors, n_pixels,
+    idx_sum) from the full variable-width LZW decode — idx_sum over the
+    DECODED index stream, which any bit-packing or dictionary bug would
+    corrupt. Arrow-batched `mapInPandas`; malformed payloads → null
+    row (the established codec contract)."""
+    one = _gif_pixels_fn()
+
+    def _decode(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [one(bytes(p)) if p is not None else None
+                    for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [r[0] if r else None for r in rows],
+                "height": [r[1] if r else None for r in rows],
+                "n_colors": [r[2] if r else None for r in rows],
+                "n_pixels": [len(r[3]) if r else None for r in rows],
+                "idx_sum": [sum(r[3]) if r else None for r in rows],
+            })
+
+    return payloads.mapInPandas(
+        _decode,
+        schema=("doc_id long, width long, height long, n_colors long, "
+                "n_pixels long, idx_sum long"),
+    )

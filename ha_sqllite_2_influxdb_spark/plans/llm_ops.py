@@ -424,6 +424,17 @@ def q_mrl_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mrl_rerank_topk(_emb(spark, sf_dir))
 
 
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW codec path: synthesize valid GIF89a frames, decode with
+    the dependency-free variable-width LZW decoder. Uniquely in the
+    codec family the oracle checks the COMPRESSED payload end to end:
+    idx_sum is the sum of the decoded palette indices, which the oracle
+    recomputes analytically from the text (ascii(char) % 16 over the
+    pixel grid) — any bit-packing or dictionary bug breaks the hash."""
+    return multimodal.decode_gif(
+        multimodal.gif_payloads(_docs(spark, sf_dir)))
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (iterative, no SQL oracle): deterministic distributed
     Lloyd's k-means — bit-reproducible across runs and partitionings via
@@ -1038,6 +1049,7 @@ QUERIES = {
     "multimodal_wav": q_multimodal_wav,
     "multimodal_wav_stereo": q_multimodal_wav_stereo,
     "multimodal_jpeg": q_multimodal_jpeg,
+    "multimodal_gif": q_multimodal_gif,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_thumbnail": q_multimodal_thumbnail,
 }
@@ -2138,6 +2150,31 @@ SELECT doc_id,
   CAST(0 AS BIGINT) AS color_type,
   CAST(((doc_id % 16) + 4) * ((doc_id % 8) + 2) AS BIGINT) AS n_pixels
 FROM documents
+""",
+    # idx_sum recomputed ANALYTICALLY from the text: pixel i carries
+    # ascii(text[i % len]) % 16, over the (doc_id % 12 + 4) × (doc_id %
+    # 6 + 2) grid — a value the Spark side only reaches through the
+    # full LZW decode
+    "multimodal_gif": """
+WITH dims AS (
+  SELECT doc_id, text,
+    (doc_id % 12) + 4 AS w, (doc_id % 6) + 2 AS h,
+    length(text) AS tl
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+    CAST(sum(ascii(substr(text, CAST((i % tl) + 1 AS INT), 1)) % 16)
+         AS BIGINT) AS idx_sum
+  FROM dims, unnest(generate_series(0, w * h - 1)) AS t(i)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+  CAST(d.h AS BIGINT) AS height,
+  CAST(16 AS BIGINT) AS n_colors,
+  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+  px.idx_sum
+FROM dims d JOIN px USING (doc_id)
 """,
     "multimodal_frames": """
 WITH p AS (

@@ -93,3 +93,56 @@ def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir,
     scan = next(l for l in final.splitlines() if "FileScan" in l)
     assert "PartitionFilters" in scan and "event_type" in scan.split(
         "PartitionFilters")[1].split("]")[0], scan
+
+
+def test_gif_lzw_round_trip_and_malformed(spark, sf_dir):
+    """GIF tier contracts: (1) decoded index stream equals the
+    synthesizer's source indices exactly (full LZW round-trip,
+    variable-width growth included); (2) malformed payloads and
+    out-of-subset flags (interlace bit) yield null rows, not errors;
+    (3) a mid-stream CLEAR code resets the dictionary correctly."""
+    from ha_sqllite_2_influxdb_spark.operators import multimodal
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    got = {r.doc_id: r for r in multimodal.decode_gif(
+        multimodal.gif_payloads(docs)).collect()}
+    for r_ in docs.select("doc_id", "text").collect():
+        w = (r_.doc_id % 12) + 4
+        h = (r_.doc_id % 6) + 2
+        src = r_.text.encode("utf-8") or b"\x00"
+        expect = sum(src[i % len(src)] % 16 for i in range(w * h))
+        row = got[r_.doc_id]
+        assert (row.width, row.height, row.n_pixels, row.idx_sum) == (
+            w, h, w * h, expect), r_.doc_id
+
+    one = multimodal._gif_pixels_fn()
+    assert one(b"NOTAGIF") is None
+    assert one(b"GIF89a\x00") is None
+    # interlace flag -> out of documented subset -> null
+    import struct
+    hdr = (b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0xF3, 0, 0)
+           + bytes(48)
+           + b"\x2C" + struct.pack("<HHHHB", 0, 0, 2, 1, 0x40))
+    assert one(hdr + b"\x04\x01\x00\x00\x3b") is None
+
+    # hand-packed stream with a mid-stream clear: codes (5-bit)
+    # [clear, 3, 7, clear, 7, 3, eoi] decode to [3, 7, 7, 3]
+    codes = [16, 3, 7, 16, 7, 3, 17]
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += 5
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    payload = (b"GIF89a" + struct.pack("<HHBBB", 4, 1, 0xF3, 0, 0)
+               + bytes(48)
+               + b"\x2C" + struct.pack("<HHHHB", 0, 0, 4, 1, 0)
+               + bytes((4, len(data))) + bytes(data) + b"\x00\x3B")
+    r = one(payload)
+    assert r is not None and r[3] == [3, 7, 7, 3], r
