@@ -1321,6 +1321,43 @@ def q_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: each purchase credits its full value to
+    the user's most recent prior click/view/signup within a 24 h
+    lookback ('direct' when none) — the default attribution model of
+    every web-analytics stack. One user_id window (last_value IGNORE
+    NULLS over a running frame) on one shuffle; the per-touch rollup
+    aggregates map-side onto the tiny touch-type key space. Values
+    micro-quantize before the rollup sum, so cross-partition order
+    cannot flip bits."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value")
+    us = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = us.rowsBetween(W.unboundedPreceding, -1)
+    touch_t = F.when(
+        F.col("event_type").isin("click", "view", "signup"),
+        F.col("event_type"))
+    touch_ts = F.when(touch_t.isNotNull(), F.unix_micros(F.col("ts")))
+    marked = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.last(touch_t, ignorenulls=True).over(run).alias("_lt"),
+        F.last(touch_ts, ignorenulls=True).over(run).alias("_lt_us"),
+    )
+    day_us = 24 * 3600 * 1_000_000
+    attributed = marked.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("_lt").isNotNull()
+            & (F.unix_micros(F.col("ts")) - F.col("_lt_us") <= day_us),
+            F.col("_lt"),
+        ).otherwise(F.lit("direct")).alias("touch"),
+        F.round(F.col("value") * 1e6).cast("long").alias("_v_micro"),
+    )
+    return attributed.groupBy("touch").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        (F.sum("_v_micro") / 1e6).alias("attributed_value"),
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: users grouped by first-activity
     week, then distinct-active counts per (cohort, week offset) with the
@@ -2279,6 +2316,7 @@ QUERIES = {
     "resample_locf": q_resample_locf,
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
+    "touch_attribution": q_touch_attribution,
     "event_transitions": q_event_transitions,
     "profile_columns": q_profile_columns,
     "path_mining": q_path_mining,
@@ -2789,6 +2827,28 @@ SELECT l_suppkey, l_orderkey, l_linenumber,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
   ) AS BIGINT) AS running_qty
 FROM lineitem
+""",
+    "touch_attribution": """
+WITH m AS (
+  SELECT user_id, ts, event_id, event_type, value,
+    last_value(CASE WHEN event_type IN ('click','view','signup')
+                    THEN event_type END IGNORE NULLS) OVER run AS lt,
+    last_value(CASE WHEN event_type IN ('click','view','signup')
+                    THEN epoch_us(ts) END IGNORE NULLS) OVER run AS lt_us
+  FROM events
+  WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+att AS (
+  SELECT CASE WHEN lt IS NOT NULL
+               AND epoch_us(ts) - lt_us <= 86400000000
+              THEN lt ELSE 'direct' END AS touch,
+    CAST(round(value * 1e6) AS BIGINT) AS v_micro
+  FROM m WHERE event_type = 'purchase'
+)
+SELECT touch, count(*)::BIGINT AS n_conversions,
+  CAST(sum(v_micro) AS BIGINT) / 1e6 AS attributed_value
+FROM att GROUP BY touch
 """,
     "sessionize": """
 WITH g AS (
