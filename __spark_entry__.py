@@ -37,7 +37,7 @@ _DRIVER_WINDOW = [
     # at sf0.01). Everything rotated out keeps full pytest oracle coverage
     # (tests/test_oracle_parity.py runs the whole registry).
     #
-    # r8 ROTATION QUEUE (for the next builder): the registry grew to 287
+    # r8 ROTATION QUEUE (for the next builder): the registry grew to 288
     # this round; after this window lands its 48 first verdicts, the
     # highest-priority never-checked oracle-backed entries are the r7
     # additions — the flux_* family (18 oracle-backed), the ha_stats
@@ -46,7 +46,7 @@ _DRIVER_WINDOW = [
     # influxql_text_{tz,math,delete,multi} + influxql_show_series,
     # stream_knn, ngram_novelty, behavior_allpairs, dsir_resample,
     # bloom_decontaminate, curate_dsir_pipeline, stream_bloom_gate,
-    # mrl_rerank, slo_burn_rate, multimodal_gif (LZW), touch_attribution
+    # mrl_rerank, slo_burn_rate, multimodal_gif+gif_anim (LZW), touch_attribution
     # and
     # multimodal_png_rgb
     # — plus the r1-r3 STALE_DEBT_R7 names listed in

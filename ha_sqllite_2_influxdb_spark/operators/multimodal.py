@@ -1871,14 +1871,59 @@ def gif_payloads(documents: DataFrame) -> DataFrame:
     )
 
 
+def _lzw_decode(data: bytes, min_cs: int):
+    """GIF variable-width LZW decode of an unframed code stream →
+    list of indices, or None on a corrupt stream. Handles the
+    one-behind KwKwK case and mid-stream clears. Width rule mirrors
+    the encoder's: after inserting a new entry the decoder sits exactly
+    one code behind the encoder's dictionary, so it widens when
+    ``next_code + 1 > 2^w``."""
+    clear, eoi = 1 << min_cs, (1 << min_cs) + 1
+    acc = nbits = bitpos = 0
+    cw = min_cs + 1
+    table = {i: (i,) for i in range(clear)}
+    next_code = eoi + 1
+    prev = None
+    out: list = []
+    while True:
+        while nbits < cw:
+            if bitpos >= len(data):
+                return None
+            acc |= data[bitpos] << nbits
+            bitpos += 1
+            nbits += 8
+        code = acc & ((1 << cw) - 1)
+        acc >>= cw
+        nbits -= cw
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            next_code = eoi + 1
+            cw = min_cs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = table[prev] + (table[prev][0],)
+        else:
+            return None
+        out.extend(entry)
+        if prev is not None:
+            table[next_code] = table[prev] + (entry[0],)
+            next_code += 1
+            if next_code + 1 > (1 << cw) and cw < 12:
+                cw += 1
+        prev = code
+
+
 def _gif_pixels_fn():
     """Factory → ``one(bytes) -> (w, h, n_colors, [indices]) | None``
     for the GIF87a/89a single-frame non-interlaced subset: LSD + GCT
-    parse, extension-block skip, full variable-width LZW decode
-    (including the one-behind KwKwK case and mid-stream clears).
-    Decoder width rule mirrors the encoder's: after inserting a new
-    entry the decoder sits exactly one code behind the encoder's
-    dictionary, so it widens when ``next_code + 1 > 2^w``."""
+    parse, extension-block skip, `_lzw_decode` for the code stream."""
     import struct
 
     def one(b: bytes):
@@ -1911,47 +1956,8 @@ def _gif_pixels_fn():
                 ln = b[pos]
                 data += b[pos + 1:pos + 1 + ln]
                 pos += ln + 1
-            clear, eoi = 1 << min_cs, (1 << min_cs) + 1
-            acc = nbits = bitpos = 0
-            cw = min_cs + 1
-            table = {i: (i,) for i in range(clear)}
-            next_code = eoi + 1
-            prev = None
-            out: list = []
-            while True:
-                while nbits < cw:
-                    if bitpos >= len(data):
-                        return None
-                    acc |= data[bitpos] << nbits
-                    bitpos += 1
-                    nbits += 8
-                code = acc & ((1 << cw) - 1)
-                acc >>= cw
-                nbits -= cw
-                if code == clear:
-                    table = {i: (i,) for i in range(clear)}
-                    next_code = eoi + 1
-                    cw = min_cs + 1
-                    prev = None
-                    continue
-                if code == eoi:
-                    break
-                if prev is None:
-                    entry = table[code]
-                elif code in table:
-                    entry = table[code]
-                elif code == next_code:
-                    entry = table[prev] + (table[prev][0],)
-                else:
-                    return None
-                out.extend(entry)
-                if prev is not None:
-                    table[next_code] = table[prev] + (entry[0],)
-                    next_code += 1
-                    if next_code + 1 > (1 << cw) and cw < 12:
-                        cw += 1
-                prev = code
-            if len(out) != iw * ih or not palette:
+            out = _lzw_decode(bytes(data), min_cs)
+            if out is None or len(out) != iw * ih or not palette:
                 return None
             return (int(w), int(h), int(n_colors), out)
         except Exception:
@@ -1986,5 +1992,186 @@ def decode_gif(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(
         _decode,
         schema=("doc_id long, width long, height long, n_colors long, "
+                "n_pixels long, idx_sum long"),
+    )
+
+
+def gif_anim_payloads(documents: DataFrame,
+                      n_frames: int = 3) -> DataFrame:
+    """Synthesize a VALID ANIMATED GIF89a per document: NETSCAPE2.0
+    loop extension, then per frame a Graphic Control Extension (delay
+    = (frame+1)×10 cs) + image descriptor + LZW data. Frame f's pixel
+    i carries ``ascii(text[(i + 7·f) % len]) % 16`` — per-frame sums
+    stay analytically SQL-predictable."""
+
+    def _make(batches: Iterator):
+        import struct
+
+        import pandas as pd
+
+        def lzw_encode(idxs: list, min_cs: int = 4) -> bytes:
+            clear, eoi = 1 << min_cs, (1 << min_cs) + 1
+            out = bytearray()
+            acc = 0
+            nbits = 0
+            w = min_cs + 1
+
+            def emit(code: int):
+                nonlocal acc, nbits
+                acc |= code << nbits
+                nbits += w
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+
+            table = {}
+            next_code = eoi + 1
+            emit(clear)
+            cur = idxs[0]
+            for k in idxs[1:]:
+                if (cur, k) in table:
+                    cur = table[(cur, k)]
+                else:
+                    emit(cur)
+                    table[(cur, k)] = next_code
+                    next_code += 1
+                    if next_code > (1 << w) and w < 12:
+                        w += 1
+                    cur = k
+            emit(cur)
+            emit(eoi)
+            if nbits:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        def one(doc_id: int, text: str) -> bytes:
+            wpx = (doc_id % 12) + 4
+            hpx = (doc_id % 6) + 2
+            src = text.encode("utf-8") or b"\x00"
+            gct = bytearray()
+            for j in range(16):
+                gct += bytes(((doc_id * 7 + j * 13) % 256,
+                              (j * 31) % 256, (doc_id + j * 5) % 256))
+            body = bytearray()
+            body += (b"\x21\xFF\x0BNETSCAPE2.0"
+                     + b"\x03\x01\x00\x00\x00")
+            for f in range(n_frames):
+                body += (b"\x21\xF9\x04\x00"
+                         + struct.pack("<H", (f + 1) * 10)
+                         + b"\x00\x00")
+                body += b"\x2C" + struct.pack("<HHHHB", 0, 0,
+                                              wpx, hpx, 0)
+                idxs = [src[(i + 7 * f) % len(src)] % 16
+                        for i in range(wpx * hpx)]
+                lzw = lzw_encode(idxs)
+                body += bytes((4,))
+                for i in range(0, len(lzw), 255):
+                    part = lzw[i:i + 255]
+                    body += bytes((len(part),)) + part
+                body += b"\x00"
+            return (b"GIF89a"
+                    + struct.pack("<HHBBB", wpx, hpx, 0xF3, 0, 0)
+                    + bytes(gct) + bytes(body) + b"\x3B")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [one(int(d), t)
+                            for d, t in zip(pdf["doc_id"], pdf["text"])],
+            })
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def decode_gif_frames(payloads: DataFrame) -> DataFrame:
+    """Animated-GIF decode: ONE ROW PER FRAME with the frame's GCE
+    delay (centiseconds) and the decoded-index sum — the frame-sample
+    shape a video/animation pipeline feeds downstream. Walks the block
+    stream statefully (application + graphic-control extensions, image
+    descriptors), `_lzw_decode` per frame; malformed payloads emit no
+    rows (frame relations drop bad sources, unlike the per-doc null-row
+    codecs — both conventions exist in the reference-free contract,
+    this one matches `multimodal_frames`)."""
+    import struct
+
+    def frames_of(b: bytes):
+        try:
+            if b[:6] not in (b"GIF87a", b"GIF89a"):
+                return []
+            w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+            pos = 13
+            if packed & 0x80:
+                pos += 3 * (2 << (packed & 0x07))
+            frames = []
+            delay = None
+            while pos < len(b) and b[pos] != 0x3B:
+                if b[pos] == 0x21:
+                    label = b[pos + 1]
+                    pos += 2
+                    if label == 0xF9:
+                        blen = b[pos]
+                        delay = struct.unpack_from(
+                            "<H", b, pos + 2)[0]
+                        pos += blen + 1
+                        if b[pos]:
+                            return []
+                        pos += 1
+                    else:
+                        while b[pos]:
+                            pos += b[pos] + 1
+                        pos += 1
+                elif b[pos] == 0x2C:
+                    _l, _t, iw, ih, ifl = struct.unpack_from(
+                        "<HHHHB", b, pos + 1)
+                    if ifl & 0xC0:
+                        return []
+                    pos += 10
+                    min_cs = b[pos]
+                    pos += 1
+                    data = bytearray()
+                    while b[pos]:
+                        ln = b[pos]
+                        data += b[pos + 1:pos + 1 + ln]
+                        pos += ln + 1
+                    pos += 1
+                    out = _lzw_decode(bytes(data), min_cs)
+                    if out is None or len(out) != iw * ih:
+                        return []
+                    frames.append((len(frames), delay, iw * ih,
+                                   sum(out)))
+                    delay = None
+                else:
+                    return []
+            return frames
+        except Exception:
+            return []
+
+    def _decode(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fidx, delays, npx, sums = [], [], [], [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                for (fi, dl, n, s) in frames_of(
+                        bytes(p) if p is not None else b""):
+                    ids.append(int(d))
+                    fidx.append(fi)
+                    delays.append(dl)
+                    npx.append(n)
+                    sums.append(s)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(fidx, dtype="int64"),
+                "delay_cs": pd.Series(delays, dtype="int64"),
+                "n_pixels": pd.Series(npx, dtype="int64"),
+                "idx_sum": pd.Series(sums, dtype="int64"),
+            })
+
+    return payloads.mapInPandas(
+        _decode,
+        schema=("doc_id long, frame_idx long, delay_cs long, "
                 "n_pixels long, idx_sum long"),
     )

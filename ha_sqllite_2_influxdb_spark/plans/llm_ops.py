@@ -435,6 +435,15 @@ def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.gif_payloads(_docs(spark, sf_dir)))
 
 
+def q_multimodal_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling: one row per (doc, frame) with the
+    GCE delay and the decoded-index sum per frame — three LZW streams
+    per doc, each proven end-to-end by the analytic oracle (frame f
+    shifts the text-derived pixels by 7·f)."""
+    return multimodal.decode_gif_frames(
+        multimodal.gif_anim_payloads(_docs(spark, sf_dir)))
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only (iterative, no SQL oracle): deterministic distributed
     Lloyd's k-means — bit-reproducible across runs and partitionings via
@@ -1050,6 +1059,7 @@ QUERIES = {
     "multimodal_wav_stereo": q_multimodal_wav_stereo,
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_gif": q_multimodal_gif,
+    "multimodal_gif_anim": q_multimodal_gif_anim,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_thumbnail": q_multimodal_thumbnail,
 }
@@ -2175,6 +2185,30 @@ SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
   CAST(d.w * d.h AS BIGINT) AS n_pixels,
   px.idx_sum
 FROM dims d JOIN px USING (doc_id)
+""",
+    "multimodal_gif_anim": """
+WITH dims AS (
+  SELECT doc_id, text,
+    (doc_id % 12) + 4 AS w, (doc_id % 6) + 2 AS h,
+    length(text) AS tl
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, text, w, h, tl, f
+  FROM dims, unnest(generate_series(0, 2)) AS t(f)
+),
+px AS (
+  SELECT doc_id, f,
+    CAST(sum(ascii(substr(text, CAST(((i + 7 * f) % tl) + 1 AS INT), 1))
+             % 16) AS BIGINT) AS idx_sum
+  FROM fr, unnest(generate_series(0, w * h - 1)) AS t(i)
+  GROUP BY doc_id, f
+)
+SELECT d.doc_id, CAST(p.f AS BIGINT) AS frame_idx,
+  CAST((p.f + 1) * 10 AS BIGINT) AS delay_cs,
+  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+  p.idx_sum
+FROM dims d JOIN px p USING (doc_id)
 """,
     "multimodal_frames": """
 WITH p AS (

@@ -146,3 +146,37 @@ def test_gif_lzw_round_trip_and_malformed(spark, sf_dir):
                + bytes((4, len(data))) + bytes(data) + b"\x00\x3B")
     r = one(payload)
     assert r is not None and r[3] == [3, 7, 7, 3], r
+
+
+def test_gif_anim_frames_contract(spark, sf_dir):
+    """Animated tier: 3 frames per doc with GCE delays 10/20/30 cs and
+    per-frame text-shifted pixel sums; a payload truncated inside the
+    second frame's data emits NO rows for that doc (frame relations
+    drop bad sources whole)."""
+    from ha_sqllite_2_influxdb_spark.operators import multimodal
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    rows = multimodal.decode_gif_frames(
+        multimodal.gif_anim_payloads(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    src_text = {r.doc_id: r.text
+                for r in docs.select("doc_id", "text").collect()}
+    assert set(by_doc) == set(src_text)
+    for did, frs in by_doc.items():
+        frs.sort(key=lambda r: r.frame_idx)
+        assert [r.delay_cs for r in frs] == [10, 20, 30]
+        w = (did % 12) + 4
+        h = (did % 6) + 2
+        src = src_text[did].encode("utf-8")
+        for f, r in enumerate(frs):
+            assert r.idx_sum == sum(
+                src[(i + 7 * f) % len(src)] % 16 for i in range(w * h))
+
+    payload = multimodal.gif_anim_payloads(docs.limit(1)).collect()[0]
+    trunc = bytes(payload.payload)[:len(payload.payload) * 2 // 3]
+    tdf = spark.createDataFrame([(0, bytearray(trunc))],
+                                "doc_id long, payload binary")
+    assert multimodal.decode_gif_frames(tdf).count() == 0
