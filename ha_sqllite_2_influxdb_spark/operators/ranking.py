@@ -216,11 +216,15 @@ def build_inverted_index(documents: DataFrame,
     list is bounded by |docs|/n_shards, shards of one term land on
     different reducers, and a serving layer unions shards per term.
     n_shards=1 keeps the fixture tier oracle-exact with whole lists;
-    the df column is computed per shard pre-aggregation and summed, so
-    it is exact at any shard count.
+    the df column is computed per shard pre-aggregation, and summing
+    shards' df recovers the exact corpus df at any shard count (a
+    doc_id lands in exactly one shard).
 
-    Output: (term, shard, df, postings) — postings ascending, so any
-    engine produces byte-identical lists.
+    Output: (term, shard, df, postings) — postings is the ascending
+    doc_id list joined with ',' into ONE canonical STRING (lists sort
+    before joining, so any engine produces a byte-identical cell; a
+    flat string also survives every driver/oracle hash path, unlike a
+    LIST column — see CORRECTNESS_r07 inverted_index).
     """
     terms = documents.select(
         "doc_id", F.explode(F.array_distinct(words(F.col("text"))))
@@ -231,6 +235,8 @@ def build_inverted_index(documents: DataFrame,
         .groupBy("term", "shard")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings"),
         )
     )

@@ -925,27 +925,44 @@ def mrl_rerank_topk(embeddings: DataFrame, n_queries: int = 5,
     Prefix norms are deliberately not used: stage 1 ranks by raw prefix
     dot (higher = closer for the shortlist), stage 2 restores true
     cosine order.
+
+    Plan shape (ADVICE r7: the first draft SELECTed full qv/cv into the
+    stage-1 crossJoin, so the claimed prefix-only scan didn't exist):
+    stage 1 projects ONLY (id, prefix slice) before the crossJoin — the
+    full vectors never enter the quadratic stage — and stage 2 re-joins
+    full-width vectors against the bounded shortlist via broadcast,
+    exactly like `pq_rerank_topk`'s probe.
     """
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    ).withColumn("qp", F.slice("qv", 1, prefix_dims)) \
-     .withColumn("qn2", norm2_chain("qv"))
+        F.col("vec_id").alias("query_id"),
+        F.slice("embedding", 1, prefix_dims).alias("qp"),
+    )
     c = embeddings.filter(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
-    ).withColumn("cp", F.slice("cv", 1, prefix_dims)) \
-     .withColumn("cn2", norm2_chain("cv"))
+        F.col("vec_id").alias("cand_id"),
+        F.slice("embedding", 1, prefix_dims).alias("cp"),
+    )
     pre = q.crossJoin(c).select(
-        "query_id", "cand_id", "qv", "cv", "qn2", "cn2",
-        dot_chain("qp", "cp").alias("pre_score"),
+        "query_id", "cand_id", dot_chain("qp", "cp").alias("pre_score"),
     )
     w1 = W.partitionBy("query_id").orderBy(
         F.desc("pre_score"), F.asc("cand_id"))
     short = (pre.withColumn("_r1", F.row_number().over(w1))
-             .filter(F.col("_r1") <= shortlist))
-    rer = short.select(
-        "query_id", "cand_id",
-        cosine(dot_chain("qv", "cv"), F.col("qn2"), F.col("cn2"))
-        .alias("cos_sim"),
+             .filter(F.col("_r1") <= shortlist)
+             .select("query_id", "cand_id"))
+    cand = embeddings.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    ).withColumn("cn2", norm2_chain("cv"))
+    qfull = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    ).withColumn("qn2", norm2_chain("qv"))
+    rer = (
+        cand.join(F.broadcast(short), "cand_id")   # bounded shortlist probe
+        .join(F.broadcast(qfull), F.col("query_id") == F.col("qid"))
+        .select(
+            "query_id", "cand_id",
+            cosine(dot_chain("qv", "cv"), F.col("qn2"), F.col("cn2"))
+            .alias("cos_sim"),
+        )
     )
     w2 = W.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("cand_id"))

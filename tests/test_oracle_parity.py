@@ -44,13 +44,47 @@ def test_no_lossy_oracle_types(duck):
     )
 
 
+def test_no_nested_oracle_types(duck):
+    """VERDICT r7 #1b: the round driver's pandas canonicalizer throws
+    `unhashable type: 'list'` on LIST/MAP/STRUCT output columns (the r7
+    inverted_index red row) — our sim's str(v) normalization silently
+    accepted what the driver rejects. Audit every oracle's DECLARED
+    projected types: nested types at top level are forbidden; emit a
+    sorted delimiter-joined string instead (canonical because sorted)."""
+    offenders = {}
+    for name, sql in sorted(ORACLES.items()):
+        desc = duck.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+        bad = [(c, t) for c, t, *_ in desc
+               if "[]" in t or t.startswith("STRUCT")
+               or t.startswith("MAP") or t.startswith("UNION")]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"nested projected oracle types (driver cannot hash them — "
+        f"join to a sorted string): {offenders}"
+    )
+
+
 def test_driver_window_contract():
     """The driver correctness-checks the FIRST 50 registry entries: that
-    prefix must be exactly the curated window, every one oracle-backed —
-    a registry reorder must fail here, not silently in the round run."""
+    prefix must be exactly the curated window, and every slot oracle-
+    backed EXCEPT the pinned rows-only debt tiers (sketch/LSH-recall/
+    codec ops with no exact SQL counterpart — VERDICT r7 #2 mandated
+    rotating them in; the driver records its weaker rows-only verdict
+    for those, and the judge sees which). A registry reorder must fail
+    here, not silently in the round run."""
+    ROWS_ONLY_OK = {
+        "sketch_distinct", "sketch_quantiles", "multimodal_resize",
+        "neardup_xxhash_lsh", "embedding_ann_lsh", "embedding_ivf",
+        "multimodal_decode",
+    }
     names = list(QUERIES)[:50]
     assert names == entrymod._DRIVER_WINDOW
-    assert all(n in ORACLES for n in names)
+    missing = [n for n in names if n not in ORACLES and n not in ROWS_ONLY_OK]
+    assert not missing, f"window slots without an oracle: {missing}"
+    assert all(n not in ORACLES for n in ROWS_ONLY_OK), (
+        "a ROWS_ONLY_OK name gained an oracle — remove it from the "
+        "exemption list")
 
 
 def test_every_query_runs(spark, sf_dir):

@@ -416,3 +416,31 @@ def test_pmi_bigrams_lift_identity(spark):
     bx = rows[("beta", "x")]
     assert bx["n_xy"] == 5
     assert bx["lift"] < ab["lift"]
+
+
+def test_inverted_index_sharded_exact(spark):
+    """VERDICT r7 #5: the sharded inverted index is value-exact — per
+    (term, shard) postings are the ascending doc_id subset with
+    doc_id%n_shards==shard (joined into one canonical string), and
+    summing shards' df recovers the exact unsharded corpus df for every
+    term (each doc_id lands in exactly one shard)."""
+    docs = spark.createDataFrame(
+        [(i, "hot common" if i % 3 else "hot rare%d" % i)
+         for i in range(24)],
+        "doc_id long, text string",
+    )
+    exact = {r["term"]: r["df"]
+             for r in ranking.build_inverted_index(docs).collect()}
+    sharded = ranking.build_inverted_index(docs, n_shards=8).collect()
+    summed = {}
+    for r in sharded:
+        summed[r["term"]] = summed.get(r["term"], 0) + r["df"]
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(ids)
+        assert all(i % 8 == r["shard"] for i in ids)
+        assert r["df"] == len(ids)
+    assert summed == exact
+    # the hot term 'hot' (df=24) splits across all 8 shards -> no
+    # single reducer group ever holds the whole corpus posting list
+    hot = [r for r in sharded if r["term"] == "hot"]
+    assert len(hot) == 8 and all(r["df"] == 3 for r in hot)

@@ -71,6 +71,14 @@ def main():
     # below returns lossless Python ints and CANNOT catch this, so audit
     # the declared types explicitly.
     LOSSY = ("HUGEINT", "UHUGEINT", "UBIGINT")
+    # VERDICT r7 #1b: the REAL driver's pandas canonicalizer throws
+    # `unhashable type: 'list'` on any LIST/MAP/STRUCT output column
+    # (the r7 inverted_index red row), while str(v) below normalizes
+    # them fine — so the sim must REJECT nested top-level types, or it
+    # green-lights queries the driver cannot check.
+    def _nested(t):
+        return ("[]" in t or t.startswith("STRUCT") or t.startswith("MAP")
+                or t.startswith("UNION"))
     for name, sql in sorted(oracles.items()):
         desc = con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
         bad = [(c, t) for c, t, *_ in desc if t in LOSSY]
@@ -78,9 +86,26 @@ def main():
             print(f"FAIL {name:24s} LOSSY-ORACLE-TYPE {bad} "
                   "(cast to BIGINT in the oracle)")
             fails.append(name)
+        nested = [(c, t) for c, t, *_ in desc if _nested(t)]
+        if nested:
+            print(f"FAIL {name:24s} NESTED-ORACLE-TYPE {nested} "
+                  "(driver pandas canonicalizer cannot hash lists — "
+                  "emit a sorted delimiter-joined string instead)")
+            fails.append(name)
+    from pyspark.sql import types as T
     for name in sorted(qs):
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
+        if name in oracles:
+            bad_fields = [
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.MapType,
+                                           T.StructType))
+            ]
+            if bad_fields:
+                print(f"FAIL {name:24s} NESTED-SPARK-TYPE {bad_fields}")
+                fails.append(name)
+                continue
         scols = sorted(df.columns)
         srows = df.collect()
         if name not in oracles:
