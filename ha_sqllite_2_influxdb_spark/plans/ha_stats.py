@@ -153,22 +153,30 @@ def q_stream_ha_statistics(spark: SparkSession,
     (the carry is the left endpoint of only its successor segment), the
     final store is BIT-IDENTICAL to the batch compiler — the oracle is
     literally `ha_statistics_hourly`'s."""
-    import os
     import tempfile
+    from functools import partial
 
-    from ..streaming.stream import drain_foreach_batch
+    from ..streaming.stream import drain_foreach_batch, staged_fixture_dir
 
     pts = _numeric_points(spark, sf_dir)
     app = spark.sparkContext.applicationId
     tag = sf_dir.strip("/").replace("/", "_")
-    sdir = f"/tmp/spark_graft_stats_stream/{app}/{tag}"
-    if not os.path.isdir(sdir):
-        cuts = [(0.0, 1704931200.0), (1704931200.0, 1705795200.0),
-                (1705795200.0, float("inf"))]
-        for lo, hi in cuts:
-            (pts.filter((F.col("ts_epoch") >= lo)
-                        & (F.col("ts_epoch") < hi))
-             .coalesce(1).write.mode("append").parquet(sdir))
+    # time-ordered arrival is a CORRECTNESS precondition of the carry
+    # fold below; staged_fixture_dir makes it explicit — each cut's file
+    # gets a strictly increasing mtime (Spark's file source orders by
+    # mtime), and the fixture dir appears atomically or not at all
+    # (ADVICE r7: the old isdir guard trusted partial/foreign dirs and
+    # the ordering rode three implicit write walls)
+    cuts = [(0.0, 1704931200.0), (1704931200.0, 1705795200.0),
+            (1705795200.0, float("inf"))]
+
+    def _write(lo: float, hi: float, path: str) -> None:
+        (pts.filter((F.col("ts_epoch") >= lo) & (F.col("ts_epoch") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(path))
+
+    sdir = staged_fixture_dir(
+        f"/tmp/spark_graft_stats_stream/{app}/{tag}",
+        [partial(_write, lo, hi) for lo, hi in cuts])
     stream = (spark.readStream.schema(pts.schema)
               .option("maxFilesPerTrigger", 1).parquet(sdir))
     state: dict[str, DataFrame] = {}

@@ -31,21 +31,23 @@ def _lp_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     per session via the sink's own formatter — opened as a readStream and
     parsed back to typed point rows (`sources.lineprotocol`, pure JVM
     regex inside the micro-batch)."""
-    import os
-
     from ..operators.transform import points
     from ..plans.ha_pipeline import _ha
     from ..sinks.influx import line_protocol
     from ..sources.lineprotocol import parse_line_protocol
+    from ..streaming.stream import staged_fixture_dir
 
     app = spark.sparkContext.applicationId
     tag = sf_dir.strip("/").replace("/", "_")
-    lp_dir = f"/tmp/spark_graft_lp/{app}/{tag}"
-    if not os.path.isdir(lp_dir):
+
+    def _write(path: str) -> None:
         pts = points(*_ha(spark, sf_dir), keep_state=True)
         (line_protocol(pts, raw_state=F.col("state_raw"))
          .select("line").coalesce(4)
-         .write.mode("overwrite").text(lp_dir))
+         .write.mode("overwrite").text(path))
+
+    lp_dir = staged_fixture_dir(
+        f"/tmp/spark_graft_lp/{app}/{tag}", [_write])
     lines = spark.readStream.format("text").load(lp_dir)
     return parse_line_protocol(lines, col="value")
 
@@ -567,22 +569,21 @@ def q_stream_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-bounded; nothing driver-side. Oracle-exact vs the
     same crossJoin+rank in DuckDB (queries vec_id < 5 arrive across
     the two batches)."""
-    import os
-    import tempfile
-
     from ..operators.similarity import cosine, dot_chain, norm2_chain
+    from ..streaming.stream import staged_fixture_dir
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
     app = spark.sparkContext.applicationId
     tag = sf_dir.strip("/").replace("/", "_")
-    qdir = f"/tmp/spark_graft_knnq/{app}/{tag}"
-    if not os.path.isdir(qdir):
-        # two single-file writes → two micro-batches at 1 file/trigger
-        (emb.filter(F.col("vec_id") < 3).coalesce(1)
-         .write.mode("append").parquet(qdir))
-        (emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 5))
-         .coalesce(1).write.mode("append").parquet(qdir))
+    # two single-file stages → two micro-batches at 1 file/trigger
+    qdir = staged_fixture_dir(
+        f"/tmp/spark_graft_knnq/{app}/{tag}",
+        [lambda p: (emb.filter(F.col("vec_id") < 3).coalesce(1)
+                    .write.mode("overwrite").parquet(p)),
+         lambda p: (emb.filter((F.col("vec_id") >= 3)
+                               & (F.col("vec_id") < 5)).coalesce(1)
+                    .write.mode("overwrite").parquet(p))])
     queries_stream = (
         spark.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(qdir)
@@ -636,24 +637,23 @@ def q_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB. Batch-oracle-exact: the union of per-batch outputs over
     a corpus split in two equals `bloom_decontaminate` over the whole
     corpus (stateless map ⇒ the oracle is literally that entry's)."""
-    import os
     import tempfile
 
     from ..operators import curation
-    from ..streaming.stream import drain_foreach_batch
+    from ..streaming.stream import drain_foreach_batch, staged_fixture_dir
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     words = curation.bloom_filter_words(
         curation.benchmark_prefixes(docs))
     app = spark.sparkContext.applicationId
     tag = sf_dir.strip("/").replace("/", "_")
-    ddir = f"/tmp/spark_graft_bloomgate/{app}/{tag}"
-    if not os.path.isdir(ddir):
-        cut = 250
-        (docs.filter(F.col("doc_id") < cut).coalesce(1)
-         .write.mode("append").parquet(ddir))
-        (docs.filter(F.col("doc_id") >= cut).coalesce(1)
-         .write.mode("append").parquet(ddir))
+    cut = 250
+    ddir = staged_fixture_dir(
+        f"/tmp/spark_graft_bloomgate/{app}/{tag}",
+        [lambda p: (docs.filter(F.col("doc_id") < cut).coalesce(1)
+                    .write.mode("overwrite").parquet(p)),
+         lambda p: (docs.filter(F.col("doc_id") >= cut).coalesce(1)
+                    .write.mode("overwrite").parquet(p))])
     stream = (spark.readStream.schema(docs.schema)
               .option("maxFilesPerTrigger", 1).parquet(ddir))
     results: list[DataFrame] = []

@@ -324,3 +324,54 @@ def drain_foreach_batch(sdf: DataFrame, checkpoint: str, batch_fn) -> int:
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+def staged_fixture_dir(base_dir: str, stage_writers) -> str:
+    """Build a multi-stage file-stream fixture ATOMICALLY (ADVICE r7:
+    the old `isdir` guard around sequential `mode('append')` writes
+    trusted any pre-existing directory — a crash between the first and
+    last write left a partial fixture every later run silently consumed
+    as complete input).
+
+    Each ``stage_writers[i](path)`` writes one micro-batch's files into
+    its own fresh subdir (use ``mode('overwrite')``); the data files
+    then move into a staging dir as ``stage-<i>-<name>`` with STRICTLY
+    INCREASING mtimes (fixed base epoch, +1 s per file — Spark's file
+    source orders by modification time, so arrival order is now an
+    explicit property of the fixture, not an accident of three write
+    walls — the ADVICE r7 ordering low), and the staging dir renames
+    into ``base_dir`` as the LAST step. A directory at ``base_dir``
+    therefore either is complete or does not exist; a lost rename race
+    means a concurrent session finished the identical build first.
+    """
+    import os
+    import shutil
+    import uuid
+
+    if os.path.isdir(base_dir):
+        return base_dir
+    os.makedirs(os.path.dirname(base_dir), exist_ok=True)
+    tmp = f"{base_dir}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    build = os.path.join(tmp, "build")
+    final = os.path.join(tmp, "final")
+    os.makedirs(build)
+    os.makedirs(final)
+    t0_ns = 1_700_000_000 * 1_000_000_000
+    n = 0
+    for i, write in enumerate(stage_writers):
+        stage = os.path.join(build, f"stage{i}")
+        write(stage)
+        for fname in sorted(os.listdir(stage)):
+            if fname.startswith(("_", ".")):
+                continue
+            dst = os.path.join(final, f"stage-{i:04d}-{fname}")
+            shutil.move(os.path.join(stage, fname), dst)
+            ns = t0_ns + n * 1_000_000_000
+            os.utime(dst, ns=(ns, ns))
+            n += 1
+    try:
+        os.rename(final, base_dir)
+    except OSError:
+        pass  # concurrent builder's rename landed first; its dir is complete
+    shutil.rmtree(tmp, ignore_errors=True)
+    return base_dir

@@ -570,3 +570,45 @@ def test_flatline_stream_run_spans_batches_emits_once(spark, tmp_path):
     r = out[0]
     assert (r.entity_id, r.run_start, r.run_end, r.run_len, r.value) \
         == ("e", 0.0, 4.0, 5, 7.0)
+
+
+def test_staged_fixture_dir_atomic_and_ordered(spark, tmp_path):
+    """ADVICE r7: stream fixtures must appear atomically (a crashed
+    build leaves NO directory at the target, so no later run consumes a
+    partial fixture) and with explicit strictly-increasing per-stage
+    mtimes (arrival order is a property of the fixture, not of write
+    timing)."""
+    import os
+
+    from ha_sqllite_2_influxdb_spark.streaming.stream import (
+        staged_fixture_dir,
+    )
+
+    base = str(tmp_path / "nested" / "fix")
+
+    def w(lo, hi, path):
+        (spark.range(lo, hi).coalesce(1)
+         .write.mode("overwrite").parquet(path))
+
+    # a writer that crashes mid-build must leave base_dir absent
+    def boom(path):
+        raise RuntimeError("simulated crash")
+
+    try:
+        staged_fixture_dir(base, [lambda p: w(0, 3, p), boom])
+    except RuntimeError:
+        pass
+    assert not os.path.isdir(base), "partial fixture leaked into place"
+
+    got = staged_fixture_dir(
+        base, [lambda p: w(0, 3, p), lambda p: w(3, 5, p),
+               lambda p: w(5, 6, p)])
+    assert got == base
+    files = sorted(f for f in os.listdir(base) if not f.startswith("_"))
+    assert [f.split("-")[1] for f in files] == ["0000", "0001", "0002"]
+    mtimes = [os.stat(os.path.join(base, f)).st_mtime_ns for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    # complete dir is trusted as-is: a second call is a no-op cache hit
+    assert staged_fixture_dir(base, [boom]) == base
+    # and the full content equals the union of the stages
+    assert spark.read.parquet(base).count() == 6
