@@ -1330,7 +1330,15 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates map-side onto the tiny touch-type key space. Values
     micro-quantize before the rollup sum, so cross-partition order
     cannot flip bits."""
-    ev = _t(spark, sf_dir, "events").select(
+    return last_touch_attribution(_t(spark, sf_dir, "events"))
+
+
+def last_touch_attribution(events: DataFrame) -> DataFrame:
+    """The attribution plan on an arbitrary events relation (schema:
+    user_id, ts, event_id, event_type, value) — split out of
+    q_touch_attribution so the 10× scale probe can drive the same code
+    path on its replicated corpus."""
+    ev = events.select(
         "user_id", "ts", "event_id", "event_type", "value")
     us = W.partitionBy("user_id").orderBy("ts", "event_id")
     run = us.rowsBetween(W.unboundedPreceding, -1)

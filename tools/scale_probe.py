@@ -77,6 +77,8 @@ def build_corpora(spark):
     # replica-local so per-series windows do 10× work, never wider ones.
     from ha_sqllite_2_influxdb_spark.plans.influxql import _numeric_points
     pts_base = _numeric_points(spark, SF_DIR)
+    ev_base = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value")
     paths = {}
     for scale, n in (("x1", 1), ("x10", REPLICAS)):
         for tag, src in (("docs", base), ("viral", viral_base)):
@@ -119,21 +121,44 @@ def build_corpora(spark):
             p = p.unionByName(r)
         pp = f"{WORK}/points_{scale}.parquet"
         p.repartition(32).write.mode("overwrite").parquet(pp)
-        paths[scale] = (dp, ep, f"{WORK}/viral_{scale}.parquet", pp)
+        # event corpus (r8, for attribution/SLO tiers): replicas shift
+        # user_id AND time (+k×35 d, past the 30-day base span), so a
+        # 10× corpus has 10× users and 10× distinct hours — both the
+        # user-window shuffle and the hour-collapsed relation scale,
+        # never widen.
+        ereps2 = [
+            ev_base.select(
+                (F.col("event_id") + 10_000_000 * k).alias("event_id"),
+                (F.col("user_id") + 10_000_000 * k).alias("user_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {35 * k} DAYS")).alias("ts"),
+                "event_type", "value",
+            )
+            for k in range(n)
+        ]
+        evd = ereps2[0]
+        for r in ereps2[1:]:
+            evd = evd.unionByName(r)
+        evp = f"{WORK}/events_{scale}.parquet"
+        evd.repartition(32).write.mode("overwrite").parquet(evp)
+        paths[scale] = (dp, ep, f"{WORK}/viral_{scale}.parquet", pp, evp)
     return paths
 
 
 def tiers(spark, docs_path, emb_path, books, viral_path=None,
-          pts_path=None):
+          pts_path=None, events_path=None):
     from ha_sqllite_2_influxdb_spark.operators import (
-        dedup, graph, monitor, scoring, similarity, sketches, text,
+        dedup, graph, monitor, ranking, scoring, similarity, sketches, text,
     )
     from ha_sqllite_2_influxdb_spark.plans import influxql
+    from ha_sqllite_2_influxdb_spark.plans.analytics import (
+        last_touch_attribution,
+    )
 
     docs = spark.read.parquet(docs_path)
     emb = spark.read.parquet(emb_path)
     viral = spark.read.parquet(viral_path or docs_path)
     pts = spark.read.parquet(pts_path or docs_path)
+    evts = spark.read.parquet(events_path or docs_path)
     return {
         "neardup_xxhash_lsh": lambda: dedup.neardup_pairs(
             docs, threshold=0.5, n_seeds=8, portable=False),
@@ -243,6 +268,27 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
         # same 1024-word filter via bit_or), probe as a pure map; both
         # passes must scale with the corpus, driver state fixed 8 KB.
         "bloom_decontaminate": lambda: _bloom_tier(docs),
+        # r8 (VERDICT r7 #7): last-touch attribution — one user-window
+        # shuffle (running last_value) + a rollup onto the fixed
+        # touch-type key space. Replicas shift user_id, so 10× = 10×
+        # independent user partitions of unchanged length; the rollup
+        # relation stays 4 rows whatever the corpus.
+        "touch_attribution": lambda: last_touch_attribution(evts),
+        # r8 (VERDICT r7 #7): SLO burn-rate — the event stream collapses
+        # to |hours| rows in one hour-keyed partial agg before the
+        # unpartitioned trailing window. Replicas shift time by 35 d, so
+        # 10× events = 10× distinct hours: BOTH stages scale; the
+        # window relation stays bounded (≈7.2 k rows at 10×).
+        "slo_burn_rate": lambda: monitor.slo_burn_rate(evts),
+        # r8 (VERDICT r7 #5): the SHARDED inverted index on the VIRAL
+        # corpus — every doc carries the same 12-word boilerplate, so a
+        # dozen terms have df ≈ corpus size. n_shards=8 splits each hot
+        # posting list by doc_id%8 across reducers: per-group state is
+        # bounded at |docs|/8 per replica, and the word-prefix
+        # replication makes 10× = 10× disjoint hot groups of unchanged
+        # size — the exact hot-key scenario the sharding exists for.
+        "inverted_index_sharded": lambda: ranking.build_inverted_index(
+            viral, n_shards=8),
     }
 
 
@@ -368,8 +414,9 @@ def main() -> None:
     walls: dict[str, dict[str, float]] = {}
     mems: dict[str, dict[str, float]] = {}
     for scale in ("x1", "x10"):
-        dp, ep, vp, pp = paths[scale]
-        for name, make in tiers(spark, dp, ep, books, vp, pp).items():
+        dp, ep, vp, pp, evp = paths[scale]
+        for name, make in tiers(spark, dp, ep, books, vp, pp,
+                                evp).items():
             if only and name not in only:
                 continue
             best = float("inf")
