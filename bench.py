@@ -72,6 +72,21 @@ HEADLINE = {
     "dsir_resample": llm_ops.q_dsir_resample,
 }
 
+# r8 (VERDICT r7 #8): the 23-query HEADLINE set is FROZEN so
+# round-over-round totals are directly comparable for the first time;
+# new tiers enter a separate candidates block (timed identically,
+# reported under their own keys, excluded from the headline total)
+# and only graduate into HEADLINE at a round boundary with a verdict.
+CANDIDATES = {
+    # VERDICT r7 #5: the hot-key-sharded posting-list build (probe
+    # 1.36× at 10× on the viral corpus)
+    "inverted_index_sharded": llm_ops.q_inverted_index_sharded,
+    # VERDICT r7 #7: the two newest headline families, now probed
+    # (1.24× / 0.99× at 10×)
+    "touch_attribution": analytics.q_touch_attribution,
+    "slo_burn_rate": monitoring.q_slo_burn_rate,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,6 +153,16 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    cand: dict[str, float] = {}
+    for name, fn in CANDIDATES.items():
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = float("inf")
+        for _ in range(steady_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        cand[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     # host-load context: same-host interference measured up to 5× on
     # individual queries this round — loadavg at start/end lets a reader
@@ -154,6 +179,7 @@ def main() -> None:
         "value_cold": round(sum(timings_cold.values()), 3),
         "queries": timings,
         "queries_cold": timings_cold,
+        "candidates": cand,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "sf": sf,

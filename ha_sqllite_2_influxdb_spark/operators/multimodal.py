@@ -2175,3 +2175,647 @@ def decode_gif_frames(payloads: DataFrame) -> DataFrame:
         schema=("doc_id long, frame_idx long, delay_cs long, "
                 "n_pixels long, idx_sum long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlaced PNG (r8, VERDICT r7 #6 — the interlace=1 half of the
+# grayscale subset a real web corpus hits; progressive-rendering PNGs are
+# common in older tooling output)
+# ---------------------------------------------------------------------------
+
+# (col_start, row_start, col_step, row_step) per Adam7 pass, PNG spec §8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def png_adam7_payloads(documents: DataFrame) -> DataFrame:
+    """Synthesize a VALID Adam7-INTERLACED PNG per document (8-bit
+    grayscale, interlace=1): the image splits into the seven spec
+    passes, each pass is its own scanline-filtered mini-image (filters
+    cycling 0..4 over a GLOBAL scanline counter so every pass exercises
+    several filter types, prior row resetting at each pass boundary per
+    spec), all passes concatenate into one zlib stream. Pixel rule is
+    `png_payloads`'s exact one (``src[(r*w + c) % len]``) so the oracle
+    stays analytic — but the bytes arrive pass-scattered, and only a
+    correct de-interlacing scatter reassembles them."""
+
+    def _make(batches: Iterator):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def chunk(tag: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data)))
+
+        def filt_rows(rows, width):
+            """Filter a pass's scanlines, cycling filter types on the
+            shared counter; returns (bytes, next_counter)."""
+            out = bytearray()
+            prior = bytes(width)
+            for j, row in enumerate(rows):
+                ft = filt_rows.ctr % 5
+                filt_rows.ctr += 1
+                out.append(ft)
+                if ft == 0:
+                    out += row
+                elif ft == 1:
+                    out += bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF
+                                 for i in range(width))
+                elif ft == 2:
+                    out += bytes((row[i] - prior[i]) & 0xFF
+                                 for i in range(width))
+                elif ft == 3:
+                    out += bytes(
+                        (row[i] - ((row[i - 1] if i else 0)
+                                   + prior[i]) // 2) & 0xFF
+                        for i in range(width))
+                else:
+                    o = bytearray()
+                    for i in range(width):
+                        a = row[i - 1] if i else 0
+                        b2 = prior[i]
+                        c = prior[i - 1] if i else 0
+                        p = a + b2 - c
+                        pa, pb, pc = abs(p - a), abs(p - b2), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (
+                            b2 if pb <= pc else c)
+                        o.append((row[i] - pred) & 0xFF)
+                    out += o
+                prior = row
+            return bytes(out)
+
+        def one(doc_id: int, text: str) -> bytes:
+            w = (doc_id % 16) + 4
+            h = (doc_id % 8) + 2
+            src = text.encode("utf-8") or b"\x00"
+            img = [[src[(r * w + c) % len(src)] for c in range(w)]
+                   for r in range(h)]
+            filt_rows.ctr = 0
+            stream = bytearray()
+            for c0, r0, cs, rs in _ADAM7:
+                cols = range(c0, w, cs)
+                rows = range(r0, h, rs)
+                if not cols or not rows:
+                    continue  # empty pass contributes NO bytes (spec)
+                pass_rows = [bytes(img[r][c] for c in cols) for r in rows]
+                stream += filt_rows(pass_rows, len(cols))
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(stream)))
+                    + chunk(b"IEND", b""))
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [one(int(d), t)
+                            for d, t in zip(pdf["doc_id"], pdf["text"])],
+            })
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def _png_adam7_pixels_fn():
+    """Factory → ``one(bytes) -> (w, h, uint8[h, w]) | None`` for the
+    Adam7-interlaced 8-bit grayscale subset: chunk walk, IDAT inflate,
+    then per non-empty pass the full inverse-filter set on the pass's
+    own scanlines (prior row resets at pass boundaries) and the spec
+    scatter ``img[r0::rs, c0::cs] = pass``. The non-interlaced decoder
+    (`_png_pixels_fn`) is untouched — interlace=1 was its documented
+    out-of-subset null; this tier closes that gap."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def unfilter(raw, off, pw, ph):
+        """Inverse-filter ph scanlines of width pw at raw[off:]; returns
+        (uint8[ph, pw], bytes_consumed) or None."""
+        need = ph * (pw + 1)
+        if off + need > len(raw):
+            return None
+        img = np.zeros((ph, pw), dtype=np.uint8)
+        prior = np.zeros(pw, dtype=np.uint8)
+        for r in range(ph):
+            ft = raw[off + r * (pw + 1)]
+            line = np.frombuffer(raw, np.uint8, count=pw,
+                                 offset=off + r * (pw + 1) + 1)
+            if ft == 0:
+                cur = line.copy()
+            elif ft == 1:
+                cur = np.cumsum(line, dtype=np.uint8)
+            elif ft == 2:
+                cur = line + prior
+            elif ft in (3, 4):
+                cur = np.zeros(pw, dtype=np.uint8)
+                for i in range(pw):
+                    a = int(cur[i - 1]) if i else 0
+                    if ft == 3:
+                        pred = (a + int(prior[i])) // 2
+                    else:
+                        bb = int(prior[i])
+                        c = int(prior[i - 1]) if i else 0
+                        p = a + bb - c
+                        pa, pb, pc = (abs(p - a), abs(p - bb), abs(p - c))
+                        pred = a if (pa <= pb and pa <= pc) else (
+                            bb if pb <= pc else c)
+                    cur[i] = (int(line[i]) + pred) & 0xFF
+            else:
+                return None
+            img[r] = cur
+            prior = cur
+        return img, need
+
+    def one(b: bytes):
+        try:
+            if b[:8] != b"\x89PNG\r\n\x1a\n":
+                return None
+            pos, idat, meta = 8, b"", None
+            while pos + 8 <= len(b):
+                (ln,) = struct.unpack_from(">I", b, pos)
+                tag = b[pos + 4:pos + 8]
+                data = b[pos + 8:pos + 8 + ln]
+                if tag == b"IHDR":
+                    meta = struct.unpack(">IIBBBBB", data)
+                elif tag == b"IDAT":
+                    idat += data
+                elif tag == b"IEND":
+                    break
+                pos += 12 + ln
+            if meta is None:
+                return None
+            w, h, depth, ctype, comp, filt, interlace = meta
+            if (depth, ctype, comp, filt, interlace) != (8, 0, 0, 0, 1):
+                return None  # this decoder is the interlaced tier only
+            if w <= 0 or h <= 0:
+                return None
+            raw = zlib.decompress(idat)
+            img = np.zeros((h, w), dtype=np.uint8)
+            off = 0
+            for c0, r0, cs, rs in _ADAM7:
+                pw = len(range(c0, w, cs))
+                ph = len(range(r0, h, rs))
+                if pw == 0 or ph == 0:
+                    continue
+                got = unfilter(raw, off, pw, ph)
+                if got is None:
+                    return None
+                sub, used = got
+                img[r0::rs, c0::cs] = sub
+                off += used
+            if off != len(raw):
+                return None
+            return (int(w), int(h), img)
+        except (struct.error, ValueError, zlib.error):
+            return None
+
+    return one
+
+
+def decode_png_adam7(payload_df: DataFrame) -> DataFrame:
+    """Adam7-interlaced grayscale PNG decode, dependency-free. Outputs
+    mean_pixel over the RECONSTRUCTED image plus ``weighted_sum`` =
+    Σ pixel[r,c]·(r·w + c + 1) over NATURAL row-major positions — the
+    order-SENSITIVE statistic: a decoder that inverts every filter
+    correctly but scatters passes wrong keeps the mean and breaks the
+    weighted sum, so the oracle pins the de-interlacing itself."""
+    pixels_of = _png_adam7_pixels_fn()
+
+    def _decode(batches: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes):
+            r = pixels_of(b)
+            if r is None:
+                return None
+            w, h, img = r
+            pos = np.arange(1, w * h + 1, dtype=np.int64)
+            flat = img.reshape(-1).astype(np.int64)
+            return (w, h, w * h,
+                    float(int(flat.sum()) / (w * h)),
+                    int((flat * pos).sum()))
+
+        for pdf in batches:
+            rows = [one(bytes(p)) if p is not None else None
+                    for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [r[0] if r else None for r in rows],
+                "height": [r[1] if r else None for r in rows],
+                "n_pixels": [r[2] if r else None for r in rows],
+                "mean_pixel": [r[3] if r else None for r in rows],
+                "weighted_sum": [r[4] if r else None for r in rows],
+            })
+
+    return payload_df.mapInPandas(
+        _decode,
+        schema=("doc_id long, width long, height long, n_pixels long, "
+                "mean_pixel double, weighted_sum long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GIF with LOCAL color tables + interlaced frames (r8, VERDICT r7 #6 —
+# the two image-descriptor flags the r7 decoder nulled as out-of-subset)
+# ---------------------------------------------------------------------------
+
+# GIF frame interlace passes: (row_start, row_step), GIF89a spec appendix E
+_GIF_ILACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_lct_payloads(documents: DataFrame) -> DataFrame:
+    """Synthesize a 2-frame GIF89a per document where each frame carries
+    its OWN local color table (different palette bytes per frame — a
+    decoder that keeps serving the global table reads wrong colors) and
+    frame 1 is INTERLACED (rows emitted in the 4-pass GIF order — a
+    decoder that skips de-interlacing scrambles row positions). Frame f
+    pixel rule: ``(src[i % len] + 3·f) % 16`` at NATURAL position i, so
+    idx_sum and the order-sensitive weighted_sum stay analytic for the
+    oracle. LZW encoding is `gif_payloads`'s exact width-rule encoder."""
+
+    def _make(batches: Iterator):
+        import struct
+
+        import pandas as pd
+
+        def lzw_encode(idxs: list, min_cs: int = 4) -> bytes:
+            clear, eoi = 1 << min_cs, (1 << min_cs) + 1
+            out = bytearray()
+            acc = 0
+            nbits = 0
+            w = min_cs + 1
+
+            def emit(code: int):
+                nonlocal acc, nbits
+                acc |= code << nbits
+                nbits += w
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+
+            table = {}
+            next_code = eoi + 1
+            emit(clear)
+            cur = idxs[0]
+            for k in idxs[1:]:
+                if (cur, k) in table:
+                    cur = table[(cur, k)]
+                else:
+                    emit(cur)
+                    table[(cur, k)] = next_code
+                    next_code += 1
+                    if next_code > (1 << w) and w < 12:
+                        w += 1
+                    cur = k
+            emit(cur)
+            emit(eoi)
+            if nbits:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        def one(doc_id: int, text: str) -> bytes:
+            wpx = (doc_id % 10) + 4
+            hpx = (doc_id % 7) + 3
+            src = text.encode("utf-8") or b"\x00"
+            # decoy global table: a correct decoder never reads it here
+            gct = bytes(((doc_id + j) % 256) for j in range(16 * 3))
+            out = bytearray(b"GIF89a")
+            out += struct.pack("<HHBBB", wpx, hpx, 0xF3, 0, 0)
+            out += gct
+            for f in range(2):
+                idxs = [(src[i % len(src)] + 3 * f) % 16
+                        for i in range(wpx * hpx)]
+                # graphic control extension: delay (f+1)*5 cs
+                out += (b"\x21\xF9\x04\x00"
+                        + struct.pack("<H", (f + 1) * 5) + b"\x00\x00")
+                interlaced = f == 1
+                iflags = 0x80 | 0x03 | (0x40 if interlaced else 0)
+                out += b"\x2C" + struct.pack(
+                    "<HHHHB", 0, 0, wpx, hpx, iflags)
+                for j in range(16):  # the frame's LOCAL table
+                    out += bytes(((doc_id * 7 + f * 11 + j * 13) % 256,
+                                  (j * 31 + f) % 256,
+                                  (doc_id + j * 5 + f) % 256))
+                if interlaced:
+                    order = [r for r0, rs in _GIF_ILACE
+                             for r in range(r0, hpx, rs)]
+                    emit_idxs = [idxs[r * wpx + c]
+                                 for r in order for c in range(wpx)]
+                else:
+                    emit_idxs = idxs
+                lzw = lzw_encode(emit_idxs)
+                out += bytes((4,))
+                for i in range(0, len(lzw), 255):
+                    part = lzw[i:i + 255]
+                    out += bytes((len(part),)) + part
+                out += b"\x00"
+            out += b"\x3B"
+            return bytes(out)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [one(int(d), t)
+                            for d, t in zip(pdf["doc_id"], pdf["text"])],
+            })
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def decode_gif_lct(payloads: DataFrame) -> DataFrame:
+    """GIF decode handling LOCAL color tables and INTERLACED frames —
+    the two image-descriptor bits `_gif_pixels_fn` documents as
+    out-of-subset nulls (that decoder is untouched; this tier is the
+    gap-closer). Per (doc, frame): the ACTIVE palette's byte sum
+    (local when the 0x80 flag is set, else global — pal_sum moves if a
+    decoder serves the wrong table), idx_sum, and the order-sensitive
+    ``weighted_sum`` = Σ idx[p]·(p+1) over NATURAL positions — after
+    UNDOING the 4-pass interlace row order for 0x40 frames, so a
+    skipped de-interlace breaks the hash while idx_sum alone would
+    not."""
+
+    def frames_of(b: bytes):
+        import struct
+
+        try:
+            if b[:6] not in (b"GIF87a", b"GIF89a"):
+                return []
+            w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+            pos = 13
+            gpal = b""
+            if packed & 0x80:
+                n = 2 << (packed & 0x07)
+                gpal = b[pos:pos + 3 * n]
+                pos += 3 * n
+            frames = []
+            fi = 0
+            while pos < len(b) and b[pos] != 0x3B:
+                if b[pos] == 0x21:          # extension: skip sub-blocks
+                    pos += 2
+                    while b[pos]:
+                        pos += b[pos] + 1
+                    pos += 1
+                    continue
+                if b[pos] != 0x2C:
+                    return []
+                _l, _t, iw, ih, iflags = struct.unpack_from(
+                    "<HHHHB", b, pos + 1)
+                pos += 10
+                pal = gpal
+                n_colors = len(gpal) // 3
+                if iflags & 0x80:           # LOCAL color table
+                    n_colors = 2 << (iflags & 0x07)
+                    pal = b[pos:pos + 3 * n_colors]
+                    pos += 3 * n_colors
+                min_cs = b[pos]
+                pos += 1
+                data = bytearray()
+                while b[pos]:
+                    ln = b[pos]
+                    data += b[pos + 1:pos + 1 + ln]
+                    pos += ln + 1
+                pos += 1
+                out = _lzw_decode(bytes(data), min_cs)
+                if out is None or len(out) != iw * ih or not pal:
+                    return []
+                if iflags & 0x40:           # de-interlace to natural rows
+                    order = [r for r0, rs in _GIF_ILACE
+                             for r in range(r0, ih, rs)]
+                    nat = [0] * (iw * ih)
+                    for k, r in enumerate(order):
+                        nat[r * iw:(r + 1) * iw] = \
+                            out[k * iw:(k + 1) * iw]
+                    out = nat
+                frames.append((
+                    fi, int(iw), int(ih), int(n_colors), int(sum(pal)),
+                    1 if iflags & 0x40 else 0, int(sum(out)),
+                    int(sum(v * (p + 1) for p, v in enumerate(out))),
+                ))
+                fi += 1
+            return frames
+        except Exception:
+            return []
+
+    def _decode(batches: Iterator):
+        import pandas as pd
+
+        cols = ("frame_idx", "width", "height", "n_colors", "pal_sum",
+                "interlaced", "idx_sum", "weighted_sum")
+        for pdf in batches:
+            rows = {c: [] for c in ("doc_id",) + cols}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                for fr in frames_of(bytes(p) if p is not None else b""):
+                    rows["doc_id"].append(int(d))
+                    for c, v in zip(cols, fr):
+                        rows[c].append(v)
+            yield pd.DataFrame(
+                {c: pd.Series(v, dtype="int64")
+                 for c, v in rows.items()})
+
+    return payloads.mapInPandas(
+        _decode,
+        schema=("doc_id long, frame_idx long, width long, height long, "
+                "n_colors long, pal_sum long, interlaced long, "
+                "idx_sum long, weighted_sum long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM WAV (r8, VERDICT r7 #6 — the compressed-audio half a real
+# corpus hits: format tag 0x0011, 4-bit samples, block headers)
+# ---------------------------------------------------------------------------
+
+# IMA/DVI ADPCM tables (IMA Digital Audio Compatibility spec, public)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 158, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+_ADPCM_BLOCK_ALIGN = 36          # 4-byte header + 32 data bytes
+_ADPCM_SPB = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1   # 65 samples/block
+
+
+def _ima_step(pred: int, idx: int, nib: int):
+    """One IMA ADPCM reconstruction step (shared by encode + decode —
+    the encoder tracks the decoder's state, which is what makes the
+    codec converge). Returns (new_pred, new_idx)."""
+    step = _IMA_STEPS[idx]
+    diffq = step >> 3
+    if nib & 4:
+        diffq += step
+    if nib & 2:
+        diffq += step >> 1
+    if nib & 1:
+        diffq += step >> 2
+    pred = pred - diffq if nib & 8 else pred + diffq
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+    return pred, idx
+
+
+def _ima_encode_nibble(sample: int, pred: int, idx: int) -> int:
+    step = _IMA_STEPS[idx]
+    diff = sample - pred
+    nib = 0
+    if diff < 0:
+        nib = 8
+        diff = -diff
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    return nib
+
+
+def wav_adpcm_payloads(documents: DataFrame,
+                       sample_rate: int = 8000) -> DataFrame:
+    """Synthesize a VALID IMA ADPCM WAV per document (format tag
+    0x0011, mono, 4-bit, 36-byte blocks → 65 samples/block, extended
+    fmt with wSamplesPerBlock, fact chunk carrying the true sample
+    count): int16 source samples derive from the text
+    (``(src[i % len] − 128)·250``), each block stores its first sample
+    verbatim in the header and nibble-codes the rest against the
+    decoder's own reconstruction state. The final partial block pads
+    with repeats of the last sample; fact.n trims them on decode."""
+
+    def _make(batches: Iterator):
+        import struct
+
+        import pandas as pd
+
+        def one(doc_id: int, text: str) -> bytes:
+            src = text.encode("utf-8") or b"\x80"
+            n = (doc_id % 48) + 24
+            samples = [(src[i % len(src)] - 128) * 250 for i in range(n)]
+            idx = doc_id % 89
+            data = bytearray()
+            pos = 0
+            while pos < n:
+                block = samples[pos:pos + _ADPCM_SPB]
+                if len(block) < _ADPCM_SPB:   # pad the tail block
+                    block = block + [block[-1]] * (_ADPCM_SPB - len(block))
+                pred = block[0]
+                data += struct.pack("<hBB", pred, idx, 0)
+                nibs = []
+                for s in block[1:]:
+                    nib = _ima_encode_nibble(s, pred, idx)
+                    pred, idx = _ima_step(pred, idx, nib)
+                    nibs.append(nib)
+                for i in range(0, len(nibs), 2):
+                    data.append(nibs[i] | (nibs[i + 1] << 4))
+                pos += _ADPCM_SPB
+            byte_rate = (sample_rate * _ADPCM_BLOCK_ALIGN
+                         + _ADPCM_SPB - 1) // _ADPCM_SPB
+            fmt = struct.pack("<HHIIHHHH", 0x0011, 1, sample_rate,
+                              byte_rate, _ADPCM_BLOCK_ALIGN, 4, 2,
+                              _ADPCM_SPB)
+            fact = struct.pack("<I", n)
+            body = (b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"fact" + struct.pack("<I", len(fact)) + fact
+                    + b"data" + struct.pack("<I", len(data)) + bytes(data))
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [one(int(d), t)
+                            for d, t in zip(pdf["doc_id"], pdf["text"])],
+            })
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def decode_wav_adpcm(payload_df: DataFrame) -> DataFrame:
+    """IMA ADPCM WAV decode, dependency-free: RIFF walk, extended-fmt
+    parse (tag 0x0011, mono, 4-bit), per-block header predictor +
+    nibble stream through the shared `_ima_step` reconstruction, fact
+    trim. Rows-only tier (a stateful lossy codec has no SQL oracle):
+    bit-level goldens live in tests/test_multimodal_roundtrip.py, and
+    ``sample_sum``/``weighted_sum`` are exact BIGINTs over the decoded
+    int16 stream so any nibble/state drift is a visible integer delta,
+    never a float blur. PCM (tag 1) payloads null here — `decode_wav`
+    owns that subset and is untouched."""
+
+    def one(b: bytes):
+        import struct
+
+        try:
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            pos = 12
+            fmt = fact_n = None
+            data = None
+            while pos + 8 <= len(b):
+                tag = b[pos:pos + 4]
+                (ln,) = struct.unpack_from("<I", b, pos + 4)
+                body = b[pos + 8:pos + 8 + ln]
+                if tag == b"fmt ":
+                    fmt = body
+                elif tag == b"fact" and ln >= 4:
+                    (fact_n,) = struct.unpack_from("<I", body, 0)
+                elif tag == b"data":
+                    data = body
+                pos += 8 + ln + (ln & 1)
+            if fmt is None or data is None or len(fmt) < 20:
+                return None
+            (atag, nch, rate, _br, balign, bits, _cb,
+             spb) = struct.unpack_from("<HHIIHHHH", fmt, 0)
+            if (atag, nch, bits) != (0x0011, 1, 4):
+                return None   # outside this tier's honest subset
+            out = []
+            for off in range(0, len(data) - (balign - 1), balign):
+                pred, idx, _r = struct.unpack_from("<hBB", data, off)
+                if idx > 88:
+                    return None
+                out.append(pred)
+                for byte in data[off + 4:off + balign]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        pred, idx = _ima_step(pred, idx, nib)
+                        out.append(pred)
+            if fact_n is not None:
+                if fact_n > len(out):
+                    return None
+                out = out[:fact_n]
+            return (int(rate), len(out), int(sum(out)),
+                    int(sum(v * (p + 1) for p, v in enumerate(out))))
+        except (struct.error, ValueError, IndexError):
+            return None
+
+    def _decode(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [one(bytes(p)) if p is not None else None
+                    for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sample_rate": [r[0] if r else None for r in rows],
+                "n_samples": [r[1] if r else None for r in rows],
+                "sample_sum": [r[2] if r else None for r in rows],
+                "weighted_sum": [r[3] if r else None for r in rows],
+            })
+
+    return payload_df.mapInPandas(
+        _decode,
+        schema=("doc_id long, sample_rate long, n_samples long, "
+                "sample_sum long, weighted_sum long"),
+    )

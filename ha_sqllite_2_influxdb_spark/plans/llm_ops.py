@@ -924,6 +924,39 @@ def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "n_pixels", "mean_y", "mean_cb", "mean_cr")
 
 
+def q_multimodal_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adam7-INTERLACED grayscale PNG tier (r8, VERDICT r7 #6): the
+    seven-pass de-interlacing scatter on top of the full inverse-filter
+    set. Oracle-exact INCLUDING the order-sensitive weighted_sum
+    (Σ pixel·position over natural row-major order) — a decoder that
+    unfilters correctly but scatters passes wrong keeps mean_pixel and
+    breaks the hash. Non-interlaced decoder bit-unchanged."""
+    return multimodal.decode_png_adam7(
+        multimodal.png_adam7_payloads(_docs(spark, sf_dir)))
+
+
+def q_multimodal_gif_lct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF local-color-table + interlaced-frame tier (r8, VERDICT r7
+    #6): frame 0 carries its own LCT (pal_sum moves if a decoder serves
+    the global table), frame 1 is additionally INTERLACED (weighted_sum
+    over de-interlaced natural positions breaks if the 4-pass row order
+    is not undone — idx_sum alone would not). Single-frame decoder
+    bit-unchanged; this tier closes its two documented
+    out-of-subset flags."""
+    return multimodal.decode_gif_lct(
+        multimodal.gif_lct_payloads(_docs(spark, sf_dir)))
+
+
+def q_multimodal_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA ADPCM WAV tier (r8, VERDICT r7 #6): format tag 0x0011,
+    4-bit nibbles, per-block predictor headers, fact-chunk trim.
+    Rows-only (a stateful lossy codec has no SQL oracle) with exact
+    BIGINT sample_sum/weighted_sum outputs; bit-pinned goldens and
+    encoder/decoder state-convergence tests in pytest."""
+    return multimodal.decode_wav_adpcm(
+        multimodal.wav_adpcm_payloads(_docs(spark, sf_dir)))
+
+
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-codec path (VERDICT r5 #6): synthesize valid baseline
     grayscale JPEGs, then marker-walk + Huffman-decode + dequantize +
@@ -1071,6 +1104,9 @@ QUERIES = {
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_gif": q_multimodal_gif,
     "multimodal_gif_anim": q_multimodal_gif_anim,
+    "multimodal_png_adam7": q_multimodal_png_adam7,
+    "multimodal_gif_lct": q_multimodal_gif_lct,
+    "multimodal_wav_adpcm": q_multimodal_wav_adpcm,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_thumbnail": q_multimodal_thumbnail,
 }
@@ -2231,6 +2267,72 @@ SELECT d.doc_id, CAST(p.f AS BIGINT) AS frame_idx,
   CAST(d.w * d.h AS BIGINT) AS n_pixels,
   p.idx_sum
 FROM dims d JOIN px p USING (doc_id)
+""",
+    # Adam7 tier: mean AND the order-sensitive weighted sum recomputed
+    # analytically over NATURAL row-major positions — values the Spark
+    # side only reaches through the 7-pass de-interlacing scatter
+    "multimodal_png_adam7": """
+WITH dims AS (
+  SELECT doc_id, text,
+    (doc_id % 16) + 4 AS w, (doc_id % 8) + 2 AS h,
+    length(text) AS tl
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+    CAST(sum(ascii(substr(text, CAST((i % tl) + 1 AS INT), 1)))
+         AS BIGINT) AS s,
+    CAST(sum(ascii(substr(text, CAST((i % tl) + 1 AS INT), 1))
+             * (i + 1)) AS BIGINT) AS ws
+  FROM dims, unnest(generate_series(0, w * h - 1)) AS t(i)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+  CAST(d.h AS BIGINT) AS height,
+  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+  CAST(px.s AS DOUBLE) / (d.w * d.h) AS mean_pixel,
+  px.ws AS weighted_sum
+FROM dims d JOIN px USING (doc_id)
+""",
+    # LCT tier: pal_sum from the per-frame LOCAL palette formula (moves
+    # if a decoder serves the global table) + weighted_sum over natural
+    # positions (breaks if frame 1's interlace row order is not undone)
+    "multimodal_gif_lct": """
+WITH dims AS (
+  SELECT doc_id, text,
+    (doc_id % 10) + 4 AS w, (doc_id % 7) + 3 AS h,
+    length(text) AS tl
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, text, w, h, tl, f
+  FROM dims, unnest(generate_series(0, 1)) AS t(f)
+),
+px AS (
+  SELECT doc_id, f,
+    CAST(sum((ascii(substr(text, CAST((i % tl) + 1 AS INT), 1))
+              + 3 * f) % 16) AS BIGINT) AS idx_sum,
+    CAST(sum(((ascii(substr(text, CAST((i % tl) + 1 AS INT), 1))
+               + 3 * f) % 16) * (i + 1)) AS BIGINT) AS weighted_sum
+  FROM fr, unnest(generate_series(0, w * h - 1)) AS t(i)
+  GROUP BY doc_id, f
+),
+pal AS (
+  SELECT doc_id, f,
+    CAST(sum((doc_id * 7 + f * 11 + j * 13) % 256
+             + (j * 31 + f) % 256
+             + (doc_id + j * 5 + f) % 256) AS BIGINT) AS pal_sum
+  FROM fr, unnest(generate_series(0, 15)) AS t(j)
+  GROUP BY doc_id, f
+)
+SELECT d.doc_id, CAST(p.f AS BIGINT) AS frame_idx,
+  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+  CAST(16 AS BIGINT) AS n_colors, pal.pal_sum,
+  CAST(p.f AS BIGINT) AS interlaced,
+  p.idx_sum, p.weighted_sum
+FROM dims d
+JOIN px p USING (doc_id)
+JOIN pal ON pal.doc_id = d.doc_id AND pal.f = p.f
 """,
     "multimodal_frames": """
 WITH p AS (

@@ -180,3 +180,133 @@ def test_gif_anim_frames_contract(spark, sf_dir):
     tdf = spark.createDataFrame([(0, bytearray(trunc))],
                                 "doc_id long, payload binary")
     assert multimodal.decode_gif_frames(tdf).count() == 0
+
+
+def test_png_adam7_roundtrip_vs_numpy_and_fencing(spark):
+    """r8 codec tier: Adam7 pass scatter reconstructs the EXACT source
+    grid (weighted_sum is order-sensitive — pass-scatter bugs keep the
+    mean but break it), and the interlaced/non-interlaced decoders
+    null each other's payloads (documented subsets, both directions)."""
+    import numpy as np
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    texts = {i: f"adam seven golden {i} pass scatter" for i in range(1, 25)}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    rows = mm.decode_png_adam7(mm.png_adam7_payloads(docs)).collect()
+    assert len(rows) == 24
+    for r in rows:
+        w, h = (r.doc_id % 16) + 4, (r.doc_id % 8) + 2
+        src = texts[r.doc_id].encode()
+        img = np.array([[src[(rr * w + c) % len(src)] for c in range(w)]
+                        for rr in range(h)], dtype=np.int64)
+        flat = img.reshape(-1)
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert r.mean_pixel == flat.sum() / (w * h)
+        assert r.weighted_sum == int(
+            (flat * np.arange(1, w * h + 1)).sum())
+    # subset fences: each decoder nulls the other's interlace mode
+    assert all(x.width is None for x in
+               mm.decode_png(mm.png_adam7_payloads(docs)).collect())
+    assert all(x.width is None for x in
+               mm.decode_png_adam7(mm.png_payloads(docs)).collect())
+
+
+def test_gif_lct_palette_and_deinterlace(spark):
+    """r8 codec tier: the ACTIVE palette is the frame's LOCAL table
+    (pal_sum differs from the decoy global table's sum) and frame 1's
+    4-pass interlace is UNDONE (weighted_sum equals the natural-order
+    value AND provably differs from the scrambled one, so the test
+    cannot pass vacuously)."""
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+    from ha_sqllite_2_influxdb_spark.operators.multimodal import (
+        _GIF_ILACE,
+    )
+
+    texts = {i: f"gif lct golden doc {i} payload" for i in range(1, 25)}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = {(r.doc_id, r.frame_idx): r for r in
+           mm.decode_gif_lct(mm.gif_lct_payloads(docs)).collect()}
+    assert len(got) == 48
+    for (did, f), r in got.items():
+        w, h = (did % 10) + 4, (did % 7) + 3
+        src = texts[did].encode()
+        idxs = [(src[i % len(src)] + 3 * f) % 16 for i in range(w * h)]
+        exp_pal = sum(((did * 7 + f * 11 + j * 13) % 256)
+                      + ((j * 31 + f) % 256)
+                      + ((did + j * 5 + f) % 256) for j in range(16))
+        decoy = sum((did + j) % 256 for j in range(48))
+        nat_ws = sum(v * (p + 1) for p, v in enumerate(idxs))
+        assert (r.width, r.height, r.n_colors) == (w, h, 16)
+        assert r.pal_sum == exp_pal
+        assert r.interlaced == (1 if f else 0)
+        assert r.idx_sum == sum(idxs)
+        assert r.weighted_sum == nat_ws
+        if f == 1:
+            assert r.pal_sum != decoy, "LCT test is vacuous for this doc"
+            order = [rr for r0, rs in _GIF_ILACE
+                     for rr in range(r0, h, rs)]
+            scrambled = [idxs[rr * w + c] for rr in order
+                         for c in range(w)]
+            bad_ws = sum(v * (p + 1) for p, v in enumerate(scrambled))
+            assert bad_ws != nat_ws, (
+                "interlace scramble is a no-op for this doc — the "
+                "de-interlace assertion proves nothing")
+    # the r7 single-frame decoder nulls LCT/interlaced payloads (its
+    # documented out-of-subset contract, unchanged)
+    assert all(x.width is None for x in
+               mm.decode_gif(mm.gif_lct_payloads(docs)).collect())
+
+
+def test_wav_adpcm_hand_pinned_golden_and_roundtrip(spark):
+    """r8 codec tier, bit-pinned: a hand-derived IMA ADPCM block (every
+    reconstruction step worked out on paper from the public spec —
+    pred=100, idx=10, nibbles 5,9,15,0,12,2,7,8 → samples 100,125,115,
+    69,75,19,56,157,143) must decode to EXACTLY those samples via the
+    fact-chunk trim; then the synthesized corpus round-trips with
+    bounded per-sample error and exact structural fields."""
+    import struct
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    # --- hand-pinned block ---
+    nibs = [5, 9, 15, 0, 12, 2, 7, 8]
+    data = struct.pack("<hBB", 100, 10, 0)
+    packed = bytearray()
+    for i in range(0, len(nibs), 2):
+        packed.append(nibs[i] | (nibs[i + 1] << 4))
+    data += bytes(packed) + bytes(32 - len(packed))   # zero-pad block
+    fmt = struct.pack("<HHIIHHHH", 0x0011, 1, 8000, 4096, 36, 4, 2, 65)
+    fact = struct.pack("<I", 9)                       # trim to 9 samples
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    row = mm.decode_wav_adpcm(df).collect()[0]
+    golden = [100, 125, 115, 69, 75, 19, 56, 157, 143]
+    assert row.n_samples == 9
+    assert row.sample_sum == sum(golden) == 859
+    assert row.weighted_sum == sum(
+        v * (p + 1) for p, v in enumerate(golden)) == 4395
+
+    # --- synthesized corpus roundtrip ---
+    texts = {i: f"adpcm corpus doc {i} tone" for i in range(1, 30)}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    rows = mm.decode_wav_adpcm(mm.wav_adpcm_payloads(docs)).collect()
+    for r in rows:
+        n = (r.doc_id % 48) + 24
+        src = texts[r.doc_id].encode()
+        orig = [(src[i % len(src)] - 128) * 250 for i in range(n)]
+        assert (r.sample_rate, r.n_samples) == (8000, n)
+        # lossy but convergent: mean absolute drift bounded well below
+        # one quantizer step at these amplitudes
+        assert abs(r.sample_sum - sum(orig)) / n < 2000, r.doc_id
+    # PCM decoder fences ADPCM payloads and vice versa
+    assert all(x.sample_rate is None for x in
+               mm.decode_wav(mm.wav_adpcm_payloads(docs)).collect())
+    assert all(x.sample_rate is None for x in
+               mm.decode_wav_adpcm(mm.wav_payloads(docs)).collect())

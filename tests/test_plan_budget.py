@@ -51,15 +51,38 @@ BUDGET = {
     "dsir_resample": 0,
 }
 
+# r8: the bench candidates block gets the same structural gate (the
+# sharded index is ONE keyed shuffle; attribution is user-window +
+# rollup; SLO is hour-agg + the bounded-relation window's single
+# exchange)
+CANDIDATE_BUDGET = {
+    "inverted_index_sharded": 1,
+    "touch_attribution": 2,
+    "slo_burn_rate": 2,
+}
+
+
+def _over_budget(queries, budgets, spark, sf_dir):
+    over = {}
+    for name, fn in queries.items():
+        plan = (fn(spark, sf_dir)._jdf.queryExecution()
+                .executedPlan().toString())
+        n = len(_SHUFFLE.findall(plan))
+        if n > budgets[name]:
+            over[name] = (n, budgets[name])
+    return over
+
 
 def test_headline_shuffle_budgets(spark, sf_dir):
     assert set(BUDGET) == set(bench.HEADLINE), (
         "bench.HEADLINE changed — re-measure and update BUDGET")
-    over = {}
-    for name, fn in bench.HEADLINE.items():
-        plan = (fn(spark, sf_dir)._jdf.queryExecution()
-                .executedPlan().toString())
-        n = len(_SHUFFLE.findall(plan))
-        if n > BUDGET[name]:
-            over[name] = (n, BUDGET[name])
+    over = _over_budget(bench.HEADLINE, BUDGET, spark, sf_dir)
+    assert not over, f"shuffle budget exceeded: {over}"
+
+
+def test_candidate_shuffle_budgets(spark, sf_dir):
+    assert set(CANDIDATE_BUDGET) == set(bench.CANDIDATES), (
+        "bench.CANDIDATES changed — re-measure and update "
+        "CANDIDATE_BUDGET")
+    over = _over_budget(bench.CANDIDATES, CANDIDATE_BUDGET, spark, sf_dir)
     assert not over, f"shuffle budget exceeded: {over}"
