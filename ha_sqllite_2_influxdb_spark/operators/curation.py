@@ -441,7 +441,9 @@ def bloom_probe(train: DataFrame, words: list[int],
     """The probe half of `bloom_decontaminate`, given already-built
     filter words — so streaming ingest gates build the filter ONCE and
     apply the same stateless map to every micro-batch."""
-    arr = F.lit(words)
+    from ..functions.litarray import lit_long_array
+
+    arr = lit_long_array(words)
 
     def _hits(s: Column) -> Column:
         cond = None

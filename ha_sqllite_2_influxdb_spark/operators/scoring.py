@@ -240,7 +240,12 @@ def dsir_apply(docs: DataFrame, lr: list[int],
     table — the apply half of the two-pass split, so pipelines can fit
     on the raw corpus and score a cleaned subset without re-evaluating
     the cleaning chain for the fit."""
-    arr = F.lit(lr)
+    # one SQL parse instead of 4096 py4j Literal calls — the plan-build
+    # cost was 2.3 s/invocation vs 0.15 s of execution (functions/
+    # litarray.py); the expression tree Catalyst sees is identical
+    from ..functions.litarray import lit_long_array
+
+    arr = lit_long_array(lr)
     per = F.transform(
         F.col("_b"),
         lambda b: F.element_at(arr, (b + 1).cast("int")),

@@ -432,9 +432,11 @@ def lsh_bucket(vec_col: str, n_planes: int = N_PLANES,
     Plane vectors are literal arrays (constant-folded by Catalyst); each
     projection is a zip_with fold, keeping codegen loop-shaped.
     """
+    from ..functions.litarray import lit_double_array
+
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(x) for x in _plane(plane_offset + p)])
+        plane = lit_double_array(_plane(plane_offset + p))
         prods = F.zip_with(
             F.col(vec_col), plane, lambda x, y: x.cast("double") * y
         )
