@@ -518,3 +518,41 @@ def test_dsir_weight_is_partitioning_invariant(spark, sf_dir):
     many = dsir_score(docs.repartition(13), F.col("lang") == "en")
     assert ({(r.doc_id, r.weight_micro) for r in one.collect()}
             == {(r.doc_id, r.weight_micro) for r in many.collect()})
+
+
+def test_litarray_exact_roundtrip(spark):
+    """functions/litarray.py: the one-parse SQL literal must be value-
+    identical to the per-element F.lit form — longs exactly, doubles
+    via repr round-trip (shortest string that reparses to the same
+    IEEE double), empties typed correctly."""
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.functions.litarray import (
+        lit_double_array,
+        lit_long_array,
+    )
+
+    longs = [0, 1, -1, 2**62, -(2**62), 4096, -123456789]
+    # -0.0 deliberately absent: Spark's SQL literal path normalizes it
+    # to +0.0 (numerically equal; no ratio table / hyperplane / filter
+    # word ever depends on the sign of zero)
+    dbls = [0.0, 1e-300, -1.7976931348623157e308, 0.1,
+            1 / 3, -2.5, 123456.789]
+    df = spark.range(1)
+    row = df.select(
+        lit_long_array(longs).alias("l"),
+        lit_double_array(dbls).alias("d"),
+        F.lit(longs).alias("l0"),
+        F.lit(dbls).alias("d0"),
+        lit_long_array([]).alias("le"),
+        lit_double_array([]).alias("de"),
+    ).collect()[0]
+    assert row.l == row.l0 == longs
+    assert row.d == row.d0
+    assert [repr(x) for x in row.d] == [repr(float(x)) for x in dbls]
+    assert row.le == [] and row.de == []
+    sch = {f.name: f.dataType.simpleString()
+           for f in df.select(
+               lit_long_array([]).alias("le"),
+               lit_double_array([]).alias("de")).schema.fields}
+    assert sch == {"le": "array<bigint>", "de": "array<double>"}
