@@ -131,9 +131,8 @@ def main() -> None:
            .write.format("noop").mode("overwrite").save())
 
     steady_runs = 3
-    timings: dict[str, float] = {}
-    timings_cold: dict[str, float] = {}
-    for name, fn in HEADLINE.items():
+
+    def measure(fn) -> tuple[float, float]:
         # cold = first materialization (pays one-off whole-stage-codegen
         # compilation + AQE re-planning for THIS query shape, ~2s on
         # sub-second queries); steady-state = min over repeated warm runs
@@ -142,26 +141,27 @@ def main() -> None:
         # ramp — see the warm-up note above), the sustained per-query
         # throughput a long-running cluster actually delivers. BOTH are
         # reported so rounds stay comparable (BENCH_r01 was cold-only,
-        # BENCH_r02 steady-only, r4 min-of-2, r5+ min-of-3).
+        # BENCH_r02 steady-only, r4 min-of-2, r5+ min-of-3). The ONE
+        # protocol applies to headliners and candidates alike — that
+        # identity is what lets a candidate graduate comparably.
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings_cold[name] = round(time.time() - t0, 3)
+        cold = round(time.time() - t0, 3)
         best = float("inf")
         for _ in range(steady_runs):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        return round(best, 3), cold
+
+    timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
+    for name, fn in HEADLINE.items():
+        timings[name], timings_cold[name] = measure(fn)
 
     cand: dict[str, float] = {}
     for name, fn in CANDIDATES.items():
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(steady_runs):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        cand[name] = round(best, 3)
+        cand[name], _cold = measure(fn)
 
     total = round(sum(timings.values()), 3)
     # host-load context: same-host interference measured up to 5× on

@@ -24,8 +24,20 @@ def lit_long_array(values: list[int]) -> Column:
 
 def lit_double_array(values: list[float]) -> Column:
     """One DOUBLE array literal via a single SQL parse. ``repr`` keeps
-    full float precision (round-trip exact)."""
+    full float precision (round-trip exact); non-finite values render
+    as the quoted 'Infinity'/'NaN' cast forms — bare ``inf``/``nan``
+    tokens would parse as column references and fail analysis."""
+    import math
+
+    def tok(v: float) -> str:
+        v = float(v)
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return ("CAST('Infinity' AS DOUBLE)" if v > 0
+                    else "CAST('-Infinity' AS DOUBLE)")
+        return f"CAST({v!r} AS DOUBLE)"
+
     if not values:
         return F.expr("CAST(array() AS array<double>)")
-    return F.expr(
-        "array(" + ",".join(f"CAST({v!r} AS DOUBLE)" for v in values) + ")")
+    return F.expr("array(" + ",".join(tok(v) for v in values) + ")")

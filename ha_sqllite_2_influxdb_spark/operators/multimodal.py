@@ -294,6 +294,17 @@ PNG_DECODE_SCHEMA = T.StructType([
 ])
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    """One CRC-correct PNG chunk — the single shared framing helper for
+    every PNG payload synthesizer (gray / RGB / Adam7), so a framing
+    fix can never desynchronize the tiers."""
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
+
+
 def png_payloads(documents: DataFrame) -> DataFrame:
     """Synthesize a VALID compressed PNG per document (8-bit grayscale,
     dimensions from doc_id, pixels cycling the UTF-8 text): signature,
@@ -307,10 +318,6 @@ def png_payloads(documents: DataFrame) -> DataFrame:
         import zlib
 
         import pandas as pd
-
-        def chunk(tag: bytes, data: bytes) -> bytes:
-            return (struct.pack(">I", len(data)) + tag + data
-                    + struct.pack(">I", zlib.crc32(tag + data)))
 
         def one(doc_id: int, text: str) -> bytes:
             w = (doc_id % 16) + 4
@@ -352,9 +359,9 @@ def png_payloads(documents: DataFrame) -> DataFrame:
                     stream += out
                 prior = row
             ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-                    + chunk(b"IDAT", zlib.compress(bytes(stream)))
-                    + chunk(b"IEND", b""))
+            return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+                    + _png_chunk(b"IEND", b""))
 
         for pdf in batches:
             yield pd.DataFrame({
@@ -511,10 +518,6 @@ def png_rgb_payloads(documents: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        def chunk(tag: bytes, data: bytes) -> bytes:
-            return (struct.pack(">I", len(data)) + tag + data
-                    + struct.pack(">I", zlib.crc32(tag + data)))
-
         def one(doc_id: int, text: str) -> bytes:
             w = (doc_id % 12) + 3
             h = (doc_id % 6) + 2
@@ -557,9 +560,9 @@ def png_rgb_payloads(documents: DataFrame) -> DataFrame:
                     stream += out
                 prior = row
             ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-                    + chunk(b"IDAT", zlib.compress(bytes(stream)))
-                    + chunk(b"IEND", b""))
+            return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+                    + _png_chunk(b"IEND", b""))
 
         for pdf in batches:
             yield pd.DataFrame({
@@ -1802,42 +1805,6 @@ def gif_payloads(documents: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        def lzw_encode(idxs: list, min_cs: int = 4) -> bytes:
-            clear, eoi = 1 << min_cs, (1 << min_cs) + 1
-            out = bytearray()
-            acc = 0
-            nbits = 0
-            w = min_cs + 1
-
-            def emit(code: int):
-                nonlocal acc, nbits
-                acc |= code << nbits
-                nbits += w
-                while nbits >= 8:
-                    out.append(acc & 0xFF)
-                    acc >>= 8
-                    nbits -= 8
-
-            table = {}
-            next_code = eoi + 1
-            emit(clear)
-            cur = idxs[0]
-            for k in idxs[1:]:
-                if (cur, k) in table:
-                    cur = table[(cur, k)]
-                else:
-                    emit(cur)
-                    table[(cur, k)] = next_code
-                    next_code += 1
-                    if next_code > (1 << w) and w < 12:
-                        w += 1
-                    cur = k
-            emit(cur)
-            emit(eoi)
-            if nbits:
-                out.append(acc & 0xFF)
-            return bytes(out)
-
         def one(doc_id: int, text: str) -> bytes:
             wpx = (doc_id % 12) + 4
             hpx = (doc_id % 6) + 2
@@ -1847,17 +1814,12 @@ def gif_payloads(documents: DataFrame) -> DataFrame:
             for j in range(16):
                 gct += bytes(((doc_id * 7 + j * 13) % 256,
                               (j * 31) % 256, (doc_id + j * 5) % 256))
-            lzw = lzw_encode(idxs)
-            blocks = bytearray()
-            for i in range(0, len(lzw), 255):
-                part = lzw[i:i + 255]
-                blocks += bytes((len(part),)) + part
-            blocks += b"\x00"
             return (b"GIF89a"
                     + struct.pack("<HHBBB", wpx, hpx, 0xF3, 0, 0)
                     + bytes(gct)
                     + b"\x2C" + struct.pack("<HHHHB", 0, 0, wpx, hpx, 0)
-                    + bytes((4,)) + bytes(blocks) + b"\x3B")
+                    + bytes((4,)) + _gif_subblocks(_lzw_encode(idxs))
+                    + b"\x3B")
 
         for pdf in batches:
             yield pd.DataFrame({
@@ -1869,6 +1831,61 @@ def gif_payloads(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "text").mapInPandas(
         _make, schema="doc_id long, payload binary"
     )
+
+
+def _lzw_encode(idxs: list, min_cs: int = 4) -> bytes:
+    """GIF variable-width LZW encode (the single shared encoder for all
+    GIF payload synthesizers — single-frame, animated, LCT/interlaced).
+    Width rule: after assigning a new dictionary code ``e``, the code
+    width grows when ``e + 1 > 2^w``, so every emitted code (including
+    the decoder's one-behind special case) fits the current width;
+    `_lzw_decode`'s ``next_code + 1 > 2^w`` bump is the lag-compensated
+    mirror of this rule."""
+    clear, eoi = 1 << min_cs, (1 << min_cs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    w = min_cs + 1
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {}
+    next_code = eoi + 1
+    emit(clear)
+    cur = idxs[0]
+    for k in idxs[1:]:
+        if (cur, k) in table:
+            cur = table[(cur, k)]
+        else:
+            emit(cur)
+            table[(cur, k)] = next_code
+            next_code += 1
+            if next_code > (1 << w) and w < 12:
+                w += 1
+            cur = k
+    emit(cur)
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_subblocks(lzw: bytes) -> bytes:
+    """Frame an LZW code stream into <=255-byte GIF sub-blocks plus the
+    zero terminator (shared by all three GIF synthesizers)."""
+    out = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i:i + 255]
+        out += bytes((len(part),)) + part
+    out += b"\x00"
+    return bytes(out)
 
 
 def _lzw_decode(data: bytes, min_cs: int):
@@ -2009,42 +2026,6 @@ def gif_anim_payloads(documents: DataFrame,
 
         import pandas as pd
 
-        def lzw_encode(idxs: list, min_cs: int = 4) -> bytes:
-            clear, eoi = 1 << min_cs, (1 << min_cs) + 1
-            out = bytearray()
-            acc = 0
-            nbits = 0
-            w = min_cs + 1
-
-            def emit(code: int):
-                nonlocal acc, nbits
-                acc |= code << nbits
-                nbits += w
-                while nbits >= 8:
-                    out.append(acc & 0xFF)
-                    acc >>= 8
-                    nbits -= 8
-
-            table = {}
-            next_code = eoi + 1
-            emit(clear)
-            cur = idxs[0]
-            for k in idxs[1:]:
-                if (cur, k) in table:
-                    cur = table[(cur, k)]
-                else:
-                    emit(cur)
-                    table[(cur, k)] = next_code
-                    next_code += 1
-                    if next_code > (1 << w) and w < 12:
-                        w += 1
-                    cur = k
-            emit(cur)
-            emit(eoi)
-            if nbits:
-                out.append(acc & 0xFF)
-            return bytes(out)
-
         def one(doc_id: int, text: str) -> bytes:
             wpx = (doc_id % 12) + 4
             hpx = (doc_id % 6) + 2
@@ -2064,12 +2045,7 @@ def gif_anim_payloads(documents: DataFrame,
                                               wpx, hpx, 0)
                 idxs = [src[(i + 7 * f) % len(src)] % 16
                         for i in range(wpx * hpx)]
-                lzw = lzw_encode(idxs)
-                body += bytes((4,))
-                for i in range(0, len(lzw), 255):
-                    part = lzw[i:i + 255]
-                    body += bytes((len(part),)) + part
-                body += b"\x00"
+                body += bytes((4,)) + _gif_subblocks(_lzw_encode(idxs))
             return (b"GIF89a"
                     + struct.pack("<HHBBB", wpx, hpx, 0xF3, 0, 0)
                     + bytes(gct) + bytes(body) + b"\x3B")
@@ -2205,10 +2181,6 @@ def png_adam7_payloads(documents: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        def chunk(tag: bytes, data: bytes) -> bytes:
-            return (struct.pack(">I", len(data)) + tag + data
-                    + struct.pack(">I", zlib.crc32(tag + data)))
-
         def filt_rows(rows, width):
             """Filter a pass's scanlines, cycling filter types on the
             shared counter; returns (bytes, next_counter)."""
@@ -2262,9 +2234,9 @@ def png_adam7_payloads(documents: DataFrame) -> DataFrame:
                 pass_rows = [bytes(img[r][c] for c in cols) for r in rows]
                 stream += filt_rows(pass_rows, len(cols))
             ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
-            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-                    + chunk(b"IDAT", zlib.compress(bytes(stream)))
-                    + chunk(b"IEND", b""))
+            return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+                    + _png_chunk(b"IEND", b""))
 
         for pdf in batches:
             yield pd.DataFrame({
@@ -2442,42 +2414,6 @@ def gif_lct_payloads(documents: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        def lzw_encode(idxs: list, min_cs: int = 4) -> bytes:
-            clear, eoi = 1 << min_cs, (1 << min_cs) + 1
-            out = bytearray()
-            acc = 0
-            nbits = 0
-            w = min_cs + 1
-
-            def emit(code: int):
-                nonlocal acc, nbits
-                acc |= code << nbits
-                nbits += w
-                while nbits >= 8:
-                    out.append(acc & 0xFF)
-                    acc >>= 8
-                    nbits -= 8
-
-            table = {}
-            next_code = eoi + 1
-            emit(clear)
-            cur = idxs[0]
-            for k in idxs[1:]:
-                if (cur, k) in table:
-                    cur = table[(cur, k)]
-                else:
-                    emit(cur)
-                    table[(cur, k)] = next_code
-                    next_code += 1
-                    if next_code > (1 << w) and w < 12:
-                        w += 1
-                    cur = k
-            emit(cur)
-            emit(eoi)
-            if nbits:
-                out.append(acc & 0xFF)
-            return bytes(out)
-
         def one(doc_id: int, text: str) -> bytes:
             wpx = (doc_id % 10) + 4
             hpx = (doc_id % 7) + 3
@@ -2508,12 +2444,7 @@ def gif_lct_payloads(documents: DataFrame) -> DataFrame:
                                  for r in order for c in range(wpx)]
                 else:
                     emit_idxs = idxs
-                lzw = lzw_encode(emit_idxs)
-                out += bytes((4,))
-                for i in range(0, len(lzw), 255):
-                    part = lzw[i:i + 255]
-                    out += bytes((len(part),)) + part
-                out += b"\x00"
+                out += bytes((4,)) + _gif_subblocks(_lzw_encode(emit_idxs))
             out += b"\x3B"
             return bytes(out)
 

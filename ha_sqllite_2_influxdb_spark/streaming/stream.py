@@ -344,6 +344,7 @@ def staged_fixture_dir(base_dir: str, stage_writers) -> str:
     therefore either is complete or does not exist; a lost rename race
     means a concurrent session finished the identical build first.
     """
+    import errno
     import os
     import shutil
     import uuid
@@ -356,22 +357,34 @@ def staged_fixture_dir(base_dir: str, stage_writers) -> str:
     final = os.path.join(tmp, "final")
     os.makedirs(build)
     os.makedirs(final)
-    t0_ns = 1_700_000_000 * 1_000_000_000
-    n = 0
-    for i, write in enumerate(stage_writers):
-        stage = os.path.join(build, f"stage{i}")
-        write(stage)
-        for fname in sorted(os.listdir(stage)):
-            if fname.startswith(("_", ".")):
-                continue
-            dst = os.path.join(final, f"stage-{i:04d}-{fname}")
-            shutil.move(os.path.join(stage, fname), dst)
-            ns = t0_ns + n * 1_000_000_000
-            os.utime(dst, ns=(ns, ns))
-            n += 1
     try:
-        os.rename(final, base_dir)
-    except OSError:
-        pass  # concurrent builder's rename landed first; its dir is complete
-    shutil.rmtree(tmp, ignore_errors=True)
+        t0_ns = 1_700_000_000 * 1_000_000_000
+        n = 0
+        for i, write in enumerate(stage_writers):
+            stage = os.path.join(build, f"stage{i}")
+            write(stage)
+            for fname in sorted(os.listdir(stage)):
+                if fname.startswith(("_", ".")):
+                    continue
+                dst = os.path.join(final, f"stage-{i:04d}-{fname}")
+                shutil.move(os.path.join(stage, fname), dst)
+                ns = t0_ns + n * 1_000_000_000
+                os.utime(dst, ns=(ns, ns))
+                n += 1
+        try:
+            os.rename(final, base_dir)
+        except OSError as e:
+            # ONLY the lost concurrent-builder race is benign (the other
+            # session's rename landed an identical complete dir first);
+            # every other failure must surface here, not as a masked
+            # path-not-found in the caller's readStream
+            if e.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+                raise
+            if not os.path.isdir(base_dir):
+                raise
+    finally:
+        # win or crash, the scratch tree never outlives the call — the
+        # atomicity contract must not trade partial fixtures for /tmp
+        # garbage accumulating across crashed rounds
+        shutil.rmtree(tmp, ignore_errors=True)
     return base_dir

@@ -54,8 +54,11 @@ def test_no_nested_oracle_types(duck):
     offenders = {}
     for name, sql in sorted(ORACLES.items()):
         desc = duck.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+        # '[' (not '[]') so fixed-size ARRAY types like BIGINT[3] —
+        # which DESCRIBE prints without the empty-bracket form — are
+        # caught too; pandas receives them as unhashable numpy arrays
         bad = [(c, t) for c, t, *_ in desc
-               if "[]" in t or t.startswith("STRUCT")
+               if "[" in t or t.startswith("STRUCT")
                or t.startswith("MAP") or t.startswith("UNION")]
         if bad:
             offenders[name] = bad

@@ -599,6 +599,9 @@ def test_staged_fixture_dir_atomic_and_ordered(spark, tmp_path):
     except RuntimeError:
         pass
     assert not os.path.isdir(base), "partial fixture leaked into place"
+    import glob as _glob
+    assert not _glob.glob(base + ".tmp-*"), (
+        "crashed build leaked its scratch tree")
 
     got = staged_fixture_dir(
         base, [lambda p: w(0, 3, p), lambda p: w(3, 5, p),

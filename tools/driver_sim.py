@@ -77,7 +77,8 @@ def main():
     # them fine — so the sim must REJECT nested top-level types, or it
     # green-lights queries the driver cannot check.
     def _nested(t):
-        return ("[]" in t or t.startswith("STRUCT") or t.startswith("MAP")
+        # '[' catches LIST (BIGINT[]) AND fixed-size ARRAY (BIGINT[3])
+        return ("[" in t or t.startswith("STRUCT") or t.startswith("MAP")
                 or t.startswith("UNION"))
     for name, sql in sorted(oracles.items()):
         desc = con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
