@@ -1871,6 +1871,16 @@ def _lzw_encode(idxs: list, min_cs: int = 4) -> bytes:
                 w += 1
             cur = k
     emit(cur)
+    # EOI tail rule: the decoder performs ONE MORE insert (for the
+    # final data code, when the stream had ≥2 symbols) before reading
+    # EOI, so when that insert lands exactly on a width boundary the
+    # decoder reads EOI one bit wider — mirror its bump here or the
+    # EOI code is written/read at different widths (found by the
+    # min_cs=2 hypothesis fuzz; reachable at min_cs=4 only when the
+    # boundary ALSO falls on the final byte, which the fixture corpus
+    # happened never to hit)
+    if len(idxs) > 1 and next_code + 2 > (1 << w) and w < 12:
+        w += 1
     emit(eoi)
     if nbits:
         out.append(acc & 0xFF)
@@ -1921,6 +1931,13 @@ def _lzw_decode(data: bytes, min_cs: int):
         if code == eoi:
             return out
         if prev is None:
+            # a first code outside the root table is corruption, not
+            # KwKwK (there is no previous entry to extend) — return
+            # None per contract instead of raising KeyError (found by
+            # tests/test_codec_properties.py garbage fuzz; production
+            # decoders masked it behind their broad except)
+            if code not in table:
+                return None
             entry = table[code]
         elif code in table:
             entry = table[code]

@@ -1,0 +1,114 @@
+"""Property tests for the dependency-free codec cores (pure Python —
+no SparkSession): the module-level LZW encoder/decoder pair, the IMA
+ADPCM step, and the Adam7 pass geometry. These run in milliseconds and
+fuzz the exact helpers every payload synthesizer and decoder now
+shares, so an edit to a shared core fails here before any Spark tier
+runs."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ha_sqllite_2_influxdb_spark.operators.multimodal import (
+    _ADAM7,
+    _GIF_ILACE,
+    _gif_subblocks,
+    _ima_encode_nibble,
+    _ima_step,
+    _lzw_decode,
+    _lzw_encode,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 15), min_size=1, max_size=600))
+def test_lzw_roundtrip_any_index_stream(idxs):
+    """decode(encode(s)) == s for arbitrary 4-bit index streams —
+    covers the KwKwK one-behind case and every width bump the fixture
+    corpus may not reach."""
+    assert _lzw_decode(_lzw_encode(idxs), 4) == idxs
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 3), min_size=1, max_size=400),
+       st.integers(2, 6))
+def test_lzw_roundtrip_other_code_sizes(idxs, min_cs):
+    """The width rule must hold at every legal minimum code size, not
+    just the GIF fixtures' 4."""
+    idxs = [i % (1 << min_cs) for i in idxs]
+    assert _lzw_decode(_lzw_encode(idxs, min_cs), min_cs) == idxs
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_lzw_decode_never_raises_on_garbage(data):
+    """Corrupt code streams return None (or a list) — never raise; the
+    mapInPandas null-row contract depends on it."""
+    out = _lzw_decode(data, 4)
+    assert out is None or isinstance(out, list)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=1000))
+def test_gif_subblock_framing_roundtrip(data):
+    """Sub-block framing is invertible and always zero-terminated."""
+    framed = _gif_subblocks(data)
+    assert framed.endswith(b"\x00")
+    pos, out = 0, bytearray()
+    while framed[pos]:
+        ln = framed[pos]
+        out += framed[pos + 1:pos + 1 + ln]
+        pos += ln + 1
+    assert bytes(out) == data and pos == len(framed) - 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-32768, 32767), st.integers(0, 88),
+       st.integers(0, 15))
+def test_ima_step_stays_in_range(pred, idx, nib):
+    """Reconstruction clamps to int16 and the step index to 0..88 for
+    EVERY (state, nibble) — the decoder can never leave its domain on
+    corrupt nibbles."""
+    p2, i2 = _ima_step(pred, idx, nib)
+    assert -32768 <= p2 <= 32767
+    assert 0 <= i2 <= 88
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(-30000, 30000), min_size=2, max_size=200),
+       st.integers(0, 88))
+def test_ima_encode_decode_tracks_within_step(samples, idx0):
+    """Encoder and decoder share state by construction: decoding the
+    encoder's nibbles reproduces the encoder's own reconstruction
+    EXACTLY (bit-for-bit), whatever the input waveform."""
+    pred_e, idx_e = samples[0], idx0
+    nibs = []
+    for s in samples[1:]:
+        nib = _ima_encode_nibble(s, pred_e, idx_e)
+        pred_e, idx_e = _ima_step(pred_e, idx_e, nib)
+        nibs.append((nib, pred_e, idx_e))
+    pred_d, idx_d = samples[0], idx0
+    for nib, pe, ie in nibs:
+        pred_d, idx_d = _ima_step(pred_d, idx_d, nib)
+        assert (pred_d, idx_d) == (pe, ie)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 64), st.integers(1, 64))
+def test_adam7_passes_partition_every_pixel_once(w, h):
+    """The seven passes tile the full raster exactly — every (r, c)
+    appears in exactly one pass (the scatter is a bijection)."""
+    seen = set()
+    for c0, r0, cs, rs in _ADAM7:
+        for r in range(r0, h, rs):
+            for c in range(c0, w, cs):
+                assert (r, c) not in seen
+                seen.add((r, c))
+    assert len(seen) == w * h
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(1, 128))
+def test_gif_interlace_rows_partition_once(h):
+    """GIF's 4 interlace passes emit every row exactly once."""
+    order = [r for r0, rs in _GIF_ILACE for r in range(r0, h, rs)]
+    assert sorted(order) == list(range(h))
