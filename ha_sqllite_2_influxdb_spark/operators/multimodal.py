@@ -1227,6 +1227,12 @@ def _jpeg_pixels_fn():
                 return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
             bx, by = (w + 7) // 8, (h + 7) // 8
+            # entropy coding spends >=2 bits per block (the shortest
+            # Huffman codes), so a stream that claims more blocks than
+            # its bits could encode is corrupt — bail BEFORE the plane
+            # allocation a 65535x65535 header would force
+            if bx * by > len(b) * 8:
+                return None
             img = np.empty((by * 8, bx * 8), dtype=np.float64)
             prev_dc = 0
             for br in range(by):
@@ -1254,7 +1260,7 @@ def _jpeg_pixels_fn():
                         C.T @ (coef * q) @ C + 128.0)
             pix = np.clip(np.round(img[:h, :w]), 0, 255)
             return (w, h, bx * by, pix)
-        except (struct.error, ValueError, IndexError):
+        except (struct.error, ValueError, IndexError, KeyError):
             return None
 
     return one
@@ -1551,6 +1557,11 @@ def _jpeg_ycbcr_fn():
                 cs, tt = scan_comp[2 * si], scan_comp[2 * si + 1]
                 tables[cs] = (tt >> 4, tt & 0xF)
             for cid, _, _, _ in comps:
+                # a corrupt SOS may omit a SOF component entirely —
+                # that's a malformed stream (null row), not a KeyError
+                # escaping the batch (found by the bit-flip fuzz)
+                if cid not in tables:
+                    return None
                 td, ta = tables[cid]
                 if (0, td) not in huff or (1, ta) not in huff:
                     return None
@@ -1594,6 +1605,10 @@ def _jpeg_ycbcr_fn():
             mcu_w, mcu_h = 8 * hmax, 8 * vmax
             mx = (w + mcu_w - 1) // mcu_w
             my = (h + mcu_h - 1) // mcu_h
+            # same blocks-vs-bits sanity bound as the grayscale walk:
+            # corrupt SOF dims must not drive the plane allocations
+            if mx * my > len(b) * 8:
+                return None
             planes = []
             for cid, hs, vs, tq_id in comps:
                 planes.append(np.empty((my * vs * 8, mx * hs * 8)))
@@ -1640,7 +1655,7 @@ def _jpeg_ycbcr_fn():
             cbpl = out[1] if ncomp == 3 else None
             crpl = out[2] if ncomp == 3 else None
             return (w, h, mx * my, ypl, cbpl, crpl)
-        except (struct.error, ValueError, IndexError):
+        except (struct.error, ValueError, IndexError, KeyError):
             return None
 
     return one
@@ -1898,13 +1913,24 @@ def _gif_subblocks(lzw: bytes) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, min_cs: int):
+def _lzw_decode(data: bytes, min_cs: int, max_out: int | None = None):
     """GIF variable-width LZW decode of an unframed code stream →
     list of indices, or None on a corrupt stream. Handles the
     one-behind KwKwK case and mid-stream clears. Width rule mirrors
     the encoder's: after inserting a new entry the decoder sits exactly
     one code behind the encoder's dictionary, so it widens when
-    ``next_code + 1 > 2^w``."""
+    ``next_code + 1 > 2^w``.
+
+    ``max_out`` (the frame's pixel count, when the caller knows it)
+    caps the expansion: LZW output is worst-case QUADRATIC in the code
+    stream, so a corrupt multi-MB stream could otherwise materialize
+    gigabytes before the caller's length check rejects it."""
+    # GIF codes are <=12 bits, so min_cs <= 11; a corrupt size byte
+    # (up to 255) would otherwise drive a 2^255-entry root-table
+    # dictcomp — an unbounded hang, not an error (found by the
+    # bit-flip fuzz via faulthandler dump)
+    if not 1 <= min_cs <= 11:
+        return None
     clear, eoi = 1 << min_cs, (1 << min_cs) + 1
     acc = nbits = bitpos = 0
     cw = min_cs + 1
@@ -1946,6 +1972,8 @@ def _lzw_decode(data: bytes, min_cs: int):
         else:
             return None
         out.extend(entry)
+        if max_out is not None and len(out) > max_out:
+            return None          # already longer than the frame — corrupt
         if prev is not None:
             table[next_code] = table[prev] + (entry[0],)
             next_code += 1
@@ -1990,7 +2018,7 @@ def _gif_pixels_fn():
                 ln = b[pos]
                 data += b[pos + 1:pos + 1 + ln]
                 pos += ln + 1
-            out = _lzw_decode(bytes(data), min_cs)
+            out = _lzw_decode(bytes(data), min_cs, max_out=iw * ih)
             if out is None or len(out) != iw * ih or not palette:
                 return None
             return (int(w), int(h), int(n_colors), out)
@@ -2130,7 +2158,7 @@ def decode_gif_frames(payloads: DataFrame) -> DataFrame:
                         data += b[pos + 1:pos + 1 + ln]
                         pos += ln + 1
                     pos += 1
-                    out = _lzw_decode(bytes(data), min_cs)
+                    out = _lzw_decode(bytes(data), min_cs, max_out=iw * ih)
                     if out is None or len(out) != iw * ih:
                         return []
                     frames.append((len(frames), delay, iw * ih,
@@ -2342,6 +2370,20 @@ def _png_adam7_pixels_fn():
             if w <= 0 or h <= 0:
                 return None
             raw = zlib.decompress(idat)
+            # validate the EXACT interlaced stream length BEFORE the
+            # full-image allocation: a corrupt IHDR can claim 2^31-px
+            # dimensions, and np.zeros would attempt the allocation
+            # (MemoryError escapes the except tuple / can thrash) —
+            # found by the bit-flip fuzz. Real data bounds real dims.
+            expect = sum(
+                ph_ * (pw_ + 1)
+                for c0_, r0_, cs_, rs_ in _ADAM7
+                for pw_ in ((w - c0_ + cs_ - 1) // cs_ if w > c0_ else 0,)
+                for ph_ in ((h - r0_ + rs_ - 1) // rs_ if h > r0_ else 0,)
+                if pw_ and ph_
+            )
+            if expect != len(raw):
+                return None
             img = np.zeros((h, w), dtype=np.uint8)
             off = 0
             for c0, r0, cs, rs in _ADAM7:
@@ -2530,7 +2572,7 @@ def decode_gif_lct(payloads: DataFrame) -> DataFrame:
                     data += b[pos + 1:pos + 1 + ln]
                     pos += ln + 1
                 pos += 1
-                out = _lzw_decode(bytes(data), min_cs)
+                out = _lzw_decode(bytes(data), min_cs, max_out=iw * ih)
                 if out is None or len(out) != iw * ih or not pal:
                     return []
                 if iflags & 0x40:           # de-interlace to natural rows

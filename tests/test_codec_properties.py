@@ -112,3 +112,45 @@ def test_gif_interlace_rows_partition_once(h):
     """GIF's 4 interlace passes emit every row exactly once."""
     order = [r for r0, rs in _GIF_ILACE for r in range(r0, h, rs)]
     assert sorted(order) == list(range(h))
+
+
+def test_bitflip_corruption_never_raises(spark, sf_dir):
+    """The P7 null-row contract at depth: every decoder factory, fed
+    VALID payloads with random single/multi-byte mutations (header
+    survives often enough to reach the deep parse paths random bytes
+    never touch), must return None or a result tuple — never raise.
+    The mapInPandas wrappers catch broad exceptions, but the factories'
+    own contracts say None; a masked raise is how the _lzw_decode
+    KeyError hid for a round."""
+    import random
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").limit(8)
+    corpora = {
+        "bmp": (mm.bmp_payloads(docs), mm._bmp_pixels_fn()),
+        "png": (mm.png_payloads(docs), mm._png_pixels_fn()),
+        "png_adam7": (mm.png_adam7_payloads(docs),
+                      mm._png_adam7_pixels_fn()),
+        "gif": (mm.gif_payloads(docs), mm._gif_pixels_fn()),
+        "jpeg": (mm.jpeg_payloads(docs), mm._jpeg_pixels_fn()),
+        "jpeg_color": (mm.jpeg_color_payloads(docs), mm._jpeg_ycbcr_fn()),
+    }
+    rng = random.Random(0xC0DEC)
+    for name, (pay_df, decode) in corpora.items():
+        payloads = [bytes(r.payload) for r in pay_df.collect()]
+        assert payloads, name
+        for p in payloads:
+            assert decode(p) is not None, f"{name}: valid payload nulled"
+            for _ in range(12):
+                b = bytearray(p)
+                for _k in range(rng.randint(1, 4)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                out = decode(bytes(b))        # None or tuple — no raise
+                assert out is None or isinstance(out, tuple), name
+            # truncations hit every length-check path
+            for cut in (0, 1, len(p) // 3, len(p) - 1):
+                out = decode(p[:cut])
+                assert out is None or isinstance(out, tuple), name
