@@ -154,3 +154,47 @@ def test_bitflip_corruption_never_raises(spark, sf_dir):
             for cut in (0, 1, len(p) // 3, len(p) - 1):
                 out = decode(p[:cut])
                 assert out is None or isinstance(out, tuple), name
+
+
+def test_corrupt_payloads_in_batch_never_kill_the_task(spark, sf_dir):
+    """Production-path corruption contract: a batch MIXING valid and
+    mutated payloads must come back with one row per input — corrupt
+    rows as nulls, valid rows decoded — for EVERY decoder, including
+    the WAV family whose parse functions live inside the mapInPandas
+    closures (out of reach of the factory-level fuzz above). One bad
+    row killing its Arrow batch is the 100 TB failure mode this pins."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").limit(6)
+    cases = [
+        (mm.wav_payloads(docs), mm.decode_wav, "sample_rate"),
+        (mm.wav_payloads(docs, n_channels=2),
+         mm.decode_wav_multichannel, "n_channels"),
+        (mm.wav_adpcm_payloads(docs), mm.decode_wav_adpcm, "n_samples"),
+        (mm.bmp_payloads(docs), mm.decode_bmp, "width"),
+        (mm.gif_payloads(docs), mm.decode_gif, "width"),
+        (mm.png_adam7_payloads(docs), mm.decode_png_adam7, "width"),
+    ]
+    rng = random.Random(0xBADF00D)
+    for pay_df, decoder, probe_col in cases:
+        rows = pay_df.collect()
+        mutated = []
+        for r in rows:
+            p = bytearray(bytes(r.payload))
+            for _ in range(rng.randint(1, 5)):
+                p[rng.randrange(len(p))] = rng.randrange(256)
+            mutated.append((int(r.doc_id) + 1_000_000, bytes(p)))
+        mixed = spark.createDataFrame(
+            [(int(r.doc_id), bytes(r.payload)) for r in rows] + mutated,
+            "doc_id long, payload binary")
+        out = decoder(mixed).collect()       # must not raise
+        assert len(out) == 2 * len(rows), decoder.__name__
+        by_id = {r.doc_id: r for r in out}
+        for r in rows:                       # valid rows still decode
+            assert by_id[r.doc_id][probe_col] is not None, decoder.__name__
