@@ -18,6 +18,8 @@ microsecond values, whichever form the data arrives in.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,10 +33,28 @@ TABLE_NAMES = [
 # columns stored as TIMESTAMP(NANOS) that surface as long under nanosAsLong
 _NANO_TS_COLS = {"events": ["ts"]}
 
+# (applicationId, path) -> (mtime_ns, DataFrame). A DataFrame is an
+# immutable logical plan, so reusing it is exactly re-declaring the same
+# scan — but building it costs ~100 ms of configure + file listing +
+# footer schema + dtypes analysis per call, paid by EVERY query's plan
+# construction. The mtime stamp mirrors streaming.stream._SCHEMA_CACHE
+# (ADVICE r5 #3): a regenerated fixture under the SAME path evicts the
+# stale entry instead of serving yesterday's schema.
+_TABLE_CACHE: dict[tuple[str, str], tuple[int, DataFrame]] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    try:
+        stamp = os.stat(path).st_mtime_ns
+    except OSError:
+        stamp = -1
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
     configure(spark)
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    df = spark.read.parquet(path)
     for c in _NANO_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
             # truncate ns → µs exactly like DuckDB's parquet reader
@@ -46,6 +66,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c, t in df.dtypes:
         if t == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    _TABLE_CACHE[key] = (stamp, df)
     return df
 
 

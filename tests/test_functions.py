@@ -143,3 +143,40 @@ def test_strip_markup_edges(spark):
     got = {r.doc_id: r.clean for r in df.collect()}
     for i, _, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_load_table_cache_evicts_on_regenerated_fixture(spark, tmp_path):
+    """sources.tables._TABLE_CACHE mirrors the streaming schema cache
+    (ADVICE r5 #3): same-session same-path loads reuse ONE DataFrame,
+    but a regenerated parquet under the SAME path (new mtime) must
+    rebuild — never serve yesterday's schema/plan — and the cache must
+    replace, not accumulate."""
+    import os
+    import shutil
+
+    from ha_sqllite_2_influxdb_spark.sources import tables as tb
+
+    spark.range(3).selectExpr("id", "id * 2 as v").coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp_path / "_gen1"))
+    spark.range(5).selectExpr("id", "cast(id as string) as v") \
+        .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "_gen2"))
+    tdir = str(tmp_path / "region.parquet")
+
+    def install(src, mtime_ns):
+        if os.path.isdir(tdir):
+            shutil.rmtree(tdir)
+        shutil.copytree(str(tmp_path / src), tdir)
+        os.utime(tdir, ns=(mtime_ns, mtime_ns))
+
+    install("_gen1", 1_000_000_000)
+    n0 = len(tb._TABLE_CACHE)
+    a = tb.load_table(spark, str(tmp_path), "region")
+    b = tb.load_table(spark, str(tmp_path), "region")
+    assert a is b                      # cache hit: the SAME plan object
+    assert a.count() == 3
+    install("_gen2", 2_000_000_000)    # regenerated fixture, same path
+    c = tb.load_table(spark, str(tmp_path), "region")
+    assert c is not a                  # stale entry evicted
+    assert dict(c.dtypes)["v"] == "string"
+    assert c.count() == 5
+    assert len(tb._TABLE_CACHE) == n0 + 1   # replaced, not accumulated
