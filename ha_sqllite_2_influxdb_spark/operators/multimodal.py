@@ -1880,21 +1880,26 @@ def _lzw_encode(idxs: list, min_cs: int = 4) -> bytes:
             cur = table[(cur, k)]
         else:
             emit(cur)
-            table[(cur, k)] = next_code
-            next_code += 1
-            if next_code > (1 << w) and w < 12:
-                w += 1
+            # GIF codes cap at 12 bits: FREEZE the table at 4096
+            # entries (the standard deferred-clear variant — the
+            # decoder freezes identically). Without the freeze, code
+            # 4096+ writes an unmasked 13th bit and silently shifts
+            # every later code (a >4k-px high-entropy frame decodes to
+            # WRONG indices — caught by the large-stream fuzz).
+            if next_code < 4096:
+                table[(cur, k)] = next_code
+                next_code += 1
+                if next_code > (1 << w) and w < 12:
+                    w += 1
             cur = k
     emit(cur)
-    # EOI tail rule: the decoder performs ONE MORE insert (for the
-    # final data code, when the stream had ≥2 symbols) before reading
-    # EOI, so when that insert lands exactly on a width boundary the
-    # decoder reads EOI one bit wider — mirror its bump here or the
-    # EOI code is written/read at different widths (found by the
-    # min_cs=2 hypothesis fuzz; reachable at min_cs=4 only when the
-    # boundary ALSO falls on the final byte, which the fixture corpus
-    # happened never to hit)
-    if len(idxs) > 1 and next_code + 2 > (1 << w) and w < 12:
+    # EOI tail: by stream end both sides have performed the SAME
+    # number of inserts, so mirror the decoder's own width rule
+    # (next_code + 1 > 2^w) for the EOI emit — the decoder applies it
+    # after its final insert, before reading EOI (min_cs=2 fuzz found
+    # the narrow-write case; an enumeration at nc+1 == 2^w pinned the
+    # earlier +2 over-wide draft)
+    if next_code + 1 > (1 << w) and w < 12:
         w += 1
     emit(eoi)
     if nbits:
@@ -1974,7 +1979,9 @@ def _lzw_decode(data: bytes, min_cs: int, max_out: int | None = None):
         out.extend(entry)
         if max_out is not None and len(out) > max_out:
             return None          # already longer than the frame — corrupt
-        if prev is not None:
+        if prev is not None and next_code < 4096:
+            # frozen at 4096 exactly like the encoder — past the cap
+            # both dictionaries stop growing and stay in lockstep
             table[next_code] = table[prev] + (entry[0],)
             next_code += 1
             if next_code + 1 > (1 << cw) and cw < 12:
@@ -2022,7 +2029,7 @@ def _gif_pixels_fn():
             if out is None or len(out) != iw * ih or not palette:
                 return None
             return (int(w), int(h), int(n_colors), out)
-        except Exception:
+        except (struct.error, ValueError, IndexError, KeyError):
             return None
 
     return one
@@ -2167,7 +2174,7 @@ def decode_gif_frames(payloads: DataFrame) -> DataFrame:
                 else:
                     return []
             return frames
-        except Exception:
+        except (struct.error, ValueError, IndexError, KeyError):
             return []
 
     def _decode(batches: Iterator):
@@ -2376,11 +2383,9 @@ def _png_adam7_pixels_fn():
             # (MemoryError escapes the except tuple / can thrash) —
             # found by the bit-flip fuzz. Real data bounds real dims.
             expect = sum(
-                ph_ * (pw_ + 1)
+                len(range(r0_, h, rs_)) * (len(range(c0_, w, cs_)) + 1)
                 for c0_, r0_, cs_, rs_ in _ADAM7
-                for pw_ in ((w - c0_ + cs_ - 1) // cs_ if w > c0_ else 0,)
-                for ph_ in ((h - r0_ + rs_ - 1) // rs_ if h > r0_ else 0,)
-                if pw_ and ph_
+                if len(range(c0_, w, cs_)) and len(range(r0_, h, rs_))
             )
             if expect != len(raw):
                 return None
@@ -2590,7 +2595,7 @@ def decode_gif_lct(payloads: DataFrame) -> DataFrame:
                 ))
                 fi += 1
             return frames
-        except Exception:
+        except (struct.error, ValueError, IndexError, KeyError):
             return []
 
     def _decode(batches: Iterator):

@@ -33,24 +33,46 @@ TABLE_NAMES = [
 # columns stored as TIMESTAMP(NANOS) that surface as long under nanosAsLong
 _NANO_TS_COLS = {"events": ["ts"]}
 
-# (applicationId, path) -> (mtime_ns, DataFrame). A DataFrame is an
-# immutable logical plan, so reusing it is exactly re-declaring the same
-# scan — but building it costs ~100 ms of configure + file listing +
-# footer schema + dtypes analysis per call, paid by EVERY query's plan
-# construction. The mtime stamp mirrors streaming.stream._SCHEMA_CACHE
-# (ADVICE r5 #3): a regenerated fixture under the SAME path evicts the
-# stale entry instead of serving yesterday's schema.
-_TABLE_CACHE: dict[tuple[str, str], tuple[int, DataFrame]] = {}
+# (applicationId, session identity, path) -> (stamp, DataFrame). A
+# DataFrame is an immutable logical plan, so reusing it is exactly
+# re-declaring the same scan — but building it costs ~100 ms of
+# configure + file listing + footer schema + dtypes analysis per call,
+# paid by EVERY query's plan construction. The stamp mirrors
+# streaming.stream._SCHEMA_CACHE (ADVICE r5 #3): a regenerated fixture
+# under the SAME path evicts the stale entry instead of serving
+# yesterday's schema. id(spark) is in the key because sibling sessions
+# (spark.newSession()) share one applicationId but have separate
+# catalogs and runtime confs — a DataFrame bound to session A must
+# never serve session B (the cached DF holds a reference to its
+# session, so the id cannot be recycled while the entry lives).
+_TABLE_CACHE: dict[tuple[str, int, str], tuple[int, DataFrame]] = {}
+
+
+def _stamp(path: str) -> int | None:
+    """Change stamp for a parquet file OR directory: the entry's own
+    mtime plus (for directories) each direct child's name and mtime —
+    an in-place overwrite of a part file changes a child mtime without
+    touching the directory entry set, and must still evict. Returns
+    None when the path cannot be statted locally (file:/hdfs:/s3: URIs
+    Spark can read but os.stat cannot): those loads BYPASS the cache
+    entirely rather than caching forever under a sentinel."""
+    try:
+        st = os.stat(path)
+        h = st.st_mtime_ns
+        if os.path.isdir(path):
+            for entry in sorted(os.listdir(path)):
+                h = hash((h, entry,
+                          os.stat(os.path.join(path, entry)).st_mtime_ns))
+        return h
+    except OSError:
+        return None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    key = (spark.sparkContext.applicationId, path)
-    try:
-        stamp = os.stat(path).st_mtime_ns
-    except OSError:
-        stamp = -1
-    hit = _TABLE_CACHE.get(key)
+    key = (spark.sparkContext.applicationId, id(spark), path)
+    stamp = _stamp(path)
+    hit = _TABLE_CACHE.get(key) if stamp is not None else None
     if hit is not None and hit[0] == stamp:
         return hit[1]
     configure(spark)
@@ -66,7 +88,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c, t in df.dtypes:
         if t == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
-    _TABLE_CACHE[key] = (stamp, df)
+    if stamp is not None:
+        _TABLE_CACHE[key] = (stamp, df)
     return df
 
 

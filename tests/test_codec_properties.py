@@ -198,3 +198,20 @@ def test_corrupt_payloads_in_batch_never_kill_the_task(spark, sf_dir):
         by_id = {r.doc_id: r for r in out}
         for r in rows:                       # valid rows still decode
             assert by_id[r.doc_id][probe_col] is not None, decoder.__name__
+
+
+def test_lzw_roundtrip_beyond_dictionary_cap():
+    """Streams needing >4095 dictionary codes: both sides FREEZE the
+    table at 4096 (the deferred-clear variant), so high-entropy frames
+    far beyond the fixtures' sizes still round-trip exactly. Before the
+    freeze, code 4096+ wrote an unmasked 13th bit and silently shifted
+    every later code."""
+    import random
+
+    rng = random.Random(0x4096)
+    for n in (5_000, 20_000, 50_000):
+        idxs = [rng.randint(0, 15) for _ in range(n)]
+        assert _lzw_decode(_lzw_encode(idxs), 4) == idxs
+    # and at a small code size, where the cap is reached sooner
+    idxs = [rng.randint(0, 3) for _ in range(30_000)]
+    assert _lzw_decode(_lzw_encode(idxs, 2), 2) == idxs

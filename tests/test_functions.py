@@ -180,3 +180,17 @@ def test_load_table_cache_evicts_on_regenerated_fixture(spark, tmp_path):
     assert dict(c.dtypes)["v"] == "string"
     assert c.count() == 5
     assert len(tb._TABLE_CACHE) == n0 + 1   # replaced, not accumulated
+    # in-place overwrite of a PART file (directory entry set and dir
+    # mtime unchanged) must still evict: the stamp hashes child mtimes
+    part = next(f for f in os.listdir(tdir) if f.endswith(".parquet"))
+    os.utime(os.path.join(tdir, part), ns=(3_000_000_000, 3_000_000_000))
+    os.utime(tdir, ns=(2_000_000_000, 2_000_000_000))  # pin dir mtime
+    d = tb.load_table(spark, str(tmp_path), "region")
+    assert d is not c, "child-mtime change did not evict"
+    # sibling sessions share an applicationId but must not share
+    # cached plans (separate catalogs + runtime confs)
+    sib = spark.newSession()
+    e = tb.load_table(sib, str(tmp_path), "region")
+    assert e is not d
+    e.createOrReplaceTempView("_cache_probe_sib")
+    assert sib.sql("select count(*) from _cache_probe_sib").collect()[0][0] == 5
