@@ -29,63 +29,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # (no-oracle scale tiers, redundant analytics variants) still run under
 # pytest (tests/test_oracle_parity.py covers the whole registry).
 _DRIVER_WINDOW = [
-    # r8 window — EXACTLY the composition VERDICT r7 #2 queued:
-    # 5 newly-stale (last row r3) + the 19 STALE_DEBT_R7 names (last row
-    # r1 or never; 7 of them rows-only by nature — sketch/LSH-recall/
-    # codec tiers with no exact SQL counterpart, the driver records its
-    # weaker rows-only verdict for those) + inverted_index (re-verdict
-    # after the postings-as-string fix) + its new sharded tier (#5) +
-    # behavior_allpairs (deferred from r7) + 22 from the never-checked
-    # priority queue, bench headlines first (influx_downsample
-    # precedent). The canaries ha_points/ha_oldest_point are fresh
-    # (7-for-7 green through r7) and sit out one round to maximize
-    # drain; entry() still smoke-runs ha_points every round.
-    #
-    # Debt arithmetic (honest): 121 never-checked entered r8; the
-    # mandated stale/debt slots cap this window's drain at 29, so the
-    # judge's "<=55 at close" is not reachable in one 50-slot round —
-    # the committed path to zero is _NEXT_WINDOW_PLAN_R9 below (50 more)
-    # plus the r10 remainder (~40), with registry growth frozen this
-    # round (only the 4 additions VERDICT #5/#6 mandated).
-    "ha_migration_scan", "ha_min_ts", "ha_state_route", "ha_entity_split",
-    "minhash_signatures",
-    # STALE_DEBT_R7 drained in full (gate list now empty)
-    "tpch_q4", "tpch_q17", "unpivot_part", "window_analytics",
-    "cube_orders", "sketch_distinct", "sketch_quantiles",
-    "semi_late_orders", "anti_no_orders", "promo_share",
-    "small_qty_revenue", "big_orders", "top_customers", "agg_stats",
-    "multimodal_resize", "neardup_xxhash_lsh", "embedding_ann_lsh",
-    "embedding_ivf", "multimodal_decode",
-    # VERDICT #1 re-verdict + #5 sharded hot-key tier
-    "inverted_index", "inverted_index_sharded",
-    # the one exact all-pairs tier, deferred from r7 by design
-    "behavior_allpairs",
-    # bench headlines that have never had a driver row
-    "flux_window_fill_prev", "ha_statistics_hourly", "series_mean_shift",
-    "dsir_resample", "bloom_decontaminate",
-    # never-checked r7 families, one-per-family representatives first
-    "mrl_rerank", "touch_attribution", "slo_burn_rate",
-    "curate_dsir_pipeline", "stream_bloom_gate", "stream_knn",
-    "ngram_novelty",
-    "ha_statistics_cascade", "stream_ha_statistics", "ha_utility_meter",
-    "ha_energy_cost",
-    "influxql_text_tz", "influxql_text_math", "influxql_text_delete",
-    "influxql_text_multi", "influxql_show_series",
-    "multimodal_gif", "multimodal_gif_anim",
-]
-assert len(_DRIVER_WINDOW) == 50
-
-# Committed r9 rotation (VERDICT r7 #4: the freshness gate counts these
-# as scheduled, so the r8 snapshot is green WHEN the plan is compliant
-# and red only if a stale entry is left unscheduled). Composition: the
-# 11 entries that become stale the moment CORRECTNESS_r08.json lands
-# (last row r4, plus simhash_neighbors_rotated / the registry's one
-# remaining rows-only straggler) + the influxql_text remainder (24) +
-# the first 15 flux_* entries. The r10 remainder (~40: flux tail,
-# ha_stats tail, series_* monitoring, stream_* tail, influx_* batch
-# tail, codec tiers incl. the r8 Adam7/ADPCM/GIF-LCT additions) closes
-# the debt to zero.
-_NEXT_WINDOW_PLAN_R9 = [
+    # r9 window — _NEXT_WINDOW_PLAN_R9 rotated in VERBATIM (VERDICT r8
+    # #1): 11 newly-stale entries (last row r4, plus the rows-only
+    # straggler simhash_neighbors_rotated) + the influxql_text remainder
+    # (24) + the first 15 flux_* entries. Drains 40 of the 95
+    # never-checked (95 -> 55); the committed _NEXT_WINDOW_PLAN_R10 /
+    # _R11 below close the rest (r10: the 50 highest-priority
+    # never-checked incl. the two losing grace at r9 close; r11: the 5
+    # deferred codec tiers + the 40 entries whose last driver row is r5
+    # and which go stale the moment CORRECTNESS_r09.json lands).
+    # Registry growth stays frozen until the debt is under one window
+    # (VERDICT r8 #2).
     "simhash_neighbors_rotated", "token_stats", "text_quality", "lang_id",
     "fingerprints", "text_clean", "top_bigrams", "text_scrub",
     "sample_uniform", "sample_stratified", "multimodal_meta",
@@ -105,7 +59,63 @@ _NEXT_WINDOW_PLAN_R9 = [
     "flux_top_sensors", "flux_state_duration", "flux_pivot_fields",
     "flux_histogram", "flux_histogram_quantile", "flux_join_math",
 ]
-assert len(_NEXT_WINDOW_PLAN_R9) == 50
+assert len(_DRIVER_WINDOW) == 50
+
+# Committed r10 rotation (VERDICT r8 #2: a real, gate-countable list).
+# Composition: 50 of the 55 never-checked entries remaining after the
+# r9 window drains its 40 — prioritized so the two names losing
+# recent-addition grace at r9 close (kmeans_embeddings, pq_ann_topk —
+# introduced r5) are included, then the stream_*/influx_*/flux_*/
+# ha_stats/series_* tails. The 5 deferred names (the r7/r8 codec tiers,
+# which hold recent-addition grace the longest) open
+# _NEXT_WINDOW_PLAN_R11. After r10 runs, never-checked debt is 5; r11
+# clears it.
+_NEXT_WINDOW_PLAN_R10 = [
+    "kmeans_embeddings", "pq_ann_topk",
+    "ha_lineprotocol_roundtrip", "skew_report", "sketch_hll_partitioned",
+    "bpe_encode", "bpe_vocab", "ngram_containment_capped", "pack_ffd",
+    "contrastive_triplets", "dataset_card", "line_dedup",
+    "hard_negatives", "semdedup", "lm_surprise",
+    "multimodal_png_rgb", "multimodal_wav_stereo",
+    "stream_lineprotocol", "stream_cq_downsample", "stream_flatline",
+    "stream_hysteresis",
+    "influx_nn_derivative", "influx_stddev_median", "influx_fill_linear",
+    "influx_bottom3", "influx_distinct", "influx_holt_winters",
+    "influx_percentile_approx", "influx_ema", "influx_state_mode",
+    "influx_state_durations", "influx_rollup_cascade",
+    "ha_energy_daily", "influxql_explain",
+    "flux_task_hourly_mean", "flux_now_relative",
+    "flux_schema_measurements", "flux_schema_tag_values",
+    "flux_schema_m_tag_values", "flux_schema_field_keys",
+    "flux_union_streams",
+    "ha_statistics_sum", "ha_statistics_daily", "ha_history_stats",
+    "ha_statistics_monthly",
+    "series_hysteresis_alerts", "series_acf", "series_fleet_correlation",
+    "series_rolling_quantile", "series_flatline_runs",
+]
+assert len(_NEXT_WINDOW_PLAN_R10) == 50
+
+# Committed r11 rotation: the 5 never-checked codec tiers deferred from
+# r10 (longest recent-addition grace) + the 40 entries whose last
+# driver row is r5 — those go stale under the freshness gate the moment
+# CORRECTNESS_r09.json lands (latest=9 needs last>=6), so they must sit
+# in a committed plan from r9 on. 45 names <= one window; the r10
+# builder re-balances with its own newly-stale set.
+_NEXT_WINDOW_PLAN_R11 = [
+    "multimodal_png_adam7", "multimodal_gif_lct", "multimodal_wav_adpcm",
+    "multimodal_thumbnail", "multimodal_jpeg_color",
+    "ha_ts_format", "grouping_sets", "tpch_q7", "tpch_q10", "tpch_q19",
+    "tpch_q18", "tpch_q22", "tpch_q8", "tpch_q9", "tpch_q13",
+    "asof_join", "quantiles", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    "window_topk", "window_running", "sessionize", "set_ops",
+    "pivot_events", "rollup_orders", "multimodal_frames", "dedup_exact",
+    "neardup_minhash_lsh", "ngram_jaccard", "neardup_clusters",
+    "dedup_keep_best", "decontaminate", "pack_sequences",
+    "curriculum_topk", "embedding_centroids", "simhash_signatures",
+    "simhash_neighbors", "embedding_knn", "embedding_neardup",
+    "events_hourly", "stream_dedup", "events_sliding", "stream_join",
+]
+assert len(_NEXT_WINDOW_PLAN_R11) == 45
 
 
 def _registry():

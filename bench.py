@@ -93,6 +93,24 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # Contention gate (VERDICT r8 #3): same-host load swings per-query
+    # walls ±30-60%, which has made every round's regression triage
+    # start with "is it load?". Wait (up to a bounded timeout) for the
+    # 1-min loadavg to drop below the threshold before measuring; if it
+    # never does, proceed — a number is better than no number — but
+    # stamp the JSON `contended: true` and raise the steady-state pass
+    # count so min-of-N has more chances to dodge interference.
+    LOAD_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "1.5"))
+    LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
+    waited = 0.0
+    contended = False
+    try:
+        while os.getloadavg()[0] >= LOAD_THRESHOLD and waited < LOAD_WAIT_S:
+            time.sleep(10)
+            waited += 10
+        contended = os.getloadavg()[0] >= LOAD_THRESHOLD
+    except OSError:
+        pass
     try:
         load_start = [round(x, 2) for x in os.getloadavg()]
     except OSError:
@@ -130,7 +148,7 @@ def main() -> None:
            .select("event_id", "user_id", "event_type")
            .write.format("noop").mode("overwrite").save())
 
-    steady_runs = 3
+    steady_runs = 5 if contended else 3
 
     def measure(fn) -> tuple[float, float]:
         # cold = first materialization (pays one-off whole-stage-codegen
@@ -159,9 +177,12 @@ def main() -> None:
     for name, fn in HEADLINE.items():
         timings[name], timings_cold[name] = measure(fn)
 
+    # candidates get the identical protocol INCLUDING the recorded cold
+    # pass, so a graduating candidate can be compared cold-for-cold
     cand: dict[str, float] = {}
+    cand_cold: dict[str, float] = {}
     for name, fn in CANDIDATES.items():
-        cand[name], _cold = measure(fn)
+        cand[name], cand_cold[name] = measure(fn)
 
     total = round(sum(timings.values()), 3)
     # host-load context: same-host interference measured up to 5× on
@@ -180,8 +201,11 @@ def main() -> None:
         "queries": timings,
         "queries_cold": timings_cold,
         "candidates": cand,
+        "candidates_cold": cand_cold,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
+        "contended": contended,
+        "load_wait_sec": round(waited, 1),
         "sf": sf,
     }))
     spark.stop()

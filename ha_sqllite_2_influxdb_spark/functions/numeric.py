@@ -8,9 +8,15 @@ strings: remove ONE dot, remainder non-empty all-digits. That accepts
 ``"1e3"`` (exponent), ``"1.2.3"`` (second dot), ``""`` (empty). We encode it
 as a JVM-side regex (no Python UDF in the hot path).
 
-Note Python's ``str.isdigit`` also accepts non-ASCII digit codepoints
-(e.g. ``"²"``); the HA state domain is ASCII so the ASCII regex is the
-pragmatic parity choice — documented divergence.
+Note Python's ``str.isdigit`` also accepts non-ASCII digit codepoints,
+giving the reference a three-way behavior: Unicode ``Nd`` digits (``"٥"``,
+``"１"``) parse via ``float()`` and route to the float field; ``No``
+codepoints (``"²"``) pass ``isdigit()`` but ``float()`` raises, hitting the
+row-drop path (sqllite2influxdb.py:143-144). The engine contract is
+ASCII-only — every non-ASCII state routes to the STRING field, no drop —
+because HA states are ASCII and per-codepoint category routing would force
+a Python UDF into the hottest filter. Documented divergence: SURVEY §7.4
+#2; pinned by tests/test_functions.py::test_numeric_unicode_divergence_pinned.
 """
 
 from __future__ import annotations

@@ -26,6 +26,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# When True, per-row decoders re-raise exception classes outside
+# their documented corruption tuple instead of nulling the row —
+# fuzz/property tests flip this so an unexpected class is a test
+# failure, while production batches stay loss-bounded to one row.
+_STRICT_DECODE = False
+
+
 DECODE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("n_bytes", T.LongType()),
@@ -243,6 +250,15 @@ def _bmp_pixels_fn():
             return (w, h, bpp, stride * h, arr.reshape(h, stride)[:, :3 * w])
         except (struct.error, ValueError):
             return None
+        except Exception:
+            # ADVICE r8: contract backstop — one corrupt row must
+            # never kill the Arrow batch, even via an exception
+            # class the typed tuple (the documented corruption
+            # paths) missed. Fuzz tests set _STRICT_DECODE to
+            # surface such classes as real findings.
+            if _STRICT_DECODE:
+                raise
+            return None
 
     return one
 
@@ -377,16 +393,57 @@ def png_payloads(documents: DataFrame) -> DataFrame:
     )
 
 
+def _png_unfilter_1bpp(raw: bytes, w: int, h: int):
+    """Shared scanline inverse-filter core for every 1-byte-per-pixel
+    PNG subset (grayscale ctype 0 AND indexed ctype 3 — the PNG filter
+    step is defined over BYTES, so bpp=1 makes the math identical):
+    full None/Sub/Up/Average/Paeth set → uint8[h, w], or None on a
+    length/filter-code mismatch. Sub is vectorized via uint8 cumsum
+    (c[i] = line[i] + c[i-1] is exactly a mod-256 prefix sum); Up is
+    one vector add; Average/Paeth stay per-pixel (their predictor
+    needs the just-written left neighbor AND the prior row —
+    inherently sequential per the spec)."""
+    import numpy as np
+
+    if len(raw) != h * (w + 1):
+        return None
+    img = np.zeros((h, w), dtype=np.uint8)
+    prior = np.zeros(w, dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (w + 1)]
+        line = np.frombuffer(raw, np.uint8, count=w, offset=r * (w + 1) + 1)
+        if ft == 0:
+            cur = line.copy()
+        elif ft == 1:    # Sub — mod-256 prefix sum, vectorized
+            cur = np.cumsum(line, dtype=np.uint8)
+        elif ft == 2:    # Up — vectorized
+            cur = line + prior
+        elif ft in (3, 4):  # Average/Paeth — sequential
+            cur = np.zeros(w, dtype=np.uint8)
+            for i in range(w):
+                a = int(cur[i - 1]) if i else 0
+                if ft == 3:
+                    pred = (a + int(prior[i])) // 2
+                else:
+                    bb = int(prior[i])
+                    c = int(prior[i - 1]) if i else 0
+                    p = a + bb - c
+                    pa, pb, pc = (abs(p - a), abs(p - bb), abs(p - c))
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        bb if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            return None
+        img[r] = cur
+        prior = cur
+    return img
+
+
 def _png_pixels_fn():
     """Factory → ``one(bytes) -> (w, h, depth, ctype, uint8[h, w]) |
     None`` for the 8-bit grayscale PNG subset: chunk walk, IDAT inflate,
-    full inverse-filter set (None/Sub/Up/Average/Paeth). Driver-built,
-    shipped by value; shared by `decode_png` and `image_thumbnails`.
-    Sub (r6) is vectorized via uint8 cumsum (c[i] = line[i] + c[i-1] is
-    exactly a mod-256 prefix sum); Up was already one vector add;
-    Average/Paeth stay per-pixel (their predictor needs the just-written
-    left neighbor AND the prior row — inherently sequential per the
-    spec)."""
+    full inverse-filter set via `_png_unfilter_1bpp`. Driver-built,
+    shipped by value; shared by `decode_png` and `image_thumbnails`."""
     import struct
     import zlib
 
@@ -416,41 +473,20 @@ def _png_pixels_fn():
             if w <= 0 or h <= 0:
                 return None  # zero-area: P7 null row, not a NaN mean
             raw = zlib.decompress(idat)
-            if len(raw) != h * (w + 1):
+            img = _png_unfilter_1bpp(raw, w, h)
+            if img is None:
                 return None
-            img = np.zeros((h, w), dtype=np.uint8)
-            prior = np.zeros(w, dtype=np.uint8)
-            for r in range(h):
-                ft = raw[r * (w + 1)]
-                line = np.frombuffer(
-                    raw, np.uint8, count=w, offset=r * (w + 1) + 1)
-                if ft == 0:
-                    cur = line.copy()
-                elif ft == 1:    # Sub — mod-256 prefix sum, vectorized
-                    cur = np.cumsum(line, dtype=np.uint8)
-                elif ft == 2:    # Up — vectorized
-                    cur = line + prior
-                elif ft in (3, 4):  # Average/Paeth — sequential
-                    cur = np.zeros(w, dtype=np.uint8)
-                    for i in range(w):
-                        a = int(cur[i - 1]) if i else 0
-                        if ft == 3:
-                            pred = (a + int(prior[i])) // 2
-                        else:
-                            bb = int(prior[i])
-                            c = int(prior[i - 1]) if i else 0
-                            p = a + bb - c
-                            pa, pb, pc = (abs(p - a), abs(p - bb),
-                                          abs(p - c))
-                            pred = a if (pa <= pb and pa <= pc) else (
-                                bb if pb <= pc else c)
-                        cur[i] = (int(line[i]) + pred) & 0xFF
-                else:
-                    return None
-                img[r] = cur
-                prior = cur
             return (w, h, depth, ctype, img)
         except (struct.error, ValueError, zlib.error):
+            return None
+        except Exception:
+            # ADVICE r8: contract backstop — one corrupt row must
+            # never kill the Arrow batch, even via an exception
+            # class the typed tuple (the documented corruption
+            # paths) missed. Fuzz tests set _STRICT_DECODE to
+            # surface such classes as real findings.
+            if _STRICT_DECODE:
+                raise
             return None
 
     return one
@@ -662,6 +698,15 @@ def decode_png_rgb(payload_df: DataFrame) -> DataFrame:
                         float(px[:, :, 2].mean()))
             except (struct.error, ValueError, zlib.error):
                 return None
+            except Exception:
+                # ADVICE r8: contract backstop — one corrupt row must
+                # never kill the Arrow batch, even via an exception
+                # class the typed tuple (the documented corruption
+                # paths) missed. Fuzz tests set _STRICT_DECODE to
+                # surface such classes as real findings.
+                if _STRICT_DECODE:
+                    raise
+                return None
 
         for pdf in batches:
             rows = [one(bytes(b)) for b in pdf["payload"]]
@@ -810,6 +855,15 @@ def decode_wav(payload_df: DataFrame) -> DataFrame:
                         float(s.mean()), float(np.sqrt((s * s).mean())))
             except (struct.error, ValueError):
                 return None
+            except Exception:
+                # ADVICE r8: contract backstop — one corrupt row must
+                # never kill the Arrow batch, even via an exception
+                # class the typed tuple (the documented corruption
+                # paths) missed. Fuzz tests set _STRICT_DECODE to
+                # surface such classes as real findings.
+                if _STRICT_DECODE:
+                    raise
+                return None
 
         for pdf in batches:
             rows = [one(bytes(b)) for b in pdf["payload"]]
@@ -887,6 +941,15 @@ def decode_wav_multichannel(payload_df: DataFrame) -> DataFrame:
                         [float(v) for v in s.mean(axis=0)],
                         [float(v) for v in np.sqrt((s * s).mean(axis=0))])
             except (struct.error, ValueError):
+                return None
+            except Exception:
+                # ADVICE r8: contract backstop — one corrupt row must
+                # never kill the Arrow batch, even via an exception
+                # class the typed tuple (the documented corruption
+                # paths) missed. Fuzz tests set _STRICT_DECODE to
+                # surface such classes as real findings.
+                if _STRICT_DECODE:
+                    raise
                 return None
 
         for pdf in batches:
@@ -1261,6 +1324,15 @@ def _jpeg_pixels_fn():
             pix = np.clip(np.round(img[:h, :w]), 0, 255)
             return (w, h, bx * by, pix)
         except (struct.error, ValueError, IndexError, KeyError):
+            return None
+        except Exception:
+            # ADVICE r8: contract backstop — one corrupt row must
+            # never kill the Arrow batch, even via an exception
+            # class the typed tuple (the documented corruption
+            # paths) missed. Fuzz tests set _STRICT_DECODE to
+            # surface such classes as real findings.
+            if _STRICT_DECODE:
+                raise
             return None
 
     return one
@@ -1657,6 +1729,15 @@ def _jpeg_ycbcr_fn():
             return (w, h, mx * my, ypl, cbpl, crpl)
         except (struct.error, ValueError, IndexError, KeyError):
             return None
+        except Exception:
+            # ADVICE r8: contract backstop — one corrupt row must
+            # never kill the Arrow batch, even via an exception
+            # class the typed tuple (the documented corruption
+            # paths) missed. Fuzz tests set _STRICT_DECODE to
+            # surface such classes as real findings.
+            if _STRICT_DECODE:
+                raise
+            return None
 
     return one
 
@@ -2031,6 +2112,15 @@ def _gif_pixels_fn():
             return (int(w), int(h), int(n_colors), out)
         except (struct.error, ValueError, IndexError, KeyError):
             return None
+        except Exception:
+            # ADVICE r8: contract backstop — one corrupt row must
+            # never kill the Arrow batch, even via an exception
+            # class the typed tuple (the documented corruption
+            # paths) missed. Fuzz tests set _STRICT_DECODE to
+            # surface such classes as real findings.
+            if _STRICT_DECODE:
+                raise
+            return None
 
     return one
 
@@ -2175,6 +2265,15 @@ def decode_gif_frames(payloads: DataFrame) -> DataFrame:
                     return []
             return frames
         except (struct.error, ValueError, IndexError, KeyError):
+            return []
+        except Exception:
+            # ADVICE r8: contract backstop — one corrupt row must
+            # never kill the Arrow batch, even via an exception
+            # class the typed tuple (the documented corruption
+            # paths) missed. Fuzz tests set _STRICT_DECODE to
+            # surface such classes as real findings.
+            if _STRICT_DECODE:
+                raise
             return []
 
     def _decode(batches: Iterator):
@@ -2407,6 +2506,15 @@ def _png_adam7_pixels_fn():
             return (int(w), int(h), img)
         except (struct.error, ValueError, zlib.error):
             return None
+        except Exception:
+            # ADVICE r8: contract backstop — one corrupt row must
+            # never kill the Arrow batch, even via an exception
+            # class the typed tuple (the documented corruption
+            # paths) missed. Fuzz tests set _STRICT_DECODE to
+            # surface such classes as real findings.
+            if _STRICT_DECODE:
+                raise
+            return None
 
     return one
 
@@ -2597,6 +2705,15 @@ def decode_gif_lct(payloads: DataFrame) -> DataFrame:
             return frames
         except (struct.error, ValueError, IndexError, KeyError):
             return []
+        except Exception:
+            # ADVICE r8: contract backstop — one corrupt row must
+            # never kill the Arrow batch, even via an exception
+            # class the typed tuple (the documented corruption
+            # paths) missed. Fuzz tests set _STRICT_DECODE to
+            # surface such classes as real findings.
+            if _STRICT_DECODE:
+                raise
+            return []
 
     def _decode(batches: Iterator):
         import pandas as pd
@@ -2619,6 +2736,202 @@ def decode_gif_lct(payloads: DataFrame) -> DataFrame:
         schema=("doc_id long, frame_idx long, width long, height long, "
                 "n_colors long, pal_sum long, interlaced long, "
                 "idx_sum long, weighted_sum long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paletted PNG, color type 3 (r9, VERDICT r8 #6 — the most common
+# small-image PNG form a real crawl corpus hits: indexed pixels + PLTE)
+# ---------------------------------------------------------------------------
+
+
+def png_palette_payloads(documents: DataFrame) -> DataFrame:
+    """Synthesize a VALID paletted PNG per document (color type 3,
+    8-bit indices): IHDR, a PLTE chunk of 16 or 32 analytic RGB entries
+    (size varies by doc parity so a hardcoded-16 decoder fails half the
+    corpus), and an IDAT whose scanlines cycle filters 0..4 over the
+    INDEX bytes — for ctype 3 the filter step operates on indices, not
+    colors, so a decoder that unfilters after palette-mapping corrupts
+    everything. Pixel rule: ``idx[i] = ascii(text[i % len]) %
+    n_colors`` at natural position i — idx_sum, the order-sensitive
+    weighted_sum AND the palette-mapped rgb_sum stay analytic for the
+    oracle. Synthesis is the fixture; the codec is the deliverable."""
+
+    def _make(batches: Iterator):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def one(doc_id: int, text: str) -> bytes:
+            w = (doc_id % 12) + 4
+            h = (doc_id % 6) + 3
+            n_colors = 16 + (doc_id % 2) * 16
+            src = text.encode("utf-8") or b"\x00"
+            idxs = [src[i % len(src)] % n_colors for i in range(w * h)]
+            raw = [bytes(idxs[r * w:(r + 1) * w]) for r in range(h)]
+            stream = bytearray()
+            prior = bytes(w)
+            for r, row in enumerate(raw):
+                ft = r % 5
+                stream.append(ft)
+                if ft == 0:
+                    stream += row
+                elif ft == 1:    # Sub
+                    stream += bytes(
+                        (row[i] - (row[i - 1] if i else 0)) & 0xFF
+                        for i in range(w))
+                elif ft == 2:    # Up
+                    stream += bytes((row[i] - prior[i]) & 0xFF
+                                    for i in range(w))
+                elif ft == 3:    # Average
+                    stream += bytes(
+                        (row[i] - ((row[i - 1] if i else 0) + prior[i]) // 2)
+                        & 0xFF for i in range(w))
+                else:            # Paeth
+                    out = bytearray()
+                    for i in range(w):
+                        a = row[i - 1] if i else 0
+                        b = prior[i]
+                        c = prior[i - 1] if i else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (
+                            b if pb <= pc else c)
+                        out.append((row[i] - pred) & 0xFF)
+                    stream += out
+                prior = row
+            plte = b"".join(
+                bytes(((doc_id * 5 + j * 17) % 256,
+                       (j * 29 + doc_id) % 256,
+                       (doc_id * 3 + j * 7) % 256))
+                for j in range(n_colors))
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                    + _png_chunk(b"PLTE", plte)
+                    + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+                    + _png_chunk(b"IEND", b""))
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [one(int(d), t)
+                            for d, t in zip(pdf["doc_id"], pdf["text"])],
+            })
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def _png_plte_pixels_fn():
+    """Factory → ``one(bytes) -> (w, h, n_colors, idx[h,w], plte) |
+    None`` for the 8-bit indexed PNG subset (color type 3): chunk walk
+    collecting PLTE + IDAT, inflate, the SHARED `_png_unfilter_1bpp`
+    inverse-filter core (indices are 1 byte/pixel, so the filter math
+    is byte-identical to grayscale), then palette validation — an
+    index beyond the PLTE is corrupt per spec §11.2.3 and nulls the
+    row. Driver-built, shipped by value."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def one(b: bytes):
+        try:
+            if b[:8] != b"\x89PNG\r\n\x1a\n":
+                return None
+            pos, idat, plte, meta = 8, b"", b"", None
+            while pos + 8 <= len(b):
+                (ln,) = struct.unpack_from(">I", b, pos)
+                tag = b[pos + 4:pos + 8]
+                data = b[pos + 8:pos + 8 + ln]
+                if tag == b"IHDR":
+                    meta = struct.unpack(">IIBBBBB", data)
+                elif tag == b"PLTE":
+                    plte = data
+                elif tag == b"IDAT":
+                    idat += data
+                elif tag == b"IEND":
+                    break
+                pos += 12 + ln
+            if meta is None:
+                return None
+            w, h, depth, ctype, comp, filt, interlace = meta
+            if (depth, ctype, comp, filt, interlace) != (8, 3, 0, 0, 0):
+                return None  # outside the supported indexed subset
+            if w <= 0 or h <= 0:
+                return None
+            # PLTE is mandatory for ctype 3 and holds 1..256 RGB triples
+            if not plte or len(plte) % 3 or len(plte) > 768:
+                return None
+            n_colors = len(plte) // 3
+            raw = zlib.decompress(idat)
+            img = _png_unfilter_1bpp(raw, w, h)
+            if img is None or int(img.max()) >= n_colors:
+                return None
+            return (w, h, n_colors, img,
+                    np.frombuffer(plte, np.uint8).reshape(n_colors, 3))
+        except (struct.error, ValueError, zlib.error):
+            return None
+        except Exception:
+            # ADVICE r8: contract backstop — one corrupt row must never
+            # kill the Arrow batch, even via an exception class the
+            # typed tuple missed; fuzz tests set _STRICT_DECODE.
+            if _STRICT_DECODE:
+                raise
+            return None
+
+    return one
+
+
+def decode_png_palette(payload_df: DataFrame) -> DataFrame:
+    """Indexed-color PNG decode (color type 3) — the gap-closer for the
+    most common small-image PNG form. Per doc: dimensions, PLTE entry
+    count, pal_sum (Σ palette bytes — moves if PLTE parsing slices
+    wrong), idx_sum, the order-sensitive ``weighted_sum`` = Σ idx[p]·
+    (p+1) (breaks if the inverse filters permute positions while the
+    sum survives), and ``rgb_sum`` = Σ (r+g+b) of each pixel's palette
+    entry — the palette LOOKUP itself, which idx_sum alone would never
+    exercise. Arrow-batched mapInPandas; malformed payloads → null row
+    (the P7 convention)."""
+    pixels_of = _png_plte_pixels_fn()
+
+    def _decode(batches: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes):
+            r = pixels_of(b)
+            if r is None:
+                return None
+            w, h, n_colors, img, pal = r
+            flat = img.ravel().astype(np.int64)
+            pos = np.arange(1, flat.size + 1, dtype=np.int64)
+            rgb = pal.astype(np.int64).sum(axis=1)  # per-entry r+g+b
+            return (w, h, n_colors, int(pal.sum()), w * h,
+                    int(flat.sum()), int((flat * pos).sum()),
+                    int(rgb[flat].sum()))
+
+        for pdf in batches:
+            rows = [one(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [r[0] if r else None for r in rows],
+                "height": [r[1] if r else None for r in rows],
+                "n_colors": [r[2] if r else None for r in rows],
+                "pal_sum": [r[3] if r else None for r in rows],
+                "n_pixels": [r[4] if r else None for r in rows],
+                "idx_sum": [r[5] if r else None for r in rows],
+                "weighted_sum": [r[6] if r else None for r in rows],
+                "rgb_sum": [r[7] if r else None for r in rows],
+            })
+
+    return payload_df.mapInPandas(
+        _decode,
+        schema=("doc_id long, width long, height long, n_colors long, "
+                "pal_sum long, n_pixels long, idx_sum long, "
+                "weighted_sum long, rgb_sum long"),
     )
 
 
@@ -2793,6 +3106,15 @@ def decode_wav_adpcm(payload_df: DataFrame) -> DataFrame:
             return (int(rate), len(out), int(sum(out)),
                     int(sum(v * (p + 1) for p, v in enumerate(out))))
         except (struct.error, ValueError, IndexError):
+            return None
+        except Exception:
+            # ADVICE r8: contract backstop — one corrupt row must
+            # never kill the Arrow batch, even via an exception
+            # class the typed tuple (the documented corruption
+            # paths) missed. Fuzz tests set _STRICT_DECODE to
+            # surface such classes as real findings.
+            if _STRICT_DECODE:
+                raise
             return None
 
     def _decode(batches: Iterator):

@@ -947,6 +947,19 @@ def q_multimodal_gif_lct(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.gif_lct_payloads(_docs(spark, sf_dir)))
 
 
+def q_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paletted PNG tier (r9, VERDICT r8 #6): color type 3 — the most
+    common small-image PNG form in a real crawl corpus. PLTE size
+    varies 16/32 by doc parity, filters cycle 0..4 over INDEX bytes,
+    and the oracle pins three independent failure axes: idx_sum (the
+    LZW-free decode), weighted_sum (position-sensitive — unfilter
+    permutations), and rgb_sum (the palette LOOKUP — serving the wrong
+    PLTE slice moves it while idx_sum stays put). Grayscale/RGB/Adam7
+    decoders bit-unchanged; shares `_png_unfilter_1bpp`."""
+    return multimodal.decode_png_palette(
+        multimodal.png_palette_payloads(_docs(spark, sf_dir)))
+
+
 def q_multimodal_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMA ADPCM WAV tier (r8, VERDICT r7 #6): format tag 0x0011,
     4-bit nibbles, per-block predictor headers, fact-chunk trim.
@@ -1106,6 +1119,7 @@ QUERIES = {
     "multimodal_gif_anim": q_multimodal_gif_anim,
     "multimodal_png_adam7": q_multimodal_png_adam7,
     "multimodal_gif_lct": q_multimodal_gif_lct,
+    "multimodal_png_palette": q_multimodal_png_palette,
     "multimodal_wav_adpcm": q_multimodal_wav_adpcm,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_thumbnail": q_multimodal_thumbnail,
@@ -2333,6 +2347,47 @@ SELECT d.doc_id, CAST(p.f AS BIGINT) AS frame_idx,
 FROM dims d
 JOIN px p USING (doc_id)
 JOIN pal ON pal.doc_id = d.doc_id AND pal.f = p.f
+""",
+    # Paletted tier: pal_sum from the analytic PLTE formula, idx_sum /
+    # position-weighted sum over the index stream, and rgb_sum mapping
+    # every pixel THROUGH its palette entry — three independent axes
+    # (parse, unfilter order, palette lookup) in one hash
+    "multimodal_png_palette": """
+WITH dims AS (
+  SELECT doc_id, text,
+    (doc_id % 12) + 4 AS w, (doc_id % 6) + 3 AS h,
+    16 + (doc_id % 2) * 16 AS nc,
+    length(text) AS tl
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+    CAST(sum(ascii(substr(text, CAST((i % tl) + 1 AS INT), 1)) % nc)
+         AS BIGINT) AS idx_sum,
+    CAST(sum((ascii(substr(text, CAST((i % tl) + 1 AS INT), 1)) % nc)
+             * (i + 1)) AS BIGINT) AS weighted_sum,
+    CAST(sum(
+      (doc_id * 5 + (ascii(substr(text, CAST((i % tl) + 1 AS INT), 1))
+                     % nc) * 17) % 256
+      + ((ascii(substr(text, CAST((i % tl) + 1 AS INT), 1)) % nc) * 29
+         + doc_id) % 256
+      + (doc_id * 3 + (ascii(substr(text, CAST((i % tl) + 1 AS INT), 1))
+                       % nc) * 7) % 256) AS BIGINT) AS rgb_sum
+  FROM dims, unnest(generate_series(0, w * h - 1)) AS t(i)
+  GROUP BY doc_id
+),
+pal AS (
+  SELECT doc_id,
+    CAST(sum((doc_id * 5 + j * 17) % 256 + (j * 29 + doc_id) % 256
+             + (doc_id * 3 + j * 7) % 256) AS BIGINT) AS pal_sum
+  FROM dims, unnest(generate_series(0, nc - 1)) AS t(j)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+  CAST(d.h AS BIGINT) AS height, CAST(d.nc AS BIGINT) AS n_colors,
+  pal.pal_sum, CAST(d.w * d.h AS BIGINT) AS n_pixels,
+  px.idx_sum, px.weighted_sum, px.rgb_sum
+FROM dims d JOIN px USING (doc_id) JOIN pal USING (doc_id)
 """,
     "multimodal_frames": """
 WITH p AS (

@@ -115,8 +115,8 @@ def test_driver_window_freshness():
     green-at-compliance. Every registry entry must either (a) have a
     real driver row within the last FRESH_ROUNDS correctness files,
     (b) be scheduled in the CURRENT driver window (first 50 registry
-    slots — it gets its row this round), (c) be in the COMMITTED
-    next-round rotation plan (_NEXT_WINDOW_PLAN_R9 — so the gate is red
+    slots — it gets its row this round), (c) be in a COMMITTED
+    rotation plan (_NEXT_WINDOW_PLAN_R10/_R11 — so the gate is red
     only when the rotation PLAN is insufficient, not always-red the
     moment a new snapshot lands), or (d) be a recent addition
     (introduced within FRESH_ROUNDS of the latest round). Anything
@@ -148,11 +148,20 @@ def test_driver_window_freshness():
         open(os.path.join(REPO, "tests", "registry_rounds.json")))
     qs = ent.queries()
     window = set(itertools.islice(qs, 50))
-    plan = set(getattr(ent, "_NEXT_WINDOW_PLAN_R9", ()))
-    # the plan is only credible if it fits one driver window and names
-    # real registry entries — a 300-name "plan" would defeat the gate
-    assert len(plan) <= 50, "next-window plan exceeds one driver window"
-    assert plan <= set(qs), f"plan names unknown entries: {plan - set(qs)}"
+    # Union every committed rotation plan (_NEXT_WINDOW_PLAN_R10, _R11,
+    # ...). Each must fit one driver window and name real registry
+    # entries — a 300-name "plan" would defeat the gate — and at most
+    # two future rounds may be committed (the gate is a rotation
+    # schedule, not an indefinite amnesty).
+    plan_attrs = sorted(a for a in dir(ent)
+                        if a.startswith("_NEXT_WINDOW_PLAN_R"))
+    assert len(plan_attrs) <= 2, f"too many committed plans: {plan_attrs}"
+    plan = set()
+    for attr in plan_attrs:
+        p = set(getattr(ent, attr))
+        assert len(p) <= 50, f"{attr} exceeds one driver window"
+        assert p <= set(qs), f"{attr} names unknown entries: {p - set(qs)}"
+        plan |= p
     stale = []
     for name in qs:
         last = max(hist.get(name, [0]))

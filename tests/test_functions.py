@@ -29,11 +29,23 @@ def test_numeric_regex_edge_cases(spark):
         assert got[s] == py_is_numeric(s), f"route mismatch for {s!r}"
 
 
-@settings(max_examples=200, deadline=None)
-@given(st.text(alphabet="0123456789.-e ", max_size=8))
+# Alphabet includes the three Unicode-digit classes that expose the F8
+# divergence (VERDICT r8 #4): ٥ (ARABIC-INDIC FIVE, category Nd —
+# reference routes to float), １ (FULLWIDTH ONE, Nd — same), ² (SUPER-
+# SCRIPT TWO, category No — isdigit()-true but float() raises, so the
+# reference DROPS the row). The engine contract (SURVEY §7.4 #2) is
+# ASCII-only: every non-ASCII state routes to the string field.
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="0123456789.-e ٥１²", max_size=8))
 def test_numeric_regex_property(reference_batch, s):
     # collected lazily via the session-scoped batch fixture
     reference_batch.append(s)
+
+
+def expected_engine_route(s: str) -> bool:
+    """The engine's DOCUMENTED numeric-route contract: the reference
+    predicate on the ASCII domain; False (string field) outside it."""
+    return py_is_numeric(s) if s.isascii() else False
 
 
 def test_numeric_regex_property_batch(spark, reference_batch):
@@ -44,7 +56,37 @@ def test_numeric_regex_property_batch(spark, reference_batch):
         for r in df.select("s", is_numeric_str(F.col("s")).alias("m")).collect()
     }
     for s in cases:
-        assert got[s] == py_is_numeric(s), f"route mismatch for {s!r}"
+        assert got[s] == expected_engine_route(s), f"route mismatch for {s!r}"
+
+
+def test_numeric_unicode_divergence_pinned(spark):
+    """SURVEY §7.4 #2: the F8 Unicode-digit divergence, pinned on BOTH
+    sides so a change to either contract fails loudly. Reference
+    behavior is three-way (Nd→float field, No→row dropped via float()
+    raise, other→string); engine behavior is two-way (ASCII-numeric→
+    float, everything else→string, never a drop)."""
+    cases = {
+        "٥": (True, "nd_float"),      # reference: float('٥') == 5.0
+        "１": (True, "nd_float"),
+        "１２.５": (True, "nd_float"),
+        "²": (True, "no_dropped"),    # reference: float('²') raises
+        "42": (True, "nd_float"),     # ASCII control: both engines agree
+    }
+    for s, (ref_accepts, _) in cases.items():
+        assert py_is_numeric(s) is ref_accepts, s
+    try:
+        float("٥")
+        float("１２.５")
+    except ValueError as e:          # documents WHY nd_float is real
+        raise AssertionError("Python float() no longer parses Nd digits") from e
+    import pytest
+    with pytest.raises(ValueError):
+        float("²")                    # the reference's row-drop path
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = {r.s: r.m for r in
+           df.select("s", is_numeric_str(F.col("s")).alias("m")).collect()}
+    assert got == {"٥": False, "１": False, "１２.５": False,
+                   "²": False, "42": True}
 
 
 def test_entity_partition_parity(spark):

@@ -77,9 +77,9 @@ def test_driver_window_contract():
     for those, and the judge sees which). A registry reorder must fail
     here, not silently in the round run."""
     ROWS_ONLY_OK = {
-        "sketch_distinct", "sketch_quantiles", "multimodal_resize",
-        "neardup_xxhash_lsh", "embedding_ann_lsh", "embedding_ivf",
-        "multimodal_decode",
+        # r9 window: one rows-only straggler (rotated-neighbor recall
+        # tier, pytest-pinned against the exact neighbors)
+        "simhash_neighbors_rotated",
     }
     names = list(QUERIES)[:50]
     assert names == entrymod._DRIVER_WINDOW
