@@ -99,11 +99,13 @@ assert len(_NEXT_WINDOW_PLAN_R10) == 50
 # r10 (longest recent-addition grace) + the 40 entries whose last
 # driver row is r5 — those go stale under the freshness gate the moment
 # CORRECTNESS_r09.json lands (latest=9 needs last>=6), so they must sit
-# in a committed plan from r9 on. 45 names <= one window; the r10
+# in a committed plan from r9 on. 46 names <= one window; the r10
 # builder re-balances with its own newly-stale set.
 _NEXT_WINDOW_PLAN_R11 = [
     "multimodal_png_adam7", "multimodal_gif_lct", "multimodal_wav_adpcm",
     "multimodal_thumbnail", "multimodal_jpeg_color",
+    # the r9 mandated addition (VERDICT r8 #6), scheduled at birth
+    "multimodal_png_palette",
     "ha_ts_format", "grouping_sets", "tpch_q7", "tpch_q10", "tpch_q19",
     "tpch_q18", "tpch_q22", "tpch_q8", "tpch_q9", "tpch_q13",
     "asof_join", "quantiles", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
@@ -115,7 +117,7 @@ _NEXT_WINDOW_PLAN_R11 = [
     "simhash_neighbors", "embedding_knn", "embedding_neardup",
     "events_hourly", "stream_dedup", "events_sliding", "stream_join",
 ]
-assert len(_NEXT_WINDOW_PLAN_R11) == 45
+assert len(_NEXT_WINDOW_PLAN_R11) == 46
 
 
 def _registry():

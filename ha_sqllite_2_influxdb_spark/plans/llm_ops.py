@@ -1023,20 +1023,14 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: Arrow-batched thumbnail resize stub (binary→binary)."""
-    from pyspark.sql import functions as F
-
-    t = multimodal.resize_images(multimodal.payloads(_docs(spark, sf_dir)))
-    return t.select(
-        "doc_id", "width", "height",
-        F.octet_length("thumbnail").cast("long").alias("thumb_bytes"),
-    )
-
+# `multimodal_resize` (the arbitrary-payload resize STUB) was retired
+# from the registry in r9 (VERDICT r8 #8): the REAL decode+resize path
+# is `multimodal_thumbnail` (magic-byte dispatch over the in-repo
+# BMP/PNG/JPEG codecs), which subsumes it. The `resize_images` operator
+# remains a library function (unknown-format plumbing, pytest-covered).
 
 QUERIES = {
     "multimodal_frames": q_multimodal_frames,
-    "multimodal_resize": q_multimodal_resize,
     "dedup_exact": q_dedup_exact,
     "dedup_incremental": q_dedup_incremental,
     "bpe_pair_counts": q_bpe_pair_counts,

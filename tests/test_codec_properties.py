@@ -140,6 +140,8 @@ def test_bitflip_corruption_never_raises(spark, sf_dir):
         "gif": (mm.gif_payloads(docs), mm._gif_pixels_fn()),
         "jpeg": (mm.jpeg_payloads(docs), mm._jpeg_pixels_fn()),
         "jpeg_color": (mm.jpeg_color_payloads(docs), mm._jpeg_ycbcr_fn()),
+        "jpeg_prog": (mm.jpeg_progressive_payloads(docs),
+                      mm._jpeg_prog_pixels_fn()),
     }
     rng = random.Random(0xC0DEC)
     # strict mode: an exception class OUTSIDE the decoder's documented

@@ -262,6 +262,49 @@ def test_png_palette_roundtrip_and_lookup(spark):
                mm.decode_png_palette(mm.png_payloads(docs)).collect())
 
 
+def test_jpeg_progressive_cross_codec_equality(spark):
+    """r9 codec tier: progressive JPEG (SOF2, 5-scan libjpeg-shaped
+    script with spectral selection, successive approximation and EOB
+    runs) must reconstruct the BIT-IDENTICAL pixel plane the baseline
+    decoder produces from the baseline encoding of the same image —
+    the two entropy layers share only the quantized coefficients, so
+    any scan-script, EOB-run or correction-bit bug shows as a pixel
+    diff. Both the varying-pixel corpus (real AC coefficients in every
+    band) and the per-block-constant corpus (all-empty AC bands →
+    pure EOB-run scans) are pinned, plus the SOF0/SOF2 fences."""
+    import numpy as np
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    texts = {i: f"progressive golden doc {i} varied payload {i * 37}"
+             for i in range(1, 25)}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    dec_prog = mm._jpeg_prog_pixels_fn()
+    dec_base = mm._jpeg_pixels_fn()
+    for const in (False, True):
+        prog = {r.doc_id: bytes(r.payload) for r in
+                mm.jpeg_progressive_payloads(
+                    docs, per_block_constant=const).collect()}
+        base = {r.doc_id: bytes(r.payload) for r in
+                mm.jpeg_payloads(docs, per_block_constant=const).collect()}
+        for did in texts:
+            w, h, nb, ns, pix = dec_prog(prog[did])
+            wb, hb, nbb, pixb = dec_base(base[did])
+            assert (w, h, nb, ns) == (wb, hb, nbb, 5), did
+            assert np.array_equal(pix, pixb), (
+                f"doc {did} const={const}: progressive reconstruction "
+                f"diverges from baseline (maxdiff "
+                f"{np.abs(pix - pixb).max()})")
+    # subset fences, both directions
+    assert dec_base(prog[1]) is None
+    assert dec_prog(base[1]) is None
+    # the DataFrame op agrees with the raw decoder on the same corpus
+    rows = {r.doc_id: r for r in mm.decode_jpeg_progressive(
+        mm.jpeg_progressive_payloads(docs)).collect()}
+    assert len(rows) == 24 and all(r.n_scans == 5 for r in rows.values())
+
+
 def test_gif_lct_palette_and_deinterlace(spark):
     """r8 codec tier: the ACTIVE palette is the frame's LOCAL table
     (pal_sum differs from the decoy global table's sum) and frame 1's
