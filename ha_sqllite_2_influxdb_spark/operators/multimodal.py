@@ -1812,13 +1812,14 @@ def image_thumbnails(payload_df: DataFrame, width: int = 8,
       partitioning preserved (no shuffle).
     - Unrecognized or malformed payloads → null row (P7 convention).
     """
-    deps = (_bmp_pixels_fn(), _png_pixels_fn(), _jpeg_pixels_fn())
+    deps = (_bmp_pixels_fn(), _png_pixels_fn(), _jpeg_pixels_fn(),
+            _png_plte_pixels_fn(), _jpeg_prog_pixels_fn())
 
     def _resize(batches: Iterator):
         import numpy as np
         import pandas as pd
 
-        bmp_of, png_of, jpeg_of = deps
+        bmp_of, png_of, jpeg_of, plte_of, prog_of = deps
 
         def gray_of(b: bytes):
             if b[:2] == b"BM":
@@ -1831,16 +1832,26 @@ def image_thumbnails(payload_df: DataFrame, width: int = 8,
                     np.float64).mean(axis=2)
             if b[:8] == b"\x89PNG\r\n\x1a\n":
                 r = png_of(b)
+                if r is not None:
+                    w, h, _d, _ct, img = r
+                    return "png", w, h, img.astype(np.float64)
+                r = plte_of(b)       # r9: paletted (color type 3)
                 if r is None:
                     return None
-                w, h, _d, _ct, img = r
-                return "png", w, h, img.astype(np.float64)
+                w, h, _nc, img, pal = r
+                # palette-mapped RGB -> per-pixel channel mean
+                return "png_plte", w, h, pal.astype(
+                    np.float64).mean(axis=1)[img]
             if b[:2] == b"\xff\xd8":
                 r = jpeg_of(b)
+                if r is not None:
+                    w, h, _nb, pix = r
+                    return "jpeg", w, h, pix
+                r = prog_of(b)       # r9: progressive (SOF2)
                 if r is None:
                     return None
-                w, h, _nb, pix = r
-                return "jpeg", w, h, pix
+                w, h, _nb, _ns, pix = r
+                return "jpeg_prog", w, h, pix
             return None
 
         def one(b: bytes):

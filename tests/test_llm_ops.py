@@ -821,6 +821,53 @@ def test_thumbnail_rejects_malformed(spark):
     assert all(rows[i].thumbnail is None for i in rows)
 
 
+def test_thumbnail_dispatch_covers_r9_codecs(spark, sf_dir):
+    """r9: the magic-byte dispatch falls through to the progressive
+    JPEG and paletted PNG decoders (same FFD8 / PNG signatures as
+    their baseline forms). Progressive thumbnails must be BYTE-EQUAL
+    to the baseline-encoding thumbnails of the same docs (the decoded
+    planes bit-match, so the resize must too); paletted thumbnails
+    match a numpy reference through the palette channel-mean."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    prog = {r.doc_id: r for r in multimodal.image_thumbnails(
+        multimodal.jpeg_progressive_payloads(docs)).collect()}
+    base = {r.doc_id: r for r in multimodal.image_thumbnails(
+        multimodal.jpeg_payloads(docs, per_block_constant=False)).collect()}
+    for d in texts:
+        assert prog[d].src_format == "jpeg_prog", d
+        assert base[d].src_format == "jpeg", d
+        assert bytes(prog[d].thumbnail) == bytes(base[d].thumbnail), d
+    plte = {r.doc_id: r for r in multimodal.image_thumbnails(
+        multimodal.png_palette_payloads(docs)).collect()}
+    for d, text in texts.items():
+        r = plte[d]
+        assert r.src_format == "png_plte", d
+        w, h = (d % 12) + 4, (d % 6) + 3
+        nc = 16 + (d % 2) * 16
+        src = text.encode("utf-8") or b"\x00"
+        pal = np.array([[(d * 5 + j * 17) % 256, (j * 29 + d) % 256,
+                         (d * 3 + j * 7) % 256] for j in range(nc)],
+                       np.float64)
+        idx = np.array([src[i % len(src)] % nc for i in range(w * h)],
+                       np.int64).reshape(h, w)
+        gray = pal.mean(axis=1)[idx]
+        want = np.empty((8, 8))
+        re = [i * h // 8 for i in range(9)]
+        ce = [j * w // 8 for j in range(9)]
+        for i in range(8):
+            r0, r1 = re[i], max(re[i + 1], re[i] + 1)
+            for j in range(8):
+                c0, c1 = ce[j], max(ce[j + 1], ce[j] + 1)
+                want[i, j] = gray[min(r0, h - 1):r1,
+                                  min(c0, w - 1):c1].mean()
+        thumb = np.frombuffer(bytes(r.thumbnail), np.uint8)
+        assert (thumb.reshape(8, 8)
+                == np.round(want).astype(np.uint8)).all(), d
+
+
 def test_dedup_incremental_crafted_statuses(spark):
     """All three classifications on a hand-built shard: content already
     curated -> exact_dup; duplicated within the shard -> the smallest
