@@ -168,6 +168,56 @@ def test_bitflip_corruption_never_raises(spark, sf_dir):
         mm._STRICT_DECODE = False
 
 
+@settings(max_examples=120, deadline=None)
+@given(st.integers(1, 2**31 - 1), st.integers(1, 18), st.integers(1, 12))
+def test_png_unfilter_roundtrip_all_filter_types(seed, w, h):
+    """Property pin for the r9-shared `_png_unfilter_1bpp` core (now
+    serving BOTH the grayscale and paletted decoders): a random uint8
+    image filtered row-by-row with a seed-chosen mix of all five PNG
+    §9 filter types (None/Sub/Up/Average/Paeth) must round-trip
+    exactly; a truncated or over-long stream returns None."""
+    import random as _random
+
+    import numpy as np
+
+    from ha_sqllite_2_influxdb_spark.operators.multimodal import (
+        _png_unfilter_1bpp,
+    )
+
+    rng = _random.Random(seed)
+    img = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+    stream = bytearray()
+    prior = [0] * w
+    for r in range(h):
+        row = img[r]
+        ft = rng.randrange(5)
+        stream.append(ft)
+        for i in range(w):
+            a = row[i - 1] if i else 0
+            b = prior[i]
+            c = prior[i - 1] if i else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+            stream.append((row[i] - pred) & 0xFF)
+        prior = row
+    got = _png_unfilter_1bpp(bytes(stream), w, h)
+    assert got is not None
+    assert np.array_equal(got, np.array(img, dtype=np.uint8))
+    assert _png_unfilter_1bpp(bytes(stream[:-1]), w, h) is None
+    assert _png_unfilter_1bpp(bytes(stream) + b"\x00", w, h) is None
+
+
 def test_decode_backstop_absorbs_exotic_exception_classes():
     """ADVICE r8: in production mode an exception class OUTSIDE the
     typed corruption tuple (here a TypeError from a non-bytes payload)
