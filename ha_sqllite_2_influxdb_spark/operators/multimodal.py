@@ -30,7 +30,34 @@ from pyspark.sql import types as T
 # their documented corruption tuple instead of nulling the row —
 # fuzz/property tests flip this so an unexpected class is a test
 # failure, while production batches stay loss-bounded to one row.
+# (Plain-value globals like this one are captured BY VALUE when
+# cloudpickle ships a factory-nested closure, so referencing it does
+# not break worker hermeticity — unlike module-level FUNCTIONS, which
+# pickle as import references; see _shipped below.)
 _STRICT_DECODE = False
+
+
+def _shipped(f):
+    """By-value copy of a module-level helper for worker closures.
+
+    cloudpickle serializes a module-level function as an IMPORT
+    reference, so a mapInPandas closure that calls one (``_lzw_decode``,
+    ``_png_unfilter_1bpp``, ``_png_chunk``, …) would require this
+    package on every executor's PYTHONPATH — breaking the module's
+    documented hermetic-worker convention ("driver-built, shipped by
+    value"). Rebinding the code object to a fresh function that module
+    lookup does NOT resolve to (``getattr(module, qualname) is not f``)
+    makes cloudpickle serialize the CODE by value instead. Safe only
+    for helpers that are self-contained (local imports + builtins, no
+    module-global reads) — all the codec cores are written that way;
+    `tests/test_codec_properties.py::test_decoder_closures_are_hermetic`
+    pins the property end-to-end with a clean-subprocess unpickle."""
+    import types
+
+    g = types.FunctionType(f.__code__, {"__builtins__": __builtins__},
+                           f.__name__, f.__defaults__, f.__closure__)
+    g.__qualname__ = f.__qualname__
+    return g
 
 
 DECODE_SCHEMA = T.StructType([
@@ -196,7 +223,7 @@ def bmp_payloads(documents: DataFrame) -> DataFrame:
             w = (doc_id % 16) + 4
             h = (doc_id % 8) + 2
             stride = (3 * w + 3) & ~3
-            src = text.encode("utf-8") or b"\x00"
+            src = (text or "").encode("utf-8") or b"\x00"
             px = bytearray()
             for _r in range(h):
                 row = bytes(src[i % len(src)]
@@ -328,6 +355,7 @@ def png_payloads(documents: DataFrame) -> DataFrame:
     the filter type CYCLING 0..4 per row — so `decode_png` must run the
     full inverse filter set (None/Sub/Up/Average/Paeth), not just slice
     bytes. Synthesis is the fixture; the codec is the deliverable."""
+    png_chunk = _shipped(_png_chunk)
 
     def _make(batches: Iterator):
         import struct
@@ -338,7 +366,7 @@ def png_payloads(documents: DataFrame) -> DataFrame:
         def one(doc_id: int, text: str) -> bytes:
             w = (doc_id % 16) + 4
             h = (doc_id % 8) + 2
-            src = text.encode("utf-8") or b"\x00"
+            src = (text or "").encode("utf-8") or b"\x00"
             raw = [
                 bytes(src[(r * w + i) % len(src)] for i in range(w))
                 for r in range(h)
@@ -375,9 +403,9 @@ def png_payloads(documents: DataFrame) -> DataFrame:
                     stream += out
                 prior = row
             ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-            return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-                    + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
-                    + _png_chunk(b"IEND", b""))
+            return (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+                    + png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+                    + png_chunk(b"IEND", b""))
 
         for pdf in batches:
             yield pd.DataFrame({
@@ -449,6 +477,8 @@ def _png_pixels_fn():
 
     import numpy as np
 
+    unfilter = _shipped(_png_unfilter_1bpp)
+
     def one(b: bytes):
         try:
             if b[:8] != b"\x89PNG\r\n\x1a\n":
@@ -473,7 +503,7 @@ def _png_pixels_fn():
             if w <= 0 or h <= 0:
                 return None  # zero-area: P7 null row, not a NaN mean
             raw = zlib.decompress(idat)
-            img = _png_unfilter_1bpp(raw, w, h)
+            img = unfilter(raw, w, h)
             if img is None:
                 return None
             return (w, h, depth, ctype, img)
@@ -547,6 +577,7 @@ def png_rgb_payloads(documents: DataFrame) -> DataFrame:
     spec's bpp=3 left-neighbor offset (Sub/Average/Paeth predict from
     the byte THREE back, not one — the exact place a grayscale-only
     inverse filter silently corrupts RGB data)."""
+    png_chunk = _shipped(_png_chunk)
 
     def _make(batches: Iterator):
         import struct
@@ -558,7 +589,7 @@ def png_rgb_payloads(documents: DataFrame) -> DataFrame:
             w = (doc_id % 12) + 3
             h = (doc_id % 6) + 2
             n = 3 * w
-            src = text.encode("utf-8") or b"\x00"
+            src = (text or "").encode("utf-8") or b"\x00"
             raw = [
                 bytes(src[(r * n + i) % len(src)] for i in range(n))
                 for r in range(h)
@@ -596,9 +627,9 @@ def png_rgb_payloads(documents: DataFrame) -> DataFrame:
                     stream += out
                 prior = row
             ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-            return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-                    + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
-                    + _png_chunk(b"IEND", b""))
+            return (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+                    + png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+                    + png_chunk(b"IEND", b""))
 
         for pdf in batches:
             yield pd.DataFrame({
@@ -783,7 +814,7 @@ def wav_payloads(documents: DataFrame, sample_rate: int = 8000,
             # so the SQL oracle's per-character fold stays exact even if a
             # regenerated fixture introduces non-ASCII text (utf-8 bytes
             # would diverge from DuckDB's code-point functions there).
-            src = text.encode("ascii", errors="replace")
+            src = (text or "").encode("ascii", errors="replace")
             if n_channels == 1:
                 vals = [((b - 128) * 256) for b in src]
             else:
@@ -1798,11 +1829,16 @@ def image_thumbnails(payload_df: DataFrame, width: int = 8,
                      height: int = 8) -> DataFrame:
     """REAL resize over REAL codecs (r6 — retires the resize stub's
     "no codec libs" caveat for the formats this repo decodes honestly):
-    magic-byte dispatch to the in-repo BMP / PNG / JPEG decoders, then
-    grayscale area-average downsample to (width, height).
+    magic-byte dispatch to the in-repo BMP / PNG (grayscale + paletted)
+    / JPEG (baseline + progressive) decoders, then grayscale
+    area-average downsample to (width, height).
 
     - BMP samples are BGR triplets → grayscale is the per-pixel channel
-      mean; PNG/JPEG are already single-channel.
+      mean; paletted PNG maps indices through the PLTE and averages the
+      three palette channels the same way; grayscale PNG and both JPEG
+      forms are already single-channel. Within each container the
+      variant is picked by ONE header peek (IHDR color type byte / SOF
+      marker walk), not by running the wrong decoder to None first.
     - Area averaging uses floor bucket edges (region i spans source rows
       ``[i·h//th, (i+1)·h//th)``), every region non-empty whenever the
       source is at least target-sized; smaller sources upsample by pixel
@@ -1821,6 +1857,21 @@ def image_thumbnails(payload_df: DataFrame, width: int = 8,
 
         bmp_of, png_of, jpeg_of, plte_of, prog_of = deps
 
+        def jpeg_sof(b: bytes):
+            # one marker walk up to the first SOF: 0xC0 baseline /
+            # 0xC2 progressive / None (corrupt or scan-before-SOF)
+            pos = 2
+            while pos + 4 <= len(b):
+                if b[pos] != 0xFF:
+                    return None
+                m = b[pos + 1]
+                if m in (0xC0, 0xC2):
+                    return m
+                if m in (0xD9, 0xDA):
+                    return None
+                pos += 2 + ((b[pos + 2] << 8) | b[pos + 3])
+            return None
+
         def gray_of(b: bytes):
             if b[:2] == b"BM":
                 r = bmp_of(b)
@@ -1831,27 +1882,32 @@ def image_thumbnails(payload_df: DataFrame, width: int = 8,
                 return "bmp", w, h, samples.reshape(h, w, 3).astype(
                     np.float64).mean(axis=2)
             if b[:8] == b"\x89PNG\r\n\x1a\n":
+                # IHDR is mandatory-first: color type lives at byte 25
+                if len(b) > 25 and b[25] == 3:
+                    r = plte_of(b)   # r9: paletted (color type 3)
+                    if r is None:
+                        return None
+                    w, h, _nc, img, pal = r
+                    # palette-mapped RGB -> per-pixel channel mean
+                    return "png_plte", w, h, pal.astype(
+                        np.float64).mean(axis=1)[img]
                 r = png_of(b)
-                if r is not None:
-                    w, h, _d, _ct, img = r
-                    return "png", w, h, img.astype(np.float64)
-                r = plte_of(b)       # r9: paletted (color type 3)
                 if r is None:
                     return None
-                w, h, _nc, img, pal = r
-                # palette-mapped RGB -> per-pixel channel mean
-                return "png_plte", w, h, pal.astype(
-                    np.float64).mean(axis=1)[img]
+                w, h, _d, _ct, img = r
+                return "png", w, h, img.astype(np.float64)
             if b[:2] == b"\xff\xd8":
+                if jpeg_sof(b) == 0xC2:
+                    r = prog_of(b)   # r9: progressive (SOF2)
+                    if r is None:
+                        return None
+                    w, h, _nb, _ns, pix = r
+                    return "jpeg_prog", w, h, pix
                 r = jpeg_of(b)
-                if r is not None:
-                    w, h, _nb, pix = r
-                    return "jpeg", w, h, pix
-                r = prog_of(b)       # r9: progressive (SOF2)
                 if r is None:
                     return None
-                w, h, _nb, _ns, pix = r
-                return "jpeg_prog", w, h, pix
+                w, h, _nb, pix = r
+                return "jpeg", w, h, pix
             return None
 
         def one(b: bytes):
@@ -1906,6 +1962,7 @@ def gif_payloads(documents: DataFrame) -> DataFrame:
     Frames are small enough that the dictionary never reaches 4096, so
     the only clear code is the mandatory initial one (documented
     subset; the decoder handles mid-stream clears anyway)."""
+    lzw_encode, gif_subblocks = _shipped(_lzw_encode), _shipped(_gif_subblocks)
 
     def _make(batches: Iterator):
         import struct
@@ -1915,7 +1972,7 @@ def gif_payloads(documents: DataFrame) -> DataFrame:
         def one(doc_id: int, text: str) -> bytes:
             wpx = (doc_id % 12) + 4
             hpx = (doc_id % 6) + 2
-            src = text.encode("utf-8") or b"\x00"
+            src = (text or "").encode("utf-8") or b"\x00"
             idxs = [src[i % len(src)] % 16 for i in range(wpx * hpx)]
             gct = bytearray()
             for j in range(16):
@@ -1925,7 +1982,7 @@ def gif_payloads(documents: DataFrame) -> DataFrame:
                     + struct.pack("<HHBBB", wpx, hpx, 0xF3, 0, 0)
                     + bytes(gct)
                     + b"\x2C" + struct.pack("<HHHHB", 0, 0, wpx, hpx, 0)
-                    + bytes((4,)) + _gif_subblocks(_lzw_encode(idxs))
+                    + bytes((4,)) + gif_subblocks(lzw_encode(idxs))
                     + b"\x3B")
 
         for pdf in batches:
@@ -2087,6 +2144,8 @@ def _gif_pixels_fn():
     parse, extension-block skip, `_lzw_decode` for the code stream."""
     import struct
 
+    lzw_decode = _shipped(_lzw_decode)
+
     def one(b: bytes):
         try:
             if b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -2117,7 +2176,7 @@ def _gif_pixels_fn():
                 ln = b[pos]
                 data += b[pos + 1:pos + 1 + ln]
                 pos += ln + 1
-            out = _lzw_decode(bytes(data), min_cs, max_out=iw * ih)
+            out = lzw_decode(bytes(data), min_cs, max_out=iw * ih)
             if out is None or len(out) != iw * ih or not palette:
                 return None
             return (int(w), int(h), int(n_colors), out)
@@ -2173,6 +2232,7 @@ def gif_anim_payloads(documents: DataFrame,
     = (frame+1)×10 cs) + image descriptor + LZW data. Frame f's pixel
     i carries ``ascii(text[(i + 7·f) % len]) % 16`` — per-frame sums
     stay analytically SQL-predictable."""
+    lzw_encode, gif_subblocks = _shipped(_lzw_encode), _shipped(_gif_subblocks)
 
     def _make(batches: Iterator):
         import struct
@@ -2182,7 +2242,7 @@ def gif_anim_payloads(documents: DataFrame,
         def one(doc_id: int, text: str) -> bytes:
             wpx = (doc_id % 12) + 4
             hpx = (doc_id % 6) + 2
-            src = text.encode("utf-8") or b"\x00"
+            src = (text or "").encode("utf-8") or b"\x00"
             gct = bytearray()
             for j in range(16):
                 gct += bytes(((doc_id * 7 + j * 13) % 256,
@@ -2198,7 +2258,7 @@ def gif_anim_payloads(documents: DataFrame,
                                               wpx, hpx, 0)
                 idxs = [src[(i + 7 * f) % len(src)] % 16
                         for i in range(wpx * hpx)]
-                body += bytes((4,)) + _gif_subblocks(_lzw_encode(idxs))
+                body += bytes((4,)) + gif_subblocks(lzw_encode(idxs))
             return (b"GIF89a"
                     + struct.pack("<HHBBB", wpx, hpx, 0xF3, 0, 0)
                     + bytes(gct) + bytes(body) + b"\x3B")
@@ -2225,6 +2285,8 @@ def decode_gif_frames(payloads: DataFrame) -> DataFrame:
     codecs — both conventions exist in the reference-free contract,
     this one matches `multimodal_frames`)."""
     import struct
+
+    lzw_decode = _shipped(_lzw_decode)
 
     def frames_of(b: bytes):
         try:
@@ -2266,7 +2328,7 @@ def decode_gif_frames(payloads: DataFrame) -> DataFrame:
                         data += b[pos + 1:pos + 1 + ln]
                         pos += ln + 1
                     pos += 1
-                    out = _lzw_decode(bytes(data), min_cs, max_out=iw * ih)
+                    out = lzw_decode(bytes(data), min_cs, max_out=iw * ih)
                     if out is None or len(out) != iw * ih:
                         return []
                     frames.append((len(frames), delay, iw * ih,
@@ -2336,6 +2398,7 @@ def png_adam7_payloads(documents: DataFrame) -> DataFrame:
     `png_payloads`'s exact one (``src[(r*w + c) % len]``) so the oracle
     stays analytic — but the bytes arrive pass-scattered, and only a
     correct de-interlacing scatter reassembles them."""
+    png_chunk = _shipped(_png_chunk)
 
     def _make(batches: Iterator):
         import struct
@@ -2383,7 +2446,7 @@ def png_adam7_payloads(documents: DataFrame) -> DataFrame:
         def one(doc_id: int, text: str) -> bytes:
             w = (doc_id % 16) + 4
             h = (doc_id % 8) + 2
-            src = text.encode("utf-8") or b"\x00"
+            src = (text or "").encode("utf-8") or b"\x00"
             img = [[src[(r * w + c) % len(src)] for c in range(w)]
                    for r in range(h)]
             filt_rows.ctr = 0
@@ -2396,9 +2459,9 @@ def png_adam7_payloads(documents: DataFrame) -> DataFrame:
                 pass_rows = [bytes(img[r][c] for c in cols) for r in rows]
                 stream += filt_rows(pass_rows, len(cols))
             ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
-            return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-                    + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
-                    + _png_chunk(b"IEND", b""))
+            return (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+                    + png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+                    + png_chunk(b"IEND", b""))
 
         for pdf in batches:
             yield pd.DataFrame({
@@ -2591,6 +2654,7 @@ def gif_lct_payloads(documents: DataFrame) -> DataFrame:
     pixel rule: ``(src[i % len] + 3·f) % 16`` at NATURAL position i, so
     idx_sum and the order-sensitive weighted_sum stay analytic for the
     oracle. LZW encoding is `gif_payloads`'s exact width-rule encoder."""
+    lzw_encode, gif_subblocks = _shipped(_lzw_encode), _shipped(_gif_subblocks)
 
     def _make(batches: Iterator):
         import struct
@@ -2600,7 +2664,7 @@ def gif_lct_payloads(documents: DataFrame) -> DataFrame:
         def one(doc_id: int, text: str) -> bytes:
             wpx = (doc_id % 10) + 4
             hpx = (doc_id % 7) + 3
-            src = text.encode("utf-8") or b"\x00"
+            src = (text or "").encode("utf-8") or b"\x00"
             # decoy global table: a correct decoder never reads it here
             gct = bytes(((doc_id + j) % 256) for j in range(16 * 3))
             out = bytearray(b"GIF89a")
@@ -2627,7 +2691,7 @@ def gif_lct_payloads(documents: DataFrame) -> DataFrame:
                                  for r in order for c in range(wpx)]
                 else:
                     emit_idxs = idxs
-                out += bytes((4,)) + _gif_subblocks(_lzw_encode(emit_idxs))
+                out += bytes((4,)) + gif_subblocks(lzw_encode(emit_idxs))
             out += b"\x3B"
             return bytes(out)
 
@@ -2654,6 +2718,7 @@ def decode_gif_lct(payloads: DataFrame) -> DataFrame:
     UNDOING the 4-pass interlace row order for 0x40 frames, so a
     skipped de-interlace breaks the hash while idx_sum alone would
     not."""
+    lzw_decode = _shipped(_lzw_decode)
 
     def frames_of(b: bytes):
         import struct
@@ -2696,7 +2761,7 @@ def decode_gif_lct(payloads: DataFrame) -> DataFrame:
                     data += b[pos + 1:pos + 1 + ln]
                     pos += ln + 1
                 pos += 1
-                out = _lzw_decode(bytes(data), min_cs, max_out=iw * ih)
+                out = lzw_decode(bytes(data), min_cs, max_out=iw * ih)
                 if out is None or len(out) != iw * ih or not pal:
                     return []
                 if iflags & 0x40:           # de-interlace to natural rows
@@ -2767,6 +2832,7 @@ def png_palette_payloads(documents: DataFrame) -> DataFrame:
     n_colors`` at natural position i — idx_sum, the order-sensitive
     weighted_sum AND the palette-mapped rgb_sum stay analytic for the
     oracle. Synthesis is the fixture; the codec is the deliverable."""
+    png_chunk = _shipped(_png_chunk)
 
     def _make(batches: Iterator):
         import struct
@@ -2778,7 +2844,7 @@ def png_palette_payloads(documents: DataFrame) -> DataFrame:
             w = (doc_id % 12) + 4
             h = (doc_id % 6) + 3
             n_colors = 16 + (doc_id % 2) * 16
-            src = text.encode("utf-8") or b"\x00"
+            src = (text or "").encode("utf-8") or b"\x00"
             idxs = [src[i % len(src)] % n_colors for i in range(w * h)]
             raw = [bytes(idxs[r * w:(r + 1) * w]) for r in range(h)]
             stream = bytearray()
@@ -2818,10 +2884,10 @@ def png_palette_payloads(documents: DataFrame) -> DataFrame:
                        (doc_id * 3 + j * 7) % 256))
                 for j in range(n_colors))
             ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
-            return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-                    + _png_chunk(b"PLTE", plte)
-                    + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
-                    + _png_chunk(b"IEND", b""))
+            return (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+                    + png_chunk(b"PLTE", plte)
+                    + png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+                    + png_chunk(b"IEND", b""))
 
         for pdf in batches:
             yield pd.DataFrame({
@@ -2847,6 +2913,8 @@ def _png_plte_pixels_fn():
     import zlib
 
     import numpy as np
+
+    unfilter = _shipped(_png_unfilter_1bpp)
 
     def one(b: bytes):
         try:
@@ -2878,7 +2946,7 @@ def _png_plte_pixels_fn():
                 return None
             n_colors = len(plte) // 3
             raw = zlib.decompress(idat)
-            img = _png_unfilter_1bpp(raw, w, h)
+            img = unfilter(raw, w, h)
             if img is None or int(img.max()) >= n_colors:
                 return None
             return (w, h, n_colors, img,
@@ -3591,7 +3659,7 @@ def wav_adpcm_payloads(documents: DataFrame,
         import pandas as pd
 
         def one(doc_id: int, text: str) -> bytes:
-            src = text.encode("utf-8") or b"\x80"
+            src = (text or "").encode("utf-8") or b"\x80"
             n = (doc_id % 48) + 24
             samples = [(src[i % len(src)] - 128) * 250 for i in range(n)]
             idx = doc_id % 89

@@ -69,7 +69,9 @@ def _sweep_cache() -> None:
             if _session_stopped(sess)]
     for k in dead:
         del _TABLE_CACHE[k]
-    while len(_TABLE_CACHE) > _TABLE_CACHE_MAX:
+    # >= because the sweep runs BEFORE the caller's insert — the cache
+    # must end the insert at no more than _TABLE_CACHE_MAX entries
+    while len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
         _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
 
 

@@ -218,6 +218,55 @@ def test_png_unfilter_roundtrip_all_filter_types(seed, w, h):
     assert _png_unfilter_1bpp(bytes(stream) + b"\x00", w, h) is None
 
 
+def test_decoder_closures_are_hermetic(tmp_path):
+    """The module's 'driver-built, shipped by value' convention, pinned
+    end-to-end: every decode factory's closure must cloudpickle-
+    round-trip and RUN in a subprocess that does NOT have this repo on
+    sys.path (the executor-without-PYTHONPATH scenario). A module-level
+    function reference inside a closure (the bug class: `_lzw_decode`,
+    `_png_unfilter_1bpp` before `_shipped`) fails here with
+    ModuleNotFoundError."""
+    import base64
+    import subprocess
+    import sys
+
+    from pyspark import cloudpickle
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    factories = {
+        "bmp": mm._bmp_pixels_fn, "png": mm._png_pixels_fn,
+        "png_plte": mm._png_plte_pixels_fn,
+        "png_adam7": mm._png_adam7_pixels_fn,
+        "jpeg": mm._jpeg_pixels_fn, "jpeg_color": mm._jpeg_ycbcr_fn,
+        "jpeg_prog": mm._jpeg_prog_pixels_fn, "gif": mm._gif_pixels_fn,
+    }
+    helpers = {
+        "png_chunk": (mm._shipped(mm._png_chunk), "(b'IEND', b'')"),
+        "lzw_encode": (mm._shipped(mm._lzw_encode), "([1, 2, 3],)"),
+        "lzw_decode": (mm._shipped(mm._lzw_decode), "(b'', 4)"),
+        "gif_subblocks": (mm._shipped(mm._gif_subblocks), "(b'xyz',)"),
+        "unfilter": (mm._shipped(mm._png_unfilter_1bpp), "(b'', 1, 1)"),
+    }
+    lines = []
+    for name, fac in factories.items():
+        blob = base64.b64encode(cloudpickle.dumps(fac())).decode()
+        lines.append(f"fn = pickle.loads(base64.b64decode('{blob}'))\n"
+                     f"assert fn(b'garbage') is None or fn(b'garbage') == []\n"
+                     f"print('OK {name}')")
+    for name, (fn, args) in helpers.items():
+        blob = base64.b64encode(cloudpickle.dumps(fn)).decode()
+        lines.append(f"fn = pickle.loads(base64.b64decode('{blob}'))\n"
+                     f"fn(*{args})\n"
+                     f"print('OK {name}')")
+    script = "import base64, pickle\n" + "\n".join(lines)
+    r = subprocess.run([sys.executable, "-c", script],
+                       capture_output=True, text=True, cwd=str(tmp_path))
+    assert r.returncode == 0, (
+        f"closure not hermetic:\n{r.stderr.strip().splitlines()[-3:]}")
+    assert r.stdout.count("OK ") == len(factories) + len(helpers)
+
+
 def test_decode_backstop_absorbs_exotic_exception_classes():
     """ADVICE r8: in production mode an exception class OUTSIDE the
     typed corruption tuple (here a TypeError from a non-bytes payload)
