@@ -1077,14 +1077,22 @@ def _jpeg_common():
 
 
 def jpeg_payloads(documents: DataFrame,
-                  per_block_constant: bool = True) -> DataFrame:
+                  per_block_constant: bool = True,
+                  restart_interval: int = 0) -> DataFrame:
     """Synthesize a VALID baseline grayscale JPEG per document.
 
     Dimensions 8·((doc_id%3)+1) × 8·((doc_id%2)+1); block pixels are the
     constant (doc_id·31 + i·7) % 256 for row-major block index i by
     default (SQL-exact decode — see module note), or text-byte-cycling
     varying pixels with ``per_block_constant=False`` (the lossy path
-    pytest bounds)."""
+    pytest bounds).
+
+    ``restart_interval > 0`` (r9) emits a DRI segment and an RST0-7
+    marker every that-many MCUs — the resync structure every camera
+    JPEG carries. The entropy stream byte-aligns (1-padded, FF
+    stuffed) before each marker and the DC predictor resets after it,
+    so a decoder that ignores restarts reads garbage DC diffs — the
+    cross-variant equality golden catches that."""
     # evaluated DRIVER-side: the closure captures plain data (lists, a
     # numpy array, one nested function), which cloudpickle ships by
     # value — a module-global reference would make workers import this
@@ -1149,9 +1157,11 @@ def jpeg_payloads(documents: DataFrame,
             def seg(marker, body):
                 return struct.pack(">HH", marker, len(body) + 2) + body
 
+            dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
+                   if restart_interval else b"")
             return (b"\xff\xd8" + seg(0xFFDB, dqt) + seg(0xFFC0, sof)
                     + seg(0xFFC4, dht_dc) + seg(0xFFC4, dht_ac)
-                    + seg(0xFFDA, sos))
+                    + dri + seg(0xFFDA, sos))
 
         def one(doc_id, text):
             w = 8 * ((doc_id % 3) + 1)
@@ -1170,8 +1180,19 @@ def jpeg_payloads(documents: DataFrame,
                 img[:] = flat.reshape(h, w)
             bw = BitWriter()
             prev_dc = 0
+            mcu = 0
             for r in range(by):
                 for c in range(bx):
+                    if (restart_interval and mcu
+                            and mcu % restart_interval == 0):
+                        if bw.n:          # byte-align with 1-padding
+                            pad = 8 - bw.n
+                            bw.put((1 << pad) - 1, pad)
+                        bw.buf += bytes((
+                            0xFF,
+                            0xD0 + ((mcu // restart_interval - 1) & 7)))
+                        prev_dc = 0       # DC predictor resets (T.81 E.2.4)
+                    mcu += 1
                     blk = img[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] - 128.0
                     coef = C @ blk @ C.T
                     zz = [int(np.round(coef[rr, cc] / q[rr, cc]))
@@ -1213,10 +1234,13 @@ def jpeg_payloads(documents: DataFrame,
 
 def _jpeg_pixels_fn():
     """Factory → ``one(bytes) -> (w, h, n_blocks, float64[h, w] rounded
-    clamped pixels) | None`` for the grayscale baseline JPEG subset.
-    Driver-built and shipped by value into mapInPandas closures (the
-    hermetic-worker convention); single source of truth for the JPEG
-    parse shared by `decode_jpeg` and `image_thumbnails`."""
+    clamped pixels) | None`` for the grayscale baseline JPEG subset,
+    including DRI/RST0-7 restart intervals (r9 — byte-aligned marker
+    consume + DC predictor reset per T.81 E.2.4; a wrong or missing
+    restart index nulls the row). Driver-built and shipped by value
+    into mapInPandas closures (the hermetic-worker convention); single
+    source of truth for the JPEG parse shared by `decode_jpeg` and
+    `image_thumbnails`."""
     import struct
 
     import numpy as np
@@ -1231,6 +1255,7 @@ def _jpeg_pixels_fn():
             pos = 2
             qt, huff = {}, {}
             sof = None
+            ri = 0
             scan_comp = scan_at = None
             while pos + 4 <= len(b):
                 if b[pos] != 0xFF:
@@ -1240,7 +1265,9 @@ def _jpeg_pixels_fn():
                     break
                 (ln,) = struct.unpack_from(">H", b, pos + 2)
                 body = b[pos + 4:pos + 2 + ln]
-                if marker == 0xDB:
+                if marker == 0xDD:
+                    (ri,) = struct.unpack_from(">H", body, 0)
+                elif marker == 0xDB:
                     o = 0
                     while o < len(body):
                         pq, tq = body[o] >> 4, body[o] & 0xF
@@ -1329,8 +1356,24 @@ def _jpeg_pixels_fn():
                 return None
             img = np.empty((by * 8, bx * 8), dtype=np.float64)
             prev_dc = 0
+            mcu = 0
             for br in range(by):
                 for bc in range(bx):
+                    if ri and mcu and mcu % ri == 0:
+                        # byte-align, then consume the expected RSTn
+                        # (modulo-8 index per T.81 E.2.4) and reset the
+                        # DC predictor; a missing or out-of-sequence
+                        # marker is corruption -> null row
+                        bitpos[0] = (bitpos[0] + 7) & ~7
+                        bi = bitpos[0] >> 3
+                        if b[bi] == 0x00 and b[bi - 1] == 0xFF:
+                            bi += 1   # unconsumed stuffing of a FF pad
+                        if (b[bi] != 0xFF or
+                                b[bi + 1] != 0xD0 + ((mcu // ri - 1) & 7)):
+                            raise ValueError("bad restart marker")
+                        bitpos[0] = (bi + 2) * 8
+                        prev_dc = 0
+                    mcu += 1
                     zz = np.zeros(64)
                     prev_dc += receive_extend(read_huff(dc_dec))
                     zz[0] = prev_dc
@@ -2821,7 +2864,8 @@ def decode_gif_lct(payloads: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def png_palette_payloads(documents: DataFrame) -> DataFrame:
+def png_palette_payloads(documents: DataFrame,
+                         bit_depth: int = 8) -> DataFrame:
     """Synthesize a VALID paletted PNG per document (color type 3,
     8-bit indices): IHDR, a PLTE chunk of 16 or 32 analytic RGB entries
     (size varies by doc parity so a hardcoded-16 decoder fails half the
@@ -2831,7 +2875,15 @@ def png_palette_payloads(documents: DataFrame) -> DataFrame:
     everything. Pixel rule: ``idx[i] = ascii(text[i % len]) %
     n_colors`` at natural position i — idx_sum, the order-sensitive
     weighted_sum AND the palette-mapped rgb_sum stay analytic for the
-    oracle. Synthesis is the fixture; the codec is the deliverable."""
+    oracle. Synthesis is the fixture; the codec is the deliverable.
+
+    ``bit_depth`` (r9) extends the form to the sub-byte index packings
+    real icons use: 4 (≤16 colors, 2 px/byte), 2 (≤4 colors) and 1
+    (2 colors), MSB-first per PNG §7.2 with zero-padded row tails —
+    the filter step still operates on the PACKED bytes. n_colors is
+    clamped to what the depth can address."""
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError(f"unsupported paletted bit depth {bit_depth}")
     png_chunk = _shipped(_png_chunk)
 
     def _make(batches: Iterator):
@@ -2843,12 +2895,26 @@ def png_palette_payloads(documents: DataFrame) -> DataFrame:
         def one(doc_id: int, text: str) -> bytes:
             w = (doc_id % 12) + 4
             h = (doc_id % 6) + 3
-            n_colors = 16 + (doc_id % 2) * 16
+            n_colors = min(16 + (doc_id % 2) * 16, 1 << bit_depth)
             src = (text or "").encode("utf-8") or b"\x00"
             idxs = [src[i % len(src)] % n_colors for i in range(w * h)]
-            raw = [bytes(idxs[r * w:(r + 1) * w]) for r in range(h)]
+            if bit_depth == 8:
+                raw = [bytes(idxs[r * w:(r + 1) * w]) for r in range(h)]
+            else:
+                per = 8 // bit_depth
+                raw = []
+                for r in range(h):
+                    rowbits = bytearray()
+                    for o in range(0, w, per):
+                        byte = 0
+                        for k in range(per):
+                            v = idxs[r * w + o + k] if o + k < w else 0
+                            byte = (byte << bit_depth) | v
+                        rowbits.append(byte)
+                    raw.append(bytes(rowbits))
+            w_bytes = len(raw[0])
             stream = bytearray()
-            prior = bytes(w)
+            prior = bytes(w_bytes)
             for r, row in enumerate(raw):
                 ft = r % 5
                 stream.append(ft)
@@ -2857,17 +2923,17 @@ def png_palette_payloads(documents: DataFrame) -> DataFrame:
                 elif ft == 1:    # Sub
                     stream += bytes(
                         (row[i] - (row[i - 1] if i else 0)) & 0xFF
-                        for i in range(w))
+                        for i in range(w_bytes))
                 elif ft == 2:    # Up
                     stream += bytes((row[i] - prior[i]) & 0xFF
-                                    for i in range(w))
+                                    for i in range(w_bytes))
                 elif ft == 3:    # Average
                     stream += bytes(
                         (row[i] - ((row[i - 1] if i else 0) + prior[i]) // 2)
-                        & 0xFF for i in range(w))
+                        & 0xFF for i in range(w_bytes))
                 else:            # Paeth
                     out = bytearray()
-                    for i in range(w):
+                    for i in range(w_bytes):
                         a = row[i - 1] if i else 0
                         b = prior[i]
                         c = prior[i - 1] if i else 0
@@ -2883,7 +2949,7 @@ def png_palette_payloads(documents: DataFrame) -> DataFrame:
                        (j * 29 + doc_id) % 256,
                        (doc_id * 3 + j * 7) % 256))
                 for j in range(n_colors))
-            ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+            ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 0)
             return (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
                     + png_chunk(b"PLTE", plte)
                     + png_chunk(b"IDAT", zlib.compress(bytes(stream)))
@@ -2903,12 +2969,14 @@ def png_palette_payloads(documents: DataFrame) -> DataFrame:
 
 def _png_plte_pixels_fn():
     """Factory → ``one(bytes) -> (w, h, n_colors, idx[h,w], plte) |
-    None`` for the 8-bit indexed PNG subset (color type 3): chunk walk
-    collecting PLTE + IDAT, inflate, the SHARED `_png_unfilter_1bpp`
-    inverse-filter core (indices are 1 byte/pixel, so the filter math
-    is byte-identical to grayscale), then palette validation — an
-    index beyond the PLTE is corrupt per spec §11.2.3 and nulls the
-    row. Driver-built, shipped by value."""
+    None`` for the indexed PNG subset (color type 3, bit depths
+    8/4/2/1): chunk walk collecting PLTE + IDAT, inflate, the SHARED
+    `_png_unfilter_1bpp` inverse-filter core over the PACKED scanline
+    bytes (PNG filters are defined on bytes with bpp=1 here, whatever
+    the depth), then MSB-first sub-byte unpack (§7.2) and palette
+    validation — an index beyond the PLTE is corrupt per spec §11.2.3
+    and nulls the row. Row-tail padding bits are ignored, as the spec
+    requires. Driver-built, shipped by value."""
     import struct
     import zlib
 
@@ -2937,17 +3005,28 @@ def _png_plte_pixels_fn():
             if meta is None:
                 return None
             w, h, depth, ctype, comp, filt, interlace = meta
-            if (depth, ctype, comp, filt, interlace) != (8, 3, 0, 0, 0):
+            if (ctype, comp, filt, interlace) != (3, 0, 0, 0):
                 return None  # outside the supported indexed subset
-            if w <= 0 or h <= 0:
+            if depth not in (1, 2, 4, 8) or w <= 0 or h <= 0:
                 return None
             # PLTE is mandatory for ctype 3 and holds 1..256 RGB triples
             if not plte or len(plte) % 3 or len(plte) > 768:
                 return None
             n_colors = len(plte) // 3
             raw = zlib.decompress(idat)
-            img = unfilter(raw, w, h)
-            if img is None or int(img.max()) >= n_colors:
+            w_bytes = (w * depth + 7) // 8
+            img = unfilter(raw, w_bytes, h)
+            if img is None:
+                return None
+            if depth != 8:
+                # MSB-first sub-byte unpack: split each packed row into
+                # bits, fold groups of `depth` bits back to indices,
+                # drop the zero-padded row tail
+                bits = np.unpackbits(img, axis=1)
+                weights = 1 << np.arange(depth - 1, -1, -1)
+                img = (bits.reshape(h, -1, depth) * weights).sum(
+                    axis=2).astype(np.uint8)[:, :w]
+            if int(img.max()) >= n_colors:
                 return None
             return (w, h, n_colors, img,
                     np.frombuffer(plte, np.uint8).reshape(n_colors, 3))

@@ -137,11 +137,15 @@ def test_bitflip_corruption_never_raises(spark, sf_dir):
                       mm._png_adam7_pixels_fn()),
         "png_plte": (mm.png_palette_payloads(docs),
                      mm._png_plte_pixels_fn()),
+        "png_plte4": (mm.png_palette_payloads(docs, bit_depth=4),
+                      mm._png_plte_pixels_fn()),
         "gif": (mm.gif_payloads(docs), mm._gif_pixels_fn()),
         "jpeg": (mm.jpeg_payloads(docs), mm._jpeg_pixels_fn()),
         "jpeg_color": (mm.jpeg_color_payloads(docs), mm._jpeg_ycbcr_fn()),
         "jpeg_prog": (mm.jpeg_progressive_payloads(docs),
                       mm._jpeg_prog_pixels_fn()),
+        "jpeg_dri": (mm.jpeg_payloads(docs, restart_interval=2),
+                     mm._jpeg_pixels_fn()),
     }
     rng = random.Random(0xC0DEC)
     # strict mode: an exception class OUTSIDE the decoder's documented

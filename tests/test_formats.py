@@ -262,6 +262,87 @@ def test_png_palette_roundtrip_and_lookup(spark):
                mm.decode_png_palette(mm.png_payloads(docs)).collect())
 
 
+def test_png_palette_sub_byte_depths(spark):
+    """r9 codec tier: sub-byte paletted PNG (bit depths 4/2/1 — the
+    common icon packings). For every depth the decoded index grid must
+    equal the independently computed expectation (MSB-first §7.2
+    unpack over PACKED-byte filtering, zero-padded row tails dropped),
+    with n_colors clamped to what the depth can address; a depth the
+    spec forbids for ctype 3 (16) nulls."""
+    import struct
+
+    import numpy as np
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    texts = {i: f"subbyte palette {i} icon form {i * 7}"
+             for i in range(1, 25)}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    dec = mm._png_plte_pixels_fn()
+    for depth in (4, 2, 1):
+        pay = {r.doc_id: bytes(r.payload) for r in
+               mm.png_palette_payloads(docs, bit_depth=depth).collect()}
+        for d, text in texts.items():
+            r = dec(pay[d])
+            assert r is not None, (d, depth)
+            w, h, nc, img, _pal = r
+            ew, eh = (d % 12) + 4, (d % 6) + 3
+            enc = min(16 + (d % 2) * 16, 1 << depth)
+            src = text.encode()
+            want = np.array([src[i % len(src)] % enc
+                             for i in range(ew * eh)],
+                            np.uint8).reshape(eh, ew)
+            assert (w, h, nc) == (ew, eh, enc), (d, depth)
+            assert np.array_equal(img, want), (d, depth)
+    # forbidden depth for ctype 3 nulls (build a depth-16 header by
+    # patching a valid payload's IHDR and re-checksumming)
+    p = bytearray({r.doc_id: bytes(r.payload) for r in
+                   mm.png_palette_payloads(docs.limit(2)).collect()}[1])
+    p[24] = 16
+    import zlib as _z
+    crc = _z.crc32(bytes(p[12:29]))
+    p[29:33] = struct.pack(">I", crc)
+    assert dec(bytes(p)) is None
+
+
+def test_jpeg_restart_intervals_cross_variant_equality(spark):
+    """r9 codec tier: DRI/RST0-7 restart markers (the resync structure
+    every camera JPEG carries). For every restart interval the decoder
+    must reconstruct the BIT-IDENTICAL plane the plain encoding of the
+    same image yields — the DC predictor reset is load-bearing (with
+    varying pixels a non-reset predictor corrupts every block after
+    the first marker); an out-of-sequence RST index nulls the row."""
+    import numpy as np
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    texts = {i: f"dri golden {i} restart markers {i * 13}"
+             for i in range(1, 25)}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    dec = mm._jpeg_pixels_fn()
+    for const in (True, False):
+        plain = {r.doc_id: bytes(r.payload) for r in
+                 mm.jpeg_payloads(docs, per_block_constant=const).collect()}
+        for ri in (1, 2, 3):
+            dri = {r.doc_id: bytes(r.payload) for r in mm.jpeg_payloads(
+                docs, per_block_constant=const,
+                restart_interval=ri).collect()}
+            for d in texts:
+                rp, rb = dec(dri[d]), dec(plain[d])
+                assert rp is not None, (d, ri, const)
+                assert np.array_equal(rp[3], rb[3]), (d, ri, const)
+    # non-vacuity: the ri=1 stream really contains restart markers
+    sample = {r.doc_id: bytes(r.payload) for r in
+              mm.jpeg_payloads(docs.limit(3), restart_interval=1).collect()}
+    p = bytearray(sample[2])
+    i = next(i for i in range(len(p) - 1)
+             if p[i] == 0xFF and 0xD0 <= p[i + 1] <= 0xD7)
+    p[i + 1] = 0xD0 + ((p[i + 1] - 0xD0 + 3) & 7)   # out-of-sequence
+    assert dec(bytes(p)) is None
+
+
 def test_jpeg_progressive_cross_codec_equality(spark):
     """r9 codec tier: progressive JPEG (SOF2, 5-scan libjpeg-shaped
     script with spectral selection, successive approximation and EOB
