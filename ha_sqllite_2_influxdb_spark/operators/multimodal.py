@@ -790,17 +790,26 @@ WAV_DECODE_SCHEMA = T.StructType([
 
 
 def wav_payloads(documents: DataFrame, sample_rate: int = 8000,
-                 n_channels: int = 1) -> DataFrame:
-    """Synthesize a VALID 16-bit PCM WAV per document (RIFF/fmt/data
-    chunks; samples derived from the UTF-8 text bytes, centered and
-    scaled to int16) so `decode_wav` exercises a real audio parser —
-    the audio leg of the BMP/PNG real-codec pattern.
+                 n_channels: int = 1,
+                 sample_format: str = "pcm16") -> DataFrame:
+    """Synthesize a VALID PCM WAV per document (RIFF/fmt/data chunks;
+    samples derived from the UTF-8 text bytes, centered and scaled) so
+    `decode_wav` exercises a real audio parser — the audio leg of the
+    BMP/PNG real-codec pattern.
 
     ``n_channels > 1`` (r7, VERDICT r6 #3) interleaves one FRAME per
     character: channel 0 carries (b−128)·256 exactly as mono, channel c
     carries the channel-rotated (((b + 17·c) % 256) − 128)·256 so every
     channel has a distinct, per-character-predictable waveform. The
-    mono path (default) is byte-identical to pre-r7 output."""
+    mono path (default) is byte-identical to pre-r7 output.
+
+    ``sample_format`` (r9): 'pcm16' (default, format tag 1, int16),
+    'pcm24' (tag 1, 3-byte little-endian signed, value (b−128)·65536 —
+    exercises the sign-extension path) or 'float32' (tag 3, IEEE
+    float, value (b−128)/128) — the other two widths real audio
+    corpora actually carry."""
+    if sample_format not in ("pcm16", "pcm24", "float32"):
+        raise ValueError(f"unsupported sample_format {sample_format!r}")
 
     def _make(batches: Iterator):
         import struct
@@ -816,14 +825,28 @@ def wav_payloads(documents: DataFrame, sample_rate: int = 8000,
             # would diverge from DuckDB's code-point functions there).
             src = (text or "").encode("ascii", errors="replace")
             if n_channels == 1:
-                vals = [((b - 128) * 256) for b in src]
+                base = [(b - 128) for b in src]
             else:
-                vals = [(((b + 17 * c) % 256 - 128) * 256)
+                base = [((b + 17 * c) % 256 - 128)
                         for b in src for c in range(n_channels)]
-            samples = struct.pack("<%dh" % len(vals), *vals)
-            fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
-                              sample_rate * 2 * n_channels,
-                              2 * n_channels, 16)
+            if sample_format == "pcm16":
+                tag, width = 1, 16
+                samples = struct.pack(
+                    "<%dh" % len(base), *[v * 256 for v in base])
+            elif sample_format == "pcm24":
+                tag, width = 1, 24
+                out = bytearray()
+                for v in base:
+                    out += ((v * 65536) & 0xFFFFFF).to_bytes(3, "little")
+                samples = bytes(out)
+            else:
+                tag, width = 3, 32
+                samples = struct.pack(
+                    "<%df" % len(base), *[v / 128.0 for v in base])
+            bytes_per = width // 8
+            fmt = struct.pack("<HHIIHH", tag, n_channels, sample_rate,
+                              sample_rate * bytes_per * n_channels,
+                              bytes_per * n_channels, width)
             data_sz = len(samples)
             return (b"RIFF"
                     + struct.pack("<I", 4 + 8 + len(fmt) + 8 + data_sz)
@@ -845,8 +868,11 @@ def wav_payloads(documents: DataFrame, sample_rate: int = 8000,
 def decode_wav(payload_df: DataFrame) -> DataFrame:
     """REAL audio decode, dependency-free: walk the RIFF chunk list,
     parse the fmt chunk (rate/channels/width), locate data, and read
-    int16 PCM samples via numpy — mean amplitude and RMS come from the
-    DECODED samples, so an endianness or offset mistake is observable.
+    the samples via numpy — int16 PCM, 24-bit PCM (3-byte little-
+    endian, sign-extended) and IEEE float32 (format tag 3), the three
+    widths real audio corpora carry (r9 widened from int16-only).
+    Mean amplitude and RMS come from the DECODED samples, so an
+    endianness, offset or sign-extension mistake is observable.
     Malformed/unsupported payloads yield null-dimension rows (the P7
     bad-row convention)."""
 
@@ -876,10 +902,28 @@ def decode_wav(payload_df: DataFrame) -> DataFrame:
                 # counts would mix conventions for nch > 1, so multichannel
                 # is outside the honest subset (bad-row → null, like any
                 # unsupported codec) until a per-channel de-interleave lands
-                if codec != 1 or width != 16 or nch != 1:
-                    return None  # outside the PCM-int16 mono subset
-                s = np.frombuffer(data, dtype="<i2").astype(np.float64)
-                n = len(s) // nch
+                if nch != 1:
+                    return None
+                if codec == 1 and width == 16:
+                    s = np.frombuffer(
+                        data[:len(data) // 2 * 2], dtype="<i2"
+                    ).astype(np.float64)
+                elif codec == 1 and width == 24:
+                    u = np.frombuffer(
+                        data[:len(data) // 3 * 3], dtype=np.uint8
+                    ).reshape(-1, 3).astype(np.int64)
+                    v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+                    s = np.where(v >= 1 << 23, v - (1 << 24),
+                                 v).astype(np.float64)
+                elif codec == 3 and width == 32:
+                    s = np.frombuffer(
+                        data[:len(data) // 4 * 4], dtype="<f4"
+                    ).astype(np.float64)
+                    if not np.isfinite(s).all():
+                        return None  # corrupt float payload
+                else:
+                    return None  # outside the PCM/float mono subset
+                n = len(s)
                 if n == 0:
                     return (rate, nch, width, 0, 0.0, None, None)
                 return (rate, nch, width, n, n * 1000.0 / rate,

@@ -262,6 +262,48 @@ def test_png_palette_roundtrip_and_lookup(spark):
                mm.decode_png_palette(mm.png_payloads(docs)).collect())
 
 
+def test_wav_sample_widths(spark):
+    """r9 codec tier: the WAV decoder accepts the three widths real
+    audio corpora carry — int16 PCM, 24-bit PCM (sign-extension pinned
+    by negative samples) and IEEE float32 (format tag 3) — with
+    mean/RMS matching an independent numpy expectation per format; a
+    width outside the subset (8-bit) still nulls."""
+    import struct
+
+    import numpy as np
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    texts = {i: f"wav widths {i} sample {i * 3}" for i in range(1, 13)}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    for fmt, width, scale in (("pcm16", 16, 256.0), ("pcm24", 24, 65536.0),
+                              ("float32", 32, 1 / 128.0)):
+        rows = {r.doc_id: r for r in mm.decode_wav(
+            mm.wav_payloads(docs, sample_format=fmt)).collect()}
+        for d, text in texts.items():
+            r = rows[d]
+            base = np.array([(b - 128) for b in
+                             text.encode("ascii", errors="replace")],
+                            np.float64)
+            want = base * scale
+            assert (r.bits_per_sample, r.n_samples) == (width, len(base))
+            assert abs(r.mean_amplitude - want.mean()) <= 1e-9 * max(
+                1.0, abs(want.mean())), (fmt, d)
+            assert abs(r.rms - np.sqrt((want * want).mean())) \
+                <= 1e-9 * max(1.0, r.rms), (fmt, d)
+            assert (want < 0).any(), "no negative samples — the 24-bit " \
+                "sign-extension assertion would be vacuous"
+    # 8-bit PCM stays out of subset
+    samples = bytes([1, 2, 3, 4])
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    p = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt8) + 8 + len(samples))
+         + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+         + b"data" + struct.pack("<I", len(samples)) + samples)
+    df = spark.createDataFrame([(1, p)], "doc_id long, payload binary")
+    assert mm.decode_wav(df).collect()[0].sample_rate is None
+
+
 def test_png_palette_sub_byte_depths(spark):
     """r9 codec tier: sub-byte paletted PNG (bit depths 4/2/1 — the
     common icon packings). For every depth the decoded index grid must
