@@ -1974,7 +1974,7 @@ def image_thumbnails(payload_df: DataFrame, width: int = 8,
                     r = plte_of(b)   # r9: paletted (color type 3)
                     if r is None:
                         return None
-                    w, h, _nc, img, pal = r
+                    w, h, _nc, img, pal, _alpha = r
                     # palette-mapped RGB -> per-pixel channel mean
                     return "png_plte", w, h, pal.astype(
                         np.float64).mean(axis=1)[img]
@@ -2909,7 +2909,8 @@ def decode_gif_lct(payloads: DataFrame) -> DataFrame:
 
 
 def png_palette_payloads(documents: DataFrame,
-                         bit_depth: int = 8) -> DataFrame:
+                         bit_depth: int = 8,
+                         with_trns: bool = False) -> DataFrame:
     """Synthesize a VALID paletted PNG per document (color type 3,
     8-bit indices): IHDR, a PLTE chunk of 16 or 32 analytic RGB entries
     (size varies by doc parity so a hardcoded-16 decoder fails half the
@@ -2925,7 +2926,12 @@ def png_palette_payloads(documents: DataFrame,
     real icons use: 4 (≤16 colors, 2 px/byte), 2 (≤4 colors) and 1
     (2 colors), MSB-first per PNG §7.2 with zero-padded row tails —
     the filter step still operates on the PACKED bytes. n_colors is
-    clamped to what the depth can address."""
+    clamped to what the depth can address.
+
+    ``with_trns`` (r9) emits a tRNS chunk (§11.3.2) carrying alpha
+    ``(doc_id + j·11) % 256`` for the FIRST ceil(n_colors/2) palette
+    entries — deliberately shorter than the palette, so a decoder
+    that assumes tRNS covers every entry mis-reads the opaque tail."""
     if bit_depth not in (1, 2, 4, 8):
         raise ValueError(f"unsupported paletted bit depth {bit_depth}")
     png_chunk = _shipped(_png_chunk)
@@ -2993,9 +2999,13 @@ def png_palette_payloads(documents: DataFrame,
                        (j * 29 + doc_id) % 256,
                        (doc_id * 3 + j * 7) % 256))
                 for j in range(n_colors))
+            trns = (png_chunk(b"tRNS", bytes(
+                (doc_id + j * 11) % 256
+                for j in range((n_colors + 1) // 2)))
+                if with_trns else b"")
             ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 0)
             return (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
-                    + png_chunk(b"PLTE", plte)
+                    + png_chunk(b"PLTE", plte) + trns
                     + png_chunk(b"IDAT", zlib.compress(bytes(stream)))
                     + png_chunk(b"IEND", b""))
 
@@ -3032,7 +3042,7 @@ def _png_plte_pixels_fn():
         try:
             if b[:8] != b"\x89PNG\r\n\x1a\n":
                 return None
-            pos, idat, plte, meta = 8, b"", b"", None
+            pos, idat, plte, trns, meta = 8, b"", b"", b"", None
             while pos + 8 <= len(b):
                 (ln,) = struct.unpack_from(">I", b, pos)
                 tag = b[pos + 4:pos + 8]
@@ -3041,6 +3051,8 @@ def _png_plte_pixels_fn():
                     meta = struct.unpack(">IIBBBBB", data)
                 elif tag == b"PLTE":
                     plte = data
+                elif tag == b"tRNS":
+                    trns = data
                 elif tag == b"IDAT":
                     idat += data
                 elif tag == b"IEND":
@@ -3072,8 +3084,15 @@ def _png_plte_pixels_fn():
                     axis=2).astype(np.uint8)[:, :w]
             if int(img.max()) >= n_colors:
                 return None
+            # tRNS (§11.3.2): one alpha byte per leading palette entry,
+            # <= n_colors of them; missing entries are fully opaque
+            if len(trns) > n_colors:
+                return None
+            alpha = np.full(n_colors, 255, dtype=np.uint8)
+            alpha[:len(trns)] = np.frombuffer(trns, np.uint8)
             return (w, h, n_colors, img,
-                    np.frombuffer(plte, np.uint8).reshape(n_colors, 3))
+                    np.frombuffer(plte, np.uint8).reshape(n_colors, 3),
+                    alpha)
         except (struct.error, ValueError, zlib.error):
             return None
         except Exception:
@@ -3107,7 +3126,7 @@ def decode_png_palette(payload_df: DataFrame) -> DataFrame:
             r = pixels_of(b)
             if r is None:
                 return None
-            w, h, n_colors, img, pal = r
+            w, h, n_colors, img, pal, _alpha = r
             flat = img.ravel().astype(np.int64)
             pos = np.arange(1, flat.size + 1, dtype=np.int64)
             rgb = pal.astype(np.int64).sum(axis=1)  # per-entry r+g+b

@@ -262,6 +262,45 @@ def test_png_palette_roundtrip_and_lookup(spark):
                mm.decode_png_palette(mm.png_payloads(docs)).collect())
 
 
+def test_png_palette_trns_alpha(spark):
+    """r9: the tRNS chunk (palette transparency, §11.3.2) — alpha for
+    the FIRST ceil(nc/2) entries, opaque 255 for the rest; an
+    over-long tRNS (more alphas than palette entries) nulls; payloads
+    without tRNS report all-opaque."""
+    import numpy as np
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    texts = {i: f"trns alpha doc {i}" for i in range(1, 13)}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    dec = mm._png_plte_pixels_fn()
+    pay = {r.doc_id: bytes(r.payload) for r in
+           mm.png_palette_payloads(docs, with_trns=True).collect()}
+    plain = {r.doc_id: bytes(r.payload) for r in
+             mm.png_palette_payloads(docs).collect()}
+    for d in texts:
+        _w, _h, nc, _img, _pal, alpha = dec(pay[d])
+        n_trns = (nc + 1) // 2
+        want = np.full(nc, 255, np.uint8)
+        want[:n_trns] = [(d + j * 11) % 256 for j in range(n_trns)]
+        assert np.array_equal(alpha, want), d
+        assert np.array_equal(dec(plain[d])[5],
+                              np.full(nc, 255, np.uint8)), d
+    # over-long tRNS is corrupt: rebuild doc 1's payload with nc+1 alphas
+    p = pay[1]
+    i = p.find(b"tRNS")
+    nc1 = dec(p)[2]
+    import struct as _s
+    import zlib as _z
+    body = bytes(range(nc1 + 1))
+    bad_chunk = (_s.pack(">I", len(body)) + b"tRNS" + body
+                 + _s.pack(">I", _z.crc32(b"tRNS" + body)))
+    ln = _s.unpack(">I", p[i - 4:i])[0]
+    bad = p[:i - 4] + bad_chunk + p[i + 8 + ln:]
+    assert dec(bad) is None
+
+
 def test_wav_sample_widths(spark):
     """r9 codec tier: the WAV decoder accepts the three widths real
     audio corpora carry — int16 PCM, 24-bit PCM (sign-extension pinned
@@ -328,7 +367,7 @@ def test_png_palette_sub_byte_depths(spark):
         for d, text in texts.items():
             r = dec(pay[d])
             assert r is not None, (d, depth)
-            w, h, nc, img, _pal = r
+            w, h, nc, img, _pal, _alpha = r
             ew, eh = (d % 12) + 4, (d % 6) + 3
             enc = min(16 + (d % 2) * 16, 1 << depth)
             src = text.encode()

@@ -499,8 +499,11 @@ def test_wav_decode_golden(spark, sf_dir):
 
 
 def test_wav_decode_rejects_malformed(spark):
-    """Garbage / truncated / non-PCM payloads become null rows (P7);
-    a zero-sample WAV decodes to n_samples=0 with NULL stats."""
+    """Garbage / truncated / out-of-subset payloads become null rows
+    (P7); a zero-sample WAV decodes to n_samples=0 with NULL stats.
+    Since r9 IEEE float32 (tag 3, width 32) is IN subset — a zero-
+    sample float WAV decodes like the int16 one — while a tag-3 width
+    mismatch (float16) still nulls."""
     import struct
 
     fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
@@ -511,14 +514,20 @@ def test_wav_decode_rejects_malformed(spark):
     float_wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(float_fmt) + 8)
                  + b"WAVE" + b"fmt " + struct.pack("<I", len(float_fmt))
                  + float_fmt + b"data" + struct.pack("<I", 0))
+    half_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    half_wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(half_fmt) + 8)
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(half_fmt))
+                + half_fmt + b"data" + struct.pack("<I", 0))
     df = spark.createDataFrame(
         [(1, b"not a wav"), (2, b"RIFF"), (3, b""),
-         (4, float_wav),  # non-PCM codec -> rejected
-         (5, empty)],     # valid but zero samples
+         (4, float_wav),  # r9: float32 decodes (zero samples here)
+         (5, empty),      # valid but zero samples
+         (6, half_wav)],  # tag-3 width 16: still out of subset
         "doc_id long, payload binary",
     )
     rows = {r.doc_id: r for r in multimodal.decode_wav(df).collect()}
-    assert all(rows[i].sample_rate is None for i in (1, 2, 3, 4))
+    assert all(rows[i].sample_rate is None for i in (1, 2, 3, 6))
+    assert rows[4].n_samples == 0 and rows[4].bits_per_sample == 32
     assert rows[5].n_samples == 0 and rows[5].mean_amplitude is None
 
 
