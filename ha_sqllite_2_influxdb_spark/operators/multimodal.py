@@ -2910,7 +2910,8 @@ def decode_gif_lct(payloads: DataFrame) -> DataFrame:
 
 def png_palette_payloads(documents: DataFrame,
                          bit_depth: int = 8,
-                         with_trns: bool = False) -> DataFrame:
+                         with_trns: bool = False,
+                         interlaced: bool = False) -> DataFrame:
     """Synthesize a VALID paletted PNG per document (color type 3,
     8-bit indices): IHDR, a PLTE chunk of 16 or 32 analytic RGB entries
     (size varies by doc parity so a hardcoded-16 decoder fails half the
@@ -2931,9 +2932,17 @@ def png_palette_payloads(documents: DataFrame,
     ``with_trns`` (r9) emits a tRNS chunk (§11.3.2) carrying alpha
     ``(doc_id + j·11) % 256`` for the FIRST ceil(n_colors/2) palette
     entries — deliberately shorter than the palette, so a decoder
-    that assumes tRNS covers every entry mis-reads the opaque tail."""
+    that assumes tRNS covers every entry mis-reads the opaque tail.
+
+    ``interlaced`` (r9, depth 8 only — sub-byte interlaced pass
+    packing is bit-level and outside the honest subset) emits the
+    seven Adam7 passes, each its own filtered mini-image over INDEX
+    bytes with the filter type cycling on a global scanline counter,
+    exactly the `png_adam7_payloads` structure."""
     if bit_depth not in (1, 2, 4, 8):
         raise ValueError(f"unsupported paletted bit depth {bit_depth}")
+    if interlaced and bit_depth != 8:
+        raise ValueError("interlaced paletted synthesis is depth-8 only")
     png_chunk = _shipped(_png_chunk)
 
     def _make(batches: Iterator):
@@ -2962,38 +2971,56 @@ def png_palette_payloads(documents: DataFrame,
                             byte = (byte << bit_depth) | v
                         rowbits.append(byte)
                     raw.append(bytes(rowbits))
-            w_bytes = len(raw[0])
-            stream = bytearray()
-            prior = bytes(w_bytes)
-            for r, row in enumerate(raw):
-                ft = r % 5
-                stream.append(ft)
+
+            def filt(row, prior, ft, nb):
                 if ft == 0:
-                    stream += row
-                elif ft == 1:    # Sub
-                    stream += bytes(
-                        (row[i] - (row[i - 1] if i else 0)) & 0xFF
-                        for i in range(w_bytes))
-                elif ft == 2:    # Up
-                    stream += bytes((row[i] - prior[i]) & 0xFF
-                                    for i in range(w_bytes))
-                elif ft == 3:    # Average
-                    stream += bytes(
+                    return row
+                if ft == 1:      # Sub
+                    return bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF
+                                 for i in range(nb))
+                if ft == 2:      # Up
+                    return bytes((row[i] - prior[i]) & 0xFF
+                                 for i in range(nb))
+                if ft == 3:      # Average
+                    return bytes(
                         (row[i] - ((row[i - 1] if i else 0) + prior[i]) // 2)
-                        & 0xFF for i in range(w_bytes))
-                else:            # Paeth
-                    out = bytearray()
-                    for i in range(w_bytes):
-                        a = row[i - 1] if i else 0
-                        b = prior[i]
-                        c = prior[i - 1] if i else 0
-                        p = a + b - c
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                        pred = a if (pa <= pb and pa <= pc) else (
-                            b if pb <= pc else c)
-                        out.append((row[i] - pred) & 0xFF)
-                    stream += out
-                prior = row
+                        & 0xFF for i in range(nb))
+                out = bytearray()  # Paeth
+                for i in range(nb):
+                    a = row[i - 1] if i else 0
+                    b = prior[i]
+                    c = prior[i - 1] if i else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    out.append((row[i] - pred) & 0xFF)
+                return bytes(out)
+
+            stream = bytearray()
+            if interlaced:
+                ctr = 0
+                for c0, r0, cs, rs in _ADAM7:
+                    cols = range(c0, w, cs)
+                    rows_ = range(r0, h, rs)
+                    if not cols or not rows_:
+                        continue  # empty pass contributes NO bytes
+                    prior = bytes(len(cols))
+                    for r in rows_:
+                        row = bytes(idxs[r * w + c] for c in cols)
+                        ft = ctr % 5
+                        ctr += 1
+                        stream.append(ft)
+                        stream += filt(row, prior, ft, len(cols))
+                        prior = row
+            else:
+                w_bytes = len(raw[0])
+                prior = bytes(w_bytes)
+                for r, row in enumerate(raw):
+                    ft = r % 5
+                    stream.append(ft)
+                    stream += filt(row, prior, ft, w_bytes)
+                    prior = row
             plte = b"".join(
                 bytes(((doc_id * 5 + j * 17) % 256,
                        (j * 29 + doc_id) % 256,
@@ -3003,7 +3030,8 @@ def png_palette_payloads(documents: DataFrame,
                 (doc_id + j * 11) % 256
                 for j in range((n_colors + 1) // 2)))
                 if with_trns else b"")
-            ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 0)
+            ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0,
+                               1 if interlaced else 0)
             return (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
                     + png_chunk(b"PLTE", plte) + trns
                     + png_chunk(b"IDAT", zlib.compress(bytes(stream)))
@@ -3061,27 +3089,48 @@ def _png_plte_pixels_fn():
             if meta is None:
                 return None
             w, h, depth, ctype, comp, filt, interlace = meta
-            if (ctype, comp, filt, interlace) != (3, 0, 0, 0):
+            if (ctype, comp, filt) != (3, 0, 0) or interlace not in (0, 1):
                 return None  # outside the supported indexed subset
             if depth not in (1, 2, 4, 8) or w <= 0 or h <= 0:
                 return None
+            if interlace == 1 and depth != 8:
+                return None  # sub-byte interlaced passes: out of subset
             # PLTE is mandatory for ctype 3 and holds 1..256 RGB triples
             if not plte or len(plte) % 3 or len(plte) > 768:
                 return None
             n_colors = len(plte) // 3
             raw = zlib.decompress(idat)
-            w_bytes = (w * depth + 7) // 8
-            img = unfilter(raw, w_bytes, h)
-            if img is None:
-                return None
-            if depth != 8:
-                # MSB-first sub-byte unpack: split each packed row into
-                # bits, fold groups of `depth` bits back to indices,
-                # drop the zero-padded row tail
-                bits = np.unpackbits(img, axis=1)
-                weights = 1 << np.arange(depth - 1, -1, -1)
-                img = (bits.reshape(h, -1, depth) * weights).sum(
-                    axis=2).astype(np.uint8)[:, :w]
+            if interlace == 1:
+                # Adam7 over index bytes: each non-empty pass is its own
+                # filtered mini-image; scatter back per §8.2
+                img = np.zeros((h, w), dtype=np.uint8)
+                off = 0
+                for c0, r0, cs, rs in _ADAM7:
+                    pw = len(range(c0, w, cs))
+                    ph = len(range(r0, h, rs))
+                    if not pw or not ph:
+                        continue
+                    need = ph * (pw + 1)
+                    sub = unfilter(raw[off:off + need], pw, ph)
+                    if sub is None:
+                        return None
+                    img[r0::rs, c0::cs] = sub
+                    off += need
+                if off != len(raw):
+                    return None
+            else:
+                w_bytes = (w * depth + 7) // 8
+                img = unfilter(raw, w_bytes, h)
+                if img is None:
+                    return None
+                if depth != 8:
+                    # MSB-first sub-byte unpack: split each packed row
+                    # into bits, fold groups of `depth` bits back to
+                    # indices, drop the zero-padded row tail
+                    bits = np.unpackbits(img, axis=1)
+                    weights = 1 << np.arange(depth - 1, -1, -1)
+                    img = (bits.reshape(h, -1, depth) * weights).sum(
+                        axis=2).astype(np.uint8)[:, :w]
             if int(img.max()) >= n_colors:
                 return None
             # tRNS (§11.3.2): one alpha byte per leading palette entry,

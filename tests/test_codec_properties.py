@@ -139,6 +139,9 @@ def test_bitflip_corruption_never_raises(spark, sf_dir):
                      mm._png_plte_pixels_fn()),
         "png_plte4": (mm.png_palette_payloads(docs, bit_depth=4),
                       mm._png_plte_pixels_fn()),
+        "png_plte_i": (mm.png_palette_payloads(docs, interlaced=True,
+                                               with_trns=True),
+                       mm._png_plte_pixels_fn()),
         "gif": (mm.gif_payloads(docs), mm._gif_pixels_fn()),
         "jpeg": (mm.jpeg_payloads(docs), mm._jpeg_pixels_fn()),
         "jpeg_color": (mm.jpeg_color_payloads(docs), mm._jpeg_ycbcr_fn()),

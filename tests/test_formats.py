@@ -262,6 +262,48 @@ def test_png_palette_roundtrip_and_lookup(spark):
                mm.decode_png_palette(mm.png_payloads(docs)).collect())
 
 
+def test_png_palette_interlaced_equality(spark):
+    """r9: Adam7-interlaced PALETTED PNG (depth 8) must decode to the
+    exact tuple its non-interlaced encoding of the same doc yields —
+    pass scatter over index bytes composed with palette lookup; the
+    sub-byte interlaced combination stays a documented out-of-subset
+    null."""
+    import numpy as np
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    texts = {i: f"interlaced palette {i} pass {i * 5}"
+             for i in range(1, 25)}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    dec = mm._png_plte_pixels_fn()
+    plain = {r.doc_id: dec(bytes(r.payload)) for r in
+             mm.png_palette_payloads(docs).collect()}
+    ilace = {r.doc_id: dec(bytes(r.payload)) for r in
+             mm.png_palette_payloads(docs, interlaced=True).collect()}
+    for d in texts:
+        a, b = plain[d], ilace[d]
+        assert a is not None and b is not None, d
+        for i in range(6):
+            if isinstance(a[i], np.ndarray):
+                assert np.array_equal(a[i], b[i]), (d, i)
+            else:
+                assert a[i] == b[i], (d, i)
+    # sub-byte interlaced synthesis is refused, and a hand-patched
+    # depth-4 interlaced header nulls in the decoder
+    import pytest
+    with pytest.raises(ValueError):
+        mm.png_palette_payloads(docs, bit_depth=4, interlaced=True)
+    import struct
+    import zlib as _z
+    p = bytearray({r.doc_id: bytes(r.payload) for r in
+                   mm.png_palette_payloads(docs.limit(2),
+                                           interlaced=True).collect()}[1])
+    p[24] = 4
+    p[29:33] = struct.pack(">I", _z.crc32(bytes(p[12:29])))
+    assert dec(bytes(p)) is None
+
+
 def test_png_palette_trns_alpha(spark):
     """r9: the tRNS chunk (palette transparency, §11.3.2) — alpha for
     the FIRST ceil(nc/2) entries, opaque 255 for the rest; an
