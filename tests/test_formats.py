@@ -456,6 +456,12 @@ def test_jpeg_restart_intervals_cross_variant_equality(spark):
                 rp, rb = dec(dri[d]), dec(plain[d])
                 assert rp is not None, (d, ri, const)
                 assert np.array_equal(rp[3], rb[3]), (d, ri, const)
+    # driver-side validation: an interval outside the 16-bit DRI field
+    # fails fast instead of dying inside a worker
+    import pytest
+    for bad_ri in (-1, 0x10000):
+        with pytest.raises(ValueError):
+            mm.jpeg_payloads(docs, restart_interval=bad_ri)
     # non-vacuity: the ri=1 stream really contains restart markers
     sample = {r.doc_id: bytes(r.payload) for r in
               mm.jpeg_payloads(docs.limit(3), restart_interval=1).collect()}

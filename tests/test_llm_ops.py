@@ -525,8 +525,15 @@ def test_wav_decode_rejects_malformed(spark):
          (6, half_wav)],  # tag-3 width 16: still out of subset
         "doc_id long, payload binary",
     )
+    # odd-length data chunk in a 16-bit PCM WAV: structurally corrupt,
+    # must null rather than decode a truncated prefix
+    odd = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 3) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 3) + b"\x01\x02\x03")
+    df = df.unionByName(spark.createDataFrame(
+        [(7, odd)], "doc_id long, payload binary"))
     rows = {r.doc_id: r for r in multimodal.decode_wav(df).collect()}
-    assert all(rows[i].sample_rate is None for i in (1, 2, 3, 6))
+    assert all(rows[i].sample_rate is None for i in (1, 2, 3, 6, 7))
     assert rows[4].n_samples == 0 and rows[4].bits_per_sample == 32
     assert rows[5].n_samples == 0 and rows[5].mean_amplitude is None
 
