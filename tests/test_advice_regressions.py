@@ -116,7 +116,7 @@ def test_driver_window_freshness():
     real driver row within the last FRESH_ROUNDS correctness files,
     (b) be scheduled in the CURRENT driver window (first 50 registry
     slots — it gets its row this round), (c) be in a COMMITTED
-    rotation plan (_NEXT_WINDOW_PLAN_R10/_R11 — so the gate is red
+    rotation plan (_NEXT_WINDOW_PLAN_R* — so the gate is red
     only when the rotation PLAN is insufficient, not always-red the
     moment a new snapshot lands), or (d) be a recent addition
     (introduced within FRESH_ROUNDS of the latest round). Anything
@@ -147,6 +147,14 @@ def test_driver_window_freshness():
     manifest = json.load(
         open(os.path.join(REPO, "tests", "registry_rounds.json")))
     qs = ent.queries()
+    # VERDICT r9 #3: the manifest must cover the WHOLE registry. The
+    # `manifest.get(name, latest + 1)` grace below otherwise lets any
+    # entry added without a manifest row dodge the gate forever.
+    unmanifested = set(qs) - set(manifest)
+    assert not unmanifested, (
+        f"{len(unmanifested)} registry entries missing from "
+        f"tests/registry_rounds.json — add them with their birth round: "
+        f"{sorted(unmanifested)[:10]}")
     window = set(itertools.islice(qs, 50))
     # Union every committed rotation plan (_NEXT_WINDOW_PLAN_R10, _R11,
     # ...). Each must fit one driver window and name real registry
@@ -181,6 +189,30 @@ def test_driver_window_freshness():
         f"no driver verdict in {FRESH_ROUNDS} rounds and are in neither "
         f"the current window nor the committed next-round plan — "
         f"rotate them in: {new_stale[:10]}")
+
+
+def test_manifest_matches_registry_exactly():
+    """VERDICT r9 #3 (negative direction too): registry_rounds.json and
+    the live registry must be the SAME key set — a registry entry
+    without a manifest row would dodge the freshness gate via the
+    unknown-name grace, and a manifest row for a retired entry is dead
+    weight that hides typos. Both directions pinned."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as ent
+
+    manifest = json.load(
+        open(os.path.join(REPO, "tests", "registry_rounds.json")))
+    qs = set(ent.queries())
+    assert qs - set(manifest) == set(), "unmanifested registry entries"
+    assert set(manifest) - qs == set(), "manifest rows for retired entries"
+    latest = max(
+        int(f.rsplit("_r", 1)[1].split(".")[0])
+        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    bad = {n: r for n, r in manifest.items()
+           if not isinstance(r, int) or not 1 <= r <= latest + 1}
+    assert not bad, f"implausible birth rounds: {bad}"
 
 
 def test_operators_md_in_sync_with_registry():
