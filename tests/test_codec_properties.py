@@ -131,48 +131,49 @@ def test_bitflip_corruption_never_raises(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents") \
         .select("doc_id", "text").limit(8)
     corpora = {
-        "bmp": (mm.bmp_payloads(docs), mm._bmp_pixels_fn()),
-        "png": (mm.png_payloads(docs), mm._png_pixels_fn()),
+        "bmp": (mm.bmp_payloads(docs), mm._bmp_pixels_fn(strict=True)),
+        "png": (mm.png_payloads(docs), mm._png_pixels_fn(strict=True)),
         "png_adam7": (mm.png_adam7_payloads(docs),
-                      mm._png_adam7_pixels_fn()),
+                      mm._png_adam7_pixels_fn(strict=True)),
+        "png_gray16": (mm.png_gray16_payloads(docs),
+                       mm._png_gray16_pixels_fn(strict=True)),
         "png_plte": (mm.png_palette_payloads(docs),
-                     mm._png_plte_pixels_fn()),
+                     mm._png_plte_pixels_fn(strict=True)),
         "png_plte4": (mm.png_palette_payloads(docs, bit_depth=4),
-                      mm._png_plte_pixels_fn()),
+                      mm._png_plte_pixels_fn(strict=True)),
         "png_plte_i": (mm.png_palette_payloads(docs, interlaced=True,
                                                with_trns=True),
-                       mm._png_plte_pixels_fn()),
-        "gif": (mm.gif_payloads(docs), mm._gif_pixels_fn()),
-        "jpeg": (mm.jpeg_payloads(docs), mm._jpeg_pixels_fn()),
-        "jpeg_color": (mm.jpeg_color_payloads(docs), mm._jpeg_ycbcr_fn()),
+                       mm._png_plte_pixels_fn(strict=True)),
+        "gif": (mm.gif_payloads(docs), mm._gif_pixels_fn(strict=True)),
+        "jpeg": (mm.jpeg_payloads(docs), mm._jpeg_pixels_fn(strict=True)),
+        "jpeg_color": (mm.jpeg_color_payloads(docs),
+                       mm._jpeg_ycbcr_fn(strict=True)),
         "jpeg_prog": (mm.jpeg_progressive_payloads(docs),
-                      mm._jpeg_prog_pixels_fn()),
+                      mm._jpeg_prog_pixels_fn(strict=True)),
         "jpeg_dri": (mm.jpeg_payloads(docs, restart_interval=2),
-                     mm._jpeg_pixels_fn()),
+                     mm._jpeg_pixels_fn(strict=True)),
     }
     rng = random.Random(0xC0DEC)
-    # strict mode: an exception class OUTSIDE the decoder's documented
-    # corruption tuple raises through (a real finding) instead of being
-    # absorbed by the production backstop (ADVICE r8)
-    mm._STRICT_DECODE = True
-    try:
-        for name, (pay_df, decode) in corpora.items():
-            payloads = [bytes(r.payload) for r in pay_df.collect()]
-            assert payloads, name
-            for p in payloads:
-                assert decode(p) is not None, f"{name}: valid payload nulled"
-                for _ in range(12):
-                    b = bytearray(p)
-                    for _k in range(rng.randint(1, 4)):
-                        b[rng.randrange(len(b))] = rng.randrange(256)
-                    out = decode(bytes(b))    # None or tuple — no raise
-                    assert out is None or isinstance(out, tuple), name
-                # truncations hit every length-check path
-                for cut in (0, 1, len(p) // 3, len(p) - 1):
-                    out = decode(p[:cut])
-                    assert out is None or isinstance(out, tuple), name
-    finally:
-        mm._STRICT_DECODE = False
+    # strict mode bound AT CONSTRUCTION above (ADVICE r9 low): an
+    # exception class OUTSIDE the decoder's documented corruption tuple
+    # raises through (a real finding) instead of being absorbed by the
+    # production backstop (ADVICE r8) — no shared module state mutated,
+    # so parallel test runners can't race on the flag
+    for name, (pay_df, decode) in corpora.items():
+        payloads = [bytes(r.payload) for r in pay_df.collect()]
+        assert payloads, name
+        for p in payloads:
+            assert decode(p) is not None, f"{name}: valid payload nulled"
+            for _ in range(12):
+                b = bytearray(p)
+                for _k in range(rng.randint(1, 4)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                out = decode(bytes(b))    # None or tuple — no raise
+                assert out is None or isinstance(out, tuple), name
+            # truncations hit every length-check path
+            for cut in (0, 1, len(p) // 3, len(p) - 1):
+                out = decode(p[:cut])
+                assert out is None or isinstance(out, tuple), name
 
 
 @settings(max_examples=120, deadline=None)
@@ -282,12 +283,17 @@ def test_decode_backstop_absorbs_exotic_exception_classes():
     from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
 
     decode = mm._gif_pixels_fn()
-    assert mm._STRICT_DECODE is False
+    assert mm._STRICT_DECODE is False     # module default stays lenient
     assert decode(12345) is None          # TypeError absorbed → null row
+    # ADVICE r9 low: strict is a CONSTRUCTION-time binding now — a
+    # strict decoder re-raises, and flipping the module flag after
+    # construction does NOT change an existing decoder's behavior
+    # (matching what executors see via cloudpickle's by-value capture)
+    with pytest.raises(TypeError):
+        mm._gif_pixels_fn(strict=True)(12345)
     mm._STRICT_DECODE = True
     try:
-        with pytest.raises(TypeError):
-            decode(12345)
+        assert decode(12345) is None      # bound at construction
     finally:
         mm._STRICT_DECODE = False
 
@@ -351,3 +357,167 @@ def test_lzw_roundtrip_beyond_dictionary_cap():
     # and at a small code size, where the cap is reached sooner
     idxs = [rng.randint(0, 3) for _ in range(30_000)]
     assert _lzw_decode(_lzw_encode(idxs, 2), 2) == idxs
+
+
+def test_png_inflate_is_header_bounded():
+    """ADVICE r9 (medium + low): (a) a corrupt paletted PNG whose IHDR
+    claims 40000x40000 with a tiny IDAT must null the row WITHOUT ever
+    reaching the h*w allocation — the exact-length gate now runs before
+    np.zeros on both the interlaced and sequential paths; (b) an IDAT
+    that inflates to MORE than the header-implied stream length (the
+    decompression-bomb shape) is rejected by the max_length-bounded
+    decompressobj, not inflated in full and then length-checked."""
+    import struct
+    import zlib
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    def png(ihdr, idat, plte=b"\x00\x00\x00"):
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"PLTE", plte) + chunk(b"IDAT", idat)
+                + chunk(b"IEND", b""))
+
+    one = mm._png_plte_pixels_fn()
+    # (a) huge claimed dims, interlaced and sequential, depth 8: the
+    # tiny IDAT can never satisfy the expected stream length, so the
+    # decode must return None — under strict mode too (a MemoryError
+    # from a header-sized allocation would re-raise there)
+    tiny = zlib.compress(b"\x00" * 16)
+    one_strict = mm._png_plte_pixels_fn(strict=True)
+    for interlace in (0, 1):
+        ihdr = struct.pack(">IIBBBBB", 40000, 40000, 8, 3, 0, 0, interlace)
+        assert one_strict(png(ihdr, tiny)) is None
+    # (b) bomb shape: a 2x2 image whose IDAT inflates to ~1 MB; the
+    # bounded inflate stops at expect+1 bytes and rejects
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (1 << 20))
+    assert one(png(ihdr, bomb)) is None
+    # and a well-formed 2x2 still decodes (the gate is exact, not <=)
+    good = zlib.compress(b"\x00\x00\x00" + b"\x00\x00\x00")
+    got = one(png(ihdr, good))
+    assert got is not None and got[0] == 2 and got[1] == 2
+
+
+def test_png_gray_and_rgb_inflate_header_bounded(spark):
+    """ADVICE r9 follow-through: the grayscale, truecolor, and Adam7
+    grayscale decoders share the same header-bounded inflate — a bomb
+    IDAT on a small-dims header nulls the row in all three."""
+    import struct
+    import zlib
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    def png(ctype, interlace, idat):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, ctype, 0, 0, interlace)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+    bomb = zlib.compress(b"\x00" * (1 << 20))
+    assert mm._png_pixels_fn()(png(0, 0, bomb)) is None
+    assert mm._png_adam7_pixels_fn()(png(0, 1, bomb)) is None
+    # truecolor's decoder is nested in the operator; drive it end-to-end
+    df = spark.createDataFrame([(1, png(2, 0, bomb))],
+                               "doc_id long, payload binary")
+    row = mm.decode_png_rgb(df).collect()[0]
+    assert row.width is None
+
+
+def test_shipped_rejects_non_self_contained_helper():
+    """VERDICT r9 #7: _shipped must fail AT DECORATION TIME for a
+    helper that loads a non-builtin global (it would NameError on an
+    executor under the rebound empty globals), including loads hidden
+    inside nested code objects — and must keep accepting the
+    self-contained shapes the codec cores actually use."""
+    import pytest
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    def bad_helper(x):
+        return _module_level_dep(x)  # noqa: F821 — the point
+
+    with pytest.raises(AssertionError, match="_module_level_dep"):
+        mm._shipped(bad_helper)
+
+    def bad_nested(xs):
+        return [_module_level_dep(x) for x in xs]  # noqa: F821
+
+    with pytest.raises(AssertionError, match="_module_level_dep"):
+        mm._shipped(bad_nested)
+
+    def good_helper(x):
+        import struct
+        return len(struct.pack("<I", x)) + max(0, x)
+
+    assert mm._shipped(good_helper)(3) == 7
+
+    # and every real factory still constructs (decoration-time check
+    # runs inside each _shipped call they make)
+    for fac in (mm._png_pixels_fn, mm._png_adam7_pixels_fn,
+                mm._png_plte_pixels_fn, mm._jpeg_pixels_fn,
+                mm._jpeg_ycbcr_fn, mm._gif_pixels_fn, mm._bmp_pixels_fn):
+        assert callable(fac())
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(1, 2**31 - 1), st.integers(1, 14), st.integers(1, 10))
+def test_png_unfilter_2bpp_roundtrip_all_filter_types(seed, w, h):
+    """Property pin for the r10 `_png_unfilter_2bpp` core (16-bit
+    grayscale): a random 2w-byte-row image filtered with a seed-chosen
+    mix of all five filter types — using the spec's bpp=2 left-neighbor
+    offset, independently reimplemented here — must round-trip exactly
+    through the forward bank AND the hand-rolled reference below;
+    truncated/over-long streams return None."""
+    import random as _random
+
+    import numpy as np
+
+    from ha_sqllite_2_influxdb_spark.operators.multimodal import (
+        _png_filter_row_2bpp,
+        _png_unfilter_2bpp,
+    )
+
+    rng = _random.Random(seed)
+    n = 2 * w
+    img = [[rng.randrange(256) for _ in range(n)] for _ in range(h)]
+    stream = bytearray()
+    prior = [0] * n
+    for r in range(h):
+        row = img[r]
+        ft = rng.randrange(5)
+        stream.append(ft)
+        filtered = _png_filter_row_2bpp(bytes(row), bytes(prior), ft)
+        # independent reference for the bpp=2 offset (catches a shared
+        # off-by-bpp bug in BOTH banks at once)
+        for i in range(n):
+            a = row[i - 2] if i >= 2 else 0
+            b = prior[i]
+            c = prior[i - 2] if i >= 2 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+            assert filtered[i] == (row[i] - pred) & 0xFF
+        stream += filtered
+        prior = row
+    got = _png_unfilter_2bpp(bytes(stream), w, h)
+    assert got is not None
+    assert np.array_equal(got, np.array(img, dtype=np.uint8))
+    assert _png_unfilter_2bpp(bytes(stream[:-1]), w, h) is None
+    assert _png_unfilter_2bpp(bytes(stream) + b"\x00", w, h) is None

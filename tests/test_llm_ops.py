@@ -1272,3 +1272,22 @@ def test_mrl_stage1_carries_only_prefix_slices(spark, sf_dir):
             names.add(it.next().name())
         assert not names & {"qv", "cv", "embedding", "qn2", "cn2"}, (
             f"full-width vectors flow through the quadratic stage: {names}")
+
+
+def test_thumbnail_dispatch_covers_png_gray16(spark, sf_dir):
+    """r10 (VERDICT r9 #8): the IHDR depth-byte peek routes 16-bit
+    grayscale PNGs to the bpp=2 decoder, and the /257 range scaling
+    makes a scale257-encoded 16-bit image's thumbnail BYTE-EQUAL to
+    its own 8-bit encoding's thumbnail (v*257/257 is exact in
+    float64, so the resize sees identical planes)."""
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    g16 = {r.doc_id: r for r in multimodal.image_thumbnails(
+        multimodal.png_gray16_payloads(docs, scale257=True)).collect()}
+    g8 = {r.doc_id: r for r in multimodal.image_thumbnails(
+        multimodal.png_payloads(docs)).collect()}
+    assert g16 and set(g16) == set(g8)
+    for d in g16:
+        assert g16[d].src_format == "png_gray16", d
+        assert g8[d].src_format == "png", d
+        assert bytes(g16[d].thumbnail) == bytes(g8[d].thumbnail), d
+        assert g16[d].thumb_mean == g8[d].thumb_mean, d
