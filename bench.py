@@ -100,7 +100,14 @@ def main() -> None:
     # never does, proceed — a number is better than no number — but
     # stamp the JSON `contended: true` and raise the steady-state pass
     # count so min-of-N has more chances to dodge interference.
-    LOAD_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "1.5"))
+    # r10 (VERDICT r9 #5): threshold 1.5 admitted ±10-30% per-query
+    # drift between "gate-clean" rounds (r8→r9 moved +5.1% with zero
+    # plan changes). Now that the gate waits anyway, start quieter:
+    # 1.0 default, and every query stamps the 1-min loadavg at its own
+    # measure() start (queries_load below) so a reader can attribute
+    # any single query's drift to the load band at that moment instead
+    # of the round-start snapshot.
+    LOAD_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "1.0"))
     LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
     waited = 0.0
     contended = False
@@ -150,7 +157,7 @@ def main() -> None:
 
     steady_runs = 5 if contended else 3
 
-    def measure(fn) -> tuple[float, float]:
+    def measure(fn) -> tuple[float, float, float | None]:
         # cold = first materialization (pays one-off whole-stage-codegen
         # compilation + AQE re-planning for THIS query shape, ~2s on
         # sub-second queries); steady-state = min over repeated warm runs
@@ -162,6 +169,14 @@ def main() -> None:
         # BENCH_r02 steady-only, r4 min-of-2, r5+ min-of-3). The ONE
         # protocol applies to headliners and candidates alike — that
         # identity is what lets a candidate graduate comparably.
+        # per-query load stamp (VERDICT r9 #5): 1-min loadavg at THIS
+        # query's measurement start. It includes the bench's own JVM
+        # load, so read it as drift relative to neighboring queries in
+        # the same run, not as an absolute quiet-box test.
+        try:
+            q_load = round(os.getloadavg()[0], 2)
+        except OSError:
+            q_load = None
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold = round(time.time() - t0, 3)
@@ -170,19 +185,20 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
-        return round(best, 3), cold
+        return round(best, 3), cold, q_load
 
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
+    timings_load: dict[str, float | None] = {}
     for name, fn in HEADLINE.items():
-        timings[name], timings_cold[name] = measure(fn)
+        timings[name], timings_cold[name], timings_load[name] = measure(fn)
 
     # candidates get the identical protocol INCLUDING the recorded cold
     # pass, so a graduating candidate can be compared cold-for-cold
     cand: dict[str, float] = {}
     cand_cold: dict[str, float] = {}
     for name, fn in CANDIDATES.items():
-        cand[name], cand_cold[name] = measure(fn)
+        cand[name], cand_cold[name], timings_load[name] = measure(fn)
 
     total = round(sum(timings.values()), 3)
     # host-load context: same-host interference measured up to 5× on
@@ -202,6 +218,7 @@ def main() -> None:
         "queries_cold": timings_cold,
         "candidates": cand,
         "candidates_cold": cand_cold,
+        "queries_load": timings_load,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "contended": contended,
