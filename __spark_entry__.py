@@ -33,8 +33,9 @@ _DRIVER_WINDOW = [
     # #1): 50 of the 55 never-checked entries remaining after the r9
     # window drained its 40, prioritized so the two names losing
     # recent-addition grace at r9 close (kmeans_embeddings, pq_ann_topk)
-    # lead. Drains never-checked debt 55 -> 5 (the deferred codec tiers
-    # + multimodal_png_palette, which open _NEXT_WINDOW_PLAN_R11 below).
+    # lead. Drains never-checked debt 55 -> 6 (the five deferred codec
+    # tiers + multimodal_png_palette, which open _NEXT_WINDOW_PLAN_R11
+    # below).
     # Registry growth stays frozen through this round (VERDICT r9 #4).
     "kmeans_embeddings", "pq_ann_topk", "ha_lineprotocol_roundtrip",
     "skew_report", "sketch_hll_partitioned", "bpe_encode", "bpe_vocab",

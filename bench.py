@@ -194,11 +194,15 @@ def main() -> None:
         timings[name], timings_cold[name], timings_load[name] = measure(fn)
 
     # candidates get the identical protocol INCLUDING the recorded cold
-    # pass, so a graduating candidate can be compared cold-for-cold
+    # pass, so a graduating candidate can be compared cold-for-cold;
+    # their load stamps live in their OWN dict mirroring the
+    # candidates/candidates_cold split (a graduating name must never
+    # silently overwrite a headline stamp)
     cand: dict[str, float] = {}
     cand_cold: dict[str, float] = {}
+    cand_load: dict[str, float | None] = {}
     for name, fn in CANDIDATES.items():
-        cand[name], cand_cold[name], timings_load[name] = measure(fn)
+        cand[name], cand_cold[name], cand_load[name] = measure(fn)
 
     total = round(sum(timings.values()), 3)
     # host-load context: same-host interference measured up to 5× on
@@ -219,6 +223,7 @@ def main() -> None:
         "candidates": cand,
         "candidates_cold": cand_cold,
         "queries_load": timings_load,
+        "candidates_load": cand_load,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "contended": contended,

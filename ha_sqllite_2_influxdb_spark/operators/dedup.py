@@ -511,7 +511,7 @@ SELECT doc_a, doc_b, max(jaccard) AS jaccard FROM (
           FROM (SELECT b, sort_array(collect_list(d)) AS ds
                 FROM ({exploded})
                 GROUP BY b)))
-  WHERE jaccard >= {threshold!r}D)
+  WHERE jaccard >= {float(threshold)!r}D)
 GROUP BY doc_a, doc_b
 """
     return corpus.sparkSession.sql(text, corpus=corpus.select("doc_id",

@@ -77,11 +77,15 @@ def _shipped(f):
 
     offenders = sorted(n for n in _global_loads(f.__code__)
                        if not hasattr(builtins, n))
-    assert not offenders, (
-        f"_shipped({f.__qualname__}): non-builtin global loads would "
-        f"NameError on executors under by-value shipping: {offenders} — "
-        f"make the helper self-contained (local imports, no module "
-        f"globals) or pass the dependency as an argument")
+    if offenders:
+        # a real raise, not assert: python -O would strip an assert and
+        # silently restore the mid-batch executor NameError this gate
+        # exists to prevent
+        raise ValueError(
+            f"_shipped({f.__qualname__}): non-builtin global loads would "
+            f"NameError on executors under by-value shipping: {offenders} "
+            f"— make the helper self-contained (local imports, no module "
+            f"globals) or pass the dependency as an argument")
 
     g = types.FunctionType(f.__code__, {"__builtins__": __builtins__},
                            f.__name__, f.__defaults__, f.__closure__)
@@ -500,30 +504,33 @@ def _png_unfilter_1bpp(raw: bytes, w: int, h: int):
     return img
 
 
-def _png_filter_row(row: bytes, prior: bytes, ft: int) -> bytes:
-    """Forward PNG filter for ONE bpp=1 scanline (the encoder-side
-    mirror of `_png_unfilter_1bpp`): the single shared filter bank for
-    every 1-byte-per-pixel synthesizer (grayscale Adam7, paletted flat
-    and interlaced), so a filter-rule fix can never diverge the
-    fixtures. Self-contained (builtins only) — ship into worker
-    closures via `_shipped`."""
+def _png_filter_row(row: bytes, prior: bytes, ft: int,
+                    bpp: int = 1) -> bytes:
+    """Forward PNG filter for ONE scanline (the encoder-side mirror of
+    the inverse cores): ONE shared filter bank for every synthesizer —
+    bpp=1 (grayscale Adam7, paletted flat and interlaced) and bpp=2
+    (16-bit grayscale, left neighbor TWO bytes back per spec §9) — so
+    a filter-rule fix can never diverge the fixtures or desynchronize
+    the per-depth banks. Self-contained (builtins only; bpp is an
+    argument, not a global) — ship into worker closures via
+    `_shipped`."""
     n = len(row)
     if ft == 0:
         return row
     if ft == 1:      # Sub
-        return bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF
+        return bytes((row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
                      for i in range(n))
     if ft == 2:      # Up
         return bytes((row[i] - prior[i]) & 0xFF for i in range(n))
     if ft == 3:      # Average
         return bytes(
-            (row[i] - ((row[i - 1] if i else 0) + prior[i]) // 2) & 0xFF
-            for i in range(n))
+            (row[i] - ((row[i - bpp] if i >= bpp else 0) + prior[i]) // 2)
+            & 0xFF for i in range(n))
     out = bytearray()  # Paeth
     for i in range(n):
-        a = row[i - 1] if i else 0
+        a = row[i - bpp] if i >= bpp else 0
         b = prior[i]
-        c = prior[i - 1] if i else 0
+        c = prior[i - bpp] if i >= bpp else 0
         p = a + b - c
         pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
         pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -575,7 +582,8 @@ def _png_pixels_fn(strict: bool | None = None):
             expect = h * (w + 1)
             dec = zlib.decompressobj()
             raw = dec.decompress(idat, expect + 1)
-            if len(raw) != expect or dec.unconsumed_tail:
+            if (len(raw) != expect or dec.unconsumed_tail
+                    or not dec.eof):  # eof: truncated adler32 trailer
                 return None
             img = unfilter(raw, w, h)
             if img is None:
@@ -687,35 +695,6 @@ def _png_unfilter_2bpp(raw: bytes, w: int, h: int):
     return img
 
 
-def _png_filter_row_2bpp(row: bytes, prior: bytes, ft: int) -> bytes:
-    """Forward PNG filter for ONE bpp=2 scanline — the encoder-side
-    mirror of `_png_unfilter_2bpp` (left neighbor two bytes back), the
-    shared bank for the 16-bit synthesizer. Self-contained (builtins
-    only) — ship into worker closures via `_shipped`."""
-    n = len(row)
-    if ft == 0:
-        return row
-    if ft == 1:      # Sub
-        return bytes((row[i] - (row[i - 2] if i >= 2 else 0)) & 0xFF
-                     for i in range(n))
-    if ft == 2:      # Up
-        return bytes((row[i] - prior[i]) & 0xFF for i in range(n))
-    if ft == 3:      # Average
-        return bytes(
-            (row[i] - ((row[i - 2] if i >= 2 else 0) + prior[i]) // 2)
-            & 0xFF for i in range(n))
-    out = bytearray()  # Paeth
-    for i in range(n):
-        a = row[i - 2] if i >= 2 else 0
-        b = prior[i]
-        c = prior[i - 2] if i >= 2 else 0
-        p = a + b - c
-        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-        out.append((row[i] - pred) & 0xFF)
-    return bytes(out)
-
-
 def png_gray16_payloads(documents: DataFrame,
                         scale257: bool = False) -> DataFrame:
     """16-bit grayscale sibling of `png_payloads` (ctype 0, depth 16):
@@ -728,7 +707,7 @@ def png_gray16_payloads(documents: DataFrame,
     upscale relation the cross-codec equality golden checks against the
     8-bit tier: mean16 == mean8 * 257 bit-exactly."""
     png_chunk = _shipped(_png_chunk)
-    filter_row = _shipped(_png_filter_row_2bpp)
+    filter_row = _shipped(_png_filter_row)
 
     def _make(batches: Iterator):
         import struct
@@ -757,7 +736,7 @@ def png_gray16_payloads(documents: DataFrame,
             for r, row in enumerate(rows):
                 ft = r % 5
                 stream.append(ft)
-                stream += filter_row(row, prior, ft)
+                stream += filter_row(row, prior, ft, bpp=2)
                 prior = row
             ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
             return (b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
@@ -818,7 +797,8 @@ def _png_gray16_pixels_fn(strict: bool | None = None):
             expect = h * (2 * w + 1)
             dec = zlib.decompressobj()
             raw = dec.decompress(idat, expect + 1)
-            if len(raw) != expect or dec.unconsumed_tail:
+            if (len(raw) != expect or dec.unconsumed_tail
+                    or not dec.eof):  # eof: truncated adler32 trailer
                 return None
             img = unfilter(raw, w, h)
             if img is None:
@@ -1023,7 +1003,8 @@ def decode_png_rgb(payload_df: DataFrame) -> DataFrame:
                 expect = h * (n + 1)
                 dec = zlib.decompressobj()
                 raw = dec.decompress(idat, expect + 1)
-                if len(raw) != expect or dec.unconsumed_tail:
+                if (len(raw) != expect or dec.unconsumed_tail
+                        or not dec.eof):  # eof: truncated adler32 trailer
                     return None
                 img = np.zeros((h, n), dtype=np.uint8)
                 prior = np.zeros(n, dtype=np.uint8)
@@ -3008,7 +2989,8 @@ def _png_adam7_pixels_fn(strict: bool | None = None):
             )
             dec = zlib.decompressobj()
             raw = dec.decompress(idat, expect + 1)
-            if len(raw) != expect or dec.unconsumed_tail:
+            if (len(raw) != expect or dec.unconsumed_tail
+                    or not dec.eof):  # eof: truncated adler32 trailer
                 return None
             img = np.zeros((h, w), dtype=np.uint8)
             off = 0
@@ -3463,7 +3445,8 @@ def _png_plte_pixels_fn(strict: bool | None = None):
                 expect = h * (w_bytes + 1)
             dec = zlib.decompressobj()
             raw = dec.decompress(idat, expect + 1)
-            if len(raw) != expect or dec.unconsumed_tail:
+            if (len(raw) != expect or dec.unconsumed_tail
+                    or not dec.eof):  # eof: truncated adler32 trailer
                 return None  # truncated, oversized, or trailing garbage
             if interlace == 1:
                 # Adam7 over index bytes: each non-empty pass is its own

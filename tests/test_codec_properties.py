@@ -443,13 +443,13 @@ def test_shipped_rejects_non_self_contained_helper():
     def bad_helper(x):
         return _module_level_dep(x)  # noqa: F821 — the point
 
-    with pytest.raises(AssertionError, match="_module_level_dep"):
+    with pytest.raises(ValueError, match="_module_level_dep"):
         mm._shipped(bad_helper)
 
     def bad_nested(xs):
         return [_module_level_dep(x) for x in xs]  # noqa: F821
 
-    with pytest.raises(AssertionError, match="_module_level_dep"):
+    with pytest.raises(ValueError, match="_module_level_dep"):
         mm._shipped(bad_nested)
 
     def good_helper(x):
@@ -480,7 +480,7 @@ def test_png_unfilter_2bpp_roundtrip_all_filter_types(seed, w, h):
     import numpy as np
 
     from ha_sqllite_2_influxdb_spark.operators.multimodal import (
-        _png_filter_row_2bpp,
+        _png_filter_row,
         _png_unfilter_2bpp,
     )
 
@@ -493,7 +493,7 @@ def test_png_unfilter_2bpp_roundtrip_all_filter_types(seed, w, h):
         row = img[r]
         ft = rng.randrange(5)
         stream.append(ft)
-        filtered = _png_filter_row_2bpp(bytes(row), bytes(prior), ft)
+        filtered = _png_filter_row(bytes(row), bytes(prior), ft, bpp=2)
         # independent reference for the bpp=2 offset (catches a shared
         # off-by-bpp bug in BOTH banks at once)
         for i in range(n):
@@ -521,3 +521,44 @@ def test_png_unfilter_2bpp_roundtrip_all_filter_types(seed, w, h):
     assert np.array_equal(got, np.array(img, dtype=np.uint8))
     assert _png_unfilter_2bpp(bytes(stream[:-1]), w, h) is None
     assert _png_unfilter_2bpp(bytes(stream) + b"\x00", w, h) is None
+
+
+def test_png_inflate_rejects_truncated_adler_trailer():
+    """r10 review finding (confirmed repro): a PNG whose IDAT deflate
+    body is complete but whose 4-byte adler32 trailer is truncated —
+    a cut-off transfer, or a bit-flipped chunk length shortening the
+    IDAT slice — must stay corrupt. zlib.decompress raised Error -5
+    there; the header-bounded decompressobj gate needs the explicit
+    `not dec.eof` check, on every PNG decoder."""
+    import struct
+    import zlib
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    def png(ihdr_fields, idat):
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+                + chunk(b"PLTE", b"\x00\x00\x00")
+                + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+    cases = [
+        # (decoder factory, ihdr fields, raw filtered stream)
+        (mm._png_pixels_fn(strict=True), (2, 2, 8, 0, 0, 0, 0),
+         b"\x00\x01\x02" + b"\x00\x03\x04"),
+        (mm._png_gray16_pixels_fn(strict=True), (2, 2, 16, 0, 0, 0, 0),
+         b"\x00\x01\x02\x03\x04" + b"\x00\x05\x06\x07\x08"),
+        (mm._png_plte_pixels_fn(strict=True), (2, 2, 8, 3, 0, 0, 0),
+         b"\x00\x00\x00" + b"\x00\x00\x00"),
+    ]
+    for decode, ihdr, raw in cases:
+        full = zlib.compress(raw)
+        assert decode(png(ihdr, full)) is not None, "valid payload nulled"
+        # deflate body complete, adler32 trailer cut: corrupt
+        assert decode(png(ihdr, full[:-4])) is None
+        # trailer present but wrong: zlib raises internally -> corrupt
+        bad = full[:-4] + bytes(b ^ 0xFF for b in full[-4:])
+        assert decode(png(ihdr, bad)) is None
