@@ -583,7 +583,9 @@ def _png_pixels_fn(strict: bool | None = None):
             dec = zlib.decompressobj()
             raw = dec.decompress(idat, expect + 1)
             if (len(raw) != expect or dec.unconsumed_tail
-                    or not dec.eof):  # eof: truncated adler32 trailer
+                    or not dec.eof or dec.unused_data):
+                # eof: truncated adler32 trailer; unused_data: bytes
+                # after the single zlib stream a valid IDAT contains
                 return None
             img = unfilter(raw, w, h)
             if img is None:
@@ -798,7 +800,9 @@ def _png_gray16_pixels_fn(strict: bool | None = None):
             dec = zlib.decompressobj()
             raw = dec.decompress(idat, expect + 1)
             if (len(raw) != expect or dec.unconsumed_tail
-                    or not dec.eof):  # eof: truncated adler32 trailer
+                    or not dec.eof or dec.unused_data):
+                # eof: truncated adler32 trailer; unused_data: bytes
+                # after the single zlib stream a valid IDAT contains
                 return None
             img = unfilter(raw, w, h)
             if img is None:
@@ -1004,7 +1008,9 @@ def decode_png_rgb(payload_df: DataFrame) -> DataFrame:
                 dec = zlib.decompressobj()
                 raw = dec.decompress(idat, expect + 1)
                 if (len(raw) != expect or dec.unconsumed_tail
-                        or not dec.eof):  # eof: truncated adler32 trailer
+                        or not dec.eof or dec.unused_data):
+                    # eof: truncated adler32 trailer; unused_data: bytes
+                    # after the single zlib stream a valid IDAT contains
                     return None
                 img = np.zeros((h, n), dtype=np.uint8)
                 prior = np.zeros(n, dtype=np.uint8)
@@ -2990,7 +2996,9 @@ def _png_adam7_pixels_fn(strict: bool | None = None):
             dec = zlib.decompressobj()
             raw = dec.decompress(idat, expect + 1)
             if (len(raw) != expect or dec.unconsumed_tail
-                    or not dec.eof):  # eof: truncated adler32 trailer
+                    or not dec.eof or dec.unused_data):
+                # eof: truncated adler32 trailer; unused_data: bytes
+                # after the single zlib stream a valid IDAT contains
                 return None
             img = np.zeros((h, w), dtype=np.uint8)
             off = 0
@@ -3446,7 +3454,9 @@ def _png_plte_pixels_fn(strict: bool | None = None):
             dec = zlib.decompressobj()
             raw = dec.decompress(idat, expect + 1)
             if (len(raw) != expect or dec.unconsumed_tail
-                    or not dec.eof):  # eof: truncated adler32 trailer
+                    or not dec.eof or dec.unused_data):
+                # eof: truncated adler32 trailer; unused_data: bytes
+                # after the single zlib stream a valid IDAT contains
                 return None  # truncated, oversized, or trailing garbage
             if interlace == 1:
                 # Adam7 over index bytes: each non-empty pass is its own

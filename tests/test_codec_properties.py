@@ -562,3 +562,7 @@ def test_png_inflate_rejects_truncated_adler_trailer():
         # trailer present but wrong: zlib raises internally -> corrupt
         bad = full[:-4] + bytes(b ^ 0xFF for b in full[-4:])
         assert decode(png(ihdr, bad)) is None
+        # bytes AFTER the complete stream (junk or a second stream):
+        # a valid IDAT is exactly one zlib stream (dec.unused_data)
+        assert decode(png(ihdr, full + b"JUNKJUNK")) is None
+        assert decode(png(ihdr, full + full)) is None
