@@ -828,6 +828,13 @@ PNG16_DECODE_SCHEMA = T.StructType([
     T.StructField("width", T.LongType()),
     T.StructField("height", T.LongType()),
     T.StructField("n_pixels", T.LongType()),
+    # exact BIGINT axes (the palette-tier precedent): integer sums are
+    # DuckDB-oracle-reproducible bit-for-bit, where float means differ
+    # in the last ulp between numpy's pairwise and SQL's sequential
+    # summation — these two columns are what make the r11 registration
+    # of this tier hash-exact instead of rows-only
+    T.StructField("sample_sum", T.LongType()),
+    T.StructField("weighted_sum", T.LongType()),
     T.StructField("mean_pixel", T.DoubleType()),
     T.StructField("mean_hi_byte", T.DoubleType()),
     T.StructField("mean_lo_byte", T.DoubleType()),
@@ -852,8 +859,12 @@ def decode_png_gray16(payload_df: DataFrame) -> DataFrame:
             if r is None:
                 return None
             w, h, samples = r
+            flat = samples.ravel().astype(np.int64)
+            pos = np.arange(1, flat.size + 1, dtype=np.int64)
             f = samples.astype(np.float64)
-            return (w, h, w * h, float(f.mean()),
+            return (w, h, w * h,
+                    int(flat.sum()), int((flat * pos).sum()),
+                    float(f.mean()),
                     float((samples >> 8).astype(np.float64).mean()),
                     float((samples & 0xFF).astype(np.float64).mean()))
 
@@ -864,9 +875,11 @@ def decode_png_gray16(payload_df: DataFrame) -> DataFrame:
                 "width": [r[0] if r else None for r in rows],
                 "height": [r[1] if r else None for r in rows],
                 "n_pixels": [r[2] if r else None for r in rows],
-                "mean_pixel": [r[3] if r else None for r in rows],
-                "mean_hi_byte": [r[4] if r else None for r in rows],
-                "mean_lo_byte": [r[5] if r else None for r in rows],
+                "sample_sum": [r[3] if r else None for r in rows],
+                "weighted_sum": [r[4] if r else None for r in rows],
+                "mean_pixel": [r[5] if r else None for r in rows],
+                "mean_hi_byte": [r[6] if r else None for r in rows],
+                "mean_lo_byte": [r[7] if r else None for r in rows],
             })
 
     return payload_df.mapInPandas(_decode, schema=PNG16_DECODE_SCHEMA)

@@ -681,3 +681,56 @@ def test_png_gray16_scale257_equals_8bit_tier(spark):
         # v*257 = (v << 8) | v: both lanes ARE the 8-bit image
         assert hi == _pytest.approx(mean8, rel=1e-12), did
         assert lo == _pytest.approx(mean8, rel=1e-12), did
+
+
+def test_png_gray16_duckdb_oracle_ready(spark, sf_dir):
+    """r11 registration staging: the gray16 tier's integer axes
+    (sample_sum, weighted_sum — the palette-tier precedent) must be
+    EXACTLY reproducible by an analytic DuckDB query over the same
+    documents, so the r11 window slot gets a hash-exact verdict
+    instead of rows-only. This test IS that oracle, run through the
+    real decode end-to-end; float means stay pytest-side (numpy's
+    pairwise vs SQL's sequential summation differ in the last ulp)."""
+    import duckdb
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text").limit(32)
+    got = {r.doc_id: r for r in mm.decode_png_gray16(
+        mm.png_gray16_payloads(docs)).collect()}
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = con.execute("""
+WITH dims AS (
+  SELECT doc_id, text,
+    (doc_id % 16) + 4 AS w, (doc_id % 8) + 2 AS h,
+    length(text) AS tl
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+    CAST(sum(
+      ascii(substr(text, CAST(((2 * j) % tl) + 1 AS INT), 1)) * 256
+      + ascii(substr(text, CAST(((2 * j + 1) % tl) + 1 AS INT), 1))
+    ) AS BIGINT) AS sample_sum,
+    CAST(sum((
+      ascii(substr(text, CAST(((2 * j) % tl) + 1 AS INT), 1)) * 256
+      + ascii(substr(text, CAST(((2 * j + 1) % tl) + 1 AS INT), 1))
+    ) * (j + 1)) AS BIGINT) AS weighted_sum
+  FROM dims, unnest(generate_series(0, w * h - 1)) AS t(j)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+  CAST(d.h AS BIGINT) AS height, CAST(d.w * d.h AS BIGINT) AS n_pixels,
+  px.sample_sum, px.weighted_sum
+FROM dims d JOIN px USING (doc_id)
+""").fetchall()
+    assert len(want) == len(got) == 32
+    for doc_id, w, h, n, ssum, wsum in want:
+        r = got[doc_id]
+        assert (r.width, r.height, r.n_pixels) == (w, h, n), doc_id
+        assert r.sample_sum == ssum, doc_id
+        assert r.weighted_sum == wsum, doc_id
