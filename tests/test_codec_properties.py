@@ -246,6 +246,7 @@ def test_decoder_closures_are_hermetic(tmp_path):
         "bmp": mm._bmp_pixels_fn, "png": mm._png_pixels_fn,
         "png_plte": mm._png_plte_pixels_fn,
         "png_adam7": mm._png_adam7_pixels_fn,
+        "png_gray16": mm._png_gray16_pixels_fn,
         "jpeg": mm._jpeg_pixels_fn, "jpeg_color": mm._jpeg_ycbcr_fn,
         "jpeg_prog": mm._jpeg_prog_pixels_fn, "gif": mm._gif_pixels_fn,
     }
@@ -255,6 +256,9 @@ def test_decoder_closures_are_hermetic(tmp_path):
         "lzw_decode": (mm._shipped(mm._lzw_decode), "(b'', 4)"),
         "gif_subblocks": (mm._shipped(mm._gif_subblocks), "(b'xyz',)"),
         "unfilter": (mm._shipped(mm._png_unfilter_1bpp), "(b'', 1, 1)"),
+        "unfilter2": (mm._shipped(mm._png_unfilter_2bpp), "(b'', 1, 1)"),
+        "filter_row": (mm._shipped(mm._png_filter_row),
+                       "(b'ab', b'cd', 4, 2)"),
     }
     lines = []
     for name, fac in factories.items():
