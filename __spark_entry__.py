@@ -24,49 +24,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The round driver correctness-checks the FIRST 50 registry entries in
-# insertion order. Every name below has a DuckDB oracle, so all 50 driver
-# slots produce a strong rows+schema+hash verdict. Entries past the window
-# (no-oracle scale tiers, redundant analytics variants) still run under
-# pytest (tests/test_oracle_parity.py covers the whole registry).
+# insertion order. Most slots are oracle-backed (rows+schema+hash
+# verdict); the handful that are rows-only BY NATURE (iterative /
+# approximate / codec tiers with no exact SQL counterpart) are
+# enumerated in ROWS_ONLY_OK in tests/test_oracle_parity.py's
+# test_driver_window_contract, each pinned by an exact-counterpart
+# pytest instead. Entries past the window still run under pytest
+# (tests/test_oracle_parity.py covers the whole registry).
 _DRIVER_WINDOW = [
-    # r10 window — _NEXT_WINDOW_PLAN_R10 rotated in VERBATIM (VERDICT r9
-    # #1): 50 of the 55 never-checked entries remaining after the r9
-    # window drained its 40, prioritized so the two names losing
-    # recent-addition grace at r9 close (kmeans_embeddings, pq_ann_topk)
-    # lead. Drains never-checked debt 55 -> 6 (the five deferred codec
-    # tiers + multimodal_png_palette, which open _NEXT_WINDOW_PLAN_R11
-    # below).
-    # Registry growth stays frozen through this round (VERDICT r9 #4).
-    "kmeans_embeddings", "pq_ann_topk", "ha_lineprotocol_roundtrip",
-    "skew_report", "sketch_hll_partitioned", "bpe_encode", "bpe_vocab",
-    "ngram_containment_capped", "pack_ffd", "contrastive_triplets",
-    "dataset_card", "line_dedup", "hard_negatives", "semdedup",
-    "lm_surprise", "multimodal_png_rgb", "multimodal_wav_stereo",
-    "stream_lineprotocol", "stream_cq_downsample", "stream_flatline",
-    "stream_hysteresis", "influx_nn_derivative", "influx_stddev_median",
-    "influx_fill_linear", "influx_bottom3", "influx_distinct",
-    "influx_holt_winters", "influx_percentile_approx", "influx_ema",
-    "influx_state_mode", "influx_state_durations", "influx_rollup_cascade",
-    "ha_energy_daily", "influxql_explain", "flux_task_hourly_mean",
-    "flux_now_relative", "flux_schema_measurements",
-    "flux_schema_tag_values", "flux_schema_m_tag_values",
-    "flux_schema_field_keys", "flux_union_streams", "ha_statistics_sum",
-    "ha_statistics_daily", "ha_history_stats", "ha_statistics_monthly",
-    "series_hysteresis_alerts", "series_acf", "series_fleet_correlation",
-    "series_rolling_quantile", "series_flatline_runs",
-]
-assert len(_DRIVER_WINDOW) == 50
-
-# Committed r11 rotation (re-balanced at r10 per VERDICT r9 #2). The
-# r10 close makes 94 names stale-or-never-checked: the 6 never-checked
-# codec tiers (incl. multimodal_png_palette, scheduled at birth), the
-# 40 entries whose last driver row is r5 (stale since r9 close), and
-# the 48 whose last row is r6 (stale the moment CORRECTNESS_r10.json
-# lands: latest=10 needs last>=7). R11 takes the 6 never-checked +
-# all 40 last=r5 + the first 4 last=r6; _NEXT_WINDOW_PLAN_R12 takes
-# the remaining 44 last=r6. 94 names across two <=50 windows — after
-# r11 runs, never-checked debt is 0.
-_NEXT_WINDOW_PLAN_R11 = [
+    # r11 window — _NEXT_WINDOW_PLAN_R11 rotated in VERBATIM (VERDICT
+    # r10 #1, the third byte-verbatim rotation): the 6 never-checked
+    # codec tiers lead (never-checked debt 6 -> 0 this round), then the
+    # 40 entries whose last driver row is r5 (the SURVEY §2 TPC-H /
+    # dedup / LSH core) and the first 4 last=r6 entries. Rows-only by
+    # nature: multimodal_wav_adpcm, multimodal_thumbnail (see
+    # ROWS_ONLY_OK).
     "multimodal_png_adam7", "multimodal_gif_lct", "multimodal_png_palette",
     "multimodal_wav_adpcm", "multimodal_jpeg_color", "multimodal_thumbnail",
     "ha_ts_format", "grouping_sets", "tpch_q7", "tpch_q10", "tpch_q19",
@@ -81,11 +53,16 @@ _NEXT_WINDOW_PLAN_R11 = [
     "events_sliding", "stream_join", "ha_attr_fields",
     "ha_backfill_boundary", "ha_line_protocol", "tpch_q2",
 ]
-assert len(_NEXT_WINDOW_PLAN_R11) == 50
+assert len(_DRIVER_WINDOW) == 50
 
-# Committed r12 rotation: the remaining 44 last=r6 entries (everything
-# the r10 close leaves stale that R11 doesn't hold). The r11 builder
-# re-balances this list with its own newly-stale set at round close.
+# Committed r12 rotation (re-balanced at r11 per VERDICT r10 #2). The
+# r11 close makes 93 names stale: the 44 last=r6 entries the old R12
+# plan already held (stale since r10 close) plus the 49 last=r7
+# entries that age out the moment CORRECTNESS_r11.json lands
+# (latest=11 needs last>=8). R12 keeps the 44 oldest (last=r6) and
+# takes the first 6 last=r7; _NEXT_WINDOW_PLAN_R13 takes the
+# remaining 43. 93 names across two <=50 windows — zero
+# stale-and-unscheduled at r11 close.
 _NEXT_WINDOW_PLAN_R12 = [
     "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q21",
     "salted_join", "distinct_twophase", "range_band_join",
@@ -100,8 +77,29 @@ _NEXT_WINDOW_PLAN_R12 = [
     "stream_static_join", "stream_upsert", "stream_ema",
     "session_window_native", "stream_window_topk", "influx_derivative",
     "influx_integral", "influx_moving_average", "influx_series_stats",
+    "ha_points", "ha_oldest_point", "tpch_q14", "cohort_retention",
+    "event_transitions", "profile_columns",
 ]
-assert len(_NEXT_WINDOW_PLAN_R12) == 44
+assert len(_NEXT_WINDOW_PLAN_R12) == 50
+
+# Committed r13 rotation: the remaining 43 last=r7 entries. The r12
+# builder re-balances this list with its own newly-stale set at close.
+_NEXT_WINDOW_PLAN_R13 = [
+    "path_mining", "triangle_copurchase", "link_prediction",
+    "bfs_distances", "json_props_stats", "sequence_similarity",
+    "cuped_readout", "frequent_triples", "audience_overlap", "ohlc_bars",
+    "conversion_latency", "pit_join", "kcore", "data_gaps",
+    "ab_proportion_test", "seasonal_anomaly", "zorder_events",
+    "daily_new_returning", "dedup_incremental", "bpe_pair_counts",
+    "chunk_documents", "curate_mixture_pipeline", "hybrid_rrf",
+    "pmi_bigrams", "html_strip", "repetition_stats", "lang_rebalance",
+    "split_leakage_free", "sample_weighted", "multimodal_bmp",
+    "multimodal_png", "multimodal_wav", "multimodal_jpeg",
+    "stream_dedup_incremental", "stream_incremental_agg", "stream_ohlc",
+    "influx_cumulative_sum", "influx_difference", "influx_percentile",
+    "influx_downsample", "influx_mode", "influx_top3", "influx_sample",
+]
+assert len(_NEXT_WINDOW_PLAN_R13) == 43
 
 
 def _registry():

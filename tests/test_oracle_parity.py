@@ -77,19 +77,16 @@ def test_driver_window_contract():
     for those, and the judge sees which). A registry reorder must fail
     here, not silently in the round run."""
     ROWS_ONLY_OK = {
-        # r10 window: the 11 rows-only-by-nature tiers the committed
-        # _NEXT_WINDOW_PLAN_R10 rotation drains (VERDICT r9 #1 mandated
-        # the rotation verbatim). Each is iterative/approximate/plan-
-        # text — no exact SQL counterpart exists — and each is pinned
-        # by an exact-counterpart pytest instead (kmeans convergence +
-        # assignment, PQ recall vs brute kNN, HLL error bound, BPE
-        # merge determinism, FFD packing invariants, semdedup recall,
-        # Holt-Winters/EMA recurrences vs numpy, percentile_approx
-        # rank error, EXPLAIN surface shape).
-        "kmeans_embeddings", "pq_ann_topk", "sketch_hll_partitioned",
-        "bpe_encode", "bpe_vocab", "pack_ffd", "semdedup",
-        "influx_holt_winters", "influx_percentile_approx", "influx_ema",
-        "influxql_explain",
+        # r11 window: the 2 rows-only-by-nature tiers in the committed
+        # _NEXT_WINDOW_PLAN_R11 rotation (VERDICT r10 #1 mandated the
+        # rotation verbatim). Neither has an exact SQL counterpart —
+        # ADPCM is a stateful predictor recurrence, thumbnail emits a
+        # binary column — and each is pinned by exact pytests instead
+        # (tests/test_formats.py::
+        # test_wav_adpcm_hand_pinned_golden_and_roundtrip, tests/
+        # test_llm_ops.py::test_thumbnail_identity_resize_exact +
+        # test_thumbnail_block_aligned_exact).
+        "multimodal_wav_adpcm", "multimodal_thumbnail",
     }
     names = list(QUERIES)[:50]
     assert names == entrymod._DRIVER_WINDOW
