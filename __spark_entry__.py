@@ -59,11 +59,15 @@ assert len(_DRIVER_WINDOW) == 50
 # r11 close makes 93 names stale: the 44 last=r6 entries the old R12
 # plan already held (stale since r10 close) plus the 49 last=r7
 # entries that age out the moment CORRECTNESS_r11.json lands
-# (latest=11 needs last>=8). R12 keeps the 44 oldest (last=r6) and
-# takes the first 6 last=r7; _NEXT_WINDOW_PLAN_R13 takes the
-# remaining 43. 93 names across two <=50 windows — zero
+# (latest=11 needs last>=8). R12 leads with the two r11-registered
+# codec tiers, keeps the 44 oldest stale names (last=r6) and takes
+# the first 4 last=r7; _NEXT_WINDOW_PLAN_R13 takes the remaining 45.
+# 93 stale + 2 new across two <=50 windows — zero
 # stale-and-unscheduled at r11 close.
 _NEXT_WINDOW_PLAN_R12 = [
+    # the two r11-registered codec tiers lead (VERDICT r10 #5): both
+    # carry exact DuckDB oracles, so they land hash-exact at r12
+    "multimodal_png_gray16", "multimodal_jpeg_progressive",
     "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q21",
     "salted_join", "distinct_twophase", "range_band_join",
     "window_time_range", "full_outer_join", "upsert_latest",
@@ -78,13 +82,14 @@ _NEXT_WINDOW_PLAN_R12 = [
     "session_window_native", "stream_window_topk", "influx_derivative",
     "influx_integral", "influx_moving_average", "influx_series_stats",
     "ha_points", "ha_oldest_point", "tpch_q14", "cohort_retention",
-    "event_transitions", "profile_columns",
 ]
 assert len(_NEXT_WINDOW_PLAN_R12) == 50
 
-# Committed r13 rotation: the remaining 43 last=r7 entries. The r12
+# Committed r13 rotation: the remaining 45 last=r7 entries (including
+# the two the new codec registrations displaced from R12). The r12
 # builder re-balances this list with its own newly-stale set at close.
 _NEXT_WINDOW_PLAN_R13 = [
+    "event_transitions", "profile_columns",
     "path_mining", "triangle_copurchase", "link_prediction",
     "bfs_distances", "json_props_stats", "sequence_similarity",
     "cuped_readout", "frequent_triples", "audience_overlap", "ohlc_bars",
@@ -99,7 +104,7 @@ _NEXT_WINDOW_PLAN_R13 = [
     "influx_cumulative_sum", "influx_difference", "influx_percentile",
     "influx_downsample", "influx_mode", "influx_top3", "influx_sample",
 ]
-assert len(_NEXT_WINDOW_PLAN_R13) == 43
+assert len(_NEXT_WINDOW_PLAN_R13) == 45
 
 
 def _registry():

@@ -157,6 +157,20 @@ def main() -> None:
 
     steady_runs = 5 if contended else 3
 
+    # Per-query re-gate (VERDICT r10 #4): the run-start gate checks load
+    # ONCE, but r10's stamps proved load rises mid-run (three warm
+    # "regressions" +11-19% all stamped 1.7-2.0 vs 0.94 at gate-open).
+    # After a query measures under a stamp above the threshold, wait
+    # (bounded, shared budget) for the load to drop and re-measure the
+    # steady passes once; keep the min. Queries still hot after the
+    # budget carry a per-query contended flag instead of silently
+    # polluting the round-over-round comparison.
+    QLOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_QLOAD_WAIT", "60"))
+    requeue_budget = [float(os.environ.get("SPARK_GRAFT_QLOAD_BUDGET",
+                                           "240"))]
+    requeued: list[str] = []
+    query_contended: list[str] = []
+
     def measure(fn) -> tuple[float, float, float | None]:
         # cold = first materialization (pays one-off whole-stage-codegen
         # compilation + AQE re-planning for THIS query shape, ~2s on
@@ -187,11 +201,39 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3), cold, q_load
 
+    def measure_gated(name, fn) -> tuple[float, float, float | None]:
+        best, cold, q_load = measure(fn)
+        if q_load is None or q_load < LOAD_THRESHOLD:
+            return best, cold, q_load
+        # stamp exceeded the threshold: wait for quiet (shared budget),
+        # then re-run the steady passes once and keep the min
+        waited_q = 0.0
+        try:
+            while (os.getloadavg()[0] >= LOAD_THRESHOLD
+                   and waited_q < QLOAD_WAIT_S and requeue_budget[0] > 0):
+                time.sleep(5)
+                waited_q += 5
+                requeue_budget[0] -= 5
+            now = os.getloadavg()[0]
+        except OSError:
+            return best, cold, q_load
+        if now >= LOAD_THRESHOLD:
+            query_contended.append(name)
+            return best, cold, q_load
+        requeued.append(name)
+        re_load = round(now, 2)
+        for _ in range(steady_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, round(time.time() - t0, 3))
+        return round(best, 3), cold, re_load
+
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
     timings_load: dict[str, float | None] = {}
     for name, fn in HEADLINE.items():
-        timings[name], timings_cold[name], timings_load[name] = measure(fn)
+        timings[name], timings_cold[name], timings_load[name] = (
+            measure_gated(name, fn))
 
     # candidates get the identical protocol INCLUDING the recorded cold
     # pass, so a graduating candidate can be compared cold-for-cold;
@@ -202,7 +244,8 @@ def main() -> None:
     cand_cold: dict[str, float] = {}
     cand_load: dict[str, float | None] = {}
     for name, fn in CANDIDATES.items():
-        cand[name], cand_cold[name], cand_load[name] = measure(fn)
+        cand[name], cand_cold[name], cand_load[name] = (
+            measure_gated(name, fn))
 
     total = round(sum(timings.values()), 3)
     # host-load context: same-host interference measured up to 5× on
@@ -212,7 +255,15 @@ def main() -> None:
         load_end = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         load_end = None
-    print(json.dumps({
+    # Truncation-proofing (VERDICT r10 #3): the round driver keeps only
+    # a ~2000-char TAIL of stdout; r10's per-query load stamps pushed
+    # the one-line JSON past that and the artifact lost its own headline
+    # (`parsed: null`). The PRINTED line now carries just the headline
+    # scalars + steady timings (~1.4 KB, inside the budget), and the
+    # full record — cold timings, per-query load stamps, requeue log —
+    # is written to bench_last.json at the repo root, committed with the
+    # round so the complete record can never lose itself.
+    full = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
@@ -228,6 +279,32 @@ def main() -> None:
         "loadavg_end": load_end,
         "contended": contended,
         "load_wait_sec": round(waited, 1),
+        "requeued": requeued,
+        "query_contended": query_contended,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_last.json"), "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    all_loads = [v for v in list(timings_load.values())
+                 + list(cand_load.values()) if v is not None]
+    print(json.dumps({
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "mode": f"steady_state_min_of_{steady_runs}",
+        "value_cold": round(sum(timings_cold.values()), 3),
+        "queries": timings,
+        "candidates": cand,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "max_query_load": max(all_loads) if all_loads else None,
+        "contended": contended,
+        "load_wait_sec": round(waited, 1),
+        "requeued": requeued,
+        "query_contended": query_contended,
+        "full_record": "bench_last.json",
         "sf": sf,
     }))
     spark.stop()

@@ -133,7 +133,24 @@ def dedup_incremental(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     )
 
 
-def shingles(text: Column, k: int = 3, words: Column | None = None) -> Column:
+# Shared shingle/minhash constants (ADVICE r10 low): the SQL-text LSH
+# build (`_neardup_pairs_sql`) must stay byte-in-lockstep with the
+# Column builders (`hashed_shingles`, `_perm`) — both sides now derive
+# from these instead of re-embedding literals, so a drift is a single-
+# site edit, not a silent plan divergence the plan-equality test only
+# catches at its tested parameters.
+SHINGLE_K = 3          # words per shingle
+_ROT = 13              # rotate-xor combine: rotl(acc, _ROT) ^ h
+
+
+def _perm_coeffs(seed: int) -> tuple[int, int]:
+    """Affine minhash permutation coefficients (a, b) for one seed —
+    the single source for both the Column builder and the SQL text."""
+    return 2 * seed + 1, seed * seed + 7
+
+
+def shingles(text: Column, k: int = SHINGLE_K,
+             words: Column | None = None) -> Column:
     """Word k-gram shingle array via one regex pass (r6 rewrite).
 
     ``(?:^| )(?=(tok tok tok))`` with ``tok = [^ ]*``: a match starts
@@ -197,7 +214,8 @@ def shingle_sets(corpus: DataFrame, native_hash: bool = False) -> DataFrame:
     )
 
 
-def hashed_shingles(text: Column, words: Column, k: int = 3) -> Column:
+def hashed_shingles(text: Column, words: Column,
+                    k: int = SHINGLE_K) -> Column:
     """Native-tier shingle IDs without ever building shingle STRINGS.
 
     The string formulation pays, per shingle, k `element_at` calls +
@@ -226,8 +244,8 @@ def hashed_shingles(text: Column, words: Column, k: int = 3) -> Column:
         comb = F.zip_with(
             comb, F.slice(hw, j + 1, m),
             lambda acc, h: (
-                F.shiftleft(acc, 13)
-                .bitwiseOR(F.shiftrightunsigned(acc, 64 - 13))
+                F.shiftleft(acc, _ROT)
+                .bitwiseOR(F.shiftrightunsigned(acc, 64 - _ROT))
                 .bitwiseXOR(h)
             ),
         )
@@ -259,7 +277,7 @@ def shingled(corpus: DataFrame, native_hash: bool = False) -> DataFrame:
 
 def _perm(h: Column, seed: int) -> Column:
     """Affine permutation of a hash already reduced to [0, HASH_MOD)."""
-    a, b = 2 * seed + 1, seed * seed + 7
+    a, b = _perm_coeffs(seed)
     return (h * a + b) % HASH_MOD
 
 
@@ -454,7 +472,10 @@ def _neardup_pairs_sql(corpus: DataFrame, threshold: float,
     re-analyzes the whole wide tree; one parse+analyze pass amortizes
     it — measured ~0.4 s/build on this pipeline at any data size).
     """
-    k, band_size, mod = 3, 4, HASH_MOD
+    # literals derived from the SAME constants the Column builders use
+    # (ADVICE r10 low) — k/rotation/affine coefficients cannot drift
+    # from hashed_shingles/_perm without changing both plans together
+    k, band_size, mod = SHINGLE_K, 4, HASH_MOD
     # shingle_sets: widen a narrow local input BEFORE the heavy per-row
     # work (same conditional as the DataFrame build, applied to the
     # parameter plan so the hint stays out of the text)
@@ -466,12 +487,13 @@ def _neardup_pairs_sql(corpus: DataFrame, threshold: float,
     comb = f"slice({hw}, 1, {m})"
     for j in range(1, k):
         comb = (f"zip_with({comb}, slice({hw}, {j + 1}, {m}), (acc, h) -> "
-                f"((shiftleft(acc, 13) | shiftrightunsigned(acc, 51)) ^ h))")
+                f"((shiftleft(acc, {_ROT}) "
+                f"| shiftrightunsigned(acc, {64 - _ROT})) ^ h))")
     sh = (f"array_distinct(CASE WHEN {m} >= 1 THEN {comb} "
           f"ELSE array(xxhash64(text)) END)")
     mhs = ", ".join(
-        f"array_min(transform(hs, h -> ((h * {2 * s + 1} + {s * s + 7}) "
-        f"% {mod}))) AS mh{s}"
+        "array_min(transform(hs, h -> ((h * {a} + {b}) % {mod}))) AS mh{s}"
+        .format(a=_perm_coeffs(s)[0], b=_perm_coeffs(s)[1], mod=mod, s=s)
         for s in range(n_seeds)
     )
     bands = ", ".join(

@@ -39,6 +39,18 @@ from pyspark.sql import types as T
 # state.
 _STRICT_DECODE = False
 
+# ADVICE r10 low: the header-bounded inflate caps decompression at
+# expect+1, but ``expect`` itself derives from the UNTRUSTED IHDR dims —
+# a payload claiming near-2^31 w/h makes that cap ~2^62, so a small
+# crafted IDAT (zlib expands ~1000:1) could still balloon to gigabytes
+# in memory before the length gate nulls the row. Every PNG decode site
+# therefore gates ``expect`` against this ceiling BEFORE calling
+# dec.decompress. 64 MiB bounds any single row's decode far under an
+# Arrow batch's memory budget while holding every in-subset image
+# (a 4096x4096 RGB scanline stream is ~50 MiB); decoder factories
+# capture the value at construction so executor closures stay hermetic.
+_MAX_DECODED_BYTES = 64 << 20
+
 
 def _shipped(f):
     """By-value copy of a module-level helper for worker closures.
@@ -547,6 +559,7 @@ def _png_pixels_fn(strict: bool | None = None):
     # call) so in-process behavior matches the by-value capture
     # cloudpickle gives executors, and tests need no global toggle
     strict = _STRICT_DECODE if strict is None else strict
+    max_decoded = _MAX_DECODED_BYTES
     import struct
     import zlib
 
@@ -580,6 +593,8 @@ def _png_pixels_fn(strict: bool | None = None):
             # ADVICE r9 pattern: header-bounded inflate — a crafted
             # IDAT cannot expand past the size IHDR itself claims
             expect = h * (w + 1)
+            if expect > max_decoded:
+                return None  # IHDR claims more than the decode budget
             dec = zlib.decompressobj()
             raw = dec.decompress(idat, expect + 1)
             if (len(raw) != expect or dec.unconsumed_tail
@@ -766,6 +781,7 @@ def _png_gray16_pixels_fn(strict: bool | None = None):
     bpp=2 inverse filters, then big-endian sample assembly. Driver-built,
     shipped by value."""
     strict = _STRICT_DECODE if strict is None else strict
+    max_decoded = _MAX_DECODED_BYTES
     import struct
     import zlib
 
@@ -797,6 +813,8 @@ def _png_gray16_pixels_fn(strict: bool | None = None):
             if w <= 0 or h <= 0:
                 return None
             expect = h * (2 * w + 1)
+            if expect > max_decoded:
+                return None  # IHDR claims more than the decode budget
             dec = zlib.decompressobj()
             raw = dec.decompress(idat, expect + 1)
             if (len(raw) != expect or dec.unconsumed_tail
@@ -982,6 +1000,7 @@ def decode_png_rgb(payload_df: DataFrame) -> DataFrame:
     # strict-mode bound at plan construction (ADVICE r9 low) —
     # matches the executor capture semantics exactly
     strict = _STRICT_DECODE
+    max_decoded = _MAX_DECODED_BYTES
 
     def _decode(batches: Iterator):
         import struct
@@ -1018,6 +1037,8 @@ def decode_png_rgb(payload_df: DataFrame) -> DataFrame:
                 # _png_plte_pixels_fn) — and the length gate now runs
                 # BEFORE the h x 3w allocation, not after
                 expect = h * (n + 1)
+                if expect > max_decoded:
+                    return None  # IHDR claims more than the decode budget
                 dec = zlib.decompressobj()
                 raw = dec.decompress(idat, expect + 1)
                 if (len(raw) != expect or dec.unconsumed_tail
@@ -2928,6 +2949,7 @@ def _png_adam7_pixels_fn(strict: bool | None = None):
     # call) so in-process behavior matches the by-value capture
     # cloudpickle gives executors, and tests need no global toggle
     strict = _STRICT_DECODE if strict is None else strict
+    max_decoded = _MAX_DECODED_BYTES
     import struct
     import zlib
 
@@ -3006,6 +3028,8 @@ def _png_adam7_pixels_fn(strict: bool | None = None):
                 for c0_, r0_, cs_, rs_ in _ADAM7
                 if len(range(c0_, w, cs_)) and len(range(r0_, h, rs_))
             )
+            if expect > max_decoded:
+                return None  # IHDR claims more than the decode budget
             dec = zlib.decompressobj()
             raw = dec.decompress(idat, expect + 1)
             if (len(raw) != expect or dec.unconsumed_tail
@@ -3407,6 +3431,7 @@ def _png_plte_pixels_fn(strict: bool | None = None):
     # call) so in-process behavior matches the by-value capture
     # cloudpickle gives executors, and tests need no global toggle
     strict = _STRICT_DECODE if strict is None else strict
+    max_decoded = _MAX_DECODED_BYTES
     import struct
     import zlib
 
@@ -3464,6 +3489,8 @@ def _png_plte_pixels_fn(strict: bool | None = None):
             else:
                 w_bytes = (w * depth + 7) // 8
                 expect = h * (w_bytes + 1)
+            if expect > max_decoded:
+                return None  # IHDR claims more than the decode budget
             dec = zlib.decompressobj()
             raw = dec.decompress(idat, expect + 1)
             if (len(raw) != expect or dec.unconsumed_tail

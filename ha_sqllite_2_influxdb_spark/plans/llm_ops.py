@@ -960,6 +960,45 @@ def q_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.png_palette_payloads(_docs(spark, sf_dir)))
 
 
+def q_multimodal_png_gray16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit grayscale PNG tier (r10-built, registered r11 per VERDICT
+    r10 #5): depth 16 / ctype 0, bpp=2 inverse filters, big-endian
+    sample assembly. The projected axes are the EXACT BIGINT pair
+    (sample_sum, weighted_sum — the palette-tier precedent), so the
+    driver verdict is hash-exact; the float means (mean_pixel + the
+    hi/lo byte-lane split that makes byte-order bugs observable) stay
+    pytest-side vs numpy. Both engines filter to non-empty ASCII docs
+    with the IDENTICAL predicate (ADVICE r10 low: the payload indexes
+    UTF-8 BYTES with an empty-text fallback, the oracle indexes
+    CHARACTERS — equal only on this corpus, so the contract is explicit
+    on both sides rather than assumed)."""
+    docs = _docs(spark, sf_dir).filter(
+        (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text")))
+    decoded = multimodal.decode_png_gray16(
+        multimodal.png_gray16_payloads(docs))
+    return decoded.select("doc_id", "width", "height", "n_pixels",
+                          "sample_sum", "weighted_sum")
+
+
+def q_multimodal_jpeg_progressive(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Progressive JPEG tier (r9-built, registered r11 per VERDICT r10
+    #5): SOF2, the libjpeg-shaped 5-scan script (DC first → two AC
+    first bands → DC refine → AC refine) through the
+    successive-approximation entropy layer. The fixture is
+    per-block-constant (the baseline-JPEG precedent): DC quant step 8
+    divides 8·(v−128) exactly and every AC coefficient is 0, so after
+    all five scans the reconstruction is LOSSLESS by construction and
+    dimensions, block/scan counts, mean AND the position-weighted sum
+    are all SQL-exact. The general varying-pixel path (real AC bands,
+    EOBn runs, refinement corrections) is pinned in pytest against the
+    baseline decoder on identical source images."""
+    return multimodal.decode_jpeg_progressive(
+        multimodal.jpeg_progressive_payloads(
+            _docs(spark, sf_dir), per_block_constant=True))
+
+
 def q_multimodal_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMA ADPCM WAV tier (r8, VERDICT r7 #6): format tag 0x0011,
     4-bit nibbles, per-block predictor headers, fact-chunk trim.
@@ -1117,6 +1156,8 @@ QUERIES = {
     "multimodal_wav_adpcm": q_multimodal_wav_adpcm,
     "multimodal_jpeg_color": q_multimodal_jpeg_color,
     "multimodal_thumbnail": q_multimodal_thumbnail,
+    "multimodal_png_gray16": q_multimodal_png_gray16,
+    "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -2512,6 +2553,70 @@ SELECT doc_id, width, height, nb AS n_blocks,
     AS mean_pixel
 FROM blocks
 GROUP BY doc_id, width, height, nb
+""",
+    # gray16 (r11, VERDICT r10 #5): CHARACTER indexing below equals the
+    # payload generator's UTF-8 BYTE indexing only on non-empty ASCII
+    # text, so BOTH engines apply the identical filter (strlen = byte
+    # length in DuckDB, octet_length in Spark) — ADVICE r10 low made
+    # that contract explicit instead of assumed. Exact BIGINT axes
+    # only; the float means are pytest-pinned vs numpy.
+    "multimodal_png_gray16": """
+WITH dims AS (
+  SELECT doc_id, text,
+    (doc_id % 16) + 4 AS w, (doc_id % 8) + 2 AS h,
+    length(text) AS tl
+  FROM documents
+  WHERE length(text) > 0 AND strlen(text) = length(text)
+),
+px AS (
+  SELECT doc_id,
+    CAST(sum(hi * 256 + lo) AS BIGINT) AS sample_sum,
+    CAST(sum((hi * 256 + lo) * (j + 1)) AS BIGINT) AS weighted_sum
+  FROM (
+    SELECT doc_id, j,
+      ascii(substr(text, CAST(((2 * j) % tl) + 1 AS INT), 1)) AS hi,
+      ascii(substr(text, CAST(((2 * j + 1) % tl) + 1 AS INT), 1)) AS lo
+    FROM dims, unnest(generate_series(0, CAST(w * h - 1 AS INT), 1)) AS t(j))
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+  CAST(d.h AS BIGINT) AS height, CAST(d.w * d.h AS BIGINT) AS n_pixels,
+  px.sample_sum, px.weighted_sum
+FROM dims d JOIN px USING (doc_id)
+""",
+    # progressive JPEG (r11, VERDICT r10 #5): the per-block-constant
+    # fixture makes the 5-scan successive-approximation pipeline
+    # LOSSLESS (DC step 8 divides 8·(v−128); all AC zero), so the full
+    # reconstruction — including the position-weighted sum over natural
+    # row-major order, which a merged/dropped/mis-shifted scan moves —
+    # is SQL-predictable from the block-constant formula alone.
+    "multimodal_jpeg_progressive": """
+WITH dims AS (
+  SELECT doc_id,
+    CAST(8 * ((doc_id % 3) + 1) AS BIGINT) AS width,
+    CAST(8 * ((doc_id % 2) + 1) AS BIGINT) AS height,
+    CAST((doc_id % 3) + 1 AS BIGINT) AS bw,
+    CAST(((doc_id % 3) + 1) * ((doc_id % 2) + 1) AS BIGINT) AS nb
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+    CAST(sum(v) AS BIGINT) AS vsum,
+    CAST(sum(v * (r * width + c + 1)) AS BIGINT) AS weighted_sum
+  FROM (
+    SELECT doc_id, width, r, c,
+      (doc_id * 31 + ((r // 8) * bw + (c // 8)) * 7) % 256 AS v
+    FROM dims,
+      unnest(generate_series(0, CAST(height - 1 AS INT), 1)) AS t1(r),
+      unnest(generate_series(0, CAST(width - 1 AS INT), 1)) AS t2(c))
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.width, d.height, d.nb AS n_blocks,
+  CAST(5 AS BIGINT) AS n_scans,
+  d.width * d.height AS n_pixels,
+  CAST(px.vsum AS DOUBLE) / (d.width * d.height) AS mean_pixel,
+  px.weighted_sum
+FROM dims d JOIN px USING (doc_id)
 """,
 }
 

@@ -231,3 +231,52 @@ def test_operators_md_in_sync_with_registry():
     assert proc.returncode == 0
     assert current == regenerated, (
         "OPERATORS.md is stale — run python tools/gen_operators_md.py")
+
+
+def test_png_decode_budget_gates_before_inflate(spark):
+    """ADVICE r10 low: the header-bounded inflate caps at expect+1, but
+    expect derives from the UNTRUSTED IHDR dims — w/h near 2^31 make
+    the cap ~2^62, so a small crafted IDAT could still balloon ~1000x
+    in memory before the length gate nulls the row. Every PNG decode
+    site now gates expect against _MAX_DECODED_BYTES BEFORE calling
+    dec.decompress. Proof the gate (not the later length check) fires:
+    shrink the module ceiling, build the decoder, feed a VALID image
+    whose expect exceeds it -> None; the same image under the default
+    ceiling decodes fine. Covers all five sites: gray8, gray16, RGB
+    (inline), Adam7, palette."""
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "decode budget gate corpus text")], "doc_id long, text string")
+    payloads = {
+        "gray8": mm.png_payloads(docs),
+        "gray16": mm.png_gray16_payloads(docs),
+        "rgb": mm.png_rgb_payloads(docs),
+        "adam7": mm.png_adam7_payloads(docs),
+        "palette": mm.png_palette_payloads(docs),
+    }
+    raw = {k: bytes(df.collect()[0].payload) for k, df in payloads.items()}
+
+    factories = {
+        "gray8": mm._png_pixels_fn,
+        "gray16": mm._png_gray16_pixels_fn,
+        "adam7": mm._png_adam7_pixels_fn,
+        "palette": mm._png_plte_pixels_fn,
+    }
+    # default ceiling: everything decodes; tiny ceiling: the gate nulls
+    # the row before any zlib call (factories bind the module value at
+    # construction, matching the executor capture semantics)
+    for name, factory in factories.items():
+        assert factory()(raw[name]) is not None, name
+    old = mm._MAX_DECODED_BYTES
+    try:
+        mm._MAX_DECODED_BYTES = 4
+        for name, factory in factories.items():
+            assert factory()(raw[name]) is None, name
+        # the RGB site binds at PLAN construction inside decode_png_rgb
+        rgb = mm.decode_png_rgb(payloads["rgb"]).collect()[0]
+        assert rgb.width is None and rgb.n_pixels is None
+    finally:
+        mm._MAX_DECODED_BYTES = old
+    rgb = mm.decode_png_rgb(payloads["rgb"]).collect()[0]
+    assert rgb.width is not None

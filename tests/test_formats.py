@@ -696,8 +696,18 @@ def test_png_gray16_duckdb_oracle_ready(spark, sf_dir):
     from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
     from ha_sqllite_2_influxdb_spark.sources.tables import load_table
 
+    from pyspark.sql import functions as F
+
+    # ADVICE r10 low: the SQL below indexes text by CHARACTER while the
+    # payload generator indexes UTF-8 BYTES (with an empty-text
+    # fallback) — equal only on non-empty ASCII docs, so BOTH sides
+    # apply that predicate explicitly (the same two-sided contract the
+    # registered multimodal_png_gray16 oracle carries)
     docs = load_table(spark, sf_dir, "documents") \
-        .select("doc_id", "text").limit(32)
+        .select("doc_id", "text") \
+        .filter((F.length("text") > 0)
+                & (F.octet_length("text") == F.length("text"))) \
+        .limit(32)
     got = {r.doc_id: r for r in mm.decode_png_gray16(
         mm.png_gray16_payloads(docs)).collect()}
 
@@ -709,6 +719,7 @@ WITH dims AS (
     (doc_id % 16) + 4 AS w, (doc_id % 8) + 2 AS h,
     length(text) AS tl
   FROM documents
+  WHERE length(text) > 0 AND strlen(text) = length(text)
 ),
 px AS (
   SELECT doc_id,

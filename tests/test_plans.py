@@ -836,5 +836,16 @@ def test_neardup_sql_text_plan_equals_dataframe_build(spark, sf_dir):
                 dedup.neardup_pairs(
                     corpus, 0.5, 8, portable=False, bucket_cap=None)
                 ._jdf.queryExecution().optimizedPlan()))
+        # ADVICE r10 low: widen the lockstep guard past the default
+        # parameters — an affine-coefficient drift affecting only
+        # seeds >= 8 would slip every n_seeds=8 assertion above (the
+        # SQL literals now derive from _perm_coeffs/_ROT/SHINGLE_K,
+        # the same constants the Column builders read)
+        assert (dedup._neardup_pairs_df(
+                    corpus, 0.5, 12, portable=False, bucket_cap=None)
+                ._jdf.queryExecution().optimizedPlan().sameResult(
+                dedup.neardup_pairs(
+                    corpus, 0.5, 12, portable=False, bucket_cap=None)
+                ._jdf.queryExecution().optimizedPlan()))
     finally:
         corpus.unpersist()
