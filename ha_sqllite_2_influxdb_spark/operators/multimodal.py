@@ -4198,11 +4198,16 @@ _ADPCM_BLOCK_ALIGN = 36          # 4-byte header + 32 data bytes
 _ADPCM_SPB = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1   # 65 samples/block
 
 
-def _ima_step(pred: int, idx: int, nib: int):
+def _ima_step(pred: int, idx: int, nib: int,
+              steps=_IMA_STEPS, index=_IMA_INDEX):
     """One IMA ADPCM reconstruction step (shared by encode + decode —
     the encoder tracks the decoder's state, which is what makes the
-    codec converge). Returns (new_pred, new_idx)."""
-    step = _IMA_STEPS[idx]
+    codec converge). Returns (new_pred, new_idx). The spec tables ride
+    as DEFAULTED parameters, not module-global reads, so `_shipped`
+    copies them by value (r11: the adversarial sweep, run from a
+    non-repo cwd, caught the ADPCM closures importing this package on
+    executors — the one tier that skipped the hermetic convention)."""
+    step = steps[idx]
     diffq = step >> 3
     if nib & 4:
         diffq += step
@@ -4212,12 +4217,13 @@ def _ima_step(pred: int, idx: int, nib: int):
         diffq += step >> 2
     pred = pred - diffq if nib & 8 else pred + diffq
     pred = max(-32768, min(32767, pred))
-    idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+    idx = max(0, min(88, idx + index[nib & 7]))
     return pred, idx
 
 
-def _ima_encode_nibble(sample: int, pred: int, idx: int) -> int:
-    step = _IMA_STEPS[idx]
+def _ima_encode_nibble(sample: int, pred: int, idx: int,
+                       steps=_IMA_STEPS) -> int:
+    step = steps[idx]
     diff = sample - pred
     nib = 0
     if diff < 0:
@@ -4244,6 +4250,12 @@ def wav_adpcm_payloads(documents: DataFrame,
     verbatim in the header and nibble-codes the rest against the
     decoder's own reconstruction state. The final partial block pads
     with repeats of the last sample; fact.n trims them on decode."""
+    # driver-built, shipped by value (r11: the non-repo-cwd sweep caught
+    # these closures referencing module globals, which cloudpickle
+    # serializes as package imports the executors cannot satisfy)
+    ima_encode = _shipped(_ima_encode_nibble)
+    ima_step = _shipped(_ima_step)
+    spb, balign = _ADPCM_SPB, _ADPCM_BLOCK_ALIGN
 
     def _make(batches: Iterator):
         import struct
@@ -4258,24 +4270,23 @@ def wav_adpcm_payloads(documents: DataFrame,
             data = bytearray()
             pos = 0
             while pos < n:
-                block = samples[pos:pos + _ADPCM_SPB]
-                if len(block) < _ADPCM_SPB:   # pad the tail block
-                    block = block + [block[-1]] * (_ADPCM_SPB - len(block))
+                block = samples[pos:pos + spb]
+                if len(block) < spb:   # pad the tail block
+                    block = block + [block[-1]] * (spb - len(block))
                 pred = block[0]
                 data += struct.pack("<hBB", pred, idx, 0)
                 nibs = []
                 for s in block[1:]:
-                    nib = _ima_encode_nibble(s, pred, idx)
-                    pred, idx = _ima_step(pred, idx, nib)
+                    nib = ima_encode(s, pred, idx)
+                    pred, idx = ima_step(pred, idx, nib)
                     nibs.append(nib)
                 for i in range(0, len(nibs), 2):
                     data.append(nibs[i] | (nibs[i + 1] << 4))
-                pos += _ADPCM_SPB
-            byte_rate = (sample_rate * _ADPCM_BLOCK_ALIGN
-                         + _ADPCM_SPB - 1) // _ADPCM_SPB
+                pos += spb
+            byte_rate = (sample_rate * balign + spb - 1) // spb
             fmt = struct.pack("<HHIIHHHH", 0x0011, 1, sample_rate,
-                              byte_rate, _ADPCM_BLOCK_ALIGN, 4, 2,
-                              _ADPCM_SPB)
+                              byte_rate, balign, 4, 2,
+                              spb)
             fact = struct.pack("<I", n)
             body = (b"WAVE"
                     + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -4308,6 +4319,9 @@ def decode_wav_adpcm(payload_df: DataFrame) -> DataFrame:
     # strict-mode bound at plan construction (ADVICE r9 low) —
     # matches the executor capture semantics exactly
     strict = _STRICT_DECODE
+    # driver-built, shipped by value (r11 hermeticity fix — see
+    # wav_adpcm_payloads)
+    ima_step = _shipped(_ima_step)
 
     def one(b: bytes):
         import struct
@@ -4343,7 +4357,7 @@ def decode_wav_adpcm(payload_df: DataFrame) -> DataFrame:
                 out.append(pred)
                 for byte in data[off + 4:off + balign]:
                     for nib in (byte & 0x0F, byte >> 4):
-                        pred, idx = _ima_step(pred, idx, nib)
+                        pred, idx = ima_step(pred, idx, nib)
                         out.append(pred)
             if fact_n is not None:
                 if fact_n > len(out):

@@ -259,6 +259,12 @@ def test_decoder_closures_are_hermetic(tmp_path):
         "unfilter2": (mm._shipped(mm._png_unfilter_2bpp), "(b'', 1, 1)"),
         "filter_row": (mm._shipped(mm._png_filter_row),
                        "(b'ab', b'cd', 4, 2)"),
+        # r11: the ADPCM pair — the one tier whose closures referenced
+        # module globals directly (caught by the non-repo-cwd sweep);
+        # the spec tables now ride as defaulted parameters
+        "ima_step": (mm._shipped(mm._ima_step), "(100, 10, 5)"),
+        "ima_encode": (mm._shipped(mm._ima_encode_nibble),
+                       "(500, 100, 10)"),
     }
     lines = []
     for name, fac in factories.items():
@@ -570,3 +576,69 @@ def test_png_inflate_rejects_truncated_adler_trailer():
         # a valid IDAT is exactly one zlib stream (dec.unused_data)
         assert decode(png(ihdr, full + b"JUNKJUNK")) is None
         assert decode(png(ihdr, full + full)) is None
+
+
+def test_codec_pipelines_run_without_package_on_workers(tmp_path):
+    """r11: the factory-level hermeticity test above cannot see a
+    module-global reference inside an operator's INLINE mapInPandas
+    closure — exactly how the ADPCM tier shipped a package import to
+    executors for three rounds (every pytest/driver run has the repo
+    as cwd, which local-mode Python workers inherit onto sys.path, so
+    the leak was invisible until a sweep ran from /tmp). This test IS
+    that scenario: a subprocess whose cwd is NOT the repo and whose
+    PYTHONPATH is empty (driver gets the repo via sys.path only, which
+    does NOT propagate to workers) runs every codec tier end-to-end —
+    payload synthesis AND decode. A leaky closure dies with
+    ModuleNotFoundError here, on this laptop, instead of on executor 1
+    of 1000."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = f"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.createDataFrame(
+    [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta iota")],
+    "doc_id long, text string")
+tiers = [
+    ("bmp", mm.decode_bmp, mm.bmp_payloads(docs)),
+    ("png", mm.decode_png, mm.png_payloads(docs)),
+    ("png_rgb", mm.decode_png_rgb, mm.png_rgb_payloads(docs)),
+    ("png_gray16", mm.decode_png_gray16, mm.png_gray16_payloads(docs)),
+    ("png_adam7", mm.decode_png_adam7, mm.png_adam7_payloads(docs)),
+    ("png_palette", mm.decode_png_palette, mm.png_palette_payloads(docs)),
+    ("jpeg", mm.decode_jpeg, mm.jpeg_payloads(docs)),
+    ("jpeg_color", mm.decode_jpeg_color, mm.jpeg_color_payloads(docs)),
+    ("jpeg_prog", mm.decode_jpeg_progressive,
+     mm.jpeg_progressive_payloads(docs)),
+    ("gif", mm.decode_gif, mm.gif_payloads(docs)),
+    ("gif_lct", mm.decode_gif_lct, mm.gif_lct_payloads(docs)),
+    ("wav", mm.decode_wav, mm.wav_payloads(docs)),
+    ("wav_stereo", mm.decode_wav_multichannel,
+     mm.wav_payloads(docs, n_channels=2)),
+    ("wav_adpcm", mm.decode_wav_adpcm, mm.wav_adpcm_payloads(docs)),
+    ("thumbnail", mm.image_thumbnails, mm.bmp_payloads(docs)),
+]
+for name, decode, payloads in tiers:
+    rows = decode(payloads).collect()
+    # per-doc tiers emit 2 rows; per-frame tiers (gif_lct) emit more —
+    # the assertion here is "the closure RAN on workers", not the shape
+    assert len(rows) >= 2, name
+    print("OK", name, flush=True)
+print("ALL TIERS HERMETIC")
+"""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run([sys.executable, "-c", script],
+                       capture_output=True, text=True,
+                       cwd=str(tmp_path), env=env, timeout=600)
+    assert r.returncode == 0 and "ALL TIERS HERMETIC" in r.stdout, (
+        f"non-hermetic codec closure:\n{r.stdout[-500:]}\n"
+        f"{r.stderr.strip().splitlines()[-5:]}")
