@@ -783,6 +783,10 @@ def _stage_group(st: _State, args: dict):
 
 _MICRO = 1_000_000
 
+# plan-equality escape hatch: tests flip this to compile through the
+# reference DataFrame build and pin sameResult against the SQL text
+_AGGWIN_SQL_ENABLED = True
+
 
 def _agg_exprs(fn: str, order_rank: str, order_rank_desc: str):
     """Aggregate expression for one bucket/table. ``order_rank`` columns
@@ -805,6 +809,79 @@ def _agg_exprs(fn: str, order_rank: str, order_rank_desc: str):
     raise FluxError(f"unsupported aggregate fn: {fn}")
 
 
+def _aggwin_sql(st: _State, fn: str, every: int,
+                create_empty: bool) -> DataFrame | None:
+    """One-parse SQL-text build of the plain-aggregate aggregateWindow
+    stage — the `_neardup_pairs_sql` pattern applied to the r11
+    plan-build profile's remaining ≥0.3 s fresh-build headline
+    (`flux_window_fill_prev`: 0.28 s of its 0.37 s construction was
+    this stage's ~27 chained Column/select py4j round-trips). Mirrors
+    `_stage_aggregate_window`'s DataFrame build expression-for-
+    expression (same literals, same alias names, same nesting) so the
+    optimized plans are `sameResult`; the plan-equality test pins that
+    plus exchange counts and values. Returns None when the stage shape
+    is outside the fast path (selector fns, empty group key) — the
+    DataFrame build below stays the reference implementation."""
+    if not _AGGWIN_SQL_ENABLED or fn in ("first", "last"):
+        return None
+    gcols = st.gcols()
+    if not gcols:
+        return None
+    g = ", ".join(gcols)
+    agg = {
+        "mean": f"(sum(CAST(round(_value * {_MICRO}, 0) AS BIGINT)) "
+                f"/ {float(_MICRO)!r}D) / count(1)",
+        "sum": f"sum(CAST(round(_value * {_MICRO}, 0) AS BIGINT)) "
+               f"/ {float(_MICRO)!r}D",
+        "count": "count(1)",
+        "min": "min(_value)",
+        "max": "max(_value)",
+    }[fn]
+    buckets = f"""
+      SELECT {g}, _wstop, {agg} AS _value
+      FROM (SELECT {g}, _value,
+                   (CAST(floor(_time / {every}) AS BIGINT) + 1) * {every}
+                     AS _wstop
+            FROM {{src}})
+      GROUP BY {g}, _wstop"""
+    if create_empty:
+        if st.range is None or st.range[1] is None:
+            raise FluxError(
+                "createEmpty: true needs an explicit range(start:, stop:)")
+        lo, hi = st.range
+        if lo % every or hi % every:
+            raise FluxError(
+                "createEmpty: true needs range bounds aligned to every: "
+                "(no truncated window subset)")
+        empty_val = "0" if fn == "count" else "NULL"
+        head = (f"sequence(coalesce(_prev + {every}, "
+                f"CAST({int(lo + every)} AS BIGINT)), _wstop, "
+                f"CAST({every} AS BIGINT))")
+        tail = (f"CASE WHEN _next IS NULL AND _wstop < "
+                f"CAST({int(hi)} AS BIGINT) "
+                f"THEN sequence(_wstop + {every}, "
+                f"CAST({int(hi)} AS BIGINT), CAST({every} AS BIGINT)) "
+                f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
+        buckets = f"""
+      SELECT {g}, _grid AS _wstop,
+             CASE WHEN (_grid = _wstop) THEN _value ELSE {empty_val} END
+               AS _value
+      FROM (
+        SELECT {g}, _wstop, _value,
+               explode(concat({head}, {tail})) AS _grid
+        FROM (
+          SELECT {g}, _wstop, _value,
+                 lag(_wstop) OVER (PARTITION BY {g} ORDER BY _wstop)
+                   AS _prev,
+                 lead(_wstop) OVER (PARTITION BY {g} ORDER BY _wstop)
+                   AS _next
+          FROM ({buckets})))"""
+    text = f"""
+SELECT {g}, CAST(_wstop AS DOUBLE) AS _time, _value
+FROM ({buckets})"""
+    return st.df.sparkSession.sql(text, src=st.df)
+
+
 def _stage_aggregate_window(st: _State, args: dict):
     every = _arg(args, "every", ("dur",), required=True)
     fn = _arg(args, "fn", ("ident",), required=True)
@@ -816,6 +893,12 @@ def _stage_aggregate_window(st: _State, args: dict):
         raise FluxError("every: must be a positive duration")
 
     df = st.df
+    if "_time" in df.columns:
+        fast = _aggwin_sql(st, fn, every, create_empty)
+        if fast is not None:
+            st.df = fast
+            st.sort_cols, st.sort_desc = ("_time",), False
+            return
     if "_time" not in df.columns:
         raise FluxError("aggregateWindow needs the _time column")
     gcols = st.gcols()

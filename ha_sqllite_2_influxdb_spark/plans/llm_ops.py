@@ -960,6 +960,48 @@ def q_multimodal_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.png_palette_payloads(_docs(spark, sf_dir)))
 
 
+def q_multimodal_jpeg_dri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-interval JPEG tier (r9-built, registered r11): a DRI
+    segment with RST0-7 markers every 2 MCUs — the resync structure
+    every camera JPEG carries. The entropy stream byte-aligns before
+    each marker and the DC predictor RESETS after it, so a decoder
+    that ignores restarts reads garbage DC diffs; with the lossless
+    per-block-constant fixture the decoded mean is SQL-exact, making
+    that failure a hash mismatch, not a cosmetic blur. Same oracle as
+    the baseline tier — DRI must not change a single pixel."""
+    decoded = multimodal.decode_jpeg(
+        multimodal.jpeg_payloads(_docs(spark, sf_dir), restart_interval=2))
+    return decoded.select("doc_id", "width", "height", "n_blocks",
+                          "n_pixels", "mean_pixel")
+
+
+def q_multimodal_png_palette4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-byte paletted PNG tier (r9-built, registered r11): bit
+    depth 4 — two pixels per byte, MSB-first per PNG §7.2, zero-padded
+    row tails, filters over the PACKED bytes. n_colors is the depth's
+    full range (16) for every doc. The same three oracle axes as the
+    depth-8 tier: idx_sum (unpacking), position-weighted sum (a
+    nibble-order swap moves it while idx_sum survives), rgb_sum (the
+    palette lookup)."""
+    return multimodal.decode_png_palette(
+        multimodal.png_palette_payloads(_docs(spark, sf_dir), bit_depth=4))
+
+
+def q_multimodal_wav_pcm24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bit PCM WAV tier (r9-built, registered r11): 3-byte
+    little-endian signed samples, value (b−128)·65536 per character —
+    the sign-extension path 16-bit decode never exercises. Sample sums
+    stay exact integers far below 2^53, so numpy's pairwise float64
+    mean equals the one-division SQL expression bit-for-bit (the
+    16-bit tier's precedent, scaled)."""
+    decoded = multimodal.decode_wav(
+        multimodal.wav_payloads(_docs(spark, sf_dir),
+                                sample_format="pcm24"))
+    return decoded.select("doc_id", "sample_rate", "n_channels",
+                          "bits_per_sample", "n_samples", "duration_ms",
+                          "mean_amplitude")
+
+
 def q_multimodal_png_gray16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit grayscale PNG tier (r10-built, registered r11 per VERDICT
     r10 #5): depth 16 / ctype 0, bpp=2 inverse filters, big-endian
@@ -1158,6 +1200,9 @@ QUERIES = {
     "multimodal_thumbnail": q_multimodal_thumbnail,
     "multimodal_png_gray16": q_multimodal_png_gray16,
     "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
+    "multimodal_jpeg_dri": q_multimodal_jpeg_dri,
+    "multimodal_png_palette4": q_multimodal_png_palette4,
+    "multimodal_wav_pcm24": q_multimodal_wav_pcm24,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -2618,7 +2663,74 @@ SELECT d.doc_id, d.width, d.height, d.nb AS n_blocks,
   px.weighted_sum
 FROM dims d JOIN px USING (doc_id)
 """,
+    # depth-4 paletted tier (r11): the depth-8 oracle with n_colors
+    # pinned at the depth's full range (16 for every doc) — the
+    # sub-byte MSB-first unpacking and packed-byte filters are what the
+    # registration exercises; the analytic palette/idx formulas are
+    # depth-invariant
+    "multimodal_png_palette4": """
+WITH dims AS (
+  SELECT doc_id, text,
+    (doc_id % 12) + 4 AS w, (doc_id % 6) + 3 AS h,
+    16 AS nc,
+    length(text) AS tl
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+    CAST(sum(ascii(substr(text, CAST((i % tl) + 1 AS INT), 1)) % nc)
+         AS BIGINT) AS idx_sum,
+    CAST(sum((ascii(substr(text, CAST((i % tl) + 1 AS INT), 1)) % nc)
+             * (i + 1)) AS BIGINT) AS weighted_sum,
+    CAST(sum(
+      (doc_id * 5 + (ascii(substr(text, CAST((i % tl) + 1 AS INT), 1))
+                     % nc) * 17) % 256
+      + ((ascii(substr(text, CAST((i % tl) + 1 AS INT), 1)) % nc) * 29
+         + doc_id) % 256
+      + (doc_id * 3 + (ascii(substr(text, CAST((i % tl) + 1 AS INT), 1))
+                       % nc) * 7) % 256) AS BIGINT) AS rgb_sum
+  FROM dims, unnest(generate_series(0, w * h - 1)) AS t(i)
+  GROUP BY doc_id
+),
+pal AS (
+  SELECT doc_id,
+    CAST(sum((doc_id * 5 + j * 17) % 256 + (j * 29 + doc_id) % 256
+             + (doc_id * 3 + j * 7) % 256) AS BIGINT) AS pal_sum
+  FROM dims, unnest(generate_series(0, nc - 1)) AS t(j)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+  CAST(d.h AS BIGINT) AS height, CAST(d.nc AS BIGINT) AS n_colors,
+  pal.pal_sum, CAST(d.w * d.h AS BIGINT) AS n_pixels,
+  px.idx_sum, px.weighted_sum, px.rgb_sum
+FROM dims d JOIN px USING (doc_id) JOIN pal USING (doc_id)
+""",
+    # 24-bit PCM tier (r11): the 16-bit oracle with the width's scale —
+    # sample value (b−128)·65536, numerator exact integer, ONE rounding
+    "multimodal_wav_pcm24": """
+WITH b AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n,
+    list_reduce(list_transform(string_split(text, ''),
+      c -> CASE WHEN ascii(c) < 128 THEN CAST(ascii(c) AS BIGINT)
+                ELSE CAST(63 AS BIGINT) END), (a, b) -> a + b) AS byte_sum
+  FROM documents
+)
+SELECT doc_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(1 AS BIGINT) AS n_channels,
+  CAST(24 AS BIGINT) AS bits_per_sample,
+  n AS n_samples,
+  CAST(n * 1000 AS DOUBLE) / 8000 AS duration_ms,
+  CAST(65536 * byte_sum - 8388608 * n AS DOUBLE) / n AS mean_amplitude
+FROM b
+""",
 }
+
+# DRI must not change a single pixel: the restart-interval tier shares
+# the baseline tier's oracle verbatim, so a resync bug is a hash
+# mismatch against the SAME analytic truth
+ORACLES["multimodal_jpeg_dri"] = ORACLES["multimodal_jpeg"]
 
 # composed-pipeline oracle: reuses the verified decontaminate oracle as a
 # derived table and the shared quality expression, so the end-to-end chain

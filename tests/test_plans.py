@@ -849,3 +849,37 @@ def test_neardup_sql_text_plan_equals_dataframe_build(spark, sf_dir):
                 ._jdf.queryExecution().optimizedPlan()))
     finally:
         corpus.unpersist()
+
+
+def test_aggwin_sql_text_plan_equals_dataframe_build(spark, sf_dir):
+    """r11 (VERDICT r10 #7): the plain-aggregate aggregateWindow stage
+    compiles from ONE SQL-text parse (the `_neardup_pairs_sql`
+    precedent — the r11 profile measured 0.28 s of
+    flux_window_fill_prev's 0.37 s fresh build in this stage's chained
+    Column construction). The fast path must be plan-identical to the
+    DataFrame build it replaces: optimizer-level sameResult, equal
+    executed Exchange counts, identical values — pinned on BOTH the
+    createEmpty grid branch (the frozen headline) and the plain
+    downsample branch. Selector fns (first/last) and empty group keys
+    stay on the reference DataFrame build."""
+    from ha_sqllite_2_influxdb_spark.plans import flux_text as FX
+
+    for name in ("flux_window_fill_prev", "flux_downsample_mean"):
+        fn = FX.QUERIES[name]
+        try:
+            FX._AGGWIN_SQL_ENABLED = True
+            sql_b = fn(spark, sf_dir)
+            FX._AGGWIN_SQL_ENABLED = False
+            ref_b = fn(spark, sf_dir)
+        finally:
+            FX._AGGWIN_SQL_ENABLED = True
+        assert (sql_b._jdf.queryExecution().optimizedPlan().sameResult(
+                ref_b._jdf.queryExecution().optimizedPlan())), name
+        n_sql = (sql_b._jdf.queryExecution().executedPlan()
+                 .toString().count("Exchange"))
+        n_ref = (ref_b._jdf.queryExecution().executedPlan()
+                 .toString().count("Exchange"))
+        assert n_sql == n_ref, name
+        got_sql = sorted(map(tuple, sql_b.collect()))
+        got_ref = sorted(map(tuple, ref_b.collect()))
+        assert got_sql == got_ref and got_sql, name
