@@ -52,57 +52,13 @@ _STRICT_DECODE = False
 _MAX_DECODED_BYTES = 64 << 20
 
 
-def _shipped(f):
-    """By-value copy of a module-level helper for worker closures.
-
-    cloudpickle serializes a module-level function as an IMPORT
-    reference, so a mapInPandas closure that calls one (``_lzw_decode``,
-    ``_png_unfilter_1bpp``, ``_png_chunk``, …) would require this
-    package on every executor's PYTHONPATH — breaking the module's
-    documented hermetic-worker convention ("driver-built, shipped by
-    value"). Rebinding the code object to a fresh function that module
-    lookup does NOT resolve to (``getattr(module, qualname) is not f``)
-    makes cloudpickle serialize the CODE by value instead. Safe only
-    for helpers that are self-contained (local imports + builtins, no
-    module-global reads) — all the codec cores are written that way;
-    `tests/test_codec_properties.py::test_decoder_closures_are_hermetic`
-    pins the property end-to-end with a clean-subprocess unpickle.
-
-    VERDICT r9 #7: that self-containment invariant is now enforced
-    STRUCTURALLY, not socially — any global load in the helper (or a
-    code object nested in it) that is not a builtin would NameError on
-    executors under the rebound empty globals, so it fails HERE, at
-    decoration time on the driver, instead of mid-batch on a cluster.
-    Local ``import x`` is fine: IMPORT_NAME goes through builtins'
-    ``__import__`` and binds a local, never reading module globals."""
-    import builtins
-    import dis
-    import types
-
-    def _global_loads(code):
-        names = {i.argval for i in dis.get_instructions(code)
-                 if i.opname in ("LOAD_GLOBAL", "LOAD_NAME")}
-        for const in code.co_consts:
-            if isinstance(const, types.CodeType):
-                names |= _global_loads(const)
-        return names
-
-    offenders = sorted(n for n in _global_loads(f.__code__)
-                       if not hasattr(builtins, n))
-    if offenders:
-        # a real raise, not assert: python -O would strip an assert and
-        # silently restore the mid-batch executor NameError this gate
-        # exists to prevent
-        raise ValueError(
-            f"_shipped({f.__qualname__}): non-builtin global loads would "
-            f"NameError on executors under by-value shipping: {offenders} "
-            f"— make the helper self-contained (local imports, no module "
-            f"globals) or pass the dependency as an argument")
-
-    g = types.FunctionType(f.__code__, {"__builtins__": __builtins__},
-                           f.__name__, f.__defaults__, f.__closure__)
-    g.__qualname__ = f.__qualname__
-    return g
+# By-value shipping for worker closures ("driver-built, shipped by
+# value"): the helper and its structural self-containment gate were
+# extracted to functions/shipped.py in r11 so non-codec operators
+# (forecast recurrences, …) share the convention without importing
+# this 4k-line module; the `_shipped` name stays — every codec
+# docstring and test references it here.
+from ..functions.shipped import _shipped  # noqa: F401
 
 
 DECODE_SCHEMA = T.StructType([

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.shipped import _shipped
 from .tws import tws_available
 
 OUT_SCHEMA = ("measurement string, domain string, entity_id string, "
@@ -59,7 +60,10 @@ def _fold_runs(ordered: pd.DataFrame, st: tuple | None,
     return st, completed
 
 
-def _emit(key: Any, completed: list[tuple]) -> pd.DataFrame:
+def _emit(key: Any, completed: list[tuple]) -> "pd.DataFrame":
+    # self-contained for _shipped (r11 hermeticity audit)
+    import pandas as pd
+
     m, d, e = key
     return pd.DataFrame({
         "measurement": [m] * len(completed),
@@ -77,23 +81,29 @@ def _make_tws_processor(min_run: int):
         StatefulProcessor, StatefulProcessorHandle,
     )
 
+    # shipped by value via the factory scope (see _legacy_fn_factory)
+    order_chunks_ts = _shipped(_order_chunks_ts)
+    fold_runs = _shipped(_fold_runs)
+    emit = _shipped(_emit)
+    state_schema = _STATE_SCHEMA
+
     class RunProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("run", _STATE_SCHEMA)
+            self._state = handle.getValueState("run", state_schema)
 
         def handleInputRows(
             self, key: Any, rows: Iterator[pd.DataFrame], timerValues
         ) -> Iterator[pd.DataFrame]:
             st = self._state.get() if self._state.exists() else None
-            ordered = _order_chunks_ts(
+            ordered = order_chunks_ts(
                 [pdf for pdf in rows if len(pdf)])
             completed: list[tuple] = []
             if ordered is not None:
-                st, completed = _fold_runs(ordered, st, min_run)
+                st, completed = fold_runs(ordered, st, min_run)
             if st is not None:
                 self._state.update(st)
             if completed:
-                yield _emit(key, completed)
+                yield emit(key, completed)
 
         def close(self) -> None:
             pass
@@ -101,7 +111,10 @@ def _make_tws_processor(min_run: int):
     return RunProcessor()
 
 
-def _order_chunks_ts(chunks: list[pd.DataFrame]) -> pd.DataFrame | None:
+def _order_chunks_ts(chunks) -> "pd.DataFrame | None":
+    # self-contained for _shipped (r11 hermeticity audit)
+    import pandas as pd
+
     if not chunks:
         return None
     whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 \
@@ -110,17 +123,24 @@ def _order_chunks_ts(chunks: list[pd.DataFrame]) -> pd.DataFrame | None:
 
 
 def _legacy_fn_factory(min_run: int):
+    # driver-built, shipped by value (r11 hermeticity audit): module-
+    # level helper references inside the state closure would ship a
+    # package import executors cannot satisfy
+    order_chunks_ts = _shipped(_order_chunks_ts)
+    fold_runs = _shipped(_fold_runs)
+    emit = _shipped(_emit)
+
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> \
             Iterator[pd.DataFrame]:
         st = tuple(state.get) if state.exists else None
-        ordered = _order_chunks_ts([pdf for pdf in pdfs if len(pdf)])
+        ordered = order_chunks_ts([pdf for pdf in pdfs if len(pdf)])
         completed: list[tuple] = []
         if ordered is not None:
-            st, completed = _fold_runs(ordered, st, min_run)
+            st, completed = fold_runs(ordered, st, min_run)
         if st is not None:
             state.update(st)
         if completed:
-            yield _emit(key, completed)
+            yield emit(key, completed)
 
     return fn
 
@@ -188,7 +208,10 @@ def _fold_hysteresis(ordered: pd.DataFrame, st: tuple | None,
     return (on, ep_start, ep_end, n, peak), completed
 
 
-def _emit_hyst(key: Any, completed: list[tuple]) -> pd.DataFrame:
+def _emit_hyst(key: Any, completed: list[tuple]) -> "pd.DataFrame":
+    # self-contained for _shipped (r11 hermeticity audit)
+    import pandas as pd
+
     m, d, e = key
     return pd.DataFrame({
         "measurement": [m] * len(completed),
@@ -206,22 +229,28 @@ def _make_hyst_tws_processor(hi: float, lo: float):
         StatefulProcessor, StatefulProcessorHandle,
     )
 
+    # shipped by value via the factory scope (r11 hermeticity audit)
+    order_chunks_ts = _shipped(_order_chunks_ts)
+    fold_hysteresis = _shipped(_fold_hysteresis)
+    emit_hyst = _shipped(_emit_hyst)
+    state_schema = _HYST_STATE_SCHEMA
+
     class HystProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("hyst", _HYST_STATE_SCHEMA)
+            self._state = handle.getValueState("hyst", state_schema)
 
         def handleInputRows(
             self, key: Any, rows: Iterator[pd.DataFrame], timerValues
         ) -> Iterator[pd.DataFrame]:
             st = self._state.get() if self._state.exists() else None
-            ordered = _order_chunks_ts([pdf for pdf in rows if len(pdf)])
+            ordered = order_chunks_ts([pdf for pdf in rows if len(pdf)])
             completed: list[tuple] = []
             if ordered is not None:
-                st, completed = _fold_hysteresis(ordered, st, hi, lo)
+                st, completed = fold_hysteresis(ordered, st, hi, lo)
             if st is not None:
                 self._state.update(st)
             if completed:
-                yield _emit_hyst(key, completed)
+                yield emit_hyst(key, completed)
 
         def close(self) -> None:
             pass
@@ -230,17 +259,22 @@ def _make_hyst_tws_processor(hi: float, lo: float):
 
 
 def _hyst_legacy_fn_factory(hi: float, lo: float):
+    # driver-built, shipped by value (r11 hermeticity audit)
+    order_chunks_ts = _shipped(_order_chunks_ts)
+    fold_hysteresis = _shipped(_fold_hysteresis)
+    emit_hyst = _shipped(_emit_hyst)
+
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> \
             Iterator[pd.DataFrame]:
         st = tuple(state.get) if state.exists else None
-        ordered = _order_chunks_ts([pdf for pdf in pdfs if len(pdf)])
+        ordered = order_chunks_ts([pdf for pdf in pdfs if len(pdf)])
         completed: list[tuple] = []
         if ordered is not None:
-            st, completed = _fold_hysteresis(ordered, st, hi, lo)
+            st, completed = fold_hysteresis(ordered, st, hi, lo)
         if st is not None:
             state.update(st)
         if completed:
-            yield _emit_hyst(key, completed)
+            yield emit_hyst(key, completed)
 
     return fn
 

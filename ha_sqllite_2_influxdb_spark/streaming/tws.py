@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.shipped import _shipped
+
 ALPHA = 0.1
 
 OUT_SCHEMA = "user_id long, ema double, n_events long"
@@ -54,22 +56,25 @@ def tws_available() -> bool:
         return False
 
 
-def _fold_ema(ordered: pd.DataFrame, ema: float | None,
-              n: int) -> tuple[float | None, int]:
+def _fold_ema(ordered, ema, n, alpha=ALPHA):
     """The shared fold both state APIs drive — one definition so the two
     wirings cannot diverge. ``ordered`` must already be (ts, event_id)
-    sorted."""
+    sorted. Self-contained for `_shipped` (r11 hermeticity audit):
+    ALPHA rides as a defaulted parameter, not a module-global read."""
     for v in ordered["value"]:
         v = float(v)
-        ema = v if ema is None else ema * (1.0 - ALPHA) + v * ALPHA
+        ema = v if ema is None else ema * (1.0 - alpha) + v * alpha
         n += 1
     return ema, n
 
 
-def _order_chunks(chunks: list[pd.DataFrame]) -> pd.DataFrame | None:
+def _order_chunks(chunks):
     """Concatenate a key's Arrow chunks and sort ONCE (chunk-local sorts
     would fold across chunk boundaries out of order); mergesort for a
-    deterministic tie order under retry."""
+    deterministic tie order under retry. Self-contained for `_shipped`:
+    pandas imported locally."""
+    import pandas as pd
+
     if not chunks:
         return None
     whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 \
@@ -80,18 +85,29 @@ def _order_chunks(chunks: list[pd.DataFrame]) -> pd.DataFrame | None:
 def _make_tws_processor():
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
+    # driver-built, shipped by value (r11 hermeticity audit): the
+    # processor class is defined in THIS function scope, so cloudpickle
+    # serializes it (and these closure cells) by value — a module-level
+    # class or helper reference would ship a package import executors
+    # cannot satisfy
+    order_chunks = _shipped(_order_chunks)
+    fold_ema = _shipped(_fold_ema)
+    state_schema = _STATE_SCHEMA
+
     class EmaProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("ema", _STATE_SCHEMA)
+            self._state = handle.getValueState("ema", state_schema)
 
         def handleInputRows(
             self, key: Any, rows: Iterator[pd.DataFrame], timerValues
         ) -> Iterator[pd.DataFrame]:
+            import pandas as pd
+
             (user_id,) = key
             ema, n = self._state.get() if self._state.exists() else (None, 0)
-            ordered = _order_chunks([pdf for pdf in rows if len(pdf)])
+            ordered = order_chunks([pdf for pdf in rows if len(pdf)])
             if ordered is not None:
-                ema, n = _fold_ema(ordered, ema, n)
+                ema, n = fold_ema(ordered, ema, n)
             self._state.update((ema, n))
             # Update-mode emission: the key's cumulative snapshot after
             # this batch; n_events is monotonic, so a multi-batch drain
@@ -106,15 +122,27 @@ def _make_tws_processor():
     return EmaProcessor()
 
 
-def _legacy_fn(key: Any, pdfs: Iterator[pd.DataFrame], state) -> \
-        Iterator[pd.DataFrame]:
-    (user_id,) = key
-    ema, n = state.get if state.exists else (None, 0)
-    ordered = _order_chunks([pdf for pdf in pdfs if len(pdf)])
-    if ordered is not None:
-        ema, n = _fold_ema(ordered, ema, n)
-    state.update((ema, n))
-    yield pd.DataFrame({"user_id": [user_id], "ema": [ema], "n_events": [n]})
+def _make_legacy_fn():
+    """Closure form of the legacy fold (r11 hermeticity audit): a
+    module-level function handed to applyInPandasWithState is pickled
+    as an import reference; this factory's local closure ships by
+    value with the shared helpers bound through `_shipped`."""
+    order_chunks = _shipped(_order_chunks)
+    fold_ema = _shipped(_fold_ema)
+
+    def legacy_fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        ema, n = state.get if state.exists else (None, 0)
+        ordered = order_chunks([pdf for pdf in pdfs if len(pdf)])
+        if ordered is not None:
+            ema, n = fold_ema(ordered, ema, n)
+        state.update((ema, n))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "ema": [ema], "n_events": [n]})
+
+    return legacy_fn
 
 
 def ema_per_user(events: DataFrame, force_legacy: bool = False) -> DataFrame:
@@ -140,7 +168,7 @@ def ema_per_user(events: DataFrame, force_legacy: bool = False) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return prepared.groupBy("user_id").applyInPandasWithState(
-        _legacy_fn,
+        _make_legacy_fn(),
         OUT_SCHEMA,
         _STATE_SCHEMA,
         "update",
