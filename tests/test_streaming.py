@@ -615,3 +615,39 @@ def test_staged_fixture_dir_atomic_and_ordered(spark, tmp_path):
     assert staged_fixture_dir(base, [boom]) == base
     # and the full content equals the union of the stages
     assert spark.read.parquet(base).count() == 6
+
+
+def test_stateful_closures_unpickle_without_package():
+    """r11 hermeticity audit pin: the state functions handed to
+    applyInPandasWithState / transformWithStateInPandas must
+    cloudpickle-round-trip in a subprocess WITHOUT this repo on
+    sys.path (the executor-without-PYTHONPATH scenario). A module-level
+    function reference inside one (the bug class this round fixed in
+    tws/runs/forecast) fails here with ModuleNotFoundError instead of
+    on executor 1 of 1000. Unpickling alone is the gate — that is the
+    moment the worker resolves import references."""
+    import base64
+    import subprocess
+    import sys
+
+    from pyspark import cloudpickle
+
+    from ha_sqllite_2_influxdb_spark.streaming import runs, tws
+
+    targets = {
+        "ema_legacy": tws._make_legacy_fn(),
+        "ema_tws": tws._make_tws_processor(),
+        "flatline_legacy": runs._legacy_fn_factory(5),
+        "flatline_tws": runs._make_tws_processor(5),
+        "hyst_legacy": runs._hyst_legacy_fn_factory(100.0, 30.0),
+        "hyst_tws": runs._make_hyst_tws_processor(100.0, 30.0),
+    }
+    lines = ["import base64, pickle"]
+    for name, obj in targets.items():
+        blob = base64.b64encode(cloudpickle.dumps(obj)).decode()
+        lines.append(f"pickle.loads(base64.b64decode('{blob}'))\n"
+                     f"print('OK {name}')")
+    r = subprocess.run([sys.executable, "-c", "\n".join(lines)],
+                       capture_output=True, text=True, cwd="/tmp")
+    assert r.returncode == 0, r.stderr.strip().splitlines()[-3:]
+    assert r.stdout.count("OK ") == len(targets)
