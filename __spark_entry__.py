@@ -89,10 +89,10 @@ assert len(_NEXT_WINDOW_PLAN_R12) == 50
 # the two the new codec registrations displaced from R12). The r12
 # builder re-balances this list with its own newly-stale set at close.
 _NEXT_WINDOW_PLAN_R13 = [
-    # the three r11 follow-on codec registrations (DRI resync, sub-byte
-    # palette, 24-bit PCM), all oracle-backed
+    # the four r11 follow-on codec registrations (DRI resync, sub-byte
+    # palette, 24-bit PCM, tRNS alpha), all oracle-backed
     "multimodal_jpeg_dri", "multimodal_png_palette4",
-    "multimodal_wav_pcm24",
+    "multimodal_wav_pcm24", "multimodal_png_trns",
     "event_transitions", "profile_columns",
     "path_mining", "triangle_copurchase", "link_prediction",
     "bfs_distances", "json_props_stats", "sequence_similarity",
@@ -108,7 +108,7 @@ _NEXT_WINDOW_PLAN_R13 = [
     "influx_cumulative_sum", "influx_difference", "influx_percentile",
     "influx_downsample", "influx_mode", "influx_top3", "influx_sample",
 ]
-assert len(_NEXT_WINDOW_PLAN_R13) == 48
+assert len(_NEXT_WINDOW_PLAN_R13) == 49
 
 
 def _registry():

@@ -3558,6 +3558,53 @@ def decode_png_palette(payload_df: DataFrame) -> DataFrame:
     )
 
 
+def decode_png_palette_trns(payload_df: DataFrame) -> DataFrame:
+    """Paletted PNG decode with the tRNS ALPHA surface (r11): same
+    chunk walk / unfilter / lookup as `decode_png_palette`, projecting
+    the two alpha axes — ``alpha_pal_sum`` (Σ over palette entries of
+    the tRNS byte, opaque-255 tail per §11.3.2: a decoder assuming
+    tRNS covers every entry moves it) and ``alpha_sum`` (Σ over PIXELS
+    of the looked-up alpha — exercises the per-pixel transparency
+    path, which alpha_pal_sum alone never would). The shared
+    `_png_plte_pixels_fn` core is bit-unchanged; this is a projection
+    of its existing alpha output."""
+    pixels_of = _png_plte_pixels_fn()
+
+    def _decode(batches: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes):
+            r = pixels_of(b)
+            if r is None:
+                return None
+            w, h, n_colors, img, _pal, alpha = r
+            flat = img.ravel().astype(np.int64)
+            a = alpha.astype(np.int64)
+            return (w, h, n_colors, w * h,
+                    int(flat.sum()), int(a.sum()), int(a[flat].sum()))
+
+        for pdf in batches:
+            rows = [one(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [r[0] if r else None for r in rows],
+                "height": [r[1] if r else None for r in rows],
+                "n_colors": [r[2] if r else None for r in rows],
+                "n_pixels": [r[3] if r else None for r in rows],
+                "idx_sum": [r[4] if r else None for r in rows],
+                "alpha_pal_sum": [r[5] if r else None for r in rows],
+                "alpha_sum": [r[6] if r else None for r in rows],
+            })
+
+    return payload_df.mapInPandas(
+        _decode,
+        schema=("doc_id long, width long, height long, n_colors long, "
+                "n_pixels long, idx_sum long, alpha_pal_sum long, "
+                "alpha_sum long"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Progressive JPEG, SOF2 (r9 — the last codec form VERDICT r8 "What's
 # missing" #3 names: libjpeg-style progressive grayscale with spectral

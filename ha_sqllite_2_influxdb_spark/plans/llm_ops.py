@@ -1002,6 +1002,18 @@ def q_multimodal_wav_pcm24(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "mean_amplitude")
 
 
+def q_multimodal_png_trns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tRNS paletted PNG tier (r9-built, registered r11): the alpha
+    chunk real icon corpora carry. The tRNS is DELIBERATELY shorter
+    than the palette (ceil(nc/2) bytes; §11.3.2 says the tail is
+    opaque 255), so a decoder assuming full coverage moves
+    alpha_pal_sum, and the per-pixel alpha_sum pins the lookup path.
+    Index/filter decode shared bit-unchanged with the palette tier."""
+    return multimodal.decode_png_palette_trns(
+        multimodal.png_palette_payloads(_docs(spark, sf_dir),
+                                        with_trns=True))
+
+
 def q_multimodal_png_gray16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit grayscale PNG tier (r10-built, registered r11 per VERDICT
     r10 #5): depth 16 / ctype 0, bpp=2 inverse filters, big-endian
@@ -1203,6 +1215,7 @@ QUERIES = {
     "multimodal_jpeg_dri": q_multimodal_jpeg_dri,
     "multimodal_png_palette4": q_multimodal_png_palette4,
     "multimodal_wav_pcm24": q_multimodal_wav_pcm24,
+    "multimodal_png_trns": q_multimodal_png_trns,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -2731,6 +2744,44 @@ FROM b
 # the baseline tier's oracle verbatim, so a resync bug is a hash
 # mismatch against the SAME analytic truth
 ORACLES["multimodal_jpeg_dri"] = ORACLES["multimodal_jpeg"]
+
+# tRNS tier (r11): alpha(j) = (doc_id + j*11) % 256 for the first
+# ceil(nc/2) palette entries, opaque 255 for the tail (§11.3.2);
+# alpha_pal_sum sums over ENTRIES, alpha_sum over looked-up PIXELS
+ORACLES["multimodal_png_trns"] = """
+WITH dims AS (
+  SELECT doc_id, text,
+    (doc_id % 12) + 4 AS w, (doc_id % 6) + 3 AS h,
+    16 + (doc_id % 2) * 16 AS nc,
+    length(text) AS tl
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+    CAST(sum(idx) AS BIGINT) AS idx_sum,
+    CAST(sum(CASE WHEN idx < (nc + 1) // 2
+                  THEN (doc_id + idx * 11) % 256 ELSE 255 END)
+         AS BIGINT) AS alpha_sum
+  FROM (
+    SELECT doc_id, nc,
+      ascii(substr(text, CAST((i % tl) + 1 AS INT), 1)) % nc AS idx
+    FROM dims, unnest(generate_series(0, w * h - 1)) AS t(i))
+  GROUP BY doc_id
+),
+pal AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN j < (nc + 1) // 2
+                  THEN (doc_id + j * 11) % 256 ELSE 255 END)
+         AS BIGINT) AS alpha_pal_sum
+  FROM dims, unnest(generate_series(0, nc - 1)) AS t(j)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
+  CAST(d.h AS BIGINT) AS height, CAST(d.nc AS BIGINT) AS n_colors,
+  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+  px.idx_sum, pal.alpha_pal_sum, px.alpha_sum
+FROM dims d JOIN px USING (doc_id) JOIN pal USING (doc_id)
+"""
 
 # composed-pipeline oracle: reuses the verified decontaminate oracle as a
 # derived table and the shared quality expression, so the end-to-end chain

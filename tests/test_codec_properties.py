@@ -615,6 +615,8 @@ tiers = [
     ("png_gray16", mm.decode_png_gray16, mm.png_gray16_payloads(docs)),
     ("png_adam7", mm.decode_png_adam7, mm.png_adam7_payloads(docs)),
     ("png_palette", mm.decode_png_palette, mm.png_palette_payloads(docs)),
+    ("png_trns", mm.decode_png_palette_trns,
+     mm.png_palette_payloads(docs, with_trns=True)),
     ("jpeg", mm.decode_jpeg, mm.jpeg_payloads(docs)),
     ("jpeg_color", mm.decode_jpeg_color, mm.jpeg_color_payloads(docs)),
     ("jpeg_prog", mm.decode_jpeg_progressive,
