@@ -107,8 +107,11 @@ _NEXT_WINDOW_PLAN_R13 = [
     "stream_dedup_incremental", "stream_incremental_agg", "stream_ohlc",
     "influx_cumulative_sum", "influx_difference", "influx_percentile",
     "influx_downsample", "influx_mode", "influx_top3", "influx_sample",
+    # the r11-session dHash image-near-dup registration (oracle-backed,
+    # lands hash-exact) takes R13's one free slot
+    "multimodal_dhash_neardup",
 ]
-assert len(_NEXT_WINDOW_PLAN_R13) == 49
+assert len(_NEXT_WINDOW_PLAN_R13) == 50
 
 
 def _registry():

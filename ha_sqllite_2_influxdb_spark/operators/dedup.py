@@ -1266,3 +1266,70 @@ def line_dedup_corpus(corpus: DataFrame, seg_words: int = 5) -> DataFrame:
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def dhash_neardup(hashes: DataFrame, max_dist: int = 6) -> DataFrame:
+    """Image near-duplicate detection over a perceptual-hash relation
+    ``(doc_id, dhash_lo, dhash_hi)`` (two non-negative 32-bit halves of
+    a 64-bit dHash — see `operators.multimodal.image_dhash`): band each
+    hash into 4x16 bits, equi-join docs sharing any band value (the
+    MinHash-LSH candidate shape — two near hashes with distance <= 6
+    agree on at least one 16-bit band whenever their differing bits
+    cluster in <= 3 bands; the fixture's do by construction), then keep
+    candidate pairs within ``max_dist`` hamming (xor + bit_count, both
+    engines' native popcount). Output is per-doc and output-bounded:
+    every hashed doc with its near-dup count, partner-id checksum and
+    closest distance — NOT the raw pair list, so the result stays
+    |docs|-sized at any corpus scale while still pinning every pair
+    (n_near/partner_sum move if any pair appears or vanishes).
+
+    100 TB shape: images never shuffle — 8 bytes of hash per doc flow
+    through ONE band-keyed exchange (4 rows/doc), the same banded-LSH
+    plan `lsh_candidate_pairs` uses; the per-doc aggregate and the
+    final left join are doc_id-keyed exchanges on 5-column rows. Band
+    arithmetic is % / integer-div on non-negative values (identical
+    semantics in Spark and DuckDB; no signed shifts anywhere)."""
+    h = hashes.select("doc_id", "dhash_lo", "dhash_hi").filter(
+        F.col("dhash_lo").isNotNull() & F.col("dhash_hi").isNotNull())
+    bands = h.select(
+        "doc_id", "dhash_lo", "dhash_hi",
+        F.posexplode(F.array(
+            F.col("dhash_lo") % 65536,
+            F.expr("dhash_lo div 65536"),
+            F.col("dhash_hi") % 65536,
+            F.expr("dhash_hi div 65536"),
+        )).alias("band_idx", "band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("da"),
+                F.col("b.doc_id").alias("db"),
+                F.col("a.dhash_lo").alias("la"),
+                F.col("a.dhash_hi").alias("ha"),
+                F.col("b.dhash_lo").alias("lb"),
+                F.col("b.dhash_hi").alias("hb"))
+        # a pair colliding in several bands must count once
+        .distinct()
+        .withColumn(
+            "dist",
+            (F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+             + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+            .cast("long"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    sym = pairs.select(
+        F.col("da").alias("doc_id"), F.col("db").alias("p"), "dist",
+    ).unionAll(pairs.select(
+        F.col("db").alias("doc_id"), F.col("da").alias("p"), "dist"))
+    stats = sym.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near"),
+        F.sum("p").alias("partner_sum"),
+        F.min("dist").alias("min_dist"))
+    return h.join(stats, "doc_id", "left").select(
+        "doc_id", "dhash_lo", "dhash_hi",
+        F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+        F.coalesce("partner_sum", F.lit(0)).cast("long")
+         .alias("partner_sum"),
+        F.col("min_dist").cast("long").alias("min_dist"))

@@ -4399,3 +4399,137 @@ def decode_wav_adpcm(payload_df: DataFrame) -> DataFrame:
         schema=("doc_id long, sample_rate long, n_samples long, "
                 "sample_sum long, weighted_sum long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash tier: dHash over REAL decoded pixels → image near-dup.
+#
+# The LLM-pipeline capability this demonstrates is image deduplication at
+# corpus scale (the LAION/DataComp-style pipeline): every image reduces to
+# a tiny difference-hash computed from its DECODED pixels, and near-dups
+# are found with the same banded-LSH shuffle the MinHash text tier uses —
+# 8 bytes per image through one band-keyed exchange, never pixels. The
+# reference (`sqllite2influxdb.py`) has no media path at all; this tier
+# extends the migrated-corpus story the way the other codec tiers do.
+#
+# Fixture formula (shared with the DuckDB oracle via these constants —
+# the `_neardup_pairs_sql` lockstep convention from ADVICE r10): each doc
+# renders the canonical 9x8 dHash grid as a real 24-bit BMP whose
+# grayscale value at file-row r, column x is
+#
+#   v(doc, r, x) = (o + x*s) % 256
+#   s(g, r) = STEP_BASE + STEP_MULT * ((g*STEP_GM + r*STEP_RM) % STEP_MOD)
+#   o(g, k, r) = (g*O_GM + r*O_RM + (k*(r+3)) % NOISE_MOD) % 256
+#   g = doc_id % GROUPS, k = doc_id // GROUPS
+#
+# Docs sharing g render the same ramp pattern up to the |noise| < 3
+# offset jiggle, which only moves a wrap-around bit when o lands within
+# NOISE_MOD of a step boundary — so same-g docs sit at hamming distance
+# 0-4 (near-dups by construction) while the g-dependent step makes
+# cross-g hashes diverge. All integer arithmetic, closed-form in SQL.
+_DHASH_W, _DHASH_H = 9, 8          # the canonical dHash grid: 8x8 bits
+_DHASH_GROUPS = 64                 # near-dup cluster key: doc_id % 64
+_DHASH_O_GM, _DHASH_O_RM = 31, 23  # row-offset multipliers (g, r)
+_DHASH_NOISE_MOD = 3               # per-variant offset jiggle < 3
+_DHASH_STEP_BASE, _DHASH_STEP_MULT = 29, 13
+_DHASH_STEP_GM, _DHASH_STEP_RM, _DHASH_STEP_MOD = 17, 11, 7
+
+
+def dhash_payloads(documents: DataFrame) -> DataFrame:
+    """Synthesize the 9x8 dHash-grid BMP per document (module-constant
+    formula above; r = FILE row index — BMPs store rows bottom-up, and
+    both the formula and the decoder speak file order, so image-space
+    orientation never enters the contract). Synthesis is the fixture;
+    the deliverable is `image_dhash`'s honest decode + hash."""
+    G = _DHASH_GROUPS
+    W, H = _DHASH_W, _DHASH_H
+    O_GM, O_RM, NZ = _DHASH_O_GM, _DHASH_O_RM, _DHASH_NOISE_MOD
+    SB, SM, SGM, SRM, SMOD = (_DHASH_STEP_BASE, _DHASH_STEP_MULT,
+                              _DHASH_STEP_GM, _DHASH_STEP_RM,
+                              _DHASH_STEP_MOD)
+
+    def _make(batches: Iterator):
+        import struct
+
+        import pandas as pd
+
+        def one(doc_id: int) -> bytes:
+            g, k = doc_id % G, doc_id // G
+            stride = (3 * W + 3) & ~3
+            px = bytearray()
+            for r in range(H):
+                s = SB + SM * ((g * SGM + r * SRM) % SMOD)
+                o = (g * O_GM + r * O_RM + (k * (r + 3)) % NZ) % 256
+                for x in range(W):
+                    v = (o + x * s) % 256
+                    px += bytes((v, v, v))
+                px += b"\x00" * (stride - 3 * W)
+            off = 14 + 40
+            header = struct.pack("<2sIHHI", b"BM", off + len(px), 0, 0,
+                                 off)
+            dib = struct.pack("<IiiHHIIiiII", 40, W, H, 1, 24, 0,
+                              len(px), 2835, 2835, 0, 0)
+            return header + dib + bytes(px)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [one(int(d)) for d in pdf["doc_id"]],
+            })
+
+    return documents.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def image_dhash(payload_df: DataFrame) -> DataFrame:
+    """dHash (difference hash) from REAL decoded BMP pixels: parse via
+    the shared `_bmp_pixels_fn` core, require the canonical 9x8
+    grayscale grid (all three BGR lanes equal — a lane-divergent or
+    wrong-size payload nulls the row, the P7 convention), then set bit
+    r*8+x iff gray[r, x+1] > gray[r, x]. The 64 bits ship as TWO
+    non-negative 32-bit halves (``dhash_lo`` rows 0-3, ``dhash_hi``
+    rows 4-7): BIGINT-safe in both engines — DuckDB raises on 1<<63,
+    and signed-shift semantics never enter the plan."""
+    pixels_of = _bmp_pixels_fn()
+    w_want, h_want = _DHASH_W, _DHASH_H
+
+    def _decode(batches: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes):
+            r = pixels_of(b)
+            if r is None:
+                return None
+            w, h, _bpp, _n, samples = r
+            if (w, h) != (w_want, h_want):
+                return None
+            px = samples.reshape(h, w, 3)
+            if not ((px[:, :, 0] == px[:, :, 1]).all()
+                    and (px[:, :, 0] == px[:, :, 2]).all()):
+                return None
+            gray = px[:, :, 0].astype(np.int64)
+            bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
+            rowbytes = (bits << np.arange(8, dtype=np.int64)).sum(axis=1)
+            lo = int(sum(int(rowbytes[r_]) << (8 * r_) for r_ in range(4)))
+            hi = int(sum(int(rowbytes[r_ + 4]) << (8 * r_)
+                         for r_ in range(4)))
+            return (w, h, lo, hi)
+
+        for pdf in batches:
+            rows = [one(bytes(p)) if p is not None else None
+                    for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [r[0] if r else None for r in rows],
+                "height": [r[1] if r else None for r in rows],
+                "dhash_lo": [r[2] if r else None for r in rows],
+                "dhash_hi": [r[3] if r else None for r in rows],
+            })
+
+    return payload_df.mapInPandas(
+        _decode,
+        schema=("doc_id long, width long, height long, "
+                "dhash_lo long, dhash_hi long"),
+    )

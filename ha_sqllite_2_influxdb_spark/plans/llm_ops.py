@@ -1014,6 +1014,27 @@ def q_multimodal_png_trns(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         with_trns=True))
 
 
+DHASH_MAX_DIST = 6
+
+
+def q_multimodal_dhash_neardup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual hash (r11): render each doc's 9x8
+    dHash-grid BMP, decode it with the REAL shared BMP parser, compute
+    the 64-bit difference hash from the decoded pixels, then find
+    near-duplicates with the banded-LSH join (4x16-bit bands, hamming
+    <= 6) — the image-side counterpart of `neardup_minhash_lsh`, and
+    the standard image-dedup-at-scale pipeline (hash once, shuffle 8
+    bytes, never pixels). The oracle recomputes hashes analytically
+    from the shared fixture constants and runs the identical band join
+    in SQL, so every hash bit AND every surviving pair is hash-exact
+    (`dhash_lo`/`dhash_hi` pin the codec, n_near/partner_sum/min_dist
+    pin the join)."""
+    hashes = multimodal.image_dhash(
+        multimodal.dhash_payloads(_docs(spark, sf_dir)))
+    return dedup.dhash_neardup(hashes, max_dist=DHASH_MAX_DIST)
+
+
 def q_multimodal_png_gray16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit grayscale PNG tier (r10-built, registered r11 per VERDICT
     r10 #5): depth 16 / ctype 0, bpp=2 inverse filters, big-endian
@@ -1216,6 +1237,7 @@ QUERIES = {
     "multimodal_png_palette4": q_multimodal_png_palette4,
     "multimodal_wav_pcm24": q_multimodal_wav_pcm24,
     "multimodal_png_trns": q_multimodal_png_trns,
+    "multimodal_dhash_neardup": q_multimodal_dhash_neardup,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -2781,6 +2803,84 @@ SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
   CAST(d.w * d.h AS BIGINT) AS n_pixels,
   px.idx_sum, pal.alpha_pal_sum, px.alpha_sum
 FROM dims d JOIN px USING (doc_id) JOIN pal USING (doc_id)
+"""
+
+# dHash near-dup tier (r11): hashes recomputed analytically from the
+# SAME module constants the payload generator renders from (the
+# `_neardup_pairs_sql` lockstep convention), then the identical
+# 4x16-bit band join + hamming filter in SQL. Halves are non-negative
+# 32-bit BIGINTs, so % / // / bit_count(xor) agree across engines and
+# no signed-shift semantics enter the contract.
+ORACLES["multimodal_dhash_neardup"] = f"""
+WITH bits AS (
+  SELECT doc_id, r, x,
+    CASE WHEN (o + (x + 1) * s) % 256 > (o + x * s) % 256
+         THEN 1 ELSE 0 END AS bit
+  FROM (
+    SELECT doc_id, r, x,
+      (doc_id % {multimodal._DHASH_GROUPS}) * {multimodal._DHASH_O_GM}
+        + r * {multimodal._DHASH_O_RM}
+        + ((doc_id // {multimodal._DHASH_GROUPS}) * (r + 3))
+          % {multimodal._DHASH_NOISE_MOD} AS o,
+      {multimodal._DHASH_STEP_BASE} + {multimodal._DHASH_STEP_MULT}
+        * (((doc_id % {multimodal._DHASH_GROUPS})
+            * {multimodal._DHASH_STEP_GM}
+            + r * {multimodal._DHASH_STEP_RM})
+           % {multimodal._DHASH_STEP_MOD}) AS s
+    FROM documents,
+      unnest(generate_series(0, {multimodal._DHASH_H - 1}, 1)) AS t1(r),
+      unnest(generate_series(0, {multimodal._DHASH_W - 2}, 1)) AS t2(x))
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN r < 4
+                  THEN bit * (CAST(1 AS BIGINT) << (r * 8 + x))
+                  ELSE 0 END) AS BIGINT) AS dhash_lo,
+    CAST(sum(CASE WHEN r >= 4
+                  THEN bit * (CAST(1 AS BIGINT) << ((r - 4) * 8 + x))
+                  ELSE 0 END) AS BIGINT) AS dhash_hi
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, dhash_lo, dhash_hi, band_idx,
+    CASE band_idx WHEN 0 THEN dhash_lo % 65536
+                  WHEN 1 THEN dhash_lo // 65536
+                  WHEN 2 THEN dhash_hi % 65536
+                  ELSE dhash_hi // 65536 END AS band_val
+  FROM hashes, unnest(generate_series(0, 3, 1)) AS tb(band_idx)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+    a.dhash_lo AS la, a.dhash_hi AS ha,
+    b.dhash_lo AS lb, b.dhash_hi AS hb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+),
+near AS (
+  SELECT da, db,
+    CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT)
+      AS dist
+  FROM pairs
+  WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
+        <= {DHASH_MAX_DIST}
+),
+sym AS (
+  SELECT da AS doc_id, db AS p, dist FROM near
+  UNION ALL
+  SELECT db AS doc_id, da AS p, dist FROM near
+),
+stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
+    CAST(sum(p) AS BIGINT) AS partner_sum,
+    CAST(min(dist) AS BIGINT) AS min_dist
+  FROM sym GROUP BY doc_id
+)
+SELECT h.doc_id, h.dhash_lo, h.dhash_hi,
+  COALESCE(s.n_near, CAST(0 AS BIGINT)) AS n_near,
+  COALESCE(s.partner_sum, CAST(0 AS BIGINT)) AS partner_sum,
+  s.min_dist
+FROM hashes h LEFT JOIN stats s USING (doc_id)
 """
 
 # composed-pipeline oracle: reuses the verified decontaminate oracle as a

@@ -628,6 +628,7 @@ tiers = [
      mm.wav_payloads(docs, n_channels=2)),
     ("wav_adpcm", mm.decode_wav_adpcm, mm.wav_adpcm_payloads(docs)),
     ("thumbnail", mm.image_thumbnails, mm.bmp_payloads(docs)),
+    ("dhash", mm.image_dhash, mm.dhash_payloads(docs)),
 ]
 for name, decode, payloads in tiers:
     rows = decode(payloads).collect()
@@ -644,3 +645,70 @@ print("ALL TIERS HERMETIC")
     assert r.returncode == 0 and "ALL TIERS HERMETIC" in r.stdout, (
         f"non-hermetic codec closure:\n{r.stdout[-500:]}\n"
         f"{r.stderr.strip().splitlines()[-5:]}")
+
+
+def test_dhash_random_image_roundtrip_and_mutation_contract():
+    """dHash tier sweep pin (the gray16/DRI precedent, CI-sized): (a)
+    random full-range 9x8 grayscale images, encoded as BMPs by an
+    INDEPENDENT encoder in this test, hash through the decode path to
+    exactly the numpy-reference dHash; (b) one random byte mutation per
+    image under a strict-mode factory holds the None-or-tuple contract
+    (the mutation may corrupt the header, the gray contract, or the
+    dims — never raise). Driver-side: exercises the factory closures
+    directly, no Spark session needed."""
+    import random
+    import struct
+
+    import numpy as np
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    rng = random.Random(0xD4A5)
+    pixels_of = mm._bmp_pixels_fn(strict=True)
+    W, H = mm._DHASH_W, mm._DHASH_H
+    stride = (3 * W + 3) & ~3
+
+    def encode(gray: np.ndarray) -> bytes:
+        px = bytearray()
+        for r in range(H):
+            for x in range(W):
+                v = int(gray[r, x])
+                px += bytes((v, v, v))
+            px += b"\x00" * (stride - 3 * W)
+        off = 14 + 40
+        return (struct.pack("<2sIHHI", b"BM", off + len(px), 0, 0, off)
+                + struct.pack("<IiiHHIIiiII", 40, W, H, 1, 24, 0,
+                              len(px), 2835, 2835, 0, 0) + bytes(px))
+
+    def ref_dhash(gray: np.ndarray):
+        bits = (gray[:, 1:] > gray[:, :-1]).astype(np.uint8)
+        lo = int.from_bytes(np.packbits(bits[:4], bitorder="little")
+                            .tobytes(), "little")
+        hi = int.from_bytes(np.packbits(bits[4:], bitorder="little")
+                            .tobytes(), "little")
+        return lo, hi
+
+    def decode_hash(b: bytes):
+        r = pixels_of(b)
+        if r is None:
+            return None
+        w, h, _bpp, _n, samples = r
+        if (w, h) != (W, H):
+            return None
+        px = samples.reshape(h, w, 3)
+        if not ((px[:, :, 0] == px[:, :, 1]).all()
+                and (px[:, :, 0] == px[:, :, 2]).all()):
+            return None
+        return ref_dhash(px[:, :, 0].astype(np.int64))
+
+    for _ in range(64):
+        gray = np.array([[rng.randrange(256) for _ in range(W)]
+                         for _ in range(H)], dtype=np.int64)
+        payload = encode(gray)
+        assert decode_hash(payload) == ref_dhash(gray)
+
+        mutated = bytearray(payload)
+        pos = rng.randrange(len(mutated))
+        mutated[pos] = (mutated[pos] + 1 + rng.randrange(255)) % 256
+        got = decode_hash(bytes(mutated))  # must not raise
+        assert got is None or (isinstance(got, tuple) and len(got) == 2)

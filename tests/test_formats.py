@@ -745,3 +745,83 @@ FROM dims d JOIN px USING (doc_id)
         assert (r.width, r.height, r.n_pixels) == (w, h, n), doc_id
         assert r.sample_sum == ssum, doc_id
         assert r.weighted_sum == wsum, doc_id
+
+
+def test_image_dhash_vs_independent_reference_and_contracts(spark):
+    """dHash tier: (a) the hash computed from REAL decoded BMP pixels
+    equals an independent per-doc recomputation (numpy matrix built
+    straight from the fixture formula, packed with different code than
+    the operator); (b) a non-canonical grid (bmp_payloads' text-sized
+    BMPs) nulls the row rather than hashing garbage; (c) a single
+    lane-divergent pixel (gray contract broken) nulls the row."""
+    import numpy as np
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(d,) for d in (0, 1, 63, 64, 65, 128, 200, 321, 499)],
+        "doc_id long")
+    got = {r.doc_id: r for r in
+           mm.image_dhash(mm.dhash_payloads(
+               docs.withColumn("text", F.lit("x")))).collect()}
+    assert len(got) == 9
+    G = mm._DHASH_GROUPS
+    for d in got:
+        g, k = d % G, d // G
+        v = np.zeros((mm._DHASH_H, mm._DHASH_W), dtype=np.int64)
+        for r in range(mm._DHASH_H):
+            s = (mm._DHASH_STEP_BASE + mm._DHASH_STEP_MULT
+                 * ((g * mm._DHASH_STEP_GM + r * mm._DHASH_STEP_RM)
+                    % mm._DHASH_STEP_MOD))
+            o = (g * mm._DHASH_O_GM + r * mm._DHASH_O_RM
+                 + (k * (r + 3)) % mm._DHASH_NOISE_MOD) % 256
+            v[r] = (o + np.arange(mm._DHASH_W) * s) % 256
+        bits = (v[:, 1:] > v[:, :-1]).astype(np.uint8)
+        # independent packing: packbits per half, little-endian bits
+        lo = int.from_bytes(np.packbits(bits[:4], bitorder="little")
+                            .tobytes(), "little")
+        hi = int.from_bytes(np.packbits(bits[4:], bitorder="little")
+                            .tobytes(), "little")
+        row = got[d]
+        assert (row.width, row.height) == (mm._DHASH_W, mm._DHASH_H), d
+        assert (row.dhash_lo, row.dhash_hi) == (lo, hi), d
+
+    # (b) wrong grid: a 4..19-wide text BMP is a valid BMP but not the
+    # canonical 9x8 dHash grid -> null hash, not a wrong hash
+    wrong = mm.image_dhash(mm.bmp_payloads(
+        docs.withColumn("text", F.lit("abcdef")))).collect()
+    assert all(r.dhash_lo is None and r.dhash_hi is None for r in wrong)
+
+    # (c) break the gray contract on one pixel of one payload
+    payload = mm.dhash_payloads(
+        docs.withColumn("text", F.lit("x"))).limit(1).collect()[0]
+    raw = bytearray(payload.payload)
+    raw[54 + 1] = (raw[54 + 1] + 1) % 256  # green lane of pixel (0, 0)
+    broken = spark.createDataFrame(
+        [(payload.doc_id, bytes(raw))], "doc_id long, payload binary")
+    rows = mm.image_dhash(broken).collect()
+    assert rows[0].dhash_lo is None and rows[0].dhash_hi is None
+
+
+def test_dhash_neardup_same_group_docs_are_near(spark):
+    """Cluster semantics on a controlled corpus: docs sharing
+    doc_id % 64 render jiggled variants of one pattern and must find
+    each other (within hamming 6 they survive the band join); a doc in
+    a far group with no near partner reports n_near = 0 and a NULL
+    min_dist. partner_sum pins WHICH partners matched, not just how
+    many."""
+    from ha_sqllite_2_influxdb_spark.operators import dedup, multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(d,) for d in (7, 71, 135, 40)], "doc_id long")
+    out = {r.doc_id: r for r in dedup.dhash_neardup(
+        mm.image_dhash(mm.dhash_payloads(docs))).collect()}
+    assert len(out) == 4
+    trio = {7, 71, 135}  # same group: 7 % 64 == 71 % 64 == 135 % 64
+    for d in trio:
+        r = out[d]
+        assert r.n_near == 2 and r.min_dist is not None, d
+        assert r.partner_sum == sum(trio - {d}), d
+    lone = out[40]
+    assert lone.n_near == 0 and lone.partner_sum == 0
+    assert lone.min_dist is None
