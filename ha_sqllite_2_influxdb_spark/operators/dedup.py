@@ -1268,7 +1268,8 @@ def line_dedup_corpus(corpus: DataFrame, seg_words: int = 5) -> DataFrame:
     )
 
 
-def dhash_neardup(hashes: DataFrame, max_dist: int = 6) -> DataFrame:
+def dhash_neardup(hashes: DataFrame, max_dist: int = 6,
+                  lo: str = "dhash_lo", hi: str = "dhash_hi") -> DataFrame:
     """Image near-duplicate detection over a perceptual-hash relation
     ``(doc_id, dhash_lo, dhash_hi)`` (two non-negative 32-bit halves of
     a 64-bit dHash — see `operators.multimodal.image_dhash`): band each
@@ -1288,16 +1289,19 @@ def dhash_neardup(hashes: DataFrame, max_dist: int = 6) -> DataFrame:
     plan `lsh_candidate_pairs` uses; the per-doc aggregate and the
     final left join are doc_id-keyed exchanges on 5-column rows. Band
     arithmetic is % / integer-div on non-negative values (identical
-    semantics in Spark and DuckDB; no signed shifts anywhere)."""
-    h = hashes.select("doc_id", "dhash_lo", "dhash_hi").filter(
-        F.col("dhash_lo").isNotNull() & F.col("dhash_hi").isNotNull())
+    semantics in Spark and DuckDB; no signed shifts anywhere).
+    ``lo``/``hi`` name the two half columns (and the output keeps
+    those names), so any 64-bit perceptual hash — image dHash,
+    audio fingerprint — reuses this join unchanged."""
+    h = hashes.select("doc_id", lo, hi).filter(
+        F.col(lo).isNotNull() & F.col(hi).isNotNull())
     bands = h.select(
-        "doc_id", "dhash_lo", "dhash_hi",
+        "doc_id", lo, hi,
         F.posexplode(F.array(
-            F.col("dhash_lo") % 65536,
-            F.expr("dhash_lo div 65536"),
-            F.col("dhash_hi") % 65536,
-            F.expr("dhash_hi div 65536"),
+            F.col(lo) % 65536,
+            F.expr(f"{lo} div 65536"),
+            F.col(hi) % 65536,
+            F.expr(f"{hi} div 65536"),
         )).alias("band_idx", "band_val"))
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
@@ -1306,10 +1310,10 @@ def dhash_neardup(hashes: DataFrame, max_dist: int = 6) -> DataFrame:
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("da"),
                 F.col("b.doc_id").alias("db"),
-                F.col("a.dhash_lo").alias("la"),
-                F.col("a.dhash_hi").alias("ha"),
-                F.col("b.dhash_lo").alias("lb"),
-                F.col("b.dhash_hi").alias("hb"))
+                F.col(f"a.{lo}").alias("la"),
+                F.col(f"a.{hi}").alias("ha"),
+                F.col(f"b.{lo}").alias("lb"),
+                F.col(f"b.{hi}").alias("hb"))
         # a pair colliding in several bands must count once
         .distinct()
         .withColumn(
@@ -1319,16 +1323,21 @@ def dhash_neardup(hashes: DataFrame, max_dist: int = 6) -> DataFrame:
             .cast("long"))
         .filter(F.col("dist") <= max_dist)
     )
+    # each surviving pair feeds BOTH endpoints' stats; explode-to-two
+    # rows keeps ONE pair subtree in the plan (a self-union would build
+    # the band join + distinct twice — visible as a doubled Exchange)
     sym = pairs.select(
-        F.col("da").alias("doc_id"), F.col("db").alias("p"), "dist",
-    ).unionAll(pairs.select(
-        F.col("db").alias("doc_id"), F.col("da").alias("p"), "dist"))
+        F.explode(F.array(
+            F.struct(F.col("da").alias("doc_id"), F.col("db").alias("p")),
+            F.struct(F.col("db").alias("doc_id"), F.col("da").alias("p")),
+        )).alias("e"), "dist",
+    ).select("e.doc_id", "e.p", "dist")
     stats = sym.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_near"),
         F.sum("p").alias("partner_sum"),
         F.min("dist").alias("min_dist"))
     return h.join(stats, "doc_id", "left").select(
-        "doc_id", "dhash_lo", "dhash_hi",
+        "doc_id", lo, hi,
         F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
         F.coalesce("partner_sum", F.lit(0)).cast("long")
          .alias("partner_sum"),

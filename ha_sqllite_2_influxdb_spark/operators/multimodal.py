@@ -4533,3 +4533,158 @@ def image_dhash(payload_df: DataFrame) -> DataFrame:
         schema=("doc_id long, width long, height long, "
                 "dhash_lo long, dhash_hi long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Acoustic-fingerprint tier: delta-sign signature over REAL decoded WAV
+# samples → audio near-dup, the audio leg of the dHash pattern. Each doc
+# renders 65 two-sample windows (130 int16 PCM samples); the fingerprint
+# sets bit j iff window-sum S(j+1) > S(j) — the sign-of-energy-delta
+# family real acoustic fingerprints (Shazam/Chromaprint lineage) build
+# on, reduced to a dependency-free, SQL-exact form. The 64 bits ship as
+# the same two non-negative 32-bit halves the image tier uses, so
+# `dedup.dhash_neardup` runs the identical banded hamming join.
+#
+# Fixture formula (shared with the DuckDB oracle via these constants):
+# window w in 0..64 lives in block br = w // 8; its two samples both
+# carry (u - 128) * 256 where
+#
+#   u(doc, w) = (o(g, k, br) + (w % 8) * s(g, br)) % 256
+#   s(g, br) = STEP_BASE + STEP_MULT * ((g*STEP_GM + br*STEP_RM) % STEP_MOD)
+#   o(g, k, br) = (g*O_GM + br*O_RM + (k*(br+3)) % NOISE_MOD) % 256
+#   g = doc_id % GROUPS, k = doc_id // GROUPS
+#
+# — the 1-D analog of the dHash ramp: same-g docs differ by the |noise|
+# < 3 offset jiggle (hamming 0-4 apart), the g-dependent step drives
+# cross-g divergence. All integer arithmetic, closed-form in SQL.
+_AFP_WINDOWS = 65                 # 65 window sums -> 64 delta bits
+_AFP_WIN_LEN = 2                  # samples per window
+_AFP_GROUPS = 64                  # near-dup cluster key: doc_id % 64
+_AFP_O_GM, _AFP_O_RM = 41, 19     # block-offset multipliers (g, br)
+_AFP_NOISE_MOD = 3                # per-variant offset jiggle < 3
+# step floor 37 > 256/7: every 8-window block wraps at least once, so no
+# all-ones block collapses the signature space (the first constant draft
+# had 23 -> 41 distinct prints and 6x the candidate volume)
+_AFP_STEP_BASE, _AFP_STEP_MULT = 37, 11
+_AFP_STEP_GM, _AFP_STEP_RM, _AFP_STEP_MOD = 29, 11, 13
+
+
+def audio_fp_payloads(documents: DataFrame,
+                      sample_rate: int = 8000) -> DataFrame:
+    """Synthesize the 130-sample fingerprint-grid WAV per document
+    (module-constant formula above) as a VALID mono PCM16 RIFF file.
+    Synthesis is the fixture; the deliverable is `audio_fingerprint`'s
+    honest decode + signature."""
+    G = _AFP_GROUPS
+    NW, WL = _AFP_WINDOWS, _AFP_WIN_LEN
+    O_GM, O_RM, NZ = _AFP_O_GM, _AFP_O_RM, _AFP_NOISE_MOD
+    SB, SM, SGM, SRM, SMOD = (_AFP_STEP_BASE, _AFP_STEP_MULT,
+                              _AFP_STEP_GM, _AFP_STEP_RM, _AFP_STEP_MOD)
+
+    def _make(batches: Iterator):
+        import struct
+
+        import pandas as pd
+
+        def one(doc_id: int) -> bytes:
+            g, k = doc_id % G, doc_id // G
+            vals = []
+            for w in range(NW):
+                br = w // 8
+                s = SB + SM * ((g * SGM + br * SRM) % SMOD)
+                o = (g * O_GM + br * O_RM + (k * (br + 3)) % NZ) % 256
+                u = (o + (w % 8) * s) % 256
+                vals += [(u - 128) * 256] * WL
+            samples = struct.pack("<%dh" % len(vals), *vals)
+            fmt = struct.pack("<HHIIHH", 1, 1, sample_rate,
+                              sample_rate * 2, 2, 16)
+            return (b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8
+                                  + len(samples))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(samples))
+                    + samples)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [one(int(d)) for d in pdf["doc_id"]],
+            })
+
+    return documents.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def audio_fingerprint(payload_df: DataFrame) -> DataFrame:
+    """Acoustic fingerprint from REAL decoded WAV samples: walk the
+    RIFF chunks, decode the mono int16 PCM subset (the fingerprint's
+    fixture format; other widths stay `decode_wav`'s domain), require
+    exactly the 65x2 fingerprint grid (wrong length nulls the row, the
+    P7 convention), then set bit j iff the (j+1)-th two-sample window
+    sum exceeds the j-th. 64 bits as two non-negative 32-bit halves
+    (``fp_lo`` windows 0-32, ``fp_hi`` windows 32-64) — the exact
+    contract `dedup.dhash_neardup` joins on."""
+    strict = _STRICT_DECODE
+    n_want = _AFP_WINDOWS * _AFP_WIN_LEN
+
+    def _decode(batches: Iterator):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes):
+            try:
+                if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    return None
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(b):
+                    tag = b[pos:pos + 4]
+                    (ln,) = struct.unpack_from("<I", b, pos + 4)
+                    if tag == b"fmt ":
+                        fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
+                    elif tag == b"data":
+                        data = b[pos + 8:pos + 8 + ln]
+                    pos += 8 + ln + (ln & 1)  # RIFF chunks pad to even
+                if fmt is None or data is None:
+                    return None
+                codec, nch, rate, _br, _ba, width = fmt
+                if (codec, nch, width) != (1, 1, 16) or len(data) % 2:
+                    return None
+                x = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                if len(x) != n_want:
+                    return None
+                sums = x.reshape(-1, _AFP_WIN_LEN).sum(axis=1)
+                bits = (sums[1:] > sums[:-1]).astype(np.uint8)
+                lo = int.from_bytes(
+                    np.packbits(bits[:32], bitorder="little").tobytes(),
+                    "little")
+                hi = int.from_bytes(
+                    np.packbits(bits[32:], bitorder="little").tobytes(),
+                    "little")
+                return (rate, len(x), lo, hi)
+            except (struct.error, ValueError):
+                return None
+            except Exception:
+                if strict:
+                    raise
+                return None
+
+        for pdf in batches:
+            rows = [one(bytes(p)) if p is not None else None
+                    for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sample_rate": [r[0] if r else None for r in rows],
+                "n_samples": [r[1] if r else None for r in rows],
+                "fp_lo": [r[2] if r else None for r in rows],
+                "fp_hi": [r[3] if r else None for r in rows],
+            })
+
+    return payload_df.mapInPandas(
+        _decode,
+        schema=("doc_id long, sample_rate long, n_samples long, "
+                "fp_lo long, fp_hi long"),
+    )

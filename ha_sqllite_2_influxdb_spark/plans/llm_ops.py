@@ -1035,6 +1035,27 @@ def q_multimodal_dhash_neardup(spark: SparkSession,
     return dedup.dhash_neardup(hashes, max_dist=DHASH_MAX_DIST)
 
 
+AFP_MAX_DIST = 6
+
+
+def q_multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via acoustic fingerprint (r11, the audio leg of
+    `multimodal_dhash_neardup`): render each doc's 130-sample PCM16
+    WAV, decode it with a real RIFF parser, reduce the decoded samples
+    to a 64-bit delta-sign signature over 65 two-sample windows (the
+    sign-of-energy-delta family real acoustic fingerprints build on),
+    then run the SAME banded hamming join the image tier uses
+    (`dedup.dhash_neardup`, parametrized on the fp column names). The
+    oracle recomputes window values analytically from the shared
+    constants and reuses the generated join tail, so every signature
+    bit and every surviving pair is hash-exact."""
+    fps = multimodal.audio_fingerprint(
+        multimodal.audio_fp_payloads(_docs(spark, sf_dir)))
+    return dedup.dhash_neardup(
+        fps.select("doc_id", "fp_lo", "fp_hi"),
+        max_dist=AFP_MAX_DIST, lo="fp_lo", hi="fp_hi")
+
+
 def q_multimodal_png_gray16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit grayscale PNG tier (r10-built, registered r11 per VERDICT
     r10 #5): depth 16 / ctype 0, bpp=2 inverse filters, big-endian
@@ -1238,6 +1259,7 @@ QUERIES = {
     "multimodal_wav_pcm24": q_multimodal_wav_pcm24,
     "multimodal_png_trns": q_multimodal_png_trns,
     "multimodal_dhash_neardup": q_multimodal_dhash_neardup,
+    "multimodal_audio_fp": q_multimodal_audio_fp,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -2805,6 +2827,57 @@ SELECT d.doc_id, CAST(d.w AS BIGINT) AS width,
 FROM dims d JOIN px USING (doc_id) JOIN pal USING (doc_id)
 """
 
+def _phash_join_sql(lo: str, hi: str, max_dist: int) -> str:
+    """The banded-hamming near-dup tail shared by every perceptual-hash
+    oracle (image dHash, audio fingerprint): expects a ``hashes`` CTE
+    with (doc_id, {lo}, {hi}) in scope and emits bands → candidate
+    pairs → hamming filter → symmetric per-doc stats — the SQL mirror
+    of `dedup.dhash_neardup`, generated once so the two oracles cannot
+    drift from each other."""
+    return f""",
+bands AS (
+  SELECT doc_id, {lo}, {hi}, band_idx,
+    CASE band_idx WHEN 0 THEN {lo} % 65536
+                  WHEN 1 THEN {lo} // 65536
+                  WHEN 2 THEN {hi} % 65536
+                  ELSE {hi} // 65536 END AS band_val
+  FROM hashes, unnest(generate_series(0, 3, 1)) AS tb(band_idx)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+    a.{lo} AS la, a.{hi} AS ha,
+    b.{lo} AS lb, b.{hi} AS hb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+),
+near AS (
+  SELECT da, db,
+    CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT)
+      AS dist
+  FROM pairs
+  WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
+        <= {max_dist}
+),
+sym AS (
+  SELECT da AS doc_id, db AS p, dist FROM near
+  UNION ALL
+  SELECT db AS doc_id, da AS p, dist FROM near
+),
+stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
+    CAST(sum(p) AS BIGINT) AS partner_sum,
+    CAST(min(dist) AS BIGINT) AS min_dist
+  FROM sym GROUP BY doc_id
+)
+SELECT h.doc_id, h.{lo}, h.{hi},
+  COALESCE(s.n_near, CAST(0 AS BIGINT)) AS n_near,
+  COALESCE(s.partner_sum, CAST(0 AS BIGINT)) AS partner_sum,
+  s.min_dist
+FROM hashes h LEFT JOIN stats s USING (doc_id)
+"""
+
+
 # dHash near-dup tier (r11): hashes recomputed analytically from the
 # SAME module constants the payload generator renders from (the
 # `_neardup_pairs_sql` lockstep convention), then the identical
@@ -2840,48 +2913,44 @@ hashes AS (
                   THEN bit * (CAST(1 AS BIGINT) << ((r - 4) * 8 + x))
                   ELSE 0 END) AS BIGINT) AS dhash_hi
   FROM bits GROUP BY doc_id
+){_phash_join_sql("dhash_lo", "dhash_hi", DHASH_MAX_DIST)}"""
+
+# acoustic-fingerprint near-dup tier (r11, the audio leg of the dHash
+# pattern): window values u(w) recomputed analytically from the shared
+# module constants; the window SUM the Spark side compares is the
+# monotone map 2*(u-128)*256 of u, so comparing u directly yields the
+# same bits. The join tail is the SAME generated SQL as the image tier.
+ORACLES["multimodal_audio_fp"] = f"""
+WITH u AS (
+  SELECT doc_id, w,
+    ((doc_id % {multimodal._AFP_GROUPS}) * {multimodal._AFP_O_GM}
+      + (w // 8) * {multimodal._AFP_O_RM}
+      + ((doc_id // {multimodal._AFP_GROUPS}) * ((w // 8) + 3))
+        % {multimodal._AFP_NOISE_MOD}
+      + (w % 8) * ({multimodal._AFP_STEP_BASE}
+                   + {multimodal._AFP_STEP_MULT}
+                     * (((doc_id % {multimodal._AFP_GROUPS})
+                         * {multimodal._AFP_STEP_GM}
+                         + (w // 8) * {multimodal._AFP_STEP_RM})
+                        % {multimodal._AFP_STEP_MOD}))) % 256 AS u
+  FROM documents,
+    unnest(generate_series(0, {multimodal._AFP_WINDOWS - 1}, 1)) AS t(w)
 ),
-bands AS (
-  SELECT doc_id, dhash_lo, dhash_hi, band_idx,
-    CASE band_idx WHEN 0 THEN dhash_lo % 65536
-                  WHEN 1 THEN dhash_lo // 65536
-                  WHEN 2 THEN dhash_hi % 65536
-                  ELSE dhash_hi // 65536 END AS band_val
-  FROM hashes, unnest(generate_series(0, 3, 1)) AS tb(band_idx)
+bits AS (
+  SELECT a.doc_id, a.w, CASE WHEN b.u > a.u THEN 1 ELSE 0 END AS bit
+  FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+  WHERE a.w < {multimodal._AFP_WINDOWS - 1}
 ),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-    a.dhash_lo AS la, a.dhash_hi AS ha,
-    b.dhash_lo AS lb, b.dhash_hi AS hb
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-   AND a.doc_id < b.doc_id
-),
-near AS (
-  SELECT da, db,
-    CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS BIGINT)
-      AS dist
-  FROM pairs
-  WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
-        <= {DHASH_MAX_DIST}
-),
-sym AS (
-  SELECT da AS doc_id, db AS p, dist FROM near
-  UNION ALL
-  SELECT db AS doc_id, da AS p, dist FROM near
-),
-stats AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
-    CAST(sum(p) AS BIGINT) AS partner_sum,
-    CAST(min(dist) AS BIGINT) AS min_dist
-  FROM sym GROUP BY doc_id
-)
-SELECT h.doc_id, h.dhash_lo, h.dhash_hi,
-  COALESCE(s.n_near, CAST(0 AS BIGINT)) AS n_near,
-  COALESCE(s.partner_sum, CAST(0 AS BIGINT)) AS partner_sum,
-  s.min_dist
-FROM hashes h LEFT JOIN stats s USING (doc_id)
-"""
+hashes AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN w < 32
+                  THEN bit * (CAST(1 AS BIGINT) << w)
+                  ELSE 0 END) AS BIGINT) AS fp_lo,
+    CAST(sum(CASE WHEN w >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (w - 32))
+                  ELSE 0 END) AS BIGINT) AS fp_hi
+  FROM bits GROUP BY doc_id
+){_phash_join_sql("fp_lo", "fp_hi", AFP_MAX_DIST)}"""
 
 # composed-pipeline oracle: reuses the verified decontaminate oracle as a
 # derived table and the shared quality expression, so the end-to-end chain

@@ -629,6 +629,7 @@ tiers = [
     ("wav_adpcm", mm.decode_wav_adpcm, mm.wav_adpcm_payloads(docs)),
     ("thumbnail", mm.image_thumbnails, mm.bmp_payloads(docs)),
     ("dhash", mm.image_dhash, mm.dhash_payloads(docs)),
+    ("audio_fp", mm.audio_fingerprint, mm.audio_fp_payloads(docs)),
 ]
 for name, decode, payloads in tiers:
     rows = decode(payloads).collect()

@@ -825,3 +825,57 @@ def test_dhash_neardup_same_group_docs_are_near(spark):
     lone = out[40]
     assert lone.n_near == 0 and lone.partner_sum == 0
     assert lone.min_dist is None
+
+
+def test_audio_fingerprint_vs_independent_reference_and_contracts(spark):
+    """Acoustic-fingerprint tier: (a) the signature computed from REAL
+    decoded WAV samples equals an independent recomputation (window
+    values built straight from the fixture formula; bits packed with
+    different code than the operator); (b) a wrong-length WAV
+    (wav_payloads' text-sized clips) nulls the row; (c) cluster
+    semantics through the shared banded join — same-group docs find
+    each other, a lone far-group doc reports n_near = 0."""
+    import numpy as np
+
+    from ha_sqllite_2_influxdb_spark.operators import dedup, multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(d,) for d in (0, 5, 69, 133, 64, 200, 499)], "doc_id long")
+    got = {r.doc_id: r for r in
+           mm.audio_fingerprint(mm.audio_fp_payloads(docs)).collect()}
+    assert len(got) == 7
+    for d, row in got.items():
+        g, k = d % mm._AFP_GROUPS, d // mm._AFP_GROUPS
+        u = []
+        for w in range(mm._AFP_WINDOWS):
+            br = w // 8
+            s = (mm._AFP_STEP_BASE + mm._AFP_STEP_MULT
+                 * ((g * mm._AFP_STEP_GM + br * mm._AFP_STEP_RM)
+                    % mm._AFP_STEP_MOD))
+            o = (g * mm._AFP_O_GM + br * mm._AFP_O_RM
+                 + (k * (br + 3)) % mm._AFP_NOISE_MOD) % 256
+            u.append((o + (w % 8) * s) % 256)
+        bits = [1 if u[j + 1] > u[j] else 0
+                for j in range(mm._AFP_WINDOWS - 1)]
+        lo = sum(b << j for j, b in enumerate(bits[:32]))
+        hi = sum(b << j for j, b in enumerate(bits[32:]))
+        assert row.n_samples == mm._AFP_WINDOWS * mm._AFP_WIN_LEN, d
+        assert (row.fp_lo, row.fp_hi) == (lo, hi), d
+
+    # (b) valid WAV, wrong grid -> null signature, not a wrong one
+    wrong = mm.audio_fingerprint(mm.wav_payloads(
+        docs.withColumn("text", F.lit("short clip")))).collect()
+    assert all(r.fp_lo is None and r.fp_hi is None for r in wrong)
+
+    # (c) shared banded join over the fp columns
+    out = {r.doc_id: r for r in dedup.dhash_neardup(
+        mm.audio_fingerprint(mm.audio_fp_payloads(
+            spark.createDataFrame([(5,), (69,), (133,), (40,)],
+                                  "doc_id long"))).select(
+            "doc_id", "fp_lo", "fp_hi"),
+        lo="fp_lo", hi="fp_hi").collect()}
+    trio = {5, 69, 133}  # 5 % 64 == 69 % 64 == 133 % 64
+    for d in trio:
+        assert out[d].n_near == 2, d
+        assert out[d].partner_sum == sum(trio - {d}), d
+    assert out[40].n_near == 0 and out[40].min_dist is None

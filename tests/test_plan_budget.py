@@ -86,3 +86,25 @@ def test_candidate_shuffle_budgets(spark, sf_dir):
         "CANDIDATE_BUDGET")
     over = _over_budget(bench.CANDIDATES, CANDIDATE_BUDGET, spark, sf_dir)
     assert not over, f"shuffle budget exceeded: {over}"
+
+
+# r11: the perceptual-hash near-dup tiers (image dHash + acoustic
+# fingerprint) share one join core; the structural fact is ONE pair
+# subtree — banded candidate join (broadcast at test scale), ONE
+# pair-distinct exchange, the per-doc stats exchange and the final
+# doc_id join. A fourth keyed shuffle here means the sym explode
+# regressed to a self-union (doubling the band join) or the distinct
+# stopped riding its own partitioning.
+PERCEPTUAL_BUDGET = {
+    "multimodal_dhash_neardup": 3,
+    "multimodal_audio_fp": 3,
+}
+
+
+def test_perceptual_neardup_shuffle_budgets(spark, sf_dir):
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    over = _over_budget({n: qs[n] for n in PERCEPTUAL_BUDGET},
+                        PERCEPTUAL_BUDGET, spark, sf_dir)
+    assert not over, f"shuffle budget exceeded: {over}"
