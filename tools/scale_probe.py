@@ -41,6 +41,29 @@ RUNS = 3
 LINEAR_SLACK = 1.3
 RSS_CAP_MB = 1500
 
+# r11, perceptual-hash replication: XOR is an isometry of hamming space,
+# so replica k's hashes (h XOR mask_k) keep every WITHIN-replica pair
+# distance bit-exact while pushing CROSS-replica pairs out of reach —
+# these 10 masks differ pairwise by >6 bits in EVERY 16-bit band
+# (verified by the assert below), so a cross-replica candidate can only
+# band-collide when the two docs' own band difference exactly cancels
+# the mask difference, and even then its full distance exceeds the
+# join's max_dist. 10× input ⇒ 10× clusters of unchanged size ⇒ 10×
+# output — a valid linearity probe for the banded hamming join. (Naive
+# doc_id replication would NOT be: the fixture has 64 global groups, so
+# growing the corpus grows each cluster and pair output quadratically.)
+_PHASH_MASKS = [
+    0xF3200A7C4B0ADB49, 0x53F6A536E391B7B6, 0xDE18A3EFBFE30F23,
+    0xC66DA0C0A0774154, 0x1A420DCD5EA014DF, 0x0AAC956851DC9A93,
+    0xAF7E35911D6E80C8, 0x8585D6A7F8053758, 0xFD93ED8AA68C2AE4,
+    0x64BA707A541379BA,
+]
+assert all(
+    bin(((a ^ b) >> (16 * j)) & 0xFFFF).count("1") > 6
+    for i, a in enumerate(_PHASH_MASKS)
+    for b in _PHASH_MASKS[i + 1:] for j in range(4)
+)
+
 
 def rss_mb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
@@ -140,12 +163,37 @@ def build_corpora(spark):
             evd = evd.unionByName(r)
         evp = f"{WORK}/events_{scale}.parquet"
         evd.repartition(32).write.mode("overwrite").parquet(evp)
-        paths[scale] = (dp, ep, f"{WORK}/viral_{scale}.parquet", pp, evp)
+        # perceptual-hash corpus (r11): hashes come from the REAL codec
+        # path once (payload render → BMP decode → dHash — a pure map,
+        # trivially linear and excluded from the join measurement), then
+        # replicate via the XOR-isometry masks above. The halves stay
+        # non-negative: masks apply per 32-bit half.
+        from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+        ph_base = mm.image_dhash(mm.dhash_payloads(
+            load_table(spark, SF_DIR, "documents"))).select(
+            "doc_id", "dhash_lo", "dhash_hi")
+        phreps = [
+            ph_base.select(
+                (F.col("doc_id") + 10_000_000 * k).alias("doc_id"),
+                F.col("dhash_lo").bitwiseXOR(
+                    F.lit(_PHASH_MASKS[k] & 0xFFFFFFFF)).alias("dhash_lo"),
+                F.col("dhash_hi").bitwiseXOR(
+                    F.lit(_PHASH_MASKS[k] >> 32)).alias("dhash_hi"),
+            )
+            for k in range(n)
+        ]
+        ph = phreps[0]
+        for r in phreps[1:]:
+            ph = ph.unionByName(r)
+        php = f"{WORK}/phash_{scale}.parquet"
+        ph.repartition(32).write.mode("overwrite").parquet(php)
+        paths[scale] = (dp, ep, f"{WORK}/viral_{scale}.parquet", pp, evp,
+                        php)
     return paths
 
 
 def tiers(spark, docs_path, emb_path, books, viral_path=None,
-          pts_path=None, events_path=None):
+          pts_path=None, events_path=None, phash_path=None):
     from ha_sqllite_2_influxdb_spark.operators import (
         dedup, graph, monitor, ranking, scoring, similarity, sketches, text,
     )
@@ -159,6 +207,7 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
     viral = spark.read.parquet(viral_path or docs_path)
     pts = spark.read.parquet(pts_path or docs_path)
     evts = spark.read.parquet(events_path or docs_path)
+    ph = (spark.read.parquet(phash_path) if phash_path else None)
     return {
         "neardup_xxhash_lsh": lambda: dedup.neardup_pairs(
             docs, threshold=0.5, n_seeds=8, portable=False),
@@ -289,6 +338,13 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
         # size — the exact hot-key scenario the sharding exists for.
         "inverted_index_sharded": lambda: ranking.build_inverted_index(
             viral, n_shards=8),
+        # r11: the perceptual-hash banded hamming join (shared by the
+        # image dHash and audio fingerprint tiers) over the XOR-masked
+        # hash corpus (see _PHASH_MASKS — within-replica structure
+        # bit-preserved, cross-replica pairs unreachable). The codec
+        # stage is a pure map and probes as such via quality_classifier;
+        # what can go superlinear is THIS join, so it is what's measured.
+        "dhash_neardup": lambda: dedup.dhash_neardup(ph),
     }
 
 
@@ -414,9 +470,9 @@ def main() -> None:
     walls: dict[str, dict[str, float]] = {}
     mems: dict[str, dict[str, float]] = {}
     for scale in ("x1", "x10"):
-        dp, ep, vp, pp, evp = paths[scale]
+        dp, ep, vp, pp, evp, php = paths[scale]
         for name, make in tiers(spark, dp, ep, books, vp, pp,
-                                evp).items():
+                                evp, php).items():
             if only and name not in only:
                 continue
             best = float("inf")
