@@ -1342,3 +1342,51 @@ def dhash_neardup(hashes: DataFrame, max_dist: int = 6,
         F.coalesce("partner_sum", F.lit(0)).cast("long")
          .alias("partner_sum"),
         F.col("min_dist").cast("long").alias("min_dist"))
+
+
+def phash_classify(arriving: DataFrame, index: DataFrame,
+                   max_dist: int = 6, lo: str = "dhash_lo",
+                   hi: str = "dhash_hi") -> DataFrame:
+    """Classify each arriving perceptual hash against a STATIC index
+    (the continuous-ingest face of `dhash_neardup`): band the arriving
+    hashes, equi-join the index's band table, keep candidates within
+    ``max_dist`` hamming and take each doc's closest — ``dup`` (exact,
+    distance 0), ``near`` (1..max_dist) or ``new``. Unmatched and
+    null-hash rows survive with NULL min_dist (the left joins keep
+    every arriving doc exactly once).
+
+    100 TB shape: the index reduces to 8-byte hashes exploded 4× and
+    broadcasts (a billion-image index is ~32 GB of bands — past
+    broadcast range the same plan runs as a band-keyed shuffle join);
+    the arriving side flows through with no shuffle besides its own
+    per-doc min — and THAT is keyed on doc_id, so it rides the ingest
+    partitioning."""
+    a = arriving.select("doc_id", lo, hi)
+    ah = a.filter(F.col(lo).isNotNull() & F.col(hi).isNotNull())
+    idx = index.select(F.col(lo).alias("_ilo"), F.col(hi).alias("_ihi"))
+    ib = idx.select(
+        "_ilo", "_ihi",
+        F.posexplode(F.array(
+            F.col("_ilo") % 65536, F.expr("_ilo div 65536"),
+            F.col("_ihi") % 65536, F.expr("_ihi div 65536"),
+        )).alias("band_idx", "band_val"))
+    ab = ah.select(
+        "doc_id", lo, hi,
+        F.posexplode(F.array(
+            F.col(lo) % 65536, F.expr(f"{lo} div 65536"),
+            F.col(hi) % 65536, F.expr(f"{hi} div 65536"),
+        )).alias("band_idx", "band_val"))
+    cand = (ab.join(F.broadcast(ib), ["band_idx", "band_val"])
+            .withColumn(
+                "_dist",
+                (F.bit_count(F.col(lo).bitwiseXOR(F.col("_ilo")))
+                 + F.bit_count(F.col(hi).bitwiseXOR(F.col("_ihi"))))
+                .cast("long"))
+            .filter(F.col("_dist") <= max_dist))
+    best = cand.groupBy("doc_id").agg(F.min("_dist").alias("min_dist"))
+    return a.join(best, "doc_id", "left").select(
+        "doc_id", lo, hi,
+        F.col("min_dist").cast("long").alias("min_dist"),
+        F.when(F.col("min_dist") == 0, F.lit("dup"))
+         .when(F.col("min_dist").isNotNull(), F.lit("near"))
+         .otherwise(F.lit("new")).alias("status"))

@@ -4688,3 +4688,126 @@ def audio_fingerprint(payload_df: DataFrame) -> DataFrame:
         schema=("doc_id long, sample_rate long, n_samples long, "
                 "fp_lo long, fp_hi long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal-fingerprint tier: delta-sign signature over REAL decoded
+# animation frames → video near-dup, completing the perceptual triad
+# (image dHash, audio fingerprint, video fingerprint — all three feed
+# `dedup.dhash_neardup`'s banded hamming join). Each doc renders a
+# 65-frame animated GIF whose per-frame decoded index-SUM follows the
+# shared ramp family; bit j is set iff frame-sum S(j+1) > S(j) — the
+# sign-of-motion-energy signature simple temporal video fingerprints
+# build on. Unlike the image/audio packers (Python-side, in the codec
+# map), THIS signature assembles JVM-side from `decode_gif_frames`'
+# per-frame relation: one doc-keyed window (lead) + one conditional
+# shift-sum aggregation — whole-stage-codegen all the way to the join.
+#
+# Fixture formula (shared with the DuckDB oracle via these constants):
+# frame f in block br = f // 8 carries indices that DISTRIBUTE
+#
+#   u(doc, f) = (o(g, k, br) + (f % 8) * s(g, br)) % 256
+#   s(g, br) = STEP_BASE + STEP_MULT * ((g*STEP_GM + br*STEP_RM) % STEP_MOD)
+#   o(g, k, br) = (g*O_GM + br*O_RM + (k*(br+3)) % NOISE_MOD) % 256
+#
+# over its 16 pixels (pixel i gets u//16 + 1 for i < u%16, else u//16 —
+# values 0..16, inside the 32-color table), so the decoded idx_sum IS u
+# exactly and the signature is closed-form in SQL.
+_VFP_FRAMES = 65                  # 65 frame sums -> 64 delta bits
+_VFP_W, _VFP_H = 4, 4             # 16 pixels/frame
+_VFP_GROUPS = 64
+_VFP_O_GM, _VFP_O_RM = 43, 29
+_VFP_NOISE_MOD = 3
+# step floor 39 > 256/7 (the audio-tier lesson): every 8-frame block
+# wraps at least once, so no all-ones block collapses signature space
+_VFP_STEP_BASE, _VFP_STEP_MULT = 39, 7
+_VFP_STEP_GM, _VFP_STEP_RM, _VFP_STEP_MOD = 23, 19, 11
+
+
+def video_fp_payloads(documents: DataFrame) -> DataFrame:
+    """Synthesize the 65-frame fingerprint-grid animated GIF per
+    document (module-constant formula above): GIF89a, 32-color global
+    table, NETSCAPE loop extension, per-frame GCE + 4x4 image with
+    variable-width LZW (min code size 5). Synthesis is the fixture;
+    the deliverable is the real `decode_gif_frames` walk plus
+    `video_fingerprint`'s JVM-side signature."""
+    lzw_encode, gif_subblocks = _shipped(_lzw_encode), _shipped(_gif_subblocks)
+    G, NF = _VFP_GROUPS, _VFP_FRAMES
+    W, H = _VFP_W, _VFP_H
+    O_GM, O_RM, NZ = _VFP_O_GM, _VFP_O_RM, _VFP_NOISE_MOD
+    SB, SM, SGM, SRM, SMOD = (_VFP_STEP_BASE, _VFP_STEP_MULT,
+                              _VFP_STEP_GM, _VFP_STEP_RM, _VFP_STEP_MOD)
+
+    def _make(batches: Iterator):
+        import struct
+
+        import pandas as pd
+
+        def one(doc_id: int) -> bytes:
+            g, k = doc_id % G, doc_id // G
+            gct = bytearray()
+            for j in range(32):
+                gct += bytes(((doc_id * 7 + j * 13) % 256,
+                              (j * 31) % 256, (doc_id + j * 5) % 256))
+            body = bytearray()
+            body += b"\x21\xFF\x0BNETSCAPE2.0" + b"\x03\x01\x00\x00\x00"
+            npx = W * H
+            for f in range(NF):
+                br = f // 8
+                s = SB + SM * ((g * SGM + br * SRM) % SMOD)
+                o = (g * O_GM + br * O_RM + (k * (br + 3)) % NZ) % 256
+                u = (o + (f % 8) * s) % 256
+                idxs = [u // 16 + (1 if i < u % 16 else 0)
+                        for i in range(npx)]
+                body += (b"\x21\xF9\x04\x00"
+                         + struct.pack("<H", (f + 1) * 10) + b"\x00\x00")
+                body += b"\x2C" + struct.pack("<HHHHB", 0, 0, W, H, 0)
+                body += bytes((5,)) + gif_subblocks(lzw_encode(idxs, 5))
+            return (b"GIF89a"
+                    + struct.pack("<HHBBB", W, H, 0xF4, 0, 0)
+                    + bytes(gct) + bytes(body) + b"\x3B")
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [one(int(d)) for d in pdf["doc_id"]],
+            })
+
+    return documents.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def video_fingerprint(frames: DataFrame) -> DataFrame:
+    """Temporal fingerprint over a per-frame relation ``(doc_id,
+    frame_idx, n_pixels, idx_sum)`` (what `decode_gif_frames` emits
+    from REAL LZW decode): bit j iff idx_sum(j+1) > idx_sum(j),
+    packed into the two non-negative 32-bit halves the banded join
+    expects. Pure DataFrame ops — one doc-keyed window for the lead,
+    one aggregation for the shift-sum pack; docs without exactly the
+    65x16 fingerprint grid are dropped (the frame-relation analog of
+    the null-row convention)."""
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("frame_idx")
+    b = (frames
+         .withColumn("_nxt", F.lead("idx_sum").over(w))
+         .withColumn("_bit", F.when(F.col("_nxt") > F.col("idx_sum"),
+                                    F.lit(1)).otherwise(F.lit(0))
+                     .cast("long")))
+    shift = F.expr("shiftleft(CAST(1 AS BIGINT), "
+                   "CAST(frame_idx % 32 AS INT))")
+    return (b.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_nf"),
+        F.sum(F.when(F.col("n_pixels") != _VFP_W * _VFP_H, 1)
+              .otherwise(0)).alias("_badpx"),
+        F.sum(F.when(F.col("_nxt").isNotNull()
+                     & (F.col("frame_idx") < 32),
+                     F.col("_bit") * shift).otherwise(0))
+        .cast("long").alias("fp_lo"),
+        F.sum(F.when(F.col("_nxt").isNotNull()
+                     & (F.col("frame_idx") >= 32),
+                     F.col("_bit") * shift).otherwise(0))
+        .cast("long").alias("fp_hi"))
+        .filter((F.col("_nf") == _VFP_FRAMES) & (F.col("_badpx") == 0))
+        .select("doc_id", "fp_lo", "fp_hi"))

@@ -1056,6 +1056,27 @@ def q_multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=AFP_MAX_DIST, lo="fp_lo", hi="fp_hi")
 
 
+VFP_MAX_DIST = 6
+
+
+def q_multimodal_video_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup via temporal fingerprint (r11, completing the
+    perceptual triad with `multimodal_dhash_neardup` and
+    `multimodal_audio_fp`): render each doc's 65-frame animated GIF,
+    decode the frames with the REAL stateful GIF walk + LZW decoder
+    (`decode_gif_frames`), reduce the per-frame index sums to a 64-bit
+    delta-sign signature JVM-SIDE (window lead + shift-sum aggregation
+    — no Python in the signature path), then run the shared banded
+    hamming join. Oracle: frame sums recomputed analytically from the
+    shared constants; the join tail is the same generated SQL as the
+    other two perceptual tiers."""
+    fps = multimodal.video_fingerprint(
+        multimodal.decode_gif_frames(
+            multimodal.video_fp_payloads(_docs(spark, sf_dir))))
+    return dedup.dhash_neardup(fps, max_dist=VFP_MAX_DIST,
+                               lo="fp_lo", hi="fp_hi")
+
+
 def q_multimodal_png_gray16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit grayscale PNG tier (r10-built, registered r11 per VERDICT
     r10 #5): depth 16 / ctype 0, bpp=2 inverse filters, big-endian
@@ -1260,6 +1281,7 @@ QUERIES = {
     "multimodal_png_trns": q_multimodal_png_trns,
     "multimodal_dhash_neardup": q_multimodal_dhash_neardup,
     "multimodal_audio_fp": q_multimodal_audio_fp,
+    "multimodal_video_fp": q_multimodal_video_fp,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -2951,6 +2973,42 @@ hashes AS (
                   ELSE 0 END) AS BIGINT) AS fp_hi
   FROM bits GROUP BY doc_id
 ){_phash_join_sql("fp_lo", "fp_hi", AFP_MAX_DIST)}"""
+
+# temporal-fingerprint near-dup tier (r11, the video leg): per-frame
+# decoded index sums ARE u(f) by construction (the pixel distribution
+# u//16 + carry preserves the sum exactly), so the oracle compares u
+# directly; same generated join tail as the other perceptual tiers.
+ORACLES["multimodal_video_fp"] = f"""
+WITH u AS (
+  SELECT doc_id, f,
+    ((doc_id % {multimodal._VFP_GROUPS}) * {multimodal._VFP_O_GM}
+      + (f // 8) * {multimodal._VFP_O_RM}
+      + ((doc_id // {multimodal._VFP_GROUPS}) * ((f // 8) + 3))
+        % {multimodal._VFP_NOISE_MOD}
+      + (f % 8) * ({multimodal._VFP_STEP_BASE}
+                   + {multimodal._VFP_STEP_MULT}
+                     * (((doc_id % {multimodal._VFP_GROUPS})
+                         * {multimodal._VFP_STEP_GM}
+                         + (f // 8) * {multimodal._VFP_STEP_RM})
+                        % {multimodal._VFP_STEP_MOD}))) % 256 AS u
+  FROM documents,
+    unnest(generate_series(0, {multimodal._VFP_FRAMES - 1}, 1)) AS t(f)
+),
+bits AS (
+  SELECT a.doc_id, a.f, CASE WHEN b.u > a.u THEN 1 ELSE 0 END AS bit
+  FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+  WHERE a.f < {multimodal._VFP_FRAMES - 1}
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN f < 32
+                  THEN bit * (CAST(1 AS BIGINT) << f)
+                  ELSE 0 END) AS BIGINT) AS fp_lo,
+    CAST(sum(CASE WHEN f >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (f - 32))
+                  ELSE 0 END) AS BIGINT) AS fp_hi
+  FROM bits GROUP BY doc_id
+){_phash_join_sql("fp_lo", "fp_hi", VFP_MAX_DIST)}"""
 
 # composed-pipeline oracle: reuses the verified decontaminate oracle as a
 # derived table and the shared quality expression, so the end-to-end chain

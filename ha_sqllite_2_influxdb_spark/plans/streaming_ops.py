@@ -675,6 +675,59 @@ def q_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming perceptual dedup — the continuous-ingest face of the
+    image near-dup tier: document shards ARRIVE as three real
+    micro-batches (staged doc_id%3 files, mtime-ordered), each batch
+    renders + decodes its images through the REAL BMP codec
+    (`multimodal.image_dhash`) and classifies the hashes against the
+    STATIC curated index (doc_id % 4 != 0 plays the already-curated
+    corpus) with `dedup.phash_classify` — dup (hamming 0) / near
+    (1..6) / new. Classification is per-doc against a static
+    broadcast index, so the accumulated store is batch-boundary
+    independent and the oracle is the batch classifier over the same
+    analytic hash formula."""
+    import tempfile
+    from functools import partial
+
+    from ..operators import dedup as _dedup, multimodal as _mm
+    from ..streaming.stream import drain_foreach_batch, staged_fixture_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    index = _mm.image_dhash(_mm.dhash_payloads(
+        docs.filter(F.col("doc_id") % 4 != 0)
+    )).select("dhash_lo", "dhash_hi")
+    app = spark.sparkContext.applicationId
+    tag = sf_dir.strip("/").replace("/", "_")
+
+    def _write(r: int, path: str) -> None:
+        (docs.filter(F.col("doc_id") % 3 == r)
+         .coalesce(1).write.mode("overwrite").parquet(path))
+
+    sdir = staged_fixture_dir(
+        f"/tmp/spark_graft_phash_stream/{app}/{tag}",
+        [partial(_write, r) for r in range(3)])
+    stream = (spark.readStream.schema("doc_id long")
+              .option("maxFilesPerTrigger", 1).parquet(sdir))
+    results: list[DataFrame] = []
+
+    def classify(batch: DataFrame, _epoch: int) -> None:
+        hashes = _mm.image_dhash(_mm.dhash_payloads(batch))
+        results.append(_dedup.phash_classify(hashes, index)
+                       .localCheckpoint(eager=True))
+
+    ckpt = tempfile.mkdtemp(prefix="stream_phash_ckpt_")
+    drain_foreach_batch(stream, ckpt, classify)
+    if not results:
+        return spark.createDataFrame(
+            [], "doc_id long, dhash_lo long, dhash_hi long, "
+                "min_dist long, status string")
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 QUERIES = {
     "events_hourly": q_events_hourly,
     "stream_dedup": q_stream_dedup,
@@ -695,6 +748,7 @@ QUERIES = {
     "stream_knn": q_stream_knn,
     "stream_bloom_gate": q_stream_bloom_gate,
     "stream_hysteresis": q_stream_hysteresis,
+    "stream_phash_dedup": q_stream_phash_dedup,
 }
 
 _GAP_US = GAP_MIN * 60 * 1_000_000
@@ -973,3 +1027,77 @@ ORACLES["stream_hysteresis"] = _MON_ORACLES["series_hysteresis_alerts"]
 # streaming oracle (union over the two micro-batch file splits == the
 # whole corpus)
 ORACLES["stream_bloom_gate"] = _LLM_ORACLES["bloom_decontaminate"]
+
+from ..operators import multimodal as _mmod  # noqa: E402
+
+# streaming perceptual dedup (r11): the classifier is per-doc against a
+# STATIC index, so the accumulated foreachBatch store equals the batch
+# classification of the whole corpus — hashes recomputed analytically
+# from the shared dHash fixture constants (the llm_ops oracle's CTE),
+# curated index = doc_id % 4 != 0, closest index hash via the same
+# banded candidate join the operator runs, thresholded at hamming 6.
+ORACLES["stream_phash_dedup"] = f"""
+WITH bits AS (
+  SELECT doc_id, r, x,
+    CASE WHEN (o + (x + 1) * s) % 256 > (o + x * s) % 256
+         THEN 1 ELSE 0 END AS bit
+  FROM (
+    SELECT doc_id, r, x,
+      (doc_id % {_mmod._DHASH_GROUPS}) * {_mmod._DHASH_O_GM}
+        + r * {_mmod._DHASH_O_RM}
+        + ((doc_id // {_mmod._DHASH_GROUPS}) * (r + 3))
+          % {_mmod._DHASH_NOISE_MOD} AS o,
+      {_mmod._DHASH_STEP_BASE} + {_mmod._DHASH_STEP_MULT}
+        * (((doc_id % {_mmod._DHASH_GROUPS})
+            * {_mmod._DHASH_STEP_GM}
+            + r * {_mmod._DHASH_STEP_RM})
+           % {_mmod._DHASH_STEP_MOD}) AS s
+    FROM documents,
+      unnest(generate_series(0, {_mmod._DHASH_H - 1}, 1)) AS t1(r),
+      unnest(generate_series(0, {_mmod._DHASH_W - 2}, 1)) AS t2(x))
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN r < 4
+                  THEN bit * (CAST(1 AS BIGINT) << (r * 8 + x))
+                  ELSE 0 END) AS BIGINT) AS dhash_lo,
+    CAST(sum(CASE WHEN r >= 4
+                  THEN bit * (CAST(1 AS BIGINT) << ((r - 4) * 8 + x))
+                  ELSE 0 END) AS BIGINT) AS dhash_hi
+  FROM bits GROUP BY doc_id
+),
+curated AS (
+  SELECT dhash_lo AS ilo, dhash_hi AS ihi FROM hashes
+  WHERE doc_id % 4 != 0
+),
+cb AS (
+  SELECT ilo, ihi, band_idx,
+    CASE band_idx WHEN 0 THEN ilo % 65536 WHEN 1 THEN ilo // 65536
+                  WHEN 2 THEN ihi % 65536 ELSE ihi // 65536 END
+      AS band_val
+  FROM curated, unnest(generate_series(0, 3, 1)) AS tb(band_idx)
+),
+ab AS (
+  SELECT doc_id, dhash_lo, dhash_hi, band_idx,
+    CASE band_idx WHEN 0 THEN dhash_lo % 65536
+                  WHEN 1 THEN dhash_lo // 65536
+                  WHEN 2 THEN dhash_hi % 65536
+                  ELSE dhash_hi // 65536 END AS band_val
+  FROM hashes, unnest(generate_series(0, 3, 1)) AS tb(band_idx)
+),
+best AS (
+  SELECT a.doc_id,
+    CAST(min(bit_count(xor(a.dhash_lo, c.ilo))
+             + bit_count(xor(a.dhash_hi, c.ihi))) AS BIGINT) AS min_dist
+  FROM ab a JOIN cb c
+    ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+  WHERE bit_count(xor(a.dhash_lo, c.ilo))
+        + bit_count(xor(a.dhash_hi, c.ihi)) <= 6
+  GROUP BY a.doc_id
+)
+SELECT h.doc_id, h.dhash_lo, h.dhash_hi, b.min_dist,
+  CASE WHEN b.min_dist = 0 THEN 'dup'
+       WHEN b.min_dist IS NOT NULL THEN 'near'
+       ELSE 'new' END AS status
+FROM hashes h LEFT JOIN best b USING (doc_id)
+"""

@@ -630,6 +630,7 @@ tiers = [
     ("thumbnail", mm.image_thumbnails, mm.bmp_payloads(docs)),
     ("dhash", mm.image_dhash, mm.dhash_payloads(docs)),
     ("audio_fp", mm.audio_fingerprint, mm.audio_fp_payloads(docs)),
+    ("video_fp", mm.decode_gif_frames, mm.video_fp_payloads(docs)),
 ]
 for name, decode, payloads in tiers:
     rows = decode(payloads).collect()

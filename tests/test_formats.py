@@ -879,3 +879,90 @@ def test_audio_fingerprint_vs_independent_reference_and_contracts(spark):
         assert out[d].n_near == 2, d
         assert out[d].partner_sum == sum(trio - {d}), d
     assert out[40].n_near == 0 and out[40].min_dist is None
+
+
+def test_video_fingerprint_vs_independent_reference_and_contracts(spark):
+    """Temporal-fingerprint tier: (a) the signature assembled JVM-side
+    from REAL LZW-decoded frame sums equals an independent
+    recomputation from the fixture formula; (b) the per-frame pixel
+    distribution preserves the sum exactly (idx_sum == u) — checked on
+    the decoded frame relation directly; (c) a non-fingerprint
+    animation (gif_anim_payloads' 3-frame clips) yields no signature
+    rows; (d) cluster semantics through the shared banded join."""
+    from ha_sqllite_2_influxdb_spark.operators import dedup, multimodal as mm
+
+    def ref_u(d, f):
+        g, k = d % mm._VFP_GROUPS, d // mm._VFP_GROUPS
+        br = f // 8
+        s = (mm._VFP_STEP_BASE + mm._VFP_STEP_MULT
+             * ((g * mm._VFP_STEP_GM + br * mm._VFP_STEP_RM)
+                % mm._VFP_STEP_MOD))
+        o = (g * mm._VFP_O_GM + br * mm._VFP_O_RM
+             + (k * (br + 3)) % mm._VFP_NOISE_MOD) % 256
+        return (o + (f % 8) * s) % 256
+
+    docs = spark.createDataFrame(
+        [(d,) for d in (0, 9, 73, 137, 320, 499)], "doc_id long")
+    frames = mm.decode_gif_frames(mm.video_fp_payloads(docs))
+    rows = frames.collect()
+    assert len(rows) == 6 * mm._VFP_FRAMES
+    for r in rows:  # (b): decoded sum IS u, frame by frame
+        assert r.idx_sum == ref_u(r.doc_id, r.frame_idx), \
+            (r.doc_id, r.frame_idx)
+        assert r.n_pixels == mm._VFP_W * mm._VFP_H
+        assert r.delay_cs == (r.frame_idx + 1) * 10
+
+    got = {r.doc_id: r for r in mm.video_fingerprint(frames).collect()}
+    assert len(got) == 6
+    for d, row in got.items():  # (a): independent pack
+        bits = [1 if ref_u(d, f + 1) > ref_u(d, f) else 0
+                for f in range(mm._VFP_FRAMES - 1)]
+        lo = sum(b << j for j, b in enumerate(bits[:32]))
+        hi = sum(b << j for j, b in enumerate(bits[32:]))
+        assert (row.fp_lo, row.fp_hi) == (lo, hi), d
+
+    # (c) a real animation that is not the fingerprint grid drops out
+    other = mm.video_fingerprint(mm.decode_gif_frames(
+        mm.gif_anim_payloads(docs.withColumn("text", F.lit("abc")))))
+    assert other.count() == 0
+
+    # (d) shared banded join: 9/73/137 share group 9; 320 is alone
+    out = {r.doc_id: r for r in dedup.dhash_neardup(
+        mm.video_fingerprint(mm.decode_gif_frames(
+            mm.video_fp_payloads(spark.createDataFrame(
+                [(9,), (73,), (137,), (320,)], "doc_id long")))),
+        lo="fp_lo", hi="fp_hi").collect()}
+    trio = {9, 73, 137}
+    for d in trio:
+        assert out[d].n_near == 2 and out[d].partner_sum == sum(
+            trio - {d}), d
+    assert out[320].n_near == 0 and out[320].min_dist is None
+
+
+def test_phash_classify_statuses(spark):
+    """`dedup.phash_classify` (the continuous-ingest classifier):
+    a doc whose image IS in the curated index reports dup (hamming 0),
+    a same-group variant absent from the index reports near with the
+    true min distance, a doc from an unindexed group reports new with
+    NULL min_dist, and a null-hash arriving row passes through as new
+    (the left joins may not drop or duplicate any arriving doc)."""
+    from ha_sqllite_2_influxdb_spark.operators import dedup, multimodal as mm
+
+    curated = mm.image_dhash(mm.dhash_payloads(spark.createDataFrame(
+        [(11,), (8,)], "doc_id long"))).select("dhash_lo", "dhash_hi")
+    arriving = mm.image_dhash(mm.dhash_payloads(spark.createDataFrame(
+        [(11,), (75,), (42,)], "doc_id long"))).select(
+        "doc_id", "dhash_lo", "dhash_hi")
+    nullrow = spark.createDataFrame(
+        [(999, None, None)], "doc_id long, dhash_lo long, dhash_hi long")
+    out = {r.doc_id: r for r in dedup.phash_classify(
+        arriving.unionByName(nullrow), curated).collect()}
+    assert len(out) == 4
+    assert out[11].status == "dup" and out[11].min_dist == 0
+    # 75 shares group 11 with the indexed doc 11, noise-jiggled to
+    # hamming 2 (verified against the formula driver-side): near
+    assert out[75].status == "near" and out[75].min_dist == 2
+    # 42's group is unindexed and its hash sits >20 bits from both
+    # index entries: new, no match at all
+    assert out[42].status == "new" and out[42].min_dist is None
+    assert out[999].status == "new" and out[999].dhash_lo is None

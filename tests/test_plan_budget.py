@@ -98,6 +98,9 @@ def test_candidate_shuffle_budgets(spark, sf_dir):
 PERCEPTUAL_BUDGET = {
     "multimodal_dhash_neardup": 3,
     "multimodal_audio_fp": 3,
+    # the video leg packs its signature JVM-side: +1 doc-keyed window
+    # exchange (the frame-relation lead) ahead of the shared join core
+    "multimodal_video_fp": 4,
 }
 
 
