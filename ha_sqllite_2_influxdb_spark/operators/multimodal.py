@@ -2772,8 +2772,14 @@ def decode_gif_frames(payloads: DataFrame) -> DataFrame:
                     out = lzw_decode(bytes(data), min_cs, max_out=iw * ih)
                     if out is None or len(out) != iw * ih:
                         return []
-                    frames.append((len(frames), delay, iw * ih,
-                                   sum(out)))
+                    # a frame with no preceding GCE is legal GIF89a —
+                    # no delay specified, renderers use 0 (r11: a
+                    # mutation sweep fed exactly that shape and the
+                    # None hit the int64 Series constructor, killing
+                    # the whole Arrow batch — a P7 violation)
+                    frames.append((len(frames),
+                                   delay if delay is not None else 0,
+                                   iw * ih, sum(out)))
                     delay = None
                 else:
                     return []

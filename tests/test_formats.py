@@ -966,3 +966,36 @@ def test_phash_classify_statuses(spark):
     # index entries: new, no match at all
     assert out[42].status == "new" and out[42].min_dist is None
     assert out[999].status == "new" and out[999].dhash_lo is None
+
+
+def test_gif_frames_without_gce_default_delay_zero(spark):
+    """r11 sweep find: a frame with no preceding Graphic Control
+    Extension is legal GIF89a (no delay specified; renderers use 0),
+    but the frame walk carried delay=None into an int64 Series and one
+    such payload KILLED the whole Arrow batch — the P7 violation the
+    null-row convention exists to prevent. Pin: a GCE-less animation
+    decodes with delay_cs 0 and a sibling valid payload in the same
+    batch is unaffected."""
+    import struct
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+    from ha_sqllite_2_influxdb_spark.operators.multimodal import (
+        _gif_subblocks, _lzw_encode,
+    )
+
+    idxs = [i % 16 for i in range(12)]
+    nogce = (b"GIF89a" + struct.pack("<HHBBB", 4, 3, 0xF3, 0, 0)
+             + bytes(48)
+             + b"\x2C" + struct.pack("<HHHHB", 0, 0, 4, 3, 0)
+             + bytes((4,)) + _gif_subblocks(_lzw_encode(idxs))
+             + b"\x3B")
+    ok = mm.gif_anim_payloads(spark.createDataFrame(
+        [(1, "abc")], "doc_id long, text string")).collect()[0]
+    batch = spark.createDataFrame(
+        [(0, nogce), (1, bytes(ok.payload))],
+        "doc_id long, payload binary")
+    rows = mm.decode_gif_frames(batch).collect()
+    mine = [r for r in rows if r.doc_id == 0]
+    assert len(mine) == 1
+    assert mine[0].delay_cs == 0 and mine[0].idx_sum == sum(idxs)
+    assert len([r for r in rows if r.doc_id == 1]) == 3  # sibling fine
