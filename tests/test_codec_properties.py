@@ -714,3 +714,55 @@ def test_dhash_random_image_roundtrip_and_mutation_contract():
         mutated[pos] = (mutated[pos] + 1 + rng.randrange(255)) % 256
         got = decode_hash(bytes(mutated))  # must not raise
         assert got is None or (isinstance(got, tuple) and len(got) == 2)
+
+
+def test_inline_parser_decoders_survive_batch_corruption(spark):
+    """r11 structural gap-closer: `test_bitflip_corruption_never_raises`
+    fuzzes the FACTORY decoders, but several decode paths parse inline
+    inside their mapInPandas closures (the WAV family, the animated-GIF
+    frame walk, the fingerprint parsers, thumbnails, frame sampling) —
+    and the video mutation sweep proved the gap real (the GCE-less
+    delay=None crash killed a whole Arrow batch through exactly such an
+    inline path). Feed every inline-parser decoder a batch of mutated +
+    truncated payloads THROUGH Spark: the batch must come back (null
+    rows / dropped frames fine), never raise."""
+    import random
+
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta eta")],
+        "doc_id long, text string")
+    suites = [
+        ("wav16", mm.decode_wav, mm.wav_payloads(docs)),
+        ("wav24", mm.decode_wav,
+         mm.wav_payloads(docs, sample_format="pcm24")),
+        ("wavf32", mm.decode_wav,
+         mm.wav_payloads(docs, sample_format="float32")),
+        ("wav_mc", mm.decode_wav_multichannel,
+         mm.wav_payloads(docs, n_channels=2)),
+        ("wav_adpcm", mm.decode_wav_adpcm, mm.wav_adpcm_payloads(docs)),
+        ("audio_fp", mm.audio_fingerprint, mm.audio_fp_payloads(docs)),
+        ("gif_frames", mm.decode_gif_frames, mm.gif_anim_payloads(docs)),
+        ("gif_lct", mm.decode_gif_lct, mm.gif_lct_payloads(docs)),
+        ("thumb_bmp", mm.image_thumbnails, mm.bmp_payloads(docs)),
+        ("thumb_png", mm.image_thumbnails, mm.png_payloads(docs)),
+        ("frames", mm.sample_frames, mm.payloads(docs)),
+    ]
+    rng = random.Random(0x1111E)
+    for name, decode, paydf in suites:
+        payloads = [bytes(r.payload) for r in paydf.collect()]
+        assert payloads, name
+        rows, i = [], 0
+        for p in payloads:
+            for _ in range(10):
+                b = bytearray(p)
+                for _k in range(rng.randint(1, 4)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                rows.append((i, bytes(b)))
+                i += 1
+            for cut in (0, 1, len(p) // 3, len(p) - 1):
+                rows.append((i, p[:cut]))
+                i += 1
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        assert decode(df).count() >= 0, name  # must not raise
