@@ -1269,7 +1269,8 @@ def line_dedup_corpus(corpus: DataFrame, seg_words: int = 5) -> DataFrame:
 
 
 def dhash_neardup(hashes: DataFrame, max_dist: int = 6,
-                  lo: str = "dhash_lo", hi: str = "dhash_hi") -> DataFrame:
+                  lo: str = "dhash_lo", hi: str = "dhash_hi",
+                  bucket_cap: int | None = None) -> DataFrame:
     """Image near-duplicate detection over a perceptual-hash relation
     ``(doc_id, dhash_lo, dhash_hi)`` (two non-negative 32-bit halves of
     a 64-bit dHash — see `operators.multimodal.image_dhash`): band each
@@ -1292,7 +1293,19 @@ def dhash_neardup(hashes: DataFrame, max_dist: int = 6,
     semantics in Spark and DuckDB; no signed shifts anywhere).
     ``lo``/``hi`` name the two half columns (and the output keeps
     those names), so any 64-bit perceptual hash — image dHash,
-    audio fingerprint — reuses this join unchanged."""
+    audio fingerprint — reuses this join unchanged.
+
+    ``bucket_cap`` is the viral-corpus guard (the `lsh_candidate_pairs`
+    precedent): a corpus flooded with ONE image (placeholder thumbnails,
+    tracking pixels — the web-crawl reality) puts the whole flood in
+    every band bucket, and candidate generation goes |flood|² exactly
+    like viral shingles. Capping bounds bucket membership at ~cap via
+    the shared deterministic-coin sampler (`_cap_buckets`, keyed on the
+    packed band id so the window rides the join's own partitioning).
+    None (default) keeps the exact contract — every pair, the oracle's
+    semantics; DEFAULT_BUCKET_CAP is the 100 TB config, where a capped
+    bucket still links its members to the flood with high probability
+    but never quadratically."""
     h = hashes.select("doc_id", lo, hi).filter(
         F.col(lo).isNotNull() & F.col(hi).isNotNull())
     bands = h.select(
@@ -1303,6 +1316,12 @@ def dhash_neardup(hashes: DataFrame, max_dist: int = 6,
             F.col(hi) % 65536,
             F.expr(f"{hi} div 65536"),
         )).alias("band_idx", "band_val"))
+    if bucket_cap is not None:
+        bands = _cap_buckets(
+            bands.withColumn(
+                "_bk", F.col("band_idx") * 65536 + F.col("band_val")),
+            key="_bk", id_col="doc_id", cap=bucket_cap,
+        ).drop("_bk")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))

@@ -1291,3 +1291,42 @@ def test_thumbnail_dispatch_covers_png_gray16(spark, sf_dir):
         assert g8[d].src_format == "png", d
         assert bytes(g16[d].thumbnail) == bytes(g8[d].thumbnail), d
         assert g16[d].thumb_mean == g8[d].thumb_mean, d
+
+
+def test_dhash_bucket_cap_bounds_viral_image_and_noop_otherwise(spark):
+    """The perceptual join's viral-corpus guard (r11): (a) on a corpus
+    flooded with ONE image hash (placeholder-thumbnail reality), the
+    capped tier's candidate volume is bounded by ~4*cap² while the
+    uncapped exact tier goes |flood|²; (b) on the normal fixture, where
+    no bucket reaches the cap, capped output is IDENTICAL to the exact
+    tier; (c) the deterministic coin makes the capped sample stable
+    across re-runs."""
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.operators import dedup, multimodal as mm
+
+    flood = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.lit(123456789).alias("dhash_lo"),
+        F.lit(987654321).alias("dhash_hi"))
+    exact_pairs = dedup.dhash_neardup(flood).agg(
+        F.sum("n_near")).collect()[0][0]
+    assert exact_pairs == 400 * 399  # the quadratic flood, sym-counted
+    cap = 32
+    capped = dedup.dhash_neardup(flood, bucket_cap=cap)
+    capped_pairs = capped.agg(F.sum("n_near")).collect()[0][0]
+    # 4 bands x at-most-~2cap kept members each (the coin keeps ~cap):
+    # far below the 159,600 exact count, far above zero
+    assert 0 < capped_pairs < 4 * (2 * cap) * (2 * cap - 1)
+    again = dedup.dhash_neardup(flood, bucket_cap=cap).agg(
+        F.sum("n_near")).collect()[0][0]
+    assert again == capped_pairs  # deterministic coin
+
+    docs = spark.createDataFrame(
+        [(d,) for d in range(0, 120)], "doc_id long")
+    hashes = mm.image_dhash(mm.dhash_payloads(docs)).select(
+        "doc_id", "dhash_lo", "dhash_hi")
+    a = sorted(map(tuple, dedup.dhash_neardup(hashes).collect()))
+    b = sorted(map(tuple, dedup.dhash_neardup(
+        hashes, bucket_cap=dedup.DEFAULT_BUCKET_CAP).collect()))
+    assert a == b  # cap not binding on the normal fixture

@@ -187,13 +187,36 @@ def build_corpora(spark):
             ph = ph.unionByName(r)
         php = f"{WORK}/phash_{scale}.parquet"
         ph.repartition(32).write.mode("overwrite").parquet(php)
+        # viral perceptual corpus (r11): the masked replicas PLUS a
+        # one-image flood (|base|/5 rows per replica, constant hash,
+        # NO mask — placeholder thumbnails look the same in every
+        # crawl shard). 10× replicas ⇒ 10× flood rows all sharing one
+        # bucket per band: the uncapped exact tier is |flood|² ≈ 100×
+        # here and is deliberately NOT probed (the allpairs/containment
+        # precedent); the capped tier keeps ~cap members per bucket, so
+        # its candidate work is CONSTANT and wall must track the scan.
+        flood = [
+            ph_base.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 10_000_000 * k + 500_000_000)
+                .alias("doc_id"),
+                F.lit(123456789).alias("dhash_lo"),
+                F.lit(987654321).alias("dhash_hi"),
+            )
+            for k in range(n)
+        ]
+        phv = ph
+        for fdf in flood:
+            phv = phv.unionByName(fdf)
+        phvp = f"{WORK}/phash_viral_{scale}.parquet"
+        phv.repartition(32).write.mode("overwrite").parquet(phvp)
         paths[scale] = (dp, ep, f"{WORK}/viral_{scale}.parquet", pp, evp,
-                        php)
+                        php, phvp)
     return paths
 
 
 def tiers(spark, docs_path, emb_path, books, viral_path=None,
-          pts_path=None, events_path=None, phash_path=None):
+          pts_path=None, events_path=None, phash_path=None,
+          phash_viral_path=None):
     from ha_sqllite_2_influxdb_spark.operators import (
         dedup, graph, monitor, ranking, scoring, similarity, sketches, text,
     )
@@ -208,6 +231,8 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
     pts = spark.read.parquet(pts_path or docs_path)
     evts = spark.read.parquet(events_path or docs_path)
     ph = (spark.read.parquet(phash_path) if phash_path else None)
+    phv = (spark.read.parquet(phash_viral_path)
+           if phash_viral_path else None)
     return {
         "neardup_xxhash_lsh": lambda: dedup.neardup_pairs(
             docs, threshold=0.5, n_seeds=8, portable=False),
@@ -345,6 +370,13 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
         # stage is a pure map and probes as such via quality_classifier;
         # what can go superlinear is THIS join, so it is what's measured.
         "dhash_neardup": lambda: dedup.dhash_neardup(ph),
+        # the cap's REASON, measured (the containment_capped_viral
+        # precedent): the one-image flood puts 10× rows in one bucket
+        # per band at 10×; the capped tier's candidate work is bounded
+        # at ~cap² whatever the flood, so wall must track the scan.
+        # The uncapped exact tier is |flood|² here and NOT probed.
+        "dhash_neardup_capped_viral": lambda: dedup.dhash_neardup(
+            phv, bucket_cap=256),
     }
 
 
@@ -470,9 +502,9 @@ def main() -> None:
     walls: dict[str, dict[str, float]] = {}
     mems: dict[str, dict[str, float]] = {}
     for scale in ("x1", "x10"):
-        dp, ep, vp, pp, evp, php = paths[scale]
+        dp, ep, vp, pp, evp, php, phvp = paths[scale]
         for name, make in tiers(spark, dp, ep, books, vp, pp,
-                                evp, php).items():
+                                evp, php, phvp).items():
             if only and name not in only:
                 continue
             best = float("inf")
