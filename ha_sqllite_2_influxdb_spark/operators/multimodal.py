@@ -4817,3 +4817,101 @@ def video_fingerprint(frames: DataFrame) -> DataFrame:
         .cast("long").alias("fp_hi"))
         .filter((F.col("_nf") == _VFP_FRAMES) & (F.col("_badpx") == 0))
         .select("doc_id", "fp_lo", "fp_hi"))
+
+
+def dhash_hires_payloads(documents: DataFrame,
+                         scale: int = 3) -> DataFrame:
+    """High-resolution sibling of `dhash_payloads`: the SAME 9x8 dHash
+    grid rendered at ``scale``x (each grid cell becomes a scale x scale
+    constant block in a (9*scale) x (8*scale) BMP). Because the blocks
+    are constant and the dims are exact multiples of the thumbnail
+    grid, `image_thumbnails(width=9, height=8)`'s floor-edged area
+    average recovers every cell value EXACTLY (mean of a constant
+    block; round(v) == v) — so the full real pipeline
+    decode → resize → hash must reproduce `image_dhash`'s output
+    bit-for-bit, and the canonical tier's oracle doubles as this
+    pipeline's oracle (the cross-pipeline identity)."""
+    G = _DHASH_GROUPS
+    W, H = _DHASH_W, _DHASH_H
+    O_GM, O_RM, NZ = _DHASH_O_GM, _DHASH_O_RM, _DHASH_NOISE_MOD
+    SB, SM, SGM, SRM, SMOD = (_DHASH_STEP_BASE, _DHASH_STEP_MULT,
+                              _DHASH_STEP_GM, _DHASH_STEP_RM,
+                              _DHASH_STEP_MOD)
+    K = scale
+
+    def _make(batches: Iterator):
+        import struct
+
+        import pandas as pd
+
+        def one(doc_id: int) -> bytes:
+            g, k = doc_id % G, doc_id // G
+            wpx, hpx = W * K, H * K
+            stride = (3 * wpx + 3) & ~3
+            px = bytearray()
+            for rr in range(hpx):
+                r = rr // K
+                s = SB + SM * ((g * SGM + r * SRM) % SMOD)
+                o = (g * O_GM + r * O_RM + (k * (r + 3)) % NZ) % 256
+                for cc in range(wpx):
+                    v = (o + (cc // K) * s) % 256
+                    px += bytes((v, v, v))
+                px += b"\x00" * (stride - 3 * wpx)
+            off = 14 + 40
+            header = struct.pack("<2sIHHI", b"BM", off + len(px), 0, 0,
+                                 off)
+            dib = struct.pack("<IiiHHIIiiII", 40, wpx, hpx, 1, 24, 0,
+                              len(px), 2835, 2835, 0, 0)
+            return header + dib + bytes(px)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": [one(int(d)) for d in pdf["doc_id"]],
+            })
+
+    return documents.select("doc_id").mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+def thumbnail_dhash(thumbs: DataFrame) -> DataFrame:
+    """dHash over a THUMBNAIL relation (what `image_thumbnails` emits:
+    a raw row-major uint8 grid in ``thumbnail``): require the canonical
+    9x8 grid, set bit r*8+x iff grid[r, x+1] > grid[r, x], pack into
+    the two non-negative halves. This is the hash stage of the real
+    heterogeneous-corpus pipeline — images of ANY size and format the
+    thumbnail dispatch understands reduce to 8 bytes here — and it
+    stays format-blind: the codec complexity lives in the resize op."""
+    w_want, h_want = _DHASH_W, _DHASH_H
+
+    def _hash(batches: Iterator):
+        import numpy as np
+        import pandas as pd
+
+        def one(w, h, t):
+            if t is None or w != w_want or h != h_want:
+                return None
+            grid = np.frombuffer(bytes(t), dtype=np.uint8)
+            if grid.size != w_want * h_want:
+                return None
+            grid = grid.reshape(h_want, w_want).astype(np.int64)
+            bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)
+            rowbytes = (bits << np.arange(8, dtype=np.int64)).sum(axis=1)
+            lo = int(sum(int(rowbytes[r]) << (8 * r) for r in range(4)))
+            hi = int(sum(int(rowbytes[r + 4]) << (8 * r)
+                         for r in range(4)))
+            return (lo, hi)
+
+        for pdf in batches:
+            rows = [one(w, h, t) for w, h, t in
+                    zip(pdf["width"], pdf["height"], pdf["thumbnail"])]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "dhash_lo": [r[0] if r else None for r in rows],
+                "dhash_hi": [r[1] if r else None for r in rows],
+            })
+
+    return thumbs.select("doc_id", "width", "height",
+                         "thumbnail").mapInPandas(
+        _hash, schema="doc_id long, dhash_lo long, dhash_hi long")

@@ -1056,6 +1056,26 @@ def q_multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=AFP_MAX_DIST, lo="fp_lo", hi="fp_hi")
 
 
+def q_multimodal_phash_pipeline(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The REAL heterogeneous-corpus pHash pipeline (r11): high-res
+    BMPs (27x24, the dHash grid rendered at 3x) decode through the
+    shared BMP parser, `image_thumbnails` area-averages them down to
+    the canonical 9x8 grid, `thumbnail_dhash` hashes the RESIZED
+    pixels, and the banded hamming join finds near-dups — four real
+    stages (decode → resize → hash → join), the pipeline an
+    any-size-image corpus actually runs. Block-constant rendering at
+    exact-multiple dims makes the resize provably lossless (mean of a
+    constant block), so this pipeline's oracle IS the canonical dHash
+    tier's oracle — a cross-pipeline identity the driver checks
+    hash-exact."""
+    thumbs = multimodal.image_thumbnails(
+        multimodal.dhash_hires_payloads(_docs(spark, sf_dir)),
+        width=9, height=8)
+    return dedup.dhash_neardup(multimodal.thumbnail_dhash(thumbs),
+                               max_dist=DHASH_MAX_DIST)
+
+
 VFP_MAX_DIST = 6
 
 
@@ -1282,6 +1302,7 @@ QUERIES = {
     "multimodal_dhash_neardup": q_multimodal_dhash_neardup,
     "multimodal_audio_fp": q_multimodal_audio_fp,
     "multimodal_video_fp": q_multimodal_video_fp,
+    "multimodal_phash_pipeline": q_multimodal_phash_pipeline,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -2936,6 +2957,12 @@ hashes AS (
                   ELSE 0 END) AS BIGINT) AS dhash_hi
   FROM bits GROUP BY doc_id
 ){_phash_join_sql("dhash_lo", "dhash_hi", DHASH_MAX_DIST)}"""
+
+# the composed decode→resize→hash→join pipeline is provably equal to
+# the canonical dHash tier (block-constant render at exact-multiple
+# dims makes the area average lossless), so it shares the SAME oracle
+# — a cross-pipeline identity, checked hash-exact
+ORACLES["multimodal_phash_pipeline"] = ORACLES["multimodal_dhash_neardup"]
 
 # acoustic-fingerprint near-dup tier (r11, the audio leg of the dHash
 # pattern): window values u(w) recomputed analytically from the shared

@@ -631,6 +631,10 @@ tiers = [
     ("dhash", mm.image_dhash, mm.dhash_payloads(docs)),
     ("audio_fp", mm.audio_fingerprint, mm.audio_fp_payloads(docs)),
     ("video_fp", mm.decode_gif_frames, mm.video_fp_payloads(docs)),
+    ("phash_pipe",
+     lambda df: mm.thumbnail_dhash(mm.image_thumbnails(df, width=9,
+                                                       height=8)),
+     mm.dhash_hires_payloads(docs)),
 ]
 for name, decode, payloads in tiers:
     rows = decode(payloads).collect()

@@ -999,3 +999,29 @@ def test_gif_frames_without_gce_default_delay_zero(spark):
     assert len(mine) == 1
     assert mine[0].delay_cs == 0 and mine[0].idx_sum == sum(idxs)
     assert len([r for r in rows if r.doc_id == 1]) == 3  # sibling fine
+
+
+def test_phash_pipeline_equals_canonical_dhash(spark):
+    """Cross-pipeline identity, in-engine and row-by-row (stronger
+    than the shared oracle's multiset hash): for the same docs, the
+    four-stage real pipeline — 3x-rendered BMP → shared BMP decode →
+    `image_thumbnails` area-average down to 9x8 → `thumbnail_dhash` —
+    produces EXACTLY the hash `image_dhash` computes from the
+    canonical-size render. Block-constant rendering at exact-multiple
+    dims makes the resize provably lossless; any drift in the resize
+    edges, the grayscale conversion, or either packer breaks this."""
+    from ha_sqllite_2_influxdb_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(d,) for d in (0, 5, 64, 77, 200, 321, 499)], "doc_id long")
+    canonical = {r.doc_id: (r.dhash_lo, r.dhash_hi) for r in
+                 mm.image_dhash(mm.dhash_payloads(docs)).collect()}
+    piped = {r.doc_id: (r.dhash_lo, r.dhash_hi) for r in
+             mm.thumbnail_dhash(mm.image_thumbnails(
+                 mm.dhash_hires_payloads(docs), width=9, height=8))
+             .collect()}
+    assert piped == canonical and len(piped) == 7
+    # a wrong-size thumbnail request nulls the hash, never mis-hashes
+    wrong = mm.thumbnail_dhash(mm.image_thumbnails(
+        mm.dhash_hires_payloads(docs), width=8, height=8)).collect()
+    assert all(r.dhash_lo is None for r in wrong)
