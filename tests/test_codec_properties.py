@@ -752,6 +752,10 @@ def test_inline_parser_decoders_survive_batch_corruption(spark):
         ("thumb_bmp", mm.image_thumbnails, mm.bmp_payloads(docs)),
         ("thumb_png", mm.image_thumbnails, mm.png_payloads(docs)),
         ("frames", mm.sample_frames, mm.payloads(docs)),
+        ("phash_pipe",
+         lambda df: mm.thumbnail_dhash(
+             mm.image_thumbnails(df, width=9, height=8)),
+         mm.dhash_hires_payloads(docs)),
     ]
     rng = random.Random(0x1111E)
     for name, decode, paydf in suites:
