@@ -1275,9 +1275,12 @@ def dhash_neardup(hashes: DataFrame, max_dist: int = 6,
     ``(doc_id, dhash_lo, dhash_hi)`` (two non-negative 32-bit halves of
     a 64-bit dHash — see `operators.multimodal.image_dhash`): band each
     hash into 4x16 bits, equi-join docs sharing any band value (the
-    MinHash-LSH candidate shape — two near hashes with distance <= 6
-    agree on at least one 16-bit band whenever their differing bits
-    cluster in <= 3 bands; the fixture's do by construction), then keep
+    MinHash-LSH candidate shape — pairs at distance <= 3 are ALWAYS
+    found, 3 bits cannot touch all 4 bands (pigeonhole; pinned by
+    test_banded_join_completeness_floor); distance 4..6 pairs are
+    found unless their bits spread over all four bands — the
+    documented LSH recall edge, shared bit-for-bit by the SQL oracle
+    so the engines can never disagree about WHICH pairs exist), keep
     candidate pairs within ``max_dist`` hamming (xor + bit_count, both
     engines' native popcount). Output is per-doc and output-bounded:
     every hashed doc with its near-dup count, partner-id checksum and

@@ -774,3 +774,24 @@ def test_inline_parser_decoders_survive_batch_corruption(spark):
                 i += 1
         df = spark.createDataFrame(rows, "doc_id long, payload binary")
         assert decode(df).count() >= 0, name  # must not raise
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, (1 << 64) - 1),
+       st.lists(st.integers(0, 63), min_size=1, max_size=3,
+                unique=True))
+def test_banded_join_completeness_floor(h, flips):
+    """The recall contract of the perceptual banded join, as a theorem
+    over the banding math: two 64-bit hashes at hamming distance <= 3
+    ALWAYS share at least one exact 16-bit band (3 differing bits
+    cannot touch all 4 bands — pigeonhole), so the band equi-join finds
+    every such pair; distance 4..6 pairs are found unless their bits
+    spread over all four bands (the documented LSH recall edge, shared
+    bit-for-bit by the DuckDB oracle so the two engines can never
+    disagree about WHICH pairs exist)."""
+    h2 = h
+    for b in flips:
+        h2 ^= 1 << b
+    bands = [(h >> (16 * i)) & 0xFFFF for i in range(4)]
+    bands2 = [(h2 >> (16 * i)) & 0xFFFF for i in range(4)]
+    assert any(a == b for a, b in zip(bands, bands2))
