@@ -971,3 +971,38 @@ def mrl_rerank_topk(embeddings: DataFrame, n_queries: int = 5,
     return (rer.withColumn("rk", F.row_number().over(w2))
             .filter(F.col("rk") <= k)
             .select("query_id", "cand_id", "cos_sim", "rk"))
+
+
+def phash_knn(hashes: DataFrame, n_queries: int = 8,
+              k: int = 5) -> DataFrame:
+    """Search-by-image: exact top-k hamming neighbors for each query
+    hash over a perceptual-hash relation ``(doc_id, dhash_lo,
+    dhash_hi)`` — the retrieval face of the perceptual family
+    (`dedup.dhash_neardup` answers "which pairs are near"; this
+    answers "what is most similar to THIS image").
+
+    Shape = `knn_brute_force`: queries (doc_id < n_queries) broadcast
+    into the candidate scan, distance = popcount(xor) on the two
+    non-negative halves — pure JVM column arithmetic, 8 bytes per
+    row — and a fully deterministic ranking (distance, then cand_id).
+    This is the exact oracle tier; the 100× path prunes candidates
+    with the same 16-bit band index the near-dup join uses (a
+    candidate at distance <= 3 from a query ALWAYS shares a band —
+    the pinned pigeonhole floor) and reranks the shortlist here."""
+    q = hashes.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("dhash_lo").alias("qlo"), F.col("dhash_hi").alias("qhi"))
+    c = hashes.filter(F.col("doc_id") >= n_queries).select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("dhash_lo").alias("clo"), F.col("dhash_hi").alias("chi"))
+    scored = q.crossJoin(c).select(
+        "query_id", "cand_id",
+        (F.bit_count(F.col("qlo").bitwiseXOR(F.col("clo")))
+         + F.bit_count(F.col("qhi").bitwiseXOR(F.col("chi"))))
+        .cast("long").alias("dist"))
+    w = W.partitionBy("query_id").orderBy(F.asc("dist"),
+                                          F.asc("cand_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "cand_id", "dist",
+                    F.col("rk").cast("long").alias("rk")))

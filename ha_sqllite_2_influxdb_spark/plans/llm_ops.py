@@ -1056,6 +1056,22 @@ def q_multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_dist=AFP_MAX_DIST, lo="fp_lo", hi="fp_hi")
 
 
+def q_multimodal_phash_knn(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Search-by-image (r11): exact hamming top-5 for 8 query images
+    over the corpus's REAL decoded dHashes (`similarity.phash_knn`) —
+    the retrieval face of the perceptual family, completing
+    pair-finding (`multimodal_dhash_neardup`), streaming
+    classification (`stream_phash_dedup`) and the composed resize
+    pipeline. Deterministic ranking (distance, then cand_id); the
+    oracle recomputes the hashes analytically and ranks with the same
+    window in SQL."""
+    hashes = multimodal.image_dhash(
+        multimodal.dhash_payloads(_docs(spark, sf_dir))).select(
+        "doc_id", "dhash_lo", "dhash_hi")
+    return similarity.phash_knn(hashes, n_queries=8, k=5)
+
+
 def q_multimodal_phash_pipeline(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """The REAL heterogeneous-corpus pHash pipeline (r11): high-res
@@ -1303,6 +1319,7 @@ QUERIES = {
     "multimodal_audio_fp": q_multimodal_audio_fp,
     "multimodal_video_fp": q_multimodal_video_fp,
     "multimodal_phash_pipeline": q_multimodal_phash_pipeline,
+    "multimodal_phash_knn": q_multimodal_phash_knn,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -2963,6 +2980,53 @@ hashes AS (
 # dims makes the area average lossless), so it shares the SAME oracle
 # — a cross-pipeline identity, checked hash-exact
 ORACLES["multimodal_phash_pipeline"] = ORACLES["multimodal_dhash_neardup"]
+
+# perceptual retrieval (r11): hashes from the shared analytic CTE,
+# exact hamming ranking with the identical deterministic tiebreak
+ORACLES["multimodal_phash_knn"] = f"""
+WITH bits AS (
+  SELECT doc_id, r, x,
+    CASE WHEN (o + (x + 1) * s) % 256 > (o + x * s) % 256
+         THEN 1 ELSE 0 END AS bit
+  FROM (
+    SELECT doc_id, r, x,
+      (doc_id % {multimodal._DHASH_GROUPS}) * {multimodal._DHASH_O_GM}
+        + r * {multimodal._DHASH_O_RM}
+        + ((doc_id // {multimodal._DHASH_GROUPS}) * (r + 3))
+          % {multimodal._DHASH_NOISE_MOD} AS o,
+      {multimodal._DHASH_STEP_BASE} + {multimodal._DHASH_STEP_MULT}
+        * (((doc_id % {multimodal._DHASH_GROUPS})
+            * {multimodal._DHASH_STEP_GM}
+            + r * {multimodal._DHASH_STEP_RM})
+           % {multimodal._DHASH_STEP_MOD}) AS s
+    FROM documents,
+      unnest(generate_series(0, {multimodal._DHASH_H - 1}, 1)) AS t1(r),
+      unnest(generate_series(0, {multimodal._DHASH_W - 2}, 1)) AS t2(x))
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN r < 4
+                  THEN bit * (CAST(1 AS BIGINT) << (r * 8 + x))
+                  ELSE 0 END) AS BIGINT) AS dhash_lo,
+    CAST(sum(CASE WHEN r >= 4
+                  THEN bit * (CAST(1 AS BIGINT) << ((r - 4) * 8 + x))
+                  ELSE 0 END) AS BIGINT) AS dhash_hi
+  FROM bits GROUP BY doc_id
+),
+scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+    CAST(bit_count(xor(q.dhash_lo, c.dhash_lo))
+         + bit_count(xor(q.dhash_hi, c.dhash_hi)) AS BIGINT) AS dist
+  FROM hashes q, hashes c
+  WHERE q.doc_id < 8 AND c.doc_id >= 8
+)
+SELECT query_id, cand_id, dist, rk FROM (
+  SELECT query_id, cand_id, dist,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, cand_id) AS BIGINT) AS rk
+  FROM scored)
+WHERE rk <= 5
+"""
 
 # acoustic-fingerprint near-dup tier (r11, the audio leg of the dHash
 # pattern): window values u(w) recomputed analytically from the shared

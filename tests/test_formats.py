@@ -1025,3 +1025,32 @@ def test_phash_pipeline_equals_canonical_dhash(spark):
     wrong = mm.thumbnail_dhash(mm.image_thumbnails(
         mm.dhash_hires_payloads(docs), width=8, height=8)).collect()
     assert all(r.dhash_lo is None for r in wrong)
+
+
+def test_phash_knn_matches_brute_force_reference(spark):
+    """Perceptual retrieval: `similarity.phash_knn`'s top-k equals an
+    independent driver-side brute-force ranking (same distance, same
+    (dist, cand_id) tiebreak) computed from the operator's own hash
+    relation — and every query returns exactly k rows with ranks
+    1..k."""
+    from ha_sqllite_2_influxdb_spark.operators import (
+        multimodal as mm, similarity,
+    )
+
+    docs = spark.createDataFrame(
+        [(d,) for d in range(60)], "doc_id long")
+    hashes = mm.image_dhash(mm.dhash_payloads(docs)).select(
+        "doc_id", "dhash_lo", "dhash_hi")
+    hv = {r.doc_id: (r.dhash_lo, r.dhash_hi) for r in hashes.collect()}
+    got = similarity.phash_knn(hashes, n_queries=4, k=3).collect()
+
+    def dist(a, b):
+        return (bin(hv[a][0] ^ hv[b][0]).count("1")
+                + bin(hv[a][1] ^ hv[b][1]).count("1"))
+
+    for qid in range(4):
+        want = sorted(((dist(qid, c), c) for c in hv if c >= 4))[:3]
+        mine = sorted([r for r in got if r.query_id == qid],
+                      key=lambda r: r.rk)
+        assert [r.rk for r in mine] == [1, 2, 3], qid
+        assert [(r.dist, r.cand_id) for r in mine] == want, qid
