@@ -113,12 +113,14 @@ _NEXT_WINDOW_PLAN_R13 = [
 ]
 assert len(_NEXT_WINDOW_PLAN_R13) == 50
 
-# NOTE for the r12 re-balance: five further r11-session registrations —
+# NOTE for the r12 re-balance: six further r11-session registrations —
 # multimodal_audio_fp, multimodal_video_fp, stream_phash_dedup,
 # multimodal_phash_pipeline, multimodal_phash_knn (all oracle-backed,
-# hash-exact in the r11 sims) — ride the freshness gate's birth grace
-# (introduced=11) because both committed plans are full; slot them when
-# the r12 close re-balances R13/R14.
+# hash-exact in the r11 sims) and multimodal_phash_knn_banded
+# (rows-only by nature — LSH shortlist recall, pinned vs the exact tier
+# in pytest) — ride the freshness gate's birth grace (introduced=11)
+# because both committed plans are full; slot them when the r12 close
+# re-balances R13/R14.
 
 
 def _registry():

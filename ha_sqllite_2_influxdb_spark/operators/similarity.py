@@ -1006,3 +1006,50 @@ def phash_knn(hashes: DataFrame, n_queries: int = 8,
             .filter(F.col("rk") <= k)
             .select("query_id", "cand_id", "dist",
                     F.col("rk").cast("long").alias("rk")))
+
+
+def phash_knn_banded(hashes: DataFrame, n_queries: int = 8,
+                     k: int = 5) -> DataFrame:
+    """The 100× scale path of `phash_knn`: instead of scoring every
+    candidate, generate a shortlist by the SAME 4x16-bit band
+    equi-join the near-dup tier uses (a candidate at hamming <= 3 from
+    a query ALWAYS shares a band — the pinned pigeonhole floor; <= 6
+    shares one unless its bits spread over all four bands), then
+    rerank only the shortlist by exact distance with the identical
+    deterministic tiebreak. Sub-top-k neighbors beyond band reach can
+    be missed — the honest LSH recall trade, pinned against the exact
+    tier in pytest (the ann_lsh / IVF convention). At corpus scale the
+    band join replaces the full scan with |buckets touched by the
+    queries| — the queries' 4 band keys semi-join the banded corpus
+    index, the same index the near-dup pass already built."""
+    def bands(df, id_alias, lo, hi):
+        return df.select(
+            F.col("doc_id").alias(id_alias),
+            F.col("dhash_lo").alias(lo), F.col("dhash_hi").alias(hi),
+            F.posexplode(F.array(
+                F.col("dhash_lo") % 65536,
+                F.expr("dhash_lo div 65536"),
+                F.col("dhash_hi") % 65536,
+                F.expr("dhash_hi div 65536"),
+            )).alias("band_idx", "band_val"))
+
+    qb = bands(hashes.filter(F.col("doc_id") < n_queries),
+               "query_id", "qlo", "qhi")
+    cb = bands(hashes.filter(F.col("doc_id") >= n_queries),
+               "cand_id", "clo", "chi")
+    shortlist = (
+        qb.join(cb, ["band_idx", "band_val"])
+        .select("query_id", "cand_id", "qlo", "qhi", "clo", "chi")
+        .distinct()
+        .withColumn(
+            "dist",
+            (F.bit_count(F.col("qlo").bitwiseXOR(F.col("clo")))
+             + F.bit_count(F.col("qhi").bitwiseXOR(F.col("chi"))))
+            .cast("long"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("dist"),
+                                          F.asc("cand_id"))
+    return (shortlist.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "cand_id", "dist",
+                    F.col("rk").cast("long").alias("rk")))

@@ -1072,6 +1072,19 @@ def q_multimodal_phash_knn(spark: SparkSession,
     return similarity.phash_knn(hashes, n_queries=8, k=5)
 
 
+def q_multimodal_phash_knn_banded(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Rows-only scale path of `multimodal_phash_knn` (the ann_lsh /
+    IVF convention): band-equi-join shortlist, exact-distance rerank.
+    Recall vs the exact tier and per-row distance soundness are pinned
+    in pytest (test_phash_knn_banded_recall_vs_exact); no SQL oracle —
+    the shortlist's membership is the LSH approximation itself."""
+    hashes = multimodal.image_dhash(
+        multimodal.dhash_payloads(_docs(spark, sf_dir))).select(
+        "doc_id", "dhash_lo", "dhash_hi")
+    return similarity.phash_knn_banded(hashes, n_queries=8, k=5)
+
+
 def q_multimodal_phash_pipeline(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """The REAL heterogeneous-corpus pHash pipeline (r11): high-res
@@ -1320,6 +1333,7 @@ QUERIES = {
     "multimodal_video_fp": q_multimodal_video_fp,
     "multimodal_phash_pipeline": q_multimodal_phash_pipeline,
     "multimodal_phash_knn": q_multimodal_phash_knn,
+    "multimodal_phash_knn_banded": q_multimodal_phash_knn_banded,
 }
 
 # ---------------------------------------------------------------- oracles

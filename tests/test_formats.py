@@ -1054,3 +1054,33 @@ def test_phash_knn_matches_brute_force_reference(spark):
                       key=lambda r: r.rk)
         assert [r.rk for r in mine] == [1, 2, 3], qid
         assert [(r.dist, r.cand_id) for r in mine] == want, qid
+
+
+def test_phash_knn_banded_recall_vs_exact(spark):
+    """The banded shortlist path (the ann_lsh/IVF recall convention):
+    every result it returns carries the TRUE exact distance (rerank is
+    exact — soundness), and its recall of the exact tier's top-k is
+    high on the fixture (same-group neighbors sit within the pinned
+    <= 3 band-sharing floor). Deterministic, so the measured recall is
+    a constant of the fixture, asserted >= 0.9."""
+    from ha_sqllite_2_influxdb_spark.operators import (
+        multimodal as mm, similarity,
+    )
+
+    docs = spark.createDataFrame(
+        [(d,) for d in range(200)], "doc_id long")
+    hashes = mm.image_dhash(mm.dhash_payloads(docs)).select(
+        "doc_id", "dhash_lo", "dhash_hi")
+    exact = {(r.query_id, r.cand_id)
+             for r in similarity.phash_knn(hashes, n_queries=6,
+                                           k=4).collect()}
+    approx = similarity.phash_knn_banded(hashes, n_queries=6,
+                                         k=4).collect()
+    hv = {r.doc_id: (r.dhash_lo, r.dhash_hi) for r in hashes.collect()}
+    for r in approx:  # soundness: reported dist is the true hamming
+        a, b = hv[r.query_id], hv[r.cand_id]
+        assert r.dist == (bin(a[0] ^ b[0]).count("1")
+                          + bin(a[1] ^ b[1]).count("1"))
+    hits = {(r.query_id, r.cand_id) for r in approx}
+    recall = len(exact & hits) / len(exact)
+    assert recall >= 0.9, recall
