@@ -32,41 +32,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # pytest instead. Entries past the window still run under pytest
 # (tests/test_oracle_parity.py covers the whole registry).
 _DRIVER_WINDOW = [
-    # r11 window — _NEXT_WINDOW_PLAN_R11 rotated in VERBATIM (VERDICT
-    # r10 #1, the third byte-verbatim rotation): the 6 never-checked
-    # codec tiers lead (never-checked debt 6 -> 0 this round), then the
-    # 40 entries whose last driver row is r5 (the SURVEY §2 TPC-H /
-    # dedup / LSH core) and the first 4 last=r6 entries. Rows-only by
-    # nature: multimodal_wav_adpcm, multimodal_thumbnail (see
-    # ROWS_ONLY_OK).
-    "multimodal_png_adam7", "multimodal_gif_lct", "multimodal_png_palette",
-    "multimodal_wav_adpcm", "multimodal_jpeg_color", "multimodal_thumbnail",
-    "ha_ts_format", "grouping_sets", "tpch_q7", "tpch_q10", "tpch_q19",
-    "tpch_q18", "tpch_q22", "tpch_q8", "tpch_q9", "tpch_q13", "asof_join",
-    "quantiles", "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "window_topk",
-    "window_running", "sessionize", "set_ops", "pivot_events",
-    "rollup_orders", "multimodal_frames", "dedup_exact",
-    "neardup_minhash_lsh", "ngram_jaccard", "neardup_clusters",
-    "dedup_keep_best", "decontaminate", "pack_sequences", "curriculum_topk",
-    "embedding_centroids", "simhash_signatures", "simhash_neighbors",
-    "embedding_knn", "embedding_neardup", "events_hourly", "stream_dedup",
-    "events_sliding", "stream_join", "ha_attr_fields",
-    "ha_backfill_boundary", "ha_line_protocol", "tpch_q2",
-]
-assert len(_DRIVER_WINDOW) == 50
-
-# Committed r12 rotation (re-balanced at r11 per VERDICT r10 #2). The
-# r11 close makes 93 names stale: the 44 last=r6 entries the old R12
-# plan already held (stale since r10 close) plus the 49 last=r7
-# entries that age out the moment CORRECTNESS_r11.json lands
-# (latest=11 needs last>=8). R12 leads with the two r11-registered
-# codec tiers, keeps the 44 oldest stale names (last=r6) and takes
-# the first 4 last=r7; _NEXT_WINDOW_PLAN_R13 takes the remaining 45.
-# 93 stale + 2 new across two <=50 windows — zero
-# stale-and-unscheduled at r11 close.
-_NEXT_WINDOW_PLAN_R12 = [
-    # the two r11-registered codec tiers lead (VERDICT r10 #5): both
-    # carry exact DuckDB oracles, so they land hash-exact at r12
+    # r12 window — _NEXT_WINDOW_PLAN_R12 rotated in VERBATIM (VERDICT
+    # r11 #1, the fifth byte-verbatim rotation): the two r11-registered
+    # codec tiers lead (both oracle-backed, so they land hash-exact),
+    # then the 44 oldest stale names (last=r6: TPC-H q11-q21, the
+    # streaming tiers, ha_points, quarantine_rows, the curation
+    # pipelines) and the first 4 last=r7 entries. Every slot is
+    # oracle-backed — ROWS_ONLY_OK is empty for this window.
     "multimodal_png_gray16", "multimodal_jpeg_progressive",
     "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q21",
     "salted_join", "distinct_twophase", "range_band_join",
@@ -83,11 +55,11 @@ _NEXT_WINDOW_PLAN_R12 = [
     "influx_integral", "influx_moving_average", "influx_series_stats",
     "ha_points", "ha_oldest_point", "tpch_q14", "cohort_retention",
 ]
-assert len(_NEXT_WINDOW_PLAN_R12) == 50
+assert len(_DRIVER_WINDOW) == 50
 
-# Committed r13 rotation: the remaining 45 last=r7 entries (including
-# the two the new codec registrations displaced from R12). The r12
-# builder re-balances this list with its own newly-stale set at close.
+# Committed r13 rotation (kept VERBATIM from the r11 commit): the
+# remaining 45 last=r7 entries plus the 4 follow-on codec tiers and
+# the dHash near-dup registration (all oracle-backed).
 _NEXT_WINDOW_PLAN_R13 = [
     # the four r11 follow-on codec registrations (DRI resync, sub-byte
     # palette, 24-bit PCM, tRNS alpha), all oracle-backed
@@ -113,14 +85,72 @@ _NEXT_WINDOW_PLAN_R13 = [
 ]
 assert len(_NEXT_WINDOW_PLAN_R13) == 50
 
-# NOTE for the r12 re-balance: six further r11-session registrations —
-# multimodal_audio_fp, multimodal_video_fp, stream_phash_dedup,
-# multimodal_phash_pipeline, multimodal_phash_knn (all oracle-backed,
-# hash-exact in the r11 sims) and multimodal_phash_knn_banded
-# (rows-only by nature — LSH shortlist recall, pinned vs the exact tier
-# in pytest) — ride the freshness gate's birth grace (introduced=11)
-# because both committed plans are full; slot them when the r12 close
-# re-balances R13/R14.
+# Committed r14 rotation (r12 re-balance per VERDICT r11 #2 / ADVICE
+# r11 #3): the 49 entries whose last driver row is r8 — they age out
+# the moment CORRECTNESS_r12.json lands (latest=12 needs last>=9) —
+# plus stream_phash_dedup, the first of the six r11 grace-riding
+# perceptual registrations (oracle-backed; its batch classifier IS the
+# exact oracle).
+_NEXT_WINDOW_PLAN_R14 = [
+    "stream_phash_dedup",
+    "ha_migration_scan", "ha_min_ts", "ha_state_route", "ha_entity_split",
+    "tpch_q4", "tpch_q17", "unpivot_part", "window_analytics",
+    "cube_orders", "sketch_distinct", "sketch_quantiles",
+    "semi_late_orders", "anti_no_orders", "promo_share",
+    "small_qty_revenue", "big_orders", "top_customers", "agg_stats",
+    "touch_attribution", "behavior_allpairs", "minhash_signatures",
+    "ngram_novelty", "bloom_decontaminate", "curate_dsir_pipeline",
+    "neardup_xxhash_lsh", "mrl_rerank", "embedding_ann_lsh",
+    "embedding_ivf", "dsir_resample", "inverted_index",
+    "inverted_index_sharded", "multimodal_decode", "multimodal_gif",
+    "multimodal_gif_anim", "stream_knn", "stream_bloom_gate",
+    "influxql_show_series", "influxql_text_tz", "influxql_text_math",
+    "influxql_text_delete", "influxql_text_multi",
+    "flux_window_fill_prev", "ha_statistics_hourly",
+    "ha_statistics_cascade", "stream_ha_statistics", "ha_utility_meter",
+    "ha_energy_cost", "slo_burn_rate", "series_mean_shift",
+]
+assert len(_NEXT_WINDOW_PLAN_R14) == 50
+
+# Committed r15 rotation: the remaining five r11 grace-riding
+# registrations lead (multimodal_audio_fp, _video_fp, _phash_pipeline,
+# _phash_knn oracle-backed; _phash_knn_banded rows-only by nature —
+# LSH shortlist recall, pinned vs the exact tier in pytest; add it to
+# ROWS_ONLY_OK when this plan rotates into the window), then 45 of the
+# 50 last=r9 entries. Committing THREE plans is within the gate's new
+# depth-3 bound: the registry (305) outgrew the two-plan capacity
+# (50*(4+2)=300), and ceil(305/50)=7 rounds is the rotation floor —
+# window + 3 committed plans + FRESH_ROUNDS=4 covers exactly that
+# period without weakening the freshness bar (see
+# tests/test_advice_regressions.py::test_driver_window_freshness).
+# The 5 last=r9 names this plan could not hold (flux_state_duration,
+# flux_pivot_fields, flux_histogram, flux_histogram_quantile,
+# flux_join_math) stay fresh through the r14 close and MUST lead
+# _NEXT_WINDOW_PLAN_R16 at the r13 re-balance.
+_NEXT_WINDOW_PLAN_R15 = [
+    "multimodal_audio_fp", "multimodal_video_fp",
+    "multimodal_phash_pipeline", "multimodal_phash_knn",
+    "multimodal_phash_knn_banded",
+    "simhash_neighbors_rotated", "token_stats", "text_quality",
+    "lang_id", "fingerprints", "text_clean", "top_bigrams", "text_scrub",
+    "sample_uniform", "sample_stratified", "multimodal_meta",
+    "influxql_text_downsample", "influxql_text_counter_rate",
+    "influxql_text_top", "influxql_text_raw", "influxql_text_summary",
+    "influxql_text_subquery", "influxql_text_cq",
+    "influxql_show_measurements", "influxql_show_tag_values",
+    "influxql_show_cardinality", "influxql_text_regex_or",
+    "influxql_text_now", "influxql_text_stats", "influxql_text_mode",
+    "influxql_text_offset", "influxql_text_elapsed",
+    "influxql_text_sample", "influxql_text_integral",
+    "influxql_text_bucket_offset", "influxql_show_databases",
+    "influxql_show_retention", "influxql_text_scaled",
+    "influxql_text_agg_limit", "influxql_rate_of_mean",
+    "flux_oldest_point", "flux_oldest_global", "flux_downsample_mean",
+    "flux_increase", "flux_derivative_nn", "flux_group_domain_mean",
+    "flux_map_scale_mean", "flux_quantile", "flux_last_per_series",
+    "flux_top_sensors",
+]
+assert len(_NEXT_WINDOW_PLAN_R15) == 50
 
 
 def _registry():

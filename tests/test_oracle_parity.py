@@ -77,16 +77,15 @@ def test_driver_window_contract():
     for those, and the judge sees which). A registry reorder must fail
     here, not silently in the round run."""
     ROWS_ONLY_OK = {
-        # r11 window: the 2 rows-only-by-nature tiers in the committed
-        # _NEXT_WINDOW_PLAN_R11 rotation (VERDICT r10 #1 mandated the
-        # rotation verbatim). Neither has an exact SQL counterpart —
-        # ADPCM is a stateful predictor recurrence, thumbnail emits a
-        # binary column — and each is pinned by exact pytests instead
-        # (tests/test_formats.py::
-        # test_wav_adpcm_hand_pinned_golden_and_roundtrip, tests/
-        # test_llm_ops.py::test_thumbnail_identity_resize_exact +
-        # test_thumbnail_block_aligned_exact).
-        "multimodal_wav_adpcm", "multimodal_thumbnail",
+        # Rows-only-BY-NATURE tiers permitted in any driver window (the
+        # r12 window itself is 50/50 oracle-backed). ADPCM is a
+        # stateful predictor recurrence with no SQL counterpart, pinned
+        # by tests/test_formats.py::
+        # test_wav_adpcm_hand_pinned_golden_and_roundtrip; the banded
+        # pHash kNN is an LSH shortlist whose recall>=0.9 + soundness
+        # are pinned vs the exact tier in tests (it enters the window
+        # at r15 per _NEXT_WINDOW_PLAN_R15).
+        "multimodal_wav_adpcm", "multimodal_phash_knn_banded",
     }
     names = list(QUERIES)[:50]
     assert names == entrymod._DRIVER_WINDOW
