@@ -988,11 +988,21 @@ def phash_knn(hashes: DataFrame, n_queries: int = 8,
     This is the exact oracle tier; the 100× path prunes candidates
     with the same 16-bit band index the near-dup join uses (a
     candidate at distance <= 3 from a query ALWAYS shares a band —
-    the pinned pigeonhole floor) and reranks the shortlist here."""
-    q = hashes.filter(F.col("doc_id") < n_queries).select(
+    the pinned pigeonhole floor) and reranks the shortlist here.
+
+    Null hash halves (image_dhash emits NULL for undecodable
+    payloads) are dropped on BOTH sides before the crossJoin — like
+    `dhash_neardup` — because Spark's ASC ordering is NULLS FIRST:
+    one corrupt candidate would otherwise score dist=NULL and take
+    rank 1 for EVERY query, displacing real neighbors and diverging
+    from both the DuckDB oracle (NULLS LAST) and the banded tier
+    (whose band equi-join drops nulls). ADVICE r11 #1."""
+    decoded = hashes.filter(F.col("dhash_lo").isNotNull()
+                            & F.col("dhash_hi").isNotNull())
+    q = decoded.filter(F.col("doc_id") < n_queries).select(
         F.col("doc_id").alias("query_id"),
         F.col("dhash_lo").alias("qlo"), F.col("dhash_hi").alias("qhi"))
-    c = hashes.filter(F.col("doc_id") >= n_queries).select(
+    c = decoded.filter(F.col("doc_id") >= n_queries).select(
         F.col("doc_id").alias("cand_id"),
         F.col("dhash_lo").alias("clo"), F.col("dhash_hi").alias("chi"))
     scored = q.crossJoin(c).select(

@@ -4,6 +4,8 @@ without value drift vs the parquet baseline — schema-explicit reads,
 timestamp fidelity, and null preservation checked on the events table.
 """
 
+import re
+
 from pyspark.sql import functions as F
 
 from ha_sqllite_2_influxdb_spark.sources.tables import load_table
@@ -968,6 +970,42 @@ def test_phash_classify_statuses(spark):
     assert out[999].status == "new" and out[999].dhash_lo is None
 
 
+def test_phash_classify_index_join_both_branches(spark):
+    """VERDICT r11 #3 / ADVICE r11 #2: the at-scale join strategy must
+    be EXECUTABLE, not prose. broadcast_index=True (default) pins a
+    BroadcastHashJoin on the band equi-join with no band-keyed
+    exchange; broadcast_index=False pins a shuffle join (SortMergeJoin
+    or ShuffledHashJoin) whose band keys ARE exchanged — the
+    billion-image-index plan. Both branches must classify every doc
+    identically."""
+    from ha_sqllite_2_influxdb_spark.operators import dedup, multimodal as mm
+
+    curated = mm.image_dhash(mm.dhash_payloads(spark.createDataFrame(
+        [(11,), (8,), (30,)], "doc_id long"))).select(
+        "dhash_lo", "dhash_hi")
+    arriving = mm.image_dhash(mm.dhash_payloads(spark.createDataFrame(
+        [(d,) for d in range(25)], "doc_id long"))).select(
+        "doc_id", "dhash_lo", "dhash_hi")
+
+    bc = dedup.phash_classify(arriving, curated, broadcast_index=True)
+    sh = dedup.phash_classify(arriving, curated, broadcast_index=False)
+
+    bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+    sh_plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bc_plan
+    assert not re.search(
+        r"Exchange hashpartitioning\(band_idx", bc_plan), (
+        "broadcast branch shuffled the band keys")
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin", sh_plan), sh_plan
+    assert re.search(r"Exchange hashpartitioning\(band_idx", sh_plan), (
+        "shuffle branch shows no band-keyed exchange — the hint "
+        "crept back in")
+
+    rows = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.min_dist, r.status) for r in df.collect())
+    assert rows(bc) == rows(sh)
+
+
 def test_gif_frames_without_gce_default_delay_zero(spark):
     """r11 sweep find: a frame with no preceding Graphic Control
     Extension is legal GIF89a (no delay specified; renderers use 0),
@@ -1054,6 +1092,36 @@ def test_phash_knn_matches_brute_force_reference(spark):
                       key=lambda r: r.rk)
         assert [r.rk for r in mine] == [1, 2, 3], qid
         assert [(r.dist, r.cand_id) for r in mine] == want, qid
+
+
+def test_phash_knn_drops_null_hashes(spark):
+    """ADVICE r11 #1: image_dhash emits NULL hash halves for
+    undecodable payloads, and Spark's ASC sort is NULLS FIRST — an
+    unfiltered corrupt candidate would score dist=NULL and take rank 1
+    for EVERY query. Inject one null-hash candidate and one null-hash
+    query: the candidate must appear in NO result row, the query must
+    contribute NO result group, and the ranking of the clean queries
+    must equal the all-clean run exactly."""
+    from ha_sqllite_2_influxdb_spark.operators import (
+        multimodal as mm, similarity,
+    )
+
+    docs = spark.createDataFrame([(d,) for d in range(40)], "doc_id long")
+    clean = mm.image_dhash(mm.dhash_payloads(docs)).select(
+        "doc_id", "dhash_lo", "dhash_hi")
+    corrupt = spark.createDataFrame(
+        [(2, None, None), (90, None, None)],
+        "doc_id long, dhash_lo long, dhash_hi long")
+    mixed = clean.filter(F.col("doc_id") != 2).unionByName(corrupt)
+
+    got = similarity.phash_knn(mixed, n_queries=4, k=3).collect()
+    assert all(r.cand_id != 90 for r in got), "null candidate ranked"
+    assert {r.query_id for r in got} == {0, 1, 3}, "null query emitted"
+    assert all(r.dist is not None for r in got)
+    baseline = similarity.phash_knn(
+        clean.filter(F.col("doc_id") != 2), n_queries=4, k=3).collect()
+    assert sorted((r.query_id, r.rk, r.cand_id, r.dist) for r in got) \
+        == sorted((r.query_id, r.rk, r.cand_id, r.dist) for r in baseline)
 
 
 def test_phash_knn_banded_recall_vs_exact(spark):

@@ -377,6 +377,16 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
         # The uncapped exact tier is |flood|² here and NOT probed.
         "dhash_neardup_capped_viral": lambda: dedup.dhash_neardup(
             phv, bucket_cap=256),
+        # r12 (VERDICT r11 #3): the classifier's shuffle-join branch —
+        # the billion-image-index configuration where the band table
+        # cannot broadcast. The INDEX side grows 10× (the masked-replica
+        # corpus); the ARRIVING side is pinned to replica 0, so the
+        # measured work is the index scan + band-keyed exchange + the
+        # arriving side's bounded candidate join: wall must track the
+        # index scan, never |arriving|x|index|.
+        "phash_classify_shuffle": lambda: dedup.phash_classify(
+            ph.filter(F.col("doc_id") < 10_000_000), ph,
+            broadcast_index=False),
     }
 
 
