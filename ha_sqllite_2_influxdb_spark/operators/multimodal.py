@@ -2243,6 +2243,21 @@ THUMBNAIL_SCHEMA = T.StructType([
     T.StructField("src_height", T.LongType()),
     T.StructField("width", T.LongType()),
     T.StructField("height", T.LongType()),
+    # exact BIGINT axes over the PRE-round region sums (the gray16
+    # precedent, VERDICT r11 #4): gray3 is 3x the gray value in the
+    # source's native integer scale (BMP: B+G+R per pixel; 8-bit
+    # single-channel: 3v; paletted: R+G+B of the palette entry; 16-bit
+    # gray: 3x the native 0..65535 sample), summed over every region
+    # slice the resize actually averages — pixel repetition on the
+    # upsample path counts repeats, exactly like the float pipeline.
+    # gray3_sum pins the decode; region_weighted_gray3 (weight
+    # i*width+j+1 over target cells) pins the bucket-edge GEOMETRY: a
+    # moved edge shifts source pixels between differently-weighted
+    # regions. Integer sums are DuckDB-reproducible bit-for-bit where
+    # the rounded thumbnail bytes are not (np.round half-to-even on a
+    # float64 quotient has no exact SQL counterpart at ties).
+    T.StructField("gray3_sum", T.LongType()),
+    T.StructField("region_weighted_gray3", T.LongType()),
     T.StructField("thumb_mean", T.DoubleType()),
     T.StructField("thumbnail", T.BinaryType()),
 ])
@@ -2298,14 +2313,19 @@ def image_thumbnails(payload_df: DataFrame, width: int = 8,
             return None
 
         def gray_of(b: bytes):
+            # returns (fmt, w, h, float_gray, int_gray3): float_gray is
+            # what the resize averages; int_gray3 is 3x gray in the
+            # source's NATIVE integer scale (see THUMBNAIL_SCHEMA), the
+            # exact lane the BIGINT oracle axes are computed from
             if b[:2] == b"BM":
                 r = bmp_of(b)
                 if r is None:
                     return None
                 w, h, _bpp, _nb, samples = r
+                trip = samples.reshape(h, w, 3)
                 # BGR triplets -> per-pixel channel mean
-                return "bmp", w, h, samples.reshape(h, w, 3).astype(
-                    np.float64).mean(axis=2)
+                return ("bmp", w, h, trip.astype(np.float64).mean(axis=2),
+                        trip.astype(np.int64).sum(axis=2))
             if b[:8] == b"\x89PNG\r\n\x1a\n":
                 # IHDR is mandatory-first: color type lives at byte 25
                 if len(b) > 25 and b[25] == 3:
@@ -2314,8 +2334,9 @@ def image_thumbnails(payload_df: DataFrame, width: int = 8,
                         return None
                     w, h, _nc, img, pal, _alpha = r
                     # palette-mapped RGB -> per-pixel channel mean
-                    return "png_plte", w, h, pal.astype(
-                        np.float64).mean(axis=1)[img]
+                    return ("png_plte", w, h,
+                            pal.astype(np.float64).mean(axis=1)[img],
+                            pal.astype(np.int64).sum(axis=1)[img])
                 # bit depth lives at byte 24; 16-bit gray (r10) scales
                 # back to the 8-bit range (65535 = 255 * 257)
                 if len(b) > 25 and b[24] == 16 and b[25] == 0:
@@ -2323,43 +2344,54 @@ def image_thumbnails(payload_df: DataFrame, width: int = 8,
                     if r is None:
                         return None
                     w, h, samples = r
-                    return "png_gray16", w, h, (
-                        samples.astype(np.float64) / 257.0)
+                    return ("png_gray16", w, h,
+                            samples.astype(np.float64) / 257.0,
+                            samples.astype(np.int64) * 3)
                 r = png_of(b)
                 if r is None:
                     return None
                 w, h, _d, _ct, img = r
-                return "png", w, h, img.astype(np.float64)
+                return ("png", w, h, img.astype(np.float64),
+                        img.astype(np.int64) * 3)
             if b[:2] == b"\xff\xd8":
                 if jpeg_sof(b) == 0xC2:
                     r = prog_of(b)   # r9: progressive (SOF2)
                     if r is None:
                         return None
                     w, h, _nb, _ns, pix = r
-                    return "jpeg_prog", w, h, pix
+                    return ("jpeg_prog", w, h, pix,
+                            np.rint(np.asarray(pix)).astype(np.int64) * 3)
                 r = jpeg_of(b)
                 if r is None:
                     return None
                 w, h, _nb, pix = r
-                return "jpeg", w, h, pix
+                return ("jpeg", w, h, pix,
+                        np.rint(np.asarray(pix)).astype(np.int64) * 3)
             return None
 
         def one(b: bytes):
             g = gray_of(b)
             if g is None:
                 return None
-            fmt, w, h, img = g
+            fmt, w, h, img, g3 = g
             re = np.arange(height + 1) * h // height
             ce = np.arange(width + 1) * w // width
             out = np.empty((height, width), dtype=np.float64)
+            g3_sum = 0
+            g3_weighted = 0
             for i in range(height):
                 r0, r1 = re[i], max(re[i + 1], re[i] + 1)
                 for j in range(width):
                     c0, c1 = ce[j], max(ce[j + 1], ce[j] + 1)
                     out[i, j] = img[min(r0, h - 1):r1,
                                     min(c0, w - 1):c1].mean()
+                    s3 = int(g3[min(r0, h - 1):r1,
+                               min(c0, w - 1):c1].sum())
+                    g3_sum += s3
+                    g3_weighted += s3 * (i * width + j + 1)
             thumb = np.round(out).astype(np.uint8)
-            return (fmt, w, h, float(thumb.astype(np.float64).mean()),
+            return (fmt, w, h, g3_sum, g3_weighted,
+                    float(thumb.astype(np.float64).mean()),
                     thumb.tobytes())
 
         for pdf in batches:
@@ -2371,8 +2403,11 @@ def image_thumbnails(payload_df: DataFrame, width: int = 8,
                 "src_height": [r[2] if r else None for r in rows],
                 "width": [width if r else None for r in rows],
                 "height": [height if r else None for r in rows],
-                "thumb_mean": [r[3] if r else None for r in rows],
-                "thumbnail": [r[4] if r else None for r in rows],
+                "gray3_sum": [r[3] if r else None for r in rows],
+                "region_weighted_gray3":
+                    [r[4] if r else None for r in rows],
+                "thumb_mean": [r[5] if r else None for r in rows],
+                "thumbnail": [r[6] if r else None for r in rows],
             })
 
     return payload_df.mapInPandas(_resize, schema=THUMBNAIL_SCHEMA)

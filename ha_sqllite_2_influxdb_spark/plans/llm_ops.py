@@ -1193,13 +1193,24 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only (binary-producing): REAL grayscale area-average resize
-    over a MIXED payload column — each doc routes to BMP, PNG or JPEG by
-    doc_id % 3, and `image_thumbnails` magic-byte-dispatches to the
-    matching in-repo codec. pytest asserts identity-resize exactness,
-    block-aligned exactness, a numpy-reference for the general case and
-    the P7 null-row convention; thumbnail bytes make it rows-only."""
-    docs = _docs(spark, sf_dir)
+    """REAL grayscale area-average resize over a MIXED payload column —
+    each doc routes to BMP, PNG or JPEG by doc_id % 3, and
+    `image_thumbnails` magic-byte-dispatches to the matching in-repo
+    codec. Hash-exact since r12 (VERDICT r11 #4, retiring the rows-only
+    verdict): the projected axes are the EXACT BIGINT pair
+    (gray3_sum, region_weighted_gray3) computed over the PRE-round
+    region sums in the source's native integer scale, which the DuckDB
+    oracle reproduces analytically — decode formula per route (BMP
+    byte-cycling INCLUDING the 4-byte row stride, PNG text cycling,
+    JPEG block constants) AND the floor-bucket resize geometry with its
+    upsample pixel-repetition clamps. The rounded thumbnail bytes and
+    their mean stay pytest-side (np.round half-to-even on a float64
+    quotient has no exact SQL counterpart at ties); both engines filter
+    to non-empty ASCII docs with the identical predicate (the gray16
+    convention — byte indexing == character indexing only there)."""
+    docs = _docs(spark, sf_dir).filter(
+        (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text")))
     mixed = (
         multimodal.bmp_payloads(docs.filter(F.col("doc_id") % 3 == 0))
         .unionByName(
@@ -1209,7 +1220,7 @@ def q_multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return multimodal.image_thumbnails(mixed).select(
         "doc_id", "src_format", "src_width", "src_height",
-        "width", "height", "thumb_mean",
+        "width", "height", "gray3_sum", "region_weighted_gray3",
     )
 
 
@@ -2729,6 +2740,67 @@ SELECT doc_id, width, height, nb AS n_blocks,
     AS mean_pixel
 FROM blocks
 GROUP BY doc_id, width, height, nb
+""",
+    # thumbnail (r12, VERDICT r11 #4 — retires the rows-only verdict):
+    # reproduce the ENTIRE decode+resize analytically. Per-route pixel
+    # formula — BMP cycles text bytes over the PADDED row stride
+    # ((3w+3)//4*4), PNG cycles per-pixel, JPEG is the lossless
+    # block-constant formula — then the floor-bucket region geometry
+    # (r0 = i*h//8 clamped, r1 = max((i+1)*h//8, r0+1) — the upsample
+    # pixel-repetition clamps included) and the two exact BIGINT axes
+    # over the pre-round region sums. ASCII filter: gray16 convention.
+    "multimodal_thumbnail": """
+WITH dims AS (
+  SELECT doc_id, text, length(text) AS tl,
+    CASE WHEN doc_id % 3 = 2 THEN 24 ELSE (doc_id % 16) + 4 END AS w,
+    CASE WHEN doc_id % 3 = 2 THEN 8 * ((doc_id % 2) + 1)
+         ELSE (doc_id % 8) + 2 END AS h
+  FROM documents
+  WHERE length(text) > 0 AND strlen(text) = length(text)
+),
+regions AS (
+  SELECT doc_id, text, tl, w, h, i, j,
+    least(i * h // 8, h - 1) AS r0,
+    greatest((i + 1) * h // 8, i * h // 8 + 1) AS r1,
+    least(j * w // 8, w - 1) AS c0,
+    greatest((j + 1) * w // 8, j * w // 8 + 1) AS c1
+  FROM dims,
+    unnest(generate_series(0, 7, 1)) AS ti(i),
+    unnest(generate_series(0, 7, 1)) AS tj(j)
+),
+cells AS (
+  SELECT doc_id, i, j,
+    sum(CASE doc_id % 3
+      WHEN 0 THEN
+          ascii(substr(text,
+            CAST(((r * ((3 * w + 3) // 4 * 4) + 3 * c) % tl) + 1
+                 AS INT), 1))
+        + ascii(substr(text,
+            CAST(((r * ((3 * w + 3) // 4 * 4) + 3 * c + 1) % tl) + 1
+                 AS INT), 1))
+        + ascii(substr(text,
+            CAST(((r * ((3 * w + 3) // 4 * 4) + 3 * c + 2) % tl) + 1
+                 AS INT), 1))
+      WHEN 1 THEN
+        3 * ascii(substr(text, CAST(((r * w + c) % tl) + 1 AS INT), 1))
+      ELSE
+        3 * ((doc_id * 31 + ((r // 8) * 3 + (c // 8)) * 7) % 256)
+      END) AS s3
+  FROM regions,
+    unnest(generate_series(r0, r1 - 1, 1)) AS tr(r),
+    unnest(generate_series(c0, c1 - 1, 1)) AS tc(c)
+  GROUP BY doc_id, i, j
+)
+SELECT d.doc_id,
+  CASE d.doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+       ELSE 'jpeg' END AS src_format,
+  CAST(d.w AS BIGINT) AS src_width, CAST(d.h AS BIGINT) AS src_height,
+  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+  CAST(sum(c.s3) AS BIGINT) AS gray3_sum,
+  CAST(sum(c.s3 * (c.i * 8 + c.j + 1)) AS BIGINT)
+    AS region_weighted_gray3
+FROM dims d JOIN cells c USING (doc_id)
+GROUP BY d.doc_id, d.w, d.h
 """,
     # gray16 (r11, VERDICT r10 #5): CHARACTER indexing below equals the
     # payload generator's UTF-8 BYTE indexing only on non-empty ASCII

@@ -777,21 +777,27 @@ def test_thumbnail_block_aligned_exact(spark):
 
 
 def test_thumbnail_dispatch_all_formats(spark, sf_dir):
-    """The mixed-format registry query must decode EVERY doc (no null
-    rows on valid payloads) and tag the right codec per doc_id % 3."""
+    """The mixed-format registry query must decode EVERY in-contract
+    doc (no null rows on valid payloads; since r12 the query filters to
+    non-empty ASCII docs — the oracle's indexing contract) and tag the
+    right codec per doc_id % 3, projecting non-null exact axes."""
     from ha_sqllite_2_influxdb_spark.plans.llm_ops import (
         q_multimodal_thumbnail,
     )
 
     rows = {r.doc_id: r for r in q_multimodal_thumbnail(
         spark, sf_dir).collect()}
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_docs = (load_table(spark, sf_dir, "documents")
+              .filter((F.length("text") > 0)
+                      & (F.octet_length("text") == F.length("text")))
+              .count())
     assert len(rows) == n_docs
     fmts = {0: "bmp", 1: "png", 2: "jpeg"}
     for d, r in rows.items():
         assert r.src_format == fmts[d % 3], d
         assert r.width == 8 and r.height == 8
-        assert r.thumb_mean is not None
+        assert r.gray3_sum is not None and r.gray3_sum > 0
+        assert r.region_weighted_gray3 is not None
 
 
 def test_thumbnail_bmp_matches_numpy_reference(spark, sf_dir):
