@@ -847,21 +847,28 @@ def _simhash_signatures_sql(corpus: DataFrame, bits: int) -> DataFrame:
     per-character rolling hash is an expression composition, and it is
     the oracle tier, not the benched scale path.
     """
+    return corpus.sparkSession.sql(
+        _simhash_sig_text(bits),
+        corpus=corpus.select("doc_id", "text"),
+    )
+
+
+def _simhash_sig_text(bits: int) -> str:
+    """The one-parse signature SELECT with a ``{corpus}`` placeholder —
+    shared verbatim by `_simhash_signatures_sql` and the full rotated
+    pipeline text, so the two tiers' signature stages cannot drift."""
     cnts = ", ".join(f"sum((h >> {b}) & 1) AS _c{b}" for b in range(bits))
     sig = " + ".join(
         f"(CAST(_c{b} * 2 > _n AS BIGINT) << {b})" for b in range(bits)
     )
-    return corpus.sparkSession.sql(
-        f"""
+    return f"""
 SELECT doc_id, {sig} AS simhash FROM (
   SELECT doc_id, count(*) AS _n, {cnts}
   FROM (SELECT doc_id, pmod(xxhash64(w), {1 << bits}) AS h
         FROM (SELECT doc_id, explode(split(text, ' ')) AS w
               FROM {{corpus}}))
   GROUP BY doc_id)
-""",
-        corpus=corpus.select("doc_id", "text"),
-    )
+"""
 
 
 def simhash_neighbors(corpus: DataFrame, max_hamming: int = 3,
@@ -935,11 +942,37 @@ def simhash_neighbors_rotated(corpus: DataFrame, max_hamming: int = 3,
     (16-byte struct, one long) — still one groupBy shuffle; duplicate
     cross-rotation candidates die AFTER the cheap hamming filter
     (filter-before-dedup), so `distinct` sees only true-neighbor pairs.
+
+    The xxhash64 scale tier (``portable=False``) builds the SAME plan
+    from one SQL-text parse (r12, VERDICT r11 #7 — the neardup_pairs /
+    aggregateWindow lever): the r12 profile measured ~1.0 s of
+    driver-side analysis per fresh build (the signature stage was
+    already one parse since r6, but the rotated bucketing, cap window,
+    collect_list and combinations stages re-analyzed the 48-wide tree
+    at every chained call). `tests/test_plans.py::
+    test_simhash_rotated_sql_text_plan_equals_dataframe_build` pins
+    optimizer-level sameResult, Exchange counts and values on both cap
+    branches and at non-default rotation parameters.
     """
     if bits is None:
         bits = SIMHASH_BITS_PORTABLE if portable else SIMHASH_BITS
     if not 0 < rotations <= bits:
         raise ValueError(f"rotations must be in 1..{bits}")
+    if not portable:
+        return _simhash_neighbors_rotated_sql(
+            corpus, max_hamming, bits, rotations, bucket_width, bucket_cap)
+    return _simhash_neighbors_rotated_df(
+        corpus, max_hamming, bits, portable, rotations, bucket_width,
+        bucket_cap)
+
+
+def _simhash_neighbors_rotated_df(corpus: DataFrame, max_hamming: int,
+                                  bits: int, portable: bool,
+                                  rotations: int, bucket_width: int,
+                                  bucket_cap: int | None) -> DataFrame:
+    """Chained-DataFrame build of `simhash_neighbors_rotated` — the
+    portable/oracle tier, and the plan-equality reference for the
+    SQL-text scale tier."""
     sig = simhash_signatures(corpus, bits=bits, portable=portable)
     step = bits // rotations
 
@@ -983,6 +1016,60 @@ def simhash_neighbors_rotated(corpus: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def _simhash_neighbors_rotated_sql(corpus: DataFrame, max_hamming: int,
+                                   bits: int, rotations: int,
+                                   bucket_width: int,
+                                   bucket_cap: int | None) -> DataFrame:
+    """One-parse SQL-text build of the xxhash64 rotated tier.
+
+    Mirrors `_simhash_neighbors_rotated_df(portable=False)`
+    expression-for-expression (the `_neardup_pairs_sql` convention —
+    same lambda variable names, same struct field aliases, the
+    signature stage shared VERBATIM via `_simhash_sig_text`), which is
+    what makes the two optimized plans `sameResult`. Why text: every
+    chained DataFrame call eagerly re-analyzes the 48-wide signature
+    tree — the r12 profile measured ~1.0 s of driver-side analysis per
+    fresh build at sf0.1, data-size-independent."""
+    step = bits // rotations
+    shift = bits - bucket_width
+
+    def rot_expr(r: int) -> str:
+        s = r * step
+        if s == 0:
+            return f"shiftrightunsigned(simhash, {shift})"
+        return (f"shiftrightunsigned(shiftleft(simhash & "
+                f"{(1 << (bits - s)) - 1}, {s}) "
+                f"| shiftrightunsigned(simhash, {bits - s}), {shift})")
+
+    buckets = ", ".join(rot_expr(r) for r in range(rotations))
+    exploded = f"""
+      SELECT d, CAST(rot AS BIGINT) * {1 << bucket_width} + b AS bucket
+      FROM (SELECT struct(doc_id, simhash) AS d,
+                   posexplode(array({buckets})) AS (rot, b)
+            FROM ({_simhash_sig_text(bits)}))"""
+    if bucket_cap is not None:
+        exploded = f"""
+      SELECT d, bucket FROM (
+        SELECT d, bucket, count(1) OVER (PARTITION BY bucket) AS _m
+        FROM ({exploded}))
+      WHERE _m <= {bucket_cap}
+         OR pmod(xxhash64(d.doc_id, bucket), _m) < {bucket_cap}"""
+    text = f"""
+SELECT DISTINCT doc_a, doc_b, hamming FROM (
+  SELECT p.a.doc_id AS doc_a, p.b.doc_id AS doc_b,
+         bit_count(p.a.simhash ^ p.b.simhash) AS hamming
+  FROM (SELECT explode(flatten(transform(ds, (x, i) ->
+               transform(slice(ds, i + 2, size(ds)),
+                         y -> struct(x AS a, y AS b))))) AS p
+        FROM (SELECT bucket, sort_array(collect_list(d)) AS ds
+              FROM ({exploded})
+              GROUP BY bucket)))
+WHERE hamming <= {max_hamming}
+"""
+    return corpus.sparkSession.sql(text, corpus=corpus.select("doc_id",
+                                                              "text"))
 
 
 def neardup_clusters(corpus: DataFrame, threshold: float = 0.5,

@@ -347,6 +347,25 @@ def test_bloom_probe_plan_no_keyed_exchange(spark, sf_dir, docs):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_bloom_words_memo_equals_fresh_build(spark, sf_dir, docs):
+    """VERDICT r11 #6: q_bloom_decontaminate now serves a per-
+    (application, sf_dir) cached filter (the PQ-books convention —
+    profiling showed the repeated FIT job was the larger half of the
+    measured wall). The memo must be invisible to values: the cached
+    words equal a fresh bloom_filter_words build bit-for-bit, and the
+    registered query's output equals the unmemoized operator's."""
+    from ha_sqllite_2_influxdb_spark.plans import llm_ops
+
+    cached = llm_ops._bloom_words(spark, sf_dir)
+    fresh = curation.bloom_filter_words(curation.benchmark_prefixes(docs))
+    assert cached == fresh
+    memo = sorted(tuple(r) for r in llm_ops.q_bloom_decontaminate(
+        spark, sf_dir).collect())
+    direct = sorted(tuple(r) for r in curation.bloom_decontaminate(
+        docs, curation.benchmark_prefixes(docs)).collect())
+    assert memo == direct
+
+
 def test_bloom_portable_and_native_tiers_same_contract(spark, sf_dir,
                                                        docs):
     """The xxhash64 tier (what a real cluster runs) must uphold the same

@@ -851,6 +851,48 @@ def test_neardup_sql_text_plan_equals_dataframe_build(spark, sf_dir):
         corpus.unpersist()
 
 
+def test_simhash_rotated_sql_text_plan_equals_dataframe_build(
+        spark, sf_dir):
+    """r12 (VERDICT r11 #7): the xxhash64 rotated-simhash tier's
+    one-parse SQL-text build must be plan-identical to the chained
+    DataFrame build it replaced — optimizer-level sameResult, equal
+    executed Exchange counts, identical pair values — pinned on BOTH
+    cap branches AND at non-default rotation parameters (the ADVICE r10
+    widening convention: a drift touching only some rotation count or
+    bucket width must not slip the default-parameter assertion). The
+    signature stage is shared VERBATIM between the two tiers via
+    _simhash_sig_text, so only the bucketing/cap/pairing stages can
+    ever diverge, and they are what this pins."""
+    from ha_sqllite_2_influxdb_spark.operators import dedup
+
+    corpus = dedup.recrawl_corpus(
+        load_table(spark, sf_dir, "documents")).cache()
+    try:
+        corpus.count()
+        for cap, rots, bw in ((dedup.DEFAULT_BUCKET_CAP, 4, 16),
+                              (None, 4, 16),
+                              (dedup.DEFAULT_BUCKET_CAP, 3, 12)):
+            sql_b = dedup.simhash_neighbors_rotated(
+                corpus, max_hamming=3, portable=False, rotations=rots,
+                bucket_width=bw, bucket_cap=cap)
+            ref_b = dedup._simhash_neighbors_rotated_df(
+                corpus, 3, dedup.SIMHASH_BITS, False, rots, bw, cap)
+            key = (cap, rots, bw)
+            assert (sql_b._jdf.queryExecution().optimizedPlan()
+                    .sameResult(
+                        ref_b._jdf.queryExecution().optimizedPlan())), key
+            n_sql = (sql_b._jdf.queryExecution().executedPlan()
+                     .toString().count("Exchange"))
+            n_ref = (ref_b._jdf.queryExecution().executedPlan()
+                     .toString().count("Exchange"))
+            assert n_sql == n_ref, key
+            got_sql = sorted(map(tuple, sql_b.collect()))
+            got_ref = sorted(map(tuple, ref_b.collect()))
+            assert got_sql == got_ref and got_sql, key
+    finally:
+        corpus.unpersist()
+
+
 def test_aggwin_sql_text_plan_equals_dataframe_build(spark, sf_dir):
     """r11 (VERDICT r10 #7): the plain-aggregate aggregateWindow stage
     compiles from ONE SQL-text parse (the `_neardup_pairs_sql`
