@@ -1050,8 +1050,9 @@ def q_multimodal_dhash_neardup(spark: SparkSession,
     bytes, never pixels). The oracle recomputes hashes analytically
     from the shared fixture constants and runs the identical band join
     in SQL, so every hash bit AND every surviving pair is hash-exact
-    (`dhash_lo`/`dhash_hi` pin the codec, n_near/partner_sum/min_dist
-    pin the join)."""
+    (`dhash_lo`/`dhash_hi` pin the codec; n_near, the
+    partner_sum/partner_xor checksum pair and min_dist pin the
+    join)."""
     hashes = multimodal.image_dhash(
         multimodal.dhash_payloads(_docs(spark, sf_dir)))
     return dedup.dhash_neardup(hashes, max_dist=DHASH_MAX_DIST)
@@ -3035,12 +3036,14 @@ sym AS (
 stats AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_near,
     CAST(sum(p) AS BIGINT) AS partner_sum,
+    CAST(bit_xor(p) AS BIGINT) AS partner_xor,
     CAST(min(dist) AS BIGINT) AS min_dist
   FROM sym GROUP BY doc_id
 )
 SELECT h.doc_id, h.{lo}, h.{hi},
   COALESCE(s.n_near, CAST(0 AS BIGINT)) AS n_near,
   COALESCE(s.partner_sum, CAST(0 AS BIGINT)) AS partner_sum,
+  COALESCE(s.partner_xor, CAST(0 AS BIGINT)) AS partner_xor,
   s.min_dist
 FROM hashes h LEFT JOIN stats s USING (doc_id)
 """
