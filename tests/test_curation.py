@@ -366,6 +366,30 @@ def test_bloom_words_memo_equals_fresh_build(spark, sf_dir, docs):
     assert memo == direct
 
 
+def test_dsir_lr_memo_equals_fresh_fit(spark, sf_dir, docs):
+    """The DSIR ratio table gets the same build-artifact memo as the
+    Bloom words (r12 profile: the fit collect was 1.0 s of
+    q_dsir_resample's 1.4 s wall). Cached table == fresh
+    dsir_bucket_weights fit bit-for-bit, and the registered query's
+    top-100 equals the unmemoized dsir_score construction."""
+    from ha_sqllite_2_influxdb_spark.operators.scoring import dsir_score
+    from ha_sqllite_2_influxdb_spark.plans import llm_ops
+
+    full = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    cached = llm_ops._dsir_lr(spark, sf_dir)
+    from ha_sqllite_2_influxdb_spark.operators.scoring import (
+        dsir_bucket_weights,
+    )
+    assert cached == dsir_bucket_weights(full, F.col("lang") == "en")
+    memo = [tuple(r) for r in llm_ops.q_dsir_resample(
+        spark, sf_dir).collect()]
+    direct = [tuple(r) for r in dsir_score(full, F.col("lang") == "en")
+              .orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+              .limit(100).collect()]
+    assert memo == direct and memo
+
+
 def test_bloom_portable_and_native_tiers_same_contract(spark, sf_dir,
                                                        docs):
     """The xxhash64 tier (what a real cluster runs) must uphold the same
