@@ -831,6 +831,54 @@ def test_thumbnail_bmp_matches_numpy_reference(spark, sf_dir):
         assert (thumb.reshape(8, 8) == np.round(want).astype(np.uint8)).all(), d
 
 
+def test_thumbnail_gray3_axes_match_numpy_at_nondefault_dims(spark, sf_dir):
+    """r12 (the thumbnail hash-exact upgrade): the exact BIGINT axes —
+    gray3_sum and the region-weighted fold — must equal an independent
+    integer recomputation from the fixture layout, at NON-default
+    target dims too (the registered query only exercises 8x8, so a
+    width/height-coupling bug in the axis loop would pass the oracle).
+    Checked on BMP (3-channel sum lane, padded-stride cycling) and PNG
+    (3x single-channel lane) at 8x8, 5x7 and 16x4."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").limit(12)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+
+    def axes(g3, h, w, th, tw):
+        re = [i * h // th for i in range(th + 1)]
+        ce = [j * w // tw for j in range(tw + 1)]
+        tot = wtot = 0
+        for i in range(th):
+            r0, r1 = re[i], max(re[i + 1], re[i] + 1)
+            for j in range(tw):
+                c0, c1 = ce[j], max(ce[j + 1], ce[j] + 1)
+                s3 = int(g3[min(r0, h - 1):r1, min(c0, w - 1):c1].sum())
+                tot += s3
+                wtot += s3 * (i * tw + j + 1)
+        return tot, wtot
+
+    for tw, th in ((8, 8), (5, 7), (16, 4)):
+        bmp = {r.doc_id: r for r in multimodal.image_thumbnails(
+            multimodal.bmp_payloads(docs), width=tw, height=th).collect()}
+        png = {r.doc_id: r for r in multimodal.image_thumbnails(
+            multimodal.png_payloads(docs), width=tw, height=th).collect()}
+        for d, text in texts.items():
+            w, h = (d % 16) + 4, (d % 8) + 2
+            src = text.encode("utf-8") or b"\x00"
+            stride = (3 * w + 3) & ~3
+            bg3 = np.array([[sum(src[(rr * stride + 3 * c + ch) % len(src)]
+                                 for ch in range(3))
+                             for c in range(w)]
+                            for rr in range(h)], np.int64)
+            pg3 = np.array([[3 * src[(rr * w + c) % len(src)]
+                             for c in range(w)]
+                            for rr in range(h)], np.int64)
+            assert (bmp[d].gray3_sum, bmp[d].region_weighted_gray3) \
+                == axes(bg3, h, w, th, tw), (d, tw, th, "bmp")
+            assert (png[d].gray3_sum, png[d].region_weighted_gray3) \
+                == axes(pg3, h, w, th, tw), (d, tw, th, "png")
+
+
 def test_thumbnail_rejects_malformed(spark):
     df = spark.createDataFrame(
         [(1, b"garbage"), (2, b""), (3, b"BMnot really a bmp"),

@@ -893,6 +893,28 @@ def test_simhash_rotated_sql_text_plan_equals_dataframe_build(
         corpus.unpersist()
 
 
+def test_simhash_rotated_sql_null_and_empty_text_edges(spark):
+    """The rotated tier's documented NULL/empty-text row semantics must
+    survive the SQL-text build: a NULL-text doc yields NO signature (so
+    no pairs), an empty-but-non-null text yields the ''-token signature
+    on both builds — identical pair sets either way."""
+    from ha_sqllite_2_influxdb_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, None),
+         (4, ""), (5, "")],
+        "doc_id long, text string")
+    sql_b = dedup.simhash_neighbors_rotated(corpus, portable=False)
+    ref_b = dedup._simhash_neighbors_rotated_df(
+        corpus, 3, dedup.SIMHASH_BITS, False, 4, 16,
+        dedup.DEFAULT_BUCKET_CAP)
+    got_sql = sorted(map(tuple, sql_b.collect()))
+    assert got_sql == sorted(map(tuple, ref_b.collect()))
+    pairs = {(a, b) for a, b, _ in got_sql}
+    assert (1, 2) in pairs and (4, 5) in pairs   # dup texts, '' tokens
+    assert all(3 not in p for p in pairs), "NULL-text doc paired"
+
+
 def test_aggwin_sql_text_plan_equals_dataframe_build(spark, sf_dir):
     """r11 (VERDICT r10 #7): the plain-aggregate aggregateWindow stage
     compiles from ONE SQL-text parse (the `_neardup_pairs_sql`
