@@ -32,37 +32,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # pytest instead. Entries past the window still run under pytest
 # (tests/test_oracle_parity.py covers the whole registry).
 _DRIVER_WINDOW = [
-    # r12 window — _NEXT_WINDOW_PLAN_R12 rotated in VERBATIM (VERDICT
-    # r11 #1, the fifth byte-verbatim rotation): the two r11-registered
-    # codec tiers lead (both oracle-backed, so they land hash-exact),
-    # then the 44 oldest stale names (last=r6: TPC-H q11-q21, the
-    # streaming tiers, ha_points, quarantine_rows, the curation
-    # pipelines) and the first 4 last=r7 entries. Every slot is
-    # oracle-backed — ROWS_ONLY_OK is empty for this window.
-    "multimodal_png_gray16", "multimodal_jpeg_progressive",
-    "tpch_q11", "tpch_q12", "tpch_q15", "tpch_q16", "tpch_q20", "tpch_q21",
-    "salted_join", "distinct_twophase", "range_band_join",
-    "window_time_range", "full_outer_join", "upsert_latest",
-    "scd2_intervals", "robust_outliers", "resample_locf", "funnel_steps",
-    "lpa_communities", "data_expectations", "incremental_agg",
-    "quarantine_rows", "ingest_pipeline", "ngram_containment",
-    "ngram_span_dedup", "curate_pipeline", "tfidf_topk", "bm25_topk",
-    "gopher_rules", "lm_rare_bigrams", "textrank_keywords",
-    "quality_classifier", "random_projection", "sketch_topk_ngrams",
-    "dataset_split", "training_shuffle", "stream_sessions",
-    "stream_static_join", "stream_upsert", "stream_ema",
-    "session_window_native", "stream_window_topk", "influx_derivative",
-    "influx_integral", "influx_moving_average", "influx_series_stats",
-    "ha_points", "ha_oldest_point", "tpch_q14", "cohort_retention",
-]
-assert len(_DRIVER_WINDOW) == 50
-
-# Committed r13 rotation (kept VERBATIM from the r11 commit): the
-# remaining 45 last=r7 entries plus the 4 follow-on codec tiers and
-# the dHash near-dup registration (all oracle-backed).
-_NEXT_WINDOW_PLAN_R13 = [
-    # the four r11 follow-on codec registrations (DRI resync, sub-byte
-    # palette, 24-bit PCM, tRNS alpha), all oracle-backed
+    # r13 window — _NEXT_WINDOW_PLAN_R13 rotated in VERBATIM (VERDICT
+    # r12 #1, the sixth byte-verbatim rotation): the four r11 follow-on
+    # codec registrations lead (DRI resync, sub-byte palette, 24-bit
+    # PCM, tRNS alpha — all pre-swept via tools/codec_sweep.py, all
+    # oracle-backed), then the remaining 45 last=r7 entries and the
+    # r11-session dHash image-near-dup registration. Every slot is
+    # oracle-backed — no ROWS_ONLY_OK exemption is exercised by this
+    # window either (second all-oracle window in a row).
     "multimodal_jpeg_dri", "multimodal_png_palette4",
     "multimodal_wav_pcm24", "multimodal_png_trns",
     "event_transitions", "profile_columns",
@@ -79,11 +56,9 @@ _NEXT_WINDOW_PLAN_R13 = [
     "stream_dedup_incremental", "stream_incremental_agg", "stream_ohlc",
     "influx_cumulative_sum", "influx_difference", "influx_percentile",
     "influx_downsample", "influx_mode", "influx_top3", "influx_sample",
-    # the r11-session dHash image-near-dup registration (oracle-backed,
-    # lands hash-exact) takes R13's one free slot
     "multimodal_dhash_neardup",
 ]
-assert len(_NEXT_WINDOW_PLAN_R13) == 50
+assert len(_DRIVER_WINDOW) == 50
 
 # Committed r14 rotation (r12 re-balance per VERDICT r11 #2 / ADVICE
 # r11 #3): the 49 entries whose last driver row is r8 — they age out
@@ -123,10 +98,11 @@ assert len(_NEXT_WINDOW_PLAN_R14) == 50
 # window + 3 committed plans + FRESH_ROUNDS=4 covers exactly that
 # period without weakening the freshness bar (see
 # tests/test_advice_regressions.py::test_driver_window_freshness).
-# The 5 last=r9 names this plan could not hold (flux_state_duration,
-# flux_pivot_fields, flux_histogram, flux_histogram_quantile,
-# flux_join_math) stay fresh through the r14 close and MUST lead
-# _NEXT_WINDOW_PLAN_R16 at the r13 re-balance.
+# The 5 last=r9 names this plan could not hold lead
+# _NEXT_WINDOW_PLAN_R16 below (committed at the r13 re-balance per
+# VERDICT r12 #2, and held by the lookahead close simulation in
+# tests/test_advice_regressions.py::test_rotation_survives_next_close
+# rather than by this comment).
 _NEXT_WINDOW_PLAN_R15 = [
     "multimodal_audio_fp", "multimodal_video_fp",
     "multimodal_phash_pipeline", "multimodal_phash_knn",
@@ -151,6 +127,42 @@ _NEXT_WINDOW_PLAN_R15 = [
     "flux_top_sensors",
 ]
 assert len(_NEXT_WINDOW_PLAN_R15) == 50
+
+# Committed r16 rotation (r13 re-balance per VERDICT r12 #2): the five
+# fenced last=r9 flux names LEAD (they age out at the r13 close —
+# latest=13 needs last>=10 — so a committed slot, not a comment, is
+# what keeps the gate green), then 45 of the 50 last=r10 entries in
+# deterministic sorted order. The 5 last=r10 names this plan cannot
+# hold (skew_report, stream_cq_downsample, stream_flatline,
+# stream_hysteresis, stream_lineprotocol — the sorted-order tail) stay
+# fresh through the r13 close and take the lead slots of
+# _NEXT_WINDOW_PLAN_R17 at the r14 re-balance; unlike previous rounds
+# that obligation is now gate-held, not comment-held — the lookahead
+# close simulation (tests/test_advice_regressions.py::
+# test_rotation_survives_next_close) fails at round-14 start until R17
+# is committed with them.
+_NEXT_WINDOW_PLAN_R16 = [
+    "flux_state_duration", "flux_pivot_fields", "flux_histogram",
+    "flux_histogram_quantile", "flux_join_math",
+    "bpe_encode", "bpe_vocab", "contrastive_triplets", "dataset_card",
+    "flux_now_relative", "flux_schema_field_keys",
+    "flux_schema_m_tag_values", "flux_schema_measurements",
+    "flux_schema_tag_values", "flux_task_hourly_mean",
+    "flux_union_streams", "ha_energy_daily", "ha_history_stats",
+    "ha_lineprotocol_roundtrip", "ha_statistics_daily",
+    "ha_statistics_monthly", "ha_statistics_sum", "hard_negatives",
+    "influx_bottom3", "influx_distinct", "influx_ema",
+    "influx_fill_linear", "influx_holt_winters", "influx_nn_derivative",
+    "influx_percentile_approx", "influx_rollup_cascade",
+    "influx_state_durations", "influx_state_mode",
+    "influx_stddev_median", "influxql_explain", "kmeans_embeddings",
+    "line_dedup", "lm_surprise", "multimodal_png_rgb",
+    "multimodal_wav_stereo", "ngram_containment_capped", "pack_ffd",
+    "pq_ann_topk", "semdedup", "series_acf", "series_flatline_runs",
+    "series_fleet_correlation", "series_hysteresis_alerts",
+    "series_rolling_quantile", "sketch_hll_partitioned",
+]
+assert len(_NEXT_WINDOW_PLAN_R16) == 50
 
 
 def _registry():

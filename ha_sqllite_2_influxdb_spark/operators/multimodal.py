@@ -2316,7 +2316,18 @@ def image_thumbnails(payload_df: DataFrame, width: int = 8,
             # returns (fmt, w, h, float_gray, int_gray3): float_gray is
             # what the resize averages; int_gray3 is 3x gray in the
             # source's NATIVE integer scale (see THUMBNAIL_SCHEMA), the
-            # exact lane the BIGINT oracle axes are computed from
+            # exact lane the BIGINT oracle axes are computed from.
+            # PRECONDITION for the JPEG routes (ADVICE r12 low #2):
+            # their int lane is np.rint over the float IDCT output,
+            # which is integer-EXACT only because the synthetic fixture
+            # is lossless-by-construction (per-block-constant blocks,
+            # so every reconstructed sample is an exact integer before
+            # rounding). Lossy content (per_block_constant=False or
+            # real-world scans) would make the lane rounded —
+            # deterministic within one decoder, but fragile across
+            # engines, and no longer honestly "exact". If such a
+            # fixture ever ships, derive the lane from the decoder's
+            # integer output or demote the JPEG axes to rows-only.
             if b[:2] == b"BM":
                 r = bmp_of(b)
                 if r is None:

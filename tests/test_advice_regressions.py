@@ -211,6 +211,112 @@ def test_driver_window_freshness():
         f"rotate them in: {new_stale[:10]}")
 
 
+def test_artifact_memo_bounded_locked_and_evicting():
+    """ADVICE r12 low #1 / VERDICT r12 "wrong" #2: the build-artifact
+    memos (_BLOOM_WORDS_CACHE, _DSIR_LR_CACHE, _PQ_BOOKS_CACHE,
+    _CORPUS_CACHE) must be (a) capacity-bounded with LRU order,
+    (b) single-build under concurrent first calls, and (c) release
+    evicted resources via on_evict. Exercised on the shared _artifact
+    helper directly with counting builders — no Spark needed."""
+    import threading
+
+    from ha_sqllite_2_influxdb_spark.plans.llm_ops import (
+        _ARTIFACT_CAP, _artifact)
+
+    # (a) bound + LRU: overfill, then confirm a re-touched early key
+    # survives where an untouched one was evicted
+    cache: dict = {}
+    evicted: list = []
+    for i in range(_ARTIFACT_CAP):
+        _artifact(cache, ("app", f"sf{i}"), lambda i=i: i,
+                  on_evict=evicted.append)
+    _artifact(cache, ("app", "sf0"), lambda: -1,
+              on_evict=evicted.append)           # touch: now most-recent
+    assert cache[("app", "sf0")] == 0            # hit, not rebuilt
+    for i in range(_ARTIFACT_CAP, _ARTIFACT_CAP + 3):
+        _artifact(cache, ("app", f"sf{i}"), lambda i=i: i,
+                  on_evict=evicted.append)
+    assert len(cache) == _ARTIFACT_CAP
+    assert ("app", "sf0") in cache               # re-touched key survived
+    assert ("app", "sf1") not in cache           # LRU head went first
+    assert evicted == [1, 2, 3]                  # (c) hook saw each value
+
+    # (b) one fit under a concurrent first-call race: the build runs
+    # inside the lock, so 8 threads hitting a cold key build ONCE
+    builds = []
+
+    def build():
+        builds.append(1)
+        return "artifact"
+
+    cache2: dict = {}
+    threads = [threading.Thread(
+        target=lambda: _artifact(cache2, ("app", "x"), build))
+        for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(builds) == 1 and cache2[("app", "x")] == "artifact"
+
+
+def test_rotation_survives_next_close():
+    """VERDICT r12 #2: the freshness gate above checks TODAY's state,
+    which let scheduling obligations ("these five names MUST lead the
+    next plan") live in comments — true at commit time, unverified at
+    the next round's start. This lookahead simulates the NEXT driver
+    close (latest+1, with every current-window name credited a fresh
+    row) and requires the committed plans to already cover everything
+    that goes stale at that close. Concretely: it fails at round-N
+    start until the builder commits the _NEXT_WINDOW_PLAN that the
+    previous round's re-balance comment promised — turning "must lead
+    R17 at the r14 re-balance" from prose into a red test."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as ent
+
+    FRESH_ROUNDS = 4
+    hist: dict[str, list[int]] = {}
+    rounds = []
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        rounds.append(rnd)
+        for name in json.load(open(f)):
+            hist.setdefault(name, []).append(rnd)
+    nxt = max(rounds) + 1
+    manifest = json.load(
+        open(os.path.join(REPO, "tests", "registry_rounds.json")))
+    qs = ent.queries()
+    window = set(itertools.islice(qs, 50))
+    plan = set()
+    for attr in sorted(a for a in dir(ent)
+                       if a.startswith("_NEXT_WINDOW_PLAN_R")):
+        plan |= set(getattr(ent, attr))
+    stale_at_close = []
+    for name in qs:
+        last = max(hist.get(name, [0]))
+        if name in window:
+            last = max(last, nxt)        # the close credits this row
+        if last >= nxt - (FRESH_ROUNDS - 1):
+            continue
+        if name in plan:
+            continue
+        if manifest.get(name, nxt + 1) > nxt - FRESH_ROUNDS:
+            continue                     # birth grace still covers it
+        stale_at_close.append((name, last or None))
+    assert not stale_at_close, (
+        f"{len(stale_at_close)} entries go stale at the r{nxt} close "
+        f"and hold no committed-plan slot — commit the next "
+        f"_NEXT_WINDOW_PLAN before closing: {stale_at_close[:10]}")
+    # never-checked entries must still hold a REAL slot after the close
+    unslotted = [n for n in qs if not hist.get(n)
+                 and n not in window and n not in plan]
+    assert not unslotted, (
+        f"never-checked entries would ride naked birth grace past the "
+        f"r{nxt} close: {unslotted}")
+
+
 def test_manifest_matches_registry_exactly():
     """VERDICT r9 #3 (negative direction too): registry_rounds.json and
     the live registry must be the SAME key set — a registry entry

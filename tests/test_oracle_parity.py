@@ -77,23 +77,47 @@ def test_driver_window_contract():
     for those, and the judge sees which). A registry reorder must fail
     here, not silently in the round run."""
     ROWS_ONLY_OK = {
-        # Rows-only-BY-NATURE tiers permitted in any driver window (the
-        # r12 window itself is 50/50 oracle-backed). ADPCM is a
-        # stateful predictor recurrence with no SQL counterpart, pinned
-        # by tests/test_formats.py::
-        # test_wav_adpcm_hand_pinned_golden_and_roundtrip; the banded
-        # pHash kNN is an LSH shortlist whose recall>=0.9 + soundness
-        # are pinned vs the exact tier in tests (it enters the window
-        # at r15 per _NEXT_WINDOW_PLAN_R15).
-        "multimodal_wav_adpcm", "multimodal_phash_knn_banded",
+        # The COMPLETE pinned set of rows-only-BY-NATURE tiers (r13,
+        # VERDICT r12 #3 generalized): exactly the 20 registry entries
+        # with no exact SQL counterpart, each pinned by an
+        # exact-counterpart or golden pytest instead. Pinning the full
+        # set (rather than the current window's subset) makes every
+        # committed rotation purely mechanical — R14 carries 6 of
+        # these, R15 carries 2, R16 carries 11 — while keeping the
+        # gate's teeth: a NEW oracle-less query is still rejected the
+        # moment it enters a window (it is not in this list), and the
+        # all() assertion below ejects any name that later gains an
+        # oracle. Families:
+        # - sketches (approximate by contract; exact-counterpart pins):
+        "sketch_distinct", "sketch_quantiles", "sketch_hll_partitioned",
+        # - iterative/greedy algorithms (order-dependent fixpoints;
+        #   invariant + golden pins):
+        "bpe_encode", "bpe_vocab", "pack_ffd", "kmeans_embeddings",
+        # - LSH/ANN shortlists (recall>=bound pinned vs exact tiers):
+        "pq_ann_topk", "simhash_neighbors_rotated", "neardup_xxhash_lsh",
+        "semdedup", "embedding_ann_lsh", "embedding_ivf",
+        "multimodal_phash_knn_banded",
+        # - codec tiers with stateful decode recurrences (hand-pinned
+        #   goldens in tests/test_formats.py):
+        "multimodal_decode", "multimodal_wav_adpcm",
+        # - recursive smoothers / engine-specific surfaces (golden +
+        #   algebraic-identity pins):
+        "influx_holt_winters", "influx_percentile_approx", "influx_ema",
+        "influxql_explain",
     }
+    assert len(ROWS_ONLY_OK) == 20
     names = list(QUERIES)[:50]
     assert names == entrymod._DRIVER_WINDOW
     missing = [n for n in names if n not in ORACLES and n not in ROWS_ONLY_OK]
     assert not missing, f"window slots without an oracle: {missing}"
-    assert all(n not in ORACLES for n in ROWS_ONLY_OK), (
-        "a ROWS_ONLY_OK name gained an oracle — remove it from the "
-        "exemption list")
+    # exact two-way pin: every exemption is genuinely oracle-less AND
+    # every oracle-less registry entry is consciously enumerated here —
+    # a new rows-only registration must be justified in this list (and
+    # a name that gains an oracle must be ejected), in the same commit
+    assert set(QUERIES) - set(ORACLES) == ROWS_ONLY_OK, (
+        f"rows-only registry set drifted from the pinned exemptions: "
+        f"unpinned={sorted(set(QUERIES) - set(ORACLES) - ROWS_ONLY_OK)}, "
+        f"gained_oracle={sorted(ROWS_ONLY_OK & set(ORACLES))}")
 
 
 def test_every_query_runs(spark, sf_dir):
