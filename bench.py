@@ -108,14 +108,27 @@ def main() -> None:
     # any single query's drift to the load band at that moment instead
     # of the round-start snapshot.
     LOAD_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "1.0"))
-    LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
+    # r13 (VERDICT r12 "wrong" #3): the r12 driver gate opened at
+    # loadavg [0.93, 2.58, 2.97] — the 1-min average had dipped under
+    # the threshold while the host was still busy, and 11/23 queries
+    # then stamped query_contended. Gate on the 5-min average too: it
+    # cannot dip-fake a quiet host. A 5-min average decays slowly, so
+    # the default wait budget doubles (600 s) to give it time to fall;
+    # if it never does, proceed with the honest contended stamp as
+    # before.
+    LOAD_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "600"))
+
+    def _busy():
+        la = os.getloadavg()
+        return max(la[0], la[1]) >= LOAD_THRESHOLD
+
     waited = 0.0
     contended = False
     try:
-        while os.getloadavg()[0] >= LOAD_THRESHOLD and waited < LOAD_WAIT_S:
+        while _busy() and waited < LOAD_WAIT_S:
             time.sleep(10)
             waited += 10
-        contended = os.getloadavg()[0] >= LOAD_THRESHOLD
+        contended = _busy()
     except OSError:
         pass
     try:
@@ -154,6 +167,30 @@ def main() -> None:
            .filter(F.col("event_type").rlike("^[a-z]+$"))
            .select("event_id", "user_id", "event_type")
            .write.format("noop").mode("overwrite").save())
+
+    # Fit-cost stamps (VERDICT r12 "wrong" #1): the bloom/DSIR/PQ memo
+    # levers moved each one-time fit out of the per-query walls — the
+    # honest serving shape, but it left the relocated cost visible only
+    # in BASELINE.md prose. Time each fit EXPLICITLY (cache cleared
+    # first, so the stamp measures a genuinely fresh build) and commit
+    # the stamps in both bench records: a fit-path regression now flips
+    # a committed artifact instead of contradicting prose. Side effect:
+    # the caches are pre-warmed, so the headline cold passes measure
+    # serving-cold (codegen + first exec) uniformly with every other
+    # query rather than folding one query's fit into its cold number.
+    fits: dict[str, float] = {}
+    for fit_name, cache, build in (
+        ("bloom_words", llm_ops._BLOOM_WORDS_CACHE,
+         lambda: llm_ops._bloom_words(spark, sf_dir)),
+        ("dsir_lr", llm_ops._DSIR_LR_CACHE,
+         lambda: llm_ops._dsir_lr(spark, sf_dir)),
+        ("pq_books", llm_ops._PQ_BOOKS_CACHE,
+         lambda: llm_ops._pq_books(spark, sf_dir)),
+    ):
+        cache.clear()
+        t0 = time.time()
+        build()
+        fits[fit_name] = round(time.time() - t0, 3)
 
     steady_runs = 5 if contended else 3
 
@@ -281,6 +318,7 @@ def main() -> None:
         "candidates_cold": cand_cold,
         "queries_load": timings_load,
         "candidates_load": cand_load,
+        "fits": fits,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "contended": contended,
@@ -303,6 +341,7 @@ def main() -> None:
         "value_cold": round(sum(timings_cold.values()), 3),
         "queries": timings,
         "candidates": cand,
+        "fits": fits,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "max_query_load": max(all_loads) if all_loads else None,
