@@ -249,18 +249,23 @@ def main() -> None:
         if q_load is None or q_load < LOAD_THRESHOLD:
             return best, cold, q_load
         # stamp exceeded the threshold: wait for quiet (shared budget),
-        # then re-run the steady passes once and keep the min
+        # then re-run the steady passes once and keep the min. Quiet
+        # means BOTH the 1- and 5-min averages (r13: the run-start gate
+        # got the 5-min check, but this re-gate still read only the
+        # 1-min average — the same dip-fake, one level down: a re-run
+        # recorded as clean while the host was still busy)
         waited_q = 0.0
         try:
-            while (os.getloadavg()[0] >= LOAD_THRESHOLD
-                   and waited_q < QLOAD_WAIT_S and requeue_budget[0] > 0):
+            while (_busy() and waited_q < QLOAD_WAIT_S
+                   and requeue_budget[0] > 0):
                 time.sleep(5)
                 waited_q += 5
                 requeue_budget[0] -= 5
+            still_busy = _busy()
             now = os.getloadavg()[0]
         except OSError:
             return best, cold, q_load
-        if now >= LOAD_THRESHOLD:
+        if still_busy:
             query_contended.append(name)
             return best, cold, q_load
         requeued.append(name)

@@ -369,9 +369,10 @@ def _bucket_pairs(prof: DataFrame, n_seeds: int, band_size: int,
     return _pair_rows(buckets)
 
 
-def _pair_rows(buckets: DataFrame, ds_col: str = "ds") -> DataFrame:
+def _pair_rows(buckets: DataFrame) -> DataFrame:
     """All ordered 2-element combinations of each bucket's sorted struct
-    array, streamed as rows ``p = struct(a, b)`` with a before b.
+    array column ``ds``, streamed as rows ``p = struct(a, b)`` with a
+    before b.
 
     r13 (VERDICT r12 #7): this replaced an interpreted
     ``flatten(transform(ds, (x, i) -> transform(slice(ds, i+2, ...))))``
@@ -389,13 +390,15 @@ def _pair_rows(buckets: DataFrame, ds_col: str = "ds") -> DataFrame:
     1.77 → 0.83 s, xxhash neardup 1.10 → 0.76 s, outputs value-equal.
 
     The SQL-text scale tiers (`_neardup_pairs_sql`,
-    `_simhash_neighbors_rotated_sql`) mirror this shape as two LATERAL
-    VIEW posexplode clauses — tests/test_plans.py pins the optimized
-    plans `sameResult`."""
+    `_simhash_neighbors_rotated_sql`) mirror this shape as two nested
+    SELECT-clause ``posexplode(ds) AS (i, a)`` generators (NOT LATERAL
+    VIEW — that form attaches a generator qualifier the DataFrame build
+    lacks, which breaks `sameResult`) — tests/test_plans.py pins the
+    optimized plans equal."""
     return (
         buckets
-        .select(ds_col, F.posexplode(ds_col).alias("i", "a"))
-        .select("i", "a", F.posexplode(ds_col).alias("j", "b"))
+        .select("ds", F.posexplode("ds").alias("i", "a"))
+        .select("i", "a", F.posexplode("ds").alias("j", "b"))
         .filter(F.col("j") > F.col("i"))
         .select(F.struct("a", "b").alias("p"))
     )

@@ -54,19 +54,34 @@ def _docs(spark, sf_dir):
 # an LRU of a few entries keeps both warm and still retires dead
 # sessions as new keys arrive. An optional on_evict hook releases
 # resources the value pins (the persisted recrawl corpus).
-_ARTIFACT_LOCK = threading.Lock()
 _ARTIFACT_CAP = 8
+# one lock PER CACHE (created under the registry lock): holding a
+# single global lock across a multi-second fit would head-of-line
+# block an unrelated cache's first call (e.g. a pq_train stalling a
+# bloom fit); per-cache locks keep the one-build-per-cache guarantee
+# without cross-cache serialization
+_ARTIFACT_LOCKS: dict[int, threading.Lock] = {}
+_ARTIFACT_LOCKS_GUARD = threading.Lock()
 
 
 def _artifact(cache: dict, key, build, on_evict=None):
-    with _ARTIFACT_LOCK:
+    with _ARTIFACT_LOCKS_GUARD:
+        lock = _ARTIFACT_LOCKS.setdefault(id(cache), threading.Lock())
+    with lock:
         if key in cache:
             cache[key] = cache.pop(key)          # LRU: move to end
             return cache[key]
         while len(cache) >= _ARTIFACT_CAP:
             old = cache.pop(next(iter(cache)))   # LRU head (dicts are
             if on_evict is not None:             # insertion-ordered and
-                on_evict(old)                    # hits re-append above)
+                try:                             # hits re-append above)
+                    on_evict(old)
+                except Exception:
+                    # eviction is best-effort resource release: a value
+                    # pinned to a STOPPED session (unpersist on a dead
+                    # SparkContext) must not fail the current caller's
+                    # perfectly valid build
+                    pass
         val = build()
         cache[key] = val
         return val
@@ -119,10 +134,9 @@ def _bpe_merges(spark, sf_dir, n_merges=10):
     from ha_sqllite_2_influxdb_spark.operators import bpe
 
     key = (spark.sparkContext.applicationId, sf_dir, n_merges)
-    if key not in _BPE_MERGES_CACHE:
-        _BPE_MERGES_CACHE[key] = bpe.bpe_train(
-            _docs(spark, sf_dir), n_merges=n_merges)
-    return _BPE_MERGES_CACHE[key]
+    return _artifact(
+        _BPE_MERGES_CACHE, key,
+        lambda: bpe.bpe_train(_docs(spark, sf_dir), n_merges=n_merges))
 
 
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:

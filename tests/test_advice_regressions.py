@@ -259,6 +259,18 @@ def test_artifact_memo_bounded_locked_and_evicting():
         t.join()
     assert len(builds) == 1 and cache2[("app", "x")] == "artifact"
 
+    # a FAILING on_evict (unpersist against a stopped session) must not
+    # abort the current caller's valid build — eviction is best-effort
+    def boom(_):
+        raise RuntimeError("stopped SparkContext")
+
+    cache3: dict = {}
+    for i in range(_ARTIFACT_CAP + 2):
+        got = _artifact(cache3, ("app", f"sf{i}"), lambda i=i: i,
+                        on_evict=boom)
+        assert got == i
+    assert len(cache3) == _ARTIFACT_CAP
+
 
 def test_rotation_survives_next_close():
     """VERDICT r12 #2: the freshness gate above checks TODAY's state,
