@@ -88,11 +88,11 @@ _NEXT_WINDOW_PLAN_R14 = [
 assert len(_NEXT_WINDOW_PLAN_R14) == 50
 
 # Committed r15 rotation: the remaining five r11 grace-riding
-# registrations lead (multimodal_audio_fp, _video_fp, _phash_pipeline,
-# _phash_knn oracle-backed; _phash_knn_banded rows-only by nature —
-# LSH shortlist recall, pinned vs the exact tier in pytest; add it to
-# ROWS_ONLY_OK when this plan rotates into the window), then 45 of the
-# 50 last=r9 entries. Committing THREE plans is within the gate's new
+# registrations lead (ALL oracle-backed since r13 —
+# multimodal_phash_knn_banded graduated from rows-only to an exact
+# oracle, so this plan rotates verbatim with zero contract edits),
+# then 45 of the 50 last=r9 entries. Committing THREE plans is within
+# the gate's new
 # depth-3 bound: the registry (305) outgrew the two-plan capacity
 # (50*(4+2)=300), and ceil(305/50)=7 rounds is the rotation floor —
 # window + 3 committed plans + FRESH_ROUNDS=4 covers exactly that

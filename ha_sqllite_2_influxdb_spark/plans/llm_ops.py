@@ -1169,11 +1169,15 @@ def q_multimodal_phash_knn(spark: SparkSession,
 
 def q_multimodal_phash_knn_banded(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
-    """Rows-only scale path of `multimodal_phash_knn` (the ann_lsh /
-    IVF convention): band-equi-join shortlist, exact-distance rerank.
-    Recall vs the exact tier and per-row distance soundness are pinned
-    in pytest (test_phash_knn_banded_recall_vs_exact); no SQL oracle —
-    the shortlist's membership is the LSH approximation itself."""
+    """Banded scale path of `multimodal_phash_knn`: band-equi-join
+    shortlist, exact-distance rerank. Recall vs the exact tier and
+    per-row distance soundness are pinned in pytest
+    (test_phash_knn_banded_recall_vs_exact). Oracle-EXACT since r13
+    (the thumbnail precedent): the shortlist rule is a deterministic
+    function of the hashes — admitted iff any of the 4 16-bit bands
+    matches at the same position — so the DuckDB oracle states that
+    rule as an OR of band equalities over the exact tier's analytic
+    hashes CTE."""
     hashes = multimodal.image_dhash(
         multimodal.dhash_payloads(_docs(spark, sf_dir))).select(
         "doc_id", "dhash_lo", "dhash_hi")
@@ -3202,6 +3206,66 @@ scored AS (
          + bit_count(xor(q.dhash_hi, c.dhash_hi)) AS BIGINT) AS dist
   FROM hashes q, hashes c
   WHERE q.doc_id < 8 AND c.doc_id >= 8
+)
+SELECT query_id, cand_id, dist, rk FROM (
+  SELECT query_id, cand_id, dist,
+    CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, cand_id) AS BIGINT) AS rk
+  FROM scored)
+WHERE rk <= 5
+"""
+
+# r13 (the thumbnail precedent, applied to the last LSH exemption the
+# window plans carried): the banded kNN tier was rows-only on the
+# theory that "the shortlist's membership is the LSH approximation
+# itself" — but the approximation is a DETERMINISTIC function of the
+# hashes (candidate admitted iff it shares any of the 4 16-bit bands
+# AT THE SAME POSITION with the query), so the oracle simply states
+# that rule as an OR of four band equalities over the same analytic
+# hashes CTE the exact tier uses. Spark's post-join .distinct()
+# (a pair sharing two bands arrives twice) is inherent to the WHERE
+# formulation. Hashes are sums of bits << 0..31, so both halves are
+# non-negative and % / // band arithmetic agrees across engines.
+ORACLES["multimodal_phash_knn_banded"] = f"""
+WITH bits AS (
+  SELECT doc_id, r, x,
+    CASE WHEN (o + (x + 1) * s) % 256 > (o + x * s) % 256
+         THEN 1 ELSE 0 END AS bit
+  FROM (
+    SELECT doc_id, r, x,
+      (doc_id % {multimodal._DHASH_GROUPS}) * {multimodal._DHASH_O_GM}
+        + r * {multimodal._DHASH_O_RM}
+        + ((doc_id // {multimodal._DHASH_GROUPS}) * (r + 3))
+          % {multimodal._DHASH_NOISE_MOD} AS o,
+      {multimodal._DHASH_STEP_BASE} + {multimodal._DHASH_STEP_MULT}
+        * (((doc_id % {multimodal._DHASH_GROUPS})
+            * {multimodal._DHASH_STEP_GM}
+            + r * {multimodal._DHASH_STEP_RM})
+           % {multimodal._DHASH_STEP_MOD}) AS s
+    FROM documents,
+      unnest(generate_series(0, {multimodal._DHASH_H - 1}, 1)) AS t1(r),
+      unnest(generate_series(0, {multimodal._DHASH_W - 2}, 1)) AS t2(x))
+),
+hashes AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN r < 4
+                  THEN bit * (CAST(1 AS BIGINT) << (r * 8 + x))
+                  ELSE 0 END) AS BIGINT) AS dhash_lo,
+    CAST(sum(CASE WHEN r >= 4
+                  THEN bit * (CAST(1 AS BIGINT) << ((r - 4) * 8 + x))
+                  ELSE 0 END) AS BIGINT) AS dhash_hi
+  FROM bits GROUP BY doc_id
+),
+scored AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+    CAST(bit_count(xor(q.dhash_lo, c.dhash_lo))
+         + bit_count(xor(q.dhash_hi, c.dhash_hi)) AS BIGINT) AS dist
+  FROM hashes q, hashes c
+  WHERE q.doc_id < 8 AND c.doc_id >= 8
+    AND (q.dhash_lo % 65536 = c.dhash_lo % 65536
+         OR q.dhash_lo // 65536 = c.dhash_lo // 65536
+         OR q.dhash_hi % 65536 = c.dhash_hi % 65536
+         OR q.dhash_hi // 65536 = c.dhash_hi // 65536)
 )
 SELECT query_id, cand_id, dist, rk FROM (
   SELECT query_id, cand_id, dist,

@@ -78,25 +78,26 @@ def test_driver_window_contract():
     here, not silently in the round run."""
     ROWS_ONLY_OK = {
         # The COMPLETE pinned set of rows-only-BY-NATURE tiers (r13,
-        # VERDICT r12 #3 generalized): exactly the 20 registry entries
+        # VERDICT r12 #3 generalized): exactly the 19 registry entries
         # with no exact SQL counterpart, each pinned by an
         # exact-counterpart or golden pytest instead. Pinning the full
         # set (rather than the current window's subset) makes every
         # committed rotation purely mechanical — R14 carries 6 of
-        # these, R15 carries 2, R16 carries 11 — while keeping the
+        # these, R15 carries 1, R16 carries 11 — while keeping the
         # gate's teeth: a NEW oracle-less query is still rejected the
         # moment it enters a window (it is not in this list), and the
-        # all() assertion below ejects any name that later gains an
+        # equality assertion below ejects any name that later gains an
         # oracle. Families:
         # - sketches (approximate by contract; exact-counterpart pins):
         "sketch_distinct", "sketch_quantiles", "sketch_hll_partitioned",
         # - iterative/greedy algorithms (order-dependent fixpoints;
         #   invariant + golden pins):
         "bpe_encode", "bpe_vocab", "pack_ffd", "kmeans_embeddings",
-        # - LSH/ANN shortlists (recall>=bound pinned vs exact tiers):
+        # - LSH/ANN shortlists (recall>=bound pinned vs exact tiers;
+        #   the banded pHash kNN graduated to an exact oracle in r13 —
+        #   its band-admission rule is deterministic in the hashes):
         "pq_ann_topk", "simhash_neighbors_rotated", "neardup_xxhash_lsh",
         "semdedup", "embedding_ann_lsh", "embedding_ivf",
-        "multimodal_phash_knn_banded",
         # - codec tiers with stateful decode recurrences (hand-pinned
         #   goldens in tests/test_formats.py):
         "multimodal_decode", "multimodal_wav_adpcm",
@@ -105,7 +106,7 @@ def test_driver_window_contract():
         "influx_holt_winters", "influx_percentile_approx", "influx_ema",
         "influxql_explain",
     }
-    assert len(ROWS_ONLY_OK) == 20
+    assert len(ROWS_ONLY_OK) == 19
     names = list(QUERIES)[:50]
     assert names == entrymod._DRIVER_WINDOW
     missing = [n for n in names if n not in ORACLES and n not in ROWS_ONLY_OK]
