@@ -59,7 +59,12 @@ _ARTIFACT_CAP = 8
 # single global lock across a multi-second fit would head-of-line
 # block an unrelated cache's first call (e.g. a pq_train stalling a
 # bloom fit); per-cache locks keep the one-build-per-cache guarantee
-# without cross-cache serialization
+# without cross-cache serialization. The registry itself is bounded by
+# the number of DISTINCT cache dicts ever passed to _artifact — the
+# helper is module-private and its five callers all use module-level
+# caches, so the registry holds at most five entries for the life of
+# the process (tests passing throwaway dicts leak one Lock each, which
+# dies with the test session).
 _ARTIFACT_LOCKS: dict[int, threading.Lock] = {}
 _ARTIFACT_LOCKS_GUARD = threading.Lock()
 
