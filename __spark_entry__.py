@@ -88,11 +88,13 @@ _NEXT_WINDOW_PLAN_R14 = [
 assert len(_NEXT_WINDOW_PLAN_R14) == 50
 
 # Committed r15 rotation: the remaining five r11 grace-riding
-# registrations lead (ALL oracle-backed since r13 —
-# multimodal_phash_knn_banded graduated from rows-only to an exact
-# oracle, so this plan rotates verbatim with zero contract edits),
-# then 45 of the 50 last=r9 entries. Committing THREE plans is within
-# the gate's new
+# registrations lead — all five oracle-backed since r13
+# (multimodal_phash_knn_banded graduated from rows-only to an exact
+# oracle) — then 45 of the 50 last=r9 entries, of which ONE
+# (simhash_neighbors_rotated) is rows-only by nature; it is already in
+# the pinned ROWS_ONLY_OK set, so this plan still rotates verbatim
+# with zero contract edits. Committing THREE plans is within the
+# gate's new
 # depth-3 bound: the registry (305) outgrew the two-plan capacity
 # (50*(4+2)=300), and ceil(305/50)=7 rounds is the rotation floor —
 # window + 3 committed plans + FRESH_ROUNDS=4 covers exactly that

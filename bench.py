@@ -214,7 +214,7 @@ def main() -> None:
     requeued: list[str] = []
     query_contended: list[str] = []
 
-    def measure(fn) -> tuple[float, float, float | None]:
+    def measure(fn) -> tuple[float, float, float | None, bool]:
         # cold = first materialization (pays one-off whole-stage-codegen
         # compilation + AQE re-planning for THIS query shape, ~2s on
         # sub-second queries); steady-state = min over repeated warm runs
@@ -229,11 +229,16 @@ def main() -> None:
         # per-query load stamp (VERDICT r9 #5): 1-min loadavg at THIS
         # query's measurement start. It includes the bench's own JVM
         # load, so read it as drift relative to neighboring queries in
-        # the same run, not as an absolute quiet-box test.
+        # the same run, not as an absolute quiet-box test. The re-gate
+        # TRIGGER additionally considers the 5-min average (q_busy) —
+        # the stamp stays 1-min for round-over-round continuity, but a
+        # momentary 1-min dip on a busy host must not skip the re-gate
+        # (the run-start dip-fake, one level down).
         try:
             q_load = round(os.getloadavg()[0], 2)
+            q_busy = _busy()
         except OSError:
-            q_load = None
+            q_load, q_busy = None, False
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold = round(time.time() - t0, 3)
@@ -242,11 +247,11 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
-        return round(best, 3), cold, q_load
+        return round(best, 3), cold, q_load, q_busy
 
     def measure_gated(name, fn) -> tuple[float, float, float | None]:
-        best, cold, q_load = measure(fn)
-        if q_load is None or q_load < LOAD_THRESHOLD:
+        best, cold, q_load, q_busy = measure(fn)
+        if not q_busy:
             return best, cold, q_load
         # stamp exceeded the threshold: wait for quiet (shared budget),
         # then re-run the steady passes once and keep the min. Quiet

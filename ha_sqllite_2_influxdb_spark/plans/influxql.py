@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..memo import _artifact
 from ..operators.transform import points
 from .ha_pipeline import _CTE, _JOINED, _POINTS, _PTS_COLS, _ha
 
@@ -44,15 +45,11 @@ _NUM_POINTS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def _numeric_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
-    df = _NUM_POINTS_CACHE.get(key)
-    if df is None:
-        df = (
-            points(*_ha(spark, sf_dir))
-            .filter(F.col("value").isNotNull())
-            .select("state_id", *_SERIES, "ts_epoch", "value")
-        )
-        _NUM_POINTS_CACHE[key] = df
-    return df
+    return _artifact(
+        _NUM_POINTS_CACHE, key,
+        lambda: points(*_ha(spark, sf_dir))
+        .filter(F.col("value").isNotNull())
+        .select("state_id", *_SERIES, "ts_epoch", "value"))
 
 
 def _w():

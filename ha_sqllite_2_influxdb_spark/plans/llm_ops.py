@@ -10,11 +10,10 @@ counterparts in tests/.
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..memo import _ARTIFACT_CAP, _artifact
 from ..operators import curation, dedup, multimodal, ranking, similarity
 from ..operators import graph as _graph
 from ..operators.dedup import SIMHASH_BITS_PORTABLE
@@ -43,53 +42,15 @@ def _docs(spark, sf_dir):
 
 
 # Per-(application, sf_dir) build-artifact memos (ADVICE r12 low #1 /
-# VERDICT r12 "wrong" #2): every cache below goes through _artifact,
-# which (a) holds a lock ACROSS the build so concurrent first calls run
-# exactly one fit job instead of racing duplicate Spark jobs, and
-# (b) bounds each dict to _ARTIFACT_CAP entries with LRU eviction, so a
-# long-lived multi-tenant driver cycling many sessions/sf_dirs cannot
-# leak unboundedly. Eviction is capacity-based rather than
+# VERDICT r12 "wrong" #2): every cache below goes through the shared
+# locked, LRU-bounded `_artifact` helper — see
+# ha_sqllite_2_influxdb_spark/memo.py for the full contract (one lock
+# per cache, cap 8, evict-after-successful-build, best-effort
+# on_evict). Eviction is capacity-based rather than
 # active-application-based on purpose: two LIVE sessions alternating
 # calls under "evict foreign appIds" would refit on every call, while
 # an LRU of a few entries keeps both warm and still retires dead
-# sessions as new keys arrive. An optional on_evict hook releases
-# resources the value pins (the persisted recrawl corpus).
-_ARTIFACT_CAP = 8
-# one lock PER CACHE (created under the registry lock): holding a
-# single global lock across a multi-second fit would head-of-line
-# block an unrelated cache's first call (e.g. a pq_train stalling a
-# bloom fit); per-cache locks keep the one-build-per-cache guarantee
-# without cross-cache serialization. The registry itself is bounded by
-# the number of DISTINCT cache dicts ever passed to _artifact — the
-# helper is module-private and its five callers all use module-level
-# caches, so the registry holds at most five entries for the life of
-# the process (tests passing throwaway dicts leak one Lock each, which
-# dies with the test session).
-_ARTIFACT_LOCKS: dict[int, threading.Lock] = {}
-_ARTIFACT_LOCKS_GUARD = threading.Lock()
-
-
-def _artifact(cache: dict, key, build, on_evict=None):
-    with _ARTIFACT_LOCKS_GUARD:
-        lock = _ARTIFACT_LOCKS.setdefault(id(cache), threading.Lock())
-    with lock:
-        if key in cache:
-            cache[key] = cache.pop(key)          # LRU: move to end
-            return cache[key]
-        while len(cache) >= _ARTIFACT_CAP:
-            old = cache.pop(next(iter(cache)))   # LRU head (dicts are
-            if on_evict is not None:             # insertion-ordered and
-                try:                             # hits re-append above)
-                    on_evict(old)
-                except Exception:
-                    # eviction is best-effort resource release: a value
-                    # pinned to a STOPPED session (unpersist on a dead
-                    # SparkContext) must not fail the current caller's
-                    # perfectly valid build
-                    pass
-        val = build()
-        cache[key] = val
-        return val
+# sessions as new keys arrive.
 
 
 # the recrawl corpus is shared INPUT for every dedup query (like the HA
@@ -3130,13 +3091,16 @@ FROM hashes h LEFT JOIN stats s USING (doc_id)
 """
 
 
-# dHash near-dup tier (r11): hashes recomputed analytically from the
-# SAME module constants the payload generator renders from (the
-# `_neardup_pairs_sql` lockstep convention), then the identical
-# 4x16-bit band join + hamming filter in SQL. Halves are non-negative
-# 32-bit BIGINTs, so % / // / bit_count(xor) agree across engines and
-# no signed-shift semantics enter the contract.
-ORACLES["multimodal_dhash_neardup"] = f"""
+# Shared analytic dHash CTE (r13: factored — three oracles carried
+# verbatim copies, so a constants-formulation edit missing one copy
+# would have produced a silently divergent oracle, the
+# _phash_join_sql precedent applied to the hash derivation): hashes
+# recomputed analytically from the SAME module constants the payload
+# generator renders from (the `_neardup_pairs_sql` lockstep
+# convention). Halves are non-negative 32-bit BIGINTs, so % / // /
+# bit_count(xor) agree across engines and no signed-shift semantics
+# enter the contract.
+_DHASH_HASHES_CTE = f"""
 WITH bits AS (
   SELECT doc_id, r, x,
     CASE WHEN (o + (x + 1) * s) % 256 > (o + x * s) % 256
@@ -3165,7 +3129,13 @@ hashes AS (
                   THEN bit * (CAST(1 AS BIGINT) << ((r - 4) * 8 + x))
                   ELSE 0 END) AS BIGINT) AS dhash_hi
   FROM bits GROUP BY doc_id
-){_phash_join_sql("dhash_lo", "dhash_hi", DHASH_MAX_DIST)}"""
+)"""
+
+# dHash near-dup tier (r11): the shared hashes CTE, then the identical
+# 4x16-bit band join + hamming filter in SQL.
+ORACLES["multimodal_dhash_neardup"] = (
+    _DHASH_HASHES_CTE
+    + _phash_join_sql("dhash_lo", "dhash_hi", DHASH_MAX_DIST))
 
 # the composed decode→resize→hash→join pipeline is provably equal to
 # the canonical dHash tier (block-constant render at exact-multiple
@@ -3175,36 +3145,7 @@ ORACLES["multimodal_phash_pipeline"] = ORACLES["multimodal_dhash_neardup"]
 
 # perceptual retrieval (r11): hashes from the shared analytic CTE,
 # exact hamming ranking with the identical deterministic tiebreak
-ORACLES["multimodal_phash_knn"] = f"""
-WITH bits AS (
-  SELECT doc_id, r, x,
-    CASE WHEN (o + (x + 1) * s) % 256 > (o + x * s) % 256
-         THEN 1 ELSE 0 END AS bit
-  FROM (
-    SELECT doc_id, r, x,
-      (doc_id % {multimodal._DHASH_GROUPS}) * {multimodal._DHASH_O_GM}
-        + r * {multimodal._DHASH_O_RM}
-        + ((doc_id // {multimodal._DHASH_GROUPS}) * (r + 3))
-          % {multimodal._DHASH_NOISE_MOD} AS o,
-      {multimodal._DHASH_STEP_BASE} + {multimodal._DHASH_STEP_MULT}
-        * (((doc_id % {multimodal._DHASH_GROUPS})
-            * {multimodal._DHASH_STEP_GM}
-            + r * {multimodal._DHASH_STEP_RM})
-           % {multimodal._DHASH_STEP_MOD}) AS s
-    FROM documents,
-      unnest(generate_series(0, {multimodal._DHASH_H - 1}, 1)) AS t1(r),
-      unnest(generate_series(0, {multimodal._DHASH_W - 2}, 1)) AS t2(x))
-),
-hashes AS (
-  SELECT doc_id,
-    CAST(sum(CASE WHEN r < 4
-                  THEN bit * (CAST(1 AS BIGINT) << (r * 8 + x))
-                  ELSE 0 END) AS BIGINT) AS dhash_lo,
-    CAST(sum(CASE WHEN r >= 4
-                  THEN bit * (CAST(1 AS BIGINT) << ((r - 4) * 8 + x))
-                  ELSE 0 END) AS BIGINT) AS dhash_hi
-  FROM bits GROUP BY doc_id
-),
+ORACLES["multimodal_phash_knn"] = f"""{_DHASH_HASHES_CTE},
 scored AS (
   SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
     CAST(bit_count(xor(q.dhash_lo, c.dhash_lo))
@@ -3231,36 +3172,7 @@ WHERE rk <= 5
 # (a pair sharing two bands arrives twice) is inherent to the WHERE
 # formulation. Hashes are sums of bits << 0..31, so both halves are
 # non-negative and % / // band arithmetic agrees across engines.
-ORACLES["multimodal_phash_knn_banded"] = f"""
-WITH bits AS (
-  SELECT doc_id, r, x,
-    CASE WHEN (o + (x + 1) * s) % 256 > (o + x * s) % 256
-         THEN 1 ELSE 0 END AS bit
-  FROM (
-    SELECT doc_id, r, x,
-      (doc_id % {multimodal._DHASH_GROUPS}) * {multimodal._DHASH_O_GM}
-        + r * {multimodal._DHASH_O_RM}
-        + ((doc_id // {multimodal._DHASH_GROUPS}) * (r + 3))
-          % {multimodal._DHASH_NOISE_MOD} AS o,
-      {multimodal._DHASH_STEP_BASE} + {multimodal._DHASH_STEP_MULT}
-        * (((doc_id % {multimodal._DHASH_GROUPS})
-            * {multimodal._DHASH_STEP_GM}
-            + r * {multimodal._DHASH_STEP_RM})
-           % {multimodal._DHASH_STEP_MOD}) AS s
-    FROM documents,
-      unnest(generate_series(0, {multimodal._DHASH_H - 1}, 1)) AS t1(r),
-      unnest(generate_series(0, {multimodal._DHASH_W - 2}, 1)) AS t2(x))
-),
-hashes AS (
-  SELECT doc_id,
-    CAST(sum(CASE WHEN r < 4
-                  THEN bit * (CAST(1 AS BIGINT) << (r * 8 + x))
-                  ELSE 0 END) AS BIGINT) AS dhash_lo,
-    CAST(sum(CASE WHEN r >= 4
-                  THEN bit * (CAST(1 AS BIGINT) << ((r - 4) * 8 + x))
-                  ELSE 0 END) AS BIGINT) AS dhash_hi
-  FROM bits GROUP BY doc_id
-),
+ORACLES["multimodal_phash_knn_banded"] = f"""{_DHASH_HASHES_CTE},
 scored AS (
   SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
     CAST(bit_count(xor(q.dhash_lo, c.dhash_lo))

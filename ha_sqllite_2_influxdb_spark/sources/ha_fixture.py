@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..memo import _artifact
 from .tables import load_table
 
 HA_STATES_SQL = """
@@ -104,21 +105,26 @@ def derive_ha_tables(spark: SparkSession, sf_dir: str,
                      register: bool = True,
                      cache: bool = True) -> dict[str, DataFrame]:
     """Build the HA triplet as DataFrames (and temp views) from events."""
+
+    def build() -> dict[str, DataFrame]:
+        load_table(spark, sf_dir, "events").createOrReplaceTempView(
+            "events")
+        out: dict[str, DataFrame] = {}
+        for name in _TEMPLATES:
+            df = spark.sql(render(name, "spark"))
+            if cache:
+                df = df.persist()
+            if register:
+                df.createOrReplaceTempView(name)
+            out[name] = df
+        return out
+
+    if not cache:
+        return build()
     key = (spark.sparkContext.applicationId, sf_dir)
-    if cache and key in _CACHE:
-        return _CACHE[key]
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    out: dict[str, DataFrame] = {}
-    for name in _TEMPLATES:
-        df = spark.sql(render(name, "spark"))
-        if cache:
-            df = df.persist()
-        if register:
-            df.createOrReplaceTempView(name)
-        out[name] = df
-    if cache:
-        _CACHE[key] = out
-    return out
+    return _artifact(
+        _CACHE, key, build,
+        on_evict=lambda old: [df.unpersist() for df in old.values()])
 
 
 def duckdb_ha_cte(events_rel: str = "events") -> str:

@@ -110,6 +110,46 @@ def test_decode_wav_mono_only_rejects_multichannel(spark):
     assert mc.channel_mean == [150.0, -150.0]
 
 
+FRESH_ROUNDS = 4
+
+
+def _load_rotation_state():
+    """Shared world-model for the freshness gate AND the lookahead
+    close simulation (r13: factored so the two gates cannot silently
+    diverge): correctness history, latest round, birth manifest, live
+    registry, current window, and the VALIDATED union of committed
+    rotation plans (each ≤ one window, real names only, at most three
+    committed — validation lives here so both gates enforce it)."""
+    import itertools
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as ent
+
+    hist: dict[str, list[int]] = {}
+    rounds = []
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        rounds.append(rnd)
+        for name in json.load(open(f)):
+            hist.setdefault(name, []).append(rnd)
+    assert rounds, "no correctness history found"
+    manifest = json.load(
+        open(os.path.join(REPO, "tests", "registry_rounds.json")))
+    qs = ent.queries()
+    window = set(itertools.islice(qs, 50))
+    plan_attrs = sorted(a for a in dir(ent)
+                        if a.startswith("_NEXT_WINDOW_PLAN_R"))
+    assert len(plan_attrs) <= 3, f"too many committed plans: {plan_attrs}"
+    plan: set[str] = set()
+    for attr in plan_attrs:
+        p = set(getattr(ent, attr))
+        assert len(p) <= 50, f"{attr} exceeds one driver window"
+        assert p <= set(qs), f"{attr} names unknown entries: {p - set(qs)}"
+        plan |= p
+    return hist, max(rounds), manifest, qs, window, plan
+
+
 def test_driver_window_freshness():
     """VERDICT r6 #6 + r7 #4: structural rotation gate, now
     green-at-compliance. Every registry entry must either (a) have a
@@ -120,33 +160,27 @@ def test_driver_window_freshness():
     only when the rotation PLAN is insufficient, not always-red the
     moment a new snapshot lands), or (d) be a recent addition
     (introduced within FRESH_ROUNDS of the latest round). Anything
-    else is a stale entry the rotation schedule forgot."""
-    import sys
+    else is a stale entry the rotation schedule forgot.
 
-    sys.path.insert(0, REPO)
-    import __spark_entry__ as ent
-
-    # 50 window slots over 305 entries make 7 rounds the steady-state
-    # rotation floor (ceil(305/50)); the window+plan clauses below keep
-    # the effective bound tighter for anything actually scheduled
-    FRESH_ROUNDS = 4
+    50 window slots over 305 entries make 7 rounds the steady-state
+    rotation floor (ceil(305/50)); the window+plan clauses keep the
+    effective bound tighter for anything actually scheduled."""
     # Pinned stale debt: EMPTY since r8 — the r8 window drained all 19
     # STALE_DEBT_R7 names plus the 5 r3-stragglers. Only re-add names
     # here with a written drain plan; the gate fails if this grows
     # without one.
     STALE_DEBT = set()
-    hist = {}
-    rounds = []
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
-        rounds.append(rnd)
-        for name in json.load(open(f)):
-            hist.setdefault(name, []).append(rnd)
-    assert rounds, "no correctness history found"
-    latest = max(rounds)
-    manifest = json.load(
-        open(os.path.join(REPO, "tests", "registry_rounds.json")))
-    qs = ent.queries()
+    # Plan-depth context (validated inside _load_rotation_state): at
+    # most THREE committed plans — the gate is a rotation schedule, not
+    # an indefinite amnesty. Depth 2 -> 3 at r12: the registry (305)
+    # outgrew the two-plan capacity — a name checked at round L is
+    # fresh through L+3 and can sit in a committed plan for (depth)
+    # further rounds, so sustainable registry size is
+    # 50*(FRESH_ROUNDS+depth); 300 < 305 is exactly why six r11
+    # registrations had to ride birth grace (ADVICE r11 #3). Depth 3
+    # gives a 7-round rotation period, matching the ceil(305/50) floor,
+    # WITHOUT weakening the freshness bar (FRESH_ROUNDS stays 4).
+    hist, latest, manifest, qs, window, plan = _load_rotation_state()
     # VERDICT r9 #3: the manifest must cover the WHOLE registry. The
     # `manifest.get(name, latest + 1)` grace below otherwise lets any
     # entry added without a manifest row dodge the gate forever.
@@ -155,28 +189,6 @@ def test_driver_window_freshness():
         f"{len(unmanifested)} registry entries missing from "
         f"tests/registry_rounds.json — add them with their birth round: "
         f"{sorted(unmanifested)[:10]}")
-    window = set(itertools.islice(qs, 50))
-    # Union every committed rotation plan (_NEXT_WINDOW_PLAN_R13, _R14,
-    # ...). Each must fit one driver window and name real registry
-    # entries — a 300-name "plan" would defeat the gate — and at most
-    # THREE future rounds may be committed (the gate is a rotation
-    # schedule, not an indefinite amnesty). Depth 2 -> 3 at r12: the
-    # registry (305) outgrew the two-plan capacity — a name checked at
-    # round L is fresh through L+3 and can sit in a committed plan for
-    # (depth) further rounds, so sustainable registry size is
-    # 50*(FRESH_ROUNDS+depth); 300 < 305 is exactly why six r11
-    # registrations had to ride birth grace (ADVICE r11 #3). Depth 3
-    # gives a 7-round rotation period, matching the ceil(305/50) floor,
-    # WITHOUT weakening the freshness bar (FRESH_ROUNDS stays 4).
-    plan_attrs = sorted(a for a in dir(ent)
-                        if a.startswith("_NEXT_WINDOW_PLAN_R"))
-    assert len(plan_attrs) <= 3, f"too many committed plans: {plan_attrs}"
-    plan = set()
-    for attr in plan_attrs:
-        p = set(getattr(ent, attr))
-        assert len(p) <= 50, f"{attr} exceeds one driver window"
-        assert p <= set(qs), f"{attr} names unknown entries: {p - set(qs)}"
-        plan |= p
     # ADVICE r11 #3: birth grace must not be the scheduling mechanism.
     # Every NEVER-checked entry (no driver row in any round) must hold a
     # real slot in the current window or a committed plan — grace only
@@ -283,28 +295,8 @@ def test_rotation_survives_next_close():
     start until the builder commits the _NEXT_WINDOW_PLAN that the
     previous round's re-balance comment promised — turning "must lead
     R17 at the r14 re-balance" from prose into a red test."""
-    import sys
-
-    sys.path.insert(0, REPO)
-    import __spark_entry__ as ent
-
-    FRESH_ROUNDS = 4
-    hist: dict[str, list[int]] = {}
-    rounds = []
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
-        rounds.append(rnd)
-        for name in json.load(open(f)):
-            hist.setdefault(name, []).append(rnd)
-    nxt = max(rounds) + 1
-    manifest = json.load(
-        open(os.path.join(REPO, "tests", "registry_rounds.json")))
-    qs = ent.queries()
-    window = set(itertools.islice(qs, 50))
-    plan = set()
-    for attr in sorted(a for a in dir(ent)
-                       if a.startswith("_NEXT_WINDOW_PLAN_R")):
-        plan |= set(getattr(ent, attr))
+    hist, latest, manifest, qs, window, plan = _load_rotation_state()
+    nxt = latest + 1
     stale_at_close = []
     for name in qs:
         last = max(hist.get(name, [0]))
