@@ -32,41 +32,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # pytest instead. Entries past the window still run under pytest
 # (tests/test_oracle_parity.py covers the whole registry).
 _DRIVER_WINDOW = [
-    # r13 window — _NEXT_WINDOW_PLAN_R13 rotated in VERBATIM (VERDICT
-    # r12 #1, the sixth byte-verbatim rotation): the four r11 follow-on
-    # codec registrations lead (DRI resync, sub-byte palette, 24-bit
-    # PCM, tRNS alpha — all pre-swept via tools/codec_sweep.py, all
-    # oracle-backed), then the remaining 45 last=r7 entries and the
-    # r11-session dHash image-near-dup registration. Every slot is
-    # oracle-backed — no ROWS_ONLY_OK exemption is exercised by this
-    # window either (second all-oracle window in a row).
-    "multimodal_jpeg_dri", "multimodal_png_palette4",
-    "multimodal_wav_pcm24", "multimodal_png_trns",
-    "event_transitions", "profile_columns",
-    "path_mining", "triangle_copurchase", "link_prediction",
-    "bfs_distances", "json_props_stats", "sequence_similarity",
-    "cuped_readout", "frequent_triples", "audience_overlap", "ohlc_bars",
-    "conversion_latency", "pit_join", "kcore", "data_gaps",
-    "ab_proportion_test", "seasonal_anomaly", "zorder_events",
-    "daily_new_returning", "dedup_incremental", "bpe_pair_counts",
-    "chunk_documents", "curate_mixture_pipeline", "hybrid_rrf",
-    "pmi_bigrams", "html_strip", "repetition_stats", "lang_rebalance",
-    "split_leakage_free", "sample_weighted", "multimodal_bmp",
-    "multimodal_png", "multimodal_wav", "multimodal_jpeg",
-    "stream_dedup_incremental", "stream_incremental_agg", "stream_ohlc",
-    "influx_cumulative_sum", "influx_difference", "influx_percentile",
-    "influx_downsample", "influx_mode", "influx_top3", "influx_sample",
-    "multimodal_dhash_neardup",
-]
-assert len(_DRIVER_WINDOW) == 50
-
-# Committed r14 rotation (r12 re-balance per VERDICT r11 #2 / ADVICE
-# r11 #3): the 49 entries whose last driver row is r8 — they age out
-# the moment CORRECTNESS_r12.json lands (latest=12 needs last>=9) —
-# plus stream_phash_dedup, the first of the six r11 grace-riding
-# perceptual registrations (oracle-backed; its batch classifier IS the
-# exact oracle).
-_NEXT_WINDOW_PLAN_R14 = [
+    # r14 window — _NEXT_WINDOW_PLAN_R14 rotated in VERBATIM (VERDICT
+    # r13 #1, the seventh byte-verbatim rotation): stream_phash_dedup
+    # (the last r11 grace-riding perceptual registration, oracle-backed
+    # — its batch classifier IS the exact oracle) leads, then the 49
+    # entries whose last driver row was r8. Four slots are rows-only
+    # by nature (sketch_distinct, sketch_quantiles, neardup_xxhash_lsh,
+    # multimodal_decode) — all in the pinned ROWS_ONLY_OK set;
+    # embedding_ann_lsh and embedding_ivf graduated to exact oracles
+    # this round (VERDICT r13 #4), so the window is 46/50 oracle-backed.
     "stream_phash_dedup",
     "ha_migration_scan", "ha_min_ts", "ha_state_route", "ha_entity_split",
     "tpch_q4", "tpch_q17", "unpivot_part", "window_analytics",
@@ -85,7 +59,7 @@ _NEXT_WINDOW_PLAN_R14 = [
     "ha_statistics_cascade", "stream_ha_statistics", "ha_utility_meter",
     "ha_energy_cost", "slo_burn_rate", "series_mean_shift",
 ]
-assert len(_NEXT_WINDOW_PLAN_R14) == 50
+assert len(_DRIVER_WINDOW) == 50
 
 # Committed r15 rotation: the remaining five r11 grace-riding
 # registrations lead — all five oracle-backed since r13
@@ -165,6 +139,38 @@ _NEXT_WINDOW_PLAN_R16 = [
     "series_rolling_quantile", "sketch_hll_partitioned",
 ]
 assert len(_NEXT_WINDOW_PLAN_R16) == 50
+
+# Committed r17 rotation (r14 re-balance per VERDICT r13 #1): the five
+# last=r10 leftovers LEAD (skew_report + the four stream tiers the R16
+# plan could not hold — they age out at the r14 close, latest=14 needs
+# last>=11, so these slots are what turns the lookahead gate green),
+# then 45 of the 50 last=r11 entries in deterministic sorted order.
+# The 5 last=r11 names this plan cannot hold (tpch_q7, tpch_q8,
+# tpch_q9, window_running, window_topk — the sorted-order tail) stay
+# fresh through the r14 close and take the lead slots of
+# _NEXT_WINDOW_PLAN_R18 at the r15 re-balance; that obligation is
+# gate-held by the same lookahead close simulation
+# (tests/test_advice_regressions.py::test_rotation_survives_next_close),
+# which goes red at round-15 start until R18 is committed with them.
+_NEXT_WINDOW_PLAN_R17 = [
+    "skew_report", "stream_cq_downsample", "stream_flatline",
+    "stream_hysteresis", "stream_lineprotocol",
+    "asof_join", "curriculum_topk", "decontaminate", "dedup_exact",
+    "dedup_keep_best", "embedding_centroids", "embedding_knn",
+    "embedding_neardup", "events_hourly", "events_sliding",
+    "grouping_sets", "ha_attr_fields", "ha_backfill_boundary",
+    "ha_line_protocol", "ha_ts_format", "multimodal_frames",
+    "multimodal_gif_lct", "multimodal_jpeg_color",
+    "multimodal_png_adam7", "multimodal_png_palette",
+    "multimodal_thumbnail", "multimodal_wav_adpcm", "neardup_clusters",
+    "neardup_minhash_lsh", "ngram_jaccard", "pack_sequences",
+    "pivot_events", "quantiles", "rollup_orders", "sessionize",
+    "set_ops", "simhash_neighbors", "simhash_signatures",
+    "stream_dedup", "stream_join", "tpch_q1", "tpch_q10", "tpch_q13",
+    "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q22", "tpch_q3",
+    "tpch_q5", "tpch_q6",
+]
+assert len(_NEXT_WINDOW_PLAN_R17) == 50
 
 
 def _registry():
