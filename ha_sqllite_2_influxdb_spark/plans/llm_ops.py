@@ -569,13 +569,23 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path (rows-only): hyperplane-LSH bucketed ANN."""
+    """Scale path: hyperplane-LSH bucketed ANN. Oracle-EXACT since r14
+    (the banded-pHash precedent): admission — signature collision in
+    any of the 8 tables — is a deterministic function of the md5-seeded
+    hyperplanes, so the DuckDB oracle re-states it (integer-numerator
+    sign rule) plus the identical exact-chain cosine filter; float
+    margins at the oracle SFs are pinned in
+    tests/test_oracle_parity.py::test_ann_oracle_margins."""
     return similarity.ann_lsh_pairs(_emb(spark, sf_dir), threshold=COS_T)
 
 
 def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path (rows-only): IVF coarse-quantizer top-k — cell-pruned
-    search; recall vs brute force asserted in tests."""
+    """Scale path: IVF coarse-quantizer top-k — cell-pruned search.
+    Oracle-EXACT since r14: the codebook (16 smallest by
+    (xxhash64(vec_id), vec_id)) is re-stated in pure SQL via a staged
+    XXH64 CTE chain, and argmax assignment / top-8 probing / exact
+    rerank follow deterministically; recall vs brute force stays
+    asserted in tests."""
     return similarity.ivf_topk(_emb(spark, sf_dir))
 
 
@@ -3456,4 +3466,175 @@ SELECT t.doc_id, t.n_segs,
   coalesce(s.n_kept, 0) AS n_kept,
   coalesce(s.clean_text, '') AS clean_text
 FROM totals t LEFT JOIN stitched s ON t.doc_id = s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# r14: embedding_ann_lsh / embedding_ivf graduate rows-only -> exact oracles
+# (VERDICT r13 #4, the banded-pHash precedent). Both admissions are
+# DETERMINISTIC functions of committed constants + the data:
+#   - LSH: a pair is admitted iff its sign-bit signatures collide in any
+#     of the L=8 tables; the hyperplanes are md5-derived decimals
+#     (similarity._plane) the oracle re-states as integer coefficients
+#     (sign(sum v_i*m_i/1000) == sign(sum v_i*m_i)).
+#   - IVF: the codebook is the 16 vectors with the smallest
+#     (xxhash64(vec_id), vec_id) — re-stated in pure SQL below — and
+#     cell assignment/probing is argmax/top-8 of centroid cosine.
+# Validity domain (pinned in tests/test_oracle_parity.py::
+# test_ann_oracle_margins): sign/argmax/probe-boundary float margins at
+# the oracle SFs are >=1e-6, five orders above the ~1e-13 summation-
+# order divergence between numpy matmuls and SQL sum chains; and no
+# LSH bucket reaches ANN_BUCKET_CAP, so the down-sampler never fires.
+
+# --- Spark-parity xxhash64(BIGINT) as a staged DuckDB CTE chain.
+# Spark's XxHash64 on a long is XXH64(8-byte LE, seed 42); with len<32
+# the lane accumulators vanish and the whole hash is one multiply/
+# rotate/avalanche chain. 64x64-bit modular multiplies overflow
+# DuckDB's signed INT128, so each is split into 32-bit halves; staging
+# through CTEs keeps the expression tree linear instead of exponential.
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_W64 = "18446744073709551616"
+
+
+def _mulmod64(v: str, c: int) -> str:
+    """(v * c) mod 2^64 via 32-bit split (HUGEINT-safe)."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"CAST(((CAST(({v}) >> 32 AS HUGEINT) * {cl} "
+        f"+ CAST(({v}) & 4294967295 AS HUGEINT) * {ch}) % 4294967296 "
+        f"* 4294967296 "
+        f"+ CAST(({v}) & 4294967295 AS HUGEINT) * {cl}) % {_W64} "
+        f"AS UBIGINT)"
+    )
+
+
+def _rotl64(v: str, r: int) -> str:
+    keep = (1 << (64 - r)) - 1
+    return f"(((({v}) & {keep}) * {1 << r}) | (({v}) >> {64 - r}))"
+
+
+def _xxh64_ctes(src: str, idcol: str) -> str:
+    """CTE chain ending in _xh(_id, hh): hh = Spark xxhash64(idcol)."""
+    seed0 = (42 + _XXH_P5 + 8) & ((1 << 64) - 1)
+    addp4 = (
+        f"CAST((CAST({_mulmod64('v', _XXH_P1)} AS HUGEINT) + {_XXH_P4}) "
+        f"% {_W64} AS UBIGINT)"
+    )
+    return f"""_x0 AS (SELECT {idcol} AS _id,
+  CAST(CAST({idcol} AS HUGEINT)
+       + (CASE WHEN {idcol} < 0 THEN CAST({_W64} AS HUGEINT)
+          ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS v
+  FROM {src}),
+_x1 AS (SELECT _id, {_mulmod64('v', _XXH_P2)} AS v FROM _x0),
+_x2 AS (SELECT _id, {_rotl64('v', 31)} AS v FROM _x1),
+_x3 AS (SELECT _id, {_mulmod64('v', _XXH_P1)} AS v FROM _x2),
+_x4 AS (SELECT _id, xor(CAST({seed0} AS UBIGINT), v) AS v FROM _x3),
+_x5 AS (SELECT _id, {_rotl64('v', 27)} AS v FROM _x4),
+_x6 AS (SELECT _id, {addp4} AS v FROM _x5),
+_x7 AS (SELECT _id, xor(v, v >> 33) AS v FROM _x6),
+_x8 AS (SELECT _id, {_mulmod64('v', _XXH_P2)} AS v FROM _x7),
+_x9 AS (SELECT _id, xor(v, v >> 29) AS v FROM _x8),
+_xa AS (SELECT _id, {_mulmod64('v', _XXH_P3)} AS v FROM _x9),
+_xb AS (SELECT _id, xor(v, v >> 32) AS v FROM _xa),
+_xh AS (SELECT _id,
+  CAST(CAST(v AS HUGEINT)
+       - (CASE WHEN v >= 9223372036854775808 THEN CAST({_W64} AS HUGEINT)
+          ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS hh FROM _xb)"""
+
+
+def _lsh_plane_values() -> str:
+    """VALUES rows (tbl, p, i, m): integer numerators of the md5-seeded
+    hyperplanes (similarity._plane scaled by 1000) — 8 tables x 4
+    planes x 64 dims. Integer coefficients keep the SQL exact; only
+    the SIGN of each projection feeds the signature, and
+    sign(sum v*m/1000) == sign(sum v*m)."""
+    from ..operators.similarity import LSH_PLANES, LSH_TABLES, _plane
+
+    rows = []
+    for t in range(LSH_TABLES):
+        for p in range(LSH_PLANES):
+            coefs = _plane(t * LSH_PLANES + p, DIM)
+            for i, c in enumerate(coefs, start=1):
+                rows.append(f"({t},{p},{i},{round(c * 1000)})")
+    return ", ".join(rows)
+
+
+ORACLES["embedding_ann_lsh"] = f"""WITH
+ev AS (
+  SELECT vec_id, unnest(embedding) AS val,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+pl(tbl, p, i, m) AS (VALUES {_lsh_plane_values()}),
+pdots AS (
+  SELECT ev.vec_id, pl.tbl, pl.p,
+         sum(CAST(ev.val AS DOUBLE) * pl.m) AS d
+  FROM ev JOIN pl USING (i) GROUP BY ev.vec_id, pl.tbl, pl.p
+),
+sigs AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN d >= 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+           AS sig
+  FROM pdots GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+    (({_dot("ea.embedding", "eb.embedding")})
+     / sqrt({_dot("ea.embedding", "ea.embedding")}))
+     / sqrt({_dot("eb.embedding", "eb.embedding")}) AS cos_sim
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = id_a
+  JOIN embeddings eb ON eb.vec_id = id_b
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {COS_T}
+"""
+
+ORACLES["embedding_ivf"] = f"""WITH
+{_xxh64_ctes("embeddings", "vec_id")},
+cb AS (
+  SELECT e.embedding AS ce,
+         row_number() OVER (ORDER BY x.hh, e.vec_id) - 1 AS cell
+  FROM embeddings e JOIN _xh x ON x._id = e.vec_id
+  QUALIFY row_number() OVER (ORDER BY x.hh, e.vec_id) <= 16
+),
+sims AS (
+  SELECT e.vec_id, cb.cell,
+    ({_dot("e.embedding", "cb.ce")}) / sqrt({_dot("cb.ce", "cb.ce")}) AS s
+  FROM embeddings e CROSS JOIN cb
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s DESC, cell ASC) AS r
+  FROM sims
+),
+cand_cell AS (
+  SELECT vec_id AS cand_id, cell FROM ranked WHERE r = 1 AND vec_id >= 5
+),
+q_cells AS (
+  SELECT vec_id AS query_id, cell FROM ranked WHERE r <= 8 AND vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, c.cand_id,
+    (({_dot("eq.embedding", "ec.embedding")})
+     / sqrt({_dot("eq.embedding", "eq.embedding")}))
+     / sqrt({_dot("ec.embedding", "ec.embedding")}) AS cos_sim
+  FROM q_cells q JOIN cand_cell c USING (cell)
+  JOIN embeddings eq ON eq.vec_id = q.query_id
+  JOIN embeddings ec ON ec.vec_id = c.cand_id
+)
+SELECT query_id, cand_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rk
+  FROM scored
+) t WHERE rk <= 10
 """

@@ -78,12 +78,12 @@ def test_driver_window_contract():
     here, not silently in the round run."""
     ROWS_ONLY_OK = {
         # The COMPLETE pinned set of rows-only-BY-NATURE tiers (r13,
-        # VERDICT r12 #3 generalized): exactly the 19 registry entries
+        # VERDICT r12 #3 generalized): exactly the 17 registry entries
         # with no exact SQL counterpart, each pinned by an
         # exact-counterpart or golden pytest instead. Pinning the full
         # set (rather than the current window's subset) makes every
-        # committed rotation purely mechanical — R14 carries 6 of
-        # these, R15 carries 1, R16 carries 11 — while keeping the
+        # committed rotation purely mechanical — the r14 window carries
+        # 4 of these, R15 carries 1, R16 carries 11 — while keeping the
         # gate's teeth: a NEW oracle-less query is still rejected the
         # moment it enters a window (it is not in this list), and the
         # equality assertion below ejects any name that later gains an
@@ -94,10 +94,13 @@ def test_driver_window_contract():
         #   invariant + golden pins):
         "bpe_encode", "bpe_vocab", "pack_ffd", "kmeans_embeddings",
         # - LSH/ANN shortlists (recall>=bound pinned vs exact tiers;
-        #   the banded pHash kNN graduated to an exact oracle in r13 —
-        #   its band-admission rule is deterministic in the hashes):
+        #   the banded pHash kNN graduated to an exact oracle in r13,
+        #   and embedding_ann_lsh/embedding_ivf followed in r14 —
+        #   hyperplane-sign and coarse-centroid admission are
+        #   deterministic in committed constants, so their oracles
+        #   state the admission rule + exact rerank):
         "pq_ann_topk", "simhash_neighbors_rotated", "neardup_xxhash_lsh",
-        "semdedup", "embedding_ann_lsh", "embedding_ivf",
+        "semdedup",
         # - codec tiers with stateful decode recurrences (hand-pinned
         #   goldens in tests/test_formats.py):
         "multimodal_decode", "multimodal_wav_adpcm",
@@ -106,7 +109,7 @@ def test_driver_window_contract():
         "influx_holt_winters", "influx_percentile_approx", "influx_ema",
         "influxql_explain",
     }
-    assert len(ROWS_ONLY_OK) == 19
+    assert len(ROWS_ONLY_OK) == 17
     names = list(QUERIES)[:50]
     assert names == entrymod._DRIVER_WINDOW
     missing = [n for n in names if n not in ORACLES and n not in ROWS_ONLY_OK]
@@ -130,3 +133,81 @@ def test_every_query_runs(spark, sf_dir):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_ann_oracle_margins():
+    """Validity-domain audit for the r14 ANN oracle graduations
+    (VERDICT r13 #4): embedding_ann_lsh's and embedding_ivf's oracles
+    re-state numpy-matmul admission rules as SQL sum chains, which is
+    exact only while every sign/argmax/top-k decision sits far above
+    the ~1e-13 summation-order divergence between the two engines.
+    Pin those margins at BOTH oracle SFs (pytest's sf0.001 and the
+    driver's sf0.01), plus the cap-never-fires precondition the LSH
+    oracle silently assumes (it cannot replicate the xxhash64
+    down-sampler). Pure numpy+duckdb — no Spark session needed."""
+    import duckdb
+    import numpy as np
+
+    from ha_sqllite_2_influxdb_spark.operators.similarity import (
+        ANN_BUCKET_CAP, DIM, LSH_PLANES, LSH_TABLES, _plane)
+    from ha_sqllite_2_influxdb_spark.plans import llm_ops
+
+    M = (1 << 64) - 1
+
+    def xxh64_long(l, seed=42):  # Spark XxHash64 on a long (XXH64 LE)
+        P1, P2, P3, P4, P5 = (llm_ops._XXH_P1, llm_ops._XXH_P2,
+                              llm_ops._XXH_P3, llm_ops._XXH_P4,
+                              llm_ops._XXH_P5)
+
+        def rotl(x, r):
+            return ((x << r) | (x >> (64 - r))) & M
+
+        l &= M
+        h = (seed + P5 + 8) & M
+        k1 = (l * P2) & M
+        k1 = rotl(k1, 31)
+        k1 = (k1 * P1) & M
+        h ^= k1
+        h = (rotl(h, 27) * P1 + P4) & M
+        h ^= h >> 33
+        h = (h * P2) & M
+        h ^= h >> 29
+        h = (h * P3) & M
+        h ^= h >> 32
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    planes = np.array(
+        [_plane(t * LSH_PLANES + p, DIM)
+         for t in range(LSH_TABLES) for p in range(LSH_PLANES)]).T
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01"):
+        rows = con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"'/root/testdata/sf{sf}/embeddings.parquet' "
+            f"ORDER BY vec_id").fetchall()
+        ids = np.array([r[0] for r in rows])
+        V = np.array([r[1] for r in rows], dtype=np.float64)
+        dots = V @ planes
+        # LSH sign margin: >= 1e-7 keeps 6+ orders over summation noise
+        assert np.abs(dots).min() > 1e-7, f"sf{sf}: LSH sign-bit tie risk"
+        # cap-never-fires: largest (table, signature) bucket below cap
+        weights = (1 << np.arange(LSH_PLANES)).astype(np.int64)
+        bits = dots >= 0
+        worst = 0
+        for t in range(LSH_TABLES):
+            sigs = bits[:, t * LSH_PLANES:(t + 1) * LSH_PLANES] @ weights
+            worst = max(worst, int(np.bincount(sigs).max()))
+        assert worst < ANN_BUCKET_CAP, (
+            f"sf{sf}: hot bucket ({worst}) would trigger the xxhash64 "
+            f"down-sampler the oracle cannot replicate")
+        # IVF: codebook selection strictly ordered, argmax + probe gaps
+        hs = sorted((xxh64_long(int(i)), int(i)) for i in ids)
+        order = [np.searchsorted(ids, vid) for _, vid in hs[:16]]
+        cb = V[order]
+        cbn = cb / np.linalg.norm(cb, axis=1, keepdims=True)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        s = np.sort(Vn @ cbn.T, axis=1)
+        assert (s[:, -1] - s[:, -2]).min() > 1e-9, (
+            f"sf{sf}: IVF nearest-cell tie risk")
+        assert (s[:, -8] - s[:, -9]).min() > 1e-9, (
+            f"sf{sf}: IVF probe-boundary tie risk")
