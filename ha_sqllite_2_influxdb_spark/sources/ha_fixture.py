@@ -114,17 +114,25 @@ def derive_ha_tables(spark: SparkSession, sf_dir: str,
             df = spark.sql(render(name, "spark"))
             if cache:
                 df = df.persist()
-            if register:
-                df.createOrReplaceTempView(name)
             out[name] = df
         return out
 
     if not cache:
-        return build()
-    key = (spark.sparkContext.applicationId, sf_dir)
-    return _artifact(
-        _CACHE, key, build,
-        on_evict=lambda old: [df.unpersist() for df in old.values()])
+        out = build()
+    else:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        out = _artifact(
+            _CACHE, key, build,
+            on_evict=lambda old: [df.unpersist() for df in old.values()])
+    # view registration happens OUTSIDE the memo (ADVICE r13 low #3):
+    # the memo key is (app, sf_dir) only, so a first call with
+    # register=False must not poison a later register=True call —
+    # createOrReplaceTempView is idempotent and catalog-cheap, so a
+    # cache hit simply re-registers.
+    if register:
+        for name, df in out.items():
+            df.createOrReplaceTempView(name)
+    return out
 
 
 def duckdb_ha_cte(events_rel: str = "events") -> str:

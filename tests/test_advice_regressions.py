@@ -284,6 +284,79 @@ def test_artifact_memo_bounded_locked_and_evicting():
     assert len(cache3) == _ARTIFACT_CAP
 
 
+def test_artifact_lock_registry_structural_and_reentrant():
+    """VERDICT r13 "wrong" #1 + ADVICE r13 low #2: the lock registry
+    pins a STRONG reference to every cache it has seen (so CPython
+    id-reuse can never alias two caches to one lock — structural, not
+    conventional), and the per-cache lock is an RLock (a build that
+    re-enters _artifact on the SAME cache nests instead of
+    deadlocking)."""
+    import gc
+
+    from ha_sqllite_2_influxdb_spark import memo
+
+    cache: dict = {}
+    memo._artifact(cache, "k", lambda: 1)
+    pinned, lock = memo._ARTIFACT_LOCKS[id(cache)]
+    assert pinned is cache                     # strong ref pinned
+    # drop OUR reference; the registry's pin keeps the dict alive, so
+    # no new dict can ever be allocated at this id
+    cid = id(cache)
+    del cache, pinned
+    gc.collect()
+    assert memo._ARTIFACT_LOCKS[cid][0]["k"] == 1
+
+    # reentrancy: build() for key "outer" calls _artifact on the SAME
+    # cache for key "inner" — under the old Lock this deadlocked; the
+    # RLock nests and both entries land
+    cache2: dict = {}
+
+    def outer_build():
+        memo._artifact(cache2, "inner", lambda: "i")
+        return "o"
+
+    import threading
+    done = []
+    t = threading.Thread(
+        target=lambda: done.append(
+            memo._artifact(cache2, "outer", outer_build)))
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive(), "reentrant build deadlocked"
+    assert done == ["o"] and cache2 == {"inner": "i", "outer": "o"}
+
+
+def test_derive_ha_tables_registers_views_on_cache_hit(spark):
+    """ADVICE r13 low #3: a first derive_ha_tables call with
+    register=False must not poison a later register=True call — the
+    memo is keyed by (app, sf_dir) only, so registration has to happen
+    outside it, on every call that asks for it."""
+    from ha_sqllite_2_influxdb_spark.sources import ha_fixture as hf
+
+    sf_dir = "/root/testdata/sf0.001"
+    key = (spark.sparkContext.applicationId, sf_dir)
+    saved = hf._CACHE.pop(key, None)
+    view_names = list(hf._TEMPLATES)
+    try:
+        for name in view_names:
+            spark.catalog.dropTempView(name)
+        hf.derive_ha_tables(spark, sf_dir, register=False)
+        assert not any(spark.catalog._jcatalog.tableExists(n)
+                       for n in view_names)
+        hf.derive_ha_tables(spark, sf_dir, register=True)  # cache HIT
+        for name in view_names:
+            assert spark.sql(f"SELECT * FROM {name} LIMIT 1") is not None
+    finally:
+        evicted = hf._CACHE.pop(key, None)
+        if evicted is not None and evicted is not saved:
+            for df in evicted.values():
+                df.unpersist()
+        if saved is not None:
+            hf._CACHE[key] = saved
+            for name, df in saved.items():
+                df.createOrReplaceTempView(name)
+
+
 def test_rotation_survives_next_close():
     """VERDICT r12 #2: the freshness gate above checks TODAY's state,
     which let scheduling obligations ("these five names MUST lead the
