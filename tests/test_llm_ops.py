@@ -1417,3 +1417,37 @@ def test_pair_rows_equals_reference_combinations(spark):
         for _, ds in buckets
         for a, b in itertools.combinations(ds, 2))
     assert got == want and len(want) > 800
+
+
+def test_allpairs_linear_swapin_value_parity(spark):
+    """VERDICT r13 "wrong" #2: allpairs_jaccard is a documented
+    exact-contract quadratic tier whose registered linear escape hatch
+    is the banded MinHash tier (neardup_pairs, xxhash64 scale config).
+    The hatch is only a hatch if its survivors are trustworthy, so pin
+    the equality-of-survivors contract at the DRIVER's sf (0.01), in
+    the probe-board configuration (threshold 0.5, n_seeds 8): every
+    pair the swap-in emits must appear in the exact tier's output with
+    the IDENTICAL jaccard double (the LSH tier rescores candidates
+    exactly, so approx ⊆ exact with value equality — zero false
+    positives by construction; recall is the documented banded
+    trade-off and is NOT asserted here). Deterministic both sides:
+    the pin either always holds or always fails."""
+    from ha_sqllite_2_influxdb_spark.operators.dedup import (
+        allpairs_jaccard, neardup_pairs,
+    )
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    t = 0.5
+    exact = {(r.doc_a, r.doc_b): r.jaccard
+             for r in allpairs_jaccard(docs, threshold=t).collect()}
+    approx = {(r.doc_a, r.doc_b): r.jaccard
+              for r in neardup_pairs(docs, threshold=t, n_seeds=8,
+                                     portable=False).collect()}
+    assert exact, "exact tier found no pairs — vacuous fixture"
+    assert approx, "swap-in found no pairs — vacuous pin"
+    extras = {k: v for k, v in approx.items() if k not in exact}
+    assert not extras, f"swap-in emitted non-exact pairs: {extras}"
+    diff = {k: (approx[k], exact[k])
+            for k in approx if approx[k] != exact[k]}
+    assert not diff, f"swap-in jaccard values diverge: {diff}"
