@@ -192,6 +192,24 @@ def main() -> None:
         build()
         fits[fit_name] = round(time.time() - t0, 3)
 
+    # Fit-band gate (VERDICT r13 "wrong" #3): the stamps above are
+    # committed artifacts, but nothing GATED on them — a fit-path
+    # regression would sit in the record without tripping anything.
+    # Bands are the quiet-host ranges measured across the r13 session
+    # (BASELINE.md); the alarm fires at 2× the band ceiling — generous
+    # enough that the ±30% same-day host spread never false-positives,
+    # tight enough that an accidental re-fit-per-call or a collect-path
+    # regression (both would be ≥5×) flips the committed artifact.
+    # Bands were measured at the driver SF; at other SFs the stamps are
+    # still recorded but not judged against a foreign band.
+    FIT_BANDS = {"bloom_words": (1.3, 1.9), "dsir_lr": (0.84, 1.08),
+                 "pq_books": (3.4, 4.4)}
+    fit_alarms = [
+        f"{n}: {fits[n]}s > 2x band ceiling {FIT_BANDS[n][1]}s"
+        for n in fits
+        if sf == 0.1 and n in FIT_BANDS and fits[n] > 2 * FIT_BANDS[n][1]
+    ]
+
     steady_runs = 5 if contended else 3
 
     # Per-query re-gate (VERDICT r10 #4): the run-start gate checks load
@@ -329,6 +347,8 @@ def main() -> None:
         "queries_load": timings_load,
         "candidates_load": cand_load,
         "fits": fits,
+        "fit_bands": FIT_BANDS,
+        "fit_alarms": fit_alarms,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "contended": contended,
@@ -352,6 +372,7 @@ def main() -> None:
         "queries": timings,
         "candidates": cand,
         "fits": fits,
+        "fit_alarms": fit_alarms,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "max_query_load": max(all_loads) if all_loads else None,

@@ -523,43 +523,55 @@ def main() -> None:
     books = similarity.pq_train(spark.read.parquet(paths["x1"][1]))
 
     only = set(sys.argv[1:])
-    walls: dict[str, dict[str, float]] = {}
-    mems: dict[str, dict[str, float]] = {}
-    for scale in ("x1", "x10"):
+    # VERDICT r13 #2 / "What's missing" #2: the old loop measured ALL
+    # tiers at x1, then ALL at x10 — minutes of host-load drift between
+    # a tier's two passes made cross-pass ratios swing 1.6×–9.2× on the
+    # SAME tree (BASELINE.md, the neardup re-measure spread). The
+    # within-one-JVM A/B that diagnosed it by hand is now the
+    # instrument: each tier's x1 and x10 runs INTERLEAVE back-to-back
+    # (x1,x10,x1,x10,...), so both sides of the ratio see the same host
+    # seconds. The reported ratio is min(x10)/min(x1) over interleaved
+    # samples (primary number); ratio_samples exposes the per-pair
+    # spread so residual noise is visible instead of averaged away.
+    def tiers_at(scale):
         dp, ep, vp, pp, evp, php, phvp = paths[scale]
-        for name, make in tiers(spark, dp, ep, books, vp, pp,
-                                evp, php, phvp).items():
-            if only and name not in only:
-                continue
-            best = float("inf")
-            rss0, jvm0 = rss_mb(), jvm_used_mb(spark)
-            for i in range(RUNS + 1):  # first run is warm-up for this shape
-                t0 = time.time()
-                make().write.format("noop").mode("overwrite").save()
-                if i:
-                    best = min(best, time.time() - t0)
-            walls.setdefault(name, {})[scale] = round(best, 3)
-            mems.setdefault(name, {})[f"rss_delta_{scale}"] = round(
-                rss_mb() - rss0, 1)
-            mems[name][f"jvm_delta_{scale}"] = round(
-                jvm_used_mb(spark) - jvm0, 1)
+        return tiers(spark, dp, ep, books, vp, pp, evp, php, phvp)
 
+    t1, t10 = tiers_at("x1"), tiers_at("x10")
     failures = []
     report = {}
-    for name, w in walls.items():
-        ratio = round(w["x10"] / w["x1"], 2)
+    for name in t1:
+        if only and name not in only:
+            continue
+        make1, make10 = t1[name], t10[name]
+        rss0, jvm0 = rss_mb(), jvm_used_mb(spark)
+        for make in (make1, make10):   # one warm-up per shape
+            make().write.format("noop").mode("overwrite").save()
+        w1, w10 = [], []
+        for _ in range(RUNS):
+            t0 = time.time()
+            make1().write.format("noop").mode("overwrite").save()
+            w1.append(time.time() - t0)
+            t0 = time.time()
+            make10().write.format("noop").mode("overwrite").save()
+            w10.append(time.time() - t0)
+        ratio = round(min(w10) / min(w1), 2)
         report[name] = {
-            "wall_x1": w["x1"], "wall_x10": w["x10"],
-            "ratio": ratio, "linear_ideal": float(REPLICAS),
-            **mems[name],
+            "wall_x1": round(min(w1), 3), "wall_x10": round(min(w10), 3),
+            "ratio": ratio,
+            "ratio_samples": [round(b / a, 2) for a, b in zip(w1, w10)],
+            "linear_ideal": float(REPLICAS),
+            "rss_delta_x10": round(rss_mb() - rss0, 1),
+            "jvm_delta_x10": round(jvm_used_mb(spark) - jvm0, 1),
         }
         if ratio > LINEAR_SLACK * REPLICAS:
             failures.append(f"{name}: ratio {ratio} > "
                             f"{LINEAR_SLACK * REPLICAS}")
-        if mems[name]["rss_delta_x10"] > RSS_CAP_MB:
+        if report[name]["rss_delta_x10"] > RSS_CAP_MB:
             failures.append(f"{name}: driver RSS grew "
-                            f"{mems[name]['rss_delta_x10']} MB at 10×")
+                            f"{report[name]['rss_delta_x10']} MB at 10×")
     print(json.dumps({"sf_dir": SF_DIR, "replicas": REPLICAS,
+                      "interleaved": True,
                       "tiers": report, "failures": failures}))
     spark.stop()
     sys.exit(1 if failures else 0)
