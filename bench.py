@@ -57,11 +57,14 @@ HEADLINE = {
     # aggregateWindow(createEmpty) grid + LOCF fill (the Grafana Flux
     # dashboard staple); tracks parser overhead + the grid join
     "flux_window_fill_prev": flux_text.QUERIES["flux_window_fill_prev"],
-    # r7: the HA recorder statistics compiler — the heaviest headline
-    # BY DESIGN: LOCF segments explode over every hour they span
-    # (~series × month-hours rows at sf0.1), then the (series, hour)
-    # agg. The volume is the statistics table's own size, not plan
-    # waste (probe: 1.34× wall at 10× series).
+    # r7: the HA recorder statistics compiler — was the heaviest
+    # headline until the r14 boundary/interior split (VERDICT r13 #3):
+    # interior hours are sole-occupant by segment disjointness, so only
+    # boundary terms (~2×segments) flow through the agg; the ~2M
+    # interior rows are a pure explode+projection. Stage-split profile
+    # localized 1.66 s of the 2.51 s wall to twin 2M-entry hash maps
+    # averaging 1.008 rows per group; measured 2.27 → 0.76 s at sf0.1
+    # (within-JVM A/B), bit-identical output.
     "ha_statistics_hourly": ha_stats.q_ha_statistics_hourly,
     # r7 late: the two new curation primitives — Bloom pre-filter
     # (zero-shuffle probe over a literal filter) and DSIR importance

@@ -2,7 +2,10 @@
 duration-weighted mean (the recorder's compile_statistics semantics).
 Registry-level oracle parity runs in test_oracle_parity.py."""
 
+from pyspark.sql import functions as F
+
 from ha_sqllite_2_influxdb_spark.plans.ha_stats import hourly_statistics
+from tests.conftest import SF_DIR
 
 
 def _pts(spark, rows):
@@ -191,3 +194,49 @@ def test_stream_statistics_runs_three_real_micro_batches(spark):
                    & (F.col("ts_epoch") < hi))
         .select("entity_id").distinct() for lo, hi in cuts[:2]]
     assert per_slice[0].join(per_slice[1], "entity_id").count() > 0
+
+
+def test_hourly_split_equals_direct_agg(spark):
+    """VERDICT r13 #3 value-parity pin: the r14 boundary/interior split
+    must be bit-identical to the naive one-agg formulation (groupBy
+    over ALL exploded terms) — same rows, same doubles — on the real
+    fixture at the pytest SF and on a crafted relation that exercises
+    every branch: single-hour segments, exact-boundary ends, multi-hour
+    spans with interiors, and hours shared by two segments."""
+    from ha_sqllite_2_influxdb_spark.plans.ha_stats import (
+        _SERIES, _clipped_terms, hourly_statistics,
+    )
+    from ha_sqllite_2_influxdb_spark.plans.influxql import _numeric_points
+
+    def direct(pts):
+        terms = _clipped_terms(pts, 3600)
+        return terms.groupBy(*_SERIES, "h").agg(
+            ((F.sum("_vd_micro") / 1e6) / (F.sum("_d_micro") / 1e6))
+            .alias("dw_mean"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+            F.count(F.lit(1)).alias("n_segments"),
+        ).select(
+            *_SERIES, (F.col("h") * 3600).alias("hour_epoch"),
+            "dw_mean", "min_val", "max_val", "n_segments",
+        )
+
+    crafted = spark.createDataFrame(
+        [  # one series: in-hour pair, boundary-exact end, 5-hour span
+            (1, 0.0, 10.0), (2, 600.0, 20.0), (3, 3600.0, 30.0),
+            (4, 7200.0, 40.0), (5, 25_200.0, 50.0),
+            # second series: zero-duration tie then a 2-hour segment
+            (6, 100.0, 1.5), (7, 100.0, 2.5), (8, 7300.0, 3.5),
+        ],
+        "state_id long, ts_epoch double, value double",
+    ).selectExpr(
+        "state_id", "'sensor' AS measurement",
+        "CASE WHEN state_id < 6 THEN 'a' ELSE 'b' END AS domain",
+        "'e1' AS entity_id", "ts_epoch", "value",
+    )
+    pts_real = _numeric_points(spark, SF_DIR)
+    for pts in (crafted, pts_real):
+        split_df, direct_df = hourly_statistics(pts), direct(pts)
+        assert split_df.exceptAll(direct_df).count() == 0
+        assert direct_df.exceptAll(split_df).count() == 0
+        assert split_df.count() == direct_df.count() > 0
