@@ -556,10 +556,17 @@ def main() -> None:
             make10().write.format("noop").mode("overwrite").save()
             w10.append(time.time() - t0)
         ratio = round(min(w10) / min(w1), 2)
+        samples = [round(b / a, 2) for a, b in zip(w1, w10)]
         report[name] = {
             "wall_x1": round(min(w1), 3), "wall_x10": round(min(w10), 3),
             "ratio": ratio,
-            "ratio_samples": [round(b / a, 2) for a, b in zip(w1, w10)],
+            "ratio_samples": samples,
+            # r14 honesty stamp: a >2x spread across the interleaved
+            # pairs means THIS tier's reading absorbed host contention
+            # (the two-run reproducibility audit caught exactly one such
+            # reading — the first tier after a busy-host wait); re-run
+            # it isolated before quoting the ratio.
+            "unstable": max(samples) / min(samples) > 2,
             "linear_ideal": float(REPLICAS),
             "rss_delta_x10": round(rss_mb() - rss0, 1),
             "jvm_delta_x10": round(jvm_used_mb(spark) - jvm0, 1),
