@@ -178,15 +178,59 @@ def short_term_cascade(pts: DataFrame) -> DataFrame:
     partitioning, and bit-identical to compiling the hour directly from
     the same 5-minute-clipped terms (the oracle proves exactly that).
     Two (series, bucket)-keyed exchanges by design — one per tier, the
-    rollup-cascade budget."""
-    terms = _clipped_terms(pts, 300)
-    short = terms.groupBy(*_SERIES, "h").agg(
+    rollup-cascade budget.
+
+    r14: the 5-minute tier gets the same boundary/interior split as
+    `hourly_statistics` (the stage-split finding generalizes — at
+    bucket 300 the term:group ratio is again ~1.008, so the first-tier
+    hash aggregation built two ~12×-larger maps to average one row per
+    group). Interior buckets are sole-occupant by segment
+    disjointness, so their MONOID rows (Σvd, Σd, min, max, n) project
+    directly — one term, weight exactly ``b`` — and only boundary
+    terms flow through the first groupBy. The hourly reduction is
+    untouched: its 12:1 reduction is real work the split must not
+    relocate. Bit-identical by the shared `_overlap_micros` arithmetic
+    (interior d == b exactly); pinned by
+    `tests/test_ha_stats.py::test_cascade_split_equals_direct_agg`
+    and the unchanged oracle."""
+    b = 300.0
+    seg = _segments(pts, 300)
+    bnd = seg.select(
+        *_SERIES, "t0", "t1", "value",
+        F.explode(
+            F.when(F.col("h1") > F.col("h0"), F.array("h0", "h1"))
+             .otherwise(F.array("h0"))).alias("h"),
+    )
+    d_micro, vd_micro = _overlap_micros(b)
+    bterms = bnd.select(
+        *_SERIES, "h", "value",
+        d_micro.alias("_d_micro"), vd_micro.alias("_vd_micro"),
+    )
+    bshort = bterms.groupBy(*_SERIES, "h").agg(
         F.sum("_vd_micro").alias("_svd"),
         F.sum("_d_micro").alias("_sd"),
         F.min("value").alias("_mn"),
         F.max("value").alias("_mx"),
         F.count(F.lit(1)).alias("_n"),
     )
+    ishort = (
+        seg.filter(F.col("h1") >= F.col("h0") + 2)
+        .select(
+            *_SERIES, "value",
+            F.explode(F.sequence(F.col("h0") + 1, F.col("h1") - 1))
+             .alias("h"),
+        )
+        .select(
+            *_SERIES, "h",
+            F.round(F.col("value") * F.lit(b) * 1e6).cast("long")
+             .alias("_svd"),
+            F.round(F.lit(b) * 1e6).cast("long").alias("_sd"),
+            F.col("value").alias("_mn"),
+            F.col("value").alias("_mx"),
+            F.lit(1).cast("long").alias("_n"),
+        )
+    )
+    short = bshort.unionByName(ishort)
     hour = (F.floor(F.col("h") / 12)).cast("long")
     return short.groupBy(*_SERIES, hour.alias("hh")).agg(
         ((F.sum("_svd") / 1e6) / (F.sum("_sd") / 1e6)).alias("dw_mean"),

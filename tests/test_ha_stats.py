@@ -240,3 +240,53 @@ def test_hourly_split_equals_direct_agg(spark):
         assert split_df.exceptAll(direct_df).count() == 0
         assert direct_df.exceptAll(split_df).count() == 0
         assert split_df.count() == direct_df.count() > 0
+
+
+def test_cascade_split_equals_direct_agg(spark):
+    """r14 follow-on to the hourly split: the cascade's 5-minute tier
+    must stay bit-identical to the naive formulation (first groupBy
+    over ALL 300-s terms, then the hourly reduction) on the real
+    fixture and on the crafted edge relation."""
+    from ha_sqllite_2_influxdb_spark.plans.ha_stats import (
+        _SERIES, _clipped_terms, short_term_cascade,
+    )
+    from ha_sqllite_2_influxdb_spark.plans.influxql import _numeric_points
+
+    def direct(pts):
+        terms = _clipped_terms(pts, 300)
+        short = terms.groupBy(*_SERIES, "h").agg(
+            F.sum("_vd_micro").alias("_svd"),
+            F.sum("_d_micro").alias("_sd"),
+            F.min("value").alias("_mn"),
+            F.max("value").alias("_mx"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        hour = (F.floor(F.col("h") / 12)).cast("long")
+        return short.groupBy(*_SERIES, hour.alias("hh")).agg(
+            ((F.sum("_svd") / 1e6) / (F.sum("_sd") / 1e6))
+            .alias("dw_mean"),
+            F.min("_mn").alias("min_val"),
+            F.max("_mx").alias("max_val"),
+            F.sum("_n").alias("n_terms"),
+        ).select(
+            *_SERIES, (F.col("hh") * 3600).alias("hour_epoch"),
+            "dw_mean", "min_val", "max_val",
+            F.col("n_terms").cast("long").alias("n_terms"),
+        )
+
+    crafted = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 150.0, 20.0), (3, 300.0, 30.0),
+         (4, 7200.0, 40.0), (5, 25_200.0, 50.0),
+         (6, 100.0, 1.5), (7, 100.0, 2.5), (8, 7300.0, 3.5)],
+        "state_id long, ts_epoch double, value double",
+    ).selectExpr(
+        "state_id", "'sensor' AS measurement",
+        "CASE WHEN state_id < 6 THEN 'a' ELSE 'b' END AS domain",
+        "'e1' AS entity_id", "ts_epoch", "value",
+    )
+    pts_real = _numeric_points(spark, SF_DIR)
+    for pts in (crafted, pts_real):
+        split_df, direct_df = short_term_cascade(pts), direct(pts)
+        assert split_df.exceptAll(direct_df).count() == 0
+        assert direct_df.exceptAll(split_df).count() == 0
+        assert split_df.count() == direct_df.count() > 0
