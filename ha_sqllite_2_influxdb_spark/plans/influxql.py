@@ -382,7 +382,26 @@ def downsample_fill_previous(pts: DataFrame) -> DataFrame:
     """The downsample core over any (series, ts_epoch, value) point
     relation — factored out so the scale probe can measure it on
     replicated series corpora (see `q_influx_downsample` for the plan
-    shape and float-determinism notes)."""
+    shape and float-determinism notes).
+
+    r14 plan surgery: the LOCF used to be a SECOND window
+    (last(…, ignorenulls) over the exploded grid), which forced a sort
+    of the full ~2M-row grid relation — two-thirds of the query's wall
+    at sf0.1. But every gap row a bucket generates lies strictly
+    between that bucket and its predecessor, so its carried-forward
+    value IS the predecessor bucket's mean — already available as one
+    more lag() on the FIRST window over the ~25k bucket rows. The fill
+    becomes a per-row conditional projection; the grid relation is
+    never sorted. Gap rows carry the identical double (the same
+    mean_val the old window's last() picked), pinned value-equal by
+    the unchanged oracle and
+    tests/test_plans.py::test_downsample_gap_fill_is_lagged_mean.
+    Two keyed exchanges remain — the agg's (series, hour) one (which
+    keeps map-side combine: at 100 TB the partial agg collapses
+    co-located points BEFORE the wire, which an explicit
+    repartition-by-series would forfeit) and the window's (series) one
+    over bucket rows only (measured: the raw-row repartition variant
+    saves ~0.07 s at sf0.1 — not worth the scale regression)."""
     hr = F.floor(F.col("ts_epoch") / 3600).cast("long")
     micro = F.round(F.col("value") * 1e6).cast("long")
     buckets = (
@@ -397,9 +416,10 @@ def downsample_fill_previous(pts: DataFrame) -> DataFrame:
     lagged = buckets.select(
         *_SERIES, "hour_idx", "mean_val", "n_points",
         F.lag("hour_idx").over(wseries).alias("_prev"),
+        F.lag("mean_val").over(wseries).alias("_prev_mean"),
     )
     expanded = lagged.select(
-        *_SERIES, "hour_idx", "mean_val", "n_points",
+        *_SERIES, "hour_idx", "mean_val", "n_points", "_prev_mean",
         F.explode(
             F.sequence(
                 F.coalesce(F.col("_prev") + 1, F.col("hour_idx")),
@@ -408,13 +428,11 @@ def downsample_fill_previous(pts: DataFrame) -> DataFrame:
         ).alias("grid_idx"),
     )
     is_real = F.col("grid_idx") == F.col("hour_idx")
-    wfill = wseries.orderBy("grid_idx").rowsBetween(
-        Window.unboundedPreceding, 0)
     return expanded.select(
         *_SERIES,
         (F.col("grid_idx") * 3600).alias("bucket_epoch"),
-        F.last(F.when(is_real, F.col("mean_val")), ignorenulls=True)
-         .over(wfill).alias("mean_locf"),
+        F.when(is_real, F.col("mean_val")).otherwise(F.col("_prev_mean"))
+         .alias("mean_locf"),
         F.when(is_real, F.col("n_points")).otherwise(F.lit(0))
          .alias("n_points"),
         (~is_real).alias("gap_filled"),

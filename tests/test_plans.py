@@ -947,3 +947,71 @@ def test_aggwin_sql_text_plan_equals_dataframe_build(spark, sf_dir):
         got_sql = sorted(map(tuple, sql_b.collect()))
         got_ref = sorted(map(tuple, ref_b.collect()))
         assert got_sql == got_ref and got_sql, name
+
+
+def test_downsample_gap_fill_is_lagged_mean(spark, sf_dir):
+    """r14 plan surgery pin: downsample_fill_previous now fills gaps by
+    PROJECTION (the generating bucket's lagged mean) instead of a
+    second window over the exploded grid. The two formulations must be
+    row-identical — checked against an inline rebuild of the OLD
+    two-window plan on (a) the real fixture and (b) a crafted series
+    with a RUN of consecutive empty hours (0 observed; 1,2,3 empty;
+    4 observed — every gap row must carry hour 0's mean, exactly what
+    last(ignorenulls) picked)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import ha_sqllite_2_influxdb_spark.plans.influxql as iq
+
+    def old_formulation(pts):
+        hr = F.floor(F.col("ts_epoch") / 3600).cast("long")
+        micro = F.round(F.col("value") * 1e6).cast("long")
+        buckets = (
+            pts.select(*iq._SERIES, hr.alias("hour_idx"),
+                       micro.alias("micro"))
+            .groupBy(*iq._SERIES, "hour_idx")
+            .agg(((F.sum("micro") / 1e6) / F.count(F.lit(1)))
+                 .alias("mean_val"),
+                 F.count(F.lit(1)).alias("n_points")))
+        wseries = Window.partitionBy(*iq._SERIES).orderBy("hour_idx")
+        lagged = buckets.select(
+            *iq._SERIES, "hour_idx", "mean_val", "n_points",
+            F.lag("hour_idx").over(wseries).alias("_prev"))
+        expanded = lagged.select(
+            *iq._SERIES, "hour_idx", "mean_val", "n_points",
+            F.explode(F.sequence(
+                F.coalesce(F.col("_prev") + 1, F.col("hour_idx")),
+                F.col("hour_idx"))).alias("grid_idx"))
+        is_real = F.col("grid_idx") == F.col("hour_idx")
+        wfill = wseries.orderBy("grid_idx").rowsBetween(
+            Window.unboundedPreceding, 0)
+        return expanded.select(
+            *iq._SERIES,
+            (F.col("grid_idx") * 3600).alias("bucket_epoch"),
+            F.last(F.when(is_real, F.col("mean_val")), ignorenulls=True)
+             .over(wfill).alias("mean_locf"),
+            F.when(is_real, F.col("n_points")).otherwise(F.lit(0))
+             .alias("n_points"),
+            (~is_real).alias("gap_filled"))
+
+    crafted = spark.createDataFrame(
+        [(1, "W", "sensor", "power", 100.0, 2.0),
+         (2, "W", "sensor", "power", 200.0, 4.0),
+         (3, "W", "sensor", "power", 14_500.0, 9.0),
+         (4, "C", "sensor", "temp", 50.0, 21.5)],
+        "state_id long, measurement string, domain string, "
+        "entity_id string, ts_epoch double, value double")
+    for pts in (crafted, iq._numeric_points(spark, sf_dir)):
+        new_df = iq.downsample_fill_previous(pts)
+        old_df = old_formulation(pts)
+        assert new_df.exceptAll(old_df).count() == 0
+        assert old_df.exceptAll(new_df).count() == 0
+        assert new_df.count() == old_df.count() > 0
+    # the crafted run of gaps explicitly: hours 1-3 all carry hour 0's
+    # mean and the flag
+    rows = {r.bucket_epoch: (r.mean_locf, r.n_points, r.gap_filled)
+            for r in iq.downsample_fill_previous(crafted)
+            .filter(F.col("measurement") == "W").collect()}
+    assert rows == {0: (3.0, 2, False), 3600: (3.0, 0, True),
+                    7200: (3.0, 0, True), 10800: (3.0, 0, True),
+                    14400: (9.0, 1, False)}
