@@ -46,7 +46,11 @@ BUDGET = {
     "influx_series_stats": 5,
     "series_mean_shift": 5,
     "flux_window_fill_prev": 6,
-    "ha_statistics_hourly": 5,
+    # r14: 5 → 6 deliberately — the boundary/interior split's second
+    # union branch re-windows the points relation (one extra exchange
+    # on the plan's cheapest relation, bought against the twin
+    # ~2M-entry hash maps; −67% wall at sf0.1, see ha_stats.py)
+    "ha_statistics_hourly": 6,
     "bloom_decontaminate": 0,
     "dsir_resample": 0,
 }
