@@ -348,7 +348,13 @@ def test_derive_ha_tables_registers_views_on_cache_hit(spark):
             assert spark.sql(f"SELECT * FROM {name} LIMIT 1") is not None
     finally:
         evicted = hf._CACHE.pop(key, None)
-        if evicted is not None and evicted is not saved:
+        # only unpersist the rebuild when there was NO saved triplet:
+        # Spark's cache manager is keyed by canonicalized logical plan,
+        # so the rebuild and the saved triplet share ONE cache entry —
+        # unpersisting the rebuild would silently strip the restored
+        # triplet's persistence too (observed: later plan-budget tests
+        # then measured an uncached fixture)
+        if evicted is not None and evicted is not saved and saved is None:
             for df in evicted.values():
                 df.unpersist()
         if saved is not None:
