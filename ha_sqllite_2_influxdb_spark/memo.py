@@ -56,8 +56,10 @@ _ARTIFACT_LOCKS_GUARD = threading.Lock()
 
 def _artifact(cache: dict, key, build, on_evict=None):
     with _ARTIFACT_LOCKS_GUARD:
-        lock = _ARTIFACT_LOCKS.setdefault(
-            id(cache), (cache, threading.RLock()))[1]
+        entry = _ARTIFACT_LOCKS.get(id(cache))
+        if entry is None:  # allocate the RLock only on first registration
+            entry = _ARTIFACT_LOCKS[id(cache)] = (cache, threading.RLock())
+        lock = entry[1]
     with lock:
         if key in cache:
             cache[key] = cache.pop(key)          # LRU: move to end

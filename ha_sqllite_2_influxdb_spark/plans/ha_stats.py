@@ -76,6 +76,40 @@ def _overlap_micros(b: float):
             F.round(F.col("value") * d * 1e6).cast("long"))
 
 
+def _boundary_terms(seg: DataFrame, b: float) -> DataFrame:
+    """Micro-quantized terms for each segment's FIRST and LAST spanned
+    bucket (one row when the segment lives inside a single bucket) —
+    the only terms that can share a bucket with another segment, hence
+    the only ones the split compilers aggregate. Shared by
+    `hourly_statistics` and `short_term_cascade` so the bit-parity-
+    critical construction exists exactly once."""
+    bnd = seg.select(
+        *_SERIES, "t0", "t1", "value",
+        F.explode(
+            F.when(F.col("h1") > F.col("h0"), F.array("h0", "h1"))
+             .otherwise(F.array("h0"))).alias("h"),
+    )
+    d_micro, vd_micro = _overlap_micros(b)
+    return bnd.select(
+        *_SERIES, "h", "value",
+        d_micro.alias("_d_micro"), vd_micro.alias("_vd_micro"),
+    )
+
+
+def _interior_rows(seg: DataFrame) -> DataFrame:
+    """(series, value, h) for every bucket a segment covers end-to-end
+    — sole-occupant by segment disjointness, so downstream compilers
+    may project their per-bucket outputs directly, no aggregation."""
+    return (
+        seg.filter(F.col("h1") >= F.col("h0") + 2)
+        .select(
+            *_SERIES, "value",
+            F.explode(F.sequence(F.col("h0") + 1, F.col("h1") - 1))
+             .alias("h"),
+        )
+    )
+
+
 def _clipped_terms(pts: DataFrame, bucket_s: int) -> DataFrame:
     """Segments exploded over the ``bucket_s`` buckets they span, each
     overlap micro-quantized — the shared core of the short-term cascade
@@ -122,45 +156,23 @@ def hourly_statistics(pts: DataFrame) -> DataFrame:
     """
     b = 3600.0
     seg = _segments(pts, 3600)
-    # boundary terms: a segment's first and last spanned hours (one row
-    # when the segment lives inside a single hour)
-    bnd = seg.select(
-        *_SERIES, "t0", "t1", "value",
-        F.explode(
-            F.when(F.col("h1") > F.col("h0"), F.array("h0", "h1"))
-             .otherwise(F.array("h0"))).alias("h"),
-    )
-    d_micro, vd_micro = _overlap_micros(b)
-    bterms = bnd.select(
-        *_SERIES, "h", "value",
-        d_micro.alias("_d_micro"), vd_micro.alias("_vd_micro"),
-    )
-    bagg = bterms.groupBy(*_SERIES, "h").agg(
+    bagg = _boundary_terms(seg, b).groupBy(*_SERIES, "h").agg(
         ((F.sum("_vd_micro") / 1e6) / (F.sum("_d_micro") / 1e6))
         .alias("dw_mean"),
         F.min("value").alias("min_val"),
         F.max("value").alias("max_val"),
         F.count(F.lit(1)).alias("n_segments"),
     )
-    # interior hours: full-bucket coverage, sole occupant by
-    # construction — mirror the single-term aggregate exactly:
+    # interior hours mirror the single-term aggregate exactly:
     # (Σvd/1e6)/(Σd/1e6) with d == b
-    inner = (
-        seg.filter(F.col("h1") >= F.col("h0") + 2)
-        .select(
-            *_SERIES, "value",
-            F.explode(F.sequence(F.col("h0") + 1, F.col("h1") - 1))
-             .alias("h"),
-        )
-        .select(
-            *_SERIES, "h",
-            ((F.round(F.col("value") * F.lit(b) * 1e6).cast("long") / 1e6)
-             / (F.round(F.lit(b) * 1e6).cast("long") / 1e6))
-            .alias("dw_mean"),
-            F.col("value").alias("min_val"),
-            F.col("value").alias("max_val"),
-            F.lit(1).cast("long").alias("n_segments"),
-        )
+    inner = _interior_rows(seg).select(
+        *_SERIES, "h",
+        ((F.round(F.col("value") * F.lit(b) * 1e6).cast("long") / 1e6)
+         / (F.round(F.lit(b) * 1e6).cast("long") / 1e6))
+        .alias("dw_mean"),
+        F.col("value").alias("min_val"),
+        F.col("value").alias("max_val"),
+        F.lit(1).cast("long").alias("n_segments"),
     )
     return bagg.unionByName(inner).select(
         *_SERIES, (F.col("h") * 3600).alias("hour_epoch"),
@@ -195,40 +207,21 @@ def short_term_cascade(pts: DataFrame) -> DataFrame:
     and the unchanged oracle."""
     b = 300.0
     seg = _segments(pts, 300)
-    bnd = seg.select(
-        *_SERIES, "t0", "t1", "value",
-        F.explode(
-            F.when(F.col("h1") > F.col("h0"), F.array("h0", "h1"))
-             .otherwise(F.array("h0"))).alias("h"),
-    )
-    d_micro, vd_micro = _overlap_micros(b)
-    bterms = bnd.select(
-        *_SERIES, "h", "value",
-        d_micro.alias("_d_micro"), vd_micro.alias("_vd_micro"),
-    )
-    bshort = bterms.groupBy(*_SERIES, "h").agg(
+    bshort = _boundary_terms(seg, b).groupBy(*_SERIES, "h").agg(
         F.sum("_vd_micro").alias("_svd"),
         F.sum("_d_micro").alias("_sd"),
         F.min("value").alias("_mn"),
         F.max("value").alias("_mx"),
         F.count(F.lit(1)).alias("_n"),
     )
-    ishort = (
-        seg.filter(F.col("h1") >= F.col("h0") + 2)
-        .select(
-            *_SERIES, "value",
-            F.explode(F.sequence(F.col("h0") + 1, F.col("h1") - 1))
-             .alias("h"),
-        )
-        .select(
-            *_SERIES, "h",
-            F.round(F.col("value") * F.lit(b) * 1e6).cast("long")
-             .alias("_svd"),
-            F.round(F.lit(b) * 1e6).cast("long").alias("_sd"),
-            F.col("value").alias("_mn"),
-            F.col("value").alias("_mx"),
-            F.lit(1).cast("long").alias("_n"),
-        )
+    ishort = _interior_rows(seg).select(
+        *_SERIES, "h",
+        F.round(F.col("value") * F.lit(b) * 1e6).cast("long")
+         .alias("_svd"),
+        F.round(F.lit(b) * 1e6).cast("long").alias("_sd"),
+        F.col("value").alias("_mn"),
+        F.col("value").alias("_mx"),
+        F.lit(1).cast("long").alias("_n"),
     )
     short = bshort.unionByName(ishort)
     hour = (F.floor(F.col("h") / 12)).cast("long")
