@@ -1184,14 +1184,15 @@ def ngram_span_stats(documents: DataFrame, n: int = 8,
 
     Scale shape (``use_hash=True``, the default): n-gram STRINGS never
     shuffle — each position becomes one xxhash64 long, so the wire volume
-    is 8 bytes/position instead of ~8 words/position. Three bounded
-    shuffles: (1) groupBy hash for cross-doc occurrence counts, (2) a
-    LEFT SEMI probe of positions against the (usually small) duplicated
-    set, (3) per-doc re-aggregation. ``n_ngrams`` itself is computed
-    map-side from the word count, no shuffle. ``use_hash=False`` groups
-    by the n-gram string — the independent formulation the DuckDB oracle
-    uses; pytest asserts both produce identical stats (a 64-bit collision
-    would have to appear within one corpus to diverge them).
+    is 8 bytes/position instead of ~8 words/position. Two bounded
+    shuffles (r14): (1) one exchange of raw (doc_id, g) positions by g,
+    over which a whole-partition window computes the min/max doc flags
+    that mark cross-doc duplication, (2) per-doc re-aggregation.
+    ``n_ngrams`` itself is computed map-side from the word count, no
+    shuffle. ``use_hash=False`` groups by the n-gram string — the
+    independent formulation the DuckDB oracle uses; pytest asserts both
+    produce identical stats (a 64-bit collision would have to appear
+    within one corpus to diverge them).
     """
     ws = F.split(F.col("text"), " ")
     n_ngrams = F.greatest(F.size(ws) - (n - 1), F.lit(0)).cast("long")
@@ -1212,17 +1213,31 @@ def ngram_span_stats(documents: DataFrame, n: int = 8,
         (F.xxhash64(F.col("gs")) if use_hash else F.col("gs")).alias("g"),
     )
     # "appears in >1 DISTINCT doc" ⇔ min(doc_id) != max(doc_id): exact,
-    # and the partial-aggregate buffer is two longs per n-gram instead of
-    # count_distinct's per-group distinct-set expansion (−17% wall at
-    # sf0.1; at 100 TB the buffer bound is what matters)
-    dup = (
-        g.groupBy("g")
-        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
-        .filter(F.col("_mn") != F.col("_mx"))
-        .select("g")
-    )
+    # and cheaper than count_distinct's per-group distinct-set
+    # expansion. r14 plan surgery: the flags used to come from a
+    # groupBy("g") agg + broadcast semi-join back onto a SECOND explode
+    # of the corpus — but n-grams are nearly all unique (term:group
+    # ratio ~1), so that aggregation built a ~|positions|-entry hash
+    # map to reduce almost nothing (the ha_statistics disease), and the
+    # probe side re-ran the regex+explode pass. One exchange by g +
+    # whole-partition window min/max streams over the sorted runs
+    # instead: no corpus-scale hash map, one explode pass, and the wire
+    # carries raw 16-byte (doc_id, g) rows — narrower than the old
+    # partial-agg (g, mn, mx) triples it replaced. Measured within-JVM
+    # A/B min-of-5 at sf0.1: 1.07 → 0.62 s (−43%), exceptAll empty both
+    # ways (tools/profile_ngram.py); at 100 TB the sort spills
+    # gracefully where the hash map was the first thing to break.
+    # repartition(g) carries no explicit partition count, so AQE still
+    # sizes the exchange from the data (scale-adaptive).
+    wg = W.partitionBy("g")
     dup_per_doc = (
-        g.join(dup, "g", "left_semi")
+        g.repartition(F.col("g"))
+        .select(
+            "doc_id",
+            F.min("doc_id").over(wg).alias("_mn"),
+            F.max("doc_id").over(wg).alias("_mx"),
+        )
+        .filter(F.col("_mn") != F.col("_mx"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup_ngrams"))
     )

@@ -382,6 +382,58 @@ def test_ngram_span_stats_crafted_and_formulation_parity(spark, sf_dir):
     assert a == b
 
 
+def test_ngram_window_equals_agg_semijoin(spark, sf_dir):
+    """r14 plan-surgery pin: the shipped one-exchange window formulation
+    must stay row-identical to the original dup-set aggregate +
+    broadcast-semi-join formulation (the shape it replaced — see
+    ngram_span_stats; exceptAll both ways, crafted edges + real docs)."""
+    from pyspark.sql import functions as F
+
+    def direct(documents, n=8):
+        ws = F.split(F.col("text"), " ")
+        n_ngrams = F.greatest(F.size(ws) - (n - 1), F.lit(0)).cast("long")
+        pat = "(?:^| )(?=(" + "[^ ]* " * (n - 1) + "[^ ]*))"
+        grams = F.when(
+            n_ngrams > 0, F.regexp_extract_all(F.col("text"), F.lit(pat), 1)
+        ).otherwise(F.array().cast("array<string>"))
+        g = documents.select(
+            "doc_id", F.explode(grams).alias("gs")
+        ).select("doc_id", F.xxhash64(F.col("gs")).alias("g"))
+        dup = (
+            g.groupBy("g")
+            .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("g")
+        )
+        dup_per_doc = (
+            g.join(dup, "g", "left_semi")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_ngrams"))
+        )
+        base = documents.select("doc_id", n_ngrams.alias("n_ngrams"))
+        return base.join(dup_per_doc, "doc_id", "left").select(
+            "doc_id", "n_ngrams",
+            F.coalesce(F.col("n_dup_ngrams"), F.lit(0)).alias("n_dup_ngrams"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.coalesce(F.col("n_dup_ngrams"), F.lit(0)).cast("double")
+                / F.col("n_ngrams"),
+            ).alias("dup_ratio"),
+        )
+
+    crafted = spark.createDataFrame(
+        [(1, "a b c d e f g h x y z"), (2, "p q r a b c d e f g h"),
+         (3, "a b c d e f g h"), (4, "short"),
+         (5, "a b c d e f g h a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (crafted, docs):
+        got = dedup.ngram_span_stats(df, 8)
+        want = direct(df, 8)
+        assert got.exceptAll(want).isEmpty()
+        assert want.exceptAll(got).isEmpty()
+
+
 def test_kmeans_deterministic_and_matches_numpy_reference(spark, sf_dir):
     """The distributed fixpoint must be bit-reproducible run-to-run AND
     exactly equal an independent single-machine numpy implementation of
