@@ -363,7 +363,13 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped.select("doc_id", "text"),
         curation.benchmark_prefixes(docs.select("doc_id", "text")),
     ).select("doc_id").distinct()
-    clean = deduped.join(flagged, "doc_id", "left_anti")
+    # r14 (guide §3.1): broadcast the flagged set — it is bounded by
+    # |benchmark hits| (125 rows here, eval-set-sized always), while the
+    # planner's SortMergeJoin shuffled AND sorted the full deduped
+    # corpus, text included, by doc_id just to drop those rows. Measured
+    # within-JVM A/B min-of-5 at sf0.1: 1.335 -> 0.884 s (-34%),
+    # exceptAll empty both ways (tools/profile_curate.py).
+    clean = deduped.join(F.broadcast(flagged), "doc_id", "left_anti")
     return curation.curriculum_topk(clean)
 
 
@@ -407,7 +413,10 @@ def q_curate_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         curation.decontaminate(cand_docs.select("doc_id", "text"), bench)
         .select("doc_id").distinct()
     )
-    clean = (deduped.join(flagged, "doc_id", "left_anti")
+    # r14: same broadcast-anti as q_curate_pipeline — flagged is the
+    # decontamination sliver (bounded by |benchmark hits|), never the
+    # corpus side
+    clean = (deduped.join(F.broadcast(flagged), "doc_id", "left_anti")
              .select("doc_id", "lang", "text"))
     scored = dsir_apply(clean, _dsir_lr(spark, sf_dir))
     return (

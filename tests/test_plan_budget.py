@@ -121,3 +121,22 @@ def test_perceptual_neardup_shuffle_budgets(spark, sf_dir):
     over = _over_budget({n: qs[n] for n in PERCEPTUAL_BUDGET},
                         PERCEPTUAL_BUDGET, spark, sf_dir)
     assert not over, f"shuffle budget exceeded: {over}"
+
+
+# r14 (guide §3.1): the curation pipelines must drop the flagged
+# decontamination sliver with a BROADCAST anti-join — the flagged set
+# is bounded by |benchmark hits| (eval-set-sized), while a SortMergeJoin
+# here shuffles and sorts the full deduped corpus, text included, by
+# doc_id (measured: 1.34 -> 0.88 s at sf0.1 from the flip alone). The
+# shuffle budget can't catch this regression (the SMJ shape still fits
+# under the bound), so pin the join strategy itself.
+def test_curate_anti_join_broadcasts(spark, sf_dir):
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+    anti = re.compile(r"(\w+Join) .*LeftAnti")
+    for name in ("curate_pipeline", "curate_dsir_pipeline"):
+        plan = (qs[name](spark, sf_dir)._jdf.queryExecution()
+                .executedPlan().toString())
+        kinds = set(anti.findall(plan))
+        assert kinds == {"BroadcastHashJoin"}, (name, kinds)
