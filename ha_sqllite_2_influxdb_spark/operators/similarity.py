@@ -27,6 +27,8 @@ from operator import add
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.shipped import _shipped
+
 DIM = 64
 N_PLANES = 16
 LSH_TABLES = 8       # hash tables (L)
@@ -703,14 +705,18 @@ def pq_train(embeddings: DataFrame, m: int = 8, ksub: int = 16,
     import numpy as np
 
     dsub = dim // m
-    emb = _normalized(embeddings).persist()
+    # r14: persist the RAW (vec_id, embedding) relation — normalization
+    # happens in numpy inside the assignment pass (see _pq_assign), so
+    # the interpreted-HOF normalization pass is gone and the cached
+    # working set is the narrower float32 vectors
+    emb = embeddings.select("vec_id", "embedding").persist()
     try:
         # salted init (r7, VERDICT r6 #7): ksub smallest vec_ids BY HASH —
         # unbiased under time-correlated ids, still deterministic and
         # bit-reproducible (xxhash64 is a pure function of vec_id)
         init = (emb.orderBy(F.xxhash64("vec_id"), "vec_id")
                 .limit(ksub).collect())
-        x0 = np.array([list(r.nv) for r in init], dtype=np.float64)
+        x0 = _np_normalized([list(r.embedding) for r in init])
         books = np.stack([x0[:, s * dsub:(s + 1) * dsub] for s in range(m)])
 
         for _ in range(iters):
@@ -750,7 +756,16 @@ def pq_train(embeddings: DataFrame, m: int = 8, ksub: int = 16,
 def _normalized(embeddings: DataFrame) -> DataFrame:
     """(vec_id, nv): L2-normalized double vector — on the unit sphere,
     squared-L2 ranking is exactly reverse-cosine ranking, so PQ/ADC
-    results are comparable to the cosine brute-force baseline."""
+    results are comparable to the cosine brute-force baseline.
+
+    r14 NOTE (guide §4.2): this JVM formulation costs ~0.36 s per 10k
+    rows at dim 64 — higher-order functions run interpreted, and the
+    transform's lambda body re-evaluates the O(dim) norm fold per
+    ELEMENT (CollapseProject re-inlines any materialized norm column,
+    so the O(dim²) cannot be projected away). The PQ query/train paths
+    therefore normalize in numpy inside their existing Arrow passes
+    (`_np_normalized`, bit-identical by sequential fold); this stays as
+    the JVM reference formulation and the parity pin's baseline."""
     n2 = F.aggregate(
         F.col("embedding"),
         F.lit(0.0),
@@ -765,10 +780,35 @@ def _normalized(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _np_normalized(x):
+    """numpy L2 normalization, BIT-IDENTICAL to `_normalized`: the
+    squared norm accumulates as the same left fold (0.0 + v0² + v1² + …,
+    one IEEE-754 double add per dim, sequential across dims, vectorized
+    across rows — numpy's pairwise `sum()` would round differently),
+    then the same greatest/sqrt/divide per element."""
+    import numpy as np
+
+    xd = np.asarray(x, dtype=np.float64)  # float32→float64 is exact
+    acc = np.zeros(len(xd), dtype=np.float64)
+    for d in range(xd.shape[1]):
+        acc = acc + xd[:, d] * xd[:, d]
+    return xd / np.sqrt(np.maximum(acc, 1e-30))[:, None]
+
+
 def _pq_assign(books, m: int, dsub: int):
+    """Arrow batch fn for pq_train's k-means iteration: RAW
+    ``embedding`` in → normalize in numpy (`_np_normalized`,
+    bit-identical to the retired JVM HOF formulation — guide §4.2) →
+    (vec_id, codes, nv) out. nv rides back because the centroid update
+    consumes it; the ADC QUERY path uses the fused assign+score closure
+    in `pq_adc_topk` instead, where neither nv nor codes ever cross the
+    Arrow boundary."""
     import numpy as np
 
     b = books.copy()
+    # hermetic-worker rule: rebind the normalizer by value so the
+    # executor closure never imports this package
+    np_norm = _shipped(_np_normalized)
 
     def assign(batches):
         import pandas as pd
@@ -776,7 +816,7 @@ def _pq_assign(books, m: int, dsub: int):
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.array(list(pdf["nv"]), dtype=np.float64)
+            x = np_norm(list(pdf["embedding"]))
             codes = np.empty((len(x), m), dtype=np.int32)
             for s in range(m):
                 xs = x[:, s * dsub:(s + 1) * dsub]
@@ -787,7 +827,7 @@ def _pq_assign(books, m: int, dsub: int):
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"].astype("int64"),
                 "codes": list(codes),
-                "nv": pdf["nv"],
+                "nv": list(x),
             })
 
     return assign
@@ -802,11 +842,21 @@ def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     lut[s][code] = ||q_sub − centroid||² summed across subspaces.
 
     Scale shape: candidates never rematerialize float vectors at query
-    time — scoring reads m ints per candidate against a broadcast
+    time — scoring reads m byte codes per candidate against a broadcast
     (n_queries × m × ksub) LUT, and each Arrow batch emits only its own
     per-query top-k (partial top-k inside the batch, the map-side-combine
     analog), so the final window ranks ≤ batches·k rows per query
     instead of all candidates. Output: (query_id, cand_id, adc_dist, rk).
+
+    r14 (guide §4.1/§4.2): ONE fused Arrow pass — normalize (numpy,
+    bit-identical sequential fold), assign codes, and LUT-score inside
+    the same mapInPandas, so neither the normalized vectors nor the
+    codes ever cross the JVM↔Python boundary (the r13 shape paid an
+    interpreted JVM normalization pass plus TWO chained mapInPandas
+    nodes with nv and codes serialized between them). Batch boundaries
+    may differ from the two-pass shape, but the (dist, cand_id) total
+    order makes the global top-k invariant to batching — pinned by
+    test_pq_rerank_deterministic_across_partitionings.
     """
     import numpy as np
 
@@ -818,16 +868,13 @@ def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     if books is None:
         books = pq_train(embeddings, m=m, ksub=ksub, iters=iters, dim=dim)
     dsub = dim // m
-    emb = _normalized(embeddings)
-    codes = emb.filter(F.col("vec_id") >= n_queries).mapInPandas(
-        _pq_assign(books, m, dsub), "vec_id long, codes array<int>, nv array<double>"
-    ).select("vec_id", "codes")
     qrows = sorted(
-        (r.vec_id, list(r.nv))
-        for r in emb.filter(F.col("vec_id") < n_queries).collect()
+        (r.vec_id, list(r.embedding))
+        for r in embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding").collect()
     )
     qids = np.array([i for i, _ in qrows], dtype=np.int64)
-    qv = np.array([v for _, v in qrows], dtype=np.float64)
+    qv = _np_normalized([v for _, v in qrows])
     lut = np.empty((len(qids), m, ksub), dtype=np.float64)
     for s in range(m):
         qs = qv[:, s * dsub:(s + 1) * dsub]
@@ -835,14 +882,25 @@ def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         lut[:, s, :] = ((qs * qs).sum(1)[:, None] - 2.0 * (qs @ cs.T)
                         + (cs * cs).sum(1)[None, :])
 
-    def score(batches):
+    # hermetic-worker rule: rebind by value, never import the package
+    np_norm = _shipped(_np_normalized)
+    b = books.copy()
+
+    def assign_score(batches):
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
                 continue
-            c = np.array(list(pdf["codes"]), dtype=np.int64)  # [n, m]
+            x = np_norm(list(pdf["embedding"]))
             ids = pdf["vec_id"].to_numpy()
+            c = np.empty((len(x), m), dtype=np.int64)  # [n, m], in-RAM only
+            for s in range(m):
+                xs = x[:, s * dsub:(s + 1) * dsub]
+                cs = b[s]
+                dist = ((xs * xs).sum(1)[:, None] - 2.0 * (xs @ cs.T)
+                        + (cs * cs).sum(1)[None, :])
+                c[:, s] = dist.argmin(1)
             out = {"query_id": [], "cand_id": [], "adc_dist": []}
             for qi in range(len(qids)):
                 d = lut[qi][np.arange(m)[None, :], c].sum(1)  # [n]
@@ -857,8 +915,10 @@ def pq_adc_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
                 out["adc_dist"].extend(d[top].tolist())
             yield pd.DataFrame(out)
 
-    partial = codes.mapInPandas(
-        score, "query_id long, cand_id long, adc_dist double"
+    partial = embeddings.filter(F.col("vec_id") >= n_queries).select(
+        "vec_id", "embedding"
+    ).mapInPandas(
+        assign_score, "query_id long, cand_id long, adc_dist double"
     )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("cand_id"))
     return (

@@ -1503,3 +1503,20 @@ def test_allpairs_linear_swapin_value_parity(spark):
     diff = {k: (approx[k], exact[k])
             for k in approx if approx[k] != exact[k]}
     assert not diff, f"swap-in jaccard values diverge: {diff}"
+
+
+def test_np_normalized_bit_identical_to_jvm(spark, sf_dir):
+    """r14 guide-§4.2 surgery pin: the numpy normalization used inside
+    the PQ Arrow passes must stay BIT-identical to the JVM reference
+    formulation (_normalized) — the sequential per-dim fold mirrors the
+    interpreted left fold exactly; numpy's pairwise sum() would not."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        (r.vec_id, list(r.embedding))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    want = {r.vec_id: list(r.nv)
+            for r in similarity._normalized(emb).collect()}
+    got = similarity._np_normalized([v for _, v in rows])
+    for (vid, _), g in zip(rows, got):
+        assert list(g) == want[vid], vid

@@ -1,18 +1,24 @@
 """Stage-split profile of pq_ann_topk (r14 optimization pass, guide
-§1/§4.1).
+§1/§4.1/§4.2).
+
+The r13 shape normalized embeddings with the interpreted JVM HOF pass
+(`_normalized`: the transform lambda re-evaluates the O(dim) norm fold
+per ELEMENT — measured 0.36-0.41 s alone per 10k rows at sf0.1, ~40%
+of the query; CollapseProject re-inlines any materialized norm column,
+so it cannot be projected away) and then serialized the normalized
+vector back OUT of the assign pass only to drop it. The r14 shape
+normalizes in numpy INSIDE the assign pass (bit-identical sequential
+fold, pinned by test_np_normalized_bit_identical_to_jvm) and emits
+codes without nv.
 
 Stages (noop sink, min-of-N, memoized codebooks — the bench state):
-  normalized — the JVM-side L2 normalization pass alone
-  codes      — + the _pq_assign Arrow pass (the Python boundary)
-  adc        — + per-batch partial top-k + global rank window
-  full       — the shipped q_pq_ann_topk (ADC shortlist + exact rerank)
-
-The candidate fix measured here: _pq_assign serializes the full
-normalized vector (nv, 64 doubles/row) back OUT of the Python worker;
-pq_train's k-means iteration consumes it, but the ADC query path drops
-it immediately — `codes_slim` times the assign pass with nv omitted
-from the output schema (guide §4.1: move only the columns the
-consumer needs across the boundary).
+  normalized_jvm — the retired JVM HOF normalization pass alone
+                   (the regression reference)
+  codes_train    — the train-path assign pass (normalize+assign in
+                   numpy, nv riding back for the k-means update)
+  adc            — the shipped FUSED assign+score pass + rank window
+                   (neither nv nor codes cross the Arrow boundary)
+  full           — the shipped q_pq_ann_topk (ADC + exact rerank)
 
 Run on a quiet host: ``python tools/profile_pq.py [runs]``.
 """
@@ -43,39 +49,20 @@ def main() -> None:
     dsub = dim // m
     n_queries = 5
 
+    # the r13 shape's stages, kept for regression comparison: JVM HOF
+    # normalization (interpreted, O(dim²)/row — see _normalized's r14
+    # note) feeding an assign pass that round-trips nv over Arrow
     norm = similarity._normalized(emb)
-    codes = norm.filter(F.col("vec_id") >= n_queries).mapInPandas(
+
+    # the train-path assign pass (nv rides back for the k-means update)
+    codes_train = emb.select("vec_id", "embedding").mapInPandas(
         similarity._pq_assign(books, m, dsub),
         "vec_id long, codes array<int>, nv array<double>",
     ).select("vec_id", "codes")
 
-    def assign_slim(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.array(list(pdf["nv"]), dtype=np.float64)
-            out = np.empty((len(x), m), dtype=np.int32)
-            for s in range(m):
-                xs = x[:, s * dsub:(s + 1) * dsub]
-                cs = books[s]
-                d = ((xs * xs).sum(1)[:, None] - 2.0 * (xs @ cs.T)
-                     + (cs * cs).sum(1)[None, :])
-                out[:, s] = d.argmin(1)
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].astype("int64"),
-                "codes": list(out),
-            })
-
-    codes_slim = norm.filter(F.col("vec_id") >= n_queries).mapInPandas(
-        assign_slim, "vec_id long, codes array<int>")
-
     variants = {
-        "normalized": lambda: norm,
-        "codes": lambda: codes,
-        "codes_slim": lambda: codes_slim,
+        "normalized_jvm": lambda: norm,
+        "codes_train": lambda: codes_train,
         "adc": lambda: similarity.pq_adc_topk(
             emb, n_queries=n_queries, k=50, books=books),
         "full": lambda: llm_ops.q_pq_ann_topk(spark, SF_DIR),
