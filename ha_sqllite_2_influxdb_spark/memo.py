@@ -74,3 +74,35 @@ def _artifact(cache: dict, key, build, on_evict=None):
                     pass                         # best-effort release
         cache[key] = val
         return val
+
+
+# ---------------------------------------------------------------------------
+# Plan-width memo (r14 optimization, guide §1.1/§7.3 — driver-side planning
+# cost). Four operators widen a narrow local input with
+# ``df.rdd.getNumPartitions() < defaultParallelism`` before heavy per-row
+# work (shingling, signature matmuls). ``DataFrame.rdd`` forces analysis +
+# physical planning + RDD DAG construction of the WHOLE input subtree, which
+# measures ~200-250 ms per fresh build at sf0.1 (tools/profile_breakdown.py)
+# — the single largest driver-side cost of q_curate_pipeline and
+# q_bloom_decontaminate, paid again on every invocation because those
+# pipelines construct fresh inputs each call. The partition count of a given
+# logical plan is deterministic within a session (static file layout,
+# persisted inputs), so memoize it per (applicationId, semanticHash):
+# repeated builds of the same shape skip physical planning entirely.
+# ``semanticHash`` only canonicalizes the already-analyzed plan (~0.1 ms).
+# A hash collision could at worst mis-answer the narrow-input test — a
+# repartition hint, never a correctness path.
+_WIDTH_CAP = 512
+_WIDTH_CACHE: dict[tuple[str, int], int] = {}
+
+
+def input_width(df) -> int:
+    """``df.rdd.getNumPartitions()``, memoized per (application, plan)."""
+    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+    n = _WIDTH_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        while len(_WIDTH_CACHE) >= _WIDTH_CAP:
+            _WIDTH_CACHE.pop(next(iter(_WIDTH_CACHE)))
+        _WIDTH_CACHE[key] = n
+    return n

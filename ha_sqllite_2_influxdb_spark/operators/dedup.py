@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .text import HASH_MOD, char_hash
+from ..memo import input_width
 
 SIMHASH_BITS = 48       # xxhash64 tier (positive in signed int64)
 SIMHASH_BITS_PORTABLE = 31  # rolling-hash tier only yields 31 hash bits
@@ -204,7 +205,7 @@ def shingle_sets(corpus: DataFrame, native_hash: bool = False) -> DataFrame:
         arr = F.array_distinct(hashed_shingles(F.col("text"), F.col("w")))
     else:
         arr = F.array_distinct(shingles(F.col("text"), words=F.col("w")))
-    if corpus.rdd.getNumPartitions() < n_part:
+    if input_width(corpus) < n_part:
         corpus = corpus.repartition(n_part)
     return (
         corpus
@@ -503,7 +504,7 @@ def _neardup_pairs_sql(corpus: DataFrame, threshold: float,
     # work (same conditional as the DataFrame build, applied to the
     # parameter plan so the hint stays out of the text)
     n_part = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < n_part:
+    if input_width(corpus) < n_part:
         corpus = corpus.repartition(n_part)
     hw = "transform(w, x -> xxhash64(x))"
     m = f"(size(w) - {k - 1})"

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.shipped import _shipped
+from ..memo import input_width
 
 DIM = 64
 N_PLANES = 16
@@ -203,7 +204,7 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
 
     # widen only a narrow local layout; a wide production scan must not
     # pay a full-vector shuffle just to re-balance the Arrow batches
-    if embeddings.rdd.getNumPartitions() < n_part:
+    if input_width(embeddings) < n_part:
         embeddings = embeddings.repartition(n_part)
     assigned = embeddings.select(
         "vec_id", "embedding", nearest_cell("embedding").alias("cell")
@@ -521,7 +522,7 @@ def ann_lsh_pairs(embeddings: DataFrame, threshold: float = 0.35,
     sig = _signature_udf(n_tables, planes_per_table)
     # widen only a narrow local layout (see shingle_sets): a production
     # scan is already wide and must not shuffle full vectors to re-balance
-    if embeddings.rdd.getNumPartitions() < n_part:
+    if input_width(embeddings) < n_part:
         embeddings = embeddings.repartition(n_part)
     sigs = (
         embeddings

@@ -140,3 +140,39 @@ def test_curate_anti_join_broadcasts(spark, sf_dir):
                 .executedPlan().toString())
         kinds = set(anti.findall(plan))
         assert kinds == {"BroadcastHashJoin"}, (name, kinds)
+
+
+# r14 (guide §1.1/§7.3): the narrow-input width probe used to call
+# ``df.rdd.getNumPartitions()`` per build — full physical planning of
+# the input subtree on EVERY invocation (~0.2 s for curate_pipeline's
+# fresh deduped input, ~3 s for curate_dsir_pipeline's bloom-sliver
+# tree). ``memo.input_width`` memoizes the count per (application,
+# semanticHash); this pins that (a) the memo answers exactly what the
+# direct probe answers, (b) a repeat call is served from the cache,
+# and (c) the cache stays bounded.
+def test_input_width_memo_matches_direct_probe(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark import memo
+    from ha_sqllite_2_influxdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fresh = docs.select("doc_id", "text").filter(F.col("doc_id") >= 0)
+    direct = fresh.rdd.getNumPartitions()
+    memo._WIDTH_CACHE.clear()
+    assert memo.input_width(fresh) == direct
+    key = (spark.sparkContext.applicationId, fresh.semanticHash())
+    assert memo._WIDTH_CACHE[key] == direct
+    # a semantically identical FRESH build hits the same entry
+    fresh2 = docs.select("doc_id", "text").filter(F.col("doc_id") >= 0)
+    assert memo.input_width(fresh2) == direct
+    assert len(memo._WIDTH_CACHE) == 1
+    # bound: a miss on a full cache evicts down to _WIDTH_CAP via
+    # input_width's own eviction loop
+    memo._WIDTH_CACHE.clear()
+    for i in range(memo._WIDTH_CAP + 5):
+        memo._WIDTH_CACHE[("synthetic", i)] = 1
+    memo.input_width(fresh)
+    assert len(memo._WIDTH_CACHE) <= memo._WIDTH_CAP
+    assert memo._WIDTH_CACHE[key] == direct
+    memo._WIDTH_CACHE.clear()
