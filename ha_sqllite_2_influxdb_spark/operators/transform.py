@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 
 from ..functions.entity import entity_domain, entity_short
 from ..functions.jsonmap import attr_get, attrs_variant_map
-from ..functions.numeric import NUMERIC_STR_REGEX, is_numeric_str
+from ..functions.numeric import (
+    NUMERIC_STR_REGEX, NUMERIC_STR_REGEX_SQL, is_numeric_str,
+)
 
 #: states the reference drops entirely (sqllite2influxdb.py:104-105)
 SENTINEL_STATES = ("unknown", "unavailable", "None")
@@ -61,7 +63,7 @@ def drop_sentinel_states(df: DataFrame) -> DataFrame:
     return df.filter(~F.col("state").isin(*SENTINEL_STATES))
 
 
-def points(ha_states: DataFrame, ha_states_meta: DataFrame,
+def _points_df(ha_states: DataFrame, ha_states_meta: DataFrame,
            ha_state_attributes: DataFrame,
            keep_state: bool = False) -> DataFrame:
     """Flagship transform: scan → filter → type/tag (F1-F9) → point rows.
@@ -133,7 +135,7 @@ def scan_health(ha_states: DataFrame, ha_states_meta: DataFrame,
     return obs.get
 
 
-def attr_fields(ha_states: DataFrame, ha_states_meta: DataFrame,
+def _attr_fields_df(ha_states: DataFrame, ha_states_meta: DataFrame,
                 ha_state_attributes: DataFrame) -> DataFrame:
     """F10+F12: explode the dynamic JSON map into typed field rows.
 
@@ -208,3 +210,131 @@ def attr_fields(ha_states: DataFrame, ha_states_meta: DataFrame,
         .join(F.broadcast(fields_dim), "attributes_id")
         .select("state_id", "field_key", "field_type", "value_num", "value_str")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-parse SQL texts of the two transforms above (r14, guide §1.1/§7.3).
+# Every chained DataFrame call is eagerly analyzed (~8-10 ms fixed per call
+# — tools/profile_breakdown.py), so the ~10-call builds cost 0.10-0.15 s of
+# pure driver-side analysis per invocation. One parse+analysis of these
+# texts builds the IDENTICAL plans — optimizer-level sameResult, equal
+# Exchange counts and identical values pinned by
+# tests/test_plans.py::test_points_and_attr_fields_sql_text_plan_equality;
+# _points_df/_attr_fields_df above remain the readable references the pins
+# compare against (the simhash/neardup/hourly SQL-text precedent). Snippets
+# mirror functions/{entity,jsonmap,numeric}.py token for token; the
+# sentinel/dropped/force-float tuples are rendered from the SAME constants
+# the DataFrame builds use, so the two formulations cannot drift.
+
+def _sql_in(values) -> str:
+    return "(" + ", ".join("'" + v + "'" for v in values) + ")"
+
+
+_SHORT_SQL = ("CASE WHEN instr(entity_id, '.') = 0 THEN '' "
+              "ELSE substring(entity_id, instr(entity_id, '.') + 1, "
+              "length(entity_id)) END")
+_UNIT_SQL = "coalesce(_unit, 'default_measurement')"
+# Spark SQL single-quoted literals process backslash escapes, so the
+# regex needs its backslashes doubled IN THE TEXT to survive parsing
+# with the same pattern the Column build uses (pinned by sameResult).
+_RX_SQL = NUMERIC_STR_REGEX_SQL.replace("\\", "\\\\")
+_ISNUM_SQL = f"state RLIKE '{_RX_SQL}'"
+
+
+def _points_sql(keep_state: bool) -> str:
+    state_raw = ",\n       state AS state_raw" if keep_state else ""
+    return f"""
+SELECT state_id,
+       CASE WHEN {_UNIT_SQL} = '' THEN 'count' ELSE {_UNIT_SQL} END
+         AS measurement,
+       'HA' AS source,
+       substring_index(entity_id, '.', 1) AS domain,
+       {_SHORT_SQL} AS entity_id,
+       coalesce(_fname, {_SHORT_SQL}) AS friendly_name,
+       last_updated_ts AS ts_epoch,
+       CASE WHEN {_ISNUM_SQL} THEN CAST(state AS DOUBLE) END AS value,
+       CASE WHEN NOT ({_ISNUM_SQL}) THEN state END AS state_str{state_raw}
+FROM (
+  SELECT /*+ BROADCAST(ad), BROADCAST(m) */ *
+  FROM {{states}} s
+  LEFT JOIN (
+    SELECT attributes_id,
+           get_json_object(shared_attrs, '$.friendly_name') AS _fname,
+           get_json_object(shared_attrs, '$.unit_of_measurement') AS _unit
+    FROM {{attrs}}
+  ) ad USING (attributes_id)
+  JOIN {{meta}} m USING (metadata_id)
+  WHERE NOT (state IN {_sql_in(SENTINEL_STATES)})
+)
+"""
+
+
+def points(ha_states: DataFrame, ha_states_meta: DataFrame,
+           ha_state_attributes: DataFrame,
+           keep_state: bool = False) -> DataFrame:
+    """Flagship transform as ONE SQL parse — plan-identical to
+    `_points_df` (sameResult-pinned); see the SQL-text note above."""
+    return ha_states.sparkSession.sql(
+        _points_sql(keep_state), states=ha_states, meta=ha_states_meta,
+        attrs=ha_state_attributes)
+
+
+_VNUM_SQL = f"""CASE
+  WHEN t = 'BOOLEAN' THEN CASE WHEN sv = 'true' THEN 1.0D ELSE 0.0D END
+  WHEN t = 'VOID' THEN CAST(NULL AS DOUBLE)
+  WHEN t = 'STRING' THEN
+    CASE WHEN field_key IN {_sql_in(FORCE_FLOAT_KEYS)}
+           THEN try_cast(sv AS DOUBLE)
+         WHEN sv RLIKE '{_RX_SQL}' THEN CAST(sv AS DOUBLE)
+    END
+  ELSE try_cast(sv AS DOUBLE)
+END"""
+
+_VSTR_SQL = f"""CASE
+  WHEN field_key IN {_sql_in(FORCE_FLOAT_KEYS)} THEN CAST(NULL AS STRING)
+  WHEN t = 'VOID' THEN 'None'
+  WHEN t = 'STRING' AND NOT (sv RLIKE '{_RX_SQL}') THEN sv
+END"""
+
+_ATTR_FIELDS_SQL = f"""
+SELECT /*+ BROADCAST(fd) */ state_id, field_key, field_type, value_num,
+       value_str
+FROM (
+  SELECT /*+ BROADCAST(m) */ state_id, attributes_id
+  FROM {{states}} s
+  JOIN {{meta}} m USING (metadata_id)
+  WHERE NOT (state IN {_sql_in(SENTINEL_STATES)})
+) b
+JOIN (
+  SELECT attributes_id, field_key,
+         CASE WHEN value_num IS NOT NULL THEN 'float' ELSE 'string' END
+           AS field_type,
+         value_num, value_str
+  FROM (
+    SELECT attributes_id, field_key,
+           {_VNUM_SQL} AS value_num,
+           {_VSTR_SQL} AS value_str
+    FROM (
+      SELECT attributes_id, field_key,
+             schema_of_variant(v) AS t,
+             cast(v as string) AS sv
+      FROM (
+        SELECT attributes_id,
+               explode(try_cast(try_parse_json(shared_attrs)
+                                AS MAP<STRING, VARIANT>))
+                 AS (field_key, v)
+        FROM {{attrs}}
+      ) WHERE NOT (field_key IN {_sql_in(DROPPED_KEYS)})
+    )
+  ) WHERE value_num IS NOT NULL OR value_str IS NOT NULL
+) fd USING (attributes_id)
+"""
+
+
+def attr_fields(ha_states: DataFrame, ha_states_meta: DataFrame,
+                ha_state_attributes: DataFrame) -> DataFrame:
+    """F10+F12 as ONE SQL parse — plan-identical to `_attr_fields_df`
+    (sameResult-pinned); see the SQL-text note above."""
+    return ha_states.sparkSession.sql(
+        _ATTR_FIELDS_SQL, states=ha_states, meta=ha_states_meta,
+        attrs=ha_state_attributes)

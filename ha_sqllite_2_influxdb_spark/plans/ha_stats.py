@@ -127,7 +127,87 @@ def _clipped_terms(pts: DataFrame, bucket_s: int) -> DataFrame:
     )
 
 
+# One-parse SQL text of the split compiler below (r14, guide §1.1/§7.3:
+# driver-side planning cost). Every chained DataFrame call is EAGERLY
+# analyzed (~8-10 ms fixed per call on this host even for trivial trees
+# — tools/profile_breakdown.py), so the ~10-call split build cost
+# ~0.25 s per invocation of pure analysis on top of the memoized
+# numeric-points plan. One parse+analysis pass of this text builds the
+# IDENTICAL plan — optimizer-level sameResult, equal Exchange counts and
+# bit-equal values pinned by tests/test_ha_stats_plans.py::
+# test_hourly_sql_text_plan_equals_dataframe_build (the simhash/neardup
+# SQL-text precedent). ``{pts}`` is spliced twice, mirroring how the
+# DataFrame build references the shared segment relation from both the
+# boundary and the interior branch. Expressions mirror
+# _segments/_boundary_terms/_interior_rows/_overlap_micros token for
+# token; those helpers remain the shipped build for the cascade and the
+# bit-parity reference the pin compares against.
+_SEG_SQL = """
+    SELECT measurement, domain, entity_id, t0, t1, value,
+           CAST(floor(t0 / 3600.0D) AS BIGINT) AS h0,
+           CAST(floor(t1 / 3600.0D) AS BIGINT)
+             - (CASE WHEN t1 = floor(t1 / 3600.0D) * 3600.0D
+                     THEN 1 ELSE 0 END) AS h1
+    FROM (
+      SELECT measurement, domain, entity_id, ts_epoch AS t0, value,
+             lead(ts_epoch) OVER (
+               PARTITION BY measurement, domain, entity_id
+               ORDER BY ts_epoch, state_id) AS t1
+      FROM {pts}
+    ) WHERE t1 IS NOT NULL AND t1 > t0
+"""
+
+_HOURLY_SQL = f"""
+SELECT measurement, domain, entity_id, h * 3600 AS hour_epoch,
+       dw_mean, min_val, max_val, n_segments
+FROM (
+  SELECT measurement, domain, entity_id, h,
+         (sum(_vd_micro) / 1E6) / (sum(_d_micro) / 1E6) AS dw_mean,
+         min(value) AS min_val,
+         max(value) AS max_val,
+         count(1) AS n_segments
+  FROM (
+    SELECT measurement, domain, entity_id, h, value,
+           CAST(round((least(t1, (h + 1) * 3600.0D)
+                       - greatest(t0, h * 3600.0D)) * 1E6) AS BIGINT)
+             AS _d_micro,
+           CAST(round(value * (least(t1, (h + 1) * 3600.0D)
+                               - greatest(t0, h * 3600.0D)) * 1E6) AS BIGINT)
+             AS _vd_micro
+    FROM (
+      SELECT measurement, domain, entity_id, t0, t1, value,
+             explode(CASE WHEN h1 > h0 THEN array(h0, h1)
+                          ELSE array(h0) END) AS h
+      FROM ({_SEG_SQL})
+    )
+  )
+  GROUP BY measurement, domain, entity_id, h
+
+  UNION ALL
+
+  SELECT measurement, domain, entity_id, h,
+         (CAST(round(value * 3600.0D * 1E6) AS BIGINT) / 1E6)
+           / (CAST(round(3600.0D * 1E6) AS BIGINT) / 1E6) AS dw_mean,
+         value AS min_val,
+         value AS max_val,
+         CAST(1 AS BIGINT) AS n_segments
+  FROM (
+    SELECT measurement, domain, entity_id, value,
+           explode(sequence(h0 + 1, h1 - 1)) AS h
+    FROM ({_SEG_SQL}) WHERE h1 >= h0 + 2
+  )
+)
+"""
+
+
 def hourly_statistics(pts: DataFrame) -> DataFrame:
+    """The split statistics compiler as ONE SQL parse — plan-identical
+    to `_hourly_statistics_df` (sameResult-pinned); see _HOURLY_SQL for
+    why the text form ships."""
+    return pts.sparkSession.sql(_HOURLY_SQL, pts=pts)
+
+
+def _hourly_statistics_df(pts: DataFrame) -> DataFrame:
     """The statistics compiler over any (series, ts_epoch, value) point
     relation — factored out for the scale probe.
 

@@ -53,3 +53,30 @@ def test_history_stats_one_entity_exchange(spark, sf_dir):
     assert n == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+# r14 (guide §1.1/§7.3): hourly_statistics ships as ONE SQL parse
+# because every chained DataFrame call is eagerly analyzed (~8-10 ms
+# fixed even on trivial trees) and the ~10-call split build cost
+# ~0.23 s of pure driver-side analysis per invocation (measured 232 ->
+# 68 ms with the text). The text must stay plan-identical to the
+# DataFrame build it replaced: optimizer-level sameResult, equal
+# executed Exchange counts, identical values — the simhash/neardup
+# SQL-text precedent.
+def test_hourly_sql_text_plan_equals_dataframe_build(spark, sf_dir):
+    from ha_sqllite_2_influxdb_spark.plans import ha_stats
+    from ha_sqllite_2_influxdb_spark.plans.influxql import _numeric_points
+
+    pts = _numeric_points(spark, sf_dir)
+    sql_b = ha_stats.hourly_statistics(pts)
+    df_b = ha_stats._hourly_statistics_df(pts)
+    assert (sql_b._jdf.queryExecution().optimizedPlan().sameResult(
+            df_b._jdf.queryExecution().optimizedPlan()))
+    n_sql = (sql_b._jdf.queryExecution().executedPlan()
+             .toString().count("Exchange"))
+    n_df = (df_b._jdf.queryExecution().executedPlan()
+            .toString().count("Exchange"))
+    assert n_sql == n_df
+    got_sql = sorted(map(tuple, sql_b.collect()))
+    got_df = sorted(map(tuple, df_b.collect()))
+    assert got_sql == got_df and got_sql

@@ -1015,3 +1015,36 @@ def test_downsample_gap_fill_is_lagged_mean(spark, sf_dir):
     assert rows == {0: (3.0, 2, False), 3600: (3.0, 0, True),
                     7200: (3.0, 0, True), 10800: (3.0, 0, True),
                     14400: (9.0, 1, False)}
+
+
+def test_points_and_attr_fields_sql_text_plan_equality(spark, sf_dir):
+    """r14 (guide §1.1/§7.3): the two reference-core transforms ship as
+    ONE SQL parse each (eager per-call analysis made the ~10-call chained
+    builds cost 0.08-0.13 s of pure driver work per invocation; measured
+    77->36 ms and 125->32 ms with the texts). The text build must stay
+    plan-identical to the DataFrame reference: optimizer-level
+    sameResult, equal executed Exchange counts, identical values — on
+    BOTH points branches (keep_state toggles the state_raw column the
+    sink's byte-exact rendering needs)."""
+    from ha_sqllite_2_influxdb_spark.operators import transform as T
+    from ha_sqllite_2_influxdb_spark.sources.ha_fixture import (
+        derive_ha_tables,
+    )
+
+    ha = derive_ha_tables(spark, sf_dir)
+    args = (ha["ha_states"], ha["ha_states_meta"],
+            ha["ha_state_attributes"])
+    for new, ref, kw in ((T.points, T._points_df, {}),
+                         (T.points, T._points_df, {"keep_state": True}),
+                         (T.attr_fields, T._attr_fields_df, {})):
+        a, b = new(*args, **kw), ref(*args, **kw)
+        assert (a._jdf.queryExecution().optimizedPlan().sameResult(
+                b._jdf.queryExecution().optimizedPlan())), kw
+        n_a = (a._jdf.queryExecution().executedPlan()
+               .toString().count("Exchange"))
+        n_b = (b._jdf.queryExecution().executedPlan()
+               .toString().count("Exchange"))
+        assert n_a == n_b
+        got_a = sorted(map(tuple, a.collect()))
+        got_b = sorted(map(tuple, b.collect()))
+        assert got_a == got_b and got_a
