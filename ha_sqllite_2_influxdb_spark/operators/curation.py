@@ -436,11 +436,75 @@ def bloom_decontaminate(train: DataFrame, bench: DataFrame,
                        portable)
 
 
+def _char_hash_sql(expr: str) -> str:
+    """SQL text of text.char_hash over ``expr`` — same fold, one parse."""
+    return ("aggregate(split({e}, ''), CAST(0 AS BIGINT), "
+            "(acc, c) -> (acc * 31 + ascii(c)) % {m})").format(
+                e=expr, m=2_147_483_647)
+
+
+def _bloom_pos_sql(j: int, portable: bool) -> str:
+    keyed = "concat('{}|', s)".format(j)
+    if portable:
+        return "{h} % {b}".format(h=_char_hash_sql(keyed), b=BLOOM_BITS)
+    return "CAST(pmod(xxhash64({k}), {b}) AS BIGINT)".format(
+        k=keyed, b=BLOOM_BITS)
+
+
+def _bloom_probe_sql(words: list[int], portable: bool) -> str:
+    """One-parse SQL text of `_bloom_probe_df` (r14, guide §1.1/§7.3):
+    the chained build re-analyzed the K-probe rolling-hash trees at
+    every call (~0.19 s/invocation for q_bloom_decontaminate). The
+    filter words embed as the same single-parse array literal
+    lit_long_array builds; pinned plan-identical by tests/
+    test_plans.py::test_bloom_and_dsir_sql_text_plan_equality."""
+    from .dedup import SHINGLE_K, shingle_pat
+
+    arr = ("array(" + ",".join(f"{int(v)}L" for v in words) + ")"
+           if words else "CAST(array() AS array<bigint>)")
+    conds = []
+    for j in range(BLOOM_K):
+        pos = _bloom_pos_sql(j, portable)
+        conds.append(
+            "(element_at({arr}, CAST(floor(({pos}) / 32) AS INT) + 1) & "
+            "CAST(pow(2.0D, CAST(pmod({pos}, 32) AS DOUBLE)) AS BIGINT))"
+            " != 0".format(arr=arr, pos=pos))
+    hits = " AND ".join(conds)
+    sh = ("array_distinct(CASE WHEN size(w) >= {k} THEN "
+          "regexp_extract_all(text, '{pat}', 1) "
+          "ELSE array(text) END)").format(k=SHINGLE_K, pat=shingle_pat())
+    return f"""
+SELECT doc_id, n_shingles, n_candidates, n_candidates > 0 AS candidate
+FROM (
+  SELECT doc_id,
+         CAST(size(sh) AS BIGINT) AS n_shingles,
+         CAST(size(filter(sh, s -> {hits})) AS BIGINT) AS n_candidates
+  FROM (
+    SELECT doc_id, {sh} AS sh FROM (
+      SELECT doc_id, text, split(text, ' ') AS w FROM {{train}})
+  )
+)
+"""
+
+
 def bloom_probe(train: DataFrame, words: list[int],
                 portable: bool = True) -> DataFrame:
-    """The probe half of `bloom_decontaminate`, given already-built
-    filter words — so streaming ingest gates build the filter ONCE and
-    apply the same stateless map to every micro-batch."""
+    """The probe half of `bloom_decontaminate` as ONE SQL parse —
+    plan-identical to `_bloom_probe_df` (sameResult-pinned). The
+    narrow-input widening stays outside the text, applied to the
+    spliced plan exactly as dedup.shingle_sets applies it."""
+    from ..memo import input_width
+
+    n_part = train.sparkSession.sparkContext.defaultParallelism
+    if input_width(train) < n_part:
+        train = train.repartition(n_part)
+    return train.sparkSession.sql(
+        _bloom_probe_sql(words, portable), train=train)
+
+
+def _bloom_probe_df(train: DataFrame, words: list[int],
+                    portable: bool = True) -> DataFrame:
+    """The chained reference build the sameResult pin compares against."""
     from ..functions.litarray import lit_long_array
 
     arr = lit_long_array(words)

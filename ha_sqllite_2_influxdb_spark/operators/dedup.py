@@ -174,9 +174,15 @@ def shingles(text: Column, k: int = SHINGLE_K,
     row-count guard; shorter-than-k docs degrade to [text], as before).
     """
     w = F.split(text, " ") if words is None else words
-    pat = "(?:^| )(?=(" + "[^ ]* " * (k - 1) + "[^ ]*))"
-    make = F.regexp_extract_all(text, F.lit(pat), 1)
+    make = F.regexp_extract_all(text, F.lit(shingle_pat(k)), 1)
     return F.when(F.size(w) >= k, make).otherwise(F.array(text))
+
+
+def shingle_pat(k: int = SHINGLE_K) -> str:
+    """The lookahead shingle regex — one constructor shared by the
+    Column build above and the one-parse SQL texts (plans/llm_ops.py),
+    so the two formulations cannot drift."""
+    return "(?:^| )(?=(" + "[^ ]* " * (k - 1) + "[^ ]*))"
 
 
 def shingle_sets(corpus: DataFrame, native_hash: bool = False) -> DataFrame:

@@ -233,13 +233,63 @@ def dsir_score(docs: DataFrame, is_target: Column,
     return dsir_apply(docs, lr, text_col, portable)
 
 
+def _dsir_apply_sql(lr: list[int], text_col: str,
+                    portable: bool) -> str:
+    """One-parse SQL text of `_dsir_apply_df` (r14, guide §1.1/§7.3):
+    the chained build cost ~0.15 s/invocation of eager analysis (the
+    bucket-transform lambdas are wide trees). The ratio table embeds as
+    the same single-parse array literal lit_long_array builds; pinned
+    plan-identical by tests/test_plans.py::
+    test_bloom_and_dsir_sql_text_plan_equality."""
+    from .text import HASH_MOD
+
+    arr = ("array(" + ",".join(f"{int(v)}L" for v in lr) + ")"
+           if lr else "CAST(array() AS array<bigint>)")
+    if portable:
+        wh = ("aggregate(split(w, ''), CAST(0 AS BIGINT), "
+              "(acc, c) -> (acc * 31 + ascii(c)) % {m})").format(m=HASH_MOD)
+    else:
+        wh = "CAST(pmod(xxhash64(w), {m}) AS BIGINT)".format(m=HASH_MOD)
+    return f"""
+SELECT doc_id, n_features, weight_micro, weight_micro / 1.0E6 AS weight
+FROM (
+  SELECT doc_id,
+         CAST(size(_b) AS BIGINT) AS n_features,
+         aggregate(transform(_b, b -> element_at({arr},
+                                                 CAST((b + 1) AS INT))),
+                   CAST(0 AS BIGINT), (a, x) -> a + x) AS weight_micro
+  FROM (
+    SELECT doc_id,
+           concat(transform(_wh, h -> h % {N_BUCKETS}),
+                  CASE WHEN size(_wh) >= 2 THEN
+                    transform(sequence(0, size(_wh) - 2),
+                              i -> ((get(_wh, i) * {_PAIR_MIX}
+                                     + get(_wh, i + 1)) % {HASH_MOD})
+                                   % {N_BUCKETS})
+                  ELSE CAST(array() AS array<bigint>) END) AS _b
+    FROM (
+      SELECT doc_id, transform(_ws, w -> {wh}) AS _wh FROM (
+        SELECT doc_id, split({text_col}, ' ') AS _ws FROM {{docs}})
+    )
+  )
+)
+"""
+
+
 def dsir_apply(docs: DataFrame, lr: list[int],
                text_col: str = "text",
                portable: bool = True) -> DataFrame:
     """Score a (possibly different) relation with an already-fit ratio
-    table — the apply half of the two-pass split, so pipelines can fit
-    on the raw corpus and score a cleaned subset without re-evaluating
-    the cleaning chain for the fit."""
+    table, as ONE SQL parse — plan-identical to `_dsir_apply_df`
+    (sameResult-pinned); see _dsir_apply_sql."""
+    return docs.sparkSession.sql(
+        _dsir_apply_sql(lr, text_col, portable), docs=docs)
+
+
+def _dsir_apply_df(docs: DataFrame, lr: list[int],
+                   text_col: str = "text",
+                   portable: bool = True) -> DataFrame:
+    """The chained reference build the sameResult pin compares against."""
     # one SQL parse instead of 4096 py4j Literal calls — the plan-build
     # cost was 2.3 s/invocation vs 0.15 s of execution (functions/
     # litarray.py); the expression tree Catalyst sees is identical

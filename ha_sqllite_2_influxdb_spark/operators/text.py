@@ -157,7 +157,7 @@ def gopher_rules(
     )
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
+def _lang_id_df(documents: DataFrame) -> DataFrame:
     """Stopword-overlap language ID with deterministic argmax.
 
     Returns per-language scores, the prediction, and correctness vs the
@@ -189,6 +189,43 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return df.withColumn("predicted", pred).withColumn(
         "correct", (F.col("predicted") == F.col("lang")).cast("int")
     )
+
+
+def _lang_id_sql() -> str:
+    """One-parse SQL text of `_lang_id_df` (r14, guide §1.1/§7.3): the
+    chained build re-analyzed the 5-language score tree at every call
+    (~0.14 s/invocation of pure driver-side analysis). Rendered from
+    the SAME STOPWORDS table; pinned plan-identical by tests/
+    test_plans.py::test_lang_id_sql_text_plan_equality."""
+    langs = sorted(STOPWORDS)
+    score = ", ".join(
+        "CAST(size(filter(w, t -> t IN ({wl}))) AS DOUBLE)"
+        " / CAST(size(w) AS DOUBLE) AS score_{lg}".format(
+            wl=", ".join("'" + t + "'" for t in STOPWORDS[lg]), lg=lg)
+        for lg in langs)
+    best = "greatest({})".format(
+        ", ".join("score_" + lg for lg in langs))
+    pred = "CASE {} END".format(" ".join(
+        "WHEN score_{lg} = {best} THEN '{lg}'".format(lg=lg, best=best)
+        for lg in langs))
+    cols = ", ".join("score_" + lg for lg in langs)
+    return f"""
+SELECT doc_id, lang, {cols}, predicted,
+       CAST((predicted = lang) AS INT) AS correct
+FROM (
+  SELECT doc_id, lang, {cols}, {pred} AS predicted
+  FROM (
+    SELECT doc_id, lang, {score}
+    FROM (SELECT doc_id, lang, split(text, ' ') AS w FROM {{docs}})
+  )
+)
+"""
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-overlap language ID as ONE SQL parse — plan-identical
+    to `_lang_id_df` (sameResult-pinned); see _lang_id_sql."""
+    return documents.sparkSession.sql(_lang_id_sql(), docs=documents)
 
 
 def lm_rare_bigrams(documents: DataFrame, rare_den: int = 40) -> DataFrame:

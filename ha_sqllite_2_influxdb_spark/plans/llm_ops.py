@@ -344,7 +344,7 @@ def q_curriculum_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.curriculum_topk(_docs(spark, sf_dir))
 
 
-def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_curate_pipeline_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation composition, one oracle over the whole chain:
     exact dedup (keep lowest doc_id per content digest) → drop docs
     contaminated by benchmark overlap (`decontaminate`) → per-language
@@ -371,6 +371,111 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exceptAll empty both ways (tools/profile_curate.py).
     clean = deduped.join(F.broadcast(flagged), "doc_id", "left_anti")
     return curation.curriculum_topk(clean)
+
+
+# One-parse SQL text of the curation pipeline above (r14, guide
+# §1.1/§7.3): the chained build still cost ~0.25 s of eager per-call
+# analysis per invocation AFTER the width-probe memo (each DataFrame
+# call re-analyzes the whole accumulated tree at ~8-10 ms fixed). The
+# text mirrors the operator composition token for token — the shingle
+# regex comes from dedup.shingle_pat, the containment threshold and
+# benchmark constants from operators.curation — and is pinned
+# plan-identical to _q_curate_pipeline_df (optimizer-level sameResult,
+# equal Exchange counts, identical rows) by tests/test_plans.py::
+# test_curate_pipeline_sql_text_plan_equality. The narrow-input
+# repartition decisions stay OUTSIDE the text, applied to the spliced
+# parameter plans exactly as dedup.shingle_sets applies them.
+def _curate_sql() -> str:
+    from ..operators.dedup import SHINGLE_K, shingle_pat
+
+    sh = ("array_distinct(CASE WHEN size(w) >= {k} THEN "
+          "regexp_extract_all(text, '{pat}', 1) "
+          "ELSE array(text) END)").format(k=SHINGLE_K, pat=shingle_pat())
+    stop_en = ", ".join("'" + w + "'" for w in STOPWORDS["en"])
+    return f"""
+SELECT * FROM (
+  SELECT doc_id, lang, quality_score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY quality_score DESC, doc_id ASC) AS rk
+  FROM (
+    SELECT doc_id, lang, quality_score FROM (
+      SELECT doc_id, lang, n_chars_m, avg_word_len, stopword_ratio,
+             punct_ratio,
+             least(1.0D, CAST(nw AS DOUBLE) / 100.0D) * 0.5D
+               + stopword_ratio * 0.3D
+               + (1.0D - punct_ratio) * 0.2D AS quality_score
+      FROM (
+        SELECT doc_id, lang,
+               length(text) AS n_chars_m,
+               size(split(text, ' ')) AS nw,
+               CAST(length(text) - (size(split(text, ' ')) - 1) AS DOUBLE)
+                 / CAST(size(split(text, ' ')) AS DOUBLE) AS avg_word_len,
+               CAST(size(filter(split(text, ' '),
+                                w -> w IN ({stop_en}))) AS DOUBLE)
+                 / CAST(size(split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[^A-Za-z0-9 ]', ''))
+                    AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE) AS punct_ratio
+        FROM (
+          SELECT /*+ BROADCAST(fl) */ * FROM {{deduped}}
+          LEFT ANTI JOIN (
+            SELECT DISTINCT doc_id FROM (
+              SELECT doc_id, bench_id,
+                     CAST(n_i AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment
+              FROM (
+                SELECT /*+ BROADCAST(b) */ doc_id, bench_id, n_b,
+                       count(1) AS n_i
+                FROM (
+                  SELECT doc_id, shingle FROM (
+                    SELECT doc_id, explode_outer(sh) AS shingle FROM (
+                      SELECT doc_id, {sh} AS sh FROM (
+                        SELECT doc_id, text, split(text, ' ') AS w
+                        FROM {{train}})))
+                  WHERE shingle IS NOT NULL
+                ) t
+                JOIN (
+                  SELECT doc_id AS bench_id, size(sh) AS n_b,
+                         explode(sh) AS shingle
+                  FROM (
+                    SELECT doc_id, {sh} AS sh FROM (
+                      SELECT doc_id, text, split(text, ' ') AS w
+                      FROM {{bench}}))
+                ) b USING (shingle)
+                GROUP BY doc_id, bench_id, n_b
+              )
+            ) WHERE containment >= 0.5D
+          ) fl USING (doc_id)
+        )
+      )
+    )
+  )
+) WHERE rk <= 25
+"""
+
+
+def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline as ONE SQL parse — plan-identical to
+    `_q_curate_pipeline_df` (sameResult-pinned); see _curate_sql."""
+    from ..memo import input_width
+
+    docs = _docs(spark, sf_dir)
+    keep = (
+        docs.groupBy(F.md5(F.encode("text", "UTF-8")).alias("_d"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = docs.join(keep, "doc_id", "left_semi")
+    n_part = spark.sparkContext.defaultParallelism
+    train = deduped.select("doc_id", "text")
+    if input_width(train) < n_part:
+        train = train.repartition(n_part)
+    bench = curation.benchmark_prefixes(docs.select("doc_id", "text"))
+    bench_in = bench.select(F.col("bench_id").alias("doc_id"), "text")
+    if input_width(bench_in) < n_part:
+        bench_in = bench_in.repartition(n_part)
+    return spark.sql(_curate_sql(), deduped=deduped, train=train,
+                     bench=bench_in)
 
 
 def q_curate_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

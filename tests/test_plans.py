@@ -1048,3 +1048,73 @@ def test_points_and_attr_fields_sql_text_plan_equality(spark, sf_dir):
         got_a = sorted(map(tuple, a.collect()))
         got_b = sorted(map(tuple, b.collect()))
         assert got_a == got_b and got_a
+
+
+def test_curate_pipeline_sql_text_plan_equality(spark, sf_dir):
+    """r14: q_curate_pipeline ships as one SQL parse (build 262->129 ms
+    — the chained build re-analyzed the whole pipeline tree at every
+    call). Must stay plan-identical to the operator-composed reference:
+    optimizer sameResult, equal Exchange counts, identical rows."""
+    from ha_sqllite_2_influxdb_spark.plans import llm_ops
+
+    a = llm_ops.q_curate_pipeline(spark, sf_dir)
+    b = llm_ops._q_curate_pipeline_df(spark, sf_dir)
+    assert (a._jdf.queryExecution().optimizedPlan().sameResult(
+            b._jdf.queryExecution().optimizedPlan()))
+    assert (a._jdf.queryExecution().executedPlan().toString()
+            .count("Exchange")
+            == b._jdf.queryExecution().executedPlan().toString()
+            .count("Exchange"))
+    got_a = sorted(map(tuple, a.collect()))
+    got_b = sorted(map(tuple, b.collect()))
+    assert got_a == got_b and got_a
+
+
+def test_lang_id_sql_text_plan_equality(spark, sf_dir):
+    """r14: lang_id ships as one SQL parse (build 152->41 ms), rendered
+    from the same STOPWORDS table as the Column build — sameResult,
+    same columns, identical rows."""
+    from ha_sqllite_2_influxdb_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    a, b = T.lang_id(docs), T._lang_id_df(docs)
+    assert a.columns == b.columns
+    assert (a._jdf.queryExecution().optimizedPlan().sameResult(
+            b._jdf.queryExecution().optimizedPlan()))
+    got_a = sorted(map(tuple, a.collect()))
+    got_b = sorted(map(tuple, b.collect()))
+    assert got_a == got_b and got_a
+
+
+def test_bloom_and_dsir_sql_text_plan_equality(spark, sf_dir):
+    """r14: bloom_probe and dsir_apply ship as one SQL parse each
+    (builds 192->97 ms and 156->102 ms on their headline queries — the
+    chained builds re-analyzed the K-probe rolling-hash / bucket-
+    transform trees per call). Pinned plan-identical to the chained
+    references on BOTH hash tiers (portable toggles rolling-hash vs
+    xxhash64)."""
+    from ha_sqllite_2_influxdb_spark import memo
+    from ha_sqllite_2_influxdb_spark.operators import curation, scoring
+    from ha_sqllite_2_influxdb_spark.plans import llm_ops
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = llm_ops._bloom_words(spark, sf_dir)
+    lr = llm_ops._dsir_lr(spark, sf_dir)
+    n_part = spark.sparkContext.defaultParallelism
+    ref_in = docs
+    if memo.input_width(ref_in) < n_part:
+        ref_in = ref_in.repartition(n_part)
+    for portable in (True, False):
+        pairs = (
+            (curation.bloom_probe(docs, words, portable),
+             curation._bloom_probe_df(ref_in, words, portable)),
+            (scoring.dsir_apply(docs, lr, portable=portable),
+             scoring._dsir_apply_df(docs, lr, portable=portable)),
+        )
+        for a, b in pairs:
+            assert a.columns == b.columns
+            assert (a._jdf.queryExecution().optimizedPlan().sameResult(
+                    b._jdf.queryExecution().optimizedPlan())), portable
+            got_a = sorted(map(tuple, a.collect()))
+            got_b = sorted(map(tuple, b.collect()))
+            assert got_a == got_b and got_a
