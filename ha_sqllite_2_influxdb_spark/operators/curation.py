@@ -498,8 +498,10 @@ def bloom_probe(train: DataFrame, words: list[int],
     n_part = train.sparkSession.sparkContext.defaultParallelism
     if input_width(train) < n_part:
         train = train.repartition(n_part)
-    return train.sparkSession.sql(
-        _bloom_probe_sql(words, portable), train=train)
+    from ..functions.sqlsplice import sql_with_plans
+
+    return sql_with_plans(train.sparkSession,
+                          _bloom_probe_sql(words, portable), train=train)
 
 
 def _bloom_probe_df(train: DataFrame, words: list[int],

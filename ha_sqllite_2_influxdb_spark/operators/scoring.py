@@ -282,8 +282,10 @@ def dsir_apply(docs: DataFrame, lr: list[int],
     """Score a (possibly different) relation with an already-fit ratio
     table, as ONE SQL parse — plan-identical to `_dsir_apply_df`
     (sameResult-pinned); see _dsir_apply_sql."""
-    return docs.sparkSession.sql(
-        _dsir_apply_sql(lr, text_col, portable), docs=docs)
+    from ..functions.sqlsplice import sql_with_plans
+
+    return sql_with_plans(docs.sparkSession,
+                          _dsir_apply_sql(lr, text_col, portable), docs=docs)
 
 
 def _dsir_apply_df(docs: DataFrame, lr: list[int],

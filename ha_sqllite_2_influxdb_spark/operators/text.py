@@ -225,7 +225,10 @@ FROM (
 def lang_id(documents: DataFrame) -> DataFrame:
     """Stopword-overlap language ID as ONE SQL parse — plan-identical
     to `_lang_id_df` (sameResult-pinned); see _lang_id_sql."""
-    return documents.sparkSession.sql(_lang_id_sql(), docs=documents)
+    from ..functions.sqlsplice import sql_with_plans
+
+    return sql_with_plans(documents.sparkSession, _lang_id_sql(),
+                          docs=documents)
 
 
 def lm_rare_bigrams(documents: DataFrame, rare_den: int = 40) -> DataFrame:

@@ -274,9 +274,11 @@ def points(ha_states: DataFrame, ha_states_meta: DataFrame,
            keep_state: bool = False) -> DataFrame:
     """Flagship transform as ONE SQL parse — plan-identical to
     `_points_df` (sameResult-pinned); see the SQL-text note above."""
-    return ha_states.sparkSession.sql(
-        _points_sql(keep_state), states=ha_states, meta=ha_states_meta,
-        attrs=ha_state_attributes)
+    from ..functions.sqlsplice import sql_with_plans
+
+    return sql_with_plans(
+        ha_states.sparkSession, _points_sql(keep_state), states=ha_states,
+        meta=ha_states_meta, attrs=ha_state_attributes)
 
 
 _VNUM_SQL = f"""CASE
@@ -335,6 +337,8 @@ def attr_fields(ha_states: DataFrame, ha_states_meta: DataFrame,
                 ha_state_attributes: DataFrame) -> DataFrame:
     """F10+F12 as ONE SQL parse — plan-identical to `_attr_fields_df`
     (sameResult-pinned); see the SQL-text note above."""
-    return ha_states.sparkSession.sql(
-        _ATTR_FIELDS_SQL, states=ha_states, meta=ha_states_meta,
-        attrs=ha_state_attributes)
+    from ..functions.sqlsplice import sql_with_plans
+
+    return sql_with_plans(
+        ha_states.sparkSession, _ATTR_FIELDS_SQL, states=ha_states,
+        meta=ha_states_meta, attrs=ha_state_attributes)

@@ -204,7 +204,9 @@ def hourly_statistics(pts: DataFrame) -> DataFrame:
     """The split statistics compiler as ONE SQL parse — plan-identical
     to `_hourly_statistics_df` (sameResult-pinned); see _HOURLY_SQL for
     why the text form ships."""
-    return pts.sparkSession.sql(_HOURLY_SQL, pts=pts)
+    from ..functions.sqlsplice import sql_with_plans
+
+    return sql_with_plans(pts.sparkSession, _HOURLY_SQL, pts=pts)
 
 
 def _hourly_statistics_df(pts: DataFrame) -> DataFrame:

@@ -474,8 +474,10 @@ def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_in = bench.select(F.col("bench_id").alias("doc_id"), "text")
     if input_width(bench_in) < n_part:
         bench_in = bench_in.repartition(n_part)
-    return spark.sql(_curate_sql(), deduped=deduped, train=train,
-                     bench=bench_in)
+    from ..functions.sqlsplice import sql_with_plans
+
+    return sql_with_plans(spark, _curate_sql(), deduped=deduped,
+                          train=train, bench=bench_in)
 
 
 def q_curate_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
