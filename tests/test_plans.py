@@ -1118,3 +1118,31 @@ def test_bloom_and_dsir_sql_text_plan_equality(spark, sf_dir):
             got_a = sorted(map(tuple, a.collect()))
             got_b = sorted(map(tuple, b.collect()))
             assert got_a == got_b and got_a
+
+
+def test_sql_text_builds_do_not_evict_fixture_cache(spark, sf_dir):
+    """r14 regression pin: the parameterized spark.sql formatter DROPS
+    its temp views after parsing, and dropTempView un-caches any cached
+    plan canonically matching the view — so splicing the persisted HA
+    fixture through it unpersisted the fixture on every points/
+    attr_fields build (flux fill-previous tripled while every
+    sameResult pin stayed green). The sql_with_plans helper must keep
+    the cache: after building every SQL-text transform, a scan of each
+    fixture table still reads InMemoryTableScan."""
+    from ha_sqllite_2_influxdb_spark.operators import transform as T
+    from ha_sqllite_2_influxdb_spark.sources.ha_fixture import (
+        derive_ha_tables,
+    )
+
+    ha = derive_ha_tables(spark, sf_dir)
+    for df in ha.values():
+        df.count()  # materialize the persisted fixture
+    args = (ha["ha_states"], ha["ha_states_meta"],
+            ha["ha_state_attributes"])
+    T.points(*args).schema
+    T.points(*args, keep_state=True).schema
+    T.attr_fields(*args).schema
+    for name, df in ha.items():
+        plan = (df.select(df.columns[0])._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "InMemoryTableScan" in plan, name
