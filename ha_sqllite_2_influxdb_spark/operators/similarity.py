@@ -943,24 +943,49 @@ def pq_rerank_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     brute-force tier never happens. Output schema matches
     `knn_brute_force` (query_id, cand_id, cos_sim, rk) so recall is
     directly comparable.
+
+    r14.2 (guide §1.2 per-task work + §5 driver): two changes, values
+    bit-identical (same folds over the same doubles, pinned by
+    `test_pq_rerank_norms_after_join_value_identical`):
+
+    - the candidate norm fold moved ABOVE the shortlist join — the old
+      shape computed the interpreted ``aggregate``-fold ``cn2`` for
+      EVERY candidate row below the broadcast probe (|corpus| folds to
+      keep ≤ n_queries·k·factor), the new one pays it only per
+      surviving (query, cand) pair;
+    - the re-rank stage ships as ONE SQL-text parse
+      (`_pq_rerank_sql`, the simhash/neardup r10 lever): the chained
+      build re-analyzed the zip_with/aggregate fold trees at every
+      call — measured 0.42 s of driver-side analysis per fresh build
+      at sf0.1, data-size-independent. `_pq_rerank_df` stays as the
+      plan-equality reference (`test_pq_rerank_sql_text_plan_equals_
+      dataframe_build`).
     """
     short = pq_adc_topk(
         embeddings, n_queries=n_queries, k=k * shortlist_factor,
         m=m, ksub=ksub, iters=iters, dim=dim, books=books,
     ).select("query_id", "cand_id")
+    return _pq_rerank_sql(embeddings, short, n_queries, k)
+
+
+def _pq_rerank_df(embeddings: DataFrame, short: DataFrame,
+                  n_queries: int, k: int) -> DataFrame:
+    """Chained-DataFrame build of the exact re-rank stage — the
+    plan-equality reference for `_pq_rerank_sql` (not shipped on the
+    query path: every chained call re-analyzes the fold trees)."""
     cand = embeddings.select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
-    ).withColumn("cn2", norm2_chain("cv"))
+    )
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    ).withColumn("qn2", norm2_chain("qv"))
+    )
     scored = (
         cand.join(F.broadcast(short), "cand_id")  # bounded shortlist probe
         .join(F.broadcast(q), F.col("query_id") == F.col("qid"))
         .select(
             "query_id", "cand_id",
-            cosine(dot_chain("qv", "cv"), F.col("qn2"), F.col("cn2"))
-            .alias("cos_sim"),
+            cosine(dot_chain("qv", "cv"), norm2_chain("qv"),
+                   norm2_chain("cv")).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
@@ -969,6 +994,42 @@ def pq_rerank_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
         .filter(F.col("rk") <= k)
         .select("query_id", "cand_id", "cos_sim", "rk")
     )
+
+
+def _fold_sql(a: str, b: str) -> str:
+    """`dot_chain` as SQL text — same lambda shapes, so the two builds
+    stay sameResult (norm2 = the a==b case, exactly like norm2_chain)."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            f"(acc, v) -> acc + v)")
+
+
+def _pq_rerank_sql(embeddings: DataFrame, short: DataFrame,
+                   n_queries: int, k: int) -> DataFrame:
+    """One-parse SQL-text build of the exact re-rank stage. Mirrors
+    `_pq_rerank_df` expression-for-expression (same aliases, same fold
+    lambdas) — see pq_rerank_topk's docstring for the measurement."""
+    from ..functions.sqlsplice import sql_with_plans
+
+    cos = (f"(({_fold_sql('qv', 'cv')} / sqrt({_fold_sql('qv', 'qv')})) "
+           f"/ sqrt({_fold_sql('cv', 'cv')}))")
+    text = f"""
+SELECT query_id, cand_id, cos_sim, rk FROM (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id ASC) AS rk
+  FROM (
+    SELECT /*+ BROADCAST(s), BROADCAST(q) */
+           query_id, cand_id, {cos} AS cos_sim
+    FROM (SELECT vec_id AS cand_id, embedding AS cv FROM {{emb}}) c
+    JOIN {{short}} s USING (cand_id)
+    JOIN (SELECT vec_id AS qid, embedding AS qv FROM {{emb}}
+          WHERE vec_id < {n_queries}) q
+      ON query_id = qid))
+WHERE rk <= {k}
+"""
+    return sql_with_plans(embeddings.sparkSession, text,
+                          emb=embeddings, short=short)
 
 
 def mrl_rerank_topk(embeddings: DataFrame, n_queries: int = 5,

@@ -711,6 +711,62 @@ def test_pq_rerank_deterministic_across_partitionings(spark, sf_dir):
     assert a == b
 
 
+def test_pq_rerank_sql_text_plan_equals_dataframe_build(spark, sf_dir):
+    """The shipped one-parse re-rank text must stay plan-identical to
+    the chained DataFrame reference build (optimizer sameResult) and
+    value-identical — the r14.2 lever's standing pin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    short = similarity.pq_adc_topk(
+        emb, n_queries=3, k=20, m=8, ksub=16, iters=2).select(
+        "query_id", "cand_id")
+    df_build = similarity._pq_rerank_df(emb, short, 3, 5)
+    sql_build = similarity._pq_rerank_sql(emb, short, 3, 5)
+    assert (df_build._jdf.queryExecution().optimizedPlan().sameResult(
+        sql_build._jdf.queryExecution().optimizedPlan()))
+    assert sorted(map(tuple, df_build.collect())) == sorted(
+        map(tuple, sql_build.collect()))
+
+
+def test_pq_rerank_norms_after_join_value_identical(spark, sf_dir):
+    """r14.2 moved the candidate/query norm folds ABOVE the shortlist
+    joins (|shortlist| folds instead of |corpus|). Same left folds over
+    the same doubles ⇒ bit-identical cosines: the pre-change shape,
+    rebuilt here verbatim, must match the shipped query exactly."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from ha_sqllite_2_influxdb_spark.operators.similarity import (
+        cosine, dot_chain, norm2_chain)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    short = similarity.pq_adc_topk(
+        emb, n_queries=3, k=20, m=8, ksub=16, iters=2).select(
+        "query_id", "cand_id")
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    ).withColumn("cn2", norm2_chain("cv"))
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    ).withColumn("qn2", norm2_chain("qv"))
+    scored = (
+        cand.join(F.broadcast(short), "cand_id")
+        .join(F.broadcast(q), F.col("query_id") == F.col("qid"))
+        .select(
+            "query_id", "cand_id",
+            cosine(dot_chain("qv", "cv"), F.col("qn2"), F.col("cn2"))
+            .alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    old = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "cand_id", "cos_sim", "rk")
+    )
+    new = similarity._pq_rerank_sql(emb, short, 3, 5)
+    assert old.exceptAll(new).isEmpty() and new.exceptAll(old).isEmpty()
+
+
 def test_jpeg_decode_flat_blocks_exact(spark, sf_dir):
     """Per-block-constant fixture + DC quant step 8 make baseline JPEG
     LOSSLESS (constant block → DC = 8·(v−128), an exact step multiple;
