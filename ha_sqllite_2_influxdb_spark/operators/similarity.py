@@ -67,13 +67,54 @@ def cosine(dot: Column, na2: Column, nb2: Column) -> Column:
     return (dot / F.sqrt(na2)) / F.sqrt(nb2)
 
 
+# One-parse SQL text of the brute-force kNN (r14, guide §5): the
+# chained build re-analyzes the lambda-bearing fold trees on every call
+# (~0.26 s of driver-side Catalyst work per invocation at any data
+# size); the text parses once (~0.03 s). Plan-identical to
+# `_knn_brute_force_df` — sameResult-pinned by
+# tests/test_plans.py::test_knn_text_plan_equals_dataframe_build.
+_FOLD_SQL = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+             "CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)")
+
+
+def _knn_sql(n_queries: int, k: int) -> str:
+    return f"""
+SELECT query_id, cand_id, cos_sim, rk FROM (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id ASC) AS rk
+  FROM (
+    SELECT query_id, cand_id,
+           (({_FOLD_SQL.format(a="qv", b="cv")} / SQRT(qn2)) / SQRT(cn2))
+             AS cos_sim
+    FROM (SELECT query_id, qv, {_FOLD_SQL.format(a="qv", b="qv")} AS qn2
+          FROM (SELECT vec_id AS query_id, embedding AS qv
+                FROM {{emb}} WHERE vec_id < {n_queries}))
+    CROSS JOIN (SELECT cand_id, cv, {_FOLD_SQL.format(a="cv", b="cv")} AS cn2
+          FROM (SELECT vec_id AS cand_id, embedding AS cv
+                FROM {{emb}} WHERE vec_id >= {n_queries}))
+  )
+) WHERE rk <= {k}
+"""
+
+
 def knn_brute_force(embeddings: DataFrame, n_queries: int = 5,
                     k: int = 10) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Queries = vec_id < n_queries (broadcast); candidates = the rest.
-    Ranking is fully deterministic: exact-double cosine + vec_id tiebreak.
-    """
+    Ranking is fully deterministic: exact-double cosine + vec_id
+    tiebreak. Ships as ONE SQL parse — plan-identical to
+    `_knn_brute_force_df` (sameResult-pinned)."""
+    from ..functions.sqlsplice import sql_with_plans
+
+    return sql_with_plans(embeddings.sparkSession,
+                          _knn_sql(n_queries, k), emb=embeddings)
+
+
+def _knn_brute_force_df(embeddings: DataFrame, n_queries: int = 5,
+                        k: int = 10) -> DataFrame:
+    """Chained-DataFrame reference for the kNN text above."""
     # norms are per-row, not per-pair: compute them BEFORE the cross join
     # (projections stay on their join side), cutting the fold work per
     # pair from 3 passes to 1 — same doubles, same ranking

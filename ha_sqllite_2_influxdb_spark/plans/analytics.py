@@ -35,12 +35,61 @@ def _t(spark, sf_dir, name):
 
 # ---------------------------------------------------------------- queries
 
+# One-parse SQL texts for the three TPC-H headliners (r14, guide §5:
+# the driver should do almost no work). The chained DataFrame builds
+# below remain as the sameResult-pinned references
+# (tests/test_plans.py::test_tpch_text_plans_equal_dataframe_builds);
+# each build cost 0.16-0.26 s of eager per-call Catalyst analysis +
+# py4j expression construction at ANY data size, the text parses once
+# (measured min-of-10 in one JVM: q1 0.263→0.048, q3 0.189→0.057,
+# q5 0.159→0.085 s). `100.0D`-style suffixes matter: a bare SQL float
+# literal parses as DECIMAL, the DataFrame builds use Python doubles.
+_CENTS_SQL = "CAST(round({c} * 100, 0) AS BIGINT)"
+_EP = _CENTS_SQL.format(c="l_extendedprice")
+_D = _CENTS_SQL.format(c="l_discount")
+_TAX = _CENTS_SQL.format(c="l_tax")
+_REV_SQL = f"{_EP} * (100 - {_D})"
+
+_TPCH_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       _sq AS sum_qty,
+       _sbp / 100.0D AS sum_base_price,
+       _sdp / 10000.0D AS sum_disc_price,
+       _sc / 1000000.0D AS sum_charge,
+       CAST(_sq AS DOUBLE) / CAST(count_order AS DOUBLE) AS avg_qty,
+       CAST(_sbp AS DOUBLE) / CAST(count_order AS DOUBLE) / 100.0D AS avg_price,
+       CAST(_sd AS DOUBLE) / CAST(count_order AS DOUBLE) / 100.0D AS avg_disc,
+       count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         sum(FLOOR(l_quantity)) AS _sq,
+         sum({_EP}) AS _sbp,
+         sum({_EP} * (100 - {_D})) AS _sdp,
+         sum({_EP} * (100 - {_D}) * (100 + {_TAX})) AS _sc,
+         sum({_D}) AS _sd,
+         count(1) AS count_order
+  FROM {{lineitem}}
+  WHERE l_shipdate <= to_timestamp('2000-09-02')
+  GROUP BY l_returnflag, l_linestatus
+)
+"""
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary: the canonical wide aggregate.
 
     Map-side partial aggregation (hash agg) → single shuffle on the tiny
-    (returnflag, linestatus) key space; no skew possible.
+    (returnflag, linestatus) key space; no skew possible. Ships as one
+    SQL parse (plan-identical to `_q_tpch_q1_df`, sameResult-pinned).
     """
+    from ..functions.sqlsplice import sql_with_plans
+
+    return sql_with_plans(spark, _TPCH_Q1_SQL,
+                          lineitem=_t(spark, sf_dir, "lineitem"))
+
+
+def _q_tpch_q1_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained-DataFrame reference for the Q1 text above."""
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02"))
     )
@@ -71,12 +120,44 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_Q3_SQL = f"""
+SELECT l_orderkey,
+       _r / 10000.0D AS revenue,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+       o_orderpriority
+FROM (
+  SELECT /*+ BROADCAST(c) */ l_orderkey, o_orderdate, o_orderpriority,
+         sum({_REV_SQL}) AS _r
+  FROM {{lineitem}}
+  JOIN {{orders}} ON l_orderkey = o_orderkey
+  JOIN (SELECT * FROM {{customer}} WHERE c_mktsegment = 'BUILDING') c
+    ON o_custkey = c_custkey
+  WHERE l_shipdate > to_timestamp('1998-03-15')
+    AND o_orderdate < to_timestamp('1998-03-15')
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shipping priority: 3-way join + agg + deterministic top-10.
 
     customer is the small side → broadcast; lineitem (the 100 TB side)
     never shuffles for the join, only for the final groupBy on o_orderkey.
+    Ships as one SQL parse (plan-identical to `_q_tpch_q3_df`).
     """
+    from ..functions.sqlsplice import sql_with_plans
+
+    return sql_with_plans(spark, _TPCH_Q3_SQL,
+                          lineitem=_t(spark, sf_dir, "lineitem"),
+                          orders=_t(spark, sf_dir, "orders"),
+                          customer=_t(spark, sf_dir, "customer"))
+
+
+def _q_tpch_q3_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained-DataFrame reference for the Q3 text above."""
     cutoff = F.to_timestamp(F.lit("1998-03-15"))
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
@@ -98,8 +179,39 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TPCH_Q5_SQL = f"""
+SELECT /*+ BROADCAST(s), BROADCAST(c), BROADCAST(n), BROADCAST(r) */ n_name,
+       sum({_REV_SQL}) / 10000.0D AS revenue
+FROM {{lineitem}}
+JOIN (SELECT * FROM {{orders}}
+      WHERE o_orderdate >= to_timestamp('1996-01-01')
+        AND o_orderdate < to_timestamp('1997-01-01')) o
+  ON l_orderkey = o_orderkey
+JOIN {{supplier}} s ON l_suppkey = s_suppkey
+JOIN {{customer}} c ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN {{nation}} n ON s_nationkey = n_nationkey
+JOIN (SELECT * FROM {{region}} WHERE r_name = 'ASIA') r
+  ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 local-supplier volume: 6-way join, dims all broadcast."""
+    """TPC-H Q5 local-supplier volume: 6-way join, dims all broadcast.
+    Ships as one SQL parse (plan-identical to `_q_tpch_q5_df`)."""
+    from ..functions.sqlsplice import sql_with_plans
+
+    return sql_with_plans(spark, _TPCH_Q5_SQL,
+                          lineitem=_t(spark, sf_dir, "lineitem"),
+                          orders=_t(spark, sf_dir, "orders"),
+                          supplier=_t(spark, sf_dir, "supplier"),
+                          customer=_t(spark, sf_dir, "customer"),
+                          nation=_t(spark, sf_dir, "nation"),
+                          region=_t(spark, sf_dir, "region"))
+
+
+def _q_tpch_q5_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained-DataFrame reference for the Q5 text above."""
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
         & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))

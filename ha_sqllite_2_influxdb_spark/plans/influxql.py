@@ -378,11 +378,62 @@ def q_influx_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return downsample_fill_previous(_numeric_points(spark, sf_dir))
 
 
+# One-parse SQL text of the downsample core (r14, guide §5): the
+# chained build cost ~0.22 s of eager per-call analysis at any data
+# size; the text parses once (~0.04 s). Plan-identical to
+# `_downsample_fill_previous_df` — sameResult-pinned by
+# tests/test_plans.py::test_downsample_text_plan_equals_dataframe_build.
+# `1000000.0D` suffixes: bare SQL float literals parse as DECIMAL, the
+# DataFrame build uses Python doubles (1e6).
+_SKEY_SQL = ", ".join(_SERIES)
+_DOWNSAMPLE_SQL = f"""
+SELECT {_SKEY_SQL},
+       grid_idx * 3600 AS bucket_epoch,
+       CASE WHEN (grid_idx = hour_idx) THEN mean_val ELSE _prev_mean END
+         AS mean_locf,
+       CASE WHEN (grid_idx = hour_idx) THEN n_points ELSE 0 END AS n_points,
+       (NOT (grid_idx = hour_idx)) AS gap_filled
+FROM (
+  SELECT {_SKEY_SQL}, hour_idx, mean_val, n_points, _prev_mean,
+         explode(sequence(coalesce(_prev + 1, hour_idx), hour_idx))
+           AS grid_idx
+  FROM (
+    SELECT {_SKEY_SQL}, hour_idx, mean_val, n_points,
+           lag(hour_idx) OVER (PARTITION BY {_SKEY_SQL} ORDER BY hour_idx)
+             AS _prev,
+           lag(mean_val) OVER (PARTITION BY {_SKEY_SQL} ORDER BY hour_idx)
+             AS _prev_mean
+    FROM (
+      SELECT {_SKEY_SQL}, hour_idx,
+             (sum(micro) / 1000000.0D) / count(1) AS mean_val,
+             count(1) AS n_points
+      FROM (
+        SELECT {_SKEY_SQL},
+               CAST(FLOOR(ts_epoch / 3600) AS BIGINT) AS hour_idx,
+               CAST(round(value * 1000000.0D, 0) AS BIGINT) AS micro
+        FROM {{pts}})
+      GROUP BY {_SKEY_SQL}, hour_idx
+    )
+  )
+)
+"""
+
+
 def downsample_fill_previous(pts: DataFrame) -> DataFrame:
     """The downsample core over any (series, ts_epoch, value) point
-    relation — factored out so the scale probe can measure it on
-    replicated series corpora (see `q_influx_downsample` for the plan
-    shape and float-determinism notes).
+    relation — see `_downsample_fill_previous_df` for the plan shape
+    and float-determinism notes. Ships as ONE SQL parse, plan-identical
+    to the chained reference (sameResult-pinned)."""
+    from ..functions.sqlsplice import sql_with_plans
+
+    return sql_with_plans(pts.sparkSession, _DOWNSAMPLE_SQL, pts=pts)
+
+
+def _downsample_fill_previous_df(pts: DataFrame) -> DataFrame:
+    """Chained-DataFrame reference for the downsample text above —
+    factored out so the scale probe can measure it on replicated series
+    corpora (see `q_influx_downsample` for the plan shape and
+    float-determinism notes).
 
     r14 plan surgery: the LOCF used to be a SECOND window
     (last(…, ignorenulls) over the exploded grid), which forced a sort

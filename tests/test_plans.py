@@ -1146,3 +1146,72 @@ def test_sql_text_builds_do_not_evict_fixture_cache(spark, sf_dir):
         plan = (df.select(df.columns[0])._jdf.queryExecution()
                 .executedPlan().toString())
         assert "InMemoryTableScan" in plan, name
+
+
+def test_tpch_text_plans_equal_dataframe_builds(spark, sf_dir):
+    """r14 (guide §5): the three TPC-H headliners ship as one SQL parse
+    — each chained build cost 0.16-0.26 s of per-call Catalyst analysis
+    at any data size (measured min-of-10 in one JVM: q1 0.263→0.048,
+    q3 0.189→0.057, q5 0.159→0.085 s). The text build must be
+    plan-identical (optimizer sameResult) and value-identical to the
+    chained reference so nothing physical changes."""
+    for text_fn, df_fn in (
+        (analytics.q_tpch_q1, analytics._q_tpch_q1_df),
+        (analytics.q_tpch_q3, analytics._q_tpch_q3_df),
+        (analytics.q_tpch_q5, analytics._q_tpch_q5_df),
+    ):
+        a = text_fn(spark, sf_dir)
+        b = df_fn(spark, sf_dir)
+        assert a._jdf.queryExecution().optimizedPlan().sameResult(
+            b._jdf.queryExecution().optimizedPlan()), text_fn.__name__
+        got_a = sorted(map(tuple, a.collect()))
+        got_b = sorted(map(tuple, b.collect()))
+        assert got_a == got_b and got_a, text_fn.__name__
+
+
+def test_knn_text_plan_equals_dataframe_build(spark, sf_dir):
+    """r14 (guide §5): brute-force kNN ships as one SQL parse — the
+    chained build re-analyzed the lambda-bearing fold trees per call
+    (~0.26 s at any data size; text ~0.03 s). Plan- and value-identical
+    to the chained reference, at the default and a non-default (n, k)."""
+    from ha_sqllite_2_influxdb_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for kw in ({}, {"n_queries": 3, "k": 4}):
+        a = similarity.knn_brute_force(emb, **kw)
+        b = similarity._knn_brute_force_df(emb, **kw)
+        assert a._jdf.queryExecution().optimizedPlan().sameResult(
+            b._jdf.queryExecution().optimizedPlan()), kw
+        got_a = sorted(map(tuple, a.collect()))
+        got_b = sorted(map(tuple, b.collect()))
+        assert got_a == got_b and got_a, kw
+
+
+def test_downsample_text_plan_equals_dataframe_build(spark, sf_dir):
+    """r14 (guide §5): the downsample core ships as one SQL parse (the
+    chained build cost ~0.22 s per call; text ~0.04 s). Plan- and
+    value-identical to the chained reference on the real numeric-point
+    relation AND on a crafted multi-gap series (the scale probe calls
+    the operator on synthetic corpora, so the text must accept any
+    conforming relation)."""
+    from ha_sqllite_2_influxdb_spark.plans import influxql as iq
+
+    pts = iq._numeric_points(spark, sf_dir)
+    a = iq.downsample_fill_previous(pts)
+    b = iq._downsample_fill_previous_df(pts)
+    assert a._jdf.queryExecution().optimizedPlan().sameResult(
+        b._jdf.queryExecution().optimizedPlan())
+    got_a = sorted(map(tuple, a.collect()))
+    got_b = sorted(map(tuple, b.collect()))
+    assert got_a == got_b and got_a
+
+    crafted = spark.createDataFrame(
+        [("m", "d", "e1", 0, 1.5), ("m", "d", "e1", 3600 * 4, 2.5),
+         ("m", "d", "e2", 7200, -1.0)],
+        "measurement string, domain string, entity_id string, "
+        "ts_epoch long, value double")
+    got_c = sorted(map(tuple,
+                       iq.downsample_fill_previous(crafted).collect()))
+    got_d = sorted(map(tuple,
+                       iq._downsample_fill_previous_df(crafted).collect()))
+    assert got_c == got_d and len(got_c) == 6
