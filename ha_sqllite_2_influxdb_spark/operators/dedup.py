@@ -1178,8 +1178,58 @@ def neardup_clusters(corpus: DataFrame, threshold: float = 0.5,
     )
 
 
+# One-parse SQL text of the span-dedup measurement (r14, guide §5):
+# the chained build cost ~0.25 s of per-call analysis at any data
+# size; the text parses once (~0.05 s). Only the shipped use_hash=True
+# tier renders as text; the string-grouping oracle formulation stays a
+# chained build. Pinned plan-identical to `_ngram_span_stats_df` by
+# tests/test_plans.py::test_ngram_text_plan_equals_dataframe_build.
+def _ngram_span_sql(n: int) -> str:
+    pat = "(?:^| )(?=(" + "[^ ]* " * (n - 1) + "[^ ]*))"
+    nn = f"CAST(greatest((size(split(text, ' ')) - {n - 1}), 0) AS BIGINT)"
+    return f"""
+SELECT doc_id, n_ngrams,
+       coalesce(n_dup_ngrams, 0) AS n_dup_ngrams,
+       CASE WHEN (n_ngrams > 0)
+            THEN CAST(coalesce(n_dup_ngrams, 0) AS DOUBLE) / n_ngrams
+       END AS dup_ratio
+FROM (SELECT doc_id, {nn} AS n_ngrams FROM {{docs}})
+LEFT JOIN (
+  SELECT doc_id, count(1) AS n_dup_ngrams
+  FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY g) AS _mn,
+           max(doc_id) OVER (PARTITION BY g) AS _mx
+    FROM (SELECT /*+ REPARTITION(g) */ doc_id, g FROM (
+      SELECT doc_id, xxhash64(gs) AS g FROM (
+        SELECT doc_id,
+               explode(CASE WHEN ({nn} > 0)
+                            THEN regexp_extract_all(text, '{pat}', 1)
+                            ELSE CAST(array() AS ARRAY<STRING>) END) AS gs
+        FROM {{docs}})))
+  ) WHERE _mn != _mx
+  GROUP BY doc_id
+) USING (doc_id)
+"""
+
+
 def ngram_span_stats(documents: DataFrame, n: int = 8,
                      use_hash: bool = True) -> DataFrame:
+    """Duplicated n-gram span statistics — see `_ngram_span_stats_df`
+    for the algorithm and scale-shape notes. The shipped xxhash64 tier
+    (use_hash=True) ships as ONE SQL parse, plan-identical to the
+    chained reference (sameResult-pinned); the string-grouping tier the
+    DuckDB oracle mirrors keeps the chained build."""
+    if use_hash:
+        from ..functions.sqlsplice import sql_with_plans
+
+        return sql_with_plans(documents.sparkSession, _ngram_span_sql(n),
+                              docs=documents)
+    return _ngram_span_stats_df(documents, n, use_hash)
+
+
+def _ngram_span_stats_df(documents: DataFrame, n: int = 8,
+                         use_hash: bool = True) -> DataFrame:
     """Duplicated n-gram span statistics (the measurement half of
     substring-level training-data dedup, per Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): for each

@@ -85,12 +85,53 @@ def series_acf(pts: DataFrame, max_lag: int = 3) -> DataFrame:
     )
 
 
+# One-parse SQL text of the mean-shift detector (r14, guide §5): the
+# chained build cost ~0.35 s of per-call analysis at any data size; the
+# text parses once (~0.06 s). Plan-identical to `_mean_shift_scores_df`
+# — sameResult-pinned by
+# tests/test_plans.py::test_mean_shift_text_plan_equals_dataframe_build.
+# `1000000.0D` / `{threshold}D` suffixes: bare SQL float literals parse
+# as DECIMAL, the DataFrame build uses Python doubles.
+def _mean_shift_sql(w_pts: int, threshold: float) -> str:
+    skey = ", ".join(_SERIES)
+    wser = f"PARTITION BY {skey} ORDER BY ts_epoch ASC, state_id ASC"
+    bef = f"OVER ({wser} ROWS BETWEEN {w_pts} PRECEDING AND 1 PRECEDING)"
+    aft = (f"OVER ({wser} ROWS BETWEEN CURRENT ROW "
+           f"AND {w_pts - 1} FOLLOWING)")
+    micro = "CAST(round(value * 1000000.0D, 0) AS BIGINT)"
+    return f"""
+SELECT state_id, {skey}, ts_epoch, before_mean, after_mean,
+       (after_mean - before_mean) AS shift
+FROM (
+  SELECT state_id, {skey}, ts_epoch, value,
+         (sum({micro}) {bef} / 1000000.0D) / count(1) {bef} AS before_mean,
+         (sum({micro}) {aft} / 1000000.0D) / count(1) {aft} AS after_mean,
+         count(1) {bef} AS _nb,
+         count(1) {aft} AS _na
+  FROM {{pts}}
+) WHERE _nb = {w_pts} AND _na = {w_pts}
+  AND abs(after_mean - before_mean) > {threshold!r}D
+"""
+
+
 def mean_shift_scores(pts: DataFrame, w_pts: int = 12,
                       threshold: float = 10.0) -> DataFrame:
-    """Sliding two-window mean-shift detection (the exact-SQL half of
-    E-Divisive / CUSUM alerting): at each point, compare the mean of
-    the previous ``w_pts`` points against the mean of the next
-    ``w_pts`` (current row included); emit points where
+    """Sliding two-window mean-shift detection — see
+    `_mean_shift_scores_df` for the plan shape and float-determinism
+    notes. Ships as ONE SQL parse, plan-identical to the chained
+    reference (sameResult-pinned)."""
+    from ..functions.sqlsplice import sql_with_plans
+
+    return sql_with_plans(pts.sparkSession,
+                          _mean_shift_sql(w_pts, threshold), pts=pts)
+
+
+def _mean_shift_scores_df(pts: DataFrame, w_pts: int = 12,
+                          threshold: float = 10.0) -> DataFrame:
+    """Chained-DataFrame reference for the mean-shift text above (the
+    exact-SQL half of E-Divisive / CUSUM alerting): at each point,
+    compare the mean of the previous ``w_pts`` points against the mean
+    of the next ``w_pts`` (current row included); emit points where
     ``|after − before| > threshold`` — a level change in the series.
 
     Both window means use micro-quantized integer sums over row-bounded

@@ -30,6 +30,7 @@ from .ha_pipeline import _CTE, _JOINED, _POINTS, _PTS_COLS, _ha
 
 # numeric point series: InfluxQL transformations apply to float fields
 _SERIES = ("measurement", "domain", "entity_id")
+_SKEY_SQL = ", ".join(_SERIES)  # the series key in the one-parse texts
 
 # Memoized per (application, sf_dir) — the _CORPUS_CACHE pattern, found
 # by the r11 plan-build profile (VERDICT r10 #7): 37 call sites across
@@ -126,6 +127,35 @@ def q_influx_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("ma3").isNotNull())
 
 
+# One-parse SQL text of the series-stats summary (r14, guide §5): the
+# chained build cost ~0.21 s of per-call analysis; the text parses once
+# (~0.06 s). Pinned plan-identical to `_q_influx_series_stats_df` by
+# tests/test_plans.py::test_series_stats_text_plan_equals_dataframe_build.
+# Window ORDER matters for CollapseWindow: the lag sits ADJACENT to the
+# ascending row_number (same spec) so the two merge into one Window
+# node — the pre-r14 chain interposed the descending rank between them
+# and paid a THIRD whole-partition window pass for the same values.
+_SERIES_STATS_SQL = f"""
+SELECT {_SKEY_SQL},
+       count(1) AS n_points,
+       (max(value) - min(value)) AS spread,
+       max(CASE WHEN (_rn_a = 1) THEN value END) AS first_val,
+       max(CASE WHEN (_rn_d = 1) THEN value END) AS last_val,
+       (max(ts_epoch) - min(ts_epoch)) AS elapsed_s,
+       max(_gap) AS max_gap_s
+FROM (
+  SELECT {_SKEY_SQL}, ts_epoch, value,
+         row_number() OVER (PARTITION BY {_SKEY_SQL}
+                            ORDER BY ts_epoch ASC, state_id ASC) AS _rn_a,
+         row_number() OVER (PARTITION BY {_SKEY_SQL}
+                            ORDER BY ts_epoch DESC, state_id DESC) AS _rn_d,
+         (ts_epoch - lag(ts_epoch) OVER (PARTITION BY {_SKEY_SQL}
+              ORDER BY ts_epoch ASC, state_id ASC)) AS _gap
+  FROM {{pts}})
+GROUP BY {_SKEY_SQL}
+"""
+
+
 def q_influx_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InfluxQL ``SPREAD`` / ``FIRST`` / ``LAST`` / ``ELAPSED`` as one
     per-series summary: value spread (max−min, exact — no
@@ -133,19 +163,31 @@ def q_influx_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ts, state_id) total order (the OHLC row_number trick — one window
     rank riding the same series shuffle the aggregate needs), total
     elapsed seconds, and the largest inter-point gap (a max over
-    per-row elapsed — order-independent)."""
+    per-row elapsed — order-independent). Ships as ONE SQL parse,
+    plan-identical to `_q_influx_series_stats_df`."""
+    from ..functions.sqlsplice import sql_with_plans
+
+    return sql_with_plans(spark, _SERIES_STATS_SQL,
+                          pts=_numeric_points(spark, sf_dir))
+
+
+def _q_influx_series_stats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained-DataFrame reference for the series-stats text above.
+    All three window columns come from ONE select — a withColumn chain
+    materializes each in its own Project, which both blocks
+    CollapseWindow (the pre-r14 shape paid a third whole-partition
+    window pass) and inserts Projects between the Window nodes that
+    break plan equality with the one-SELECT text."""
     pts = _numeric_points(spark, sf_dir)
     w = _w()
-    marked = (
-        pts.withColumn("_rn_a", F.row_number().over(w))
-        .withColumn(
-            "_rn_d",
-            F.row_number().over(
-                Window.partitionBy(*_SERIES)
-                .orderBy(F.desc("ts_epoch"), F.desc("state_id"))
-            ),
-        )
-        .withColumn("_gap", F.col("ts_epoch") - F.lag("ts_epoch").over(w))
+    marked = pts.select(
+        *_SERIES, "ts_epoch", "value",
+        F.row_number().over(w).alias("_rn_a"),
+        F.row_number().over(
+            Window.partitionBy(*_SERIES)
+            .orderBy(F.desc("ts_epoch"), F.desc("state_id"))
+        ).alias("_rn_d"),
+        (F.col("ts_epoch") - F.lag("ts_epoch").over(w)).alias("_gap"),
     )
     return marked.groupBy(*_SERIES).agg(
         F.count(F.lit(1)).alias("n_points"),
@@ -385,7 +427,6 @@ def q_influx_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_plans.py::test_downsample_text_plan_equals_dataframe_build.
 # `1000000.0D` suffixes: bare SQL float literals parse as DECIMAL, the
 # DataFrame build uses Python doubles (1e6).
-_SKEY_SQL = ", ".join(_SERIES)
 _DOWNSAMPLE_SQL = f"""
 SELECT {_SKEY_SQL},
        grid_idx * 3600 AS bucket_epoch,

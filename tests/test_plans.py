@@ -1215,3 +1215,86 @@ def test_downsample_text_plan_equals_dataframe_build(spark, sf_dir):
     got_d = sorted(map(tuple,
                        iq._downsample_fill_previous_df(crafted).collect()))
     assert got_c == got_d and len(got_c) == 6
+
+
+def test_mean_shift_text_plan_equals_dataframe_build(spark, sf_dir):
+    """r14 (guide §5): the mean-shift detector ships as one SQL parse
+    (chained build ~0.35 s per call at any data size; text ~0.06 s).
+    Plan- and value-identical at the default and a non-default
+    (w_pts, threshold)."""
+    from ha_sqllite_2_influxdb_spark.operators import monitor
+    from ha_sqllite_2_influxdb_spark.plans.influxql import _numeric_points
+
+    pts = _numeric_points(spark, sf_dir)
+    for kw in ({"w_pts": 3, "threshold": 10.0},
+               {"w_pts": 2, "threshold": 0.5}):
+        a = monitor.mean_shift_scores(pts, **kw)
+        b = monitor._mean_shift_scores_df(pts, **kw)
+        assert a._jdf.queryExecution().optimizedPlan().sameResult(
+            b._jdf.queryExecution().optimizedPlan()), kw
+        got_a = sorted(map(tuple, a.collect()))
+        got_b = sorted(map(tuple, b.collect()))
+        assert got_a == got_b, kw
+
+
+def test_series_stats_text_plan_equals_dataframe_build(spark, sf_dir):
+    """r14 (guide §5 + §2.4): series-stats ships as one SQL parse
+    (chained build ~0.21 s per call; text ~0.06 s) AND drops a window
+    pass — the lag now sits adjacent to the ascending rank so
+    CollapseWindow merges their identical specs (2 Window nodes, the
+    old column order interposed the descending rank and paid 3).
+    Values are per-row window outputs, so reordering changes nothing:
+    pinned against a rebuilt old-order chain."""
+    from ha_sqllite_2_influxdb_spark.plans import influxql as iq
+
+    a = iq.q_influx_series_stats(spark, sf_dir)
+    b = iq._q_influx_series_stats_df(spark, sf_dir)
+    assert a._jdf.queryExecution().optimizedPlan().sameResult(
+        b._jdf.queryExecution().optimizedPlan())
+    assert (a._jdf.queryExecution().optimizedPlan().toString()
+            .count("Window") == 2)
+    got_a = sorted(map(tuple, a.collect()))
+    got_b = sorted(map(tuple, b.collect()))
+    assert got_a == got_b and got_a
+
+    # the old window order (rank asc, rank desc, THEN lag) — values equal
+    from pyspark.sql import Window as W
+
+    pts = iq._numeric_points(spark, sf_dir)
+    w = iq._w()
+    old = (
+        pts.withColumn("_rn_a", F.row_number().over(w))
+        .withColumn("_rn_d", F.row_number().over(
+            W.partitionBy(*iq._SERIES)
+            .orderBy(F.desc("ts_epoch"), F.desc("state_id"))))
+        .withColumn("_gap", F.col("ts_epoch") - F.lag("ts_epoch").over(w))
+        .groupBy(*iq._SERIES).agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (F.max("value") - F.min("value")).alias("spread"),
+            F.max(F.when(F.col("_rn_a") == 1, F.col("value")))
+            .alias("first_val"),
+            F.max(F.when(F.col("_rn_d") == 1, F.col("value")))
+            .alias("last_val"),
+            (F.max("ts_epoch") - F.min("ts_epoch")).alias("elapsed_s"),
+            F.max("_gap").alias("max_gap_s"),
+        )
+    )
+    assert got_a == sorted(map(tuple, old.collect()))
+
+
+def test_ngram_text_plan_equals_dataframe_build(spark, sf_dir):
+    """r14 (guide §5): the span-dedup measurement's xxhash64 tier ships
+    as one SQL parse (chained build ~0.25 s per call; text ~0.05 s).
+    Plan- and value-identical to the chained reference at n=8 and a
+    non-default n; the string-grouping oracle tier stays chained."""
+    from ha_sqllite_2_influxdb_spark.operators import dedup
+
+    docs = dedup.recrawl_corpus(load_table(spark, sf_dir, "documents"))
+    for n in (8, 3):
+        a = dedup.ngram_span_stats(docs, n=n)
+        b = dedup._ngram_span_stats_df(docs, n=n)
+        assert a._jdf.queryExecution().optimizedPlan().sameResult(
+            b._jdf.queryExecution().optimizedPlan()), n
+        got_a = sorted(map(tuple, a.collect()))
+        got_b = sorted(map(tuple, b.collect()))
+        assert got_a == got_b and got_a, n
