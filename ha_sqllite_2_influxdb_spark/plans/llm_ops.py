@@ -385,13 +385,30 @@ def _q_curate_pipeline_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_curate_pipeline_sql_text_plan_equality. The narrow-input
 # repartition decisions stay OUTSIDE the text, applied to the spliced
 # parameter plans exactly as dedup.shingle_sets applies them.
-def _curate_sql() -> str:
+def _curate_sql(widen: bool = False, n_part: int = 0) -> str:
+    from ..operators.curation import BENCH_EVERY, BENCH_PREFIX_WORDS
     from ..operators.dedup import SHINGLE_K, shingle_pat
 
     sh = ("array_distinct(CASE WHEN size(w) >= {k} THEN "
           "regexp_extract_all(text, '{pat}', 1) "
           "ELSE array(text) END)").format(k=SHINGLE_K, pat=shingle_pat())
     stop_en = ", ".join("'" + w + "'" for w in STOPWORDS["en"])
+    # r14.4: the md5-dedup and benchmark-prefix chains folded INTO the
+    # text (they cost ~0.1 s of chained per-call analysis; one {docs}
+    # splice replaces three). The narrow-input widening stays a
+    # RENDERED hint decided by one memoized probe of the docs scan —
+    # the broadcast semi-join and the prefix filter both preserve scan
+    # width, so probing docs equals the old per-chain probes (and the
+    # sameResult pin vs the reference, whose shingle_sets probes its
+    # own chain, fails loudly if the two ever diverge).
+    hint = f"/*+ REPARTITION({n_part}) */ " if widen else ""
+    keep = ("(SELECT min(doc_id) AS doc_id FROM {docs} "
+            "GROUP BY md5(encode(text, 'UTF-8')))")
+    deduped = f"(SELECT * FROM {{docs}} LEFT SEMI JOIN {keep} USING (doc_id))"
+    train = f"(SELECT {hint}doc_id, text FROM {deduped})"
+    bench = (f"(SELECT {hint}doc_id, array_join(slice(split(text, ' '), 1, "
+             f"{BENCH_PREFIX_WORDS}), ' ') AS text FROM {{docs}} "
+             f"WHERE (doc_id % {BENCH_EVERY}) = 0)")
     return f"""
 SELECT * FROM (
   SELECT doc_id, lang, quality_score,
@@ -418,7 +435,7 @@ SELECT * FROM (
                     AS DOUBLE)
                  / CAST(length(text) AS DOUBLE) AS punct_ratio
         FROM (
-          SELECT /*+ BROADCAST(fl) */ * FROM {{deduped}}
+          SELECT /*+ BROADCAST(fl) */ * FROM {deduped}
           LEFT ANTI JOIN (
             SELECT DISTINCT doc_id FROM (
               SELECT doc_id, bench_id,
@@ -431,7 +448,7 @@ SELECT * FROM (
                     SELECT doc_id, explode_outer(sh) AS shingle FROM (
                       SELECT doc_id, {sh} AS sh FROM (
                         SELECT doc_id, text, split(text, ' ') AS w
-                        FROM {{train}})))
+                        FROM {train})))
                   WHERE shingle IS NOT NULL
                 ) t
                 JOIN (
@@ -440,7 +457,7 @@ SELECT * FROM (
                   FROM (
                     SELECT doc_id, {sh} AS sh FROM (
                       SELECT doc_id, text, split(text, ' ') AS w
-                      FROM {{bench}}))
+                      FROM {bench}))
                 ) b USING (shingle)
                 GROUP BY doc_id, bench_id, n_b
               )
@@ -455,29 +472,17 @@ SELECT * FROM (
 
 
 def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curation pipeline as ONE SQL parse — plan-identical to
-    `_q_curate_pipeline_df` (sameResult-pinned); see _curate_sql."""
+    """The curation pipeline as ONE SQL parse over ONE {docs} splice —
+    plan-identical to `_q_curate_pipeline_df` (sameResult-pinned); see
+    _curate_sql (r14.4 folded the md5-dedup and bench-prefix chains
+    into the text: build 0.143 → ~0.06 s per call)."""
+    from ..functions.sqlsplice import sql_with_plans
     from ..memo import input_width
 
     docs = _docs(spark, sf_dir)
-    keep = (
-        docs.groupBy(F.md5(F.encode("text", "UTF-8")).alias("_d"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    deduped = docs.join(keep, "doc_id", "left_semi")
     n_part = spark.sparkContext.defaultParallelism
-    train = deduped.select("doc_id", "text")
-    if input_width(train) < n_part:
-        train = train.repartition(n_part)
-    bench = curation.benchmark_prefixes(docs.select("doc_id", "text"))
-    bench_in = bench.select(F.col("bench_id").alias("doc_id"), "text")
-    if input_width(bench_in) < n_part:
-        bench_in = bench_in.repartition(n_part)
-    from ..functions.sqlsplice import sql_with_plans
-
-    return sql_with_plans(spark, _curate_sql(), deduped=deduped,
-                          train=train, bench=bench_in)
+    widen = input_width(docs.select("doc_id", "text")) < n_part
+    return sql_with_plans(spark, _curate_sql(widen, n_part), docs=docs)
 
 
 def q_curate_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
