@@ -32,54 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # pytest instead. Entries past the window still run under pytest
 # (tests/test_oracle_parity.py covers the whole registry).
 _DRIVER_WINDOW = [
-    # r14 window — _NEXT_WINDOW_PLAN_R14 rotated in VERBATIM (VERDICT
-    # r13 #1, the seventh byte-verbatim rotation): stream_phash_dedup
-    # (the last r11 grace-riding perceptual registration, oracle-backed
-    # — its batch classifier IS the exact oracle) leads, then the 49
-    # entries whose last driver row was r8. Four slots are rows-only
-    # by nature (sketch_distinct, sketch_quantiles, neardup_xxhash_lsh,
-    # multimodal_decode) — all in the pinned ROWS_ONLY_OK set;
-    # embedding_ann_lsh and embedding_ivf graduated to exact oracles
-    # this round (VERDICT r13 #4), so the window is 46/50 oracle-backed.
-    "stream_phash_dedup",
-    "ha_migration_scan", "ha_min_ts", "ha_state_route", "ha_entity_split",
-    "tpch_q4", "tpch_q17", "unpivot_part", "window_analytics",
-    "cube_orders", "sketch_distinct", "sketch_quantiles",
-    "semi_late_orders", "anti_no_orders", "promo_share",
-    "small_qty_revenue", "big_orders", "top_customers", "agg_stats",
-    "touch_attribution", "behavior_allpairs", "minhash_signatures",
-    "ngram_novelty", "bloom_decontaminate", "curate_dsir_pipeline",
-    "neardup_xxhash_lsh", "mrl_rerank", "embedding_ann_lsh",
-    "embedding_ivf", "dsir_resample", "inverted_index",
-    "inverted_index_sharded", "multimodal_decode", "multimodal_gif",
-    "multimodal_gif_anim", "stream_knn", "stream_bloom_gate",
-    "influxql_show_series", "influxql_text_tz", "influxql_text_math",
-    "influxql_text_delete", "influxql_text_multi",
-    "flux_window_fill_prev", "ha_statistics_hourly",
-    "ha_statistics_cascade", "stream_ha_statistics", "ha_utility_meter",
-    "ha_energy_cost", "slo_burn_rate", "series_mean_shift",
-]
-assert len(_DRIVER_WINDOW) == 50
-
-# Committed r15 rotation: the remaining five r11 grace-riding
-# registrations lead — all five oracle-backed since r13
-# (multimodal_phash_knn_banded graduated from rows-only to an exact
-# oracle) — then 45 of the 50 last=r9 entries, of which ONE
-# (simhash_neighbors_rotated) is rows-only by nature; it is already in
-# the pinned ROWS_ONLY_OK set, so this plan still rotates verbatim
-# with zero contract edits. Committing THREE plans is within the
-# gate's new
-# depth-3 bound: the registry (305) outgrew the two-plan capacity
-# (50*(4+2)=300), and ceil(305/50)=7 rounds is the rotation floor —
-# window + 3 committed plans + FRESH_ROUNDS=4 covers exactly that
-# period without weakening the freshness bar (see
-# tests/test_advice_regressions.py::test_driver_window_freshness).
-# The 5 last=r9 names this plan could not hold lead
-# _NEXT_WINDOW_PLAN_R16 below (committed at the r13 re-balance per
-# VERDICT r12 #2, and held by the lookahead close simulation in
-# tests/test_advice_regressions.py::test_rotation_survives_next_close
-# rather than by this comment).
-_NEXT_WINDOW_PLAN_R15 = [
+    # r15 window — _NEXT_WINDOW_PLAN_R15 rotated in VERBATIM (VERDICT
+    # r14 #2, the eighth byte-verbatim rotation): the five remaining
+    # r11 grace-riding multimodal registrations lead (all oracle-backed
+    # since r13), then 45 of the 50 last=r9 entries. ONE slot
+    # (simhash_neighbors_rotated) is rows-only by nature and already in
+    # the pinned ROWS_ONLY_OK set, so the window is 49/50 oracle-backed.
     "multimodal_audio_fp", "multimodal_video_fp",
     "multimodal_phash_pipeline", "multimodal_phash_knn",
     "multimodal_phash_knn_banded",
@@ -102,7 +60,7 @@ _NEXT_WINDOW_PLAN_R15 = [
     "flux_map_scale_mean", "flux_quantile", "flux_last_per_series",
     "flux_top_sensors",
 ]
-assert len(_NEXT_WINDOW_PLAN_R15) == 50
+assert len(_DRIVER_WINDOW) == 50
 
 # Committed r16 rotation (r13 re-balance per VERDICT r12 #2): the five
 # fenced last=r9 flux names LEAD (they age out at the r13 close —
@@ -171,6 +129,37 @@ _NEXT_WINDOW_PLAN_R17 = [
     "tpch_q5", "tpch_q6",
 ]
 assert len(_NEXT_WINDOW_PLAN_R17) == 50
+
+# Committed r18 rotation (r15 re-balance per VERDICT r14 #2): the five
+# last=r11 leftovers LEAD (tpch_q7/q8/q9, window_running, window_topk —
+# the R17 plan's sorted-order tail; they age out at the r15 close,
+# latest=15 needs last>=12, so these slots are what turns the lookahead
+# gate green at round-15 start), then 45 of the 50 last=r12 entries in
+# deterministic sorted order. The 5 last=r12 names this plan cannot
+# hold (tpch_q20, tpch_q21, training_shuffle, upsert_latest,
+# window_time_range — the sorted-order tail) stay fresh through the
+# r15 close (12 >= 15-3) and take the lead slots of
+# _NEXT_WINDOW_PLAN_R19 at the r16 re-balance; that obligation is
+# gate-held by the same lookahead close simulation
+# (tests/test_advice_regressions.py::test_rotation_survives_next_close).
+_NEXT_WINDOW_PLAN_R18 = [
+    "tpch_q7", "tpch_q8", "tpch_q9", "window_running", "window_topk",
+    "bm25_topk", "cohort_retention", "curate_pipeline",
+    "data_expectations", "dataset_split", "distinct_twophase",
+    "full_outer_join", "funnel_steps", "gopher_rules", "ha_oldest_point",
+    "ha_points", "incremental_agg", "influx_derivative",
+    "influx_integral", "influx_moving_average", "influx_series_stats",
+    "ingest_pipeline", "lm_rare_bigrams", "lpa_communities",
+    "multimodal_jpeg_progressive", "multimodal_png_gray16",
+    "ngram_containment", "ngram_span_dedup", "quality_classifier",
+    "quarantine_rows", "random_projection", "range_band_join",
+    "resample_locf", "robust_outliers", "salted_join", "scd2_intervals",
+    "session_window_native", "sketch_topk_ngrams", "stream_ema",
+    "stream_sessions", "stream_static_join", "stream_upsert",
+    "stream_window_topk", "textrank_keywords", "tfidf_topk",
+    "tpch_q11", "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q16",
+]
+assert len(_NEXT_WINDOW_PLAN_R18) == 50
 
 
 def _registry():
