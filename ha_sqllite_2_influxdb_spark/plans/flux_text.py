@@ -661,6 +661,15 @@ class _State:
         self.sort_desc = False
         self.range: tuple[float | None, float | None] | None = None
         self.now_s = now_s
+        # set by aggregateWindow(createEmpty: true): lets an IMMEDIATELY
+        # following fill(usePrevious: true) rebuild the grid with the
+        # LOCF fused into the bucket window instead of paying a second
+        # Sort+Window over the exploded grid (r15, guide §2.4 — the
+        # influx_downsample lagged-mean surgery applied to the Flux
+        # compiler). {"df": the stage's output (identity-checked so any
+        # intervening stage disables the fusion), "gcols": the group key
+        # at expansion time, "rebuild": () -> fused DataFrame}
+        self.aggwin_fill: dict | None = None
 
     def series_window(self) -> Window:
         """Ascending (time, state_id) window — for stages whose semantics
@@ -787,6 +796,11 @@ _MICRO = 1_000_000
 # reference DataFrame build and pin sameResult against the SQL text
 _AGGWIN_SQL_ENABLED = True
 
+# r15 escape hatch: tests flip this to compile fill(usePrevious) after
+# aggregateWindow(createEmpty) through the OLD grid-window LOCF and pin
+# the fused shape row-identical against it
+_FILL_FUSE_ENABLED = True
+
 
 def _agg_exprs(fn: str, order_rank: str, order_rank_desc: str):
     """Aggregate expression for one bucket/table. ``order_rank`` columns
@@ -809,8 +823,8 @@ def _agg_exprs(fn: str, order_rank: str, order_rank_desc: str):
     raise FluxError(f"unsupported aggregate fn: {fn}")
 
 
-def _aggwin_sql(st: _State, fn: str, every: int,
-                create_empty: bool) -> DataFrame | None:
+def _aggwin_sql(st: _State, fn: str, every: int, create_empty: bool,
+                fill_prev: bool = False) -> DataFrame | None:
     """One-parse SQL-text build of the plain-aggregate aggregateWindow
     stage — the `_neardup_pairs_sql` pattern applied to the r11
     plan-build profile's remaining ≥0.3 s fresh-build headline
@@ -862,19 +876,37 @@ def _aggwin_sql(st: _State, fn: str, every: int,
                 f"THEN sequence(_wstop + {every}, "
                 f"CAST({int(hi)} AS BIGINT), CAST({every} AS BIGINT)) "
                 f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
+        # r15 (guide §2.4, the influx_downsample lagged-mean surgery):
+        # with a following fill(usePrevious: true) the LOCF value of
+        # every grid row is derivable on THIS bucket window — a head gap
+        # row lies strictly between its generating bucket and the
+        # predecessor, so it carries the last non-null bucket value
+        # STRICTLY BEFORE the generator (_fprev); the real row and the
+        # trailing rows carry coalesce(own, _fprev). The second
+        # Sort+Window over the ~80x-larger exploded grid disappears.
+        fprev = (f",\n                 last(_value, true) OVER "
+                 f"(PARTITION BY {g} ORDER BY _wstop ROWS BETWEEN "
+                 f"UNBOUNDED PRECEDING AND 1 PRECEDING) AS _fprev"
+                 if fill_prev else "")
+        val = (("CASE WHEN (_grid >= _wstop) THEN coalesce(_value, _fprev) "
+                "ELSE _fprev END")
+               if fill_prev else
+               f"CASE WHEN (_grid = _wstop) THEN _value ELSE {empty_val} "
+               f"END")
+        fcol = ", _fprev" if fill_prev else ""
         buckets = f"""
       SELECT {g}, _grid AS _wstop,
-             CASE WHEN (_grid = _wstop) THEN _value ELSE {empty_val} END
+             {val}
                AS _value
       FROM (
-        SELECT {g}, _wstop, _value,
+        SELECT {g}, _wstop, _value{fcol},
                explode(concat({head}, {tail})) AS _grid
         FROM (
           SELECT {g}, _wstop, _value,
                  lag(_wstop) OVER (PARTITION BY {g} ORDER BY _wstop)
                    AS _prev,
                  lead(_wstop) OVER (PARTITION BY {g} ORDER BY _wstop)
-                   AS _next
+                   AS _next{fprev}
           FROM ({buckets})))"""
     text = f"""
 SELECT {g}, CAST(_wstop AS DOUBLE) AS _time, _value
@@ -896,6 +928,22 @@ def _stage_aggregate_window(st: _State, args: dict):
     if "_time" in df.columns:
         fast = _aggwin_sql(st, fn, every, create_empty)
         if fast is not None:
+            if create_empty:
+                src, gkey, rng, now = st.df, st.gkey, st.range, st.now_s
+
+                def _rebuild(src=src, gkey=gkey, rng=rng, now=now):
+                    if fn == "count":
+                        return None     # grid rows are 0, never null:
+                    s2 = _State(src, now_s=now)  # LOCF is a no-op
+                    s2.gkey, s2.range = gkey, rng
+                    return _aggwin_sql(s2, fn, every, True,
+                                       fill_prev=True)
+
+                st.aggwin_fill = {
+                    "df": fast,
+                    "gcols": [c for c in st.gkey if c in fast.columns],
+                    "rebuild": _rebuild,
+                }
             st.df = fast
             st.sort_cols, st.sort_desc = ("_time",), False
             return
@@ -945,11 +993,6 @@ def _stage_aggregate_window(st: _State, args: dict):
                 "(no truncated window subset)")
         part = gcols if gcols else [F.lit(1)]
         ws = Window.partitionBy(*part).orderBy("_wstop")
-        lagged = buckets.select(
-            *gcols, "_wstop", "_value",
-            F.lag("_wstop").over(ws).alias("_prev"),
-            F.lead("_wstop").over(ws).alias("_next"),
-        )
         lit_l = lambda v: F.lit(int(v)).cast("long")  # noqa: E731
         head = F.sequence(
             F.coalesce(F.col("_prev") + every, lit_l(lo + every)),
@@ -958,6 +1001,12 @@ def _stage_aggregate_window(st: _State, args: dict):
             F.col("_next").isNull() & (F.col("_wstop") < lit_l(hi)),
             F.sequence(F.col("_wstop") + every, lit_l(hi), lit_l(every)),
         ).otherwise(F.array().cast("array<long>"))
+        bucket_rel = buckets
+        lagged = bucket_rel.select(
+            *gcols, "_wstop", "_value",
+            F.lag("_wstop").over(ws).alias("_prev"),
+            F.lead("_wstop").over(ws).alias("_next"),
+        )
         expanded = lagged.select(
             *gcols, "_wstop", "_value",
             F.explode(F.concat(head, tail)).alias("_grid"),
@@ -970,8 +1019,42 @@ def _stage_aggregate_window(st: _State, args: dict):
              .alias("_value"),
         )
 
-    st.df = buckets.select(
+    out = buckets.select(
         *gcols, F.col("_wstop").cast("double").alias("_time"), "_value")
+    if create_empty:
+        # the DataFrame-reference twin of the SQL fast path's fused
+        # rebuild (mirrored expression-for-expression so the plan-
+        # equality pin holds on the fused shape too); also covers the
+        # selector fns the SQL path declines
+        def _rebuild_df(bucket_rel=bucket_rel, gcols=tuple(gcols), ws=ws,
+                        head=head, tail=tail):
+            if fn == "count":
+                return None             # grid rows are 0, never null
+            lagged2 = bucket_rel.select(
+                *gcols, "_wstop", "_value",
+                F.lag("_wstop").over(ws).alias("_prev"),
+                F.lead("_wstop").over(ws).alias("_next"),
+                F.last("_value", ignorenulls=True).over(
+                    ws.rowsBetween(Window.unboundedPreceding, -1))
+                 .alias("_fprev"),
+            )
+            expanded2 = lagged2.select(
+                *gcols, "_wstop", "_value", "_fprev",
+                F.explode(F.concat(head, tail)).alias("_grid"),
+            )
+            grid2 = expanded2.select(
+                *gcols, F.col("_grid").alias("_wstop"),
+                F.when(F.col("_grid") >= F.col("_wstop"),
+                       F.coalesce(F.col("_value"), F.col("_fprev")))
+                 .otherwise(F.col("_fprev")).alias("_value"),
+            )
+            return grid2.select(
+                *gcols, F.col("_wstop").cast("double").alias("_time"),
+                "_value")
+
+        st.aggwin_fill = {"df": out, "gcols": list(gcols),
+                          "rebuild": _rebuild_df}
+    st.df = out
     st.sort_cols, st.sort_desc = ("_time",), False
 
 
@@ -1191,6 +1274,27 @@ def _stage_fill(st: _State, args: dict):
             "_value", F.coalesce(F.col("_value"), F.lit(float(v))))
         return
     if _arg(args, "usePrevious", ("bool",), default=False):
+        # r15 fusion (guide §2.4): when this fill directly follows an
+        # aggregateWindow(createEmpty: true) — same df object, same
+        # group key — the LOCF is computable on the BUCKET window the
+        # expansion already pays (one more window expression, same
+        # spec), so the Sort+Window over the exploded grid is dropped.
+        # Row-identical to the generic LOCF below: grid slots are
+        # unique per series, every head gap slot lies strictly between
+        # its generating bucket and the predecessor, so its
+        # carried-forward value is the last non-null bucket value
+        # strictly before the generator; real/tail slots carry
+        # coalesce(own, that). Pinned by
+        # tests/test_flux_text.py::test_fill_prev_fusion_row_identical.
+        info = st.aggwin_fill
+        if (_FILL_FUSE_ENABLED and info is not None
+                and info["df"] is st.df
+                and [c for c in st.gkey if c in st.df.columns]
+                == list(info["gcols"])):
+            fused = info["rebuild"]()
+            if fused is not None:
+                st.df = fused
+            return
         w = st.series_window().rowsBetween(Window.unboundedPreceding, 0)
         st.df = st.df.withColumn(
             "_value", F.last("_value", ignorenulls=True).over(w))

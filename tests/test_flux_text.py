@@ -530,3 +530,85 @@ def test_no_python_udfs_in_compiled_plan(spark):
     ''')(spark, SF))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_fill_prev_fusion_row_identical(spark, sf_dir):
+    """r15 plan surgery pin (guide §2.4 — the r14 influx_downsample
+    lagged-mean surgery applied to the Flux compiler): fill(usePrevious:
+    true) directly after aggregateWindow(createEmpty: true) fuses the
+    LOCF into the bucket window (one more window expression on the same
+    spec) instead of re-sorting and re-windowing the exploded grid.
+    Row-identical to the generic LOCF window on (a) the real fixture
+    pipeline (the frozen headline flux_window_fill_prev) and (b) a
+    crafted series exercising every edge: a LEADING gap (slots before
+    the first bucket stay null), a RUN of consecutive empty buckets, a
+    null-valued REAL bucket (LOCF must look through it), and a trailing
+    gap after the last bucket. Plan shape: Window and Sort nodes halve,
+    exchange count unchanged. The count-fn case is a no-op fusion (grid
+    rows are 0, never null) and must also match."""
+    from ha_sqllite_2_influxdb_spark.plans import flux_text as fx
+
+    def both(builder):
+        new = builder()
+        try:
+            fx._FILL_FUSE_ENABLED = False
+            old = builder()
+        finally:
+            fx._FILL_FUSE_ENABLED = True
+        return new, old
+
+    # (a) the real fixture headline
+    new, old = both(
+        lambda: fx.QUERIES["flux_window_fill_prev"](spark, sf_dir))
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    pn = new._jdf.queryExecution().executedPlan().toString()
+    po = old._jdf.queryExecution().executedPlan().toString()
+    assert pn.count("Window") == po.count("Window") - 1
+    assert pn.count("Sort") == po.count("Sort") - 1
+    assert pn.count("Exchange") == po.count("Exchange")
+
+    # (b) crafted edges: leading gap, empty-bucket run, null-valued
+    # real bucket, trailing gap
+    crafted = spark.createDataFrame(
+        [(1, "m", "d", "e", "value", 15.0, 2.0),
+         (2, "m", "d", "e", "value", 25.0, None),
+         (3, "m", "d", "e", "value", 65.0, 7.0)],
+        "state_id long, _measurement string, domain string, "
+        "entity_id string, _field string, _time double, _value double")
+    pipe = fx.parse_flux('''
+from(bucket: "b")
+  |> range(start: 0, stop: 100)
+  |> aggregateWindow(every: 10s, fn: mean, createEmpty: true)
+  |> fill(usePrevious: true)
+''')
+
+    def run_crafted():
+        st = fx._State(crafted)
+        fx._apply_stages(st, pipe.stages)
+        return st.df.drop("state_id")
+
+    new, old = both(run_crafted)
+    got = {r["_time"]: r["_value"] for r in new.collect()}
+    assert got == {r["_time"]: r["_value"] for r in old.collect()}
+    # leading slot null; null real bucket (30) looked through to 2.0;
+    # run of empties carries 2.0; trailing slots carry 7.0
+    assert got[10.0] is None and got[20.0] == 2.0 and got[30.0] == 2.0
+    assert got[60.0] == 2.0 and got[70.0] == 7.0 and got[100.0] == 7.0
+
+    # (c) count: fusion is a no-op (0-valued grid rows are non-null)
+    pipe_c = fx.parse_flux('''
+from(bucket: "b")
+  |> range(start: 0, stop: 100)
+  |> aggregateWindow(every: 10s, fn: count, createEmpty: true)
+  |> fill(usePrevious: true)
+''')
+
+    def run_count():
+        st = fx._State(crafted)
+        fx._apply_stages(st, pipe_c.stages)
+        return st.df.drop("state_id")
+
+    new, old = both(run_count)
+    assert sorted(map(tuple, new.collect())) == \
+        sorted(map(tuple, old.collect()))
