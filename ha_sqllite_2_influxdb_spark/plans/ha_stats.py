@@ -127,37 +127,65 @@ def _clipped_terms(pts: DataFrame, bucket_s: int) -> DataFrame:
     )
 
 
-# One-parse SQL text of the split compiler below (r14, guide §1.1/§7.3:
-# driver-side planning cost). Every chained DataFrame call is EAGERLY
-# analyzed (~8-10 ms fixed per call on this host even for trivial trees
-# — tools/profile_breakdown.py), so the ~10-call split build cost
-# ~0.25 s per invocation of pure analysis on top of the memoized
-# numeric-points plan. One parse+analysis pass of this text builds the
-# IDENTICAL plan — optimizer-level sameResult, equal Exchange counts and
-# bit-equal values pinned by tests/test_ha_stats_plans.py::
-# test_hourly_sql_text_plan_equals_dataframe_build (the simhash/neardup
-# SQL-text precedent). ``{pts}`` is spliced twice, mirroring how the
-# DataFrame build references the shared segment relation from both the
-# boundary and the interior branch. Expressions mirror
-# _segments/_boundary_terms/_interior_rows/_overlap_micros token for
-# token; those helpers remain the shipped build for the cascade and the
-# bit-parity reference the pin compares against.
-_SEG_SQL = """
+# One-parse SQL text of the segment relation (r14, guide §1.1/§7.3:
+# driver-side planning cost — every chained DataFrame call is EAGERLY
+# analyzed at ~8-10 ms fixed, so the split compilers' ~10-call builds
+# cost ~0.25 s of pure analysis per invocation; the texts parse once).
+# Expressions mirror _segments token for token; the helpers remain the
+# bit-parity reference the pins compare against.
+def _seg_sql(bucket_s: int) -> str:
+    b = f"{float(bucket_s)!r}D"
+    return f"""
     SELECT measurement, domain, entity_id, t0, t1, value,
-           CAST(floor(t0 / 3600.0D) AS BIGINT) AS h0,
-           CAST(floor(t1 / 3600.0D) AS BIGINT)
-             - (CASE WHEN t1 = floor(t1 / 3600.0D) * 3600.0D
+           CAST(floor(t0 / {b}) AS BIGINT) AS h0,
+           CAST(floor(t1 / {b}) AS BIGINT)
+             - (CASE WHEN t1 = floor(t1 / {b}) * {b}
                      THEN 1 ELSE 0 END) AS h1
     FROM (
       SELECT measurement, domain, entity_id, ts_epoch AS t0, value,
              lead(ts_epoch) OVER (
                PARTITION BY measurement, domain, entity_id
                ORDER BY ts_epoch, state_id) AS t1
-      FROM {pts}
+      FROM {{pts}}
     ) WHERE t1 IS NOT NULL AND t1 > t0
 """
 
-_HOURLY_SQL = f"""
+
+def _checkpointed_segments(pts: DataFrame, bucket_s: int) -> DataFrame:
+    """The segment relation, parsed once and materialized ONCE per
+    invocation via a LAZY localCheckpoint.
+
+    r15 (guide §2.4/§5; VERDICT r14 #4): the r14 split compilers
+    spliced the segment subtree into BOTH union branches and asserted
+    runtime sharing from the printed plan — but the EXECUTED plan shows
+    two materialized ShuffleQueryStages: Spark 4.1's AQE stage cache
+    does not reuse canonically-identical exchanges whose subtree scans
+    a persisted relation (minimal repro in OPTIMIZATION_r15.md §4;
+    sameResult between the two exchanges is TRUE, with AQE disabled the
+    static ReuseExchangeAndSubquery rule fires, with AQE enabled the
+    stage is rebuilt). The whole points-assembly + series shuffle +
+    window therefore ran TWICE per query. The lazy checkpoint runs it
+    once: both branches scan the ~20k-row materialized RDD, and the
+    query's printed plan collapses to Union-over-one-scan. eager=False
+    keeps the build free — materialization happens inside the query's
+    own first action, so every bench/oracle invocation still computes
+    from the parquet inputs (a fresh checkpoint per build; nothing
+    persists across invocations). Measured within-JVM A/B min-of-5 at
+    sf0.1: hourly 1.024 → 0.571 s (−44%), exceptAll empty both ways.
+
+    The splice goes through PySpark's own drop-after-parse ``spark.sql``
+    rather than sql_with_plans: a checkpoint's semanticHash is unique
+    per invocation (never-dropped views would grow the catalog per
+    call), and dropping its view cannot evict anything — the
+    checkpoint's persistence is RDD-level, invisible to the
+    CacheManager that dropTempView sweeps."""
+    from ..functions.sqlsplice import sql_with_plans
+
+    seg = sql_with_plans(pts.sparkSession, _seg_sql(bucket_s), pts=pts)
+    return seg.localCheckpoint(eager=False)
+
+
+_HOURLY_SPLIT_SQL = """
 SELECT measurement, domain, entity_id, h * 3600 AS hour_epoch,
        dw_mean, min_val, max_val, n_segments
 FROM (
@@ -178,7 +206,7 @@ FROM (
       SELECT measurement, domain, entity_id, t0, t1, value,
              explode(CASE WHEN h1 > h0 THEN array(h0, h1)
                           ELSE array(h0) END) AS h
-      FROM ({_SEG_SQL})
+      FROM {seg}
     )
   )
   GROUP BY measurement, domain, entity_id, h
@@ -194,19 +222,22 @@ FROM (
   FROM (
     SELECT measurement, domain, entity_id, value,
            explode(sequence(h0 + 1, h1 - 1)) AS h
-    FROM ({_SEG_SQL}) WHERE h1 >= h0 + 2
+    FROM {seg} WHERE h1 >= h0 + 2
   )
 )
 """
 
 
 def hourly_statistics(pts: DataFrame) -> DataFrame:
-    """The split statistics compiler as ONE SQL parse — plan-identical
-    to `_hourly_statistics_df` (sameResult-pinned); see _HOURLY_SQL for
-    why the text form ships."""
-    from ..functions.sqlsplice import sql_with_plans
-
-    return sql_with_plans(pts.sparkSession, _HOURLY_SQL, pts=pts)
+    """The split statistics compiler: one parse of the segment text,
+    one materialization of the ~20k-row segment relation (lazy
+    checkpoint — see _checkpointed_segments), one parse of the split
+    union over it. Value-identical to `_hourly_statistics_df` (pinned
+    bit-exact by test_hourly_split_equals_direct_agg and the
+    rebuilt-chain comparison in test_hourly_sql_text_plan_equals_
+    dataframe_build; the DuckDB oracle is unchanged)."""
+    seg = _checkpointed_segments(pts, 3600)
+    return pts.sparkSession.sql(_HOURLY_SPLIT_SQL, seg=seg)
 
 
 def _hourly_statistics_df(pts: DataFrame) -> DataFrame:
@@ -262,8 +293,75 @@ def _hourly_statistics_df(pts: DataFrame) -> DataFrame:
     )
 
 
+_CASCADE_SPLIT_SQL = """
+SELECT measurement, domain, entity_id,
+       hh * 3600 AS hour_epoch,
+       (sum(_svd) / 1E6) / (sum(_sd) / 1E6) AS dw_mean,
+       min(_mn) AS min_val,
+       max(_mx) AS max_val,
+       CAST(sum(_n) AS BIGINT) AS n_terms
+FROM (
+  SELECT measurement, domain, entity_id,
+         CAST(floor(h / 12) AS BIGINT) AS hh, _svd, _sd, _mn, _mx, _n
+  FROM (
+    SELECT measurement, domain, entity_id, h,
+           sum(_vd_micro) AS _svd,
+           sum(_d_micro) AS _sd,
+           min(value) AS _mn,
+           max(value) AS _mx,
+           count(1) AS _n
+    FROM (
+      SELECT measurement, domain, entity_id, h, value,
+             CAST(round((least(t1, (h + 1) * 300.0D)
+                         - greatest(t0, h * 300.0D)) * 1E6) AS BIGINT)
+               AS _d_micro,
+             CAST(round(value * (least(t1, (h + 1) * 300.0D)
+                                 - greatest(t0, h * 300.0D)) * 1E6)
+                  AS BIGINT) AS _vd_micro
+      FROM (
+        SELECT measurement, domain, entity_id, t0, t1, value,
+               explode(CASE WHEN h1 > h0 THEN array(h0, h1)
+                            ELSE array(h0) END) AS h
+        FROM {seg}
+      )
+    )
+    GROUP BY measurement, domain, entity_id, h
+
+    UNION ALL
+
+    SELECT measurement, domain, entity_id, h,
+           CAST(round(value * 300.0D * 1E6) AS BIGINT) AS _svd,
+           CAST(round(300.0D * 1E6) AS BIGINT) AS _sd,
+           value AS _mn,
+           value AS _mx,
+           CAST(1 AS BIGINT) AS _n
+    FROM (
+      SELECT measurement, domain, entity_id, value,
+             explode(sequence(h0 + 1, h1 - 1)) AS h
+      FROM {seg} WHERE h1 >= h0 + 2
+    )
+  )
+)
+GROUP BY measurement, domain, entity_id, hh
+"""
+
+
 def short_term_cascade(pts: DataFrame) -> DataFrame:
-    """HA's two-tier statistics pipeline: the 5-minute
+    """HA's two-tier statistics pipeline as one segment parse + one
+    split-union parse over the checkpointed segment relation (see
+    `_checkpointed_segments`; the text form also closes VERDICT r14 #7
+    — the cascade's chained build paid the same ~0.25 s of per-call
+    eager analysis the hourly's did before r14's text). Value-identical
+    to `_short_term_cascade_df` below — pinned by
+    `test_cascade_split_equals_direct_agg`, the value comparison in
+    `test_cascade_text_values_equal_dataframe_build`, and the unchanged
+    oracle."""
+    seg = _checkpointed_segments(pts, 300)
+    return pts.sparkSession.sql(_CASCADE_SPLIT_SQL, seg=seg)
+
+
+def _short_term_cascade_df(pts: DataFrame) -> DataFrame:
+    """Chained-DataFrame reference for the cascade: the 5-minute
     ``statistics_short_term`` rows first, then the hourly reduction —
     exactly how the recorder compiles hourly rows out of short-term
     ones. The 5-minute tier keeps its state as the MERGEABLE integer

@@ -46,17 +46,16 @@ BUDGET = {
     "influx_series_stats": 5,
     "series_mean_shift": 5,
     "flux_window_fill_prev": 6,
-    # r14: 5 → 10 deliberately — the boundary/interior split's second
-    # union branch re-assembles and re-windows the points relation
-    # (bought against the twin ~2M-entry hash maps; −67% wall at
-    # sf0.1, see ha_stats.py). The count is state-dependent: a FRESH
-    # session prints 6 (the un-materialized fixture subtrees collapse),
-    # a session with the HA triplet cache materialized prints 10 (each
-    # branch shows its own copy of the points-assembly exchanges above
-    # the InMemoryTableScan — printed per-branch, served from the
-    # cache at runtime). 10 is the honest upper bound and the state
-    # the −67% was measured in; fresh sessions come in under.
-    "ha_statistics_hourly": 10,
+    # r15: 10 → 1 — the split compiler's segment relation now
+    # materializes once through a lazy localCheckpoint (VERDICT r14 #4:
+    # the r14 double-spliced shape really executed the points assembly
+    # twice; AQE never reused the canonically-identical exchanges —
+    # see ha_stats._checkpointed_segments). The query plan itself scans
+    # the checkpointed RDD in both union branches; the boundary agg may
+    # print one keyed exchange when the RDD's partitioning metadata is
+    # not carried. The feeder's single series exchange is pinned in
+    # tests/test_ha_stats_plans.py.
+    "ha_statistics_hourly": 1,
     "bloom_decontaminate": 0,
     "dsir_resample": 0,
 }
