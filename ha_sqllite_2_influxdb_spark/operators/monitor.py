@@ -91,8 +91,19 @@ def series_acf(pts: DataFrame, max_lag: int = 3) -> DataFrame:
 # — sameResult-pinned by
 # tests/test_plans.py::test_mean_shift_text_plan_equals_dataframe_build.
 # `1000000.0D` / `{threshold}D` suffixes: bare SQL float literals parse
-# as DECIMAL, the DataFrame build uses Python doubles.
+# as DECIMAL, the DataFrame build uses Python doubles. ADVICE r14 low
+# #1: the threshold renders via float() (repr of a numpy scalar would
+# be 'np.float64(10.0)' — invalid SQL) and non-finite values raise up
+# front — the replaced F.lit(threshold) path accepted inf/nan, but a
+# non-finite threshold was never a meaningful detector input; failing
+# loudly beats emitting 'infD'.
 def _mean_shift_sql(w_pts: int, threshold: float) -> str:
+    import math
+
+    threshold = float(threshold)
+    if not math.isfinite(threshold):
+        raise ValueError(
+            f"mean_shift threshold must be finite, got {threshold!r}")
     skey = ", ".join(_SERIES)
     wser = f"PARTITION BY {skey} ORDER BY ts_epoch ASC, state_id ASC"
     bef = f"OVER ({wser} ROWS BETWEEN {w_pts} PRECEDING AND 1 PRECEDING)"

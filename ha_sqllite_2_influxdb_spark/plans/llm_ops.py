@@ -385,7 +385,8 @@ def _q_curate_pipeline_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test_curate_pipeline_sql_text_plan_equality. The narrow-input
 # repartition decisions stay OUTSIDE the text, applied to the spliced
 # parameter plans exactly as dedup.shingle_sets applies them.
-def _curate_sql(widen: bool = False, n_part: int = 0) -> str:
+def _curate_sql(widen: bool = False, n_part: int = 0,
+                widen_bench: bool | None = None) -> str:
     from ..operators.curation import BENCH_EVERY, BENCH_PREFIX_WORDS
     from ..operators.dedup import SHINGLE_K, shingle_pat
 
@@ -396,17 +397,23 @@ def _curate_sql(widen: bool = False, n_part: int = 0) -> str:
     # r14.4: the md5-dedup and benchmark-prefix chains folded INTO the
     # text (they cost ~0.1 s of chained per-call analysis; one {docs}
     # splice replaces three). The narrow-input widening stays a
-    # RENDERED hint decided by one memoized probe of the docs scan —
-    # the broadcast semi-join and the prefix filter both preserve scan
-    # width, so probing docs equals the old per-chain probes (and the
-    # sameResult pin vs the reference, whose shingle_sets probes its
-    # own chain, fails loudly if the two ever diverge).
+    # RENDERED hint; r15 (ADVICE r14 low #2): the train and bench sides
+    # get SEPARATE decisions from probes of the SAME relations the
+    # reference's shingle_sets probes (the post-dedup semi-join chain
+    # for train, the prefix projection for bench — see _curate_widen),
+    # because "the semi-join preserves scan width" is only true when
+    # the join broadcasts: under an SMJ plan the post-join width is the
+    # shuffle-partition count and the old docs-scan approximation would
+    # render a superfluous full-corpus repartition.
+    if widen_bench is None:
+        widen_bench = widen
     hint = f"/*+ REPARTITION({n_part}) */ " if widen else ""
+    bhint = f"/*+ REPARTITION({n_part}) */ " if widen_bench else ""
     keep = ("(SELECT min(doc_id) AS doc_id FROM {docs} "
             "GROUP BY md5(encode(text, 'UTF-8')))")
     deduped = f"(SELECT * FROM {{docs}} LEFT SEMI JOIN {keep} USING (doc_id))"
     train = f"(SELECT {hint}doc_id, text FROM {deduped})"
-    bench = (f"(SELECT {hint}doc_id, array_join(slice(split(text, ' '), 1, "
+    bench = (f"(SELECT {bhint}doc_id, array_join(slice(split(text, ' '), 1, "
              f"{BENCH_PREFIX_WORDS}), ' ') AS text FROM {{docs}} "
              f"WHERE (doc_id % {BENCH_EVERY}) = 0)")
     return f"""
@@ -471,18 +478,53 @@ SELECT * FROM (
 """
 
 
+# widen decisions for the curate text, memoized per (app, sf_dir):
+# planning metadata (like memo.input_width), never a correctness path
+_CURATE_WIDEN_CACHE: dict = {}
+
+
+def _curate_widen(spark: SparkSession, sf_dir: str) -> tuple[bool, bool]:
+    """(widen_train, widen_bench) for the rendered REPARTITION hints —
+    ADVICE r14 low #2: probe the SAME relations the reference's
+    shingle_sets probes (the post-dedup semi-join chain for the train
+    side, the benchmark-prefix projection for the bench side) instead
+    of approximating both with the docs scan. input_width memoizes the
+    physical-plan probe per semanticHash; this memo additionally makes
+    the chain CONSTRUCTION free per call."""
+    from ..memo import input_width
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def build():
+        docs = _docs(spark, sf_dir)
+        n_part = spark.sparkContext.defaultParallelism
+        keep = (
+            docs.groupBy(F.md5(F.encode("text", "UTF-8")).alias("_d"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        deduped = (docs.join(keep, "doc_id", "left_semi")
+                   .select("doc_id", "text"))
+        bench = curation.benchmark_prefixes(docs.select("doc_id", "text"))
+        return (input_width(deduped) < n_part,
+                input_width(bench) < n_part)
+
+    return _artifact(_CURATE_WIDEN_CACHE, key, build)
+
+
 def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline as ONE SQL parse over ONE {docs} splice —
     plan-identical to `_q_curate_pipeline_df` (sameResult-pinned); see
     _curate_sql (r14.4 folded the md5-dedup and bench-prefix chains
-    into the text: build 0.143 → ~0.06 s per call)."""
+    into the text: build 0.143 → ~0.06 s per call; r15 fixed the widen
+    probes — see _curate_widen)."""
     from ..functions.sqlsplice import sql_with_plans
-    from ..memo import input_width
 
     docs = _docs(spark, sf_dir)
     n_part = spark.sparkContext.defaultParallelism
-    widen = input_width(docs.select("doc_id", "text")) < n_part
-    return sql_with_plans(spark, _curate_sql(widen, n_part), docs=docs)
+    widen_train, widen_bench = _curate_widen(spark, sf_dir)
+    return sql_with_plans(
+        spark, _curate_sql(widen_train, n_part, widen_bench), docs=docs)
 
 
 def q_curate_dsir_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

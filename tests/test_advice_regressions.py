@@ -489,3 +489,24 @@ def test_png_decode_budget_gates_before_inflate(spark):
         mm._MAX_DECODED_BYTES = old
     rgb = mm.decode_png_rgb(payloads["rgb"]).collect()[0]
     assert rgb.width is not None
+
+
+def test_mean_shift_sql_threshold_renders_portably():
+    """ADVICE r14 low #1: the text form renders the threshold with
+    repr(); a numpy scalar (repr 'np.float64(10.0)' on numpy>=2) or a
+    non-finite value would produce invalid/meaningless SQL where the
+    replaced F.lit(threshold) path accepted them. The renderer now
+    coerces via float() and rejects non-finite values up front."""
+    import numpy as np
+    import pytest
+
+    from ha_sqllite_2_influxdb_spark.operators.monitor import (
+        _mean_shift_sql)
+
+    # numpy scalar coerces to a plain round-trippable float literal
+    text = _mean_shift_sql(12, np.float64(10.0))
+    assert "10.0D" in text and "np.float64" not in text
+    # non-finite raises instead of emitting 'infD' / 'nanD'
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError, match="finite"):
+            _mean_shift_sql(12, bad)

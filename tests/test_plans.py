@@ -1154,16 +1154,30 @@ def test_tpch_text_plans_equal_dataframe_builds(spark, sf_dir):
     at any data size (measured min-of-10 in one JVM: q1 0.263→0.048,
     q3 0.189→0.057, q5 0.159→0.085 s). The text build must be
     plan-identical (optimizer sameResult) and value-identical to the
-    chained reference so nothing physical changes."""
-    for text_fn, df_fn in (
-        (analytics.q_tpch_q1, analytics._q_tpch_q1_df),
-        (analytics.q_tpch_q3, analytics._q_tpch_q3_df),
-        (analytics.q_tpch_q5, analytics._q_tpch_q5_df),
+    chained reference so nothing physical changes.
+
+    ADVICE r14 low #3: canonicalization erases JoinHints, so sameResult
+    alone would pass silently if a text dropped its BROADCAST hint and
+    fell back to SMJ. Mirror the curate pin's extra check: executed
+    Exchange and BroadcastExchange counts must also match, and the
+    hint-bearing q3/q5 plans must actually broadcast (no SMJ)."""
+    for text_fn, df_fn, hinted in (
+        (analytics.q_tpch_q1, analytics._q_tpch_q1_df, False),
+        (analytics.q_tpch_q3, analytics._q_tpch_q3_df, True),
+        (analytics.q_tpch_q5, analytics._q_tpch_q5_df, True),
     ):
         a = text_fn(spark, sf_dir)
         b = df_fn(spark, sf_dir)
         assert a._jdf.queryExecution().optimizedPlan().sameResult(
             b._jdf.queryExecution().optimizedPlan()), text_fn.__name__
+        pa = a._jdf.queryExecution().executedPlan().toString()
+        pb = b._jdf.queryExecution().executedPlan().toString()
+        for node in ("Exchange", "BroadcastExchange"):
+            assert pa.count(node) == pb.count(node), (
+                text_fn.__name__, node)
+        if hinted:
+            assert "BroadcastHashJoin" in pa, text_fn.__name__
+            assert "SortMergeJoin" not in pa, text_fn.__name__
         got_a = sorted(map(tuple, a.collect()))
         got_b = sorted(map(tuple, b.collect()))
         assert got_a == got_b and got_a, text_fn.__name__
