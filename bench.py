@@ -203,14 +203,21 @@ def main() -> None:
     # enough that the ±30% same-day host spread never false-positives,
     # tight enough that an accidental re-fit-per-call or a collect-path
     # regression (both would be ≥5×) flips the committed artifact.
-    # Bands were measured at the driver SF; at other SFs the stamps are
-    # still recorded but not judged against a foreign band.
-    FIT_BANDS = {"bloom_words": (1.3, 1.9), "dsir_lr": (0.84, 1.08),
-                 "pq_books": (3.4, 4.4)}
+    # r15 (VERDICT r14 #8): bands are keyed PER SF — a fit stamp at an
+    # SF with no measured band is explicitly stamped unjudged
+    # (`fit_sf_judged: false`) instead of silently skipping the gate.
+    # Only sf0.1 has a quiet-host measured band today; record a band
+    # here when another SF is measured.
+    FIT_BANDS_BY_SF = {
+        0.1: {"bloom_words": (1.3, 1.9), "dsir_lr": (0.84, 1.08),
+              "pq_books": (3.4, 4.4)},
+    }
+    FIT_BANDS = FIT_BANDS_BY_SF.get(sf, {})
+    fit_sf_judged = sf in FIT_BANDS_BY_SF
     fit_alarms = [
         f"{n}: {fits[n]}s > 2x band ceiling {FIT_BANDS[n][1]}s"
         for n in fits
-        if sf == 0.1 and n in FIT_BANDS and fits[n] > 2 * FIT_BANDS[n][1]
+        if n in FIT_BANDS and fits[n] > 2 * FIT_BANDS[n][1]
     ]
 
     steady_runs = 5 if contended else 3
@@ -351,6 +358,7 @@ def main() -> None:
         "candidates_load": cand_load,
         "fits": fits,
         "fit_bands": FIT_BANDS,
+        "fit_sf_judged": fit_sf_judged,
         "fit_alarms": fit_alarms,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
@@ -375,6 +383,7 @@ def main() -> None:
         "queries": timings,
         "candidates": cand,
         "fits": fits,
+        "fit_sf_judged": fit_sf_judged,
         "fit_alarms": fit_alarms,
         "loadavg_start": load_start,
         "loadavg_end": load_end,

@@ -239,6 +239,18 @@ def tiers(spark, docs_path, emb_path, books, viral_path=None,
         "simhash_neighbors_rotated": lambda: dedup.simhash_neighbors_rotated(
             docs, max_hamming=3, portable=False),
         "ngram_span_dedup": lambda: dedup.ngram_span_stats(docs, n=8),
+        # r15 (VERDICT r14 #3): the r14 window shape ships EVERY raw
+        # (doc_id, g) position of a duplicated n-gram to the one
+        # reducer owning g, and the whole-partition window buffers the
+        # group per task — on a boilerplate corpus the viral n-grams
+        # (here: 5 fully-boilerplate 8-grams per doc, df ≈ corpus
+        # size) are exactly the hot keys guide §2.2 warns about. The
+        # viral corpus prepends the boilerplate BEFORE replication, so
+        # 10× input ⇒ 10× viral groups of the same size — wall must
+        # stay ~linear and RSS flat, else the partial-agg/salted
+        # variant ships (see OPTIMIZATION_r15.md).
+        "ngram_span_dedup_viral": lambda: dedup.ngram_span_stats(
+            viral, n=8),
         "pq_rerank_topk": lambda: similarity.pq_rerank_topk(
             emb, n_queries=5, k=10, shortlist_factor=10, books=books),
         # r6 additions: the word-prefix replication keeps shingle groups,
